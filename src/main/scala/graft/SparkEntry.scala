@@ -1,13 +1,551 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.ops._
+import graft.stream.Streaming
+import graft.multimodal.Multimodal
+
+/** Driver contract (SURVEY.md §2 operator inventory → runnable queries).
+  *
+  * Every key returns a DETERMINISTIC DataFrame over the testdata in `dir`
+  * (total ordering, no wall-clock, explicit aliases), and — where the
+  * semantics are ANSI-SQL-expressible — has a DuckDB oracle in [[oracleSql]]
+  * with matching column names/types. Determinism rules: SURVEY.md §7.6.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val TMP = "/root/repo/target/qtmp"
+
+  /** Flagship query on sf0.001 (driver smoke-checks rows > 0): top-k order
+    * priorities — scan → partial/final hash agg → TakeOrderedAndProject. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.topKGroups(Tables.orders(spark, "/root/testdata/sf0.001"), "o_orderpriority", 10)
+
+  // case-bucket expression shared by q36/q40 (reference threshold-ladder shape,
+  // `Data Analysis/Reddit_4chan_Analysis.py:152-160`)
+  private def valueBucket = when(col("value") >= 100, "high")
+    .when(col("value") >= 50, "mid").otherwise(lit("low"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------- §2.1 sources
+    "q01_csv_scan" -> ((s, dir) => {
+      val region = T(s, dir, "region")
+      val tmp = s"$TMP/q01_csv"
+      region.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema(region.schema).csv(tmp).orderBy("r_regionkey")
+    }),
+    "q02_json_flatten" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), StructType.fromDDL("k INT")).getField("k").as("k"))
+        .orderBy("event_id")),
+    "q03_json_explode" -> ((s, dir) => {
+      // build the 2-level nested shape (threads[].posts[]-like), then unnest both levels
+      val items = T(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"))
+      val nested = T(s, dir, "orders")
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(collect_list(struct(col("o_orderkey"), col("items"))).as("orders_arr"))
+      nested.select(col("o_custkey").as("custkey"), explode(col("orders_arr")).as("o"))
+        .select(col("custkey"), explode(col("o.items")).as("it"))
+        .groupBy(col("custkey"))
+        // exact integer-cents sum: order-independent, bit-identical to the oracle
+        .agg((sum(round(col("it.l_quantity") * 100, 0).cast("long")) / 100.0).as("sum_qty"))
+        .orderBy("custkey")
+    }),
+    "q04_table_sink_append" -> ((s, dir) => {
+      val sink = s"$TMP/q04_sink"
+      val li = T(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "R").write.mode("overwrite").parquet(sink)
+      li.filter(col("l_returnflag") === "A").write.mode("append").parquet(sink)
+      s.read.parquet(sink).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt")).orderBy("l_returnflag")
+    }),
+    "q05_table_scan" -> ((s, dir) => T(s, dir, "orders").orderBy("o_orderkey")),
+    // ---------------------------------------------------------- §2.2 filters
+    "q06_project" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")),
+    "q07_ts_range_filter" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q08_between_filter" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate").between(
+          lit("1997-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")),
+    "q09_recency_filter" -> ((s, dir) =>
+      Relational.recentWithin(T(s, dir, "events"), "ts", "1 DAY")
+        .select(col("event_id"), col("ts"), col("event_type")).orderBy("event_id")),
+    "q10_date_cast_filter" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+        .filter(col("day").between("2024-01-10", "2024-01-19"))
+        .groupBy(col("day")).agg(count(lit(1)).as("cnt")).orderBy("day")),
+    // ---------------------------------------------------------- §2.3 joins
+    "q11_inner_equijoin" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("sum_price"))
+        .orderBy("c_mktsegment")),
+    "q12_anti_join_dedup" -> ((s, dir) =>
+      Relational.antiDedup(
+        T(s, dir, "customer"),
+        T(s, dir, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+        .select(col("c_custkey")).orderBy("c_custkey")),
+    "q13_composite_key_anti" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Relational.antiDedup(
+        li.filter(col("l_returnflag") === "N").select(col("l_orderkey"), col("l_suppkey")).distinct(),
+        li.filter(col("l_returnflag") === "R").select(col("l_orderkey"), col("l_suppkey")),
+        Seq("l_orderkey", "l_suppkey"))
+        .orderBy("l_orderkey", "l_suppkey")
+    }),
+    // ---------------------------------------------------------- §2.4 aggs
+    "q14_count_global" -> ((s, dir) => T(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+    "q15_groupby_count" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+    "q16_groupby_multi" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus", "ship_year")),
+    "q17_topk_groups" -> ((s, dir) => Relational.topKGroups(T(s, dir, "orders"), "o_orderpriority", 10)),
+    "q18_tumbling_day_count" -> ((s, dir) =>
+      Relational.tumblingCounts(T(s, dir, "events"), "ts", "1 day").orderBy("bucket_start")),
+    "q19_share_of_total" -> ((s, dir) =>
+      Relational.shareOfTotal(T(s, dir, "events"), "event_type").orderBy("event_type")),
+    // ---------------------------------------------------------- §2.5 sort/window
+    "q20_orderby_ts" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy("ts", "event_id")),
+    "q21_orderby_desc_limit" -> ((s, dir) =>
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+    "q22_running_state" -> ((s, dir) =>
+      Relational.runningState(T(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("user_id", "rn")),
+    // ---------------------------------------------------------- §2.6 set ops
+    "q23_union_all" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_orderkey"), lit("open").as("src"))
+        .unionByName(
+          o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"), lit("big").as("src")))
+        .orderBy("o_orderkey", "src")
+    }),
+    // ---------------------------------------------------------- §2.7 scalar fns
+    "q24_url_strip" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.stripUrls(
+          concat(lit("see https://example.com/d/"), col("doc_id"), lit(" :: "), col("text")))
+          .as("clean"))
+        .orderBy("doc_id")),
+    "q25_normalize_text" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.normalizeText(upper(col("text"))).as("normalized"))
+        .orderBy("doc_id")),
+    "q26_html_to_text" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.htmlToText(
+          concat(lit("<p>Line &amp; <b>"), col("text"), lit("</b> &gt;&gt;42 tail</p>")))
+          .as("clean"))
+        .orderBy("doc_id")),
+    "q27_epoch_to_ts" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_id"), TextFunctions.epochToTs(col("ts").cast("long")).as("ts_sec"))
+        .orderBy("event_id")),
+    "q28_iso_parse" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_id"), TextFunctions.isoParse(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("parsed"))
+        .orderBy("event_id")),
+    "q29_date_format" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), TextFunctions.dayString(col("o_orderdate")).as("day"))
+        .orderBy("o_orderkey")),
+    "q30_date_arith" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due"))
+        .orderBy("o_orderkey")),
+    "q31_scalar_math" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(TextFunctions.dayString(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("extrapolated", round(col("cnt") / lit(10.0) * lit(5.5), 2))
+        .orderBy("day")),
+    "q32_json_get" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_id"), TextFunctions.jsonGetLong(col("props"), "k", -1).as("k"))
+        .orderBy("event_id")),
+    "q33_null_guard" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("text").isNull || length(col("text")) === 0, lit("not a string"))
+            .otherwise(substring(col("text"), 1, 20)).as("guarded"))
+        .orderBy("doc_id")),
+    // ---------------------------------------------------------- §2.8 UDF surface
+    "q34_sentiment_udf" -> ((s, dir) =>
+      Sentiment.scoreByLexiconJoin(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("sentiment_score"), col("sentiment"))
+        .orderBy("doc_id")),
+    "q35_hate_udf" -> ((s, dir) =>
+      Moderation.classify(T(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("is_hate_speech"), col("hate_speech_confidence"))
+        .orderBy("doc_id")),
+    "q36_case_label" -> ((s, dir) =>
+      T(s, dir, "events").groupBy(valueBucket.as("label")).agg(count(lit(1)).as("cnt"))
+        .orderBy("label")),
+    // ---------------------------------------------------------- §2.9 streaming
+    "q37_microbatch_trigger" -> ((s, dir) =>
+      Streaming.countsByType(s, dir).orderBy("event_type")),
+    "q38_stream_dedup" -> ((s, dir) =>
+      Streaming.streamDedupKeys(s, dir).orderBy("user_id")),
+    "q39_late_data_drop" -> ((s, dir) =>
+      Relational.recentWithin(T(s, dir, "events"), "ts", "12 HOURS")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt")).orderBy("event_type")),
+    "q40_incremental_enrich" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val existing = ev.filter(col("event_id") % 10 === 0).select(col("event_id"))
+      Streaming.incrementalEnrich(ev, existing, "event_id")(
+        _.withColumn("label", valueBucket))
+        .groupBy(col("label")).agg(count(lit(1)).as("cnt")).orderBy("label")
+    }),
+    "q41_keyed_fanout" -> ((s, dir) =>
+      broadcast(T(s, dir, "nation"))
+        .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("c_acctbal") * 100, 0).cast("long")).as("__cents"))
+        // integer half-up rounding of cents/cnt: engine-independent (fp round
+        // semantics differ between Spark and DuckDB at exact .5 boundaries)
+        .withColumn("avg_bal", (expr("(__cents * 2 + cnt) div (2 * cnt)") / lit(100.0)))
+        .drop("__cents")
+        .orderBy("n_name")),
+    "q42_session_window" -> ((s, dir) =>
+      Streaming.tumblingDailyCounts(s, dir).orderBy("bucket_start")),
+    // ---------------------------------------------------------- §2.10 extensions
+    "q43_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(T(s, dir, "documents"), "doc_id", "text").orderBy("keeper_id")),
+    "q44_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDup(T(s, dir, "documents"), "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+        .orderBy("id_a", "id_b")),
+    "q45_cosine_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rn")
+    }),
+    "q46_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "events").groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("users")).orderBy("event_type")),
+    "q47_text_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(T(s, dir, "documents"), "lang", "text").orderBy("lang")),
+    "q48_simhash" -> ((s, dir) =>
+      Dedup.simHash(T(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "q49_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(T(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", k = 2, threshold = 0.1)
+        .orderBy("id_a", "id_b")),
+    "q50_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "q51_quality_score" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "q52_token_count" -> ((s, dir) =>
+      T(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TextAnalysis.bpeishTokenCount(col("text"))).as("bpe_tokens"))
+        .orderBy("lang")),
+    "q53_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.RollingHash(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "q54_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
+        .orderBy("id_a", "id_b")),
+    "q55_ann_lsh" -> ((s, dir) =>
+      Similarity.lshBucketNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 32, bands = 4, dim = 64)
+        .orderBy("id_a", "id_b")),
+    "q56_multimodal" -> ((s, dir) =>
+      Multimodal.asMultimodal(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
+        .orderBy("doc_id"))
+  )
+
+  // ------------------------------------------------------------------ oracle
+
+  private val lexValues = Sentiment.lexicon
+    .map { case (w, v) => s"('$w', ${math.round(v * 10)})" }.mkString(", ")
+
+  private val langCase: String = {
+    def hits(l: String) =
+      s"CAST(len(regexp_extract_all(lower(text), '\\b(${TextAnalysis.langMarkers(l).mkString("|")})\\b')) AS INTEGER)"
+    val best = s"greatest(${Seq("en", "de", "es", "fr").map(hits).mkString(", ")})"
+    Seq("en", "de", "es", "fr")
+      .map(l => s"WHEN ${hits(l)} = $best AND $best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** Band-bucket expressions replicating [[Similarity.lshBands]] (32 planes,
+    * 4 bands of 8): buck{t} = packed sign bits of planes 8t..8t+7. */
+  private val lshBandSql: Seq[String] = {
+    val planes = Similarity.hyperplanes(32, 64)
+    (0 until 4).map { t =>
+      (0 until 8).map { j =>
+        val p = planes(t * 8 + j)
+        val arr = "[" + p.map(v => s"CAST($v AS DOUBLE)").mkString(",") + "]"
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_csv_scan" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q02_json_flatten" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",
+    "q03_json_explode" ->
+      """SELECT o_custkey AS custkey, sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY custkey""".stripMargin,
+    "q04_table_sink_append" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_table_scan" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "q06_project" -> "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+    "q07_ts_range_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q08_between_filter" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_recency_filter" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |WHERE CAST(ts AS TIMESTAMP) > (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 1 DAY
+        |ORDER BY event_id""".stripMargin,
+    "q10_date_cast_filter" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt FROM events
+        |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-19'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_inner_equijoin" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_anti_join_dedup" ->
+      """SELECT c_custkey FROM customer c WHERE NOT EXISTS
+        |(SELECT 1 FROM orders o WHERE o.o_orderstatus = 'P' AND o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_composite_key_anti" ->
+      """SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem l
+        |WHERE l_returnflag = 'N' AND NOT EXISTS
+        |(SELECT 1 FROM lineitem r WHERE r.l_returnflag = 'R'
+        | AND r.l_orderkey = l.l_orderkey AND r.l_suppkey = l.l_suppkey)
+        |ORDER BY l_orderkey, l_suppkey""".stripMargin,
+    "q14_count_global" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q15_groupby_count" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q16_groupby_multi" ->
+      """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |count(*) AS cnt FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q17_topk_groups" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1
+        |ORDER BY cnt DESC, o_orderpriority LIMIT 10""".stripMargin,
+    "q18_tumbling_day_count" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket_start, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_share_of_total" ->
+      """SELECT event_type, count(*) AS cnt,
+        |round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_orderby_ts" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |ORDER BY ts, event_id""".stripMargin,
+    "q21_orderby_desc_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q22_running_state" ->
+      """SELECT user_id, event_id,
+        |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+        |lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events ORDER BY user_id, rn""".stripMargin,
+    "q23_union_all" ->
+      """SELECT o_orderkey, src FROM (
+        |SELECT o_orderkey, 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey, 'big' AS src FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY o_orderkey, src""".stripMargin,
+    "q24_url_strip" ->
+      """SELECT doc_id, regexp_replace('see https://example.com/d/' || CAST(doc_id AS VARCHAR) || ' :: ' || text,
+        |'https?://\S+', '', 'g') AS clean FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_normalize_text" ->
+      """SELECT doc_id, lower(regexp_replace(upper(text), '[^a-zA-Z0-9\s]', '', 'g')) AS normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_html_to_text" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(
+        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |'<p>Line &amp; <b>' || text || '</b> &gt;&gt;42 tail</p>',
+        |'<[^>]+>', '', 'g'), '&gt;', '>', 'g'), '&lt;', '<', 'g'), '&quot;', '"', 'g'),
+        |'&#039;', '''', 'g'), '&amp;', '&', 'g'), '>>\d+', '', 'g'), '^>+', '', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_epoch_to_ts" ->
+      """SELECT event_id, make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) * 1000000) AS ts_sec
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q28_iso_parse" ->
+      """SELECT event_id, strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ'),
+        |'%Y-%m-%dT%H:%M:%SZ') AS parsed FROM events ORDER BY event_id""".stripMargin,
+    "q29_date_format" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders ORDER BY o_orderkey",
+    "q30_date_arith" ->
+      "SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS due FROM orders ORDER BY o_orderkey",
+    "q31_scalar_math" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt,
+        |round(count(*) / 10.0 * 5.5, 2) AS extrapolated FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_json_get" ->
+      """SELECT event_id, coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q33_null_guard" ->
+      """SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0 THEN 'not a string'
+        |ELSE substr(text, 1, 20) END AS guarded FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_sentiment_udf" ->
+      s"""WITH lex(word, tenths) AS (VALUES $lexValues),
+         |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         |sc AS (SELECT doc_id, sum(tenths) / 10.0 AS sv FROM tok JOIN lex USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |round(coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0), 4) AS sentiment_score,
+         |CASE WHEN coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0) >= 0.05 THEN 'positive'
+         |     WHEN coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0) <= -0.05 THEN 'negative'
+         |     ELSE 'neutral' END AS sentiment
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q35_hate_udf" ->
+      """WITH h AS (SELECT doc_id,
+        |CAST(len(regexp_extract_all(lower(text), '\b(error|slow|bad|crash|fail)\b')) AS DOUBLE) AS hits
+        |FROM documents)
+        |SELECT doc_id, round(hits / (hits + 1.0), 4) > 0.9 AS is_hate_speech,
+        |round(hits / (hits + 1.0), 4) AS hate_speech_confidence FROM h ORDER BY doc_id""".stripMargin,
+    "q36_case_label" ->
+      """SELECT CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'mid' ELSE 'low' END AS label,
+        |count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_microbatch_trigger" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "q38_stream_dedup" -> "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q39_late_data_drop" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE CAST(ts AS TIMESTAMP) > (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 12 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_incremental_enrich" ->
+      """SELECT CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'mid' ELSE 'low' END AS label,
+        |count(*) AS cnt FROM events e WHERE NOT EXISTS
+        |(SELECT 1 FROM events x WHERE x.event_id % 10 = 0 AND x.event_id = e.event_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_keyed_fanout" ->
+      """SELECT n_name, count(*) AS cnt,
+        |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_session_window" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket_start, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_exact_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS dupes FROM documents
+        |GROUP BY text ORDER BY keeper_id""".stripMargin,
+    "q45_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+    "q46_approx_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1 ORDER BY 1",
+    "q47_text_stats" ->
+      """SELECT lang, count(*) AS docs,
+        |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
+        |round(avg(length(text)), 2) AS avg_chars, CAST(max(length(text)) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q49_ngram_jaccard" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+        |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+        |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+        |FROM shared JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q50_langid" ->
+      s"SELECT doc_id, $langCase AS lang_pred FROM documents ORDER BY doc_id",
+    "q51_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+        |CAST(length(text) AS DOUBLE) AS len,
+        |CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS DOUBLE) AS stop
+        |FROM documents)
+        |SELECT doc_id, round(
+        |(CASE WHEN len >= 100 AND len <= 10000 THEN CAST(1.0 AS DOUBLE) WHEN len >= 20 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+        |+ (CASE WHEN len > 0 THEN alpha / len ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+        |+ (CASE WHEN toks > 0 THEN least(stop / toks * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE),
+        |4) AS quality FROM f ORDER BY doc_id""".stripMargin,
+    "q52_token_count" ->
+      """SELECT lang,
+        |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+        |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |  FROM v a CROSS JOIN v b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q55_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bb AS (SELECT vec_id, v,
+         |  (${lshBandSql(0)}) AS buck0, (${lshBandSql(1)}) AS buck1,
+         |  (${lshBandSql(2)}) AS buck2, (${lshBandSql(3)}) AS buck3 FROM b),
+         |banded AS (SELECT vec_id, v, t.band,
+         |  CASE t.band WHEN 0 THEN buck0 WHEN 1 THEN buck1 WHEN 2 THEN buck2 ELSE buck3 END AS bucket
+         |  FROM bb, (VALUES (0), (1), (2), (3)) AS t(band)),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS xv, y.v AS yv
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |p AS (SELECT id_a, id_b,
+         |  list_dot_product(xv, yv) / (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))) AS cosine
+         |  FROM cand)
+         |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q56_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // q44_minhash_neardup, q48_simhash, q53_fingerprint: hash-function-defined
+    // outputs (xxhash64 / Karp-Rabin) — not expressible in DuckDB; covered by
+    // ScalaTest golden/property tests instead (driver records rows-only).
+  )
 }

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard. (SURVEY.md §2.10 q43/q44 + north-star
+  * extensions.)
+  *
+  * Scale design: every variant reduces the pairwise problem to a groupBy/join
+  * on a *short key* (hash, band signature, simhash prefix) before any
+  * quadratic work, so the shuffle carries fingerprints, not documents. Nothing
+  * here collects to the driver.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup via content hash: group on sha2(text) and keep the smallest
+    * id. Shuffles a 64-char hash + id per row, never the text itself (the
+    * projection drops `text` before the exchange — check `.explain`).
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(sha2(col(textCol), 256).as("__h"), col(idCol))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dupes"))
+      .drop("__h")
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Distinct word k-shingles per doc: (id, shingle) pairs. */
+  def wordShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), split(lower(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol), explode(array_distinct(expr(
+        // sliding window over the token array; drop short tail windows
+        s"filter(transform(__w, (x, i) -> concat_ws(' ', slice(__w, i + 1, $k)))," +
+          s" s -> size(split(s, ' ')) = $k)"))).as("shingle"))
+
+  /** MinHash signatures: for each of `numHashes` seeded permutations keep the
+    * min over the doc's shingle hashes. One explode + one groupBy — the
+    * signature matrix is |docs| × numHashes longs.
+    *
+    * Output: (id, sig: array<long> of length numHashes).
+    */
+  def minHashSignatures(shingled: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    // h_i(x) = xxhash64(shingle, seed=i) — independent-ish hash family, all codegen'd
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    shingled.groupBy(col(idCol))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * bucket-join docs sharing any band, then estimate Jaccard as the fraction
+    * of agreeing signature positions. Candidate generation is a self-join on
+    * (band index, band hash) — i.e. on a short key, never all-pairs.
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold.
+    */
+  def minHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                     threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minHashSignatures(wordShingles(docs, idCol, textCol, shingleK), idCol, numHashes)
+    val banded = sigs.select(
+      col(idCol), col("sig"),
+      posexplode(array((0 until bands).map(bI =>
+        xxhash64(lit(bI), concat_ws(",", slice(col("sig"), bI * rowsPerBand + 1, rowsPerBand)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    val agree = expr(
+      "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    candidates
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per doc: sum ±1 per bit over token hashes, take signs.
+    * Computed relationally: explode tokens → per-bit contributions → groupBy
+    * doc. Near-dup candidates = docs whose simhash differs in ≤ maxHamming
+    * bits, bucketed by splitting the fingerprint into (maxHamming+1) chunks
+    * (pigeonhole: some chunk must match exactly).
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
+    * chunk-bucket join (4 chunks of 16 bits ⇒ pigeonhole for maxHamming ≤ 3).
+    */
+  def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val chunks = 4
+    val sh = simHash(docs, idCol, textCol)
+    val chunked = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("chunk_val"))
+    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("chunk_val"))
+    val ham = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    a.join(b, Seq("chunk", "chunk_val")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------------------------------------------------------- jaccard
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: |A∩B| via a
+    * shingle-equality self-join (shared count), |A∪B| = |A|+|B|−|A∩B|.
+    * Fully relational ⇒ DuckDB-oracle-able; the shingle join is the candidate
+    * generator, so cost is Σ shingle-bucket² not |docs|².
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, threshold: Double): DataFrame = {
+    val sh = wordShingles(docs, idCol, textCol, k)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val shared = sh.as("x").join(sh.as("y"), Seq("shingle"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

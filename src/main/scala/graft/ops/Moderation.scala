@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Deterministic moderation classifier (SURVEY.md §2.8 q35).
+  *
+  * The reference POSTs every row to the ModerateHateSpeech API and flags when
+  * `class == "flag" && confidence > 0.9` (`Data Analysis/
+  * Reddit_4chan_Analysis.py:18-53`, threshold at `:19,42`) — one blocking HTTP
+  * call per row, the pipeline's throughput ceiling. We keep the output
+  * contract (`is_hate_speech: Boolean`, `hate_speech_confidence: Double`,
+  * strict `> 0.9`) but replace the remote model with a deterministic keyword
+  * scorer, and shape the real-HTTP escape hatch as a per-partition batch
+  * client rather than per-row calls.
+  */
+object Moderation {
+
+  /** Deterministic stand-in term list. */
+  val flaggedTerms: Seq[String] = Seq("error", "slow", "bad", "crash", "fail")
+
+  val confidenceThreshold = 0.9
+
+  private def termPattern: String = "\\b(" + flaggedTerms.mkString("|") + ")\\b"
+
+  /** Confidence = hits / (hits + 1): monotone in hit count, in [0, 1), crosses
+    * the 0.9 threshold at 10+ hits. Pure codegen'd expressions. */
+  def confidence(textCol: Column): Column = {
+    val hits = regexp_count(lower(textCol), lit(termPattern)).cast("double")
+    round(hits / (hits + lit(1.0)), 4)
+  }
+
+  def isHate(conf: Column): Column = conf > confidenceThreshold
+
+  /** Expression-based classifier — the default path (stays in codegen). */
+  def classify(df: DataFrame, textCol: String): DataFrame = {
+    val conf = confidence(col(textCol))
+    df.withColumn("hate_speech_confidence", conf)
+      .withColumn("is_hate_speech", isHate(col("hate_speech_confidence")))
+  }
+
+  /** Batch-client shape: one scorer instance per partition (vs the reference's
+    * per-row HTTP POST + per-row analyzer re-init, `Reddit_4chan_Analysis.py:
+    * 123,148`). A real HTTP client would be constructed here once per
+    * partition and called with batched rows.
+    */
+  def classifyPartitioned(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val pattern = termPattern.r
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField("hate_speech_confidence", org.apache.spark.sql.types.DoubleType) :+
+        org.apache.spark.sql.types.StructField("is_hate_speech", org.apache.spark.sql.types.BooleanType))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val out = df.rdd.mapPartitions { iter =>
+      // per-partition "client" setup happens here, once (vs per-row in the reference)
+      iter.map { row =>
+        val text = Option(row.getString(textIdx)).getOrElse("").toLowerCase
+        val hits = pattern.findAllMatchIn(text).size.toDouble
+        val conf = math.rint(hits / (hits + 1.0) * 10000) / 10000
+        Row.fromSeq(row.toSeq :+ conf :+ (conf > confidenceThreshold))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+}

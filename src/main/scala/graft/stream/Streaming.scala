@@ -1,0 +1,96 @@
+package graft.stream
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** Structured Streaming re-expression of the reference's poll-loop "streams"
+  * (SURVEY.md §2.9). The reference streams by scheduling a fetch every 1s/3min/
+  * 60min and deduplicating against the whole Postgres table on every insert
+  * (`Data Collection/Reddit.py:166-173`, `:75-80`). Here the same semantics are
+  * `readStream → transform → writeStream`, with dedup/windows as stateful
+  * operators and watermarks bounding state (the reference's state is unbounded).
+  *
+  * `Trigger.AvailableNow` drains all pending input in micro-batches and stops —
+  * the deterministic replay mode used by the verify gate; swap for
+  * `Trigger.ProcessingTime(...)` in a live deployment (q37's cadences).
+  */
+object Streaming {
+
+  private val nameCounter = new AtomicLong(0)
+
+  /** Streaming scan of a testdata table: file-source with the schema taken
+    * from the batch reader (streams require a declared schema). */
+  def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet is ns-timestamped — expose as long before schema capture
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(Tables.path(dir, name)).schema
+    // file source requires a directory: scan the sf dir, globbed to this table
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run a streaming DataFrame to completion with AvailableNow into a memory
+    * sink and return the final result table. Memory sink is driver-local —
+    * only ever used for chart-sized aggregates / verify replays; production
+    * sinks are file/Kafka via the same writeStream. */
+  def runToResult(stream: DataFrame, outputMode: String): DataFrame = {
+    val spark = stream.sparkSession
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** q37: micro-batch periodic counts (reference cadences: 1 s / 3 min / 60 min).
+    * Complete-mode aggregation ⇒ final result provably equals the batch twin. */
+  def countsByType(spark: SparkSession, dir: String): DataFrame =
+    runToResult(
+      streamTable(spark, dir, "events").groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
+      "complete")
+
+  /** q38: cross-batch dedup by key (reference: per-row EXISTS probe against
+    * the whole table). Project to the key *before* dropDuplicates so state
+    * stores only keys. */
+  def streamDedupKeys(spark: SparkSession, dir: String): DataFrame =
+    runToResult(
+      streamTable(spark, dir, "events").select(col("user_id")).dropDuplicates("user_id"),
+      "append")
+
+  /** q42: tumbling-window daily counts, streaming form of the dashboard's
+    * hand-rolled python window loop (`Analysis Dashboard/app.py:44-59`). */
+  def tumblingDailyCounts(spark: SparkSession, dir: String): DataFrame =
+    runToResult(
+      streamTable(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("bucket_start"), col("cnt")),
+      "complete")
+
+  /** q39 live shape: watermarked window agg — late rows beyond the horizon are
+    * dropped, the streaming analogue of the reference's "discard posts older
+    * than 3 min" (`Data Collection/chan4.py:76-77`). Used by tests; the verify
+    * twin anchors recency on max(ts) for determinism. */
+  def watermarkedDailyCounts(stream: DataFrame, horizon: String): DataFrame =
+    stream.withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket_start"), col("cnt"))
+
+  /** q40 live shape: enrich-once incremental pipeline — each micro-batch
+    * anti-joins the already-enriched keys then appends (reference:
+    * `Data Analysis/Reddit_4chan_Analysis.py:115-119`). */
+  def incrementalEnrich(stream: DataFrame, existingKeys: DataFrame, key: String)(
+      enrich: DataFrame => DataFrame): DataFrame =
+    enrich(stream.join(existingKeys, Seq(key), "left_anti"))
+}
