@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Moderation, Relational, Sentiment, TextFunctions}
+import graft.schema.Comments
+
+/** End-to-end pipeline (SURVEY.md §3): the reference's Airflow DAG
+  * `start → [reddit, 4chan, youtube] → unify → nlp → vacuum → end`
+  * (`Data Collection/Airflow.py:95-102`) collapsed into one declarative
+  * Spark plan — the "parallel" collector stages are independent DataFrames,
+  * unify is a union, nlp is a column chain, vacuum is a storage no-op.
+  *
+  * Where the reference does per-row work (EXISTS probe per insert, HTTP call
+  * per comment, ordered python loop per chart), every stage here is a
+  * set-based operator: one anti-join, one expression chain, one hash
+  * aggregate. At 100 TB nothing below collects to the driver; the only
+  * shuffles are the dedup anti-join key exchange and the final (tiny)
+  * per-class aggregates.
+  */
+object Pipeline {
+
+  /** Entry point B (`Data Analysis/Reddit_4chan_Analysis.py:88-137`):
+    * enrich-once ETL — skip ids already enriched, clean, score sentiment,
+    * classify moderation. */
+  def enrich(comments: DataFrame, alreadyEnriched: DataFrame): DataFrame = {
+    val delta = Relational.antiDedup(comments, alreadyEnriched, Seq("comment_id"))
+    val cleaned = delta
+      .withColumn("cleaned_body",
+        TextFunctions.normalizeText(TextFunctions.stripUrls(col("body"))))
+    Moderation.classify(
+      Sentiment.scoreByLexiconJoin(cleaned, "comment_id", "cleaned_body"),
+      "cleaned_body")
+  }
+
+  /** Entry point C (`Analysis Dashboard/app.py` query inventory): the
+    * dashboard analytics as views over the enriched unified table. */
+  def sentimentShareByPlatform(enriched: DataFrame): DataFrame =
+    enriched.groupBy(col("platform"), col("sentiment"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct", round(col("cnt") * 100.0 /
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy("platform")), 2))
+
+  def dailyCounts(comments: DataFrame): DataFrame =
+    Relational.tumblingCounts(comments, "created_ts", "1 day")
+
+  def toxicityShare(enriched: DataFrame): DataFrame =
+    Relational.shareOfTotal(enriched, "is_hate_speech")
+
+  /** Full flow: per-source adapters → unify → dedup → enrich → store-ready. */
+  def run(reddit: DataFrame, chan: DataFrame, youtube: DataFrame,
+          alreadyEnriched: DataFrame): DataFrame = {
+    val unified = Comments.unify(
+      Comments.fromReddit(reddit), Comments.fromChan(chan), Comments.fromYoutube(youtube))
+    // cross-batch dedup (q12/q13 shape): platform+id is the composite identity
+    val deduped = unified.dropDuplicates("platform", "comment_id")
+    enrich(deduped, alreadyEnriched)
+  }
+}

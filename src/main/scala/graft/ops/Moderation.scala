@@ -26,7 +26,8 @@ object Moderation {
   /** Confidence = hits / (hits + 1): monotone in hit count, in [0, 1), crosses
     * the 0.9 threshold at 10+ hits. Pure codegen'd expressions. */
   def confidence(textCol: Column): Column = {
-    val hits = regexp_count(lower(textCol), lit(termPattern)).cast("double")
+    // null text scores 0.0, mirroring the partitioned variant's empty-string guard
+    val hits = coalesce(regexp_count(lower(textCol), lit(termPattern)), lit(0)).cast("double")
     round(hits / (hits + lit(1.0)), 4)
   }
 

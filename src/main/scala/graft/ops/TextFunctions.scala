@@ -49,6 +49,13 @@ object TextFunctions {
     * `Analysis Dashboard/app.py:105`). */
   def dayString(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** 4chan free-text timestamp `MM/DD/YY(Day)HH:MM:SS` (stored as text,
+    * `Data Collection/chan4.py:81`; date-cast in queries, `app.py:105`).
+    * The embedded day-name is dropped rather than validated — parse the
+    * date/time fields only, keep the raw string column alongside at rest. */
+  def chanTimestamp(c: Column): Column =
+    to_timestamp(regexp_replace(c, "\\(\\w+\\)", " "), "MM/dd/yy HH:mm:ss")
+
   /** Null / empty guard (reference `isinstance(comment, str)` fallback,
     * `Data Analysis/Reddit_4chan_Analysis.py:161-163`). */
   def nullGuard(c: Column, fallback: String = "not a string"): Column =

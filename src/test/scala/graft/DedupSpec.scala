@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup groups identical texts and keeps the min id") {
+    val docs = Seq((1L, "same text"), (5L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "doc_id", "text").orderBy("keeper_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("wordShingles builds distinct k-shingles, dropping short tails") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
+      .select("shingle").as[String].collect().sorted.toSeq
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
+  test("minHashNearDup finds planted near-duplicates, not unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDup(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simHash fingerprints: near-dup pair closer in hamming than unrelated") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
+    val unrelated = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val sh = Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(1)) < ham(sh(0), sh(2)))
+  }
+
+  test("simHashNearDup buckets catch planted near-dups within hamming budget") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val docs = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccard computes the exact set Jaccard") {
+    // doc1 bigrams {a b, b c, c d}; doc2 bigrams {a b, b c, c x}; J = 2/4 = 0.5
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", k = 2, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.5)))
+  }
+
+  test("dedup is idempotent: re-running exactDedup output changes nothing") {
+    val docs = Seq((1L, "t"), (2L, "t"), (3L, "u")).toDF("doc_id", "text")
+    val once = Dedup.exactDedup(docs, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id")).join(docs, "doc_id")
+    val twice = Dedup.exactDedup(once, "doc_id", "text")
+    assert(twice.count() == once.count())
+  }
+}

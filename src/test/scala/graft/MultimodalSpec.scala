@@ -1,0 +1,30 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asMultimodal wraps text into payload bytes + typed metadata") {
+    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val mm = Multimodal.asMultimodal(docs, "doc_id", "text").orderBy("doc_id")
+    val rows = mm.select("payload", "meta.n_bytes").collect()
+    assert(rows(0).getAs[Array[Byte]](0).toSeq == "abc".getBytes("UTF-8").toSeq)
+    assert(rows(0).getLong(1) == 3L && rows(1).getLong(1) == 0L)
+  }
+
+  test("FakeDecoder emits [len, avg, min, max] byte stats deterministically") {
+    val f = Multimodal.FakeDecoder.decode("ab".getBytes("UTF-8"))
+    assert(f.toSeq == Seq(2f, 97.5f, 97f, 98f))
+    assert(Multimodal.FakeDecoder.decode(Array.emptyByteArray).toSeq == Seq(0f, 0f, 0f, 0f))
+  }
+
+  test("extractFeatures runs the decoder per partition over every row") {
+    val docs = Seq((1L, "abc"), (2L, "xyz"), (3L, "")).toDF("doc_id", "text")
+    val mm = Multimodal.asMultimodal(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(mm, "doc_id", Multimodal.FakeDecoder)
+    assert(feats.count() == 3)
+    val m = feats.orderBy("doc_id").as[(Long, Array[Float])].collect()
+    assert(m(0)._2(0) == 3f && m(2)._2.toSeq == Seq(0f, 0f, 0f, 0f))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("antiDedup removes already-present keys and is idempotent") {
+    val incoming = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("comment_id", "v")
+    val existing = Seq("b").toDF("comment_id")
+    val out = Relational.antiDedup(incoming, existing, Seq("comment_id"))
+    assert(out.select("comment_id").as[String].collect().sorted.toSeq == Seq("a", "c"))
+    val twice = Relational.antiDedup(out, existing, Seq("comment_id"))
+    assert(twice.count() == out.count())
+  }
+
+  test("antiDedup on composite key") {
+    val incoming = Seq(("v1", "c1"), ("v1", "c2"), ("v2", "c1")).toDF("video_id", "comment_id")
+    val existing = Seq(("v1", "c1")).toDF("video_id", "comment_id")
+    val out = Relational.antiDedup(incoming, existing, Seq("video_id", "comment_id"))
+    assert(out.count() == 2)
+  }
+
+  test("topKGroups orders by count desc with key tie-break") {
+    val df = Seq("x", "x", "x", "y", "y", "z", "w", "w").toDF("k")
+    val out = Relational.topKGroups(df, "k", 3).as[(String, Long)].collect().toSeq
+    assert(out == Seq(("x", 3L), ("w", 2L), ("y", 2L)))
+  }
+
+  test("shareOfTotal sums to 100") {
+    val df = Seq("a", "a", "b", "c").toDF("k")
+    val pcts = Relational.shareOfTotal(df, "k").select("pct").as[Double].collect()
+    assert(math.abs(pcts.sum - 100.0) < 1e-9)
+  }
+
+  test("tumblingCounts totals equal global count and buckets align to day") {
+    val df = Seq(
+      Timestamp.valueOf("2024-01-01 23:59:59"),
+      Timestamp.valueOf("2024-01-02 00:00:00"), // day-boundary straddle
+      Timestamp.valueOf("2024-01-02 12:00:00")
+    ).toDF("ts")
+    val out = Relational.tumblingCounts(df, "ts", "1 day")
+      .orderBy("bucket_start").as[(Timestamp, Long)].collect().toSeq
+    assert(out.map(_._2).sum == 3)
+    assert(out == Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), 2L)))
+  }
+
+  test("recentWithin keeps a strict window anchored at max ts") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00")),
+      (3L, Timestamp.valueOf("2024-01-01 12:00:00"))
+    ).toDF("id", "ts")
+    val kept = Relational.recentWithin(df, "ts", "1 HOUR").select("id").as[Long].collect().sorted
+    // strict >: the row exactly at (max - 1h) is dropped, max itself kept
+    assert(kept.toSeq == Seq(3L))
+  }
+
+  test("runningState row-numbers and lags within partition") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01"), 10L, 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:02"), 11L, 2.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:01"), 12L, 3.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Relational.runningState(df, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "rn")
+      .select("user_id", "rn", "prev_value").collect()
+    assert(out(0).getInt(1) == 1 && out(0).isNullAt(2))
+    assert(out(1).getInt(1) == 2 && out(1).getDouble(2) == 1.0)
+    assert(out(2).getInt(1) == 1 && out(2).isNullAt(2))
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.RollingHash
+
+class RollingHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("golden value: polynomial 31-hash over UTF-8 bytes") {
+    // "abc" -> ((97*31)+98)*31+99 = 96354
+    assert(RollingHash.hash64(UTF8String.fromString("abc")) == 96354L)
+    assert(RollingHash.hash64(UTF8String.fromString("")) == 0L)
+  }
+
+  test("codegen path agrees with direct eval and handles nulls") {
+    val df = Seq(Some("abc"), Some("spark"), None).toDF("s")
+    val out = df.select(RollingHash(col("s")).as("h")).collect()
+    assert(out(0).getLong(0) == 96354L)
+    assert(out(1).getLong(0) == RollingHash.hash64(UTF8String.fromString("spark")))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("distinct strings get distinct fingerprints (sample)") {
+    val docs = (1 to 500).map(i => s"document number $i payload")
+    val n = docs.toDF("s").select(RollingHash(col("s")).as("h")).distinct().count()
+    assert(n == 500)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Moderation, Sentiment}
+
+class SentimentModerationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("label thresholds are inclusive at exactly +/-0.05 (R4A.py:152-158)") {
+    val df = Seq(0.05, 0.049999, -0.05, -0.049999, 0.0).toDF("c")
+    val out = df.select(Sentiment.label(col("c")).as("l")).as[String].collect().toSeq
+    assert(out == Seq("positive", "neutral", "negative", "neutral", "neutral"))
+  }
+
+  test("compound normalization matches s/sqrt(s^2+15)") {
+    val s = 3.1
+    val expected = s / math.sqrt(s * s + 15.0)
+    val got = Seq(s).toDF("s").select(Sentiment.compoundOf(col("s")).as("c")).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("scoreByLexiconJoin scores hits and leaves no-hit docs neutral at 0") {
+    val docs = Seq(
+      (1L, "this is good good stuff"),   // 2 x good = +3.8
+      (2L, "totally bad"),               // -2.5
+      (3L, "nothing lexical here")       // no hits -> 0.0 neutral
+    ).toDF("doc_id", "text")
+    val out = Sentiment.scoreByLexiconJoin(docs, "doc_id", "text")
+      .orderBy("doc_id").select("sentiment_score", "sentiment")
+      .as[(Double, String)].collect().toSeq
+    val c1 = 3.8 / math.sqrt(3.8 * 3.8 + 15.0)
+    val c2 = -2.5 / math.sqrt(2.5 * 2.5 + 15.0)
+    assert(math.abs(out(0)._1 - c1) < 1e-4 && out(0)._2 == "positive")
+    assert(math.abs(out(1)._1 - c2) < 1e-4 && out(1)._2 == "negative")
+    assert(out(2) == (0.0, "neutral"))
+  }
+
+  test("compoundUdf agrees with the lexicon-join formulation") {
+    val docs = Seq((1L, "good fast crash"), (2L, ""), (3L, "slow slow")).toDF("doc_id", "text")
+    val joined = Sentiment.scoreByLexiconJoin(docs, "doc_id", "text")
+      .orderBy("doc_id").select("sentiment_score").as[Double].collect()
+    val viaUdf = docs.orderBy("doc_id")
+      .select(Sentiment.compoundUdf(col("text")).as("c")).as[Double].collect()
+    joined.zip(viaUdf).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+  }
+
+  test("moderation threshold is strictly > 0.9 (R4A.py:42)") {
+    // 9 hits -> conf = 0.9 exactly -> NOT flagged; 10 hits -> 0.9091 -> flagged
+    val nine = Array.fill(9)("error").mkString(" ")
+    val ten = Array.fill(10)("error").mkString(" ")
+    val df = Seq((1L, nine), (2L, ten), (3L, "clean text")).toDF("id", "text")
+    val out = Moderation.classify(df, "text").orderBy("id")
+      .select("is_hate_speech", "hate_speech_confidence")
+      .as[(Boolean, Double)].collect().toSeq
+    assert(out(0) == (false, 0.9))
+    assert(out(1)._1 && math.abs(out(1)._2 - 10.0 / 11.0) < 1e-3)
+    assert(out(2) == (false, 0.0))
+  }
+
+  test("expression and mapPartitions classifiers agree") {
+    val df = Seq((1L, "bad slow error crash"), (2L, "fine"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val a = Moderation.classify(df, "text").orderBy("id")
+      .select("hate_speech_confidence").as[Double].collect().toSeq
+    val b = Moderation.classifyPartitioned(df, "text").orderBy("id")
+      .select("hate_speech_confidence").as[Double].collect().toSeq
+    assert(a == b)
+  }
+}

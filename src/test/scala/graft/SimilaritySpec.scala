@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecsDF(vs: Seq[(Long, Array[Float])]) = vs.toDF("vec_id", "embedding")
+
+  test("cosineTopK matches a hand-computed brute force, self excluded") {
+    val vs = vecsDF(Seq(
+      1L -> Array(1f, 0f, 0f),
+      2L -> Array(0.9f, 0.1f, 0f),
+      3L -> Array(0f, 1f, 0f),
+      4L -> Array(-1f, 0f, 0f)))
+    val out = Similarity.cosineTopK(vs, vs.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .orderBy("rn").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(2L, 3L)) // 2 most similar, then orthogonal 3, never self or -1
+  }
+
+  test("cosineNearDupPairs finds only pairs above threshold") {
+    val vs = vecsDF(Seq(
+      1L -> Array(1f, 0f),
+      2L -> Array(0.99f, 0.01f),
+      3L -> Array(0f, 1f)))
+    val out = Similarity.cosineNearDupPairs(vs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
+  test("hyperplanes are deterministic and roughly zero-centered") {
+    val a = Similarity.hyperplanes(32, 64)
+    val b = Similarity.hyperplanes(32, 64)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+    val mean = a.flatten.sum / a.flatten.length
+    assert(math.abs(mean) < 0.05)
+    // signs balanced enough that buckets spread
+    val pos = a.flatten.count(_ > 0)
+    assert(pos > a.flatten.length * 0.4 && pos < a.flatten.length * 0.6)
+  }
+
+  test("lshBucketNearDup recalls planted near-identical vectors") {
+    // 40 distinct pseudo-random base vectors + one near-copy of vector 0
+    val pool = Similarity.hyperplanes(140, 64)
+    def mk(i: Int): Array[Float] = pool(100 + i).map(_.toFloat)
+    val base = (0 until 40).map(i => (i.toLong, mk(i)))
+    val nearCopy = 99L -> base(0)._2.zipWithIndex
+      .map { case (v, d) => if (d == 0) v + 0.01f else v }
+    val vs = vecsDF(base :+ nearCopy)
+    val pairs = Similarity.lshBucketNearDup(vs, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 99L)))
+    // and nothing else is that similar
+    assert(pairs.size == 1)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.stream.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stream-batch parity: countsByType equals the batch aggregate") {
+    val streamed = Streaming.countsByType(spark, dir)
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+    val batch = Tables.events(spark, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("stream-batch parity: streamDedupKeys equals batch distinct") {
+    val streamed = Streaming.streamDedupKeys(spark, dir)
+      .orderBy("user_id").as[Long].collect().toSeq
+    val batch = Tables.events(spark, dir).select("user_id").distinct()
+      .orderBy("user_id").as[Long].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("multi-batch MemoryStream dedup drops cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val q = mem.toDF().toDF("id", "v")
+      .dropDuplicates("id")
+      .writeStream.format("memory").queryName("dedup_parity")
+      .outputMode("append").start()
+    mem.addData(("a", 1), ("b", 2))
+    q.processAllAvailable()
+    mem.addData(("a", 3), ("c", 4)) // "a" is a cross-batch duplicate
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_parity").select("id").as[String].collect().sorted.toSeq
+    assert(ids == Seq("a", "b", "c"))
+  }
+
+  test("watermark drops late data beyond the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = Streaming.watermarkedDailyCounts(
+      mem.toDF().toDF("ts", "k"), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wm_drop")
+      .outputMode("append").start()
+    mem.addData((Timestamp.valueOf("2024-01-01 10:00:00"), "x"))
+    q.processAllAvailable()
+    // advance watermark far past day 1
+    mem.addData((Timestamp.valueOf("2024-01-05 10:00:00"), "x"))
+    q.processAllAvailable()
+    // this arrival is 4 days late — beyond the 1h horizon, must be dropped
+    mem.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "late"))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-09 10:00:00"), "x")) // flush day 5
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_drop")
+      .select(col("bucket_start").cast("string"), col("cnt")).as[(String, Long)].collect().toMap
+    assert(out("2024-01-01 00:00:00") == 1L) // late row NOT counted
+    assert(out("2024-01-05 00:00:00") == 1L)
+  }
+
+  test("incrementalEnrich only processes the delta") {
+    val all = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("comment_id", "v")
+    val existing = Seq("a").toDF("comment_id")
+    val out = Streaming.incrementalEnrich(all, existing, "comment_id")(
+      _.withColumn("enriched", col("v") * 2))
+    assert(out.select("comment_id").as[String].collect().sorted.toSeq == Seq("b", "c"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, input: String)(implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(input).toDF("s").select(c.as("r")).as[T].head()
+
+  test("tokenCount counts \\S+ runs, robust to empties") {
+    assert(one[Long](TextAnalysis.tokenCount(col("s")), "a  b\tc") == 3L)
+    assert(one[Long](TextAnalysis.tokenCount(col("s")), "") == 0L)
+    assert(one[Long](TextAnalysis.tokenCount(col("s")), "   ") == 0L)
+  }
+
+  test("bpeishTokenCount splits alpha/digit/symbol runs") {
+    // "ab12,cd" -> [ab][12][,][cd] = 4
+    assert(one[Long](TextAnalysis.bpeishTokenCount(col("s")), "ab12,cd") == 4L)
+  }
+
+  test("langId picks the language with most stopword hits, fixed tie order") {
+    assert(one[String](TextAnalysis.langId(col("s")), "the cat and the dog is here") == "en")
+    assert(one[String](TextAnalysis.langId(col("s")), "der hund und die katze ist da") == "de")
+    assert(one[String](TextAnalysis.langId(col("s")), "xyzzy qwerty") == "und")
+  }
+
+  test("qualityScore rewards long alpha-heavy stopword-bearing text") {
+    val good = "the quick brown fox jumps over the lazy dog and keeps going " * 4
+    val junk = "@@@@ #### 1234 $$$$"
+    val g = one[Double](TextAnalysis.qualityScore(col("s")), good)
+    val j = one[Double](TextAnalysis.qualityScore(col("s")), junk)
+    assert(g > 0.7 && j < 0.4 && g > j)
+  }
+
+  test("corpusStats aggregates per language") {
+    val docs = Seq((1L, "aa bb", "en"), (2L, "cc", "en"), (3L, "dd ee ff", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.corpusStats(docs, "lang", "text").orderBy("lang")
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(("de", 1L, 3L, 8.0, 8L), ("en", 2L, 3L, 3.5, 5L)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): String =
+    Seq(input).toDF("s").select(c.as("r")).as[String].head()
+
+  test("stripUrls removes http and https runs") {
+    assert(one(stripUrls(col("s")), "go https://a.b/c?d=1 and http://x.y now") == "go  and  now")
+  }
+
+  test("normalizeText strips non-alnum and lowercases, keeps unicode out") {
+    assert(one(normalizeText(col("s")), "HeLLo, W0rld! éß 😀") == "hello w0rld  ")
+  }
+
+  test("htmlToText strips tags, unescapes entities, drops quote markers") {
+    assert(one(htmlToText(col("s")), "<p>a &amp; b &gt;ok</p>") == "a & b >ok")
+    assert(one(htmlToText(col("s")), ">>12345 hello") == " hello")
+    assert(one(htmlToText(col("s")), ">greentext &#039;q&#039;") == "greentext 'q'")
+  }
+
+  test("chanTimestamp parses the 4chan free-text format incl. 2-digit year") {
+    val out = Seq("08/12/25(Tue)13:05:41").toDF("s")
+      .select(chanTimestamp(col("s")).as("t")).as[Timestamp].head()
+    assert(out == Timestamp.valueOf("2025-08-12 13:05:41"))
+  }
+
+  test("isoParse handles trailing Z") {
+    val out = Seq("2024-01-31T23:59:58Z").toDF("s")
+      .select(isoParse(col("s")).as("t")).as[Timestamp].head()
+    assert(out == Timestamp.valueOf("2024-01-31 23:59:58"))
+  }
+
+  test("epochToTs converts epoch seconds") {
+    val out = Seq(0L).toDF("e").select(epochToTs(col("e")).as("t")).as[Timestamp].head()
+    assert(out == Timestamp.valueOf("1970-01-01 00:00:00"))
+  }
+
+  test("nullGuard falls back on null and empty") {
+    val df = Seq(Some("x"), Some(""), None).toDF("s")
+    val out = df.select(nullGuard(col("s")).as("r")).as[String].collect().toSeq
+    assert(out == Seq("x", "not a string", "not a string"))
+  }
+
+  test("jsonGetLong extracts with default") {
+    val df = Seq("""{"score": 7}""", """{"other": 1}""", "not json").toDF("j")
+    val out = df.select(jsonGetLong(col("j"), "score", 0).as("r")).as[Long].collect().toSeq
+    assert(out == Seq(7L, 0L, 0L))
+  }
+
+  test("dayString formats UTC days") {
+    val out = Seq(Timestamp.valueOf("2024-03-05 23:59:59")).toDF("t")
+      .select(dayString(col("t")).as("d")).as[String].head()
+    assert(out == "2024-03-05")
+  }
+}
