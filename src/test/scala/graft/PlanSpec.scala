@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the scale properties the engine relies on must
+  * be visible in `.explain` — filters reaching the parquet scan, projections
+  * pruning the read schema, small dims broadcast, top-k planned without a
+  * global sort. Queries execute first so AQE finalizes the plan, then the
+  * formatted explain is asserted. Runs against real sf0.001 files so the
+  * scan is a genuine FileSourceScan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // finalize the adaptive plan
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def q(name: String): String = finalPlan(SparkEntry.queries(name)(spark, dir))
+
+  test("timestamp range filter is pushed down to the parquet scan (q07)") {
+    val plan = q("q07_ts_range_filter")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"l_shipdate not pushed:\n$plan")
+  }
+
+  test("projection prunes the parquet read schema (q06)") {
+    val plan = q("q06_project")
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("c_acctbal") && !plan.contains("c_nationkey"),
+      s"unpruned columns read:\n$plan")
+  }
+
+  test("small dimension is broadcast, not shuffled (q41)") {
+    assert(q("q41_keyed_fanout").contains("BroadcastHashJoin"))
+  }
+
+  test("anti-join dedup plans as a real anti join (q12)") {
+    assert(q("q12_anti_join_dedup").contains("LeftAnti"))
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort (q17)") {
+    assert(q("q17_topk_groups").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations split into partial + final hash agg (q15)") {
+    val plan = q("q15_groupby_count")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected 2-phase agg:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project hot path (q07)") {
+    val plan = q("q07_ts_range_filter")
+    assert(plan.contains("[codegen id :"), s"no codegen spans:\n$plan")
+  }
+
+  test("exact dedup shuffles hashes, not document text (q43)") {
+    val plan = q("q43_exact_dedup")
+    assert(plan.contains("hashpartitioning(__h"), s"expected shuffle on content hash:\n$plan")
+  }
+
+  test("lexicon sentiment join broadcasts the lexicon (q34)") {
+    assert(q("q34_sentiment_udf").contains("BroadcastHashJoin"))
+  }
+}

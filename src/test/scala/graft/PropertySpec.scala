@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Relational, Sentiment}
+
+/** ScalaCheck properties (SURVEY.md §5.3), sampled with fixed seeds so runs
+  * are deterministic (no scalatestplus bridge in the offline cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val idGen = Gen.listOfN(30, Gen.chooseNum(1L, 12L))
+
+  test("property: anti-join dedup is idempotent and disjoint from existing") {
+    for (s <- 1L to 5L) {
+      val in = sample(idGen, s)
+      val ex = sample(Gen.listOfN(8, Gen.chooseNum(1L, 12L)), s + 100)
+      val out = Relational.antiDedup(in.toDF("k"), ex.toDF("k"), Seq("k"))
+      val keys = out.select("k").as[Long].collect().toSet
+      assert(keys.intersect(ex.toSet).isEmpty)
+      assert(Relational.antiDedup(out, ex.toDF("k"), Seq("k")).count() == out.count())
+    }
+  }
+
+  test("property: union-all preserves total counts") {
+    for (s <- 1L to 5L) {
+      val a = sample(idGen, s)
+      val b = sample(idGen, s + 50)
+      assert(a.toDF("k").unionByName(b.toDF("k")).count() == a.size + b.size)
+    }
+  }
+
+  test("property: tumbling window counts total the global count (q18 => q14)") {
+    val tsGen = Gen.listOfN(25, Gen.chooseNum(0L, 86400L * 20))
+    for (s <- 1L to 5L) {
+      val secs = sample(tsGen, s)
+      val df = secs.toDF("s").select(timestamp_seconds(col("s")).as("ts"))
+      val total = Relational.tumblingCounts(df, "ts", "1 day").agg(sum("cnt")).as[Long].head()
+      assert(total == secs.size)
+    }
+  }
+
+  test("property: sentiment label always consistent with score thresholds") {
+    for (s <- 1L to 20L) {
+      val c = sample(Gen.chooseNum(-1.0, 1.0), s)
+      val l = Seq(c).toDF("c").select(Sentiment.label(col("c")).as("l")).as[String].head()
+      val expected = if (c >= 0.05) "positive" else if (c <= -0.05) "negative" else "neutral"
+      assert(l == expected, s"compound=$c")
+    }
+  }
+
+  test("property: exact dedup output count equals distinct text count") {
+    val textGen = Gen.listOfN(20, Gen.oneOf("a", "b", "c", "d", "e"))
+    for (s <- 1L to 5L) {
+      val texts = sample(textGen, s)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      assert(Dedup.exactDedup(docs, "doc_id", "text").count() == texts.distinct.size)
+    }
+  }
+
+  test("property: anti-join union semi-join partitions the input (q12)") {
+    for (s <- 1L to 5L) {
+      val in = sample(idGen, s).toDF("k")
+      val ex = sample(Gen.listOfN(8, Gen.chooseNum(1L, 12L)), s + 7).toDF("k")
+      val anti = in.join(ex, Seq("k"), "left_anti").count()
+      val semi = in.join(ex, Seq("k"), "left_semi").count()
+      assert(anti + semi == in.count())
+    }
+  }
+}
