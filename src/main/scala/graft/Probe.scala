@@ -1,32 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import graft.schema.Comments
 
 /** Scratch probe — deleted before end of round. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val tuned = args.headOption.contains("tuned")
+    val b = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (tuned) {
+      b.config("spark.sql.files.maxPartitionBytes", "4m")
+      b.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val reddit = Seq(
-      ("politics", "p1", "Economy is good https://x.y 😀", 12, 1704067200.0, "rc1"),
-      ("economy", "p2", "bad crash fail", -1, 1704067260.0, "rc2")
-    ).toDF("subreddit", "post_id", "body", "score", "created_utc", "comment_id")
-    val chan = Seq(
-      ("1001", "<p>&gt;recession is fake &amp; slow</p>", "01/01/24(Mon)00:00:00", "anon", null.asInstanceOf[String])
-    ).toDF("post_number", "comment", "timestamp_raw", "name", "image_filename")
-    val yt = Seq(
-      ("v1", "Recession", "yc1", "2024-01-01T00:02:00Z", "great video, love it")
-    ).toDF("video_id", "video_title", "comment_id", "comment_time", "comment_text")
-    val enriched = Pipeline.run(reddit, chan, yt, Seq.empty[String].toDF("comment_id"))
-    enriched.orderBy("platform", "comment_id").show(10, false)
-    Pipeline.sentimentShareByPlatform(enriched).orderBy("platform", "sentiment").show(false)
-    Pipeline.dailyCounts(enriched).show(false)
+    val dir = "/root/testdata/sf0.1"
+    for (q <- Seq("q12_anti_join_dedup", "q04_table_sink_append", "q03_json_explode",
+      "q20_orderby_ts", "q11_inner_equijoin", "q48_simhash"); i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      println(f"tuned=$tuned $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
     spark.stop()
   }
 }
