@@ -45,6 +45,27 @@ object Multimodal {
         lit("text/plain").as("mime"),
         octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
+  /** Image resize stub: real codecs are unavailable in this container, so the
+    * transform records the target geometry in metadata and passes payload
+    * bytes through — the Spark-side plumbing (schema evolution, partition
+    * parallelism) is real; swap the identity for a codec call in production. */
+  def resizeStub(mm: DataFrame, width: Int, height: Int): DataFrame =
+    mm.withColumn("meta",
+      struct(col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"),
+        lit(width).as("target_w"), lit(height).as("target_h")))
+
+  /** Video frame-sampling stub: emits one row per sampled frame index with a
+    * deterministic byte-range "frame" slice — the explode/fan-out shape a real
+    * frame sampler produces (n rows out per video in), with the decode `???`
+    * replaced by a slice so tests can assert the plumbing. */
+  def frameSampleStub(mm: DataFrame, idCol: String, everyNBytes: Int): DataFrame =
+    mm.select(col(idCol), col("payload"),
+      explode(sequence(lit(0L),
+        greatest(ceil(col("meta.n_bytes") / everyNBytes) - 1, lit(0L)).cast("long"))).as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(payload, CAST(frame_idx * $everyNBytes + 1 AS INT), $everyNBytes)"))
+      .drop("payload")
+
   /** Partition-parallel feature extraction over the payload column: the
     * decoder is instantiated once per partition and applied to every row —
     * never per-row init, never a driver-side loop. */

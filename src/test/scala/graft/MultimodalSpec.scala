@@ -19,6 +19,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.FakeDecoder.decode(Array.emptyByteArray).toSeq == Seq(0f, 0f, 0f, 0f))
   }
 
+  test("resizeStub evolves metadata without touching payload") {
+    val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
+    val out = Multimodal.resizeStub(Multimodal.asMultimodal(docs, "doc_id", "text"), 640, 480)
+    val r = out.select("meta.target_w", "meta.target_h", "meta.n_bytes").head()
+    assert((r.getInt(0), r.getInt(1), r.getLong(2)) == ((640, 480, 6L)))
+  }
+
+  test("frameSampleStub fans out one row per frame slice") {
+    val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text") // 8 bytes, 3-byte frames -> 3 rows
+    val mm = Multimodal.asMultimodal(docs, "doc_id", "text")
+    val frames = Multimodal.frameSampleStub(mm, "doc_id", 3).orderBy("frame_idx")
+    val got = frames.select("frame").collect().map(r => new String(r.getAs[Array[Byte]](0)))
+    assert(got.toSeq == Seq("abc", "def", "gh"))
+  }
+
   test("extractFeatures runs the decoder per partition over every row") {
     val docs = Seq((1L, "abc"), (2L, "xyz"), (3L, "")).toDF("doc_id", "text")
     val mm = Multimodal.asMultimodal(docs, "doc_id", "text")
