@@ -1,28 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import graft.storage.Storage
 
 /** Scratch probe — deleted before end of round. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val tuned = args.headOption.contains("tuned")
-    val b = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
-    if (tuned) {
-      b.config("spark.sql.files.maxPartitionBytes", "4m")
-      b.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
-    }
-    val spark = b.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("q12_anti_join_dedup", "q04_table_sink_append", "q03_json_explode",
-      "q20_orderby_ts", "q11_inner_equijoin", "q48_simhash"); i <- 1 to 2) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, dir).count()
-      println(f"tuned=$tuned $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
-    }
+    import spark.implicits._
+    // partitioned store + pruning
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("platform", concat(lit("p"), col("user_id") % 3))
+    Storage.writePartitionedByDay(ev, "ts", "/root/repo/target/qtmp/probe_store")
+    val pruned = spark.read.parquet("/root/repo/target/qtmp/probe_store")
+      .filter(col("platform") === "p1" && col("day") === "2024-01-05")
+    println("pruned rows: " + pruned.count())
+    pruned.explain("formatted")
+    // bucketed co-located join
+    Storage.writeBucketed(Tables.orders(spark, "/root/testdata/sf0.001"), "probe_orders", "o_orderkey", 4)
+    Storage.writeBucketed(Tables.lineitem(spark, "/root/testdata/sf0.001"), "probe_lineitem", "l_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val j = spark.table("probe_orders").join(spark.table("probe_lineitem"),
+      col("o_orderkey") === col("l_orderkey"))
+    println("bucketed join rows: " + j.count())
+    j.explain("formatted")
+    // salted ops on real skew
+    println("saltedCount:")
+    Relational.saltedCount(ev, "platform", 8).orderBy("platform").show(false)
     spark.stop()
   }
 }

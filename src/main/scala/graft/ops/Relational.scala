@@ -68,6 +68,31 @@ object Relational {
       .drop("__max_ts")
   }
 
+  /** Skew-salted aggregation: two-phase groupBy for keys whose cardinality is
+    * tiny relative to data volume (e.g. per-platform counts over 100 TB, 3
+    * platforms ⇒ 3 reducers own everything). Phase 1 aggregates on
+    * (key, salt) spreading each hot key over `salts` reducers; phase 2
+    * combines the per-salt partials — it shuffles `|keys| × salts` rows, not
+    * data. Only sum-decomposable aggregates belong here (counts, sums).
+    */
+  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key)).agg(sum(col("__partial")).as("cnt"))
+
+  /** Skew-salted join: replicate the small side `salts` times, salt the big
+    * side's hot keys, join on (key, salt). Bounds any single reducer's share
+    * of a hot key to 1/salts of its rows — the classic remedy when AQE skew
+    * splitting isn't available (e.g. bucketed inputs or stream-static joins).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Ordered running state via window functions (reference carries `start`/
     * `count` across an ordered python loop, `Analysis Dashboard/app.py:44-56`).
     * Partitioned by a key so state never concentrates on one task.

@@ -1,0 +1,59 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical-store layout utilities (SURVEY.md §4.3: partition pruning is a
+  * storage-layout decision, not an optimizer rule).
+  *
+  * The reference's "store" is unpartitioned Postgres tables plus a VACUUM
+  * task (`Data Collection/Airflow.py:85-90`). At 100 TB the layout IS the
+  * index: partition by the columns every dashboard query filters on
+  * (platform, day), bucket the big fact tables on their join keys so repeated
+  * joins are exchange-free, and compact small files on a cadence.
+  */
+object Storage {
+
+  /** Write the canonical comment store partitioned by (platform, day):
+    * every dashboard query (§2.2 q07–q10) filters on one or both, so scans
+    * prune to the matching directories before reading a byte. */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String,
+                            mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(mode)
+      .partitionBy("platform", "day")
+      .parquet(path)
+
+  /** Register a bucketed table: both sides of a repeated equi-join bucketed
+    * on the key with the same bucket count ⇒ SortMergeJoin with NO exchange
+    * (co-located join). Worth it for fact⋈fact joins re-run every cadence;
+    * broadcast still wins for dims. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a crashed previous run can leave an orphan managed-table dir behind
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet").bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /** Small-file compaction — the Parquet analogue of the reference's VACUUM
+    * task. Rewrites a prefix into ~`targetFileMB` files; run per partition
+    * directory on a cadence after streaming appends. */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

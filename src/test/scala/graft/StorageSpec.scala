@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.storage.Storage
+
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def comments = Seq(
+    ("reddit", "a", Timestamp.valueOf("2024-01-01 10:00:00")),
+    ("reddit", "b", Timestamp.valueOf("2024-01-02 10:00:00")),
+    ("4chan", "c", Timestamp.valueOf("2024-01-01 11:00:00")),
+    ("youtube", "d", Timestamp.valueOf("2024-01-02 12:00:00"))
+  ).toDF("platform", "comment_id", "created_ts")
+
+  test("partitioned store prunes partitions at scan time") {
+    val path = "/root/repo/target/qtmp/store_part"
+    Storage.writePartitionedByDay(comments, "created_ts", path)
+    val scan = spark.read.parquet(path)
+      .filter(col("platform") === "reddit" && col("day") === "2024-01-02")
+    assert(scan.count() == 1)
+    val plan = finalPlan(scan)
+    // both predicates land in PartitionFilters, none in the data filter
+    assert(plan.contains("PartitionFilters") && plan.contains("platform"), plan)
+    assert(!plan.contains("PushedFilters: [IsNotNull(platform)"), plan)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 1000L).map(i => (i, s"r$i")).toDF("k", "rv")
+    Storage.writeBucketed(left, "bkt_left", "k", 4)
+    Storage.writeBucketed(right, "bkt_right", "k", 4)
+    // force the non-broadcast path: co-location matters for fact-fact joins,
+    // where neither side fits in a broadcast anyway
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(joined.count() == 1000)
+      val plan = finalPlan(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("compact rewrites many small files into few") {
+    val path = "/root/repo/target/qtmp/store_compact"
+    (1 to 500).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(20).write.mode("overwrite").parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 20)
+    Storage.compact(spark, path, targetFileMB = 256)
+    assert(parquetFiles == 1)
+    assert(spark.read.parquet(path).count() == 500)
+  }
+
+  test("saltedCount equals plain count under heavy key skew") {
+    val skewed = (Seq.fill(5000)("hot") ++ Seq.fill(10)("cold")).toDF("k")
+    val salted = Relational.saltedCount(skewed, "k", 8)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(salted == Seq(("cold", 10L), ("hot", 5000L)))
+  }
+
+  test("saltedJoin equals plain join under heavy key skew") {
+    val big = (Seq.fill(3000)(1L) ++ (2L to 50L)).toDF("k")
+    val small = Seq((1L, "one"), (2L, "two"), (99L, "none")).toDF("k", "name")
+    val plain = big.join(small, "k").groupBy("name").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Relational.saltedJoin(big, small, "k", 8).groupBy("name").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain && plain("one") == 3000L)
+  }
+}
