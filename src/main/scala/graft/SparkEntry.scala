@@ -302,7 +302,13 @@ object SparkEntry {
         .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
           count(lit(1)).as("events"))
         .drop("session_window")
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+    "q58_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rn")
+    })
   )
 
   // ------------------------------------------------------------------ oracle
@@ -561,7 +567,24 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS events
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q58_ann_ivf" ->
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |scored AS (SELECT x.vec_id, x.vv, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, vv, cell FROM scored WHERE crn = 1),
+        |q AS (SELECT vec_id AS query_id, vv AS qv, cell FROM asg WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+        |  list_dot_product(q.qv, a.vv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.vv, a.vv))) AS cosine
+        |  FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin
     // q44_minhash_neardup, q48_simhash, q53_fingerprint: hash-function-defined
     // outputs (xxhash64 / Karp-Rabin) — not expressible in DuckDB; covered by
     // ScalaTest golden/property tests instead (driver records rows-only).

@@ -40,7 +40,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot("qv", "cv") / (norm("qv") * norm("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rn"))
   }
@@ -57,6 +57,46 @@ object Similarity {
       .withColumn("cosine", dot("va", "vb") / (norm("va") * norm("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** IVF coarse quantization: assign every vector to its nearest centroid
+    * cell (highest cosine, centroid id tie-break). Centroids are broadcast;
+    * the assignment is one corpus scan + a per-vector window over |centroids|
+    * scored rows. Output: (idCol, vecCol, cell).
+    *
+    * Centroid choice here is "first K by id" — deterministic, which the
+    * differential oracle needs; a production build seeds Lloyd iterations
+    * from these (each iteration is one groupBy(cell) avg over the corpus). */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    val c = broadcast(centroids.select(
+      col(idCol).as("cell"), col(vecCol).as("cv")))
+    val scored = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(c)
+      .withColumn("__cos", dot(vecCol, "cv") / (norm(vecCol) * norm("cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cell"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** IVF top-k search (nprobe=1): each query scores only the vectors in its
+    * own cell — corpus/|cells| of the data per query instead of all of it.
+    * Approximate: neighbors assigned to other cells are missed; recall is
+    * bounded in tests and raised in production by probing more cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val corpusCells = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val queryCells = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = corpusCells.join(queryCells, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot("qv", "cv") / (norm("qv") * norm("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rn"))
   }
 
   /** Deterministic pseudo-random hyperplanes, splitmix64-mixed per (plane,

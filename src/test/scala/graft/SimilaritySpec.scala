@@ -41,6 +41,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pos > a.flatten.length * 0.4 && pos < a.flatten.length * 0.6)
   }
 
+  test("ivfAssign puts near-identical vectors in the same cell; ivfTopK finds them") {
+    val pool = Similarity.hyperplanes(60, 16)
+    val base = (0 until 20).map(i => (i.toLong, pool(i + 30).map(_.toFloat)))
+    val nearCopy = 99L -> base(5)._2.map(v => v * 1.001f)
+    val vs = vecsDF(base :+ nearCopy)
+    val centroids = vs.filter(col("vec_id") < 4)
+    val cells = Similarity.ivfAssign(vs, centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    assert(cells(5L) == cells(99L))
+    val top = Similarity.ivfTopK(vs, vs.filter(col("vec_id") === 99), centroids,
+      "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(5L))
+  }
+
   test("lshBucketNearDup recalls planted near-identical vectors") {
     // 40 distinct pseudo-random base vectors + one near-copy of vector 0
     val pool = Similarity.hyperplanes(140, 64)
