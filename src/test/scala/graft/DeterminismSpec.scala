@@ -1,0 +1,29 @@
+package graft
+
+/** The differential gate hash-compares output files, so every declared query
+  * must be bit-stable run to run — no wall-clock, no partition-order leaks,
+  * no nondeterministic tie-breaks (SURVEY.md §7.6). Exercise a representative
+  * slice twice (covering sorts, window ties, hash-family ops, streaming
+  * replays, sinks) and require identical collected output.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val sampled = Seq(
+    "q01_csv_scan", "q04_table_sink_append", "q12_anti_join_dedup",
+    "q17_topk_groups", "q19_share_of_total", "q22_running_state",
+    "q34_sentiment_udf", "q37_microbatch_trigger", "q44_minhash_neardup",
+    "q45_cosine_topk", "q48_simhash", "q55_ann_lsh", "q57_sessionize",
+    "q58_ann_ivf")
+
+  for (name <- sampled) {
+    test(s"$name is run-to-run deterministic") {
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, dir).collect().map(_.toString).toSeq
+      val b = fn(spark, dir).collect().map(_.toString).toSeq
+      assert(a == b, s"$name differs across runs")
+      assert(a.nonEmpty, s"$name returned no rows")
+    }
+  }
+}

@@ -22,6 +22,13 @@ class RollingHashSpec extends SparkSpec {
     assert(out(2).isNullAt(0))
   }
 
+  test("registers as a SQL function for spark.sql users") {
+    org.apache.spark.sql.graft.Shims.registerFunction(spark, "rolling_hash",
+      exprs => graft.functions.RollingHashExpression(exprs.head))
+    val out = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+    assert(out == 96354L)
+  }
+
   test("distinct strings get distinct fingerprints (sample)") {
     val docs = (1 to 500).map(i => s"document number $i payload")
     val n = docs.toDF("s").select(RollingHash(col("s")).as("h")).distinct().count()
