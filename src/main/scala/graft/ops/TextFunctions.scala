@@ -41,9 +41,11 @@ object TextFunctions {
   def epochToTs(c: Column): Column = timestamp_seconds(c)
 
   /** ISO-8601 `...Z` parse (reference strips the trailing Z then
-    * `fromisoformat`, `Data Collection/Youtube_final.py:59`). */
+    * `fromisoformat`, `Data Collection/Youtube_final.py:59`). `try_` variant:
+    * malformed rows parse to null instead of failing the job under ANSI mode
+    * — the reference's collectors silently tolerate junk rows, so must we. */
   def isoParse(c: Column): Column =
-    to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
 
   /** Timestamp → `YYYY-MM-DD` (reference `TO_CHAR(ts::date,'YYYY-MM-DD')`,
     * `Analysis Dashboard/app.py:105`). */
@@ -54,7 +56,7 @@ object TextFunctions {
     * The embedded day-name is dropped rather than validated — parse the
     * date/time fields only, keep the raw string column alongside at rest. */
   def chanTimestamp(c: Column): Column =
-    to_timestamp(regexp_replace(c, "\\(\\w+\\)", " "), "MM/dd/yy HH:mm:ss")
+    try_to_timestamp(regexp_replace(c, "\\(\\w+\\)", " "), lit("MM/dd/yy HH:mm:ss"))
 
   /** Null / empty guard (reference `isinstance(comment, str)` fallback,
     * `Data Analysis/Reddit_4chan_Analysis.py:161-163`). */

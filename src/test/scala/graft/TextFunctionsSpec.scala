@@ -32,6 +32,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Timestamp.valueOf("2025-08-12 13:05:41"))
   }
 
+  test("malformed timestamps parse to null, not a job failure (ANSI mode)") {
+    val chan = Seq("garbage", "13/45/25(Xxx)99:99:99", null).toDF("s")
+      .select(chanTimestamp(col("s")).as("t")).collect()
+    assert(chan.forall(_.isNullAt(0)))
+    val iso = Seq("not-a-date", "2024-13-99T99:00:00Z").toDF("s")
+      .select(isoParse(col("s")).as("t")).collect()
+    assert(iso.forall(_.isNullAt(0)))
+  }
+
   test("isoParse handles trailing Z") {
     val out = Seq("2024-01-31T23:59:58Z").toDF("s")
       .select(isoParse(col("s")).as("t")).as[Timestamp].head()
