@@ -80,6 +80,43 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell"))
   }
 
+  /** IVF training: Lloyd iterations on the coarse quantizer. Each iteration
+    * is one assignment pass (broadcast centroids) + one component-wise mean
+    * (posexplode → groupBy(cell, dim) avg → re-assemble), i.e. two shuffles
+    * over (id, cell) and (cell, dim) keys — never vector-by-vector driver
+    * work. Seeds = first k vectors by id (deterministic). `localCheckpoint`
+    * between iterations caps plan growth.
+    *
+    * Output: (idCol = cell id, vecCol = centroid) with exactly ≤ k rows.
+    */
+  def ivfTrain(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int, iterations: Int): DataFrame = {
+    var centroids = vectors.filter(col(idCol) < k).select(col(idCol), col(vecCol))
+    for (_ <- 1 to iterations) {
+      val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as(idCol),
+          expr(s"transform(pm, x -> CAST(x.m AS FLOAT))").as(vecCol))
+      centroids = means.localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Mean within-cell cosine distance (1 - cos to own centroid) — the
+    * convergence metric for [[ivfTrain]]. */
+  def ivfDistortion(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String): Double = {
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
+    val c = broadcast(centroids.select(col(idCol).as("cell"), col(vecCol).as("cv")))
+    assigned.join(c, "cell")
+      .select((lit(1.0) - dot(vecCol, "cv") / (norm(vecCol) * norm("cv"))).as("d"))
+      .agg(avg(col("d"))).head().getDouble(0)
+  }
+
   /** IVF top-k search (nprobe=1): each query scores only the vectors in its
     * own cell — corpus/|cells| of the data per query instead of all of it.
     * Approximate: neighbors assigned to other cells are missed; recall is
