@@ -308,7 +308,11 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
         emb.filter(col("vec_id") < 16), "vec_id", "embedding", 5)
         .orderBy("query_id", "rn")
-    })
+    }),
+    "q59_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(T(s, dir, "documents"), "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("lang", "doc_id"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -584,7 +588,14 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, cosine,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
-        |ORDER BY query_id, rn""".stripMargin
+        |ORDER BY query_id, rn""".stripMargin,
+    "q59_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin
     // q44_minhash_neardup, q48_simhash, q53_fingerprint: hash-function-defined
     // outputs (xxhash64 / Karp-Rabin) — not expressible in DuckDB; covered by
     // ScalaTest golden/property tests instead (driver records rows-only).

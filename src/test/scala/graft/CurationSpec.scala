@@ -1,0 +1,37 @@
+package graft
+
+import graft.ops.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 100L).map(i =>
+    (i, if (i % 4 == 0) "de" else "en")).toDF("doc_id", "lang")
+
+  test("stratifiedSample keeps exactly the quota per stratum, reproducibly") {
+    val a = Curation.stratifiedSample(docs, "lang", "doc_id", 10)
+    val counts = a.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 10L, "de" -> 10L))
+    val b = Curation.stratifiedSample(docs, "lang", "doc_id", 10)
+    assert(a.orderBy("doc_id").collect().toSeq == b.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("stratifiedSample with quota above stratum size keeps everything") {
+    val out = Curation.stratifiedSample(docs, "lang", "doc_id", 1000)
+    assert(out.count() == 100)
+  }
+
+  test("weightedMixture allocates the budget by weight") {
+    val out = Curation.weightedMixture(docs, "lang", "doc_id",
+      Map("en" -> 3.0, "de" -> 1.0), totalBudget = 40)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 30L, "de" -> 10L))
+  }
+
+  test("weightedMixture drops strata with no weight") {
+    val out = Curation.weightedMixture(docs, "lang", "doc_id",
+      Map("en" -> 1.0), totalBudget = 12)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 12L))
+  }
+}
