@@ -595,9 +595,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
         |  FROM documents)
-        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin
-    // q44_minhash_neardup, q48_simhash, q53_fingerprint: hash-function-defined
-    // outputs (xxhash64 / Karp-Rabin) — not expressible in DuckDB; covered by
-    // ScalaTest golden/property tests instead (driver records rows-only).
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    // fold over code points replicates the byte fold exactly for ASCII corpora
+    // (the testdata is pure ASCII; unicode behavior is unit-tested Spark-side)
+    "q53_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_transform(range(1, length(text) + 1),
+        |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // q44_minhash_neardup, q48_simhash: hash-function-defined outputs
+    // (xxhash64) — not expressible in DuckDB; covered by ScalaTest
+    // golden/property tests instead (driver records rows-only).
   )
 }
