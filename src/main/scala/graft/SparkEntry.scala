@@ -283,8 +283,12 @@ object SparkEntry {
         .select(col("doc_id"), graft.functions.RollingHash(col("text")).as("fp"))
         .orderBy("doc_id")),
     "q54_embed_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(
-        T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
+      // scale path: LSH-banded candidates + exact cosine re-score — no
+      // CartesianProduct anywhere in the plan (the brute-force all-pairs
+      // variant survives only as the recall yardstick in SimilaritySpec)
+      Similarity.lshBucketNearDup(
+        T(s, dir, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 32, bands = 8, dim = 64)
         .orderBy("id_a", "id_b")),
     "q55_ann_lsh" -> ((s, dir) =>
       Similarity.lshBucketNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -382,17 +386,41 @@ object SparkEntry {
        |SELECT doc_id, CAST(($fp) AS BIGINT) AS simhash FROM bs ORDER BY doc_id""".stripMargin
   }
 
-  /** Band-bucket expressions replicating [[Similarity.lshBands]] (32 planes,
-    * 4 bands of 8): buck{t} = packed sign bits of planes 8t..8t+7. */
-  private val lshBandSql: Seq[String] = {
-    val planes = Similarity.hyperplanes(32, 64)
-    (0 until 4).map { t =>
-      (0 until 8).map { j =>
-        val p = planes(t * 8 + j)
+  /** Band-bucket expressions replicating [[Similarity.lshBands]]: element t =
+    * packed sign bits of the t-th band's planes over a DOUBLE[] column `v`. */
+  private def lshBandSqlGen(numPlanes: Int, bands: Int): Seq[String] = {
+    val planes = Similarity.hyperplanes(numPlanes, 64)
+    val bandBits = numPlanes / bands
+    (0 until bands).map { t =>
+      (0 until bandBits).map { j =>
+        val p = planes(t * bandBits + j)
         val arr = "[" + p.map(v => s"CAST($v AS DOUBLE)").mkString(",") + "]"
         s"(CASE WHEN list_dot_product(v, $arr) >= 0.0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
     }
+  }
+
+  private val lshBandSql: Seq[String] = lshBandSqlGen(32, 4)
+
+  /** DuckDB twin of q54: LSH-banded candidate generation (32 planes, 8 bands
+    * of 4 — wider recall than q55's 4×8) + exact cosine re-score, mirroring
+    * [[Similarity.lshBucketNearDup]] on the bounded id range. */
+  private val q54Sql: String = {
+    val buckCols = lshBandSqlGen(32, 8).zipWithIndex
+      .map { case (b, i) => s"($b) AS buck$i" }.mkString(", ")
+    val bandCase = (0 until 8).map(i => s"WHEN $i THEN buck$i").mkString(" ")
+    val bandVals = (0 until 8).map(i => s"($i)").mkString(", ")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
+       |bb AS (SELECT vec_id, v, $buckCols FROM b),
+       |banded AS (SELECT vec_id, v, t.band, CASE t.band $bandCase END AS bucket
+       |  FROM bb, (VALUES $bandVals) AS t(band)),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS xv, y.v AS yv
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |p AS (SELECT id_a, id_b,
+       |  list_dot_product(xv, yv) / (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))) AS cosine
+       |  FROM cand)
+       |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -563,8 +591,10 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q49_ngram_jaccard" ->
       """WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents WHERE doc_id < 100),
-        |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+        |sha AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
         |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+        |rare AS (SELECT shingle FROM sha GROUP BY shingle HAVING count(*) <= 100),
+        |sh AS (SELECT sha.doc_id, sha.shingle FROM sha JOIN rare USING (shingle)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
         |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
@@ -591,13 +621,7 @@ object SparkEntry {
         |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
         |CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q54_embed_neardup" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-        |  FROM v a CROSS JOIN v b WHERE a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q54_embed_neardup" -> q54Sql,
     "q55_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |bb AS (SELECT vec_id, v,

@@ -149,10 +149,22 @@ object Dedup {
     * shingle-equality self-join (shared count), |A∪B| = |A|+|B|−|A∩B|.
     * Fully relational ⇒ DuckDB-oracle-able; the shingle join is the candidate
     * generator, so cost is Σ shingle-bucket² not |docs|².
+    *
+    * Skew guard (`maxShingleDf`): a shingle appearing in more than
+    * `maxShingleDf` documents ("of the"-style stopword bigrams) would pair
+    * nearly every document containing it — an unbounded bucket² blowup at
+    * corpus scale. Such shingles carry no near-dup signal, so they are dropped
+    * from the shingle universe (sizes AND intersections — the Jaccard stays a
+    * true set Jaccard over the informative shingles), bounding every
+    * self-join bucket at maxShingleDf². Standard near-dup practice.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int, threshold: Double): DataFrame = {
-    val sh = wordShingles(docs, idCol, textCol, k)
+                   k: Int, threshold: Double, maxShingleDf: Int = 100): DataFrame = {
+    val all = wordShingles(docs, idCol, textCol, k)
+    // shingles are distinct per doc, so count == document frequency
+    val rare = all.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf).select("shingle")
+    val sh = all.join(rare, "shingle")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val shared = sh.as("x").join(sh.as("y"), Seq("shingle"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))

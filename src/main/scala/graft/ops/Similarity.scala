@@ -46,8 +46,10 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, cosine ≥
-    * threshold. Brute-force within a bounded id range (exact, oracle-able);
-    * use [[lshBucketNearDup]] for the full-corpus scale path.
+    * threshold. Brute-force all-pairs — O(N²) compute and shuffle, so this is
+    * NOT a registered query path; it survives as the exact recall yardstick
+    * for [[lshBucketNearDup]] (the scale path, which q54 registers) in
+    * SimilaritySpec.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {

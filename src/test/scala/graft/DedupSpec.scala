@@ -63,6 +63,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 0.5)))
   }
 
+  test("ngramJaccard frequency cap drops stopword shingles, bounding candidates") {
+    // every doc shares the bigram "common tail" — uncapped, that one hot
+    // shingle pairs all 21 docs (210 candidate pairs); capped, only the
+    // planted near-dup (1, 21) sharing informative shingles survives
+    val docs = ((1 to 20).map(i => (i.toLong, s"unique$i word$i common tail")) :+
+      (21L, "unique1 word1 common tail extra")).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", k = 2, threshold = 0.1,
+      maxShingleDf = 5).as[(Long, Long, Double)].collect().toSeq
+    // informative shingles: doc1 {unique1 word1, word1 common}, doc21 adds
+    // {tail extra}; shared = 2, union = 3 → J = 0.6667
+    assert(capped == Seq((1L, 21L, 0.6667)))
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", k = 2, threshold = 0.1,
+      maxShingleDf = 1000).count()
+    assert(uncapped > 100, s"expected hot-shingle blowup without cap, got $uncapped")
+  }
+
   test("dedup is idempotent: re-running exactDedup output changes nothing") {
     val docs = Seq((1L, "t"), (2L, "t"), (3L, "u")).toDF("doc_id", "text")
     val once = Dedup.exactDedup(docs, "doc_id", "text")

@@ -64,4 +64,9 @@ class PlanSpec extends SparkSpec {
   test("lexicon sentiment join broadcasts the lexicon (q34)") {
     assert(q("q34_sentiment_udf").contains("BroadcastHashJoin"))
   }
+
+  test("embedding near-dup has no cartesian product — LSH candidates only (q54)") {
+    val plan = q("q54_embed_neardup")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
+  }
 }
