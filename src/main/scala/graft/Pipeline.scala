@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Moderation, Relational, Sentiment, TextFunctions}
-import graft.schema.Comments
+import graft.schema.{Comments, SchemaRegistry}
 
 /** End-to-end pipeline (SURVEY.md §3): the reference's Airflow DAG
   * `start → [reddit, 4chan, youtube] → unify → nlp → vacuum → end`
@@ -33,6 +33,16 @@ object Pipeline {
       Sentiment.scoreByLexiconJoin(cleaned, "comment_id", "cleaned_body"),
       "cleaned_body")
   }
+
+  /** Store-shape adapter: rename to the reference's enrichment column names
+    * and conform to the registered `an_*` schema — the config-driven DDL twin
+    * of `Reddit_4chan_Analysis.py:66-76` (pure projection, codegen-friendly). */
+  def toEnrichedTable(enriched: DataFrame, table: String): DataFrame =
+    SchemaRegistry.default.conform(
+      enriched
+        .withColumnRenamed("body", "original_comment")
+        .withColumnRenamed("cleaned_body", "cleaned_comment"),
+      table)
 
   /** Entry point C (`Analysis Dashboard/app.py` query inventory): the
     * dashboard analytics as views over the enriched unified table. */

@@ -41,6 +41,32 @@ object Storage {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** JDBC sink — parity with the reference's Postgres inserts
+    * (`Data Collection/Reddit.py:86-93` executemany loop). Spark-first: the
+    * built-in JDBC provider writes one connection per partition with
+    * configurable `batchsize`, so the insert loop the reference hand-rolls is
+    * a distributed batched write here. Tested against embedded Derby (bundled
+    * with Spark); production targets Postgres by URL + driver property. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Append,
+                properties: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode(mode).jdbc(url, table, properties)
+
+  /** JDBC scan twin: predicates/column pruning push into the remote query. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               properties: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, properties)
+
+  /** Streaming JDBC append: checkpointed foreachBatch, each micro-batch one
+    * batched `.jdbc` write — the durable streaming twin of the reference's
+    * poll→insert loop. Delivery is at-least-once under crash replay; make the
+    * table idempotent (key/constraint) or dedup downstream. */
+  def jdbcStreamSink(stream: DataFrame, url: String, table: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.stream.Streaming.foreachBatchSink(stream, checkpointDir) { (batch, _) =>
+      writeJdbc(batch, url, table)
+    }
+
   /** Small-file compaction — the Parquet analogue of the reference's VACUUM
     * task. Rewrites a prefix into ~`targetFileMB` files; run per partition
     * directory on a cadence after streaming appends. */

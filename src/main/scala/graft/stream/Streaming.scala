@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.Tables
 
@@ -32,9 +32,44 @@ object Streaming {
     // file source requires a directory: scan the sf dir, globbed to this table
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
-    if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events")
+      // true floor division (matches graft.Tables.events — `div` alone
+      // truncates toward zero and diverges on pre-1970 epochs)
+      raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else raw
   }
+
+  /** Durable production sink: continuous append to a partitioned parquet
+    * store. Exactly-once: the parquet streaming sink commits files through
+    * its `_spark_metadata` log and the checkpoint records source offsets, so
+    * restarting with the same `checkpointDir` resumes from the last committed
+    * batch — no loss, no dupes. This is the engine twin of the reference's
+    * poll→insert loop (`Data Collection/Reddit.py:166-173`), with the
+    * reference's per-insert full-table dedup scan replaced by offset tracking.
+    */
+  def toParquetSink(stream: DataFrame, path: String, checkpointDir: String,
+                    partitionCols: Seq[String] = Nil,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = stream.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
+  }
+
+  /** Generic durable sink for targets without a native streaming format
+    * (JDBC upserts, external stores): per-batch callback with checkpointed
+    * offsets. Delivery is at-least-once across crash/restart — the callback
+    * must be idempotent under (batchId) replay (e.g. overwrite a
+    * batchId-keyed location, or upsert on a key). */
+  def foreachBatchSink(stream: DataFrame, checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow())(
+      f: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream.foreachBatch(f)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 
   /** Run a streaming DataFrame to completion with AvailableNow into a memory
     * sink and return the final result table. Memory sink is driver-local —
