@@ -316,7 +316,10 @@ object SparkEntry {
     "q59_stratified_sample" -> ((s, dir) =>
       Curation.stratifiedSample(T(s, dir, "documents"), "lang", "doc_id", 20)
         .select(col("doc_id"), col("lang"))
-        .orderBy("lang", "doc_id"))
+        .orderBy("lang", "doc_id")),
+    "q60_vader" -> ((s, dir) =>
+      Sentiment.scoreVader(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -423,7 +426,44 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB twin of [[Sentiment.scoreVader]] (q60): window-lag negation
+    * scope, booster CASE on the preceding token, integer-micro summation and
+    * sign-aware exclamation emphasis — generated from the same constant
+    * lists the Spark side uses. */
+  private val q60Sql: String = {
+    val negList = Sentiment.negators.map(n => s"'$n'").mkString(", ")
+    val boostCase = Sentiment.boosters
+      .map { case (b, v) => s"WHEN '$b' THEN CAST($v AS DOUBLE)" }
+      .mkString("CASE prev1 ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+    val ampUnits = (Sentiment.exclamationBoost * 10000).round
+    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+       |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[CAST(i AS BIGINT)] AS word
+       |  FROM ws, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+       |ann AS (SELECT doc_id, word,
+       |  lag(word, 1) OVER win AS prev1, lag(word, 2) OVER win AS prev2, lag(word, 3) OVER win AS prev3
+       |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |lex(word, tenths) AS (VALUES $lexValues),
+       |hits AS (SELECT doc_id,
+       |  (tenths / 10.0 + (CASE WHEN tenths > 0 THEN 1.0 WHEN tenths < 0 THEN -1.0 ELSE 0.0 END) * ($boostCase))
+       |   * (CASE WHEN prev1 IN ($negList) OR prev2 IN ($negList) OR prev3 IN ($negList)
+       |      THEN CAST(${Sentiment.negationFactor} AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS v2
+       |  FROM ann JOIN lex USING (word)),
+       |sums AS (SELECT doc_id, CAST(sum(CAST(round(v2 * 10000) AS BIGINT)) AS BIGINT) AS micro
+       |  FROM hits GROUP BY doc_id),
+       |amp AS (SELECT doc_id, least(length(text) - length(replace(text, '!', '')), 4) * $ampUnits AS a
+       |  FROM documents),
+       |fin AS (SELECT amp.doc_id,
+       |  (coalesce(micro, 0) + (CASE WHEN coalesce(micro, 0) > 0 THEN 1
+       |     WHEN coalesce(micro, 0) < 0 THEN -1 ELSE 0 END) * a) / 10000.0 AS s
+       |  FROM amp LEFT JOIN sums ON sums.doc_id = amp.doc_id)
+       |SELECT doc_id, round(s / sqrt(s * s + 15.0), 4) AS vader_score,
+       |  CASE WHEN s / sqrt(s * s + 15.0) >= 0.05 THEN 'positive'
+       |       WHEN s / sqrt(s * s + 15.0) <= -0.05 THEN 'negative' ELSE 'neutral' END AS vader_label
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q60_vader" -> q60Sql,
     "q01_csv_scan" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q02_json_flatten" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic lexicon sentiment scorer (SURVEY.md §2.8 q34/q36).
@@ -68,6 +69,75 @@ object Sentiment {
       .withColumn("sentiment_score", round(compoundOf(col("__s")), 4))
       .withColumn("sentiment", label(compoundOf(col("__s"))))
       .drop("__s")
+  }
+
+  // ------------------------------------------------------- VADER heuristics
+
+  /** Negation tokens (VADER's NEGATE list, trimmed to the deterministic
+    * subset): a sentiment word within 3 tokens after one of these flips
+    * valence × −0.74. */
+  val negators: Seq[String] = Seq(
+    "not", "no", "never", "none", "cannot", "cant", "dont", "wont", "isnt",
+    "arent", "wasnt", "werent", "didnt", "doesnt", "neither", "nor")
+
+  /** Degree modifiers (VADER BOOSTER_DICT convention): signed increments
+    * applied to the following sentiment word, sign-aware (intensify moves
+    * away from zero, dampen toward it). */
+  val boosters: Seq[(String, Double)] = Seq(
+    "very" -> 0.293, "extremely" -> 0.293, "absolutely" -> 0.293,
+    "incredibly" -> 0.293, "really" -> 0.293, "totally" -> 0.293,
+    "slightly" -> -0.293, "somewhat" -> -0.293, "barely" -> -0.293,
+    "marginally" -> -0.293)
+
+  val negationFactor = -0.74
+  val exclamationBoost = 0.292 // per '!', capped at 4 — VADER's punctuation emphasis
+
+  /** Full-heuristic VADER scorer (negation, boosters, exclamation emphasis) —
+    * the depth the reference gets from NLTK's analyzer
+    * (`Data Analysis/Reddit_4chan_Analysis.py:145-163`), re-expressed as pure
+    * relational operators: posexplode keeps token positions, window lags see
+    * the 3-token negation scope and the preceding booster, and the per-token
+    * adjusted valence is rounded to exact integer 1e-4 units before the
+    * per-doc sum (order-independent under shuffle). No UDF anywhere, so the
+    * whole scorer is DuckDB-oracle-able (q60) and codegen-friendly.
+    *
+    * Scoped out (documented): ALL-CAPS emphasis (tokens are lowercased
+    * upstream) and the "but"-clause reweighting.
+    *
+    * Output: (idCol, vader_score rounded 4dp, vader_label).
+    */
+  def scoreVader(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.map { case (w, v) => (w, math.round(v * 10)) }
+      .toDF("word", "tenths"))
+    val tokens = docs.select(col(idCol),
+      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "word")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val ann = tokens
+      .withColumn("prev1", lag(col("word"), 1).over(w))
+      .withColumn("prev2", lag(col("word"), 2).over(w))
+      .withColumn("prev3", lag(col("word"), 3).over(w))
+    val boost = boosters.foldLeft(lit(0.0)) { case (acc, (b, v)) =>
+      when(col("prev1") === b, lit(v)).otherwise(acc)
+    }
+    val negated = col("prev1").isin(negators: _*) ||
+      col("prev2").isin(negators: _*) || col("prev3").isin(negators: _*)
+    val v = col("tenths") / 10.0
+    val v2 = (v + signum(v) * boost) *
+      when(negated, lit(negationFactor)).otherwise(lit(1.0))
+    val sums = ann.join(lex, "word")
+      .withColumn("__micro", round(v2 * 10000, 0).cast("long"))
+      .groupBy(col(idCol)).agg(sum(col("__micro")).as("__micro"))
+    // '!' count (capped at 4) amplifies the total, sign-aware; micro units
+    val excl = least(length(col(textCol)) - length(regexp_replace(col(textCol), "!", "")), lit(4))
+    docs.select(col(idCol), (excl * lit((exclamationBoost * 10000).round)).as("__amp"))
+      .join(sums, Seq(idCol), "left")
+      .withColumn("__micro", coalesce(col("__micro"), lit(0L)))
+      .withColumn("__s", (col("__micro") + signum(col("__micro")) * col("__amp")) / 10000.0)
+      .select(col(idCol),
+        round(compoundOf(col("__s")), 4).as("vader_score"),
+        label(compoundOf(col("__s"))).as("vader_label"))
   }
 
   /** Scalar UDF variant: whole scorer in one call, mirroring the reference's

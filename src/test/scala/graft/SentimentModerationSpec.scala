@@ -58,6 +58,29 @@ class SentimentModerationSpec extends SparkSpec {
     assert(out(2) == (false, 0.0))
   }
 
+  test("scoreVader golden fixtures: negation, boosters, punctuation emphasis") {
+    // expected values computed offline with an independent implementation of
+    // the documented heuristics (integer-micro valences, sign-aware booster,
+    // 3-token negation scope x -0.74, '!' emphasis capped at 4)
+    val docs = Seq(
+      (1L, "good stuff"),            // plain lexicon hit
+      (2L, "not good stuff"),        // negation flips x -0.74
+      (3L, "very good indeed"),      // booster intensifies (+0.293)
+      (4L, "slightly bad result"),   // dampener pulls toward zero
+      (5L, "not very good at all"),  // booster then negation compose
+      (6L, "love it!!"),             // exclamation emphasis
+      (7L, "plain words only"),      // no hits -> 0 / neutral
+      (8L, "never a fast crash")     // negation scope reaches 3 tokens
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Sentiment.scoreVader(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0.4404, "positive"), (2L, -0.3412, "negative"),
+      (3L, 0.4927, "positive"), (4L, -0.4951, "negative"),
+      (5L, -0.3865, "negative"), (6L, 0.6988, "positive"),
+      (7L, 0.0, "neutral"), (8L, 0.1695, "positive")))
+  }
+
   test("expression and mapPartitions classifiers agree") {
     val df = Seq((1L, "bad slow error crash"), (2L, "fine"), (3L, null.asInstanceOf[String]))
       .toDF("id", "text")

@@ -108,6 +108,50 @@ class StorageSpec extends SparkSpec {
     assert(salted == Seq(("cold", 10L), ("hot", 5000L)))
   }
 
+  test("salting bounds the hot-key reducer on a 3-value platform key (sf0.1)") {
+    // the reference's real key shape: 3 platforms, one dominating — at 100 TB
+    // an unsalted shuffle join sends ~all rows to ONE reducer
+    val events = Tables.events(spark, "/root/testdata/sf0.1").select("event_id")
+      .withColumn("platform",
+        when(pmod(col("event_id"), lit(100)) < 96, "reddit")
+          .when(pmod(col("event_id"), lit(100)) < 98, "youtube")
+          .otherwise(lit("4chan")))
+    val total = events.count()
+    val hot = events.filter(col("platform") === "reddit").count()
+    assert(hot > total * 8 / 10, s"skew setup broken: hot=$hot total=$total")
+
+    // measure exactly the exchange a shuffle join performs: rows per reducer
+    // under hash partitioning on the join key, with and without the salt
+    def maxReducerRows(df: org.apache.spark.sql.DataFrame,
+                       keys: org.apache.spark.sql.Column*): Long =
+      df.repartition(32, keys: _*)
+        .groupBy(spark_partition_id().as("p")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).as[Long].head()
+
+    val unsaltedMax = maxReducerRows(events, col("platform"))
+    val salted = events.withColumn("__salt",
+      pmod(hash(col("platform"), spark_partition_id(), monotonically_increasing_id()), lit(8)))
+    val saltedMax = maxReducerRows(salted, col("platform"), col("__salt"))
+    assert(unsaltedMax >= hot, "unsalted: one reducer should own the whole hot key")
+    assert(saltedMax < hot / 4,
+      s"salted reducer not bounded: max=$saltedMax hot=$hot (expected ~hot/8)")
+
+    // equivalence + plan in the no-broadcast regime (bucketed/stream-static
+    // joins — the case AQE skew handling can't reach)
+    val dims = Seq(("reddit", 1), ("youtube", 2), ("4chan", 3)).toDF("platform", "dim_id")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = Relational.saltedJoin(events, dims, "platform", 8)
+        .groupBy("platform").agg(count(lit(1)).as("n"))
+      val counts = agg.as[(String, Long)].collect().toMap
+      assert(counts("reddit") == hot && counts.values.sum == total)
+      val plan = agg.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("__salt"), s"join key does not carry the salt:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedJoin equals plain join under heavy key skew") {
     val big = (Seq.fill(3000)(1L) ++ (2L to 50L)).toDF("k")
     val small = Seq((1L, "one"), (2L, "two"), (99L, "none")).toDF("k", "name")
