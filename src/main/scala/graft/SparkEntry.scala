@@ -319,7 +319,38 @@ object SparkEntry {
         .orderBy("lang", "doc_id")),
     "q60_vader" -> ((s, dir) =>
       Sentiment.scoreVader(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q61_asof_join" -> ((s, dir) => {
+      // point-in-time lookup: each purchase labeled with the user's most
+      // recent view at-or-before it (union + one window pass — no range join)
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      Relational.asOfJoin(purchases, views, "user_id", "ts", "ts",
+        Seq("view_event_id", "view_value"))
+        .orderBy("event_id")
+    }),
+    "q62_range_join" -> ((s, dir) => {
+      // unkeyed interval join via time bins: clicks within ±30min per signup
+      val ev = T(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("click_ts"))
+      Relational.binnedRangeJoin(signups, clicks, "ts", "click_ts",
+        before = "30 minutes", after = "30 minutes", binWidth = "1 hour")
+        .groupBy(col("event_id")).agg(count(lit(1)).as("clicks_nearby"))
+        .orderBy("event_id")
+    }),
+    "q63_orc_roundtrip" -> ((s, dir) => {
+      val nation = T(s, dir, "nation")
+      val tmp = s"$TMP/q63_orc"
+      nation.coalesce(1).write.mode("overwrite").orc(tmp)
+      s.read.schema(nation.schema).orc(tmp).orderBy("n_nationkey")
+    })
   )
 
   // ------------------------------------------------------------------ oracle
@@ -464,6 +495,29 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q60_vader" -> q60Sql,
+    "q61_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |u AS (
+        |  SELECT user_id, ts AS uts, 0 AS side, event_id AS view_event_id, value AS view_value,
+        |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS pts
+        |    FROM ev WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, NULL, event_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT *,
+        |  last_value(view_event_id IGNORE NULLS) OVER win AS a_id,
+        |  last_value(view_value IGNORE NULLS) OVER win AS a_val
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY uts, side, view_event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, pts AS ts, a_id AS view_event_id, a_val AS view_value
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "q62_range_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s AS (SELECT event_id, ts FROM ev WHERE event_type = 'signup'),
+        |c AS (SELECT ts AS cts FROM ev WHERE event_type = 'click')
+        |SELECT s.event_id, count(*) AS clicks_nearby
+        |FROM s JOIN c ON cts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_orc_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q01_csv_scan" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q02_json_flatten" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",

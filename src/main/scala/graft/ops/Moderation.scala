@@ -40,26 +40,50 @@ object Moderation {
       .withColumn("is_hate_speech", isHate(col("hate_speech_confidence")))
   }
 
-  /** Batch-client shape: one scorer instance per partition (vs the reference's
-    * per-row HTTP POST + per-row analyzer re-init, `Reddit_4chan_Analysis.py:
-    * 123,148`). A real HTTP client would be constructed here once per
-    * partition and called with batched rows.
-    */
-  def classifyPartitioned(df: DataFrame, textCol: String): DataFrame = {
+  /** Injectable remote-scorer seam: the factory runs ONCE PER PARTITION on
+    * the executor (connection pool, auth, analyzer init live here), and the
+    * returned function scores a whole batch per call — vs the reference's
+    * one blocking HTTP POST and analyzer re-init per row
+    * (`Reddit_4chan_Analysis.py:123,148`), its throughput ceiling. Same shape
+    * as [[graft.multimodal.Multimodal.Decoder]]: a Serializable factory so a
+    * real HTTP client can be swapped in without touching the operator. */
+  trait Client extends Serializable {
+    /** Called once per partition; the returned function once per batch. */
+    def open(): Seq[String] => Seq[Double]
+  }
+
+  /** Deterministic default client: the keyword scorer, batched. */
+  object KeywordClient extends Client {
+    def open(): Seq[String] => Seq[Double] = {
+      val pattern = ("\\b(" + flaggedTerms.mkString("|") + ")\\b").r
+      texts =>
+        texts.map { t =>
+          val hits = pattern.findAllMatchIn(Option(t).getOrElse("").toLowerCase).size.toDouble
+          math.rint(hits / (hits + 1.0) * 10000) / 10000
+        }
+    }
+  }
+
+  /** Batch-client classifier: per-partition client init, `batchSize` rows per
+    * remote call. The expression path ([[classify]]) is preferred wherever
+    * the scorer is expressible — this is the seam for genuinely remote
+    * models. */
+  def classifyPartitioned(df: DataFrame, textCol: String,
+                          client: Client = KeywordClient,
+                          batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
-    val pattern = termPattern.r
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+
         org.apache.spark.sql.types.StructField("hate_speech_confidence", org.apache.spark.sql.types.DoubleType) :+
         org.apache.spark.sql.types.StructField("is_hate_speech", org.apache.spark.sql.types.BooleanType))
     val textIdx = df.schema.fieldIndex(textCol)
     val out = df.rdd.mapPartitions { iter =>
-      // per-partition "client" setup happens here, once (vs per-row in the reference)
-      iter.map { row =>
-        val text = Option(row.getString(textIdx)).getOrElse("").toLowerCase
-        val hits = pattern.findAllMatchIn(text).size.toDouble
-        val conf = math.rint(hits / (hits + 1.0) * 10000) / 10000
-        Row.fromSeq(row.toSeq :+ conf :+ (conf > confidenceThreshold))
+      val scoreBatch = client.open() // once per partition
+      iter.grouped(batchSize).flatMap { rows =>
+        val confs = scoreBatch(rows.map(_.getString(textIdx)))
+        rows.lazyZip(confs).map { (row, conf) =>
+          Row.fromSeq(row.toSeq :+ conf :+ (conf > confidenceThreshold))
+        }
       }
     }
     spark.createDataFrame(out, schema)

@@ -93,6 +93,75 @@ object Relational {
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** As-of (point-in-time) join: for each left row, the payload of the
+    * LATEST right row with `rightTs <= leftTs` in the same key — the lookup
+    * every feature/training pipeline needs (label with the most recent
+    * signal as of event time), which Spark has no native operator for.
+    *
+    * Implementation is union + ONE window pass, not a range join: right rows
+    * (side 0) and left rows (side 1) interleave on (key, ts, side, tiebreak),
+    * and `last(payload, ignoreNulls)` carries the newest right payload
+    * forward to each left row. Cost at 100 TB: a single shuffle+sort on
+    * (key, ts) — each key's timeline is scanned once, no per-pair work, no
+    * candidate explosion, skew bounded by the hottest single key exactly as
+    * any keyed window is.
+    *
+    * Ties: a right row AT the left timestamp is included (side orders right
+    * first); equal-ts right rows order by `payloadCols` for determinism.
+    * Output: all left columns + `payloadCols` (null where no prior right row).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val r = right.select(
+      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        payloadCols.map(col)): _*)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy((col("__ts") +: col("__side") +: payloadCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(u) { (df, p) =>
+      df.withColumn(s"__asof_$p", last(col(p), ignoreNulls = true).over(w))
+    }
+    val outCols = left.columns.map(col).toSeq ++
+      payloadCols.map(p => col(s"__asof_$p").as(p))
+    carried.filter(col("__side") === 1).select(outCols: _*)
+  }
+
+  /** Unkeyed interval join via time-binning: pairs (l, r) with
+    * `rightTs ∈ [leftTs − before, leftTs + after]`. A naive unkeyed range
+    * join is a cartesian product; here both sides shuffle on a time BIN of
+    * `binWidth` micros — left rows replicate to every bin their interval
+    * touches (≤ 2 + (before+after)/binWidth copies), right rows keep their
+    * own bin, and the exact predicate re-applies after the equi-join on the
+    * bin. Cost is Σ bin² over co-occurring bins, not |L|·|R|; each matching
+    * pair meets in exactly one bin (the right row's), so no dedup pass.
+    * Timestamps must be non-negative (epoch micros; `div` floors there).
+    */
+  def binnedRangeJoin(left: DataFrame, right: DataFrame,
+                      leftTs: String, rightTs: String,
+                      before: String, after: String,
+                      binWidth: String = "1 hour"): DataFrame = {
+    def micros(interval: String): Column =
+      expr(s"unix_micros(timestamp '1970-01-01 00:00:00Z' + INTERVAL $interval)")
+    val w = micros(binWidth)
+    val lm = unix_micros(col(leftTs))
+    val lo = lm - micros(before)
+    val hi = lm + micros(after)
+    // micros < 2^53 ⇒ the double quotient is exact enough for floor (an
+    // integer quotient is itself representable, so floor can't misround)
+    val lBinned = left
+      .withColumn("__bin", explode(sequence(floor(lo / w), floor(hi / w))))
+    val rBinned = right.withColumn("__bin", floor(unix_micros(col(rightTs)) / w))
+    lBinned.join(rBinned, Seq("__bin"))
+      .filter(col(rightTs).between(col(leftTs) - expr(s"INTERVAL $before"),
+        col(leftTs) + expr(s"INTERVAL $after")))
+      .drop("__bin")
+  }
+
   /** Ordered running state via window functions (reference carries `start`/
     * `count` across an ordered python loop, `Analysis Dashboard/app.py:44-56`).
     * Partitioned by a key so state never concentrates on one task.

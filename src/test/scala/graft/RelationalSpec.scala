@@ -62,6 +62,39 @@ class RelationalSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L))
   }
 
+  test("asOfJoin picks the latest right row at-or-before each left ts per key") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(5), "p3"))
+      .toDF("k", "lts", "tag")
+    val right = Seq((1L, ts(5), 100L), (1L, ts(10), 200L), (1L, ts(15), 300L),
+      (2L, ts(99), 999L))
+      .toDF("k", "rts", "payload")
+      .select(col("k"), col("rts").as("lts"), col("payload")) // share the ts name
+    val out = Relational.asOfJoin(left, right, "k", "lts", "lts", Seq("payload"))
+      .select("tag", "payload").as[(String, Option[Long])].collect().toMap
+    // p1 at ts 10: right row AT 10 wins (inclusive); p2 at 20: latest is 15;
+    // p3 at 5: key 2's only right row is in the future -> null
+    assert(out == Map("p1" -> Some(200L), "p2" -> Some(300L), "p3" -> None))
+  }
+
+  test("binnedRangeJoin equals the naive range join across bin boundaries") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // seconds chosen to straddle the 60s bins: matches within same bin,
+    // adjacent bin, and non-matches just outside the range
+    val left = Seq((1L, ts(59)), (2L, ts(61)), (3L, ts(150))).toDF("lid", "lts")
+    val right = Seq((10L, ts(30)), (11L, ts(60)), (12L, ts(89)),
+      (13L, ts(121)), (14L, ts(179)), (15L, ts(181))).toDF("rid", "rts")
+    val binned = Relational.binnedRangeJoin(left, right, "lts", "rts",
+      before = "30 seconds", after = "30 seconds", binWidth = "1 minute")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = left.crossJoin(right)
+      .filter(col("rts").between(col("lts") - expr("INTERVAL 30 seconds"),
+        col("lts") + expr("INTERVAL 30 seconds")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(binned == naive && naive.nonEmpty)
+    assert(binned.contains((1L, 10L)) && binned.contains((2L, 12L)))
+  }
+
   test("runningState row-numbers and lags within partition") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:01"), 10L, 1.0),
