@@ -155,10 +155,13 @@ object Similarity {
     * long, then split into `bands` band buckets (multi-table LSH: a pair is a
     * candidate if ANY band bucket matches — bands trade precision for recall).
     *
-    * Planes are DATA (a broadcast table), not literals baked into codegen —
-    * inlining planes×dim constants into generated code costs seconds of
-    * Janino compilation. One broadcast cross join + one groupBy(id) shuffle
-    * carrying (id, vec, sig); output one row per (id, band).
+    * Planes are DATA (one broadcast row holding the nested plane array), not
+    * literals baked into codegen — inlining planes×dim constants into
+    * generated code costs seconds of Janino compilation. The signature is ONE
+    * pass per vector: a higher-order `transform` over the plane array scores
+    * all `numPlanes` sign bits in place, so there is no plane-row explosion
+    * and — unlike a per-plane crossJoin + groupBy — NO shuffle at all before
+    * banding. Output: one row per (id, band).
     */
   def lshBands(vectors: DataFrame, idCol: String, vecCol: String,
                numPlanes: Int, bands: Int, dim: Int): DataFrame = {
@@ -167,13 +170,15 @@ object Similarity {
     require(numPlanes % bands == 0, "numPlanes must divide evenly into bands")
     val bandBits = numPlanes / bands
     val planesDF = broadcast(
-      hyperplanes(numPlanes, dim).zipWithIndex
-        .map { case (p, i) => (i, p) }.toSeq.toDF("plane_id", "plane"))
+      Seq(Tuple1(hyperplanes(numPlanes, dim).map(_.toSeq).toSeq)).toDF("__planes"))
+    val sigExpr = expr(
+      s"aggregate(transform(__planes, (p, i) -> IF(${dotExpr(vecCol, "p")} >= 0.0, " +
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     val sigs = vectors.select(col(idCol), col(vecCol))
       .crossJoin(planesDF)
-      .select(col(idCol), col(vecCol),
-        expr(s"IF(${dotExpr(vecCol, "plane")} >= 0.0, shiftleft(CAST(1 AS BIGINT), plane_id), CAST(0 AS BIGINT))").as("bit"))
-      .groupBy(col(idCol)).agg(first(col(vecCol)).as(vecCol), sum(col("bit")).as("sig"))
+      .withColumn("sig", sigExpr)
+      .drop("__planes")
     sigs.select(col(idCol), col(vecCol),
       posexplode(array((0 until bands).map(t =>
         shiftrightunsigned(col("sig"), t * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
