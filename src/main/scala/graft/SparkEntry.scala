@@ -350,7 +350,21 @@ object SparkEntry {
       val tmp = s"$TMP/q63_orc"
       nation.coalesce(1).write.mode("overwrite").orc(tmp)
       s.read.schema(nation.schema).orc(tmp).orderBy("n_nationkey")
-    })
+    }),
+    "q64_rollup" -> ((s, dir) =>
+      // multi-granularity dashboard aggregate: (type, day), per-type subtotal,
+      // grand total in ONE pass (vs re-scanning per granularity)
+      T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+    "q65_percentiles" -> ((s, dir) =>
+      T(s, dir, "events").groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -518,6 +532,16 @@ object SparkEntry {
         |FROM s JOIN c ON cts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_orc_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q64_rollup" ->
+      """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
+        |FROM events GROUP BY ROLLUP (event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q65_percentiles" ->
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.9), 4) AS p90,
+        |round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_csv_scan" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q02_json_flatten" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",

@@ -128,4 +128,68 @@ object Streaming {
   def incrementalEnrich(stream: DataFrame, existingKeys: DataFrame, key: String)(
       enrich: DataFrame => DataFrame): DataFrame =
     enrich(stream.join(existingKeys, Seq(key), "left_anti"))
+
+  // ---------------------------------------------------- custom state (q57 twin)
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(startMicros: Long, endMicros: Long, events: Long)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, events: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * explicit-state twin of the built-in `session_window` (q57), for
+    * semantics the built-in can't carry (per-session custom payloads,
+    * emit-on-close side effects, cross-session counters).
+    *
+    * State per user = the single open session (start, end, count). An event
+    * within `gapMinutes` of the open session extends it; a later event closes
+    * and EMITS it and opens a new one. The open session is emitted when the
+    * event-time watermark passes `end + gap` (EventTimeTimeout), so state is
+    * bounded by |active users| and every session is emitted exactly once.
+    * Batch-order caveat: events are processed sorted within each batch;
+    * cross-batch reordering inside the watermark horizon is handled by the
+    * watermark delay (late rows beyond it are dropped, same as q39).
+    */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[SessionEvent],
+                       gapMinutes: Int): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = gapMinutes * 60L * 1000000L
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    def ts(m: Long): java.sql.Timestamp = new java.sql.Timestamp(m / 1000L)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, ts(s.startMicros), ts(s.endMicros), s.events))
+          } else {
+            val sorted = evs.map(e => micros(e.ts)).toArray.sorted
+            var open = state.getOption
+            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+            sorted.foreach { m =>
+              open match {
+                case Some(s) if m - s.endMicros < gapMicros =>
+                  open = Some(s.copy(endMicros = math.max(s.endMicros, m), events = s.events + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, ts(s.startMicros), ts(s.endMicros), s.events)
+                  open = Some(SessionState(m, m, 1))
+                case None =>
+                  open = Some(SessionState(m, m, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark proves no extension can arrive
+              state.setTimeoutTimestamp(s.endMicros / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -46,6 +46,40 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq("a", "b", "c"))
   }
 
+  test("flatMapGroupsWithState sessionization emits each closed session exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{ClosedSession, SessionEvent}
+    val mem = MemoryStream[SessionEvent]
+    val out = Streaming.statefulSessions(mem.toDS(), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("stateful_sessions")
+      .outputMode("append").start()
+    // offset from epoch 0: a row with ts == the initial watermark (0) is
+    // dropped as late by the stateful operator's late-row filter
+    def ev(u: Long, min: Long) = SessionEvent(u, new Timestamp((600 + min) * 60000L))
+    def emitted() = spark.table("stateful_sessions").as[ClosedSession].collect()
+      .map(c => (c.user_id, c.session_start.getTime / 60000 - 600,
+        c.session_end.getTime / 60000 - 600, c.events))
+      .toSet
+
+    mem.addData(ev(1, 0), ev(1, 10), ev(2, 5)) // u1 session {0,10}, u2 {5}
+    q.processAllAvailable()
+    assert(emitted().isEmpty, "no session is closed yet")
+    // ev(1,120) closes u1's session by gap; the end-of-batch watermark (90)
+    // also passes u2's end+gap (35), firing its event-time timeout
+    mem.addData(ev(1, 120))
+    q.processAllAvailable()
+    assert(emitted() == Set((1L, 0L, 10L, 2L), (2L, 5L, 5L, 1L)))
+    mem.addData(ev(9, 500)) // watermark 470 > 150: u1's open session times out
+    q.processAllAvailable()
+    assert(emitted() == Set((1L, 0L, 10L, 2L), (2L, 5L, 5L, 1L), (1L, 120L, 120L, 1L)))
+    mem.addData(ev(9, 1000)) // gap-closes u9's first session
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted() == Set((1L, 0L, 10L, 2L), (2L, 5L, 5L, 1L),
+      (1L, 120L, 120L, 1L), (9L, 500L, 500L, 1L)),
+      "each closed session must appear exactly once, open sessions not at all")
+  }
+
   test("durable parquet sink: restart from checkpoint resumes, no loss no dupes") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val src = s"$base/src"; val out = s"$base/out"; val chk = s"$base/chk"
