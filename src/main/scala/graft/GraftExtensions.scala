@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.RollingHashExpression
+
+/** Session-extension entry point — the deployment story for the engine's
+  * native functions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * registers them in EVERY session (SQL, thriftserver, notebooks) at startup,
+  * with no per-session `Shims.registerFunction` call. Injection happens at
+  * the Catalyst `FunctionRegistry` level, so `rolling_hash(col)` parses to
+  * the native codegen expression — not a UDF wrapper.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpression].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHashExpression(children.head)))
+  }
+}

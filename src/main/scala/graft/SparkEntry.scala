@@ -364,7 +364,29 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"),
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+    "q66_pivot" -> ((s, dir) =>
+      // dashboard crosstab: one row per day, one column per event type —
+      // explicit pivot values keep the schema deterministic (no value scan)
+      T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("day")),
+    "q67_cumulative_users" -> ((s, dir) => {
+      // new + cumulative distinct users per day: first-seen day per user,
+      // then a running sum over the (tiny) per-day aggregate
+      val firstSeen = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(TextFunctions.dayString(col("ts"))).as("day"))
+      firstSeen.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        .withColumn("cumulative_users",
+          sum(col("new_users")).over(
+            org.apache.spark.sql.expressions.Window.orderBy("day")))
+        .orderBy("day")
+    })
   )
 
   // ------------------------------------------------------------------ oracle
@@ -542,6 +564,20 @@ object SparkEntry {
         |round(quantile_cont(value, 0.9), 4) AS p90,
         |round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q66_pivot" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |count(*) FILTER (event_type = 'click') AS click,
+        |count(*) FILTER (event_type = 'error') AS error,
+        |count(*) FILTER (event_type = 'purchase') AS purchase,
+        |count(*) FILTER (event_type = 'signup') AS signup,
+        |count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q67_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+        |FROM d ORDER BY day""".stripMargin,
     "q01_csv_scan" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q02_json_flatten" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",

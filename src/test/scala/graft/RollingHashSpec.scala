@@ -29,6 +29,28 @@ class RollingHashSpec extends SparkSpec {
     assert(out == 96354L)
   }
 
+  test("GraftExtensions injects rolling_hash via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    // a fresh session over the SAME SparkContext, built the way a deployment
+    // would: withExtensions at construction (getOrCreate would return the
+    // shared session, so active/default are cleared first and restored after)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prev, "expected a fresh session with extensions applied")
+      val out = s2.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+      assert(out == 96354L)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("distinct strings get distinct fingerprints (sample)") {
     val docs = (1 to 500).map(i => s"document number $i payload")
     val n = docs.toDF("s").select(RollingHash(col("s")).as("h")).distinct().count()
