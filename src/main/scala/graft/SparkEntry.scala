@@ -386,7 +386,16 @@ object SparkEntry {
           sum(col("new_users")).over(
             org.apache.spark.sql.expressions.Window.orderBy("day")))
         .orderBy("day")
-    })
+    }),
+    "q68_frame_sample" -> ((s, dir) =>
+      // multimodal frame fan-out: N rows out per payload in, fingerprinted —
+      // the explode happens in the map stage, before any shuffle
+      Multimodal.frameSampleStub(
+        Multimodal.asMultimodal(T(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", everyNBytes = 256)
+        .select(col("doc_id"), col("frame_idx"),
+          graft.functions.RollingHash(decode(col("frame"), "UTF-8")).as("frame_hash"))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -578,6 +587,13 @@ object SparkEntry {
         |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
         |SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
         |FROM d ORDER BY day""".stripMargin,
+    "q68_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |    substr(text, CAST(i * 256 + 1 AS INT), 256) AS frame
+         |  FROM documents, LATERAL (SELECT unnest(range(0,
+         |    CAST(greatest(ceil(length(text) / 256.0), 1) AS BIGINT))) AS i) t)
+         |SELECT doc_id, frame_idx, ${krSql("frame")} AS frame_hash
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q01_csv_scan" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q02_json_flatten" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",

@@ -17,6 +17,31 @@ class PropertySpec extends SparkSpec {
 
   private val idGen = Gen.listOfN(30, Gen.chooseNum(1L, 12L))
 
+  test("property: HashFamily constants respect the overflow-safety bounds") {
+    import graft.functions.HashFamily
+    // a_i odd in [1, 2^31), b_i in [0, P): a_i * x + b_i can never overflow a
+    // signed long for x < P — the invariant the DuckDB replication relies on
+    (0 until 1100).foreach { i =>
+      val (a, b) = (HashFamily.a(i), HashFamily.b(i))
+      assert(a % 2 == 1 && a >= 1 && a < (1L << 31), s"a($i)=$a out of bounds")
+      assert(b >= 0 && b < HashFamily.P, s"b($i)=$b out of bounds")
+    }
+    // seeds produce distinct permutations (no duplicate (a, b) pairs)
+    val pairs = (0 until 1100).map(i => (HashFamily.a(i), HashFamily.b(i)))
+    assert(pairs.distinct.size == pairs.size)
+  }
+
+  test("property: affine family output stays in [0, P) and separates inputs") {
+    import graft.functions.HashFamily
+    val xs = (0L until 1000L).map(x => x * 999983L % HashFamily.P)
+    (0 until 16).foreach { i =>
+      val hs = xs.map(x => (HashFamily.a(i) * x + HashFamily.b(i)) % HashFamily.P)
+      assert(hs.forall(h => h >= 0 && h < HashFamily.P))
+      // 2-universal family on distinct inputs: collisions ~ n^2/2P ≈ 0 here
+      assert(hs.distinct.size == hs.size, s"seed $i collided unexpectedly")
+    }
+  }
+
   test("property: anti-join dedup is idempotent and disjoint from existing") {
     for (s <- 1L to 5L) {
       val in = sample(idGen, s)
