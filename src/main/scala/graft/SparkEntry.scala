@@ -399,7 +399,12 @@ object SparkEntry {
         "doc_id", everyNBytes = 256)
         .select(col("doc_id"), col("frame_idx"),
           graft.functions.RollingHash(decode(col("frame"), "UTF-8")).as("frame_hash"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+    "q69_salted_count" -> ((s, dir) =>
+      // the skew remedy itself under the oracle: two-phase salted count over
+      // a 3-value key equals the plain GROUP BY exactly
+      Relational.saltedCount(T(s, dir, "events"), "event_type", salts = 8)
+        .orderBy("event_type"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -591,6 +596,8 @@ object SparkEntry {
         |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
         |SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
         |FROM d ORDER BY day""".stripMargin,
+    "q69_salted_count" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
     "q68_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
          |    substr(text, CAST(i * 256 + 1 AS INT), 256) AS frame

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+
+/** Cursor-paginated ingest adapter — the engine-side seam for the reference's
+  * rate-limited collection loops (`Data Collection/Reddit.py:23-59`: HTTP GET
+  * with `after` cursor + 100 req/min throttle; 4chan/YouTube variants).
+  *
+  * Boundary design: a cursored remote API is inherently serial, so pages
+  * arrive as driver-side batches — but each page immediately becomes a
+  * distributed DataFrame handed to the sink (durable parquet append, JDBC,
+  * or a streaming source's staging dir), so at most ONE page of rows ever
+  * sits on the driver. Rate limiting, auth and retries live inside the
+  * injectable client (same seam shape as `Moderation.Client` /
+  * `Multimodal.Decoder`); the loop itself is deterministic and testable.
+  */
+object PagedIngest {
+
+  /** One page fetch: rows + the next cursor (None = stream exhausted). */
+  trait PageClient[T] extends Serializable {
+    def fetch(cursor: Option[String]): (Seq[T], Option[String])
+  }
+
+  /** Drain the cursor chain, converting each page to a DataFrame and handing
+    * it to `sink` (append-mode by convention). `maxPages` bounds one run —
+    * the reference's scheduler slot; resume by persisting the cursor with the
+    * data and passing it as `startCursor` next run. Returns (pages, rows)
+    * ingested. */
+  def ingest[T: Encoder](spark: SparkSession, client: PageClient[T],
+                         startCursor: Option[String] = None,
+                         maxPages: Int = Int.MaxValue)(
+      sink: DataFrame => Unit): (Int, Long) = {
+    var cursor = startCursor
+    var pages = 0
+    var rows = 0L
+    var exhausted = false
+    while (!exhausted && pages < maxPages) {
+      val (batch, next) = client.fetch(cursor)
+      if (batch.nonEmpty) {
+        sink(spark.createDataset(batch).toDF())
+        pages += 1
+        rows += batch.size
+      }
+      cursor = next
+      exhausted = next.isEmpty
+    }
+    (pages, rows)
+  }
+}
