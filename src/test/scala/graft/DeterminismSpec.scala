@@ -15,7 +15,10 @@ class DeterminismSpec extends SparkSpec {
     "q17_topk_groups", "q19_share_of_total", "q22_running_state",
     "q34_sentiment_udf", "q37_microbatch_trigger", "q44_minhash_neardup",
     "q45_cosine_topk", "q48_simhash", "q55_ann_lsh", "q57_sessionize",
-    "q58_ann_ivf")
+    "q58_ann_ivf",
+    // round-2 keys with ordering/state/salt hazards worth double-running
+    "q60_vader", "q61_asof_join", "q62_range_join", "q64_rollup",
+    "q67_cumulative_users", "q68_frame_sample", "q69_salted_count")
 
   for (name <- sampled) {
     test(s"$name is run-to-run deterministic") {
