@@ -404,7 +404,23 @@ object SparkEntry {
       // the skew remedy itself under the oracle: two-phase salted count over
       // a 3-value key equals the plain GROUP BY exactly
       Relational.saltedCount(T(s, dir, "events"), "event_type", salts = 8)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+    "q70_semi_join" -> ((s, dir) =>
+      // existence probe as a real left_semi (no row duplication from the
+      // multi-match right side, right columns never materialize)
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+    "q71_except" -> ((s, dir) => {
+      // set difference: customers active in 1996 but not in 1997
+      val orders = T(s, dir, "orders")
+      def activeIn(y: Int) = orders
+        .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      activeIn(1996).except(activeIn(1997))
+        .select(col("o_custkey").as("custkey")).orderBy("custkey")
+    })
   )
 
   // ------------------------------------------------------------------ oracle
@@ -598,6 +614,15 @@ object SparkEntry {
         |FROM d ORDER BY day""".stripMargin,
     "q69_salted_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "q70_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c WHERE EXISTS
+        |(SELECT 1 FROM orders o WHERE o.o_orderstatus = 'P' AND o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q71_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY custkey""".stripMargin,
     "q68_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
          |    substr(text, CAST(i * 256 + 1 AS INT), 256) AS frame
