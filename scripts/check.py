@@ -68,5 +68,7 @@ for k, v in sorted(results.items()):
     good = v == "OK" or v.startswith("ROWS_ONLY")
     failed += 0 if good else 1
     print(f"{'  ' if good else 'XX'} {k}: {v}")
-print(f"\n{ok}/{len([k for k in results if not results[k].startswith('ROWS_ONLY')])} oracle-checked OK")
+n_oracle = len([k for k in results
+                if not results[k].startswith(('ROWS_ONLY', 'EMPTY_ROWS_ONLY'))])
+print(f"\n{ok}/{n_oracle} oracle-checked OK")
 sys.exit(1 if failed else 0)

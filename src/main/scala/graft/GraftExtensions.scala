@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpression].getName, "rolling_hash"),
-      (children: Seq[Expression]) => RollingHashExpression(children.head)))
+      (children: Seq[Expression]) => {
+        // real arity error, not a silent drop of extra args / head-of-empty
+        if (children.size != 1)
+          throw new IllegalArgumentException(
+            s"rolling_hash expects exactly 1 argument, got ${children.size}")
+        RollingHashExpression(children.head)
+      }))
   }
 }

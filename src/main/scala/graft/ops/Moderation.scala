@@ -55,7 +55,7 @@ object Moderation {
   /** Deterministic default client: the keyword scorer, batched. */
   object KeywordClient extends Client {
     def open(): Seq[String] => Seq[Double] = {
-      val pattern = ("\\b(" + flaggedTerms.mkString("|") + ")\\b").r
+      val pattern = termPattern.r // the SAME pattern the expression path uses
       texts =>
         texts.map { t =>
           val hits = pattern.findAllMatchIn(Option(t).getOrElse("").toLowerCase).size.toDouble

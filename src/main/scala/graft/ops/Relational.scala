@@ -113,21 +113,27 @@ object Relational {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                payloadCols: Seq[String]): DataFrame = {
-    val r = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        payloadCols.map(col)): _*)
+    // the union namespace must be unambiguous: a left column named like a
+    // payload (or the markers) would be carried as the "as-of" value
+    val reserved = payloadCols ++ Seq("__ts", "__side", "__payload")
+    val clash = reserved.filter(left.columns.contains)
+    require(clash.isEmpty, s"left side must not contain column(s): ${clash.mkString(", ")}")
+    // payload travels as ONE struct so the carried value is an atomic right
+    // ROW — per-column last() would stitch fields from different right rows
+    // whenever a payload field is null, and could never represent a null
+    // field in the genuinely-latest row
+    val r = right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(payloadCols.map(col): _*).as("__payload"))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
-      .orderBy((col("__ts") +: col("__side") +: payloadCols.map(col)): _*)
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(u) { (df, p) =>
-      df.withColumn(s"__asof_$p", last(col(p), ignoreNulls = true).over(w))
-    }
+    val carried = u.withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
     val outCols = left.columns.map(col).toSeq ++
-      payloadCols.map(p => col(s"__asof_$p").as(p))
+      payloadCols.map(p => col(s"__asof.$p").as(p))
     carried.filter(col("__side") === 1).select(outCols: _*)
   }
 

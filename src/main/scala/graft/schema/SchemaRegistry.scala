@@ -28,12 +28,21 @@ final case class SchemaRegistry(tables: Map[String, StructType]) {
   /** Conform a DataFrame to a registered schema: cast columns present in the
     * input, fill absent ones with typed nulls, drop extras, and order columns
     * exactly as registered — the generic per-source adapter the reference
-    * hand-writes per table. */
+    * hand-writes per table. Column matching honors the session's
+    * `spark.sql.caseSensitive` (default false), so a source delivering
+    * `Comment_ID` still feeds `comment_id` instead of silently nulling it. */
   def conform(df: DataFrame, name: String): DataFrame = {
     val target = schema(name)
-    val present = df.columns.toSet
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def resolve(n: String): Option[String] =
+      if (caseSensitive) df.columns.find(_ == n)
+      else df.columns.find(_.equalsIgnoreCase(n))
     df.select(target.fields.toIndexedSeq.map { f =>
-      (if (present(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
+      (resolve(f.name) match {
+        case Some(actual) => col(actual)
+        case None => lit(null)
+      }).cast(f.dataType).as(f.name)
     }: _*)
   }
 

@@ -21,21 +21,29 @@ object PagedIngest {
     def fetch(cursor: Option[String]): (Seq[T], Option[String])
   }
 
+  /** Result of one ingest run: fetches issued, non-empty pages written, rows
+    * written, and the cursor to resume from (None = stream exhausted). */
+  final case class IngestResult(fetches: Int, pages: Int, rows: Long,
+                                resumeCursor: Option[String])
+
   /** Drain the cursor chain, converting each page to a DataFrame and handing
-    * it to `sink` (append-mode by convention). `maxPages` bounds one run —
-    * the reference's scheduler slot; resume by persisting the cursor with the
-    * data and passing it as `startCursor` next run. Returns (pages, rows)
-    * ingested. */
+    * it to `sink` (append-mode by convention). `maxFetches` bounds the number
+    * of remote CALLS in one run (the reference's scheduler slot) — counting
+    * fetches, not non-empty pages, so an API that hands out cursors with
+    * empty pages cannot loop unboundedly. Resume by persisting
+    * `resumeCursor` with the data and passing it as `startCursor` next run. */
   def ingest[T: Encoder](spark: SparkSession, client: PageClient[T],
                          startCursor: Option[String] = None,
-                         maxPages: Int = Int.MaxValue)(
-      sink: DataFrame => Unit): (Int, Long) = {
+                         maxFetches: Int = Int.MaxValue)(
+      sink: DataFrame => Unit): IngestResult = {
     var cursor = startCursor
+    var fetches = 0
     var pages = 0
     var rows = 0L
     var exhausted = false
-    while (!exhausted && pages < maxPages) {
+    while (!exhausted && fetches < maxFetches) {
       val (batch, next) = client.fetch(cursor)
+      fetches += 1
       if (batch.nonEmpty) {
         sink(spark.createDataset(batch).toDF())
         pages += 1
@@ -44,6 +52,6 @@ object PagedIngest {
       cursor = next
       exhausted = next.isEmpty
     }
-    (pages, rows)
+    IngestResult(fetches, pages, rows, if (exhausted) None else cursor)
   }
 }

@@ -155,8 +155,15 @@ object Streaming {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapMicros = gapMinutes * 60L * 1000000L
-    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L
-    def ts(m: Long): java.sql.Timestamp = new java.sql.Timestamp(m / 1000L)
+    // full microsecond precision (getTime alone floors to millis, which
+    // would move session boundaries relative to the micro-precision q57 twin)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def ts(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(m / 1000L)
+      t.setNanos(((m % 1000000L) * 1000L).toInt)
+      t
+    }
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")
@@ -175,7 +182,12 @@ object Streaming {
             sorted.foreach { m =>
               open match {
                 case Some(s) if m - s.endMicros < gapMicros =>
-                  open = Some(s.copy(endMicros = math.max(s.endMicros, m), events = s.events + 1))
+                  // an in-horizon out-of-order event may precede the open
+                  // session's start — the interval must absorb it on BOTH ends
+                  open = Some(s.copy(
+                    startMicros = math.min(s.startMicros, m),
+                    endMicros = math.max(s.endMicros, m),
+                    events = s.events + 1))
                 case Some(s) =>
                   closed += ClosedSession(user, ts(s.startMicros), ts(s.endMicros), s.events)
                   open = Some(SessionState(m, m, 1))

@@ -16,30 +16,35 @@ class PagedIngestSpec extends SparkSpec {
 
   test("paged ingest drains the cursor chain, appending one page at a time") {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString + "/sink"
-    val (pages, rows) = PagedIngest.ingest(spark, fakeClient) { df =>
+    val res = PagedIngest.ingest(spark, fakeClient) { df =>
       df.write.mode("append").parquet(out)
     }
-    assert(pages == 3 && rows == 4) // the empty page appends nothing
+    // 4 fetches issued, the empty mid-page appends nothing, chain exhausted
+    assert(res.fetches == 4 && res.pages == 3 && res.rows == 4 && res.resumeCursor.isEmpty)
     assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
-  test("maxPages bounds a run; startCursor resumes the chain") {
+  test("maxFetches bounds remote calls; resumeCursor resumes the chain") {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest2").toString + "/sink"
-    var lastCursor: Option[String] = None
-    // wrap the client to observe the cursor handed to each fetch
-    val observing = new PagedIngest.PageClient[(Long, String)] {
-      def fetch(c: Option[String]) = { lastCursor = c; fakeClient.fetch(c) }
-    }
-    val (p1, r1) = PagedIngest.ingest(spark, observing, maxPages = 1) { df =>
+    val r1 = PagedIngest.ingest(spark, fakeClient, maxFetches = 1) { df =>
       df.write.mode("append").parquet(out)
     }
-    assert(p1 == 1 && r1 == 2 && lastCursor.isEmpty)
-    // resume from the persisted cursor: the rest of the chain lands
-    val (p2, r2) = PagedIngest.ingest(spark, fakeClient, startCursor = Some("c1")) { df =>
+    assert(r1.fetches == 1 && r1.rows == 2 && r1.resumeCursor == Some("c1"))
+    // resume from the REPORTED cursor: the rest of the chain lands
+    val r2 = PagedIngest.ingest(spark, fakeClient, startCursor = r1.resumeCursor) { df =>
       df.write.mode("append").parquet(out)
     }
-    assert(p2 == 2 && r2 == 2)
+    assert(r2.fetches == 3 && r2.rows == 2 && r2.resumeCursor.isEmpty)
     assert(spark.read.parquet(out).count() == 4)
+  }
+
+  test("maxFetches terminates even when the API hands out cursors with empty pages") {
+    val endless = new PagedIngest.PageClient[(Long, String)] {
+      def fetch(c: Option[String]) =
+        (Seq.empty, Some("again")) // never-ending empty pages
+    }
+    val res = PagedIngest.ingest(spark, endless, maxFetches = 5)(_ => ())
+    assert(res.fetches == 5 && res.pages == 0 && res.resumeCursor == Some("again"))
   }
 }

@@ -77,6 +77,29 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map("p1" -> Some(200L), "p2" -> Some(300L), "p3" -> None))
   }
 
+  test("asOfJoin carries the latest right ROW atomically, including its null fields") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(20))).toDF("k", "lts")
+    // latest right row has x = null: the output must NOT stitch the stale
+    // non-null x from the older row
+    val right = Seq((1L, ts(5), Some("a"), None: Option[String]),
+      (1L, ts(10), None: Option[String], Some("b")))
+      .toDF("k", "lts", "x", "y")
+    val out = Relational.asOfJoin(left, right, "k", "lts", "lts", Seq("x", "y"))
+      .select("x", "y").as[(Option[String], Option[String])].collect().head
+    assert(out == ((None, Some("b"))), s"payload stitched across rows: $out")
+  }
+
+  test("asOfJoin rejects left columns that collide with the payload namespace") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(20), "own")).toDF("k", "lts", "payload")
+    val right = Seq((1L, ts(5), "r")).toDF("k", "lts", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Relational.asOfJoin(left, right, "k", "lts", "lts", Seq("payload"))
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
   test("binnedRangeJoin equals the naive range join across bin boundaries") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
     // seconds chosen to straddle the 60s bins: matches within same bin,

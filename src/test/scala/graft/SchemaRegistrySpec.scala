@@ -36,6 +36,15 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(!out.columns.contains("extra"))
   }
 
+  test("conform resolves differently-cased source columns (session default)") {
+    // spark.sql.caseSensitive defaults to false: a source delivering
+    // Comment_ID must feed comment_id, not silently become NULL
+    val raw = Seq(("C9", 0.5)).toDF("Comment_ID", "SENTIMENT_SCORE")
+    val row = SchemaRegistry.default.conform(raw, "an_reddit").collect().head
+    assert(row.getAs[String]("comment_id") == "C9")
+    assert(row.getAs[Double]("sentiment_score") == 0.5)
+  }
+
   test("default registry carries the canonical comment schema") {
     assert(SchemaRegistry.default.schema("comments") == Comments.schema)
   }

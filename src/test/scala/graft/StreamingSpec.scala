@@ -80,6 +80,28 @@ class StreamingSpec extends SparkSpec {
       "each closed session must appear exactly once, open sessions not at all")
   }
 
+  test("stateful session absorbs an in-horizon out-of-order event on the start side") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{ClosedSession, SessionEvent}
+    val mem = MemoryStream[SessionEvent]
+    val q = Streaming.statefulSessions(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("stateful_ooo")
+      .outputMode("append").start()
+    def ev(u: Long, min: Long) = SessionEvent(u, new Timestamp((600 + min) * 60000L))
+    mem.addData(ev(1, 100))
+    q.processAllAvailable() // watermark 70
+    mem.addData(ev(1, 95)) // late but within the horizon: precedes the open start
+    q.processAllAvailable()
+    mem.addData(ev(1, 300)) // gap-closes the session
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("stateful_ooo").as[ClosedSession].collect()
+      .map(c => (c.session_start.getTime / 60000 - 600,
+        c.session_end.getTime / 60000 - 600, c.events)).toSet
+    assert(sessions == Set((95L, 100L, 2L)),
+      "session interval must extend backward to cover the late event")
+  }
+
   test("durable parquet sink: restart from checkpoint resumes, no loss no dupes") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val src = s"$base/src"; val out = s"$base/out"; val chk = s"$base/chk"
