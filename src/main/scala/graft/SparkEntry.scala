@@ -420,7 +420,24 @@ object SparkEntry {
         .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
       activeIn(1996).except(activeIn(1997))
         .select(col("o_custkey").as("custkey")).orderBy("custkey")
-    })
+    }),
+    "q72_pii_scrub" -> ((s, dir) =>
+      // pre-training hygiene: inject deterministic synthetic PII (the corpus
+      // has none), then redact emails / IPv4s / phone runs with placeholders
+      T(s, dir, "documents")
+        .withColumn("dirty", concat(
+          lit("contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 call +1 (555) 123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" :: "), col("text")))
+        .select(col("doc_id"), TextFunctions.scrubPii(col("dirty")).as("clean"))
+        .orderBy("doc_id")),
+    "q73_repetition_filter" -> ((s, dir) =>
+      // C4/Gopher-style quality gate: repetition ratio + keep flag
+      T(s, dir, "documents")
+        .withColumn("rep_ratio", TextFunctions.repetitionRatio(col("text")))
+        .withColumn("keep", col("rep_ratio") <= 0.2)
+        .select("doc_id", "rep_ratio", "keep")
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -623,6 +640,23 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
         |ORDER BY custkey""".stripMargin,
+    "q72_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |  'contact user' || doc_id || '@example.com from 10.0.' || (doc_id % 256) ||
+        |  '.7 call +1 (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |  ' :: ' || text AS dirty FROM documents)
+        |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(dirty,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |  '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q73_repetition_filter" ->
+      """WITH r AS (SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(lower(text), '\s+')), 4) AS rep_ratio
+        |  FROM documents)
+        |SELECT doc_id, rep_ratio, rep_ratio <= CAST(0.2 AS DOUBLE) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q68_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
          |    substr(text, CAST(i * 256 + 1 AS INT), 256) AS frame

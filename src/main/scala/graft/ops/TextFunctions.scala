@@ -21,6 +21,26 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     lower(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
 
+  /** PII scrubbing for training corpora: redact emails, international-ish
+    * phone numbers and IPv4 addresses with typed placeholders — the standard
+    * pre-training hygiene pass. Pure codegen'd regexp chain; the patterns are
+    * deliberately conservative (precision over recall) so legitimate numbers
+    * aren't destroyed. Order matters: emails first (their domains would
+    * otherwise partially match the phone pattern's digit runs). */
+  def scrubPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noIp = regexp_replace(noEmail,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(noIp, "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+  }
+
+  /** Repetition ratio (C4/Gopher-style quality signal): 1 − |distinct
+    * tokens| / |tokens|, in [0, 1). High values mean boilerplate/spam. */
+  def repetitionRatio(c: Column): Column = {
+    val toks = split(lower(c), "\\s+")
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 4)
+  }
+
   /** HTML → text: drop tags, unescape the entities the reference handles, drop
     * 4chan `>>123` quote markers and leading `>` quotes (reference BeautifulSoup
     * + unescape chain, `Data Collection/chan4.py:56-62`). Pure regexp chain —

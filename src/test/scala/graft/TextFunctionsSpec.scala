@@ -64,6 +64,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq(7L, 0L, 0L))
   }
 
+  test("scrubPii redacts emails, IPs, and phone runs with typed placeholders") {
+    val df = Seq(
+      "mail me at jo.doe+x@sub.example.org today",
+      "server 192.168.1.17 is down",
+      "call +44 (0)20 7946-0958 now",
+      "no pii here at all").toDF("t")
+    val out = df.select(scrubPii(col("t")).as("c")).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "server <IP> is down")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "no pii here at all")
+  }
+
+  test("repetitionRatio measures duplicate-token fraction") {
+    val df = Seq("a b c d", "spam spam spam spam", "x x y y").toDF("t")
+    val out = df.select(repetitionRatio(col("t")).as("r")).as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 0.75, 0.5))
+  }
+
   test("dayString formats UTC days") {
     val out = Seq(Timestamp.valueOf("2024-03-05 23:59:59")).toDF("t")
       .select(dayString(col("t")).as("d")).as[String].head()
