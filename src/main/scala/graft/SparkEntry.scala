@@ -583,19 +583,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q60_vader" -> q60Sql,
     "q61_asof_join" ->
+      // one struct carried by ONE last_value(IGNORE NULLS): mirrors the Spark
+      // asOfJoin's atomic payload carry, so a view row with a NULL view_value
+      // can never have its fields stitched from two different view rows
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |u AS (
-        |  SELECT user_id, ts AS uts, 0 AS side, event_id AS view_event_id, value AS view_value,
+        |  SELECT user_id, ts AS uts, 0 AS side, event_id AS view_event_id,
+        |         {'vid': event_id, 'vval': value} AS payload,
         |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS pts
         |    FROM ev WHERE event_type = 'view'
         |  UNION ALL
         |  SELECT user_id, ts, 1, NULL, NULL, event_id, ts FROM ev WHERE event_type = 'purchase'),
         |c AS (SELECT *,
-        |  last_value(view_event_id IGNORE NULLS) OVER win AS a_id,
-        |  last_value(view_value IGNORE NULLS) OVER win AS a_val
+        |  last_value(payload IGNORE NULLS) OVER win AS a
         |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY uts, side, view_event_id
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, user_id, pts AS ts, a_id AS view_event_id, a_val AS view_value
+        |SELECT event_id, user_id, pts AS ts, a.vid AS view_event_id, a.vval AS view_value
         |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q62_range_join" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),

@@ -81,6 +81,10 @@ object Moderation {
       val scoreBatch = client.open() // once per partition
       iter.grouped(batchSize).flatMap { rows =>
         val confs = scoreBatch(rows.map(_.getString(textIdx)))
+        // fail loudly on a misbehaving client: lazyZip would silently drop
+        // rows (or scores) on a length mismatch
+        require(confs.size == rows.size,
+          s"Moderation.Client returned ${confs.size} scores for ${rows.size} rows")
         rows.lazyZip(confs).map { (row, conf) =>
           Row.fromSeq(row.toSeq :+ conf :+ (conf > confidenceThreshold))
         }

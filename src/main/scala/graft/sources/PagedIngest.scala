@@ -22,9 +22,11 @@ object PagedIngest {
   }
 
   /** Result of one ingest run: fetches issued, non-empty pages written, rows
-    * written, and the cursor to resume from (None = stream exhausted). */
+    * written, the cursor to resume from (None = stream exhausted), and
+    * whether the run stopped because the API repeated a cursor. */
   final case class IngestResult(fetches: Int, pages: Int, rows: Long,
-                                resumeCursor: Option[String])
+                                resumeCursor: Option[String],
+                                stuckCursor: Boolean = false)
 
   /** Drain the cursor chain, converting each page to a DataFrame and handing
     * it to `sink` (append-mode by convention). `maxFetches` bounds the number
@@ -41,9 +43,15 @@ object PagedIngest {
     var pages = 0
     var rows = 0L
     var exhausted = false
-    while (!exhausted && fetches < maxFetches) {
+    var stuck = false
+    while (!exhausted && !stuck && fetches < maxFetches) {
       val (batch, next) = client.fetch(cursor)
       fetches += 1
+      // a buggy/adversarial API that echoes the cursor it was given would
+      // otherwise re-fetch (and duplicate) the same page until maxFetches;
+      // this page was fetched once, so write it, then stop instead of
+      // following the repeated cursor
+      stuck = next.isDefined && next == cursor
       if (batch.nonEmpty) {
         sink(spark.createDataset(batch).toDF())
         pages += 1
@@ -52,6 +60,6 @@ object PagedIngest {
       cursor = next
       exhausted = next.isEmpty
     }
-    IngestResult(fetches, pages, rows, if (exhausted) None else cursor)
+    IngestResult(fetches, pages, rows, if (exhausted) None else cursor, stuck)
   }
 }

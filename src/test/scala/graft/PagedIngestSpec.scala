@@ -39,12 +39,29 @@ class PagedIngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 4)
   }
 
-  test("maxFetches terminates even when the API hands out cursors with empty pages") {
+  test("a repeated cursor stops the run instead of looping to maxFetches") {
     val endless = new PagedIngest.PageClient[(Long, String)] {
       def fetch(c: Option[String]) =
-        (Seq.empty, Some("again")) // never-ending empty pages
+        (Seq.empty, Some("again")) // echoes the same cursor forever
     }
+    // fetch(None)→"again" is legitimate; fetch("again")→"again" is stuck
     val res = PagedIngest.ingest(spark, endless, maxFetches = 5)(_ => ())
-    assert(res.fetches == 5 && res.pages == 0 && res.resumeCursor == Some("again"))
+    assert(res.fetches == 2 && res.pages == 0 && res.stuckCursor &&
+      res.resumeCursor == Some("again"))
+  }
+
+  test("a stuck cursor with non-empty pages writes each page exactly once") {
+    var served = 0
+    val echo = new PagedIngest.PageClient[(Long, String)] {
+      def fetch(c: Option[String]) = { served += 1; (Seq((served.toLong, "x")), Some("loop")) }
+    }
+    var written = Seq.empty[(Long, String)]
+    val res = PagedIngest.ingest(spark, echo) { df =>
+      written ++= df.as[(Long, String)].collect()
+    }
+    // page at cursor None and page at cursor "loop" each land once; the
+    // re-fetch of "loop" (which would duplicate) never happens
+    assert(res.fetches == 2 && res.rows == 2 && res.stuckCursor)
+    assert(written.sorted == Seq((1L, "x"), (2L, "x")))
   }
 }
