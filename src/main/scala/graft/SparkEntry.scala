@@ -437,7 +437,67 @@ object SparkEntry {
         .withColumn("rep_ratio", TextFunctions.repetitionRatio(col("text")))
         .withColumn("keep", col("rep_ratio") <= 0.2)
         .select("doc_id", "rep_ratio", "keep")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q74_unified_pipeline" -> ((s, dir) => {
+      // The reference's ACTUAL end-to-end DAG under the gate
+      // (`Data Collection/Airflow.py:95-102` collect → unify → nlp;
+      // `Analysis Dashboard/app.py:105-130` dashboard agg): three raw
+      // source-shaped frames are synthesized deterministically from the
+      // documents table — reddit with epoch-seconds timestamps
+      // (`Reddit.py:151-161`), 4chan with HTML bodies + free-text
+      // `MM/dd/yy(Day)HH:mm:ss` timestamps (`chan4.py:81`, the SURVEY §7.4
+      // "hard part"), youtube with ISO-`Z` text timestamps
+      // (`Youtube_final.py:59,90-96`) — then run through the full
+      // Pipeline.run (per-source adapters → unify → dedup → anti-join skip of
+      // already-enriched ids → clean → sentiment → moderation) and the
+      // per-platform/day dashboard aggregate.
+      val docs = T(s, dir, "documents")
+      val pad2 = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 2, "0")
+      val reddit = docs.filter(col("doc_id") % 3 === 0).select(
+        concat(lit("sub"), (col("doc_id") % 5).cast("string")).as("subreddit"),
+        concat(lit("p"), (col("doc_id") % 50).cast("string")).as("post_id"),
+        col("text").as("body"),
+        (col("doc_id") % 100).cast("int").as("score"),
+        (lit(1704067200L) + (col("doc_id") % 20) * 86400L + col("doc_id") % 1000)
+          .as("created_utc"),
+        concat(lit("r"), col("doc_id").cast("string")).as("comment_id"))
+      val chan = docs.filter(col("doc_id") % 3 === 1).select(
+        col("doc_id").cast("string").as("post_number"),
+        // HTML shape the reference strips at ingest (`chan4.py:56-62`):
+        // quote-ref span, bold wrapper, an &amp; entity
+        concat(lit("<span class=\"quote\">&gt;&gt;"), (col("doc_id") - 1).cast("string"),
+          lit("</span> <b>"), col("text"), lit("</b> &amp; done")).as("comment"),
+        concat(pad2(col("doc_id") % 12 + 1), lit("/"), pad2(col("doc_id") % 28 + 1),
+          lit("/24(Day)"), pad2(col("doc_id") % 24), lit(":"),
+          pad2(col("doc_id") % 60), lit(":"), pad2(col("doc_id") % 60))
+          .as("timestamp_raw"),
+        lit("Anonymous").as("name"),
+        lit(null).cast("string").as("image_filename"))
+      val youtube = docs.filter(col("doc_id") % 3 === 2).select(
+        concat(lit("v"), (col("doc_id") % 7).cast("string")).as("video_id"),
+        lit("recession talk").as("video_title"),
+        concat(lit("y"), col("doc_id").cast("string")).as("comment_id"),
+        concat(lit("2024-02-"), pad2(col("doc_id") % 28 + 1), lit("T"),
+          pad2(col("doc_id") % 24), lit(":"), pad2(col("doc_id") % 60), lit(":00Z"))
+          .as("comment_time"),
+        col("text").as("comment_text"))
+      // enrich-once: every 10th reddit id is already in the store and must be
+      // skipped by the anti-join (`Reddit_4chan_Analysis.py:88-99`)
+      val already = docs
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 0)
+        .select(concat(lit("r"), col("doc_id").cast("string")).as("comment_id"))
+      val enriched = Pipeline.run(reddit, chan, youtube, already)
+      enriched
+        .groupBy(col("platform"), TextFunctions.dayString(col("created_ts")).as("day"),
+          col("sentiment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("is_hate_speech"), 1L).otherwise(0L)).as("hate_cnt"),
+          // exact integer 1e-4-unit sum of the (4dp-rounded) scores:
+          // order-independent and bit-identical to the oracle
+          (sum(round(col("sentiment_score") * 10000, 0).cast("long")) / 10000.0)
+            .as("sum_score"))
+        .orderBy("platform", "day", "sentiment")
+    })
   )
 
   // ------------------------------------------------------------------ oracle
@@ -580,7 +640,55 @@ object SparkEntry {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of the q74 end-to-end DAG: the same synthesized raw shapes,
+    * the htmlToText chain collapsed to its algebraic fixed-point on this input
+    * (`' ' || text || ' & done'` — any break in the tag-strip / entity-unescape
+    * / quote-ref regexp chain would diverge from it), `strptime` with the
+    * two-digit-year `%y` pivot for the 4chan format (SURVEY §7.4), and the
+    * q34/q35 enrichment SQL over the cleaned body. */
+  private val q74Sql: String = {
+    val comp = "coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0)"
+    val hits = "CAST(len(regexp_extract_all(cb, '\\b(error|slow|bad|crash|fail)\\b')) AS DOUBLE)"
+    s"""WITH reddit AS (SELECT 'reddit' AS platform, 'r' || doc_id AS comment_id, text AS body,
+       |  make_timestamp((CAST(1704067200 AS BIGINT) + (doc_id % 20) * 86400 + doc_id % 1000)
+       |    * CAST(1000000 AS BIGINT)) AS created_ts,
+       |  doc_id FROM documents WHERE doc_id % 3 = 0),
+       |chan AS (SELECT '4chan' AS platform, CAST(doc_id AS VARCHAR) AS comment_id,
+       |  ' ' || text || ' & done' AS body,
+       |  strptime(lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '/' ||
+       |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/24 ' ||
+       |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+       |    lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+       |    lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0'), '%m/%d/%y %H:%M:%S') AS created_ts,
+       |  doc_id FROM documents WHERE doc_id % 3 = 1),
+       |yt AS (SELECT 'youtube' AS platform, 'y' || doc_id AS comment_id, text AS body,
+       |  strptime('2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T' ||
+       |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+       |    lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00Z', '%Y-%m-%dT%H:%M:%SZ') AS created_ts,
+       |  doc_id FROM documents WHERE doc_id % 3 = 2),
+       |unified AS (SELECT * FROM reddit UNION ALL SELECT * FROM chan UNION ALL SELECT * FROM yt),
+       |kept AS (SELECT * FROM unified WHERE NOT (platform = 'reddit' AND doc_id % 10 = 0)),
+       |cleaned AS (SELECT platform, comment_id, created_ts,
+       |  lower(regexp_replace(regexp_replace(body, 'https?://\\S+', '', 'g'),
+       |    '[^a-zA-Z0-9\\s]', '', 'g')) AS cb
+       |  FROM kept),
+       |lex(word, tenths) AS (VALUES $lexValues),
+       |tok AS (SELECT comment_id, unnest(regexp_split_to_array(cb, '\\s+')) AS word FROM cleaned),
+       |sc AS (SELECT comment_id, sum(tenths) / 10.0 AS sv FROM tok JOIN lex USING (word) GROUP BY 1),
+       |enr AS (SELECT platform, strftime(created_ts, '%Y-%m-%d') AS day,
+       |  CASE WHEN $comp >= 0.05 THEN 'positive'
+       |       WHEN $comp <= -0.05 THEN 'negative' ELSE 'neutral' END AS sentiment,
+       |  round($comp, 4) AS score,
+       |  round($hits / ($hits + 1.0), 4) AS conf
+       |  FROM cleaned LEFT JOIN sc USING (comment_id))
+       |SELECT platform, day, sentiment, count(*) AS cnt,
+       |  CAST(sum(CASE WHEN conf > 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS hate_cnt,
+       |  CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_score
+       |FROM enr GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q74_unified_pipeline" -> q74Sql,
     "q60_vader" -> q60Sql,
     "q61_asof_join" ->
       // one struct carried by ONE last_value(IGNORE NULLS): mirrors the Spark

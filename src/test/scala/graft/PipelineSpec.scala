@@ -74,4 +74,18 @@ class PipelineSpec extends SparkSpec {
     val daily = Pipeline.dailyCounts(enriched)
     assert(daily.agg(sum("cnt")).as[Long].head() == enriched.count())
   }
+
+  test("q74 gate key: all three adapters parse and the anti-join skip holds") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q74_unified_pipeline")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).toSet == Set("reddit", "4chan", "youtube"))
+    // a null day would mean one of the three timestamp formats failed to parse
+    assert(out.forall(_.getString(1) != null))
+    // kept rows = all docs minus the "already enriched" reddit slice
+    // (doc_id%3==0 && doc_id%10==0 <=> doc_id%30==0)
+    val docs = Tables.documents(spark, dir)
+    val expected = docs.filter(col("doc_id") % 30 =!= 0).count()
+    assert(out.map(_.getLong(3)).sum == expected)
+  }
 }
