@@ -95,11 +95,27 @@ object Streaming {
       "complete")
 
   /** q38: cross-batch dedup by key (reference: per-row EXISTS probe against
-    * the whole table). Project to the key *before* dropDuplicates so state
-    * stores only keys. */
-  def streamDedupKeys(spark: SparkSession, dir: String): DataFrame =
+    * the whole table, `Data Collection/Reddit.py:75-80` — unbounded). Project
+    * to the key *before* the dedup so state stores only keys, and bound the
+    * state with `dropDuplicatesWithinWatermark`: a key's state is evicted once
+    * the event-time watermark passes its ts + horizon, so state size is
+    * |distinct keys inside the horizon|, not |all keys ever| (plain
+    * `dropDuplicates(key)` never evicts when the event-time column isn't part
+    * of the key — the SURVEY §2.9 trap).
+    *
+    * Deliberate semantics at the horizon: a duplicate arriving more than
+    * `horizon` after the original is re-emitted (its state was evicted) —
+    * that's the documented contract of a bounded-state dedup. The default
+    * horizon covers the full testdata span, so the replay gate still equals
+    * `SELECT DISTINCT user_id`. */
+  def streamDedupKeys(spark: SparkSession, dir: String,
+                      horizon: String = "30 days"): DataFrame =
     runToResult(
-      streamTable(spark, dir, "events").select(col("user_id")).dropDuplicates("user_id"),
+      streamTable(spark, dir, "events")
+        .select(col("user_id"), col("ts"))
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark("user_id")
+        .select("user_id"),
       "append")
 
   /** q42: tumbling-window daily counts, streaming form of the dashboard's

@@ -46,6 +46,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq("a", "b", "c"))
   }
 
+  test("q38 bounded-state dedup: within-horizon dups drop, past-horizon state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+      .select("user_id", "ts")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    def row(u: Long, min: Long) = (u, new Timestamp((600 + min) * 60000L))
+    mem.addData(row(1, 0), row(2, 1))
+    q.processAllAvailable()
+    // within the 10-min horizon: duplicate of u1 is dropped
+    mem.addData(row(1, 5))
+    q.processAllAvailable()
+    assert(spark.table("dedup_wm").select("user_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    // advance the watermark far past u1's ts + horizon → its state is EVICTED
+    mem.addData(row(3, 60))
+    q.processAllAvailable()
+    // a duplicate of u1 beyond the horizon is re-emitted: the documented
+    // bounded-state contract (state = keys within the horizon, not all keys)
+    mem.addData(row(1, 55))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_wm").select("user_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 1L, 2L, 3L))
+  }
+
   test("flatMapGroupsWithState sessionization emits each closed session exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{ClosedSession, SessionEvent}
