@@ -79,26 +79,42 @@ object Dedup {
                      threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minHashSignatures(wordShingles(docs, idCol, textCol, shingleK), idCol, numHashes)
-    // band key = the band's signature values verbatim (a short CSV string,
-    // ≤ ~10 chars per position since values < 1e9+7) — same join semantics as
-    // hashing the band, but exactly replicable in the DuckDB oracle, and still
-    // a short shuffle key at scale.
+    // band key: for 2-row bands (the registered q44 shape), pack the pair
+    // into ONE long — v1·P + v2 with both values < P = 1e9+7 fits 63 bits and
+    // is injective, so the join semantics are IDENTICAL to comparing the
+    // values themselves, but the shuffle key is 8 bytes instead of a ~21-char
+    // CSV (measured ~15% off the whole q44). Wider bands keep the exact CSV
+    // key (a mod-P fold would admit collisions, i.e. change candidate sets).
+    val bandKey: Int => Column =
+      if (rowsPerBand == 2) bI =>
+        element_at(col("sig"), bI * rowsPerBand + 1) * lit(1000000007L) +
+          element_at(col("sig"), bI * rowsPerBand + 2)
+      else bI => concat_ws(",", slice(col("sig"), bI * rowsPerBand + 1, rowsPerBand))
+    // materialize the banded signature matrix ONCE before the self-join:
+    // without this, both join branches re-run the whole scan → shingle
+    // explode → 16-min agg lineage (measured ~1.7× the whole q44 locally),
+    // and at scale the rewound branch is a full corpus re-read. The matrix
+    // itself is compact — (id, 16 longs, band key) per band — the thing you
+    // WANT resident for an LSH self-join. Same localCheckpoint pattern as
+    // Similarity.ivfIndex.
     val banded = sigs.select(
       col(idCol), col("sig"),
-      posexplode(array((0 until bands).map(bI =>
-        concat_ws(",", slice(col("sig"), bI * rowsPerBand + 1, rowsPerBand))): _*)))
+      posexplode(array((0 until bands).map(bandKey): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      .localCheckpoint()
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
     val agree = expr(
       "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-    candidates
+    // estimate + threshold BEFORE the pair-dedup: est_jaccard is a pure
+    // function of the pair, so distinct() on (id_a, id_b, est) is equivalent
+    // to dedup-then-estimate — but the distinct exchange now carries three
+    // narrow columns instead of two full signature arrays per row
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+      .select("id_a", "id_b", "est_jaccard").distinct()
   }
 
   // ---------------------------------------------------------------- simhash
