@@ -58,6 +58,17 @@ object Pipeline {
   def toxicityShare(enriched: DataFrame): DataFrame =
     Relational.shareOfTotal(enriched, "is_hate_speech")
 
+  /** Response-cache parity (`Data Collection/Youtube_final.py:9-14, 52-56`:
+    * the reference memoizes per-keyword API responses in an in-process dict).
+    * The engine-side analogue: pin a frame that several downstream queries
+    * reuse (e.g. the enriched table feeding every dashboard view) in block
+    * cache for the scope of `body`, then release it — scoped and cluster-wide
+    * instead of an unbounded driver-process dict. */
+  def withCache[A](df: DataFrame)(body: DataFrame => A): A = {
+    df.persist()
+    try body(df) finally df.unpersist()
+  }
+
   /** Full flow: per-source adapters → unify → dedup → enrich → store-ready. */
   def run(reddit: DataFrame, chan: DataFrame, youtube: DataFrame,
           alreadyEnriched: DataFrame): DataFrame = {

@@ -46,7 +46,13 @@ object SparkEntry {
           from_json(col("props"), StructType.fromDDL("k INT")).getField("k").as("k"))
         .orderBy("event_id")),
     "q03_json_explode" -> ((s, dir) => {
-      // build the 2-level nested shape (threads[].posts[]-like), then unnest both levels
+      // build the 2-level nested shape (threads[].posts[]-like), then unnest both levels.
+      // TEST-SHAPE-ONLY synthesis: the two collect_list groupBys exist solely to
+      // MANUFACTURE the nested input from flat TPC-H rows (real nested data
+      // arrives nested from the source, e.g. q02's from_json). At scale,
+      // collect_list on a skewed key is unbounded per-group state — never use
+      // this build pattern on production-sized groups; the operator under test
+      // here is the double explode below, which is map-side and scale-safe.
       val items = T(s, dir, "lineitem").groupBy(col("l_orderkey"))
         .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"))
       val nested = T(s, dir, "orders")
@@ -497,7 +503,13 @@ object SparkEntry {
           (sum(round(col("sentiment_score") * 10000, 0).cast("long")) / 10000.0)
             .as("sum_score"))
         .orderBy("platform", "day", "sentiment")
-    })
+    }),
+    "q75_stateful_sessions" -> ((s, dir) =>
+      // the flatMapGroupsWithState sessionizer replayed under the SAME oracle
+      // as the built-in session_window (q57): custom state must agree with
+      // the declarative twin (flush-sentinel determinism — Streaming.scala)
+      Streaming.statefulSessionsReplay(s, dir, s"$TMP/q75_src")
+        .orderBy("user_id", "session_start"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -686,6 +698,19 @@ object SparkEntry {
        |  CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_score
        |FROM enr GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
+
+  /** Gap-sessionization in plain SQL (lag + running break-sum) — oracle for
+    * BOTH the built-in session_window (q57) and the flatMapGroupsWithState
+    * replay (q75): two engines, one semantic. */
+  private val sessionizeSql: String =
+    """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL 30 MINUTE
+      |       THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS events
+      |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q74_unified_pipeline" -> q74Sql,
@@ -991,15 +1016,9 @@ object SparkEntry {
     "q56_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q57_sessionize" ->
-      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-        |       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL 30 MINUTE
-        |       THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS events
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q57_sessionize" -> sessionizeSql,
+    // the custom-state path must agree with the SAME declarative oracle
+    "q75_stateful_sessions" -> sessionizeSql,
     "q58_ann_ivf" ->
       """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
         |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),

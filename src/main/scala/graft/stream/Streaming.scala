@@ -145,6 +145,28 @@ object Streaming {
       enrich: DataFrame => DataFrame): DataFrame =
     enrich(stream.join(existingKeys, Seq(key), "left_anti"))
 
+  /** q75: the custom-state sessionizer ([[statefulSessions]]) under the
+    * replay gate. Determinism at end-of-stream: `flatMapGroupsWithState`
+    * emits a session when a LATER event closes it by gap (or an event-time
+    * timeout fires in a later batch) — on a finite replay, each user's last
+    * open session would depend on whether an extra timeout batch runs. So
+    * the staged input appends one flush sentinel per user far past the data
+    * horizon: it deterministically closes every real session on arrival, and
+    * its own one-event session stays open and is never emitted. The result
+    * provably equals the batch `session_window` twin (q57's oracle). */
+  def statefulSessionsReplay(spark: SparkSession, dir: String, stageDir: String,
+                             gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val flush = ev.select(col("user_id")).distinct()
+      .withColumn("ts", lit("2025-01-01 00:00:00").cast("timestamp"))
+    ev.unionByName(flush).write.mode("overwrite").parquet(stageDir)
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP").parquet(stageDir)
+      .as[SessionEvent]
+    runToResult(statefulSessions(stream, gapMinutes).toDF(), "append")
+  }
+
   // ---------------------------------------------------- custom state (q57 twin)
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -75,6 +75,17 @@ class PipelineSpec extends SparkSpec {
     assert(daily.agg(sum("cnt")).as[Long].head() == enriched.count())
   }
 
+  test("withCache pins the frame for the body's scope and releases after") {
+    import org.apache.spark.storage.StorageLevel
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val n = Pipeline.withCache(df) { cached =>
+      assert(cached.storageLevel != StorageLevel.NONE, "cached inside the scope")
+      cached.count() + cached.filter(col("k") > 1).count()
+    }
+    assert(n == 3)
+    assert(df.storageLevel == StorageLevel.NONE, "released after the scope")
+  }
+
   test("q74 gate key: all three adapters parse and the anti-join skip holds") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q74_unified_pipeline")(spark, dir).collect()
