@@ -24,6 +24,10 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_NO_BROADCAST=1: preview the at-scale (SMJ) plan shape,
+    // where identical self-join branches collapse via ReusedExchange
+    if (sys.env.contains("SPARK_GRAFT_NO_BROADCAST"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     def time(label: String, df: => DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save() // untimed warm-up
@@ -45,8 +49,15 @@ object Probe {
       time("signatures", Dedup.minHashSignatures(
         Dedup.wordShingles(docs, "doc_id", "text", 2), "doc_id", 16))
       time("full q44", SparkEntry.queries("q44_minhash_neardup")(spark, sfDir))
+    } else if (key == "q55scaled") {
+      // q55's shape with bits-per-band grown for a 10x corpus (12 bits/band
+      // vs the registered 8): the SCALE.md occupancy-vs-n demonstration
+      time("q55 48 planes/4 bands", graft.ops.Similarity.lshBucketNearDup(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 48, bands = 4, dim = 64))
     } else {
-      time(key, SparkEntry.queries(key)(spark, sfDir))
+      // comma-separated key list: one warm session, sequential isolation timings
+      key.split(",").foreach(k => time(k, SparkEntry.queries(k)(spark, sfDir)))
     }
     spark.stop()
   }

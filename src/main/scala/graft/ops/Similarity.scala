@@ -192,13 +192,25 @@ object Similarity {
   def lshBucketNearDup(vectors: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, numPlanes: Int = 32, bands: Int = 4,
                        dim: Int = 64): DataFrame = {
+    // self-join branch sharing: at scale this join is a sort-merge join and
+    // the two branches' identical (band, bucket) exchanges collapse into ONE
+    // via ReusedExchange (verified with broadcast disabled — see SCALE.md),
+    // so the plane-signature lineage runs once. No localCheckpoint here: its
+    // eager materialization costs more than it saves at bench scale, where
+    // the build side is broadcast. (Dedup.minHashNearDup differs: its
+    // per-branch lineage is a full shingle explode + 16-min agg, expensive
+    // enough that materializing the compact matrix wins at every scale.)
     val banded = lshBands(vectors, idCol, vecCol, numPlanes, bands, dim)
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // score + threshold BEFORE the multi-band-collision dedup: cosine is a
+    // pure function of the pair, so dedup on (id_a, id_b, cosine) is
+    // equivalent — and the exchange carries three narrow columns instead of
+    // two 64-float vectors per candidate
     a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b") // collapse multi-band collisions before scoring
       .withColumn("cosine", dot("va", "vb") / (norm("va") * norm("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 }
