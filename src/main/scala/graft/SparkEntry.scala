@@ -509,7 +509,26 @@ object SparkEntry {
       // as the built-in session_window (q57): custom state must agree with
       // the declarative twin (flush-sentinel determinism — Streaming.scala)
       Streaming.statefulSessionsReplay(s, dir, s"$TMP/q75_src")
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+    "q76_curation_chain" -> ((s, dir) =>
+      // the composed C4/Gopher-style curation pipeline with per-doc audit
+      // verdicts: langid -> quality -> repetition -> content-hash dedup
+      Curation.curationChain(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q77_neardup_components" -> ((s, dir) => {
+      // pairwise near-dup hits -> duplicate CLUSTERS -> one canonical doc per
+      // cluster (min id): min-label propagation to the connected-component
+      // fixpoint, against a recursive-CTE oracle
+      val pairs = Dedup.minHashNearDup(T(s, dir, "documents"), "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+      Dedup.connectedComponents(pairs)
+        .withColumn("is_canonical", col("node") === col("component"))
+        .select(col("node").as("doc_id"), col("component"), col("is_canonical"))
+        .orderBy("doc_id")
+    }),
+    "q78_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(T(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rn"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -712,8 +731,49 @@ object SparkEntry {
       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS events
       |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** DuckDB twin of [[graft.ops.Curation.curationChain]]: the q50/q51/q73
+    * stage formulas verbatim, dedup keyed on raw text (equivalent to the
+    * Spark side's sha2 key — same groups), first-failure drop reasons. */
+  private val q76Sql: String =
+    s"""WITH f AS (SELECT doc_id, text,
+       |  CAST(length(text) AS DOUBLE) AS len,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS toks,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+       |  CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|a)\\b')) AS DOUBLE) AS stop
+       |  FROM documents),
+       |a AS (SELECT doc_id, text, $langCase AS lang_pred,
+       |  round((CASE WHEN len >= 100 AND len <= 10000 THEN 1.0 WHEN len >= 20 THEN 0.5 ELSE 0.0 END) * 0.4
+       |    + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.3
+       |    + (CASE WHEN toks > 0 THEN least(stop / toks * 5.0, 1.0) ELSE 0.0 END) * 0.3, 4) AS quality,
+       |  round(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS DOUBLE)
+       |    / len(regexp_split_to_array(lower(text), '\\s+')), 4) AS rep_ratio,
+       |  CAST(toks AS BIGINT) AS n_tokens
+       |  FROM f),
+       |p AS (SELECT *, (lang_pred = 'en' AND quality >= 0.6 AND rep_ratio <= 0.6) AS pass FROM a),
+       |kk AS (SELECT text, min(doc_id) AS keeper FROM p WHERE pass GROUP BY text)
+       |SELECT doc_id, lang_pred, quality, rep_ratio, n_tokens,
+       |  coalesce(pass AND doc_id = keeper, FALSE) AS kept,
+       |  CASE WHEN lang_pred <> 'en' THEN 'lang'
+       |       WHEN quality < 0.6 THEN 'quality'
+       |       WHEN rep_ratio > 0.6 THEN 'repetition'
+       |       WHEN doc_id <> keeper THEN 'duplicate' END AS drop_reason
+       |FROM p LEFT JOIN kk USING (text) ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q74_unified_pipeline" -> q74Sql,
+    "q76_curation_chain" -> q76Sql,
+    "q78_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, t.term FROM documents,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
+        |  WHERE length(t.term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+        |  FROM tf JOIN idf USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn FROM s)
+        |SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q60_vader" -> q60Sql,
     "q61_asof_join" ->
       // one struct carried by ONE last_value(IGNORE NULLS): mirrors the Spark
@@ -1052,6 +1112,19 @@ object SparkEntry {
         |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q44_minhash_neardup" -> q44Sql,
+    // components over the SAME pair pipeline as q44, closed transitively by a
+    // recursive CTE, labeled by the component minimum
+    "q77_neardup_components" ->
+      s"""WITH RECURSIVE pairs AS ($q44Sql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |conn(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+         |lab AS (SELECT a, least(a, min(b)) AS component FROM conn GROUP BY a)
+         |SELECT a AS doc_id, component, component = a AS is_canonical
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "q48_simhash" -> q48Sql
   )
 }

@@ -51,4 +51,45 @@ object Curation {
       .filter(col("__rn") <= col("__quota"))
       .drop("__quota", "__rn")
   }
+
+  /** Composed pre-training curation chain (the C4/Gopher pipeline shape):
+    * language filter → quality threshold → repetition cap → exact
+    * content-hash dedup (keep the smallest id per hash among passing docs).
+    * Each stage is the registered single-op semantic (q50/q51/q73/q43),
+    * composed the way a real curation run chains them; PII scrubbing (q72)
+    * composes upstream of this when the corpus needs it.
+    *
+    * Output per input doc: (id, lang_pred, quality, rep_ratio, n_tokens,
+    * kept, drop_reason) — drop_reason is the FIRST failing stage in chain
+    * order (lang, quality, repetition, duplicate), null when kept. Keeping
+    * every row with its verdict (instead of filtering) is deliberate: audit
+    * trails over what was dropped and why are how curation bugs get caught.
+    *
+    * Scale shape: one pass computes all annotations (codegen'd expressions),
+    * the dedup agg + join exchange carries (sha2, id) — document text never
+    * shuffles. */
+  def curationChain(docs: DataFrame, idCol: String, textCol: String,
+                    lang: String = "en", minQuality: Double = 0.6,
+                    maxRepetition: Double = 0.6): DataFrame = {
+    val annotated = docs.select(col(idCol), col(textCol),
+      TextAnalysis.langId(col(textCol)).as("lang_pred"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"),
+      TextFunctions.repetitionRatio(col(textCol)).as("rep_ratio"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("__pass", col("lang_pred") === lang &&
+        col("quality") >= minQuality && col("rep_ratio") <= maxRepetition)
+      .withColumn("__h", sha2(col(textCol), 256))
+    val keepers = annotated.filter(col("__pass"))
+      .groupBy(col("__h")).agg(min(col(idCol)).as("__keeper"))
+    annotated.join(keepers, Seq("__h"), "left")
+      .withColumn("kept", col("__pass") && col(idCol) === col("__keeper"))
+      .withColumn("drop_reason",
+        when(col("lang_pred") =!= lang, "lang")
+          .when(col("quality") < minQuality, "quality")
+          .when(col("rep_ratio") > maxRepetition, "repetition")
+          .when(col(idCol) =!= col("__keeper"), "duplicate")
+          .otherwise(lit(null).cast("string")))
+      .select(col(idCol), col("lang_pred"), col("quality"), col("rep_ratio"),
+        col("n_tokens"), col("kept"), col("drop_reason"))
+  }
 }

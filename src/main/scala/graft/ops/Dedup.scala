@@ -204,4 +204,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // ------------------------------------------------------------- components
+
+  /** Connected components over a near-dup pair graph, labeled by the minimum
+    * member id — the canonicalization step that turns pairwise near-dup hits
+    * (q44/q48/q49/q54) into "keep ONE representative per duplicate cluster",
+    * which is what a curation run actually needs.
+    *
+    * Algorithm: min-label propagation — each iteration every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * graph-diameter iterations. Near-dup clusters are shallow (near-cliques
+    * around a source document), so the fixpoint lands in 2-3 iterations;
+    * `maxIter` is a safety bound and non-convergence raises rather than
+    * returning wrong labels. The per-iteration work is one join + one
+    * groupBy(min) on the (node, label) edge frame — all narrow keys. The
+    * driver-side loop-with-convergence-check is the standard shape for
+    * iterative graph algorithms on Spark (each `count` is one tiny action);
+    * at extreme graph sizes swap in large-star/small-star to cut the
+    * iteration count, same operator surface.
+    *
+    * Output: (node, component) for every node that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
+        .select(col("src").as("node"), col("nlabel"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
+    labels.select(col("node"), col("label").as("component"))
+  }
 }

@@ -77,4 +77,35 @@ object TextAnalysis {
         sum(tokenCount(col(textCol))).as("tokens"),
         round(avg(length(col(textCol))), 2).as("avg_chars"),
         max(length(col(textCol))).cast("long").as("max_chars"))
+
+  /** Per-document top-k terms by TF-IDF — the classic keyword/topic signal
+    * over a corpus (document fingerprinting for retrieval, dedup triage,
+    * topic drift monitoring). tfidf = tf · ln((N+1)/(df+1)), smoothed so a
+    * corpus-universal term scores ~0 instead of dividing by zero.
+    *
+    * Scale shape: one (id, term) count shuffle for TF; DF and the corpus
+    * size N are tiny aggregates joined back as BROADCASTS (|vocabulary| and
+    * 1 row — the fact side never reshuffles for them); the final top-k is a
+    * row_number window per doc over that doc's distinct terms only. Ranking
+    * uses the ROUNDED score (ties broken by term) so the ordering is
+    * engine-independent: tf and df are integers, so equal (tf, df) gives
+    * bit-equal scores in Spark and the DuckDB oracle. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("__n"))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rn").cast("long").as("rn"))
+  }
 }

@@ -154,13 +154,19 @@ object Streaming {
     * horizon: it deterministically closes every real session on arrival, and
     * its own one-event session stays open and is never emitted. The result
     * provably equals the batch `session_window` twin (q57's oracle). */
-  def statefulSessionsReplay(spark: SparkSession, dir: String, stageDir: String,
+  def statefulSessionsReplay(spark: SparkSession, dir: String, stageDirBase: String,
                              gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-    val flush = ev.select(col("user_id")).distinct()
-      .withColumn("ts", lit("2025-01-01 00:00:00").cast("timestamp"))
-    ev.unionByName(flush).write.mode("overwrite").parquet(stageDir)
+    // the staged source is INPUT SYNTHESIS (turning the batch table into a
+    // replayable stream + flush sentinels), not the operator under test —
+    // stage once per input dir and reuse (same policy as q03's nested build)
+    val stageDir = s"$stageDirBase/${java.lang.Integer.toHexString(dir.hashCode)}"
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+      val flush = ev.select(col("user_id")).distinct()
+        .withColumn("ts", lit("2025-01-01 00:00:00").cast("timestamp"))
+      ev.unionByName(flush).write.mode("overwrite").parquet(stageDir)
+    }
     val stream = spark.readStream
       .schema("user_id BIGINT, ts TIMESTAMP").parquet(stageDir)
       .as[SessionEvent]

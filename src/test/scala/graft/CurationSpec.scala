@@ -34,4 +34,29 @@ class CurationSpec extends SparkSpec {
     val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(counts == Map("en" -> 12L))
   }
+
+  test("curationChain assigns first-failure reasons and dedups by content") {
+    val good = "the quick brown fox jumps over the lazy dog and runs on " +
+      "through the green fields of a long morning walk is a fine thing " +
+      "when the sun is up and the air is cool and clear"
+    val fixture = Seq(
+      (1L, good),                         // keeper
+      (2L, good),                         // exact duplicate of 1 -> duplicate
+      (3L, "der und die ist das der und die ist das der und die ist das " +
+        "der und die ist das der und die ist das der und die ist das " +
+        "der und die ist das der und die ist das"), // German -> lang
+      (4L, "the sun is up"),              // English but too short -> quality
+      (5L, ("the and of is a " * 30).trim) // all repeats -> repetition
+    ).toDF("doc_id", "text")
+    val out = Curation.curationChain(fixture, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "kept", "drop_reason")
+      .as[(Long, Boolean, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, true, None),
+      (2L, false, Some("duplicate")),
+      (3L, false, Some("lang")),
+      (4L, false, Some("quality")),
+      (5L, false, Some("repetition"))))
+  }
 }

@@ -86,4 +86,24 @@ class DedupSpec extends SparkSpec {
     val twice = Dedup.exactDedup(once, "doc_id", "text")
     assert(twice.count() == once.count())
   }
+
+  test("connectedComponents labels chains and separate clusters by min id") {
+    import spark.implicits._
+    // one 4-node path (diameter 3, needs multiple propagation rounds),
+    // one disjoint pair, pairs given as id_a < id_b
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents raises instead of returning unconverged labels") {
+    import spark.implicits._
+    // a 6-node path cannot converge in one iteration
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+  }
 }

@@ -53,4 +53,19 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Long)].collect().toSeq
     assert(out == Seq(("de", 1L, 3L, 8.0, 8L), ("en", 2L, 3L, 3.5, 5L)))
   }
+
+  test("tfIdfTopTerms ranks rare terms above corpus-universal ones") {
+    // 'common' appears in every doc (idf ~ 0); each doc's unique term wins
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2 rare2"),
+      (3L, "common plain")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .orderBy("doc_id").as[(Long, String, Double, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._4)) ==
+      Seq((1L, "rare1", 1L), (2L, "rare2", 1L), (3L, "plain", 1L)))
+    // idf of a term present in all 3 docs: ln(4/4) = 0 -> tfidf 0, ranked last
+    val full = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+    assert(full.filter(col("term") === "common" && col("tfidf") =!= 0.0).count() == 0)
+  }
 }
