@@ -528,7 +528,36 @@ object SparkEntry {
     }),
     "q78_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(T(s, dir, "documents"), "doc_id", "text", k = 3)
-        .orderBy("doc_id", "rn"))
+        .orderBy("doc_id", "rn")),
+    "q79_weighted_mixture" -> ((s, dir) =>
+      // data-mixing quota sampler under the gate: per-source budget split
+      // 3:1 over two sources, everything else dropped — deterministic
+      // pseudo-shuffle order, so the oracle reproduces the exact sample
+      Curation.weightedMixture(T(s, dir, "documents"), "source", "doc_id",
+        Map("src1" -> 3.0, "src2" -> 1.0), totalBudget = 40)
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id")),
+    "q80_moving_average" -> ((s, dir) => {
+      // 7-day trailing moving average of daily event value — the dashboard
+      // trend-line primitive; the window runs over per-day aggregates (ONE
+      // row per day), never raw events, with an integer day index so the
+      // RANGE frame is engine-portable
+      val daily = T(s, dir, "events")
+        .groupBy(TextFunctions.dayString(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("day_cents"))
+        .withColumn("day_idx", datediff(col("day").cast("date"), lit("1970-01-01").cast("date")))
+      // exact-arithmetic moving average: one long sum over the frame, one
+      // final double division (a segment-tree vs sequential float summation
+      // would otherwise let the two engines disagree in the last ulp)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day_idx")).rangeBetween(-6, 0)
+      daily
+        .withColumn("ma7", round(
+          sum(col("day_cents")).over(w).cast("double") /
+            count(col("day_cents")).over(w) / 100.0, 4))
+        .select(col("day"), (col("day_cents") / 100.0).as("day_value"), col("ma7"))
+        .orderBy("day")
+    })
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1096,6 +1125,26 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q79_weighted_mixture" ->
+      // quotas = floor(40 * w / sum(w)): src1 -> 30, src2 -> 10, others 0
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id) AS rn
+        |  FROM documents WHERE source IN ('src1', 'src2'))
+        |WHERE rn <= CASE source WHEN 'src1' THEN 30 ELSE 10 END
+        |ORDER BY source, doc_id""".stripMargin,
+    "q80_moving_average" ->
+      """WITH d AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT day, cents,
+        |  CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx FROM d)
+        |SELECT day, cents / 100.0 AS day_value,
+        |  round(CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) OVER w AS BIGINT) / 100.0, 4) AS ma7
+        |FROM i WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "q59_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
