@@ -232,22 +232,30 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    // several LAZY propagation steps per materialization: the convergence
+    // check (an action) is the per-iteration fixed cost, and near-dup graphs
+    // converge within one batch — so the loop usually runs 2 actions total
+    // (one converging batch, one verifying batch) instead of one per step
+    val itersPerCheck = 3
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
-        .select(col("src").as("node"), col("nlabel"))
-      val updated = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+      var next = labels
+      for (_ <- 1 to itersPerCheck) {
+        val nbrMin = edges
+          .join(next.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
+          .select(col("src").as("node"), col("nlabel"))
+        next = next.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      }
+      val updated = next.localCheckpoint()
       changed = updated
         .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
         .filter(col("label") =!= col("old")).count()
       labels = updated
-      iter += 1
+      iter += itersPerCheck
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
     labels.select(col("node"), col("label").as("component"))
