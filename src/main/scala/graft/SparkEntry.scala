@@ -557,7 +557,20 @@ object SparkEntry {
             count(col("day_cents")).over(w) / 100.0, 4))
         .select(col("day"), (col("day_cents") / 100.0).as("day_value"), col("ma7"))
         .orderBy("day")
-    })
+    }),
+    "q81_stream_stream_join" -> ((s, dir) =>
+      // watermarked stream-stream self-join (view→purchase attribution
+      // within 1 h), replayed to equality with the batch range join
+      Streaming.streamStreamAttribution(s, dir)
+        .orderBy("purchase_id", "view_id")),
+    "q82_hopping_window" -> ((s, dir) =>
+      // 24 h windows sliding every 6 h: each event lands in exactly 4
+      // windows via a map-side Expand — no row blowup crosses a shuffle
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "6 hours"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("bucket_start"), col("cnt"))
+        .orderBy("bucket_start"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1125,6 +1138,22 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q81_stream_stream_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM ev WHERE event_type = 'view')
+        |SELECT p.user_id, purchase_id, view_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND view_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    "q82_hopping_window" ->
+      // Spark window(ts, 1d, 6h): epoch-aligned starts; every event belongs
+      // to exactly the 4 windows starting at floor_6h(ts) - k*6h, k = 0..3
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT make_timestamp(((CAST(floor(epoch(ts) / 21600) AS BIGINT) - k.k) * 21600)
+        |    * CAST(1000000 AS BIGINT)) AS bucket_start
+        |  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT bucket_start, count(*) AS cnt FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q79_weighted_mixture" ->
       // quotas = floor(40 * w / sum(w)): src1 -> 30, src2 -> 10, others 0
       """SELECT doc_id, source FROM (

@@ -173,6 +173,34 @@ object Streaming {
     runToResult(statefulSessions(stream, gapMinutes).toDF(), "append")
   }
 
+  /** q81: watermarked stream-stream self-join — each purchase attributed to
+    * the same user's views in the preceding hour (the reference's
+    * view-to-conversion question, asked of two live streams instead of a
+    * table probe). Both sides carry event-time watermarks and the join
+    * predicate carries the time bound, so view state is evicted one horizon
+    * behind the purchase watermark — bounded by |views inside the horizon|,
+    * the canonical Structured Streaming join shape. On the finite replay
+    * (one file → one micro-batch) every match emits, so the result equals
+    * the batch range-join twin. */
+  def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val views = streamTable(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = streamTable(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    runToResult(
+      purchases.join(views,
+        col("p_user_id") === col("user_id") &&
+          col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("purchase_ts"))
+        .select(col("user_id"), col("purchase_id"), col("view_id")),
+      "append")
+  }
+
   // ---------------------------------------------------- custom state (q57 twin)
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq("a", "b", "c"))
   }
 
+  test("stream-stream attribution join equals the batch range join") {
+    val streamed = Streaming.streamStreamAttribution(spark, dir)
+      .orderBy("purchase_id", "view_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val batch = p.join(v, col("pu") === col("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+      .orderBy("purchase_id", "view_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("q38 bounded-state dedup: within-horizon dups drop, past-horizon state evicts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
