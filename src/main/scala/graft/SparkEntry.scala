@@ -570,7 +570,29 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 day", "6 hours"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("bucket_start"), col("cnt"))
-        .orderBy("bucket_start"))
+        .orderBy("bucket_start")),
+    "q83_custom_udaf" -> ((s, dir) =>
+      // typed Aggregator surface: RMS with an exact (Σ cents², n) buffer —
+      // partials merge in any order, sqrt+divide happen once at finish
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
+        .orderBy("event_type")),
+    "q84_full_outer_join" -> ((s, dir) => {
+      // year-over-year customer activity: full outer keeps customers active
+      // in either year; USING-style key coalescing, absent side counts as 0
+      val orders = T(s, dir, "orders")
+      def yearly(y: Int, alias: String) = orders
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as(alias))
+      yearly(1996, "cnt96")
+        .join(yearly(1997, "cnt97"), Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("cnt96"), lit(0L)).as("cnt96"),
+          coalesce(col("cnt97"), lit(0L)).as("cnt97"))
+        .orderBy("custkey")
+    })
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1138,6 +1160,18 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q83_custom_udaf" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  round(sqrt(CAST(CAST(sum(cents * cents) AS BIGINT) AS DOUBLE) / count(*)) / 100.0, 4) AS rms_value
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_full_outer_join" ->
+      """WITH a AS (SELECT o_custkey AS custkey, count(*) AS cnt96 FROM orders
+        |  WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |b AS (SELECT o_custkey AS custkey, count(*) AS cnt97 FROM orders
+        |  WHERE year(o_orderdate) = 1997 GROUP BY 1)
+        |SELECT custkey, coalesce(cnt96, 0) AS cnt96, coalesce(cnt97, 0) AS cnt97
+        |FROM a FULL OUTER JOIN b USING (custkey) ORDER BY custkey""".stripMargin,
     "q81_stream_stream_join" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM ev WHERE event_type = 'purchase'),

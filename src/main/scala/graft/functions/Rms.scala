@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Root-mean-square of a 2-decimal value column as a typed [[Aggregator]] —
+  * the engine's custom-UDAF surface (SURVEY §2.8: the reference's "custom
+  * scoring" shape as a first-class aggregate, not a collect-and-loop).
+  *
+  * Differential-testing discipline: the buffer is (Σ cents², n) in EXACT
+  * long arithmetic (value → cents via `rint`, then squared), so partial
+  * aggregation is merge-order-independent; the only float ops are one
+  * division and one `sqrt` at finish, both IEEE-correctly-rounded, so
+  * Spark and DuckDB agree bit-for-bit. Overflow headroom: cents² ≤ 25 M at
+  * the testdata's value range — 2^63 allows ~3.7e11 such rows per group.
+  */
+object RmsCents extends Aggregator[Double, (Long, Long), Double] {
+  def zero: (Long, Long) = (0L, 0L)
+  def reduce(b: (Long, Long), value: Double): (Long, Long) = {
+    val cents = math.rint(value * 100).toLong
+    (b._1 + cents * cents, b._2 + 1)
+  }
+  def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+    (x._1 + y._1, x._2 + y._2)
+  def finish(b: (Long, Long)): Double =
+    if (b._2 == 0) 0.0 else math.sqrt(b._1.toDouble / b._2) / 100.0
+  def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

@@ -56,4 +56,19 @@ class RollingHashSpec extends SparkSpec {
     val n = docs.toDF("s").select(RollingHash(col("s")).as("h")).distinct().count()
     assert(n == 500)
   }
+
+  test("RmsCents aggregator: exact buffer, partition-count independent") {
+    import graft.functions.RmsCents
+    val vals = Seq(3.0, 4.0, 12.0, 5.0) // sqrt((9+16+144+25)/4) = sqrt(48.5)
+    val expected = math.sqrt(48.5)
+    def rmsWith(parts: Int): Double = vals.toDF("value").repartition(parts)
+      .agg(org.apache.spark.sql.functions.udaf(RmsCents).apply(col("value")))
+      .head().getDouble(0)
+    // identical (not just close) across partitionings: the buffer is exact
+    assert(rmsWith(1) == expected && rmsWith(3) == expected)
+    // direct Aggregator contract: merge in either order gives the same buffer
+    val b1 = RmsCents.reduce(RmsCents.zero, 3.0)
+    val b2 = RmsCents.reduce(RmsCents.zero, 4.0)
+    assert(RmsCents.merge(b1, b2) == RmsCents.merge(b2, b1))
+  }
 }
