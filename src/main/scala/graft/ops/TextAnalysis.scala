@@ -44,6 +44,13 @@ object TextAnalysis {
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
   }
+  // NOTE (measured, not assumed): although the argmax REFERENCES each
+  // language score ~5x, whole-stage codegen's subexpression elimination
+  // already evaluates each regexp scan once per row — a Generate-barrier
+  // rewrite (explode of a single-element struct) that forced one evaluation
+  // was built, measured 1.7x SLOWER at the 10x slice (struct + Generate
+  // overhead, no scans saved), and reverted. q50's 10x scaling is exactly
+  // linear (0.62 s -> 6.2 s), i.e. the cost is the intrinsic regexp work.
 
   /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
     * presence, and repetition penalty — the usual pretraining heuristics,
