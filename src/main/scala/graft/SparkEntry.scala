@@ -578,6 +578,17 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
         .orderBy("event_type")),
+    "q85_salted_join" -> ((s, dir) =>
+      // the skew JOIN remedy itself under the oracle: salting replicates the
+      // dim 8x and spreads each hot event_type over 8 reducers, with results
+      // exactly equal to the plain join (the salt never reaches the output)
+      Relational.saltedJoin(
+        T(s, dir, "events").select(col("event_id"), col("event_type")),
+        T(s, dir, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("type_total")),
+        "event_type", salts = 8)
+        .select(col("event_id"), col("event_type"), col("type_total"))
+        .orderBy("event_id")),
     "q84_full_outer_join" -> ((s, dir) => {
       // year-over-year customer activity: full outer keeps customers active
       // in either year; USING-style key coalescing, absent side counts as 0
@@ -1160,6 +1171,10 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q85_salted_join" ->
+      """WITH t AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
+        |SELECT event_id, event_type, type_total FROM events JOIN t USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "q83_custom_udaf" ->
       """WITH c AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
