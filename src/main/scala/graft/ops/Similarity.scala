@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double, in array
-    * order (matches DuckDB's list_dot_product on the double-cast list). SQL
-    * higher-order functions — no UDF, no collect. */
+  /** Dot product as a SQL higher-order-function string — still used where
+    * one operand is a LAMBDA VARIABLE (the per-plane signature loop in
+    * [[lshBands]]), which a Column-level expression can't reference. */
   def dotExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  def dot(a: String, b: String): Column = expr(dotExpr(a, b))
+  /** Dot product of two array columns — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (bit-identical to the HOF
+    * form, which runs interpreted and boxes every element; measured win in
+    * SCALE.md). Every scoring path below uses this. */
+  def dot(a: String, b: String): Column = graft.functions.DotProduct(col(a), col(b))
 
   def norm(a: String): Column = sqrt(dot(a, a))
 

@@ -5,6 +5,42 @@ import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 
 class SimilaritySpec extends SparkSpec {
+
+  test("native DotProduct matches the HOF form bit-for-bit, incl. null semantics") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(1.0f, 2.0f, -3.5f), Array(0.5f, -1.0f, 2.0f)), // plain
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),   // zeros
+      (Array(1e30f, 1f, -1e30f), Array(1f, 1f, 1f))          // order-sensitive sum
+    ).toDF("a", "b")
+    val hof = org.apache.spark.sql.functions.expr(Similarity.dotExpr("a", "b"))
+    val both = rows.select(
+      graft.functions.DotProduct(col("a"), col("b")).as("native"), hof.as("hofv"))
+    // bit-identical, not approximately equal: same left-to-right accumulation
+    assert(both.filter(col("native") =!= col("hofv") ||
+      col("native").isNull =!= col("hofv").isNull).count() == 0)
+    // length mismatch and null elements yield NULL (the HOF null absorption)
+    val edge = Seq(
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](1f)),
+      (Array[java.lang.Float](1f, null), Array[java.lang.Float](1f, 2f))
+    ).toDF("a", "b")
+    assert(edge.select(graft.functions.DotProduct(col("a"), col("b")).as("d"))
+      .filter(col("d").isNotNull).count() == 0)
+    // interpreted path (no codegen) agrees with the codegen'd path
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(both.filter(col("native") =!= col("hofv")).count() == 0)
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
   import spark.implicits._
 
   private def vecsDF(vs: Seq[(Long, Array[Float])]) = vs.toDF("vec_id", "embedding")
