@@ -578,6 +578,39 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
         .orderBy("event_type")),
+    "q86_funnel" -> ((s, dir) => {
+      // ordered funnel signup -> view -> purchase: each stage's timestamp
+      // must follow the previous stage's; three keyed aggregates + two
+      // broadcast-sized joins on user_id, no window over raw events
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val counts = s1.agg(count(lit(1)).as("users")).withColumn("stage", lit("1_signup"))
+        .unionByName(s2.agg(count(lit(1)).as("users")).withColumn("stage", lit("2_view")))
+        .unionByName(s3.agg(count(lit(1)).as("users")).withColumn("stage", lit("3_purchase")))
+      counts.select(col("stage"), col("users")).orderBy("stage")
+    }),
+    "q87_retention" -> ((s, dir) => {
+      // cohort retention: users grouped by first-seen day, activity counted
+      // at day offsets 0/1/7 — first-seen agg + one join + one (cohort,
+      // offset) agg; distinct users via the same exact path as q67
+      val ev = T(s, dir, "events").select(col("user_id"), col("ts"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .withColumn("day_offset",
+          datediff(to_date(col("ts")), col("cohort_day")).cast("long"))
+        .filter(col("day_offset").isin(0L, 1L, 7L))
+        .groupBy(TextFunctions.dayString(col("cohort_day")).as("cohort"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort", "day_offset")
+    }),
     "q85_salted_join" -> ((s, dir) =>
       // the skew JOIN remedy itself under the oracle: salting replicates the
       // dim 8x and spreads each hot event_type over 8 reducers, with results
@@ -1171,6 +1204,27 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q86_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT user_id, min(ts) AS t2 FROM ev JOIN s1 USING (user_id)
+        |  WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT user_id, min(ts) AS t3 FROM ev JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT stage, users FROM (
+        |  SELECT '1_signup' AS stage, count(*) AS users FROM s1
+        |  UNION ALL SELECT '2_view', count(*) FROM s2
+        |  UNION ALL SELECT '3_purchase', count(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
+    "q87_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM ev GROUP BY 1),
+        |j AS (SELECT user_id, cohort_day,
+        |  CAST(CAST(ts AS DATE) - cohort_day AS BIGINT) AS day_offset
+        |  FROM ev JOIN c USING (user_id))
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort, day_offset,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM j WHERE day_offset IN (0, 1, 7) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q85_salted_join" ->
       """WITH t AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
         |SELECT event_id, event_type, type_total FROM events JOIN t USING (event_type)
