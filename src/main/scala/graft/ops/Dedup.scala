@@ -227,9 +227,11 @@ object Dedup {
     * Output: (node, component) for every node that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // no distinct: min-propagation is idempotent over duplicate edges, so
+    // deduping would spend a full shuffle to save nothing
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     // several LAZY propagation steps per materialization: the convergence
