@@ -578,6 +578,24 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
         .orderBy("event_type")),
+    "q88_bucketed_join" -> ((s, dir) => {
+      // the 100 TB layout technique under the gate: both sides written
+      // bucketed+sorted on the join key, then joined through the catalog —
+      // results provably equal the plain join (the exchange-free plan
+      // property itself is asserted in StorageSpec)
+      graft.storage.Storage.writeBucketed(
+        T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "g88_orders", "o_custkey", 8)
+      graft.storage.Storage.writeBucketed(
+        T(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "g88_customer", "c_custkey", 8)
+      s.table("g88_orders")
+        .join(s.table("g88_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
     "q86_funnel" -> ((s, dir) => {
       // ordered funnel signup -> view -> purchase: each stage's timestamp
       // must follow the previous stage's; three keyed aggregates + two
@@ -1204,6 +1222,11 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q88_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q86_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
