@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.RollingHashExpression
+import graft.functions.{DotProductExpression, RollingHashExpression}
 
 /** Session-extension entry point — the deployment story for the engine's
   * native functions:
@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"rolling_hash expects exactly 1 argument, got ${children.size}")
         RollingHashExpression(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpression].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"dot_product expects exactly 2 arguments, got ${children.size}")
+        DotProductExpression(children.head, children(1))
       }))
   }
 }

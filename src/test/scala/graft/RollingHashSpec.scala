@@ -45,6 +45,11 @@ class RollingHashSpec extends SparkSpec {
       assert(s2 ne prev, "expected a fresh session with extensions applied")
       val out = s2.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
       assert(out == 96354L)
+      // dot_product rides the same injection: parses to the native expression
+      val d = s2.sql(
+        "SELECT dot_product(array(CAST(1.0 AS DOUBLE), 2.0), array(CAST(3.0 AS DOUBLE), 4.0)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
