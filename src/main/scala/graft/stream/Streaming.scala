@@ -183,11 +183,14 @@ object Streaming {
     * (one file → one micro-batch) every match emits, so the result equals
     * the batch range-join twin. */
   def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val views = streamTable(spark, dir, "events")
+    // ONE file source, both join branches filtered from it (a stream-stream
+    // self-join): each micro-batch reads the input once, not once per side
+    val events = streamTable(spark, dir, "events")
+    val views = events
       .filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
-    val purchases = streamTable(spark, dir, "events")
+    val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
