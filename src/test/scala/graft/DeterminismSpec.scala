@@ -18,7 +18,12 @@ class DeterminismSpec extends SparkSpec {
     "q58_ann_ivf",
     // round-2 keys with ordering/state/salt hazards worth double-running
     "q60_vader", "q61_asof_join", "q62_range_join", "q64_rollup",
-    "q67_cumulative_users", "q68_frame_sample", "q69_salted_count")
+    "q67_cumulative_users", "q68_frame_sample", "q69_salted_count",
+    // round-4 keys: multi-source DAG, streaming replays, fixpoint iteration,
+    // window ties, random-salt join, catalog round-trip
+    "q74_unified_pipeline", "q75_stateful_sessions", "q76_curation_chain",
+    "q77_neardup_components", "q78_tfidf_topk", "q81_stream_stream_join",
+    "q83_custom_udaf", "q85_salted_join", "q88_bucketed_join")
 
   for (name <- sampled) {
     test(s"$name is run-to-run deterministic") {
