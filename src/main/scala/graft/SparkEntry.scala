@@ -578,6 +578,39 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
         .orderBy("event_type")),
+    "q89_histogram" -> ((s, dir) =>
+      // fixed-width value histogram per class — one two-phase hash agg; the
+      // bin edge is a float floor both engines compute identically
+      T(s, dir, "events")
+        .groupBy(col("event_type"),
+          (floor(col("value") / 25) * 25).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type", "bin")),
+    "q90_zscore_anomaly" -> ((s, dir) => {
+      // windowed anomaly detection: each day's total scored against the
+      // trailing 7-day mean/std. Moments come from EXACT long sums
+      // (Σcents, Σcents²) over the frame with the float ops (two divisions,
+      // one sqrt) applied once at the end — engine-portable like q80/q83
+      val daily = T(s, dir, "events")
+        .groupBy(TextFunctions.dayString(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
+        .withColumn("day_idx",
+          datediff(col("day").cast("date"), lit("1970-01-01").cast("date")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day_idx")).rangeBetween(-6, 0)
+      val n = count(col("c")).over(w).cast("double")
+      val mean = sum(col("c")).over(w).cast("double") / n
+      val msq = sum(col("c") * col("c")).over(w).cast("double") / n
+      val vr = msq - mean * mean
+      val std = when(vr > 0, sqrt(vr)).otherwise(lit(0.0))
+      val z = when(std > 0, round((col("c").cast("double") - mean) / std, 4))
+        .otherwise(lit(0.0))
+      daily
+        .withColumn("zscore", z)
+        .select(col("day"), (col("c") / 100.0).as("day_value"), col("zscore"),
+          (abs(col("zscore")) > 2).as("anomaly"))
+        .orderBy("day")
+    }),
     "q88_bucketed_join" -> ((s, dir) => {
       // the 100 TB layout technique under the gate: both sides written
       // bucketed+sorted on the join key, then joined through the catalog —
@@ -1222,6 +1255,28 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q89_histogram" ->
+      """SELECT event_type, CAST(floor(value / 25) * 25 AS BIGINT) AS bin, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q90_zscore_anomaly" ->
+      """WITH d AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT day, c,
+        |  CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx FROM d),
+        |m AS (SELECT day, c,
+        |  CAST(count(*) OVER w AS DOUBLE) AS n,
+        |  CAST(CAST(sum(c) OVER w AS BIGINT) AS DOUBLE) AS sc,
+        |  CAST(CAST(sum(c * c) OVER w AS BIGINT) AS DOUBLE) AS scc
+        |  FROM i WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT day, c,
+        |  CASE WHEN (scc / n - (sc / n) * (sc / n)) > 0
+        |       AND sqrt(scc / n - (sc / n) * (sc / n)) > 0
+        |    THEN round((CAST(c AS DOUBLE) - sc / n) / sqrt(scc / n - (sc / n) * (sc / n)), 4)
+        |    ELSE 0.0 END AS zscore
+        |  FROM m)
+        |SELECT day, c / 100.0 AS day_value, zscore, abs(zscore) > 2 AS anomaly
+        |FROM z ORDER BY day""".stripMargin,
     "q88_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
