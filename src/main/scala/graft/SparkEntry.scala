@@ -578,6 +578,27 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
         .orderBy("event_type")),
+    "q91_sequence_packing" -> ((s, dir) => {
+      // concat-then-chunk packing: docs in id order form one token stream,
+      // chunked into 2048-token training sequences — chunk = the sequence
+      // the doc STARTS in (floor of the preceding token count / budget).
+      // One cumulative-sum window; at scale the order key is range-partitioned
+      // exactly like any global sort
+      val budget = 2048
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docs
+        .withColumn("__preceding", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        // exact integer floor division (`div`), matching the oracle's `//`
+        .withColumn("chunk_id", expr(s"__preceding div $budget"))
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("chunk_id")
+    }),
     "q89_histogram" -> ((s, dir) =>
       // fixed-width value histogram per class — one two-phase hash agg; the
       // bin edge is a float floor both engines compute identically
@@ -1255,6 +1276,19 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q91_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  -- integer // : DuckDB's CAST(double AS BIGINT) rounds to nearest,
+        |  -- Spark's cast truncates — floor division sidesteps both
+        |  (CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
+        |    // 2048 AS chunk_id
+        |  FROM t)
+        |SELECT chunk_id, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_histogram" ->
       """SELECT event_type, CAST(floor(value / 25) * 25 AS BIGINT) AS bin, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
