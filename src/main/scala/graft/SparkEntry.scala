@@ -578,6 +578,24 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
         .orderBy("event_type")),
+    "q92_jdbc_roundtrip" -> ((s, dir) => {
+      // the reference's Postgres store under the gate (Derby stands in —
+      // same JDBC write/scan path): per-type daily counts written with
+      // batched set-based inserts, read back through the JDBC scan twin
+      // no dir cleanup: Derby stays booted for the JVM's lifetime, so
+      // deleting under it between calls would corrupt the instance;
+      // Overwrite mode replaces the table on every call instead
+      val db = s"$TMP/q92_derby"
+      val url = s"jdbc:derby:$db;create=true"
+      val agg = T(s, dir, "events")
+        .groupBy(col("event_type"), TextFunctions.dayString(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.storage.Storage.writeJdbc(agg, url, "type_daily",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      graft.storage.Storage.readJdbc(s, url, "type_daily")
+        .select(col("event_type"), col("day"), col("cnt"))
+        .orderBy("event_type", "day")
+    }),
     "q91_sequence_packing" -> ((s, dir) => {
       // concat-then-chunk packing: docs in id order form one token stream,
       // chunked into 2048-token training sequences — chunk = the sequence
@@ -1276,6 +1294,9 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q92_jdbc_roundtrip" ->
+      """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q91_sequence_packing" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents),
