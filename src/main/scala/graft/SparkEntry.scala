@@ -578,6 +578,28 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(round(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
         .orderBy("event_type")),
+    "q93_vocab_encode" -> ((s, dir) => {
+      // text → training tensors: frequency-ranked vocabulary (1 = most
+      // frequent, token tie-break), tokens id-mapped through a BROADCAST
+      // vocab join, per-doc sequences rebuilt in position order and
+      // Karp–Rabin-fingerprinted for compact verification
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .withColumn("token_id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("tok"))).cast("long"))
+      toks.join(broadcast(vocab.select("tok", "token_id")), "tok")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("token_id")))).as("ps"))
+        .select(col("doc_id"), expr("transform(ps, x -> x.token_id)").as("ids"))
+        .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+          expr("aggregate(ids, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)")
+            .as("ids_fp"))
+        .orderBy("doc_id")
+    }),
     "q92_jdbc_roundtrip" -> ((s, dir) => {
       // the reference's Postgres store under the gate (Derby stands in —
       // same JDBC write/scan path): per-type daily counts written with
@@ -1297,6 +1319,20 @@ object SparkEntry {
     "q92_jdbc_roundtrip" ->
       """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q93_vocab_encode" ->
+      """WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+        |tokraw AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(arr) + 1),
+        |    i -> {'pos': i, 'tok': arr[CAST(i AS INT)]})) AS u FROM raw),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokraw WHERE length(u.tok) > 0),
+        |v AS (SELECT tok, count(*) AS freq FROM tok GROUP BY 1),
+        |v2 AS (SELECT tok, CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS token_id FROM v),
+        |seq AS (SELECT doc_id, list(token_id ORDER BY pos) AS ids
+        |  FROM tok JOIN v2 USING (tok) GROUP BY 1)
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS ids_fp
+        |FROM seq ORDER BY doc_id""".stripMargin,
     "q91_sequence_packing" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents),
