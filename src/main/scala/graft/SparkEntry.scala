@@ -651,7 +651,12 @@ object SparkEntry {
       // windowed anomaly detection: each day's total scored against the
       // trailing 7-day mean/std. Moments come from EXACT long sums
       // (Σcents, Σcents²) over the frame with the float ops (two divisions,
-      // one sqrt) applied once at the end — engine-portable like q80/q83
+      // one sqrt) applied once at the end — engine-portable like q80/q83.
+      // Headroom bound (same contract as RmsCents): c² wraps silently in
+      // Spark while DuckDB sums into HUGEINT, so per-day |cents| must stay
+      // ≤ ~3.0e9 (7·c² < 2^63). sf0.1 peaks near 2.7e7 cents/day — ~100×
+      // headroom on c; a deployment with larger daily totals must rescale
+      // the unit (e.g. whole currency) before this frame.
       val daily = T(s, dir, "events")
         .groupBy(TextFunctions.dayString(col("ts")).as("day"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))

@@ -13,11 +13,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * division and one `sqrt` at finish, both IEEE-correctly-rounded, so
   * Spark and DuckDB agree bit-for-bit. Overflow headroom: cents² ≤ 25 M at
   * the testdata's value range — 2^63 allows ~3.7e11 such rows per group.
+  *
+  * Quantization is half-AWAY-from-zero, the same convention as every other
+  * cents path in the engine (q80/q88/q90 use `round(v*100, 0)`), so a
+  * 3-decimal input on an exact .5-cent boundary rounds identically here
+  * and in the oracle (rint's half-to-even would diverge there).
   */
 object RmsCents extends Aggregator[Double, (Long, Long), Double] {
   def zero: (Long, Long) = (0L, 0L)
   def reduce(b: (Long, Long), value: Double): (Long, Long) = {
-    val cents = math.rint(value * 100).toLong
+    val scaled = value * 100
+    val cents = (if (scaled >= 0) math.floor(scaled + 0.5)
+                 else math.ceil(scaled - 0.5)).toLong
     (b._1 + cents * cents, b._2 + 1)
   }
   def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =

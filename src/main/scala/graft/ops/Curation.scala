@@ -82,7 +82,10 @@ object Curation {
     val keepers = annotated.filter(col("__pass"))
       .groupBy(col("__h")).agg(min(col(idCol)).as("__keeper"))
     annotated.join(keepers, Seq("__h"), "left")
-      .withColumn("kept", col("__pass") && col(idCol) === col("__keeper"))
+      // coalesce: degenerate docs (empty text → null rep_ratio → null __pass)
+      // must audit as kept=false, matching the oracle's coalesce(..., FALSE)
+      .withColumn("kept",
+        coalesce(col("__pass") && col(idCol) === col("__keeper"), lit(false)))
       .withColumn("drop_reason",
         when(col("lang_pred") =!= lang, "lang")
           .when(col("quality") < minQuality, "quality")

@@ -159,8 +159,12 @@ object Streaming {
     import spark.implicits._
     // the staged source is INPUT SYNTHESIS (turning the batch table into a
     // replayable stream + flush sentinels), not the operator under test —
-    // stage once per input dir and reuse (same policy as q03's nested build)
-    val stageDir = s"$stageDirBase/${java.lang.Integer.toHexString(dir.hashCode)}"
+    // stage once per input CONTENT and reuse (same policy as q03's nested
+    // build). The key folds every input file's (name, size, mtime) into a
+    // 64-bit fingerprint alongside the full path, so regenerating the data
+    // under the same path (or a path collision) forces a fresh stage
+    // instead of silently replaying a stale one.
+    val stageDir = s"$stageDirBase/${stageKey(dir)}"
     if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
       val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
       val flush = ev.select(col("user_id")).distinct()
@@ -202,6 +206,24 @@ object Streaming {
           col("view_ts") <= col("purchase_ts"))
         .select(col("user_id"), col("purchase_id"), col("view_id")),
       "append")
+  }
+
+  /** Content fingerprint for a staged-input cache key: FNV-1a over the full
+    * sanitized path plus every file's (relative name, size, mtime) under the
+    * events table dir, hex-encoded. Changing any input byte's file metadata
+    * changes the key, so stale stages are never replayed. */
+  private[graft] def stageKey(dir: String): String = {
+    def fold(h: Long, s: String): Long =
+      s.foldLeft(h)((acc, c) => (acc ^ c.toLong) * 0x100000001b3L)
+    val root = new java.io.File(dir, "events.parquet")
+    val files =
+      if (root.isFile) Array(root)
+      else Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+    val h = files.foldLeft(fold(0xcbf29ce484222325L, dir)) { (acc, f) =>
+      fold(acc, s"${f.getName}:${f.length}:${f.lastModified}")
+    }
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${safe}_${java.lang.Long.toHexString(h)}"
   }
 
   // ---------------------------------------------------- custom state (q57 twin)

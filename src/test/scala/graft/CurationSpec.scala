@@ -59,4 +59,14 @@ class CurationSpec extends SparkSpec {
       (4L, false, Some("quality")),
       (5L, false, Some("repetition"))))
   }
+
+  test("curationChain audits degenerate docs as kept=false, never null") {
+    // empty/whitespace text makes rep_ratio null -> __pass null; the audit
+    // contract (matching the oracle's coalesce(..., FALSE)) is kept=false
+    val fixture = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kept = Curation.curationChain(fixture, "doc_id", "text")
+      .select("kept").as[Boolean].collect().toSeq
+    assert(kept == Seq(false, false, false)) // would throw on null before collect otherwise
+  }
 }

@@ -76,4 +76,13 @@ class RollingHashSpec extends SparkSpec {
     val b2 = RmsCents.reduce(RmsCents.zero, 4.0)
     assert(RmsCents.merge(b1, b2) == RmsCents.merge(b2, b1))
   }
+
+  test("RmsCents quantizes half-away-from-zero like the engine's other cents paths") {
+    import graft.functions.RmsCents
+    // .5-cent boundaries: rint (half-to-even) would give 2 and -2 for both
+    assert(RmsCents.reduce(RmsCents.zero, 0.025)._1 == 9L)   // 2.5 cents -> 3
+    assert(RmsCents.reduce(RmsCents.zero, 0.015)._1 == 4L)   // 1.5 cents -> 2
+    assert(RmsCents.reduce(RmsCents.zero, -0.025)._1 == 9L)  // -2.5 -> -3
+    assert(RmsCents.reduce(RmsCents.zero, -0.015)._1 == 4L)  // -1.5 -> -2
+  }
 }

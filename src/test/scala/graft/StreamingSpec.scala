@@ -249,4 +249,28 @@ class StreamingSpec extends SparkSpec {
       _.withColumn("enriched", col("v") * 2))
     assert(out.select("comment_id").as[String].collect().sorted.toSeq == Seq("b", "c"))
   }
+
+  test("stageKey fingerprints input content, not just the path string") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stagekey").toFile
+    try {
+      val table = new java.io.File(dir, "events.parquet")
+      table.mkdirs()
+      val part = new java.io.File(table, "part-0.parquet")
+      java.nio.file.Files.write(part.toPath, "v1".getBytes)
+      val k1 = Streaming.stageKey(dir.getAbsolutePath)
+      assert(k1 == Streaming.stageKey(dir.getAbsolutePath)) // stable
+      // regenerating the data under the SAME path must change the key
+      java.nio.file.Files.write(part.toPath, "longer v2 bytes".getBytes)
+      part.setLastModified(part.lastModified + 5000)
+      val k2 = Streaming.stageKey(dir.getAbsolutePath)
+      assert(k1 != k2)
+      // keys are filesystem-safe single path segments
+      assert(!k1.contains("/") && k1.matches("[A-Za-z0-9._-]+_[0-9a-f]+"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
