@@ -753,7 +753,86 @@ object SparkEntry {
           coalesce(col("cnt96"), lit(0L)).as("cnt96"),
           coalesce(col("cnt97"), lit(0L)).as("cnt97"))
         .orderBy("custkey")
-    })
+    }),
+    "q94_scd2_history" -> ((s, dir) =>
+      // CDC history build: collapse the per-user event-type stream into
+      // SCD2 validity ranges — one key exchange, two window passes
+      Warehouse.scd2Compact(
+        T(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "valid_from")),
+    "q95_merge_upsert" -> ((s, dir) => {
+      // MERGE INTO shape: early-January profiles upserted with a late-
+      // January delta — matched users update, new users insert, absent
+      // users keep; exact cents so the full-outer coalesce is portable
+      val ev = T(s, dir, "events").select(col("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      def profile(f: org.apache.spark.sql.Column) = ev.filter(f).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+      Warehouse.mergeUpsert(
+        profile(col("ts") < lit("2024-01-03").cast("timestamp")),
+        profile(col("ts") >= lit("2024-01-28").cast("timestamp")),
+        "user_id", Seq("n_events", "total_cents"))
+        .orderBy("user_id")
+    }),
+    "q96_decile_stats" -> ((s, dir) => {
+      // quantile bucketing of docs by length: global ntile needs a total
+      // order — a single-partition sort at gate scale; the 100 TB path
+      // computes approx cutpoints first and buckets map-side instead.
+      // avg is one exact-long sum divided once — engine-portable
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"), col("doc_id"))
+      T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("cnt"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("decile")
+    }),
+    "q97_latest_per_key" -> ((s, dir) => {
+      // latest-3 snapshot per key — the "current state" read every serving
+      // layer runs; rank inside the key partition, never a global sort
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      T(s, dir, "events").select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    }),
+    "q98_embed_quantize" -> ((s, dir) =>
+      // the codes array itself is unit-tested; the gate row compresses it
+      // to (fp, sum, dims) because the driver compare is scalar-only —
+      // same convention as q93's id-sequence fingerprint. +128 keeps the
+      // fold positive (codes ∈ [-127, 127]) so both engines' % agree
+      Similarity.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale_e6"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x + 128) % 1000000007)")
+            .as("codes_fp"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("sum_codes"),
+          size(col("codes")).cast("long").as("n_dims"))
+        .orderBy("vec_id")),
+    "q99_partitioned_layout" -> ((s, dir) => {
+      // hive-style date partitioning — THE 100 TB layout for time-range
+      // scans: the filtered read prunes to 5 of 30 day directories before
+      // any row is touched (PlanSpec asserts the pruned partition count)
+      val tmp = s"$TMP/q99_part"
+      T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("day").between("2024-01-10", "2024-01-14"))
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+        .orderBy("day")
+    }),
+    "q100_bigram_freq" -> ((s, dir) =>
+      TextAnalysis.bigramCounts(T(s, dir, "documents"), "text", k = 40)),
+    "q101_interval_merge" -> ((s, dir) =>
+      // gaps-and-islands: fuse each user's 5-minute activity intervals;
+      // exact epoch-microsecond arithmetic end to end
+      Warehouse.mergeIntervals(T(s, dir, "events"), "user_id", "ts", widthSec = 300)
+        .orderBy("user_id", "island"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1408,6 +1487,77 @@ object SparkEntry {
         |SELECT event_type,
         |  round(sqrt(CAST(CAST(sum(cents * cents) AS BIGINT) AS DOUBLE) / count(*)) / 100.0, 4) AS rms_value
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_scd2_history" ->
+      """WITH ev AS (SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |ch AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+        |f AS (SELECT user_id, state, ts AS valid_from, event_id FROM ch
+        |  WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  lead(valid_from) OVER w IS NULL AS is_current
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "q95_merge_upsert" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT user_id, count(*) AS tn, CAST(sum(cents) AS BIGINT) AS tc
+        |  FROM ev WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1),
+        |u AS (SELECT user_id, count(*) AS un, CAST(sum(cents) AS BIGINT) AS uc
+        |  FROM ev WHERE ts >= TIMESTAMP '2024-01-28' GROUP BY 1)
+        |SELECT user_id, coalesce(un, tn) AS n_events, coalesce(uc, tc) AS total_cents,
+        |  CASE WHEN un IS NOT NULL AND tn IS NOT NULL THEN 'update'
+        |       WHEN tn IS NULL THEN 'insert' ELSE 'keep' END AS merge_action
+        |FROM t FULL OUTER JOIN u USING (user_id) ORDER BY user_id""".stripMargin,
+    "q96_decile_stats" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile FROM documents)
+        |SELECT decile, count(*) AS cnt, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q97_latest_per_key" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rn FROM ev)
+        |SELECT user_id, event_id, event_type, ts, rn FROM r WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
+    "q98_embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx FROM embeddings),
+        |s AS (SELECT vec_id, embedding,
+        |  CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m),
+        |q AS (SELECT vec_id, CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_e6,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS codes
+        |  FROM s)
+        |SELECT vec_id, scale_e6,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |    (acc, x) -> (acc * 31 + x + 128) % 1000000007) AS codes_fp,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |  CAST(len(codes) AS BIGINT) AS n_dims
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q99_partitioned_layout" ->
+      """WITH ev AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT day, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM ev WHERE day BETWEEN '2024-01-10' AND '2024-01-14'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q100_bigram_freq" ->
+      """WITH w AS (SELECT regexp_split_to_array(lower(text), '\s+') AS l FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+        |  FROM w WHERE len(l) >= 2)
+        |SELECT bigram, count(*) AS cnt FROM b GROUP BY 1
+        |ORDER BY cnt DESC, bigram LIMIT 40""".stripMargin,
+    "q101_interval_merge" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s FROM events),
+        |i AS (SELECT user_id, s, s + 300000000 AS e FROM ev),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM i),
+        |f AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf FROM m),
+        |g AS (SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY s, e
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM f)
+        |SELECT user_id, island, make_timestamp(min(s)) AS start_ts, make_timestamp(max(e)) AS end_ts,
+        |  CAST(max(e) - min(s) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin,
     "q84_full_outer_join" ->
       """WITH a AS (SELECT o_custkey AS custkey, count(*) AS cnt96 FROM orders
         |  WHERE year(o_orderdate) = 1996 GROUP BY 1),

@@ -217,4 +217,24 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Symmetric int8 quantization of an embedding column — the storage/
+    * serving compression step of a vector pipeline (4× smaller than f32,
+    * 8× than the f64 the engine computes in). Per-vector max-abs scaling:
+    * `code_i = floor(v_i * 127/max|v| + 0.5)` (half-up, identical formula
+    * in the DuckDB twin; floats promote to double exactly, so both engines
+    * round the same bits). All-zero vectors quantize to scale 0 / codes 0.
+    *
+    * Output: (id, scale_e6 = round(127/max|v| * 1e6) as exact long, codes
+    * array<int>). Purely map-side — no shuffle, no UDF; the lambdas bind
+    * `__mx`/`__scale` as named columns first so the outer expression is
+    * computed once per row, not per element (see Dedup.wordShingles). */
+  def quantizeInt8(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings
+      .withColumn("__mx", array_max(transform(col(vecCol), x => abs(x))).cast("double"))
+      .withColumn("__scale", when(col("__mx") > 0, lit(127.0) / col("__mx")).otherwise(lit(0.0)))
+      .select(col(idCol),
+        floor(col("__scale") * 1000000L + 0.5).cast("long").as("scale_e6"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * col("__scale") + 0.5).cast("int")).as("codes"))
 }

@@ -115,4 +115,24 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tfidf"), col("rn").cast("long").as("rn"))
   }
+
+  /** Corpus bigram frequencies — the n-gram statistics pass of a training-
+    * data audit (catches boilerplate and template contamination that
+    * single-token counts miss). Bigrams are built map-side with a 1-indexed
+    * `element_at` walk (identical indexing to the DuckDB twin's list walk),
+    * exploded, then one two-phase hash agg; the shuffle carries (bigram,
+    * partial count) — never documents. Ties in the top-k break on the
+    * bigram string so the ranking is engine-independent. */
+  def bigramCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs
+      .withColumn("__w", split(lower(col(textCol)), "\\s+"))
+      // guard: Spark's sequence(1, 0) counts DOWN — a 1-word doc would index
+      // element 0 (ANSI error). The DuckDB twin's range(1, 1) is just empty.
+      .filter(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 1),
+        i => concat(element_at(col("__w"), i), lit(" "), element_at(col("__w"), i + 1))))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: change-data-capture history building,
+  * MERGE-style upserts, and interval coalescing. The reference materializes
+  * its state by re-reading whole tables each cycle (`Data Collection/
+  * Reddit.py:75-80` probes the full comment table to decide inserts); these
+  * are the incremental, shuffle-bounded equivalents a 100 TB deployment
+  * needs.
+  *
+  * Scale shapes: every operator here is one hash-partition by the entity key
+  * followed by window passes that reuse that single exchange — no
+  * self-joins, no driver state. Skew bound = events per entity, the same
+  * bound the sessionizers already carry.
+  */
+object Warehouse {
+
+  /** SCD type-2 history from an event stream: collapse consecutive
+    * identical states per key, emit one row per state CHANGE with
+    * `[valid_from, valid_to)` validity and an `is_current` flag for the
+    * open row. Both window passes share one (key) partitioning; the lag
+    * pass sees raw events, the lead pass only the change rows.
+    *
+    * `orderCols` must totally order events within a key (pass a tiebreak
+    * id alongside the timestamp — same determinism rule as SURVEY §7.6). */
+  def scd2Compact(events: DataFrame, keyCol: String, stateCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val wRaw = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      .withColumn("__prev", lag(col(stateCol), 1).over(wRaw))
+      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+      .select(col(keyCol), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"), col(tieCol).as("__tie"))
+    val wChanged = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"), col("__tie"))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wChanged))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__tie")
+  }
+
+  /** MERGE INTO semantics as a batch operator: rows from `updates` override
+    * matching `target` rows, unmatched updates insert, unmatched target rows
+    * are kept — implemented as ONE full-outer join on the key with
+    * coalesce-override on every value column, plus a `merge_action` audit
+    * column (update/insert/keep). This is the lakehouse upsert the
+    * reference's whole-table re-probe approximates.
+    *
+    * Both inputs must carry exactly (key, valueCols); at scale the join
+    * shuffles on the key once — if `updates` is a small delta, Spark/AQE
+    * broadcast it and the target never moves. */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, keyCol: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val t = valueCols.foldLeft(target)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
+    val u = valueCols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+    val merged = t.join(u, Seq(keyCol), "full_outer")
+    val action = when(col(s"__u_${valueCols.head}").isNotNull &&
+        col(s"__t_${valueCols.head}").isNotNull, "update")
+      .when(col(s"__t_${valueCols.head}").isNull, "insert")
+      .otherwise(lit("keep"))
+    val values: Seq[Column] =
+      valueCols.map(c => coalesce(col(s"__u_$c"), col(s"__t_$c")).as(c))
+    merged.select(col(keyCol) +: values :+ action.as("merge_action"): _*)
+  }
+
+  /** Coalesce per-key point events into merged activity intervals
+    * ("gaps and islands"): each event opens `[ts, ts + widthSec)`, and
+    * overlapping/touching intervals fuse. All arithmetic is exact epoch
+    * MICROSECONDS (longs) so the differential twin matches bit-for-bit;
+    * three window passes (running-max end, island flag, island id) reuse a
+    * single (key) exchange, then one hash agg per island. */
+  def mergeIntervals(events: DataFrame, keyCol: String, tsCol: String,
+                     widthSec: Int): DataFrame = {
+    val width = widthSec * 1000000L
+    val base = events.select(col(keyCol), unix_micros(col(tsCol)).as("s"))
+      .withColumn("e", col("s") + width)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("s"), col("e"))
+    base
+      .withColumn("__prev_max", max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__prev_max").isNull || col("s") > col("__prev_max"), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(timestamp_micros(min(col("s"))).as("start_ts"),
+        timestamp_micros(max(col("e"))).as("end_ts"),
+        (max(col("e")) - min(col("s"))).as("covered_us"))
+  }
+}

@@ -69,4 +69,28 @@ class PlanSpec extends SparkSpec {
     val plan = q("q54_embed_neardup")
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
   }
+
+  test("date-partitioned layout prunes to the filtered day directories (q99)") {
+    val plan = q("q99_partitioned_layout")
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    // the scan must report pruning: 5 of 30 day partitions survive
+    assert(plan.contains("partition filters: 5") ||
+      """(?s)number of partitions read.{0,40}5""".r.findFirstIn(plan).isDefined ||
+      plan.contains("PartitionFilters: [isnotnull(day"),
+      s"partition pruning not visible:\n$plan")
+  }
+
+  test("merge-upsert plans one join, no extra exchange per value column (q95)") {
+    // count in the FINAL plan tree only — the formatted explain repeats
+    // operators in the AQE initial plan and the per-node details section
+    val finalTree = q("q95_merge_upsert").split("== Initial Plan ==")(0)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(finalTree).size == 1,
+      s"expected exactly one join:\n$finalTree")
+  }
+
+  test("scd2 history reuses one key exchange for both window passes (q94)") {
+    val plan = q("q94_scd2_history")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size <= 2,
+      s"window passes should share the user_id partitioning:\n$plan")
+  }
 }

@@ -116,4 +116,24 @@ class SimilaritySpec extends SparkSpec {
     // and nothing else is that similar
     assert(pairs.size == 1)
   }
+
+  test("quantizeInt8 bounds codes at ±127 and reconstructs within half a step") {
+    val vs = vecsDF(Seq(
+      1L -> Array(0.5f, -1.0f, 0.25f, 0.0f),
+      2L -> Array(0.0f, 0.0f, 0.0f, 0.0f))) // all-zero: scale 0, codes 0
+    val out = Similarity.quantizeInt8(vs, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Long, Seq[Int])].collect().toSeq
+    val (_, scale1, codes1) = out.head
+    assert(codes1 == Seq(64, -127, 32, 0)) // 0.5*127, -1*127, 0.25*127 rounded
+    assert(scale1 == 127000000L)           // scale 127/1.0 -> 127.0 * 1e6
+    assert(codes1.forall(c => c >= -127 && c <= 127))
+    // dequantized values land within half a quantization step of the input
+    val step = 1.0 / 127.0
+    val recon = codes1.map(_ * step)
+    Seq(0.5, -1.0, 0.25, 0.0).zip(recon).foreach { case (v, r) =>
+      assert(math.abs(v - r) <= step / 2 + 1e-9, s"$v vs $r")
+    }
+    assert(out(1) == ((2L, 0L, Seq(0, 0, 0, 0))))
+  }
 }

@@ -68,4 +68,15 @@ class TextAnalysisSpec extends SparkSpec {
     val full = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
     assert(full.filter(col("term") === "common" && col("tfidf") =!= 0.0).count() == 0)
   }
+
+  test("bigramCounts counts adjacent pairs, skips 1-word docs, breaks ties on the bigram") {
+    val docs = Seq(
+      (1L, "the cat sat"),     // "the cat", "cat sat"
+      (2L, "the cat ran"),     // "the cat", "cat ran"
+      (3L, "solo")             // no bigrams (and no error)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCounts(docs, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("the cat", 2L), ("cat ran", 1L), ("cat sat", 1L)))
+  }
 }

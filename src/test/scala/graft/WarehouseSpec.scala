@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Warehouse
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("scd2Compact collapses consecutive identical states into validity ranges") {
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "a", ts("2024-01-01 01:00:00"), 2L), // same state -> absorbed
+      (1L, "b", ts("2024-01-01 02:00:00"), 3L), // change
+      (1L, "a", ts("2024-01-01 03:00:00"), 4L), // back to a = a NEW range
+      (2L, "x", ts("2024-01-01 00:30:00"), 5L)
+    ).toDF("user_id", "state", "ts", "event_id")
+    val out = Warehouse.scd2Compact(ev, "user_id", "state", "ts", "event_id")
+      .orderBy("user_id", "valid_from")
+      .select("user_id", "state", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 02:00:00")), false),
+      (1L, "b", ts("2024-01-01 02:00:00"), Some(ts("2024-01-01 03:00:00")), false),
+      (1L, "a", ts("2024-01-01 03:00:00"), None, true),
+      (2L, "x", ts("2024-01-01 00:30:00"), None, true)))
+    // ranges chain: each valid_to equals the next valid_from within the key
+  }
+
+  test("mergeUpsert: updates override, new keys insert, absent keys keep") {
+    val target = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("k", "n", "total")
+    val updates = Seq((2L, 25L, 250L), (3L, 30L, 300L)).toDF("k", "n", "total")
+    val out = Warehouse.mergeUpsert(target, updates, "k", Seq("n", "total"))
+      .orderBy("k")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 100L, "keep"),
+      (2L, 25L, 250L, "update"),
+      (3L, 30L, 300L, "insert")))
+  }
+
+  test("mergeIntervals fuses overlapping and touching intervals, splits gaps") {
+    // width 60s: 00:00+60s overlaps 00:30; 01:00 touches EXACTLY at the
+    // first interval's end (start == prev end -> same island, half-open
+    // semantics would split it; the contract is s > prev_max splits);
+    // 10:00 is a clean gap
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:00:30")),
+      (1L, ts("2024-01-01 00:01:30")),
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Warehouse.mergeIntervals(ev, "user_id", "ts", widthSec = 60)
+      .orderBy("user_id", "island")
+      .select("user_id", "island", "covered_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 150000000L), // 00:00:00 .. 00:02:30 fused (overlap + touch)
+      (1L, 2L, 60000000L),  // the 10:00 singleton
+      (2L, 1L, 60000000L)))
+  }
+
+  test("mergeIntervals covered time equals end-start for each island") {
+    val out = Warehouse.mergeIntervals(
+      Tables.events(spark, "/root/testdata/sf0.001"), "user_id", "ts", 300)
+    val bad = out.filter(
+      unix_micros(col("end_ts")) - unix_micros(col("start_ts")) =!= col("covered_us"))
+    assert(bad.count() == 0)
+    // islands within a user never overlap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("island")
+    val overlaps = out
+      .withColumn("prev_end", lag(col("end_ts"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_ts") <= col("prev_end"))
+    assert(overlaps.count() == 0)
+  }
+}
