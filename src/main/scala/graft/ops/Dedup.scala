@@ -217,9 +217,12 @@ object Dedup {
     * graph-diameter iterations. Near-dup clusters are shallow (near-cliques
     * around a source document), so the fixpoint lands in 2-3 iterations;
     * `maxIter` is a safety bound and non-convergence raises rather than
-    * returning wrong labels. The per-iteration work is one join + one
-    * groupBy(min) on the (node, label) edge frame — all narrow keys. The
-    * driver-side loop-with-convergence-check is the standard shape for
+    * returning wrong labels. The edge frame carries a SELF-LOOP per node, so
+    * one step is exactly join + groupBy(min) — no join-back to merge the old
+    * label (the self-loop delivers it), the cheapest per-step shuffle shape.
+    * Edges are pre-partitioned on the probe key and checkpointed once, so a
+    * step that sort-merge-joins at scale reshuffles only the label frame.
+    * The driver-side loop-with-convergence-check is the standard shape for
     * iterative graph algorithms on Spark (each `count` is one tiny action);
     * at extreme graph sizes swap in large-star/small-star to cut the
     * iteration count, same operator surface.
@@ -227,32 +230,39 @@ object Dedup {
     * Output: (node, component) for every node that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // checkpoint the pair list FIRST: the symmetrized edge frame reads it
+    // twice, and without the barrier the (expensive) pair-producing DAG
+    // would execute once per branch past its last reusable exchange
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).localCheckpoint()
     // no distinct: min-propagation is idempotent over duplicate edges, so
-    // deduping would spend a full shuffle to save nothing
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // deduping would spend a full shuffle to save nothing. Self-loops make
+    // every node its own neighbor: min-over-neighbors then already includes
+    // the node's current label, so each step needs no merge join afterwards.
+    val nodes = p.select(col("src")).union(p.select(col("dst"))).distinct()
+      .select(col("src").as("node")).localCheckpoint()
+    val edges = p
+      .union(p.select(col("dst"), col("src")))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
     // several LAZY propagation steps per materialization: the convergence
     // check (an action) is the per-iteration fixed cost, and near-dup graphs
     // converge within one batch — so the loop usually runs 2 actions total
     // (one converging batch, one verifying batch) instead of one per step
-    val itersPerCheck = 3
+    val itersPerCheck = 2
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       var next = labels
       for (_ <- 1 to itersPerCheck) {
-        val nbrMin = edges
+        next = edges
           .join(next.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
-          .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
-          .select(col("src").as("node"), col("nlabel"))
-        next = next.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .groupBy(col("src")).agg(min(col("dlabel")).as("label"))
+          .select(col("src").as("node"), col("label"))
       }
       val updated = next.localCheckpoint()
+      // labels only ever decrease, so "anything changed" = "any label sank"
       changed = updated
         .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
         .filter(col("label") =!= col("old")).count()

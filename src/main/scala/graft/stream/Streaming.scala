@@ -75,15 +75,27 @@ object Streaming {
     * sink and return the final result table. Memory sink is driver-local —
     * only ever used for chart-sized aggregates / verify replays; production
     * sinks are file/Kafka via the same writeStream. */
-  def runToResult(stream: DataFrame, outputMode: String): DataFrame = {
+  def runToResult(stream: DataFrame, outputMode: String,
+                  statePartitions: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Streaming state partition count is a real deployment knob: it is FIXED
+    // into the checkpoint at first start and every micro-batch pays a fixed
+    // cost per state store instance (a stream-stream join keeps four stores
+    // per partition). A production query sizes it to |state| / executor
+    // memory; the replay gate's per-batch volume is tiny, so callers pass a
+    // small count instead of inheriting the batch-side shuffle default. The
+    // conf is read at query START, so restoring it afterwards is safe.
+    val key = "spark.sql.shuffle.partitions"
+    val saved = statePartitions.map { n => val old = spark.conf.get(key); spark.conf.set(key, n); old }
+    try {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally saved.foreach(spark.conf.set(key, _))
     spark.table(name)
   }
 
@@ -92,7 +104,7 @@ object Streaming {
   def countsByType(spark: SparkSession, dir: String): DataFrame =
     runToResult(
       streamTable(spark, dir, "events").groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
-      "complete")
+      "complete", statePartitions = Some(8))
 
   /** q38: cross-batch dedup by key (reference: per-row EXISTS probe against
     * the whole table, `Data Collection/Reddit.py:75-80` — unbounded). Project
@@ -116,7 +128,7 @@ object Streaming {
         .withWatermark("ts", horizon)
         .dropDuplicatesWithinWatermark("user_id")
         .select("user_id"),
-      "append")
+      "append", statePartitions = Some(8))
 
   /** q42: tumbling-window daily counts, streaming form of the dashboard's
     * hand-rolled python window loop (`Analysis Dashboard/app.py:44-59`). */
@@ -126,7 +138,7 @@ object Streaming {
         .groupBy(window(col("ts"), "1 day"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("bucket_start"), col("cnt")),
-      "complete")
+      "complete", statePartitions = Some(8))
 
   /** q39 live shape: watermarked window agg — late rows beyond the horizon are
     * dropped, the streaming analogue of the reference's "discard posts older
@@ -174,7 +186,8 @@ object Streaming {
     val stream = spark.readStream
       .schema("user_id BIGINT, ts TIMESTAMP").parquet(stageDir)
       .as[SessionEvent]
-    runToResult(statefulSessions(stream, gapMinutes).toDF(), "append")
+    runToResult(statefulSessions(stream, gapMinutes).toDF(), "append",
+      statePartitions = Some(8))
   }
 
   /** q81: watermarked stream-stream self-join — each purchase attributed to
@@ -205,7 +218,9 @@ object Streaming {
           col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
           col("view_ts") <= col("purchase_ts"))
         .select(col("user_id"), col("purchase_id"), col("view_id")),
-      "append")
+      "append",
+      // 4 state stores per partition on a join — size to the replay volume
+      statePartitions = Some(8))
   }
 
   /** Content fingerprint for a staged-input cache key: FNV-1a over the full
