@@ -66,8 +66,12 @@ object Curation {
     * trails over what was dropped and why are how curation bugs get caught.
     *
     * Scale shape: one pass computes all annotations (codegen'd expressions),
-    * the dedup agg + join exchange carries (sha2, id) — document text never
-    * shuffles. */
+    * then ONE exchange on the content hash resolves the keeper via a window
+    * min — no keeper-side groupBy+join, which would both re-run the
+    * annotation expressions on a second branch and pay a second shuffle.
+    * Hash groups are duplicate clusters (tiny, unskewed), and the window
+    * exchange carries annotations + (sha2, id) — document text is pruned
+    * before the shuffle. */
   def curationChain(docs: DataFrame, idCol: String, textCol: String,
                     lang: String = "en", minQuality: Double = 0.6,
                     maxRepetition: Double = 0.6): DataFrame = {
@@ -79,9 +83,13 @@ object Curation {
       .withColumn("__pass", col("lang_pred") === lang &&
         col("quality") >= minQuality && col("rep_ratio") <= maxRepetition)
       .withColumn("__h", sha2(col(textCol), 256))
-    val keepers = annotated.filter(col("__pass"))
-      .groupBy(col("__h")).agg(min(col(idCol)).as("__keeper"))
-    annotated.join(keepers, Seq("__h"), "left")
+      .drop(textCol)
+    annotated
+      // keeper = smallest passing id in this content-hash group, resolved in
+      // one windowed pass (min(when(pass, id)) ignores nulls ⇒ non-passing
+      // docs never become keepers)
+      .withColumn("__keeper",
+        min(when(col("__pass"), col(idCol))).over(Window.partitionBy(col("__h"))))
       // coalesce: degenerate docs (empty text → null rep_ratio → null __pass)
       // must audit as kept=false, matching the oracle's coalesce(..., FALSE)
       .withColumn("kept",
