@@ -16,7 +16,8 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val key = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
+    // `explain` mode reuses args(2) as a dir — don't parse it as reps there
+    val reps = if (args.length > 2 && key != "explain") args(2).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -100,10 +100,18 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // checkpoint the term-frequency frame: both the probe side and the
+    // document-frequency agg read it, and without the barrier the whole
+    // scan→explode→agg DAG executes once per consumer (the two exchanges
+    // don't canonicalize equal, so ReuseExchange never fires). df stays a
+    // two-phase groupBy (NOT a count-over-term window): stopword terms give
+    // one partition ≈ |docs| rows, which a window would buffer but a partial
+    // agg collapses map-side.
     val tf = docs
       .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("__n"))
     tf.join(broadcast(df_), "term")
