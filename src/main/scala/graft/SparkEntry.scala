@@ -832,7 +832,55 @@ object SparkEntry {
       // gaps-and-islands: fuse each user's 5-minute activity intervals;
       // exact epoch-microsecond arithmetic end to end
       Warehouse.mergeIntervals(T(s, dir, "events"), "user_id", "ts", widthSec = 300)
-        .orderBy("user_id", "island"))
+        .orderBy("user_id", "island")),
+    "q102_contamination" -> ((s, dir) =>
+      // benchmark decontamination: flag training docs sharing 3-gram shingles
+      // with the (synthetic) eval slice doc_id % 97 == 0; broadcast the tiny
+      // eval shingle set, corpus never shuffles for the probe
+      Dedup.shingleContamination(T(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 97 === 0, k = 3, minHits = 3)
+        .orderBy("doc_id")),
+    "q103_token_zipf" -> ((s, dir) =>
+      // corpus-composition audit: top-50 token head with exact cumulative
+      // counts (rank/cumsum windows run AFTER the limit — bounded by k)
+      TextAnalysis.tokenZipf(T(s, dir, "documents"), "text", k = 50)
+        .orderBy("rank")),
+    "q104_prefix_dedup" -> ((s, dir) =>
+      // prefix-fingerprint dedup: same opening 80 chars ⇒ one keeper —
+      // catches truncated/extended re-crawls exact hashing misses
+      Dedup.prefixDedup(T(s, dir, "documents"), "doc_id", "text", prefixLen = 80)
+        .orderBy("doc_id")),
+    "q105_cluster_reps" -> ((s, dir) => {
+      // canonical-doc election: near-dup pairs (q44 params) -> components ->
+      // keep the LONGEST member per cluster (tie: min id) — the quality-aware
+      // upgrade of q77's min-id canonicalization
+      val pairs = Dedup.minHashNearDup(T(s, dir, "documents"), "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+      Dedup.clusterRepresentatives(pairs, T(s, dir, "documents"), "doc_id", "n_chars")
+        .orderBy("component", "doc_id")
+    }),
+    "q106_sequence_assembly" -> ((s, dir) =>
+      // event log -> next-action-prediction sequences: per user-day ordered
+      // event-type chain, merge-order-independent via post-collect sort
+      Curation.assembleSequences(T(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type")
+        .orderBy("user_id", "day")),
+    "q107_profile" -> ((s, dir) =>
+      // data-quality profile: per-column null/distinct/min/max in ONE agg
+      // pass + stack unpivot (the look-before-you-train table summary)
+      Profiling.profile(T(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")),
+    "q108_sliding_distinct" -> ((s, dir) =>
+      // trailing-7-day distinct users per day: distinct (day,user) first,
+      // then a map-side day fan-out — no count-distinct window, no range join
+      Relational.slidingDistinct(T(s, dir, "events"), "user_id", "ts", windowDays = 7)
+        .orderBy("day")),
+    "q109_train_split" -> ((s, dir) =>
+      // deterministic 80/10/10 train/val/test assignment by multiplicative
+      // id hash; per-split exact counts + char volume
+      Curation.trainValTestSplit(T(s, dir, "documents"), "doc_id", "n_chars")
+        .orderBy("split"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1558,6 +1606,72 @@ object SparkEntry {
         |SELECT user_id, island, make_timestamp(min(s)) AS start_ts, make_timestamp(max(e)) AS end_ts,
         |  CAST(max(e) - min(s) AS BIGINT) AS covered_us
         |FROM g GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin,
+    "q102_contamination" ->
+      """WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] || ' ' || w[CAST(i AS BIGINT) + 2] AS shingle
+        |  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS hits, count(*) >= 3 AS contaminated
+        |FROM sh JOIN bench USING (shingle) WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q103_token_zipf" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok WHERE len(token) > 0
+        |  GROUP BY token ORDER BY cnt DESC, token LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank, token, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+        |FROM c ORDER BY rank""".stripMargin,
+    "q104_prefix_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |    substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 80) AS pref FROM documents)
+        |SELECT doc_id, count(*) OVER (PARTITION BY pref) AS group_size,
+        |  doc_id = min(doc_id) OVER (PARTITION BY pref) AS kept
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q105_cluster_reps" ->
+      s"""WITH RECURSIVE pairs AS ($q44Sql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |conn(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+         |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |j AS (SELECT lab.component, lab.node AS doc_id, d.n_chars
+         |  FROM lab JOIN documents d ON d.doc_id = lab.node),
+         |r AS (SELECT *, count(*) OVER (PARTITION BY component) AS cluster_size,
+         |  row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rk FROM j)
+         |SELECT component, doc_id, n_chars, cluster_size, rk = 1 AS is_rep
+         |FROM r ORDER BY component, doc_id""".stripMargin,
+    "q106_sequence_assembly" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+        |  count(*) AS n_events
+        |FROM e GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "q107_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "q108_sliding_distinct" ->
+      """WITH e AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM e),
+        |f AS (SELECT d + CAST(i AS INTEGER) AS day, user_id
+        |  FROM e, LATERAL (SELECT unnest(range(0, 7)) AS i) t)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS active
+        |FROM f WHERE day IN (SELECT d FROM days)
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "q109_train_split" ->
+      """WITH s AS (SELECT n_chars,
+        |  CASE WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split FROM documents)
+        |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "q84_full_outer_join" ->
       """WITH a AS (SELECT o_custkey AS custkey, count(*) AS cnt96 FROM orders
         |  WHERE year(o_orderdate) = 1996 GROUP BY 1),

@@ -103,4 +103,45 @@ object Curation {
       .select(col(idCol), col("lang_pred"), col("quality"), col("rep_ratio"),
         col("n_tokens"), col("kept"), col("drop_reason"))
   }
+
+  /** Behavioral-sequence assembly: per (key, day), the time-ordered event
+    * chain joined into one training string — how an event log becomes
+    * next-action-prediction sequences (and the reference's per-user activity
+    * timeline). Order inside a group is total: (ts, tiebreak id), applied by
+    * sorting the collected (ts, id, token) structs AFTER the per-group
+    * collect — collect_list partials merge in any order, the array_sort
+    * makes the result merge-order-independent. Group state is one user-day
+    * of events (bounded by activity, not corpus size); the shuffle carries
+    * (key, day, token) — nothing wider. */
+  def assembleSequences(events: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, tokenCol: String): DataFrame = {
+    val day = date_format(col(tsCol), "yyyy-MM-dd")
+    events
+      .select(col(keyCol), day.as("day"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), col(tokenCol).as("__tok"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(collect_list(struct(col("__ts"), col("__tie"), col("__tok"))).as("__evs"))
+      .select(col(keyCol), col("day"),
+        array_join(expr("transform(array_sort(__evs), e -> e.__tok)"), ">").as("seq"),
+        size(col("__evs")).cast("long").as("n_events"))
+  }
+
+  /** Deterministic train/val/test assignment: multiplicative hash of the id
+    * into 100 cells, split by cumulative share (80/10/10 default). The same
+    * doc lands in the same split on every run, any cluster, any partition
+    * count — the property that makes held-out sets trustworthy. Knuth
+    * constant 2654435761 spreads sequential ids; mod a Mersenne-ish prime
+    * keeps the cell distribution uniform. Returns per-split exact counts +
+    * char volume (the sanity numbers checked before a training run). */
+  def trainValTestSplit(docs: DataFrame, idCol: String, sizeCol: String,
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val cell = pmod(pmod(col(idCol) * lit(2654435761L), lit(1000000007L)), lit(100))
+    docs
+      .withColumn("split",
+        when(cell < trainPct, "train")
+          .when(cell < trainPct + valPct, "val")
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).as("total_chars"))
+  }
 }

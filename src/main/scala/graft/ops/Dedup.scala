@@ -26,6 +26,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dupes"))
       .drop("__h")
 
+  /** Prefix-fingerprint dedup: group on the whitespace-normalized first
+    * `prefixLen` characters — catches truncated/extended copies that exact
+    * content-hash dedup (q43) misses (same opening, different tails: wire
+    * articles with appended boilerplate, re-crawls cut at different lengths).
+    *
+    * One windowed pass over the prefix hash resolves keeper + group size
+    * (the q76 shape: no keeper-side groupBy+join, no annotation re-run);
+    * the exchange carries (sha2(prefix), id) — never the document text.
+    * Emits every doc with its verdict, audit-trail style. */
+  def prefixDedup(docs: DataFrame, idCol: String, textCol: String,
+                  prefixLen: Int = 80): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pref = substring(regexp_replace(lower(col(textCol)), "\\s+", " "), 1, prefixLen)
+    val w = Window.partitionBy(col("__h"))
+    docs.select(col(idCol), sha2(pref, 256).as("__h"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("kept", col(idCol) === min(col(idCol)).over(w))
+      .drop("__h")
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Distinct word k-shingles per doc: (id, shingle) pairs. The token array
@@ -38,6 +58,29 @@ object Dedup {
         // sliding window over the token array; drop short tail windows
         s"filter(transform(__w, (x, i) -> concat_ws(' ', slice(__w, i + 1, $k)))," +
           s" s -> size(split(s, ' ')) = $k)"))).as("shingle"))
+
+  /** Benchmark decontamination check (the training-data hygiene pass every
+    * LLM corpus needs): flag documents sharing ≥ `minHits` distinct word
+    * k-shingles with a benchmark/eval set. Both sides reduce to distinct
+    * (id, shingle) pairs; the overlap is an equi-join on the shingle string
+    * followed by a per-doc count — the shuffle carries (shingle, id), and
+    * because the benchmark side is tiny relative to the corpus (eval sets,
+    * not training data) Spark broadcasts it and the corpus never moves.
+    *
+    * Output: (id, hits, contaminated) for candidate docs with ≥ 1 hit.
+    * `benchPred` selects the benchmark rows; everything else is a candidate.
+    */
+  def shingleContamination(docs: DataFrame, idCol: String, textCol: String,
+                           benchPred: Column, k: Int = 3,
+                           minHits: Long = 3): DataFrame = {
+    val sh = wordShingles(docs, idCol, textCol, k)
+    val bench = sh.filter(benchPred).select(col("shingle")).distinct()
+    sh.filter(!benchPred)
+      .join(bench, Seq("shingle"))
+      // shingles are distinct per doc upstream, so count(*) = distinct hits
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+      .withColumn("contaminated", col("hits") >= minHits)
+  }
 
   /** MinHash signatures: for each of `numHashes` seeded permutations keep the
     * min over the doc's shingle hashes. One explode + one groupBy — the
@@ -271,5 +314,31 @@ object Dedup {
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Canonical-document election: given near-dup pair hits, resolve clusters
+    * (connected components) and pick ONE representative per cluster by a
+    * quality ordering — keep the longest member, tie-broken on id (q77 keeps
+    * min-id; a real curation run keeps the best-quality member, which is
+    * what this computes). `qualityCol` must exist on `docs`.
+    *
+    * Scale shape: components over pair ids (never text), then one join of
+    * the component labels against the docs' (id, quality) projection and one
+    * window over the component — cluster groups are near-dup clusters, tiny
+    * by construction, so the window partition never skews.
+    *
+    * Output: (component, id, quality, cluster_size, is_rep). */
+  def clusterRepresentatives(pairs: DataFrame, docs: DataFrame, idCol: String,
+                             qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs)
+    val w = Window.partitionBy(col("component"))
+    comp.join(docs.select(col(idCol).as("node"), col(qualityCol)), Seq("node"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col(qualityCol).desc, col("node"))))
+      .withColumn("is_rep", col("__rk") === 1)
+      .select(col("component"), col("node").as(idCol), col(qualityCol),
+        col("cluster_size"), col("is_rep"))
   }
 }

@@ -179,4 +179,30 @@ object Relational {
       row_number().over(w).as("rn"),
       lag(col(valueCol), 1).over(w).as("prev_value"))
   }
+
+  /** Trailing `windowDays`-day DISTINCT-key count per day (rolling active
+    * users). COUNT(DISTINCT) isn't window-able in Spark, and a collect_set
+    * window would buffer |window keys| per row — instead the log reduces to
+    * distinct (day, key) pairs FIRST (two-phase, map-side collapsed), then
+    * each pair fans out map-side to the ≤ `windowDays` day buckets it is
+    * visible in (explode of a sequence literal — no join, no range probe),
+    * and one distinct-count per bucket lands the answer. The fan-out
+    * multiplies the (already tiny) day-key frame, not the event log, and a
+    * semi-join against real days drops buckets past the horizon so a day
+    * only appears if the log contains it.
+    *
+    * Output: (day string, active) per day present in the log. */
+  def slidingDistinct(events: DataFrame, keyCol: String, tsCol: String,
+                      windowDays: Int = 7): DataFrame = {
+    val dayKey = events
+      .select(to_date(col(tsCol)).as("__d"), col(keyCol).as("__k")).distinct()
+    val days = dayKey.select(col("__d").as("__day")).distinct()
+    dayKey
+      .select(explode(transform(sequence(lit(0), lit(windowDays - 1)),
+        i => date_add(col("__d"), i))).as("__day"), col("__k"))
+      .join(days, Seq("__day"), "left_semi")
+      .groupBy(col("__day"))
+      .agg(count_distinct(col("__k")).as("active"))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"), col("active"))
+  }
 }

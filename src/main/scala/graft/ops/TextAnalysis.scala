@@ -124,6 +124,30 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"), col("rn").cast("long").as("rn"))
   }
 
+  /** Token frequency head (Zipf curve): top-k tokens with rank and exact
+    * cumulative count — the corpus-composition audit that catches template
+    * boilerplate (a token head far above the Zipf line) before training.
+    *
+    * Scale shape: one explode + two-phase hash agg (shuffle carries (token,
+    * partial count)), then TakeOrderedAndProject to k rows; the rank/cumsum
+    * window runs AFTER the limit, over k rows on one partition — bounded by
+    * k, not by vocabulary. Counts stay exact longs (no float shares). */
+  def tokenZipf(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .select(col("rank").cast("long").as("rank"), col("token"), col("cnt"), col("cum_cnt"))
+  }
+
   /** Corpus bigram frequencies — the n-gram statistics pass of a training-
     * data audit (catches boilerplate and template contamination that
     * single-token counts miss). Bigrams are built map-side with a 1-indexed

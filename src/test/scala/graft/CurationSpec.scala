@@ -69,4 +69,33 @@ class CurationSpec extends SparkSpec {
       .select("kept").as[Boolean].collect().toSeq
     assert(kept == Seq(false, false, false)) // would throw on null before collect otherwise
   }
+  test("assembleSequences orders by (ts, tiebreak) regardless of partial merge order") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (7L, ts("2024-03-01 10:00:02"), 3L, "purchase"),
+      (7L, ts("2024-03-01 10:00:01"), 2L, "click"),
+      (7L, ts("2024-03-01 10:00:01"), 1L, "view"),
+      (7L, ts("2024-03-02 09:00:00"), 4L, "view"),
+      (8L, ts("2024-03-01 08:00:00"), 5L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type").repartition(4)
+    val out = Curation.assembleSequences(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "day").as[(Long, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (7L, "2024-03-01", "view>click>purchase", 3L),
+      (7L, "2024-03-02", "view", 1L),
+      (8L, "2024-03-01", "view", 1L)))
+  }
+
+  test("trainValTestSplit is exhaustive, deterministic, and ~80/10/10") {
+    val docs = (1L to 1000L).map(i => (i, 10L)).toDF("doc_id", "n_chars")
+    val out = Curation.trainValTestSplit(docs, "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val counts = out.map(r => (r._1, r._2)).toMap
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 700L && counts("val") > 50L && counts("test") > 50L)
+    val again = Curation.trainValTestSplit(docs, "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(out == again)
+  }
+
 }

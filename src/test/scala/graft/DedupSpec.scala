@@ -106,4 +106,44 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(pairs, maxIter = 1)
     }
   }
+  test("shingleContamination counts distinct overlapping shingles vs the bench set") {
+    val docs = Seq(
+      (2L, "a b c d e"),        // bench (id % 2 == 0)
+      (1L, "a b c d x"),        // shares "a b c" and "b c d"
+      (3L, "p q r s t"),        // no overlap
+      (5L, "c d e zz yy")       // shares "c d e"
+    ).toDF("doc_id", "text")
+    val out = Dedup.shingleContamination(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0, k = 3, minHits = 2)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 2L, true), (5L, 1L, false)))
+  }
+
+  test("prefixDedup groups on the normalized prefix, keeps the min id") {
+    val base = ("w " * 50).trim                  // 99 chars: prefix-80 equal
+    val docs = Seq(
+      (4L, base + " tail one"),
+      (2L, base + "   tail two extended further"),
+      (9L, "completely different text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.prefixDedup(docs, "doc_id", "text", prefixLen = 80)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((2L, 2L, true), (4L, 2L, false), (9L, 1L, true)))
+  }
+
+  test("clusterRepresentatives elects the longest member per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (6L, 9L))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.clusterRepresentatives(pairs, docs, "doc_id", "n_chars")
+      .orderBy("component", "doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 10L, 3L, false),
+      (1L, 2L, 30L, 3L, true),   // ties on n_chars break to min id
+      (1L, 3L, 30L, 3L, false),
+      (5L, 5L, 7L, 2L, false),
+      (5L, 6L, 9L, 2L, true)))
+  }
+
 }

@@ -131,4 +131,18 @@ class RelationalSpec extends SparkSpec {
     assert(out(1).getInt(1) == 2 && out(1).getDouble(2) == 1.0)
     assert(out(2).getInt(1) == 1 && out(2).isNullAt(2))
   }
+  test("slidingDistinct counts trailing-window distinct keys, only for present days") {
+    val ts = (d: String) => java.sql.Timestamp.valueOf(d + " 12:00:00")
+    val ev = Seq(
+      (ts("2024-01-01"), 1L), (ts("2024-01-01"), 1L),
+      (ts("2024-01-05"), 2L),
+      (ts("2024-02-01"), 3L)
+    ).toDF("ts", "user_id")
+    val out = Relational.slidingDistinct(ev, "user_id", "ts", windowDays = 7)
+      .orderBy("day").as[(String, Long)].collect().toSeq
+    // Jan 5 sees user 1 (Jan 1 is within the trailing 7 days) + user 2;
+    // Jan 2-4 produce no row (absent from the log); Feb 1 sees only user 3
+    assert(out == Seq(("2024-01-01", 1L), ("2024-01-05", 2L), ("2024-02-01", 1L)))
+  }
+
 }

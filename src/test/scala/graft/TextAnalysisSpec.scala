@@ -79,4 +79,11 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("the cat", 2L), ("cat ran", 1L), ("cat sat", 1L)))
   }
+  test("tokenZipf ranks by count then token, cumsum is exact") {
+    val docs = Seq("a a a b", "b c a").toDF("text")
+    val out = TextAnalysis.tokenZipf(docs, "text", k = 2)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 4L, 4L), (2L, "b", 2L, 6L)))
+  }
+
 }
