@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"dot_product expects exactly 2 arguments, got ${children.size}")
         DotProductExpression(children.head, children(1))
       }))
+    // plan-level rewrite: plain-Spark HOF dot products become the native
+    // codegen'd expression (see graft.plans.NativeDotProduct for the contract)
+    ext.injectOptimizerRule(_ => graft.plans.NativeDotProduct)
   }
 }
