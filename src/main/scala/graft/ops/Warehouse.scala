@@ -87,4 +87,35 @@ object Warehouse {
         timestamp_micros(max(col("e"))).as("end_ts"),
         (max(col("e")) - min(col("s"))).as("covered_us"))
   }
+
+  /** Incremental aggregate maintenance (materialized-view refresh): merge a
+    * previously materialized per-key aggregate state with the partial
+    * aggregate of ONLY the new rows, producing exactly what a full recompute
+    * over base ∪ delta would. Valid for decomposable measures: counts and
+    * sums merge by addition (`sumCols` — pass counts here too), min/max by
+    * least/greatest. Keys absent from one side keep the other side's state.
+    *
+    * This is THE refresh pattern at 100 TB: the historical aggregate is
+    * never rescanned — only the new partition gets a (map-side-combined)
+    * aggregation, then ONE key join merges states; when the delta is a
+    * day's slice against years of history, AQE broadcasts it and the base
+    * never moves. The reference re-reads whole tables each cycle
+    * (Data Collection/Reddit.py:75-80) — this replaces that rescan. */
+  def mergeAggStates(base: DataFrame, delta: DataFrame, keyCol: String,
+                     sumCols: Seq[String], minCols: Seq[String] = Nil,
+                     maxCols: Seq[String] = Nil): DataFrame = {
+    val vals = sumCols ++ minCols ++ maxCols
+    val b = vals.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+    val u = vals.foldLeft(delta)((d, c) => d.withColumnRenamed(c, s"__d_$c"))
+    def bc(c: String) = col(s"__b_$c")
+    def dc(c: String) = col(s"__d_$c")
+    // null-safe merges: coalesce pairs (not least/greatest alone) so the
+    // semantics don't depend on either engine's NULL handling in least()
+    val merged: Seq[Column] =
+      sumCols.map(c => (coalesce(bc(c), lit(0L)) + coalesce(dc(c), lit(0L))).as(c)) ++
+      minCols.map(c => least(coalesce(bc(c), dc(c)), coalesce(dc(c), bc(c))).as(c)) ++
+      maxCols.map(c => greatest(coalesce(bc(c), dc(c)), coalesce(dc(c), bc(c))).as(c))
+    b.join(u, Seq(keyCol), "full_outer")
+      .select(col(keyCol) +: merged: _*)
+  }
 }
