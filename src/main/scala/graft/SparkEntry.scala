@@ -587,10 +587,14 @@ object SparkEntry {
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
         .filter(length(col("tok")) > 0)
-      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-        .withColumn("token_id", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("freq").desc, col("tok"))).cast("long"))
+      // frequency ranking via TwoPhase global rank (bin by -freq so bins
+      // follow the sort order; ties — the freq=1 tier — share a bin, which
+      // bounds serialization at the largest tie tier, not the whole vocab).
+      // The freq frame is checkpointed so the token explode runs once.
+      val vocabFreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      val (vocab, _) = graft.ops.TwoPhase.globalRank(vocabFreq, -col("freq"),
+        Seq(col("freq").desc, col("tok")), "token_id")
       toks.join(broadcast(vocab.select("tok", "token_id")), "tok")
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("token_id")))).as("ps"))
@@ -622,16 +626,19 @@ object SparkEntry {
       // concat-then-chunk packing: docs in id order form one token stream,
       // chunked into 2048-token training sequences — chunk = the sequence
       // the doc STARTS in (floor of the preceding token count / budget).
-      // One cumulative-sum window; at scale the order key is range-partitioned
-      // exactly like any global sort
+      // The cumulative sum is a TwoPhase prefix sum (bin by doc_id range,
+      // per-bin local windows in parallel, broadcast bin offsets) — no
+      // empty-partition window anywhere in the plan, so nothing serializes
+      // onto one task at scale. Token counts are localCheckpoint'ed so the
+      // tokenizer runs once, not once per two-phase pass.
       val budget = 2048
       val docs = T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      docs
-        .withColumn("__preceding", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .localCheckpoint()
+      val (cum, _) = graft.ops.TwoPhase.prefixSum(docs, col("doc_id"),
+        Seq(col("doc_id")), col("n_tokens"), "__cum")
+      cum
+        .withColumn("__preceding", col("__cum") - col("n_tokens"))
         // exact integer floor division (`div`), matching the oracle's `//`
         .withColumn("chunk_id", expr(s"__preceding div $budget"))
         .groupBy(col("chunk_id"))
@@ -776,13 +783,18 @@ object SparkEntry {
         .orderBy("user_id")
     }),
     "q96_decile_stats" -> ((s, dir) => {
-      // quantile bucketing of docs by length: global ntile needs a total
-      // order — a single-partition sort at gate scale; the 100 TB path
-      // computes approx cutpoints first and buckets map-side instead.
+      // quantile bucketing of docs by length: EXACT ntile(10) semantics with
+      // no global single-partition window — TwoPhase global rank over the
+      // unique order (n_chars, doc_id), then the SQL-standard ntile
+      // allocation computed map-side from (rank, N). Bit-identical to the
+      // window ntile (TwoPhaseSpec asserts parity), distributed at any scale.
       // avg is one exact-long sum divided once — engine-portable
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"), col("doc_id"))
-      T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val (ranked, n) = graft.ops.TwoPhase.globalRank(docs, col("n_chars"),
+        Seq(col("n_chars"), col("doc_id")), "__rank")
+      ranked
+        .withColumn("decile", graft.ops.TwoPhase.ntileFromRank("__rank", n, 10).cast("long"))
+        .drop("__rank")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("cnt"), min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"),
@@ -1667,8 +1679,10 @@ object SparkEntry {
         |GROUP BY day ORDER BY day""".stripMargin,
     "q109_train_split" ->
       """WITH s AS (SELECT n_chars,
-        |  CASE WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 80 THEN 'train'
-        |       WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 90 THEN 'val'
+        |  -- reduce-first multiply, mirroring Curation.trainValTestSplit:
+        |  -- overflow-free in BOTH engines for the whole BIGINT id domain
+        |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80 THEN 'train'
+        |       WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split FROM documents)
         |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM s GROUP BY split ORDER BY split""".stripMargin,

@@ -132,10 +132,17 @@ object Curation {
     * count — the property that makes held-out sets trustworthy. Knuth
     * constant 2654435761 spreads sequential ids; mod a Mersenne-ish prime
     * keeps the cell distribution uniform. Returns per-split exact counts +
-    * char volume (the sanity numbers checked before a training run). */
+    * char volume (the sanity numbers checked before a training run).
+    *
+    * The id is reduced mod the prime BEFORE the multiply — algebraically
+    * identical (ab mod m = ((a mod m)b) mod m, same contract as
+    * [[pseudoShuffleKey]]) but overflow-free for the whole long id domain:
+    * the product stays < 2^62, where id·2654435761 would silently wrap in
+    * Spark at id ≈ 2^31.7 while the oracle's wider integers do not. */
   def trainValTestSplit(docs: DataFrame, idCol: String, sizeCol: String,
                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val cell = pmod(pmod(col(idCol) * lit(2654435761L), lit(1000000007L)), lit(100))
+    val cell = pmod(pmod(pmod(col(idCol), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L)), lit(100))
     docs
       .withColumn("split",
         when(cell < trainPct, "train")

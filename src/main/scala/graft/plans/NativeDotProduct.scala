@@ -53,10 +53,17 @@ object NativeDotProduct extends Rule[LogicalPlan] {
     case ArrayAggregate(
           ZipWith(a, b,
             LambdaFunction(mult: Multiply, Seq(lx: NamedLambdaVariable, ly: NamedLambdaVariable), _)),
-          Literal(0.0, DoubleType),
+          // bit-exact +0.0 only: Scala's boxed-double == would also match
+          // -0.0, but aggregate(..., -0D, ...) starting from negative zero
+          // is NOT equivalent when the true sum is -0.0 — leave it alone
+          zero @ Literal(_, DoubleType),
           LambdaFunction(add: Add, Seq(lacc: NamedLambdaVariable, lv: NamedLambdaVariable), _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(lfin: NamedLambdaVariable), _))
-        if mult.dataType == DoubleType && isVector(a) && isVector(b) &&
+        if (zero.value match {
+            case v: java.lang.Double => java.lang.Double.doubleToRawLongBits(v) == 0L
+            case _ => false
+          }) &&
+          mult.dataType == DoubleType && isVector(a) && isVector(b) &&
           fin.exprId == lfin.exprId &&
           (for { x <- asZipVar(mult.left); y <- asZipVar(mult.right) }
             yield Set(x.exprId, y.exprId) == Set(lx.exprId, ly.exprId)).getOrElse(false) &&

@@ -98,4 +98,19 @@ class CurationSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("trainValTestSplit is overflow-free for ids beyond 2^32") {
+    // ids where the un-reduced multiply id * 2654435761 would wrap a long
+    // (id >= ~2^31.7): the reduce-first hash must agree with exact BigInt
+    // arithmetic — the same arithmetic the wider-integer oracle performs
+    val bigIds = Seq(1L << 33, (1L << 40) + 17L, (1L << 62) + 999L, Long.MaxValue)
+    val docs = bigIds.map(i => (i, 1L)).toDF("doc_id", "n_chars")
+    val out = Curation.trainValTestSplit(docs, "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2)).toMap
+    val expected = bigIds
+      .map(i => ((BigInt(i) * BigInt(2654435761L)) mod BigInt(1000000007L)) mod BigInt(100))
+      .map(c => if (c < 80) "train" else if (c < 90) "val" else "test")
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    assert(out == expected, s"spark=$out bigint=$expected")
+  }
+
 }

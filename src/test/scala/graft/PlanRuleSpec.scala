@@ -70,6 +70,22 @@ class PlanRuleSpec extends SparkSpec {
     }
   }
 
+  test("a -0.0 start value is NOT rewritten (sign of a -0.0 sum would flip)") {
+    withExtSession { s2 =>
+      import s2.implicits._
+      val negZeroSql =
+        "aggregate(zip_with(a, b, (x, y) -> x * y), -0D, (acc, v) -> acc + v)"
+      // every product is -0.0, so -0.0 + Σ stays -0.0 (while a +0.0 start
+      // would make the whole sum +0.0 — the sign the rewrite must not flip)
+      val df = Seq((Array(-0.0, 0.0), Array(1.0, -1.0)))
+        .toDF("a", "b").repartition(1).select(expr(negZeroSql).as("d"))
+      assert(countNative(df) == 0, "-0.0 start must be left alone")
+      // and the un-rewritten result keeps the negative-zero sign
+      assert(java.lang.Double.doubleToRawLongBits(df.head().getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(-0.0))
+    }
+  }
+
   test("null element and length mismatch still absorb to NULL after the rewrite") {
     withExtSession { s2 =>
       import s2.implicits._

@@ -15,4 +15,12 @@ class ProfilingSpec extends SparkSpec {
       ("k", 1L, 2L, "1", "3"),
       ("s", 0L, 2L, "a", "b")))
   }
+
+  test("profile of an EMPTY table reports 0 nulls / 0 distinct, not NULL") {
+    val df = Seq.empty[(Option[Long], String)].toDF("k", "s")
+    val out = Profiling.profile(df, Seq("k", "s"))
+      .orderBy("col_name").as[(String, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(out == Seq(("k", 0L, 0L, None, None), ("s", 0L, 0L, None, None)))
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.TwoPhase
+
+/** TwoPhase prefix sum / global rank / ntile: bit-parity with the naive
+  * single-partition window forms it replaces, on uniform, skewed, tiny and
+  * empty inputs — plus the no-empty-partition-window plan property itself.
+  */
+class TwoPhaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // logical-plan check: a Window with an empty partitionSpec is exactly the
+  // node Spark executes as a single-partition sort — the optimized logical
+  // plan is fully traversable (no AQE/query-stage wrappers to peel)
+  private def globalWindowCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }.size
+
+  test("prefixSum matches the single-partition cumulative window bit-for-bit") {
+    val df = (1L to 999L).map(i => (i, (i * 37 % 101) + 1)).toDF("id", "v")
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("id").select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (got, total) = TwoPhase.prefixSum(df, col("id"), Seq(col("id")), col("v"), "cum")
+    val gotRows = got.orderBy("id").select("id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotRows.toSeq == expect.toSeq)
+    assert(total == expect.last._2)
+  }
+
+  test("prefixSum plans no empty-partition window (the point of the exercise)") {
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "v")
+    val (got, _) = TwoPhase.prefixSum(df, col("id"), Seq(col("id")), col("v"), "cum")
+    got.collect()
+    assert(globalWindowCount(got) == 0, "two-phase plan still has a global window")
+  }
+
+  test("globalRank matches row_number over a desc/tie order with heavy ties") {
+    // vocab shape: half the keys tie at freq=1 (the worst-case tier)
+    val df = (1 to 500).map { i =>
+      (s"tok$i", if (i % 2 == 0) 1L else (i % 13 + 1).toLong)
+    }.toDF("tok", "freq")
+    val w = Window.orderBy(col("freq").desc, col("tok"))
+    val expect = df.withColumn("r", row_number().over(w).cast("long"))
+      .orderBy("tok").select("tok", "r").collect().map(r => (r.getString(0), r.getLong(1)))
+    val (got, n) = TwoPhase.globalRank(df, -col("freq"),
+      Seq(col("freq").desc, col("tok")), "r")
+    val gotRows = got.orderBy("tok").select("tok", "r").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(gotRows.toSeq == expect.toSeq)
+    assert(n == 500L)
+  }
+
+  test("ntileFromRank reproduces window ntile exactly, including n % k remainders") {
+    for (n <- Seq(1, 9, 10, 37, 100, 101)) {
+      val df = (1L to n).map(i => (i * 31 % 997, i)).toDF("v", "id")
+      val w = Window.orderBy(col("v"), col("id"))
+      val expect = df.withColumn("t", ntile(10).over(w).cast("long"))
+        .orderBy("v", "id").select("t").collect().map(_.getLong(0))
+      val (ranked, total) = TwoPhase.globalRank(df, col("v"),
+        Seq(col("v"), col("id")), "rank")
+      val got = ranked.withColumn("t", TwoPhase.ntileFromRank("rank", total, 10))
+        .orderBy("v", "id").select("t").collect().map(_.getLong(0))
+      assert(got.toSeq == expect.toSeq, s"ntile mismatch at n=$n")
+    }
+  }
+
+  test("prefixSum on an empty frame yields an empty frame and total 0") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "v")
+    val (got, total) = TwoPhase.prefixSum(df, col("id"), Seq(col("id")), col("v"), "cum")
+    assert(got.count() == 0 && total == 0L)
+  }
+
+  test("gate keys q91/q96/q93 plan no empty-partition window end-to-end") {
+    for (k <- Seq("q91_sequence_packing", "q96_decile_stats", "q93_vocab_encode")) {
+      val df = SparkEntry.queries(k)(spark, "/root/testdata/sf0.001")
+      assert(globalWindowCount(df) == 0, s"$k still plans a global window")
+    }
+  }
+}
