@@ -892,7 +892,37 @@ object SparkEntry {
       // deterministic 80/10/10 train/val/test assignment by multiplicative
       // id hash; per-split exact counts + char volume
       Curation.trainValTestSplit(T(s, dir, "documents"), "doc_id", "n_chars")
-        .orderBy("split"))
+        .orderBy("split")),
+    "q110_multimodal_features" -> ((s, dir) =>
+      // gate cover for the per-partition feature-extraction seam (q56's
+      // decode slot, the mapPartitions shape a real codec plugs into):
+      // FakeDecoder emits integral byte stats, so the float vector
+      // compresses to an exact fingerprint (q98's scalar convention)
+      Multimodal.extractFeatures(
+        Multimodal.asMultimodal(T(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", Multimodal.FakeDecoder)
+        .select(col("doc_id"),
+          size(col("features")).cast("long").as("n_features"),
+          expr("aggregate(transform(features, x -> CAST(x AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)")
+            .as("features_fp"))
+        .orderBy("doc_id")),
+    "q111_incremental_agg" -> ((s, dir) => {
+      // materialized-view refresh under the gate: history + one new slice
+      // each aggregated separately, merged with mergeAggStates (counts/sums
+      // add, min/max take extremes) — the oracle recomputes over base ∪
+      // delta in FULL, so a green row proves merge == full recompute
+      val ev = T(s, dir, "events").select(col("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      def agg(f: org.apache.spark.sql.Column) = ev.filter(f).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      Warehouse.mergeAggStates(agg(col("ts") < cutoff), agg(col("ts") >= cutoff),
+        "user_id", sumCols = Seq("n_events", "total_cents"),
+        minCols = Seq("first_ts"), maxCols = Seq("last_ts"))
+        .orderBy("user_id")
+    })
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1686,6 +1716,26 @@ object SparkEntry {
         |       ELSE 'test' END AS split FROM documents)
         |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q110_multimodal_features" ->
+      // byte stats over the UTF-8 payload; ord(substr) == byte value on the
+      // ASCII testdata (same precondition as the Karp–Rabin twin)
+      """WITH b AS (SELECT doc_id, list_transform(range(1, length(text) + 1),
+        |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bs FROM documents),
+        |f AS (SELECT doc_id, CASE WHEN len(bs) = 0
+        |    THEN [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
+        |    ELSE [CAST(len(bs) AS BIGINT), CAST(list_sum(bs) AS BIGINT), list_min(bs), list_max(bs)]
+        |    END AS fs FROM b)
+        |SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_features,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), fs),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS features_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q111_incremental_agg" ->
+      // FULL recompute over base ∪ delta — the merge must equal this exactly
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q84_full_outer_join" ->
       """WITH a AS (SELECT o_custkey AS custkey, count(*) AS cnt96 FROM orders
         |  WHERE year(o_orderdate) = 1996 GROUP BY 1),

@@ -24,13 +24,17 @@ object Multimodal {
   }
 
   /** Deterministic stand-in "decoder": summary statistics of the raw bytes.
-    * STUB — replace with a real image/audio decode in production. */
+    * STUB — replace with a real image/audio decode in production. Every
+    * feature is an integral float (len, byte sum, min, max) so the vector
+    * is exactly representable and differential-testable across engines
+    * (exact up to 2^24, i.e. payloads ≤ ~64 KiB of 0xff bytes — far above
+    * any byte-stat use of this stub). */
   object FakeDecoder extends Decoder {
     def decode(payload: Array[Byte]): Array[Float] = {
       if (payload == null || payload.isEmpty) return Array(0f, 0f, 0f, 0f)
       var sum = 0L; var mn = 255; var mx = 0
       payload.foreach { b => val v = b & 0xff; sum += v; mn = math.min(mn, v); mx = math.max(mx, v) }
-      Array(payload.length.toFloat, sum.toFloat / payload.length, mn.toFloat, mx.toFloat)
+      Array(payload.length.toFloat, sum.toFloat, mn.toFloat, mx.toFloat)
     }
   }
 

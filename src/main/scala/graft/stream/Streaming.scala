@@ -71,39 +71,47 @@ object Streaming {
       .trigger(trigger)
       .start()
 
-  /** Run a streaming DataFrame to completion with AvailableNow into a memory
+  /** Run a streaming query to completion with AvailableNow into a memory
     * sink and return the final result table. Memory sink is driver-local —
     * only ever used for chart-sized aggregates / verify replays; production
-    * sinks are file/Kafka via the same writeStream. */
-  def runToResult(stream: DataFrame, outputMode: String,
-                  statePartitions: Option[Int] = None): DataFrame = {
-    val spark = stream.sparkSession
+    * sinks are file/Kafka via the same writeStream.
+    *
+    * The stream is BUILT on a cloned session (`newSession`: shared
+    * SparkContext and catalog, private SQLConf) — hence the builder
+    * signature rather than a ready DataFrame. Streaming state partition
+    * count is a real deployment knob: it is FIXED into the checkpoint at
+    * first start and every micro-batch pays a fixed cost per state store
+    * instance (a stream-stream join keeps four stores per partition). A
+    * production query sizes it to |state| / executor memory; the replay
+    * gate's per-batch volume is tiny, so callers pass a small count. Setting
+    * it on the clone means a batch query planned concurrently on the
+    * caller's session can never inherit the temporary value — runToResult
+    * is safe for concurrent use of the parent session. */
+  def runToResult(spark: SparkSession, build: SparkSession => DataFrame,
+                  outputMode: String,
+                  statePartitions: Option[Int] = None,
+                  extraConfs: Map[String, String] = Map.empty): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    // Streaming state partition count is a real deployment knob: it is FIXED
-    // into the checkpoint at first start and every micro-batch pays a fixed
-    // cost per state store instance (a stream-stream join keeps four stores
-    // per partition). A production query sizes it to |state| / executor
-    // memory; the replay gate's per-batch volume is tiny, so callers pass a
-    // small count instead of inheriting the batch-side shuffle default. The
-    // conf is read at query START, so restoring it afterwards is safe.
-    val key = "spark.sql.shuffle.partitions"
-    val saved = statePartitions.map { n => val old = spark.conf.get(key); spark.conf.set(key, n); old }
-    try {
-      val q = stream.writeStream
-        .format("memory").queryName(name)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally saved.foreach(spark.conf.set(key, _))
-    spark.table(name)
+    val session = spark.newSession()
+    statePartitions.foreach(n =>
+      session.conf.set("spark.sql.shuffle.partitions", n.toString))
+    // deployment knobs that must bind to the streaming session only — e.g.
+    // the RocksDB state-store provider for beyond-heap state at scale
+    extraConfs.foreach { case (k, v) => session.conf.set(k, v) }
+    val q = build(session).writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    session.table(name)
   }
 
   /** q37: micro-batch periodic counts (reference cadences: 1 s / 3 min / 60 min).
     * Complete-mode aggregation ⇒ final result provably equals the batch twin. */
   def countsByType(spark: SparkSession, dir: String): DataFrame =
-    runToResult(
-      streamTable(spark, dir, "events").groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
+    runToResult(spark, s =>
+      streamTable(s, dir, "events").groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
       "complete", statePartitions = Some(8))
 
   /** q38: cross-batch dedup by key (reference: per-row EXISTS probe against
@@ -122,8 +130,8 @@ object Streaming {
     * `SELECT DISTINCT user_id`. */
   def streamDedupKeys(spark: SparkSession, dir: String,
                       horizon: String = "30 days"): DataFrame =
-    runToResult(
-      streamTable(spark, dir, "events")
+    runToResult(spark, s =>
+      streamTable(s, dir, "events")
         .select(col("user_id"), col("ts"))
         .withWatermark("ts", horizon)
         .dropDuplicatesWithinWatermark("user_id")
@@ -133,8 +141,8 @@ object Streaming {
   /** q42: tumbling-window daily counts, streaming form of the dashboard's
     * hand-rolled python window loop (`Analysis Dashboard/app.py:44-59`). */
   def tumblingDailyCounts(spark: SparkSession, dir: String): DataFrame =
-    runToResult(
-      streamTable(spark, dir, "events")
+    runToResult(spark, s =>
+      streamTable(s, dir, "events")
         .groupBy(window(col("ts"), "1 day"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("bucket_start"), col("cnt")),
@@ -167,7 +175,8 @@ object Streaming {
     * its own one-event session stays open and is never emitted. The result
     * provably equals the batch `session_window` twin (q57's oracle). */
   def statefulSessionsReplay(spark: SparkSession, dir: String, stageDirBase: String,
-                             gapMinutes: Int = 30): DataFrame = {
+                             gapMinutes: Int = 30,
+                             extraConfs: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     // the staged source is INPUT SYNTHESIS (turning the batch table into a
     // replayable stream + flush sentinels), not the operator under test —
@@ -183,11 +192,12 @@ object Streaming {
         .withColumn("ts", lit("2025-01-01 00:00:00").cast("timestamp"))
       ev.unionByName(flush).write.mode("overwrite").parquet(stageDir)
     }
-    val stream = spark.readStream
-      .schema("user_id BIGINT, ts TIMESTAMP").parquet(stageDir)
-      .as[SessionEvent]
-    runToResult(statefulSessions(stream, gapMinutes).toDF(), "append",
-      statePartitions = Some(8))
+    runToResult(spark, { s =>
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP").parquet(stageDir)
+        .as[SessionEvent]
+      statefulSessions(stream, gapMinutes).toDF()
+    }, "append", statePartitions = Some(8), extraConfs = extraConfs)
   }
 
   /** q81: watermarked stream-stream self-join — each purchase attributed to
@@ -199,29 +209,28 @@ object Streaming {
     * the canonical Structured Streaming join shape. On the finite replay
     * (one file → one micro-batch) every match emits, so the result equals
     * the batch range-join twin. */
-  def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
-    // ONE file source, both join branches filtered from it (a stream-stream
-    // self-join): each micro-batch reads the input once, not once per side
-    val events = streamTable(spark, dir, "events")
-    val views = events
-      .filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
-      .withWatermark("view_ts", "1 hour")
-    val purchases = events
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    runToResult(
+  def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame =
+    runToResult(spark, { s =>
+      // ONE file source, both join branches filtered from it (a stream-stream
+      // self-join): each micro-batch reads the input once, not once per side
+      val events = streamTable(s, dir, "events")
+      val views = events
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val purchases = events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
       purchases.join(views,
         col("p_user_id") === col("user_id") &&
           col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
           col("view_ts") <= col("purchase_ts"))
-        .select(col("user_id"), col("purchase_id"), col("view_id")),
-      "append",
+        .select(col("user_id"), col("purchase_id"), col("view_id"))
+    }, "append",
       // 4 state stores per partition on a join — size to the replay volume
       statePartitions = Some(8))
-  }
 
   /** Content fingerprint for a staged-input cache key: FNV-1a over the full
     * sanitized path plus every file's (relative name, size, mtime) under the

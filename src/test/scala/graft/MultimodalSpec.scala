@@ -13,9 +13,9 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getLong(1) == 3L && rows(1).getLong(1) == 0L)
   }
 
-  test("FakeDecoder emits [len, avg, min, max] byte stats deterministically") {
+  test("FakeDecoder emits [len, sum, min, max] byte stats deterministically") {
     val f = Multimodal.FakeDecoder.decode("ab".getBytes("UTF-8"))
-    assert(f.toSeq == Seq(2f, 97.5f, 97f, 98f))
+    assert(f.toSeq == Seq(2f, 195f, 97f, 98f))
     assert(Multimodal.FakeDecoder.decode(Array.emptyByteArray).toSeq == Seq(0f, 0f, 0f, 0f))
   }
 

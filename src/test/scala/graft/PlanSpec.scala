@@ -93,4 +93,15 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(plan).size <= 2,
       s"window passes should share the user_id partitioning:\n$plan")
   }
+
+  test("decontamination probe broadcasts the eval shingles; corpus never shuffles (q102)") {
+    val plan = q("q102_contamination")
+    assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
+  }
+
+  test("sliding distinct fans days out map-side — no range join, no cartesian (q108)") {
+    val plan = q("q108_sliding_distinct")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"day fan-out must be map-side, not a join:\n$plan")
+  }
 }

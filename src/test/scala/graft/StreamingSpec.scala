@@ -128,6 +128,19 @@ class StreamingSpec extends SparkSpec {
       "each closed session must appear exactly once, open sessions not at all")
   }
 
+  test("stateful sessionizer is store-agnostic: RocksDB provider equals the default store") {
+    // the 100 TB state path: the default HDFS-backed store keeps state on
+    // the executor heap; RocksDB spills beyond it. Same replay, same result.
+    val tmp = java.nio.file.Files.createTempDirectory("rocksdb_replay").toString
+    val rocks = Streaming.statefulSessionsReplay(spark, dir, tmp,
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      .orderBy("user_id", "session_start").collect().map(_.toString).toSeq
+    val default = Streaming.statefulSessionsReplay(spark, dir, tmp)
+      .orderBy("user_id", "session_start").collect().map(_.toString).toSeq
+    assert(rocks.nonEmpty && rocks == default)
+  }
+
   test("stateful session absorbs an in-horizon out-of-order event on the start side") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{ClosedSession, SessionEvent}
