@@ -30,7 +30,12 @@ object Bench {
         true
       } catch { case _: Throwable => false }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional probe filter (comma-separated keys): time a subset in
+    // isolation — the driver never sets this, so the contract is unchanged
+    val names = sys.env.get("SPARK_GRAFT_KEYS") match {
+      case Some(ks) => ks.split(",").toSeq.filter(SparkEntry.queries.contains).sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
 
     // Untimed warm-up at the smallest SF: pays Janino/JIT codegen and file
     // index costs once so the timed pass measures data processing.

@@ -83,7 +83,10 @@ object Streaming {
     * first start and every micro-batch pays a fixed cost per state store
     * instance (a stream-stream join keeps four stores per partition). A
     * production query sizes it to |state| / executor memory; the replay
-    * gate's per-batch volume is tiny, so callers pass a small count. Setting
+    * gate's per-batch volume is tiny, so callers pass a small count
+    * (measured at sf0.1: 4 beats 8 by ~18% on the five streaming keys and
+    * beats 2 on the join/session keys, where state work still parallelizes).
+    * Setting
     * it on the clone means a batch query planned concurrently on the
     * caller's session can never inherit the temporary value — runToResult
     * is safe for concurrent use of the parent session. */
@@ -112,7 +115,7 @@ object Streaming {
   def countsByType(spark: SparkSession, dir: String): DataFrame =
     runToResult(spark, s =>
       streamTable(s, dir, "events").groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
-      "complete", statePartitions = Some(8))
+      "complete", statePartitions = Some(4))
 
   /** q38: cross-batch dedup by key (reference: per-row EXISTS probe against
     * the whole table, `Data Collection/Reddit.py:75-80` — unbounded). Project
@@ -136,7 +139,7 @@ object Streaming {
         .withWatermark("ts", horizon)
         .dropDuplicatesWithinWatermark("user_id")
         .select("user_id"),
-      "append", statePartitions = Some(8))
+      "append", statePartitions = Some(4))
 
   /** q42: tumbling-window daily counts, streaming form of the dashboard's
     * hand-rolled python window loop (`Analysis Dashboard/app.py:44-59`). */
@@ -146,7 +149,7 @@ object Streaming {
         .groupBy(window(col("ts"), "1 day"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("bucket_start"), col("cnt")),
-      "complete", statePartitions = Some(8))
+      "complete", statePartitions = Some(4))
 
   /** q39 live shape: watermarked window agg — late rows beyond the horizon are
     * dropped, the streaming analogue of the reference's "discard posts older
@@ -197,7 +200,7 @@ object Streaming {
         .schema("user_id BIGINT, ts TIMESTAMP").parquet(stageDir)
         .as[SessionEvent]
       statefulSessions(stream, gapMinutes).toDF()
-    }, "append", statePartitions = Some(8), extraConfs = extraConfs)
+    }, "append", statePartitions = Some(4), extraConfs = extraConfs)
   }
 
   /** q81: watermarked stream-stream self-join — each purchase attributed to
@@ -230,7 +233,7 @@ object Streaming {
         .select(col("user_id"), col("purchase_id"), col("view_id"))
     }, "append",
       // 4 state stores per partition on a join — size to the replay volume
-      statePartitions = Some(8))
+      statePartitions = Some(4))
 
   /** Content fingerprint for a staged-input cache key: FNV-1a over the full
     * sanitized path plus every file's (relative name, size, mtime) under the

@@ -42,6 +42,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: TwoPhase prefix sum equals the sequential scan for random inputs") {
+    import graft.ops.TwoPhase
+    // random key sets (duplicated keys excluded — the order must be total),
+    // random values incl. zeros, random bin counts incl. degenerate bins=1
+    for (s <- 1L to 6L) {
+      val keys = sample(Gen.listOfN(200, Gen.chooseNum(-5000L, 5000L)), s).distinct
+      val rows = keys.map(k => (k, sample(Gen.chooseNum(0L, 99L), s * 7919 + k)))
+      val bins = sample(Gen.chooseNum(1, 40), s + 50)
+      val (got, total) = TwoPhase.prefixSum(rows.toDF("k", "v"), col("k"),
+        Seq(col("k")), col("v"), "cum", bins)
+      val gotMap = got.select("k", "cum").as[(Long, Long)].collect().toMap
+      val expect = rows.sortBy(_._1).scanLeft((0L, 0L)) {
+        case ((_, acc), (k, v)) => (k, acc + v)
+      }.tail.toMap
+      assert(gotMap == expect, s"seed $s bins=$bins diverged")
+      assert(total == rows.map(_._2).sum)
+    }
+  }
+
   test("property: anti-join dedup is idempotent and disjoint from existing") {
     for (s <- 1L to 5L) {
       val in = sample(idGen, s)
