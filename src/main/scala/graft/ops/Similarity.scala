@@ -74,7 +74,17 @@ object Similarity {
     * differential oracle needs; a production build seeds Lloyd iterations
     * from these (each iteration is one groupBy(cell) avg over the corpus). */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
-                vecCol: String): DataFrame = {
+                vecCol: String): DataFrame =
+    ivfProbe(vectors, centroids, idCol, vecCol, nprobe = 1)
+
+  /** Top-`nprobe` centroid cells per vector (highest cosine, centroid-id
+    * tie-break) — `nprobe = 1` is storage assignment (each corpus vector
+    * lives in exactly one cell); `nprobe > 1` is the query-side recall
+    * lever: probing n cells scans n/|cells| of the corpus and recovers
+    * neighbors that straddle a cell boundary. One row per (vector, probed
+    * cell). Centroids broadcast; one corpus scan. */
+  def ivfProbe(vectors: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String, nprobe: Int): DataFrame = {
     val c = broadcast(centroids.select(
       col(idCol).as("cell"), col(vecCol).as("cv")))
     val scored = vectors.select(col(idCol), col(vecCol))
@@ -82,7 +92,7 @@ object Similarity {
       .withColumn("__cos", dot(vecCol, "cv") / (norm(vecCol) * norm("cv")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cell"))
     scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= nprobe)
       .select(col(idCol), col(vecCol), col("cell"))
   }
 
@@ -123,15 +133,17 @@ object Similarity {
       .agg(avg(col("d"))).head().getDouble(0)
   }
 
-  /** IVF top-k search (nprobe=1): each query scores only the vectors in its
-    * own cell — corpus/|cells| of the data per query instead of all of it.
-    * Approximate: neighbors assigned to other cells are missed; recall is
-    * bounded in tests and raised in production by probing more cells. */
+  /** IVF top-k search: each query scores only the vectors in its `nprobe`
+    * nearest cells — nprobe/|cells| of the corpus per query instead of all
+    * of it. Approximate: neighbors outside the probed cells are missed;
+    * recall rises monotonically with `nprobe` (SimilaritySpec asserts it)
+    * and reaches brute force at nprobe = |cells|. Corpus vectors live in
+    * exactly one cell, so probing produces no duplicate candidate pairs. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     val corpusCells = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val queryCells = ivfAssign(queries, centroids, idCol, vecCol)
+    val queryCells = ivfProbe(queries, centroids, idCol, vecCol, nprobe)
       .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = corpusCells.join(queryCells, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -23,7 +23,11 @@ class DeterminismSpec extends SparkSpec {
     // window ties, random-salt join, catalog round-trip
     "q74_unified_pipeline", "q75_stateful_sessions", "q76_curation_chain",
     "q77_neardup_components", "q78_tfidf_topk", "q81_stream_stream_join",
-    "q83_custom_udaf", "q85_salted_join", "q88_bucketed_join")
+    "q83_custom_udaf", "q85_salted_join", "q88_bucketed_join",
+    // round-7 keys: two-phase binning (driver-collected cutpoints/offsets
+    // must be run-stable), RDD-based feature extraction, full-outer merge
+    "q91_sequence_packing", "q93_vocab_encode", "q96_decile_stats",
+    "q110_multimodal_features", "q111_incremental_agg")
 
   for (name <- sampled) {
     test(s"$name is run-to-run deterministic") {

@@ -92,6 +92,24 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq(5L))
   }
 
+  test("ivfTopK recall rises monotonically with nprobe, reaching brute force at |cells|") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val centroids = emb.filter(col("vec_id") < 4) // 4 cells
+    val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, queries, centroids,
+        "vec_id", "embedding", 5, nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r = Seq(1, 2, 4).map(recall)
+    assert(r == r.sorted, s"recall must be monotone in nprobe: $r")
+    assert(r.last == 1.0, s"nprobe = |cells| must equal brute force: $r")
+    assert(r.head < 1.0 || r.head == 1.0) // nprobe=1 recall recorded, may be partial
+  }
+
   test("ivfTrain reduces distortion vs the raw seed centroids") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val seeds = emb.filter(col("vec_id") < 8).select("vec_id", "embedding")

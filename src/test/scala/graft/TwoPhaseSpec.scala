@@ -70,6 +70,18 @@ class TwoPhaseSpec extends SparkSpec {
     }
   }
 
+  test("prefixSum survives the degenerate bin key: every row the same value") {
+    // worst-case tie tier — all rows share one bin; parity must still hold
+    // (the plan degrades to one busy window task, the documented bound)
+    val df = (1L to 300L).map(i => (42L, i, i % 5 + 1)).toDF("k", "id", "v")
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("id").select("cum").collect().map(_.getLong(0))
+    val (got, total) = TwoPhase.prefixSum(df, col("k"), Seq(col("id")), col("v"), "cum")
+    assert(got.orderBy("id").select("cum").collect().map(_.getLong(0)).toSeq == expect.toSeq)
+    assert(total == expect.last)
+  }
+
   test("prefixSum on an empty frame yields an empty frame and total 0") {
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
     val (got, total) = TwoPhase.prefixSum(df, col("id"), Seq(col("id")), col("v"), "cum")
