@@ -131,6 +131,27 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((2L, 2L, true), (4L, 2L, false), (9L, 1L, true)))
   }
 
+  test("star contraction equals min-label propagation on chains, cliques, random graphs") {
+    // a deep chain (diameter = rounds for propagation, log² for stars),
+    // a clique, an isolated pair, plus seeded pseudo-random edge sets
+    val chain = (1L until 15L).map(i => (i, i + 1))
+    val clique = for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)
+    val pair = Seq((90L, 91L))
+    val rnd = (0 until 60).map { i =>
+      val a = (i * 2654435761L) % 37 + 100
+      val b = (i * 40503L + 7) % 37 + 100
+      (a, b)
+    }.filter(e => e._1 != e._2)
+    for (edges <- Seq(chain, clique ++ pair, rnd, chain ++ clique ++ rnd)) {
+      val pairs = edges.toDF("id_a", "id_b")
+      val prop = Dedup.connectedComponents(pairs, maxIter = 60)
+        .as[(Long, Long)].collect().toSet
+      val star = Dedup.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(star == prop, s"star != propagation for ${edges.take(5)}...")
+    }
+  }
+
   test("clusterRepresentatives elects the longest member per component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (6L, 9L))
