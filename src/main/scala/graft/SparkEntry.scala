@@ -365,16 +365,20 @@ object SparkEntry {
         .rollup(col("event_type"), col("day"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
-    "q65_percentiles" -> ((s, dir) =>
-      // ONE sort-based percentile aggregate for all three quantiles (the
-      // array form shares the buffer; three separate aggs triple the work)
-      T(s, dir, "events").groupBy(col("event_type"))
-        .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("__p"))
-        .select(col("event_type"),
-          round(element_at(col("__p"), 1), 4).as("p50"),
-          round(element_at(col("__p"), 2), 4).as("p90"),
-          round(element_at(col("__p"), 3), 4).as("p99"))
-        .orderBy("event_type")),
+    "q65_percentiles" -> ((s, dir) => {
+      // exact quantiles via the value-histogram path: `percentile()` holds
+      // every group value in one task's buffer at scale, while the histogram
+      // shuffles (type, DISTINCT cents value) with map-side combine and its
+      // CDF window is bounded by the quantized value domain. Bit-compatible
+      // with percentile() (RelationalSpec asserts parity).
+      val quants = Relational.histogramQuantiles(
+        T(s, dir, "events"), "event_type", "value", Seq(0.5, 0.9, 0.99))
+      quants.groupBy(col("event_type"))
+        .agg(round(min(when(col("q") === 0.5, col("quantile"))), 4).as("p50"),
+          round(min(when(col("q") === 0.9, col("quantile"))), 4).as("p90"),
+          round(min(when(col("q") === 0.99, col("quantile"))), 4).as("p99"))
+        .orderBy("event_type")
+    }),
     "q66_pivot" -> ((s, dir) =>
       // dashboard crosstab: one row per day, one column per event type —
       // explicit pivot values keep the schema deterministic (no value scan)

@@ -205,4 +205,45 @@ object Relational {
       .agg(count_distinct(col("__k")).as("active"))
       .select(date_format(col("__day"), "yyyy-MM-dd").as("day"), col("active"))
   }
+
+  /** Exact per-group quantiles via a value histogram — the scale path for
+    * `percentile(value, array(...))`, whose aggregation buffer holds every
+    * group value on one task at 100 TB. Here the one shuffle carries
+    * (group, DISTINCT value) with map-side combine, the CDF window runs over
+    * the distinct-value domain (bounded for quantized values — the repo's
+    * cents discipline — regardless of row count), and each quantile reads
+    * exactly the one or two covering histogram rows.
+    *
+    * Bit-compatible with Spark's `percentile`: the interpolation reproduces
+    * its exact expression `(hi - pos)·v_lo + (pos - lo)·v_hi` (NOT the
+    * algebraically equal `v_lo + frac·Δ`, which can differ in the last ulp
+    * and flip a 4-dp rounding). Precondition: bounded/quantized value
+    * domain; for continuous unbounded domains use `percentile_approx`.
+    *
+    * Output: (groupCol, q, quantile) — one row per group × requested q. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         qs: Seq[Double]): DataFrame = {
+    val cdf = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__hi", sum(col("__c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__v"))))
+      .withColumn("__lo", col("__hi") - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qf = broadcast(qs.toDF("__q"))
+    val pos = col("__q") * (col("__n") - 1).cast("double")
+    val coversLo = col("__lo") <= floor(pos) && floor(pos) < col("__hi")
+    val coversHi = col("__lo") <= ceil(pos) && ceil(pos) < col("__hi")
+    cdf.join(qf, coversLo || coversHi)
+      .groupBy(col(groupCol), col("__q"))
+      .agg(min(when(coversLo, col("__v"))).as("__vlo"),
+        min(when(coversHi, col("__v"))).as("__vhi"),
+        min(pos).as("__pos"))
+      .withColumn("quantile",
+        when(ceil(col("__pos")) === floor(col("__pos")), col("__vlo"))
+          .otherwise((ceil(col("__pos")) - col("__pos")) * col("__vlo") +
+            (col("__pos") - floor(col("__pos"))) * col("__vhi")))
+      .select(col(groupCol), col("__q").as("q"), col("quantile"))
+  }
 }

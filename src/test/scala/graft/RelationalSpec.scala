@@ -145,4 +145,27 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(("2024-01-01", 1L), ("2024-01-05", 2L), ("2024-02-01", 1L)))
   }
 
+  test("histogramQuantiles is bit-identical to percentile() incl. ties and 1-row groups") {
+    // heavy-tie quantized data, one singleton group, integral and fractional
+    // interpolation positions across 0.5/0.9/0.99
+    val rows = (1 to 97).map(i => ("a", (i % 13) * 0.25)) ++
+      (1 to 40).map(i => ("b", (i % 7) * 1.5)) ++ Seq(("c", 42.0))
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val expect = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.5, 0.9, 0.99))").as("p"))
+      .select(col("g"), posexplode(col("p")))
+      .select(col("g"), col("pos"), col("col"))
+      .as[(String, Int, Double)].collect()
+      .map { case (g, i, v) => ((g, qs(i)), v) }.toMap
+    val got = Relational.histogramQuantiles(df, "g", "v", qs)
+      .as[(String, Double, Double)].collect()
+      .map { case (g, q, v) => ((g, q), v) }.toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(expect(k)), s"$k: $v != ${expect(k)}")
+    }
+  }
+
 }
