@@ -926,6 +926,46 @@ object SparkEntry {
         "user_id", sumCols = Seq("n_events", "total_cents"),
         minCols = Seq("first_ts"), maxCols = Seq("last_ts"))
         .orderBy("user_id")
+    }),
+    "q112_image_decode" -> ((s, dir) => {
+      // REAL image decode under the gate: per doc, a solid-color PNG is
+      // synthesized with geometry/color derived from (doc_id, n_chars), and
+      // ImageDecoder genuinely parses the PNG bytes per partition (JDK
+      // ImageIO — no external codecs). The oracle predicts the decoded
+      // (width, height, mean RGB) arithmetically; means of a constant-color
+      // image are exact, so the compare is bit-strict.
+      import s.implicits._
+      val imgs = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
+          val rgb = (((id % 256) << 16) | ((nc % 256) << 8) | 7L).toInt
+          (id, Multimodal.synthPng((nc % 16 + 1).toInt, (id % 16 + 1).toInt, rgb))
+        }).toDF("doc_id", "payload")
+      Multimodal.extractFeatures(imgs, "doc_id", Multimodal.ImageDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("mean_r"),
+          element_at(col("features"), 4).cast("long").as("mean_g"),
+          element_at(col("features"), 5).cast("long").as("mean_b"))
+        .orderBy("doc_id")
+    }),
+    "q113_audio_decode" -> ((s, dir) => {
+      // REAL audio decode under the gate: per doc, a constant-amplitude
+      // 16-bit mono PCM WAV is synthesized and WavDecoder genuinely parses
+      // the RIFF container (JDK javax.sound). Oracle predicts (sample rate,
+      // frame count, peak amplitude) arithmetically.
+      import s.implicits._
+      val wavs = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
+          (id, Multimodal.synthWav((nc % 500 + 1).toInt,
+            (id % 30000).toShort, 16000))
+        }).toDF("doc_id", "payload")
+      Multimodal.extractFeatures(wavs, "doc_id", Multimodal.WavDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("n_frames"),
+          element_at(col("features"), 3).cast("long").as("peak"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1740,6 +1780,23 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents,
         |  min(ts) AS first_ts, max(ts) AS last_ts
         |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q112_image_decode" ->
+      // the decoded properties of a solid-color (n_chars%16+1)×(doc_id%16+1)
+      // PNG with RGB (doc_id%256, n_chars%256, 7) — pure arithmetic here,
+      // genuine ImageIO parsing on the Spark side
+      """SELECT doc_id, CAST(n_chars % 16 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 16 + 1 AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS mean_r,
+        |  CAST(n_chars % 256 AS BIGINT) AS mean_g,
+        |  CAST(7 AS BIGINT) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q113_audio_decode" ->
+      // decoded WAV properties: 16 kHz, n_chars%500+1 frames, constant
+      // amplitude doc_id%30000 — arithmetic here, real RIFF parsing there
+      """SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(n_chars % 500 + 1 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 30000 AS BIGINT) AS peak
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q84_full_outer_join" ->
       """WITH a AS (SELECT o_custkey AS custkey, count(*) AS cnt96 FROM orders
         |  WHERE year(o_orderdate) = 1996 GROUP BY 1),

@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * with decode / feature-extraction as per-partition batch transforms.
   *
-  * The real decode step (image/audio codecs) is STUBBED — this container has
-  * no media libraries — but everything Spark-side is real and tested: the
-  * schema (binary payload + metadata struct), the partition-parallel transform
-  * shape, and the batch iteration contract. A production deployment swaps
-  * [[FakeDecoder]] for a codec-backed one with the same signature; on a real
-  * cluster this is the `mapInPandas`/`mapPartitions` slot where batch size and
-  * arrow page shape matter, not the driver.
+  * Decode is REAL for the formats the JDK ships codecs for — [[ImageDecoder]]
+  * parses PNG/BMP/GIF/JPEG via `javax.imageio`, [[WavDecoder]] parses
+  * WAV/PCM via `javax.sound.sampled` — both under the oracle gate (q112/
+  * q113) through deterministic synthesized media whose decoded properties
+  * the oracle predicts arithmetically. Video frame decode stays STUBBED
+  * ([[frameSampleStub]] — no video codec in the JDK; a deployment drops an
+  * ffmpeg-backed decoder into the same [[Decoder]] seam). Everything
+  * Spark-side is real and tested: the schema (binary payload + metadata
+  * struct), the partition-parallel transform shape ([[extractFeatures]] —
+  * the `mapPartitions` slot where a per-partition codec instance amortizes),
+  * and the batch iteration contract.
   */
 object Multimodal {
 
@@ -36,6 +40,94 @@ object Multimodal {
       payload.foreach { b => val v = b & 0xff; sum += v; mn = math.min(mn, v); mx = math.max(mx, v) }
       Array(payload.length.toFloat, sum.toFloat, mn.toFloat, mx.toFloat)
     }
+  }
+
+  /** REAL image decoder — JDK `javax.imageio` (PNG/BMP/GIF/JPEG), no
+    * external codec libraries. Features: [width, height, mean R, mean G,
+    * mean B]; non-image payloads decode to [-1, -1, -1, -1, -1] (a real
+    * pipeline routes those to quarantine). Means are exact for
+    * constant-color images — the property the differential gate uses. */
+  object ImageDecoder extends Decoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return Array(-1f, -1f, -1f, -1f, -1f)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(w.toFloat, h.toFloat, sr.toFloat / n, sg.toFloat / n, sb.toFloat / n)
+    }
+  }
+
+  /** REAL audio decoder — JDK `javax.sound.sampled` (WAV/PCM), no external
+    * codec libraries. Features: [sample rate, frame count, peak |amplitude|]
+    * over 16-bit little-endian mono PCM; non-audio payloads decode to
+    * [-1, -1, -1]. */
+  object WavDecoder extends Decoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (in == null) return Array(-1f, -1f, -1f)
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val bytes = in.readAllBytes()
+      var peak = 0
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+        val a = math.abs(s.toInt)
+        if (a > peak) peak = a
+        i += 2
+      }
+      Array(fmt.getSampleRate, frames.toFloat, peak.toFloat)
+    }
+  }
+
+  /** Deterministic PNG synthesis (JDK ImageIO): one solid-color w×h RGB
+    * image. INPUT SYNTHESIS for the decode gate — the operator under test is
+    * [[ImageDecoder]], which performs a genuine PNG parse of these bytes. */
+  def synthPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic WAV synthesis: 16-bit LE mono PCM, constant amplitude —
+    * a well-formed RIFF container [[WavDecoder]] genuinely parses. */
+  def synthWav(nSamples: Int, amplitude: Short, sampleRate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { bb.putShort(amplitude); i += 1 }
+    bb.array()
   }
 
   /** Wrap a text corpus as a multimodal table: payload (binary) + metadata

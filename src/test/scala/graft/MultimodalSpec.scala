@@ -19,6 +19,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.FakeDecoder.decode(Array.emptyByteArray).toSeq == Seq(0f, 0f, 0f, 0f))
   }
 
+  test("ImageDecoder round-trips a synthesized PNG exactly; rejects non-images") {
+    val png = Multimodal.synthPng(5, 3, 0x8a4507)
+    val f = Multimodal.ImageDecoder.decode(png)
+    assert(f.toSeq == Seq(5f, 3f, 0x8a.toFloat, 0x45.toFloat, 0x07.toFloat))
+    assert(Multimodal.ImageDecoder.decode("not an image".getBytes).toSeq ==
+      Seq(-1f, -1f, -1f, -1f, -1f))
+  }
+
+  test("WavDecoder round-trips a synthesized PCM WAV exactly; rejects non-audio") {
+    val wav = Multimodal.synthWav(nSamples = 123, amplitude = 4567, sampleRate = 16000)
+    val f = Multimodal.WavDecoder.decode(wav)
+    assert(f.toSeq == Seq(16000f, 123f, 4567f))
+    assert(Multimodal.WavDecoder.decode("noise".getBytes).toSeq == Seq(-1f, -1f, -1f))
+  }
+
   test("resizeStub evolves metadata without touching payload") {
     val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
     val out = Multimodal.resizeStub(Multimodal.asMultimodal(docs, "doc_id", "text"), 640, 480)
