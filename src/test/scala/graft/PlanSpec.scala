@@ -99,6 +99,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
   }
 
+  test("histogram percentiles never fall back to sort-based aggregation (q65)") {
+    val plan = q("q65_percentiles")
+    assert(!plan.contains("SortAggregate"), s"value histogram must hash-aggregate:\n$plan")
+  }
+
+  test("profile sorts nothing but the output row order (q107)") {
+    // the distinct Expand must stay hash-aggregated and the global string
+    // min/max agg needs no ordering — one Sort total (the final orderBy)
+    val finalTree = q("q107_profile").split("== Initial Plan ==")(0)
+    assert(finalTree.contains("Expand"), s"expected the count-distinct expand:\n$finalTree")
+    assert("\\bSort \\(".r.findAllIn(finalTree).size == 1,
+      s"only the output orderBy may sort:\n$finalTree")
+  }
+
   test("sliding distinct fans days out map-side — no range join, no cartesian (q108)") {
     val plan = q("q108_sliding_distinct")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
