@@ -72,3 +72,31 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+def gen_events(out_dir, shards):
+    """10x events slice for the events-table SCALE probes: same shape as the
+    driver's sf0.1 events (ns timestamps, 2-dp values, 5 event types,
+    JSON-ish props), N independent month-long shards with disjoint user/event
+    id ranges so per-user group sizes stay sf0.1-like (engine scaling, not
+    synthetic hot keys)."""
+    rng = np.random.default_rng(42)
+    types = np.array(['view', 'click', 'purchase', 'signup', 'error'])
+    tables = []
+    n = 100_000
+    for s in range(shards):
+        base = np.datetime64('2024-01-01') + np.timedelta64(0, 'ns')
+        ts = (np.datetime64('2024-01-01').astype('datetime64[ns]').astype(np.int64)
+              + rng.integers(0, 30 * 86400 * 10**9, n, dtype=np.int64))
+        tables.append(pa.table({
+            'event_id': pa.array(s * n + np.arange(n, dtype=np.int64)),
+            'ts': pa.array(np.sort(ts).astype('datetime64[ns]')),
+            'user_id': pa.array(s * 1500 + rng.integers(0, 1500, n, dtype=np.int64)),
+            'event_type': pa.array(types[rng.integers(0, 5, n)]),
+            'value': pa.array(np.round(rng.uniform(0, 500, n) * rng.uniform(0, 1, n) ** 2, 2)),
+            'props': pa.array(['{"k":%d}' % v for v in rng.integers(0, 100, n)]),
+        }))
+    pq.write_table(pa.concat_tables(tables), f'{out_dir}/events.parquet')
+    print(f'wrote {shards * n} events to {out_dir}')
+
+if __name__ == '__main__' and len(sys.argv) > 3 and sys.argv[3] == 'events':
+    gen_events(sys.argv[1], int(sys.argv[2]))
