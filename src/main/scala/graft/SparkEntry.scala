@@ -966,7 +966,15 @@ object SparkEntry {
           element_at(col("features"), 2).cast("long").as("n_frames"),
           element_at(col("features"), 3).cast("long").as("peak"))
         .orderBy("doc_id")
-    })
+    }),
+    "q114_stream_outer_join" -> ((s, dir) =>
+      // outer stream-stream attribution: unmatched purchases survive as
+      // null-extended rows, flushed deterministically by watermark sentinels
+      // (Streaming.scala); oracle = the batch LEFT JOIN twin
+      Streaming.streamOuterAttribution(s, dir, s"$TMP/q114_src")
+        // null view_id sorts differently in the two engines — make the
+        // gate order explicit: nulls first, like Spark's asc default
+        .orderBy(col("purchase_id"), col("view_id").asc_nulls_first))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1797,6 +1805,15 @@ object SparkEntry {
         |  CAST(n_chars % 500 + 1 AS BIGINT) AS n_frames,
         |  CAST(doc_id % 30000 AS BIGINT) AS peak
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q114_stream_outer_join" ->
+      // NULLS FIRST matches Spark's ascending null ordering
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM ev WHERE event_type = 'view')
+        |SELECT p.user_id, purchase_id, view_id
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND view_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts
+        |ORDER BY purchase_id, view_id NULLS FIRST""".stripMargin,
     "q84_full_outer_join" ->
       """WITH a AS (SELECT o_custkey AS custkey, count(*) AS cnt96 FROM orders
         |  WHERE year(o_orderdate) = 1996 GROUP BY 1),

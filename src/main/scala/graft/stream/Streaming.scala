@@ -235,6 +235,60 @@ object Streaming {
       // 4 state stores per partition on a join — size to the replay volume
       statePartitions = Some(4))
 
+  /** q114: watermarked stream-stream LEFT OUTER join — q81's attribution
+    * with the unmatched purchases kept as null-extended rows. The outer side
+    * emits a null row only once the watermark PROVES no match can still
+    * arrive (state eviction), which on a finite replay would leave the tail
+    * purchases unflushed — so the staged input appends one far-future
+    * sentinel per side (user_id -1, 10 days apart so they cannot match each
+    * other): processing them advances both watermarks past every real row,
+    * the final no-data micro-batch evicts all join state, and every
+    * unmatched purchase flushes deterministically. Sentinels filter out of
+    * the result; equality with the batch LEFT JOIN twin is the oracle. */
+  def streamOuterAttribution(spark: SparkSession, dir: String,
+                             stageDirBase: String): DataFrame = {
+    val stageDir = s"$stageDirBase/${stageKey(dir)}"
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val sentinels = spark.createDataFrame(Seq(
+        (-1L, "2025-06-01 00:00:00", -1L, "view"),
+        (-2L, "2025-06-10 00:00:00", -1L, "purchase")))
+        .toDF("event_id", "__ts", "user_id", "event_type")
+        .select(col("event_id"), col("__ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+      ev.unionByName(sentinels).write.mode("overwrite").parquet(stageDir)
+    }
+    val result = runToResult(spark, { s =>
+      val events = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .parquet(stageDir)
+      val views = events
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val purchases = events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      // the sentinel filter must NOT appear inside this plan: a user_id >= 0
+      // predicate here is constraint-propagated below BOTH watermark nodes
+      // and prunes the sentinels at the scan — the watermark then never
+      // advances past the real data and the tail purchases never flush
+      // (observed: exactly the last real-hour purchases went missing)
+      purchases.join(views,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("purchase_ts"),
+        "left_outer")
+        .select(col("user_id"), col("purchase_id"), col("view_id"))
+    }, "append", statePartitions = Some(4))
+    // sentinels drop on the BATCH side, after the memory sink
+    result.filter(col("user_id") >= 0)
+  }
+
   /** Content fingerprint for a staged-input cache key: FNV-1a over the full
     * sanitized path plus every file's (relative name, size, mtime) under the
     * events table dir, hex-encoded. Changing any input byte's file metadata

@@ -27,7 +27,10 @@ class DeterminismSpec extends SparkSpec {
     // round-7 keys: two-phase binning (driver-collected cutpoints/offsets
     // must be run-stable), RDD-based feature extraction, full-outer merge
     "q91_sequence_packing", "q93_vocab_encode", "q96_decile_stats",
-    "q110_multimodal_features", "q111_incremental_agg")
+    "q110_multimodal_features", "q111_incremental_agg",
+    // outer stream-stream join: null emission rides watermark eviction,
+    // which the staged sentinels must make batch-schedule-independent
+    "q114_stream_outer_join")
 
   for (name <- sampled) {
     test(s"$name is run-to-run deterministic") {
