@@ -61,6 +61,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: histogramQuantiles == percentile() on random quantized data") {
+    for (s <- 1L to 4L) {
+      val n = 40 + (s * 37 % 120).toInt
+      val rows = (1 to n).map { i =>
+        val g = "g" + sample(Gen.chooseNum(0, 2), s * 1000 + i)
+        (g, sample(Gen.chooseNum(0, 40), s * 2000 + i) * 0.25)
+      }
+      val df = rows.toDF("g", "v")
+      val qs = Seq(0.25, 0.5, 0.75, 0.9)
+      val expect = df.groupBy("g")
+        .agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("p"))
+        .select(col("g"), posexplode(col("p")))
+        .collect().map(r => ((r.getString(0), qs(r.getInt(1))), r.getDouble(2))).toMap
+      val got = Relational.histogramQuantiles(df, "g", "v", qs)
+        .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+      assert(got == expect, s"seed $s diverged")
+    }
+  }
+
   test("property: anti-join dedup is idempotent and disjoint from existing") {
     for (s <- 1L to 5L) {
       val in = sample(idGen, s)
