@@ -75,10 +75,63 @@ object Bpe {
   def encode(docs: DataFrame, textCol: String,
              merges: Seq[(String, String)]): Column = {
     val words = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
-    // per word: chars → fold each merge in order; then flatten the doc
+    // per word: chars → fold each merge in order; then flatten the doc.
+    // Expression size grows with |merges| — fine for the tens of merges a
+    // test vocabulary carries; a production vocabulary (30k+ merges) uses
+    // [[encodeRanked]], whose cost per word is independent of plan size.
     flatten(transform(words, w =>
       merges.foldLeft(split(w, ""): Column) {
         case (acc, (p1, p2)) => applyMerge(acc, p1, p2)
       }))
+  }
+
+  /** Production-shape encoder for LARGE merge lists: the merge table ships
+    * once per partition (Spark broadcast via closure), and each word is
+    * encoded by the standard rank loop — repeatedly merge the lowest-rank
+    * adjacent pair until none applies. Equivalent to [[encode]] (BpeSpec
+    * asserts it): applying merges in rank order one-at-a-time corpus-wide
+    * equals applying all of them rank-ordered within each word, because a
+    * later merge can only consume symbols earlier merges produced.
+    * Output rows: (idCol, tokens array). */
+  def encodeRanked(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.{Row, types => T}
+    val spark = docs.sparkSession
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val idType = docs.schema(docs.schema.fieldIndex(idCol)).dataType
+    val schema = T.StructType(Seq(
+      T.StructField(idCol, idType),
+      T.StructField("tokens", T.ArrayType(T.StringType))))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    val rdd = docs.rdd.mapPartitions { rows =>
+      def encodeWord(w: String): List[String] = {
+        var syms = w.split("").toList
+        var done = false
+        while (!done) {
+          val best = syms.zip(syms.drop(1)).flatMap(p => rank.get(p).map((p, _)))
+            .sortBy(_._2).headOption
+          best match {
+            case None => done = true
+            case Some(((p1, p2), _)) =>
+              val out = scala.collection.mutable.ListBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+                  out += (p1 + p2); i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.toList
+          }
+        }
+        syms
+      }
+      rows.map { r =>
+        val toks = r.getString(textIdx).toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).flatMap(encodeWord)
+        Row(r.get(idIdx), toks.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 }

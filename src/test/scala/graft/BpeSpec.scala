@@ -80,6 +80,22 @@ class BpeSpec extends SparkSpec {
     assert(out.map(_._2.size).sum < chars)
   }
 
+  test("encodeRanked (production shape) equals the fold encoder") {
+    val rnd = new scala.util.Random(11)
+    val texts = (1 to 40).map { _ =>
+      (1 to (2 + rnd.nextInt(4))).map { _ =>
+        (1 to (1 + rnd.nextInt(7))).map(_ => "abcde"(rnd.nextInt(5))).mkString
+      }.mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = Bpe.learnMerges(df, "text", 10).map(m => (m._1, m._2))
+    val foldEnc = df.select(col("id"), Bpe.encode(df, "text", merges).as("tokens"))
+      .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+    val rankEnc = Bpe.encodeRanked(df, "id", "text", merges)
+      .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+    assert(rankEnc == foldEnc)
+  }
+
   test("learnMerges is deterministic run to run") {
     val df = Seq("spark scan scans spans", "span spark spark").toDF("text")
     val a = Bpe.learnMerges(df, "text", 5)
