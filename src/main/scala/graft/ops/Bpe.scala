@@ -127,7 +127,8 @@ object Bpe {
         syms
       }
       rows.map { r =>
-        val toks = r.getString(textIdx).toLowerCase.split("\\s+")
+        val text = if (r.isNullAt(textIdx)) "" else r.getString(textIdx)
+        val toks = text.toLowerCase.split("\\s+")
           .filter(_.nonEmpty).flatMap(encodeWord)
         Row(r.get(idIdx), toks.toSeq)
       }

@@ -223,7 +223,10 @@ object Relational {
     * Output: (groupCol, q, quantile) — one row per group × requested q. */
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                          qs: Seq[Double]): DataFrame = {
-    val cdf = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+    // percentile() skips NULL values — mirror that before the histogram, or
+    // a (group, NULL) row would enter the CDF and shift every rank
+    val cdf = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__hi", sum(col("__c")).over(
         Window.partitionBy(col(groupCol)).orderBy(col("__v"))))

@@ -145,6 +145,16 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(("2024-01-01", 1L), ("2024-01-05", 2L), ("2024-02-01", 1L)))
   }
 
+  test("histogramQuantiles skips NULL values exactly like percentile()") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("a", Some(2.0)),
+      ("b", None), ("b", Some(5.0))).toDF("g", "v")
+    val expect = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p"))
+      .as[(String, Double)].collect().toMap
+    val got = Relational.histogramQuantiles(df, "g", "v", Seq(0.5))
+      .select("g", "quantile").as[(String, Double)].collect().toMap
+    assert(got == expect, s"$got != $expect")
+  }
+
   test("histogramQuantiles is bit-identical to percentile() incl. ties and 1-row groups") {
     // heavy-tie quantized data, one singleton group, integral and fractional
     // interpolation positions across 0.5/0.9/0.99
