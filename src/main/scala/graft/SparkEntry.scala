@@ -357,6 +357,18 @@ object SparkEntry {
       nation.coalesce(1).write.mode("overwrite").orc(tmp)
       s.read.schema(nation.schema).orc(tmp).orderBy("n_nationkey")
     }),
+    "q115_xml_roundtrip" -> ((s, dir) => {
+      // Spark 4's native XML source (the web-scrape interchange format the
+      // reference's collectors would meet in the wild): write, read back
+      // with declared schema, prove value fidelity through the gate
+      val nation = T(s, dir, "nation")
+      val tmp = s"$TMP/q115_xml"
+      nation.coalesce(1).write.mode("overwrite")
+        .option("rootTag", "nations").option("rowTag", "nation").xml(tmp)
+      s.read.schema(nation.schema)
+        .option("rowTag", "nation").xml(tmp)
+        .orderBy("n_nationkey")
+    }),
     "q64_rollup" -> ((s, dir) =>
       // multi-granularity dashboard aggregate: (type, day), per-type subtotal,
       // grand total in ONE pass (vs re-scanning per granularity)
@@ -1247,6 +1259,7 @@ object SparkEntry {
         |FROM s JOIN c ON cts BETWEEN s.ts - INTERVAL 30 MINUTE AND s.ts + INTERVAL 30 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_orc_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q115_xml_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q64_rollup" ->
       """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
         |FROM events GROUP BY ROLLUP (event_type, day)
