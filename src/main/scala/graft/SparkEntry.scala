@@ -357,6 +357,15 @@ object SparkEntry {
       nation.coalesce(1).write.mode("overwrite").orc(tmp)
       s.read.schema(nation.schema).orc(tmp).orderBy("n_nationkey")
     }),
+    "q116_pq_encode" -> ((s, dir) => {
+      // product quantization: m=4 subvectors × 16 dims, codes = nearest
+      // codebook centroid per subvector (min L2, id tie-break); codebook =
+      // first 8 vectors by id, q58's deterministic-gate convention
+      val emb = T(s, dir, "embeddings")
+      Similarity.pqEncode(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", m = 4, subDim = 16)
+        .orderBy("vec_id")
+    }),
     "q115_xml_roundtrip" -> ((s, dir) => {
       // Spark 4's native XML source (the web-scrape interchange format the
       // reference's collectors would meet in the wild): write, read back
@@ -1260,6 +1269,25 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_orc_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q115_xml_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q116_pq_encode" ->
+      // same L2 expansion x·x − 2·x·c + c·c over list_dot_product, same
+      // centroid-id tie-break — code assignment must agree per subvector
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |subs AS (SELECT vec_id, CAST(s.i AS BIGINT) AS sub,
+        |    vv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS xs
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |cb AS (SELECT vec_id AS code, sub, xs AS cs FROM subs WHERE vec_id < 8),
+        |sc AS (SELECT x.vec_id, x.sub, c.code,
+        |  row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+        |    list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), c.code) AS rn
+        |  FROM subs x JOIN cb c USING (sub))
+        |SELECT vec_id,
+        |  max(CASE WHEN sub = 0 THEN code END) AS c0,
+        |  max(CASE WHEN sub = 1 THEN code END) AS c1,
+        |  max(CASE WHEN sub = 2 THEN code END) AS c2,
+        |  max(CASE WHEN sub = 3 THEN code END) AS c3
+        |FROM sc WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q64_rollup" ->
       """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
         |FROM events GROUP BY ROLLUP (event_type, day)

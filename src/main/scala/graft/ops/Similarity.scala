@@ -249,4 +249,40 @@ object Similarity {
         floor(col("__scale") * 1000000L + 0.5).cast("long").as("scale_e6"),
         transform(col(vecCol),
           x => floor(x.cast("double") * col("__scale") + 0.5).cast("int")).as("codes"))
+
+  /** Product quantization: split each vector into `m` contiguous subvectors
+    * of `subDim` dims and store only the id of the nearest codebook centroid
+    * per subvector — the memory-compression layer of a 100 TB embedding
+    * store (m bytes per vector instead of 4·dim). Assignment = minimal
+    * squared L2, expanded as x·x − 2·x·c + c·c over the native dot product
+    * (same engine-parity machinery q45/q58 prove); ties break on centroid
+    * id. Codebooks here come from a caller-supplied frame (the differential
+    * gate uses first-K-by-id, q58's convention); production trains each
+    * subspace with [[ivfTrain]] on the sliced column.
+    *
+    * Scale shape: the codebook broadcasts, the corpus explodes only m-way
+    * on (id, subvector) and reduces straight back — one narrow shuffle for
+    * the per-(id, sub) argmin window, nothing wider than subDim floats.
+    *
+    * Output: (idCol, c0 … c{m-1}) — one exact long code per subvector. */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, idCol: String,
+               vecCol: String, m: Int, subDim: Int): DataFrame = {
+    def sliced(df: DataFrame, idAs: String, vecAs: String) = df.select(
+      col(idCol).as(idAs),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice($vecCol, i * $subDim + 1, $subDim))"))
+        .as(Seq("sub", vecAs)))
+    val xs = sliced(vectors, "__id", "xs")
+    val cb = broadcast(sliced(codebook, "code", "cs"))
+    val dist = dot("xs", "xs") - lit(2.0) * dot("xs", "cs") + dot("cs", "cs")
+    val w = Window.partitionBy(col("__id"), col("sub"))
+      .orderBy(dist, col("code"))
+    val assigned = xs.join(cb, Seq("sub"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val codes = (0 until m).map(i =>
+      max(when(col("sub") === i, col("code"))).as(s"c$i"))
+    assigned.groupBy(col("__id").as(idCol))
+      .agg(codes.head, codes.tail: _*)
+  }
 }

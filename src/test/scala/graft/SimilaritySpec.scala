@@ -110,6 +110,32 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head < 1.0 || r.head == 1.0) // nprobe=1 recall recorded, may be partial
   }
 
+  test("pqEncode assigns each subvector its true nearest codebook centroid") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = emb.filter(col("vec_id") < 8)
+    val out = Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 4, subDim = 16)
+      .orderBy("vec_id").collect()
+    assert(out.length == emb.count())
+    // codes land in the codebook range, and a codebook vector encodes to itself
+    out.foreach(r => (1 to 4).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) < 8)))
+    val self = out.filter(_.getLong(0) < 8)
+    self.foreach(r => (1 to 4).foreach(i =>
+      assert(r.getLong(i) == r.getLong(0), s"codebook vector must self-encode: $r")))
+    // brute-force check one vector against the collected codebook
+    val cbRows = cb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val v42 = emb.filter(col("vec_id") === 42).collect()(0).getSeq[Float](1).toArray
+    val got42 = out.find(_.getLong(0) == 42L).get
+    for (subIdx <- 0 until 4) {
+      val xs = v42.slice(subIdx * 16, subIdx * 16 + 16).map(_.toDouble)
+      val best = cbRows.map { case (id, cv) =>
+        val cs = cv.slice(subIdx * 16, subIdx * 16 + 16).map(_.toDouble)
+        (xs.zip(cs).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+      }.minBy(identity)._2
+      assert(got42.getLong(subIdx + 1) == best, s"sub $subIdx of vec 42")
+    }
+  }
+
   test("ivfTrain reduces distortion vs the raw seed centroids") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val seeds = emb.filter(col("vec_id") < 8).select("vec_id", "embedding")
