@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace token count, robust to empty/null text (counts `\S+` runs —
-    * avoids split's empty-string artifacts). */
+    * avoids split's empty-string artifacts). Native byte-loop Expression
+    * ([[graft.functions.TokenCount]]) instead of `regexp_count`: same count,
+    * no per-char regex engine in the hot path. */
   def tokenCount(c: Column): Column =
-    coalesce(regexp_count(c, lit("\\S+")), lit(0)).cast("long")
+    coalesce(graft.functions.TokenCount(c), lit(0)).cast("long")
 
   /** BPE-ish subword proxy count: alpha runs + digit runs + isolated symbols.
     * A cheap, deterministic stand-in for tokenizer cost estimation. */

@@ -16,6 +16,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Long](TextAnalysis.tokenCount(col("s")), "   ") == 0L)
   }
 
+  test("native TokenCount equals regexp_count(\\S+) on random and unicode inputs") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "ab \t\n\f\r  é語🎉x-"
+    val cases = Seq("", " ", "a", "a b", "x", "é é  語",
+      "🎉🎉 🎉", "a\r\nb", "-") ++
+      (1 to 60).map(_ => (1 to rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = cases.toDF("s")
+    val out = df.select(
+      graft.functions.TokenCount(col("s")).as("native"),
+      regexp_count(col("s"), lit("\\S+")).cast("long").as("re"))
+      .as[(Long, Long)].collect()
+    out.zip(cases).foreach { case ((n, r), c) =>
+      assert(n == r, s"mismatch on ${c.map(ch => f"\\u${ch.toInt}%04x").mkString}")
+    }
+  }
+
   test("bpeishTokenCount splits alpha/digit/symbol runs") {
     // "ab12,cd" -> [ab][12][,][cd] = 4
     assert(one[Long](TextAnalysis.bpeishTokenCount(col("s")), "ab12,cd") == 4L)
