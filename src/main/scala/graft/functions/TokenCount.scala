@@ -41,6 +41,33 @@ object TokenCount {
   def apply(c: Column): Column =
     org.apache.spark.sql.graft.Shims.column(
       TokenCountExpression(org.apache.spark.sql.graft.Shims.expression(c)))
+
+  /** BPE-ish token count — `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` match count as
+    * a byte loop: one token per alpha run, per digit run, and per single
+    * non-alnum-non-ws CHARACTER. Multi-byte UTF-8 characters count once:
+    * continuation bytes (10xxxxxx) are skipped, so "é" is one symbol token
+    * exactly as the regex sees it. */
+  def bpeish64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var n = 0L
+    var i = 0
+    var run = 0 // 0 = none/ws, 1 = alpha, 2 = digit
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val alpha = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+      val digit = b >= '0' && b <= '9'
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      if (alpha) { if (run != 1) { n += 1; run = 1 } }
+      else if (digit) { if (run != 2) { n += 1; run = 2 } }
+      else {
+        run = 0
+        // symbol: one token per character — count only non-continuation bytes
+        if (!ws && (b & 0xC0) != 0x80) n += 1
+      }
+      i += 1
+    }
+    n
+  }
 }
 
 case class TokenCountExpression(child: Expression) extends UnaryExpression {
@@ -56,4 +83,26 @@ case class TokenCountExpression(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): TokenCountExpression =
     copy(child = newChild)
+}
+
+/** Byte-loop twin of `regexp_count(c, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")`. */
+case class BpeishCountExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpeish_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenCount.bpeish64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenCount.bpeish64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeishCountExpression =
+    copy(child = newChild)
+}
+
+object BpeishCount {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      BpeishCountExpression(org.apache.spark.sql.graft.Shims.expression(c)))
 }

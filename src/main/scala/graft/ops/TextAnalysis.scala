@@ -21,9 +21,11 @@ object TextAnalysis {
     coalesce(graft.functions.TokenCount(c), lit(0)).cast("long")
 
   /** BPE-ish subword proxy count: alpha runs + digit runs + isolated symbols.
-    * A cheap, deterministic stand-in for tokenizer cost estimation. */
+    * A cheap, deterministic stand-in for tokenizer cost estimation. Native
+    * byte-loop twin of `regexp_count(c, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")`
+    * — parity spec-asserted incl. multi-byte symbols. */
   def bpeishTokenCount(c: Column): Column =
-    coalesce(regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")), lit(0)).cast("long")
+    coalesce(graft.functions.BpeishCount(c), lit(0)).cast("long")
 
   /** Stopword-list language scores → predicted language. N-gram/stopword
     * heuristic: count hits from tiny per-language marker lists, argmax with

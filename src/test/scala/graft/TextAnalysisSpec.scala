@@ -20,16 +20,20 @@ class TextAnalysisSpec extends SparkSpec {
     val rnd = new scala.util.Random(13)
     val alphabet = "ab \t\n\f\r  é語🎉x-"
     val cases = Seq("", " ", "a", "a b", "x", "é é  語",
-      "🎉🎉 🎉", "a\r\nb", "-") ++
+      "🎉🎉 🎉", "a\r\nb", "-", "ab12,cd", "1a2b3", "é9語", "12 34a") ++
       (1 to 60).map(_ => (1 to rnd.nextInt(30)).map(_ =>
         alphabet(rnd.nextInt(alphabet.length))).mkString)
     val df = cases.toDF("s")
     val out = df.select(
       graft.functions.TokenCount(col("s")).as("native"),
-      regexp_count(col("s"), lit("\\S+")).cast("long").as("re"))
-      .as[(Long, Long)].collect()
-    out.zip(cases).foreach { case ((n, r), c) =>
-      assert(n == r, s"mismatch on ${c.map(ch => f"\\u${ch.toInt}%04x").mkString}")
+      regexp_count(col("s"), lit("\\S+")).cast("long").as("re"),
+      graft.functions.BpeishCount(col("s")).as("nbpe"),
+      regexp_count(col("s"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("rbpe"))
+      .as[(Long, Long, Long, Long)].collect()
+    out.zip(cases).foreach { case ((n, r, nb, rb), c) =>
+      val hex = c.map(ch => f"\\u${ch.toInt}%04x").mkString
+      assert(n == r, s"\\S+ mismatch on $hex")
+      assert(nb == rb, s"bpeish mismatch on $hex")
     }
   }
 
