@@ -17,7 +17,8 @@ cluster structure, max pairwise cos ~0.6).
 
 Deterministic (seed 42). Writes ONLY under the given output dir.
 
-Usage: gen_scale.py <outDir> [shards=10]
+Usage: gen_scale.py <outDir> [shards=10] [events]
+  (third arg 'events' writes only the events slice via gen_events)
 """
 import sys
 import numpy as np
@@ -70,9 +71,6 @@ def main():
         f'{out}/embeddings.parquet')
     print(f'wrote {doc_id} docs, {n} vecs to {out}')
 
-if __name__ == '__main__':
-    main()
-
 def gen_events(out_dir, shards):
     """10x events slice for the events-table SCALE probes: same shape as the
     driver's sf0.1 events (ns timestamps, 2-dp values, 5 event types,
@@ -84,7 +82,6 @@ def gen_events(out_dir, shards):
     tables = []
     n = 100_000
     for s in range(shards):
-        base = np.datetime64('2024-01-01') + np.timedelta64(0, 'ns')
         ts = (np.datetime64('2024-01-01').astype('datetime64[ns]').astype(np.int64)
               + rng.integers(0, 30 * 86400 * 10**9, n, dtype=np.int64))
         tables.append(pa.table({
@@ -98,5 +95,8 @@ def gen_events(out_dir, shards):
     pq.write_table(pa.concat_tables(tables), f'{out_dir}/events.parquet')
     print(f'wrote {shards * n} events to {out_dir}')
 
-if __name__ == '__main__' and len(sys.argv) > 3 and sys.argv[3] == 'events':
-    gen_events(sys.argv[1], int(sys.argv[2]))
+if __name__ == '__main__':
+    if len(sys.argv) > 3 and sys.argv[3] == 'events':
+        gen_events(sys.argv[1], int(sys.argv[2]))
+    else:
+        main()

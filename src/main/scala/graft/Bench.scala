@@ -33,7 +33,14 @@ object Bench {
     // optional probe filter (comma-separated keys): time a subset in
     // isolation — the driver never sets this, so the contract is unchanged
     val names = sys.env.get("SPARK_GRAFT_KEYS") match {
-      case Some(ks) => ks.split(",").toSeq.filter(SparkEntry.queries.contains).sorted
+      case Some(ks) =>
+        val asked = ks.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val unknown = asked.filterNot(SparkEntry.queries.contains)
+        // a typo'd key must fail loudly, not silently shrink the run into a
+        // fast-looking partial pass
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_KEYS contains unknown keys: ${unknown.mkString(", ")}")
+        asked.sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
 

@@ -92,10 +92,29 @@ object Bpe {
     * asserts it): applying merges in rank order one-at-a-time corpus-wide
     * equals applying all of them rank-ordered within each word, because a
     * later merge can only consume symbols earlier merges produced.
+    *
+    * PRECONDITION (rank consistency): each merge's components must be base
+    * characters or concatenations produced by EARLIER merges — the invariant
+    * [[learnMerges]] output always satisfies. For an arbitrary hand-built
+    * list that violates it (a low-rank merge consuming a symbol only a
+    * higher-rank merge creates), the rank loop and the fold encoder diverge
+    * silently, so the list is validated eagerly and rejected.
     * Output rows: (idCol, tokens array). */
   def encodeRanked(docs: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.{Row, types => T}
+    // eager rank-consistency check: at each rank, both components must be
+    // single (base) characters or the output of a strictly earlier merge
+    val produced = scala.collection.mutable.Set.empty[String]
+    merges.zipWithIndex.foreach { case ((p1, p2), r) =>
+      Seq(p1, p2).foreach { p =>
+        require(p.codePointCount(0, p.length) == 1 || produced.contains(p),
+          s"encodeRanked: merge #$r ($p1,$p2) references symbol '$p' that is " +
+            "neither a base character nor produced by an earlier merge " +
+            "(rank-inconsistent merge list; see scaladoc precondition)")
+      }
+      produced += (p1 + p2)
+    }
     val spark = docs.sparkSession
     val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     val idType = docs.schema(docs.schema.fieldIndex(idCol)).dataType

@@ -45,6 +45,11 @@ object TwoPhase {
   def prefixSum(df: DataFrame, binKey: Column, order: Seq[Column],
                 value: Column, out: String, bins: Int = 32): (DataFrame, Long) = {
     val spark = df.sparkSession
+    Seq("__bin", "__off").foreach { tmp =>
+      require(!df.columns.contains(tmp),
+        s"prefixSum: input already has a column named '$tmp' (reserved as a " +
+          "temp column by the two-phase rewrite) — rename it first")
+    }
     // phase 1: range cutpoints for the bin key — one approx-sketch pass,
     // collected as (bins-1) literals. Accuracy only shapes bin balance.
     val fracs = (1 until bins).map(_.toDouble / bins)
@@ -65,6 +70,14 @@ object TwoPhase {
       .agg(sum(value).cast("long").as("__tot"))
       .orderBy(col("__bin"))
       .collect()
+    // a null per-bin sum means every `value` in that bin was NULL — the
+    // documented non-null precondition is violated; fail with a clear
+    // message instead of the opaque NPE getLong would throw
+    totals.foreach { r =>
+      require(!r.isNullAt(1),
+        s"prefixSum: bin ${r.getInt(0)} has a NULL sum — the `value` column " +
+          "must be non-null (precondition; coalesce it before calling)")
+    }
     val offsets = totals.map(_.getLong(1)).scanLeft(0L)(_ + _)
     val total = offsets.last
     import spark.implicits._

@@ -96,6 +96,19 @@ class BpeSpec extends SparkSpec {
     assert(rankEnc == foldEnc)
   }
 
+  test("encodeRanked rejects a rank-inconsistent merge list eagerly") {
+    val df = Seq((1L, "abc")).toDF("id", "text")
+    // "bc" is only produced by the LATER merge #1 — the rank loop would
+    // silently diverge from the fold encoder, so it must be rejected
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeRanked(df, "id", "text", Seq(("a", "bc"), ("b", "c")))
+    }
+    assert(e.getMessage.contains("rank-inconsistent"))
+    // the learnMerges-shaped list (components are base chars or earlier
+    // outputs) passes the same gate
+    Bpe.encodeRanked(df, "id", "text", Seq(("b", "c"), ("a", "bc"))).collect()
+  }
+
   test("learnMerges is deterministic run to run") {
     val df = Seq("spark scan scans spans", "span spark spark").toDF("text")
     val a = Bpe.learnMerges(df, "text", 5)

@@ -88,6 +88,23 @@ class TwoPhaseSpec extends SparkSpec {
     assert(got.count() == 0 && total == 0L)
   }
 
+  test("prefixSum rejects reserved temp column names with a clear message") {
+    val df = (1L to 5L).map(i => (i, i)).toDF("id", "__bin")
+    val e = intercept[IllegalArgumentException] {
+      TwoPhase.prefixSum(df, col("id"), Seq(col("id")), col("id"), "cum")
+    }
+    assert(e.getMessage.contains("__bin"))
+  }
+
+  test("prefixSum rejects an all-NULL value bin instead of an opaque NPE") {
+    val df = (1L to 50L).map(i => (i, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      TwoPhase.prefixSum(df, col("id"), Seq(col("id")), col("v"), "cum")
+    }
+    assert(e.getMessage.contains("NULL sum"))
+  }
+
   test("gate keys q91/q96/q93 plan no empty-partition window end-to-end") {
     for (k <- Seq("q91_sequence_packing", "q96_decile_stats", "q93_vocab_encode")) {
       val df = SparkEntry.queries(k)(spark, "/root/testdata/sf0.001")
