@@ -366,6 +366,41 @@ object SparkEntry {
         "vec_id", "embedding", m = 4, subDim = 16)
         .orderBy("vec_id")
     }),
+    "q117_rare_tokens" -> ((s, dir) =>
+      // unigram-LM-flavored quality signal: rare-token counts + basis-point
+      // ratio, all exact integers (no float accumulation anywhere)
+      TextAnalysis.rareTokenStats(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q118_schema_evolution" -> ((s, dir) => {
+      // schema drift across ingest batches: an early batch lacks a column
+      // later batches carry; mergeSchema reads the union, old rows NULL
+      val nation = T(s, dir, "nation")
+      val tmp = s"$TMP/q118_evo"
+      nation.select("n_nationkey", "n_name").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/batch=1")
+      nation.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("batch").cast("int").as("batch"))
+        .orderBy("batch", "n_nationkey")
+    }),
+    "q119_bloom_prune" -> ((s, dir) => {
+      // bloom-filter join pruning: the dim key set rides as a sketch that
+      // filters the fact MAP-SIDE before its exchange; the semi join then
+      // removes false positives, so the result is exactly the semi join
+      val cust = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      Relational.bloomPrunedSemiJoin(T(s, dir, "orders"), cust,
+        "o_custkey", "c_custkey", expectedItems = 100000L)
+        .orderBy("o_orderkey")
+    }),
+    "q120_copurchase_rank" -> ((s, dir) =>
+      // item-importance over the co-purchase graph: damped PageRank in
+      // scaled-long arithmetic (deterministic across partitionings)
+      Graph.pageRank(
+        Graph.coOccurrenceEdges(T(s, dir, "lineitem"), "l_partkey", "l_orderkey"),
+        iterations = 3)
+        .select(col("node").as("p_partkey"), col("rank").as("rank_scaled"))
+        .orderBy("p_partkey")),
     "q115_xml_roundtrip" -> ((s, dir) => {
       // Spark 4's native XML source (the web-scrape interchange format the
       // reference's collectors would meet in the wild): write, read back
@@ -1269,6 +1304,46 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_orc_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q115_xml_roundtrip" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q117_rare_tokens" ->
+      // same folded threshold: cf·10⁶ < n·ppm ⇔ cf ≤ (n·ppm − 1) // 10⁶
+      """WITH tok AS (SELECT doc_id, t.term FROM documents,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
+        |  WHERE length(t.term) > 0),
+        |f AS (SELECT term, count(*) AS cf FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(coalesce(sum(cf), 0) AS BIGINT) AS n FROM f),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN cf <= (n.n * 1000 - 1) // 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS rare_tokens
+        |  FROM tok JOIN f USING (term) CROSS JOIN n GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(rare_tokens, 0) AS rare_tokens,
+        |  CAST(CASE WHEN coalesce(n_tokens, 0) > 0
+        |    THEN (10000 * rare_tokens) // n_tokens ELSE 0 END AS BIGINT) AS rare_bp
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q118_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey,
+        |  CAST(1 AS INTEGER) AS batch FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS INTEGER) FROM nation
+        |ORDER BY batch, n_nationkey""".stripMargin,
+    "q119_bloom_prune" ->
+      """SELECT * FROM orders WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q120_copurchase_rank" ->
+      // 3 unrolled damped-PageRank steps in the same scaled-long arithmetic
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
+        |r1 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r0.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r1.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r2.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst)
+        |SELECT node AS p_partkey, r AS rank_scaled FROM r3 ORDER BY 1""".stripMargin,
     "q116_pq_encode" ->
       // same L2 expansion x·x − 2·x·c + c·c over list_dot_product, same
       // centroid-id tie-break — code assignment must agree per subvector

@@ -249,4 +249,32 @@ object Relational {
             (col("__pos") - floor(col("__pos"))) * col("__vhi")))
       .select(col(groupCol), col("__q").as("q"), col("quantile"))
   }
+
+  /** Semi join with bloom-filter pre-pruning — for the dim-table size band
+    * where a broadcast hash join no longer fits (hundreds of millions of
+    * keys) but the key SET still compresses into a few-MB sketch.
+    *
+    * Shape: build the sketch in one pass over the dim keys (driver-merged,
+    * like any sketch agg), ship it inside a codegen'd
+    * [[graft.functions.BloomMightContainExpression]], and filter the fact
+    * side MAP-SIDE — before its exchange — so the shuffled semi join that
+    * removes the sketch's false positives only moves rows that probably
+    * match. At 1% fpp on a selective dim this cuts the fact shuffle by the
+    * full selectivity factor; the result is exactly `fact SEMI JOIN dim`
+    * (the recheck join makes the bloom a pure optimization, invisible to
+    * correctness — same contract as Spark's own runtime row-group filters).
+    *
+    * Precondition: `factKey`/`dimKey` are integral (the sketch hashes
+    * longs). NULL fact keys never match, as in a plain semi join.
+    */
+  def bloomPrunedSemiJoin(fact: DataFrame, dim: DataFrame,
+                          factKey: String, dimKey: String,
+                          expectedItems: Long = 1000000L,
+                          fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val pruned = fact.filter(
+      graft.functions.BloomMightContain(col(factKey).cast("long"),
+        graft.functions.BloomMightContain.serialize(bf)))
+    pruned.join(dim, pruned(factKey) === dim(dimKey), "left_semi")
+  }
 }

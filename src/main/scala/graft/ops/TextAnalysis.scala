@@ -89,6 +89,52 @@ object TextAnalysis {
         round(avg(length(col(textCol))), 2).as("avg_chars"),
         max(length(col(textCol))).cast("long").as("max_chars"))
 
+  /** Per-document rare-token statistics — the unigram-LM-flavored quality
+    * signal: how much of a document is made of corpus-rare (OOV-ish) tokens.
+    * High rare ratios flag gibberish, boilerplate IDs, and encoding damage;
+    * pretraining curation buckets or drops on it.
+    *
+    * A token is "rare" when its corpus share is below `rarePpm` parts per
+    * million (scale-free: thresholds on the SHARE, not an absolute count, so
+    * the same setting works at sf0.01 and at 100 TB). All outputs are exact
+    * integers (counts and a floor-divided basis-point ratio) — no float
+    * accumulation anywhere, so results are partition-order independent.
+    *
+    * Scale shape: one corpus pass builds the token frame (checkpointed —
+    * the frequency agg and the probe both read it); the term-frequency
+    * table is vocabulary-sized and BROADCAST back, so the corpus never
+    * shuffles on `term`. For an open-vocabulary corpus whose term table
+    * outgrows a broadcast, drop the hint to get a plain shuffle join and
+    * the same results. The corpus token total is one scalar of metadata.
+    */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
+                     rarePpm: Long = 1000L): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint()
+    val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val n = freqs.agg(coalesce(sum(col("cf")), lit(0L))).first().getLong(0)
+    // rare ⇔ cf·10⁶ < n·ppm, algebraically folded to a driver-side count
+    // threshold so no executor multiplies cf by 10⁶ (cf can reach ~10¹³ on
+    // a 100 TB corpus — the naive form is a silent long overflow)
+    val thresholdCount = if (n == 0) -1L else (n * rarePpm - 1L) / 1000000L
+    val rare = col("cf") <= lit(thresholdCount)
+    val stats = toks.join(broadcast(freqs), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(rare, 1L).otherwise(0L)).as("rare_tokens"))
+    // restore zero-token docs (empty/whitespace text) with explicit zeros —
+    // the id frame is a column-pruned scan, not a second text pass
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("rare_tokens"), lit(0L)).as("rare_tokens"))
+      .withColumn("rare_bp",
+        when(col("n_tokens") > 0,
+          expr("(10000 * rare_tokens) div n_tokens")).otherwise(lit(0L)))
+  }
+
   /** Per-document top-k terms by TF-IDF — the classic keyword/topic signal
     * over a corpus (document fingerprinting for retrieval, dedup triage,
     * topic drift monitoring). tfidf = tf · ln((N+1)/(df+1)), smoothed so a

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Graph
+
+/** Graph ops: co-occurrence edge derivation and the integer-deterministic
+  * PageRank (exact recurrence parity + partitioning invariance — the whole
+  * point of scaled-long arithmetic).
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("coOccurrenceEdges: symmetric, loop-free, deduped across containers") {
+    val rel = Seq((1L, 10L), (1L, 11L), (1L, 11L), (2L, 11L), (2L, 12L),
+      (3L, 13L), (4L, 11L), (4L, 12L)).toDF("c", "e")
+    val edges = Graph.coOccurrenceEdges(rel, "e", "c")
+      .as[(Long, Long)].collect().toSet
+    // 13 is alone in its container — no edges; (11,12) co-occurs in two
+    // containers but appears once
+    assert(edges == Set((10L, 11L), (11L, 10L), (11L, 12L), (12L, 11L)))
+  }
+
+  test("pageRank matches the hand-computed integer recurrence") {
+    // triangle 1-2-3 plus pendant 4-1, undirected (both directions listed)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L), (1L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 2).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    val deg = Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+    val in = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L))
+    def step(r: Map[Long, Long]): Map[Long, Long] =
+      in.map { case (n, ms) =>
+        n -> (150000L + 85L * ms.map(m => r(m) / deg(m)).sum / 100L)
+      }
+    val r0 = deg.map { case (n, _) => n -> Graph.Scale }
+    val expect = step(step(r0)).toSeq.sortBy(_._1)
+    assert(got == expect)
+  }
+
+  test("pageRank is bit-identical across partition counts") {
+    val rel = (1L to 400L).map(i => (i % 37, i % 11)).toDF("c", "e")
+    val edges = Graph.coOccurrenceEdges(rel, "e", "c")
+    val a = Graph.pageRank(edges.repartition(1), 3)
+      .as[(Long, Long)].collect().toSet
+    val b = Graph.pageRank(edges.repartition(13), 3)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}

@@ -118,4 +118,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"day fan-out must be map-side, not a join:\n$plan")
   }
+
+  test("bloom prune filters the fact scan BEFORE any exchange (q119)") {
+    val df = SparkEntry.queries("q119_bloom_prune")(spark, dir)
+    df.collect()
+    // walk the executed plan: the Filter carrying bloom_might_contain must
+    // sit directly over the fact file scan with no shuffle in between —
+    // that's the entire point (prune before paying the exchange)
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // flatten THROUGH AQE stage boundaries (QueryStageExec is a leaf to
+    // TreeNode.collect, hiding everything the stage executed)
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case qs: QueryStageExec => flatten(qs.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val all = flatten(df.queryExecution.executedPlan)
+    val bloomFilters = all.collect {
+      case f: FilterExec if f.condition.exists(
+        _.isInstanceOf[graft.functions.BloomMightContainExpression]) => f
+    }
+    assert(bloomFilters.nonEmpty, "no bloom_might_contain filter in the plan")
+    bloomFilters.foreach { f =>
+      val shufflesBelow = flatten(f).drop(1).collect { case s: ShuffleExchangeLike => s }
+      assert(shufflesBelow.isEmpty,
+        "bloom filter must prune map-side, before the fact exchange")
+    }
+  }
+
+  test("co-purchase rank joins on the container key — no cartesian (q120)") {
+    val plan = q("q120_copurchase_rank")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"edge derivation must stay keyed on the order:\n$plan")
+  }
 }

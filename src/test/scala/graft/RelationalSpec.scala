@@ -178,4 +178,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrunedSemiJoin equals the plain semi join, false positives removed") {
+    val dim = (1L to 60L).filter(_ % 7 == 0).toDF("k")
+    val fact = (1L to 500L).map(i => (i, i % 60)).toDF("id", "fk")
+    val got = Relational.bloomPrunedSemiJoin(fact, dim, "fk", "k",
+      expectedItems = 100L, fpp = 0.03)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val expect = fact.join(dim, fact("fk") === dim("k"), "left_semi")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("BloomMightContain never rejects an inserted key (one-sided error only)") {
+    val dim = (0L until 1000L).toDF("k")
+    val bf = dim.stat.bloomFilter("k", 1000L, 0.01)
+    val bits = graft.functions.BloomMightContain.serialize(bf)
+    val kept = dim.filter(graft.functions.BloomMightContain(col("k"), bits)).count()
+    assert(kept == 1000L, "a bloom filter must have no false negatives")
+  }
+
 }

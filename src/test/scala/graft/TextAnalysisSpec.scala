@@ -107,4 +107,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((1L, "a", 4L, 4L), (2L, "b", 2L, 6L)))
   }
 
+  test("rareTokenStats: share threshold, integer ratio, empty docs restored") {
+    // corpus: 9 tokens — cf(a)=7, cf(b)=1, cf(c)=1. At rarePpm=200000 (20%)
+    // the folded threshold is (9·200000−1) div 10⁶ = 1, so b and c are rare.
+    val docs = Seq((1L, "a a a a b"), (2L, "a a a c"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenStats(docs, "doc_id", "text", rarePpm = 200000L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 5L, 1L, 2000L), (2L, 4L, 1L, 2500L), (3L, 0L, 0L, 0L)))
+  }
+
+  test("rareTokenStats default threshold marks nothing rare in a tiny corpus") {
+    // n = 9 ⇒ threshold (9·1000−1) div 10⁶ = 0 ⇒ no cf ≤ 0: scale-free ppm
+    // thresholds only activate once the corpus dwarfs its tail
+    val docs = Seq((1L, "a a a a b"), (2L, "a a a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenStats(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._3).forall(_ == 0L))
+  }
+
 }
