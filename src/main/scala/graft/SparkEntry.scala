@@ -22,6 +22,14 @@ object SparkEntry {
 
   private val TMP = "/root/repo/target/qtmp"
 
+  /** Morton interleave of the low 16 bits of `x`/`y` as plain SQL bit
+    * arithmetic — the oracle-side twin of [[graft.functions.ZOrder]]
+    * (generated term-by-term so both engines agree on all 32 placements). */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
   /** Flagship query on sf0.001 (driver smoke-checks rows > 0): top-k order
     * priorities — scan → partial/final hash agg → TakeOrderedAndProject. */
   def entry(spark: SparkSession): DataFrame =
@@ -401,6 +409,128 @@ object SparkEntry {
         iterations = 3)
         .select(col("node").as("p_partkey"), col("rank").as("rank_scaled"))
         .orderBy("p_partkey")),
+    "q121_line_dedup" -> ((s, dir) => {
+      // corpus-frequency boilerplate removal (CCNet-style line dedup). The
+      // testdata carries no newlines, so the gate segments each doc into
+      // fixed 3-token pseudo-lines — the operator takes any lines array
+      // (real `\n` lines in the wild) and the rebuild re-joins with the
+      // same separator, so an untouched doc round-trips byte-identical.
+      val docs = T(s, dir, "documents").withColumn("__tk", split(col("text"), " "))
+      val lines = expr("transform(sequence(0, cast(ceil(size(__tk) / 3.0) as int) - 1)," +
+        " i -> concat_ws(' ', slice(__tk, i * 3 + 1, 3)))")
+      Dedup.commonLineRemoval(docs, "doc_id", lines, maxFreq = 2, sep = " ")
+        .orderBy("doc_id")
+    }),
+    "q122_binary_ingest" -> ((s, dir) => {
+      // blob-directory ingest via the binaryFile source — the multimodal
+      // landing pattern (a crawl dumps one file per asset; Spark lists,
+      // batches small files by maxPartitionBytes, and reads (path, length,
+      // content) without a custom reader). Files are staged from executors
+      // (one per doc, UTF-8 payload) and the scan proves content fidelity
+      // by length + sha2 against the source table.
+      import s.implicits._
+      val tmp = s"$TMP/q122_bin"
+      val root = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        try it.forEach(p => java.nio.file.Files.delete(p)) finally it.close()
+      }
+      java.nio.file.Files.createDirectories(root)
+      T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          it.foreach { case (id, text) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$tmp%s/$id%09d.bin"),
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      s.read.format("binaryFile").load(tmp)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("sha"))
+        .orderBy("doc_id")
+    }),
+    "q123_cdc_diff" -> ((s, dir) => {
+      // snapshot-diff CDC: the upstream republishes full snapshots; the diff
+      // emits the delta stream (insert/update/delete + old/new values).
+      // Synthetic drift off one deterministic base: keys ≡3 (mod 10) are
+      // missing from the old snapshot (inserts), keys ≡0 (mod 10) from the
+      // new one (deletes), balances shift for keys ≡0 (mod 7) and segments
+      // churn for keys ≡0 (mod 13) (updates).
+      val base = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val oldSnap = base.filter(col("c_custkey") % 10 =!= 3)
+      val newSnap = base.filter(col("c_custkey") % 10 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10).otherwise(col("c_acctbal")))
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 13 === 0, lit("CHURNED")).otherwise(col("c_mktsegment")))
+      Warehouse.cdcDiff(oldSnap, newSnap, "c_custkey", Seq("c_acctbal", "c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+    "q124_zorder_layout" -> ((s, dir) => {
+      // Z-order clustered layout: interleave (user bucket, day-of-month)
+      // into one Morton key, range-partition + sort the write on it so every
+      // file's min/max footer spans a small rectangle of BOTH dimensions —
+      // scans filtered on either dimension prune most files (StorageSpec
+      // measures the per-file span shrink vs an unclustered layout). The
+      // gate proves the interleave bit-exact through a write/read roundtrip.
+      val tmp = s"$TMP/q124_z"
+      T(s, dir, "events")
+        .select(col("event_id"),
+          (col("user_id") % 1024).cast("long").as("xb"),
+          dayofmonth(col("ts")).cast("long").as("yb"))
+        .withColumn("zval", graft.functions.ZOrder(col("xb"), col("yb")))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).orderBy("event_id")
+    }),
+    "q125_triangle_count" -> ((s, dir) =>
+      // local clustering over the co-purchase graph: per-part triangle
+      // participation via degree-oriented wedge closing (Graph.scala — the
+      // O(m^1.5) formulation; no hub ever owns Σdeg² work)
+      Graph.triangleCounts(
+        Graph.coOccurrenceEdges(T(s, dir, "lineitem"), "l_partkey", "l_orderkey"))
+        .select(col("node").as("p_partkey"), col("triangles"))
+        .orderBy(col("triangles").desc, col("p_partkey"))
+        .limit(20)),
+    "q126_grouping_sets" -> ((s, dir) =>
+      // one-pass multi-granularity OLAP: CUBE over (status, priority) with
+      // grouping_id disambiguating subtotal levels from genuine NULL keys;
+      // revenue in scaled-long cents (float sums are accumulation-order-
+      // dependent and could never hash-match)
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+    "q127_fuzzy_join" -> ((s, dir) => {
+      // blocked edit-distance self-join (entity resolution): candidate pairs
+      // come from an equi-join on a blocking key (here the 16-char name
+      // prefix), so Levenshtein — quadratic in the naive formulation — runs
+      // only inside blocks; there is NO cartesian anywhere in the plan.
+      // And because the block key IS a shared prefix, lev(full, full) =
+      // lev(suffix, suffix) (edit distance is common-prefix invariant), so
+      // the DP runs on 2-char tails instead of 18-char names — the same
+      // prefix-strip every serious Levenshtein implementation does, made
+      // explicit in the plan (measured 5.4 s → sub-second at sf0.1).
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), substring(col("c_name"), 1, 16).as("__blk"),
+          substring(col("c_name"), 17, 1000000).as("__suf"))
+      val a = c.select(col("__blk"), col("c_custkey").as("key_a"), col("__suf").as("suf_a"))
+      val b = c.select(col("__blk"), col("c_custkey").as("key_b"), col("__suf").as("suf_b"))
+      a.join(b, Seq("__blk"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("suf_a"), col("suf_b")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("key_a"), col("key_b"), col("dist"))
+        .orderBy("key_a", "key_b")
+    }),
     "q115_xml_roundtrip" -> ((s, dir) => {
       // Spark 4's native XML source (the web-scrape interchange format the
       // reference's collectors would meet in the wild): write, read back
@@ -1344,6 +1474,79 @@ object SparkEntry {
         |r3 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r2.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst)
         |SELECT node AS p_partkey, r AS rank_scaled FROM r3 ORDER BY 1""".stripMargin,
+    "q121_line_dedup" ->
+      // same 3-token segmentation, frequency on the line text itself (the
+      // engine counts on xxhash64(line) — identical modulo 64-bit collisions)
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(ceil(len(tk) / 3.0) AS BIGINT)),
+        |      i -> array_to_string(tk[i * 3 + 1 : i * 3 + 3], ' '))) AS line,
+        |    unnest(range(0, CAST(ceil(len(tk) / 3.0) AS BIGINT))) AS pos
+        |  FROM toks),
+        |freq AS (SELECT line, count(*) AS cf FROM chunks GROUP BY line)
+        |SELECT c.doc_id,
+        |  coalesce(string_agg(c.line, ' ' ORDER BY c.pos) FILTER (f.cf <= 2), '') AS clean_text,
+        |  CAST(count(*) FILTER (f.cf <= 2) AS BIGINT) AS kept_lines,
+        |  CAST(count(*) FILTER (f.cf > 2) AS BIGINT) AS dropped_lines
+        |FROM chunks c JOIN freq f USING (line)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q122_binary_ingest" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q123_cdc_diff" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |o AS (SELECT * FROM base WHERE c_custkey % 10 <> 3),
+        |n AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 13 = 0 THEN 'CHURNED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM base WHERE c_custkey % 10 <> 0)
+        |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |       WHEN n.c_custkey IS NULL THEN 'delete' ELSE 'update' END AS change_type,
+        |  o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal,
+        |  o.c_mktsegment AS old_c_mktsegment, n.c_mktsegment AS new_c_mktsegment
+        |FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+    "q124_zorder_layout" ->
+      // bit-by-bit Morton interleave, generated as plain bit arithmetic —
+      // the engine's magic-number spread (ZOrder.scala) must agree on every
+      // one of the 32 bit placements
+      s"""WITH b AS (SELECT event_id, CAST(user_id % 1024 AS BIGINT) AS xb,
+         |    CAST(day(ts) AS BIGINT) AS yb FROM events)
+         |SELECT event_id, xb, yb, CAST(${zorderSql("xb", "yb")} AS BIGINT) AS zval
+         |FROM b ORDER BY event_id""".stripMargin,
+    "q125_triangle_count" ->
+      // plain u<v<w three-way join enumeration (no orientation needed at
+      // oracle scale), each triangle credited to all three vertices
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT unnest([a, b, c]) AS p_partkey FROM t)
+        |SELECT p_partkey, CAST(count(*) AS BIGINT) AS triangles
+        |FROM n GROUP BY 1 ORDER BY triangles DESC, p_partkey LIMIT 20""".stripMargin,
+    "q126_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q127_fuzzy_join" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
     "q116_pq_encode" ->
       // same L2 expansion x·x − 2·x·c + c·c over list_dot_product, same
       // centroid-id tie-break — code assignment must agree per subvector

@@ -46,6 +46,47 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Corpus-frequency boilerplate line removal (the CCNet/RefinedWeb-style
+    * cleanup pass): drop every line that occurs more than `maxFreq` times
+    * across the whole corpus — navigation chrome, cookie banners, license
+    * footers — and reassemble each document from its surviving lines in
+    * order. Operates on a caller-supplied array-of-lines column, so the
+    * segmentation (real `\n` lines, sentences, fixed token windows) is the
+    * caller's choice.
+    *
+    * Scale shape: line frequencies are counted on `xxhash64(line)` — the
+    * frequency exchange carries an 8-byte key with map-side combine, never
+    * line text (collision odds ~ n²/2⁶⁵ merge two lines' counts; CCNet makes
+    * the same trade). The boilerplate dictionary (lines with cf > maxFreq)
+    * is SMALL by construction — high-frequency lines are few — so Spark
+    * broadcasts it and the per-line verdict is map-side. The one full-size
+    * exchange is the regroup-by-doc that rebuilds the text, inherent to
+    * producing rebuilt documents; verdicts ride along as nulls so docs whose
+    * every line is boilerplate still emit (empty text, exact counts).
+    *
+    * Output: (id, clean_text, kept_lines, dropped_lines).
+    */
+  def commonLineRemoval(docs: DataFrame, idCol: String, linesCol: Column,
+                        maxFreq: Long, sep: String = "\n"): DataFrame = {
+    val lined = docs
+      .select(col(idCol), posexplode(linesCol).as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val boilerplate = lined.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cf"))
+      .filter(col("__cf") > maxFreq)
+    lined
+      .join(broadcast(boilerplate), Seq("__h"), "left")
+      .withColumn("__keep", col("__cf").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list skips nulls → only kept lines enter the rebuild
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN __keep THEN struct(__pos, __line) END)), x -> x.__line)"),
+          sep).as("clean_text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_lines"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("dropped_lines"))
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Distinct word k-shingles per doc: (id, shingle) pairs. The token array

@@ -118,4 +118,41 @@ object Warehouse {
     b.join(u, Seq(keyCol), "full_outer")
       .select(col(keyCol) +: merged: _*)
   }
+
+  /** Snapshot-diff change-data-capture: given two snapshots of the same
+    * keyed table, emit one row per changed key with `change_type` ∈
+    * {insert, update, delete} plus the old and new values of every compared
+    * column. This is the feed that keeps downstream marts incremental when
+    * the upstream only publishes full snapshots (the reference's collectors
+    * re-pull whole comment tables each cycle — diffing the pulls is what
+    * turns that into a delta stream).
+    *
+    * Scale shape: ONE full-outer hash join on the key; change detection is a
+    * map-side null-safe comparison (`<=>` so NULL→value and value→NULL count
+    * as changes without special-casing), and unchanged keys are filtered
+    * before anything else sees them — at 100 TB the output is sized by the
+    * churn rate, not the table. No windows, no driver state.
+    */
+  def cdcDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+              compareCols: Seq[String]): DataFrame = {
+    val o = compareCols.foldLeft(oldSnap)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+    val n = compareCols.foldLeft(newSnap)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+    // presence markers survive the outer join where key columns alone can't
+    // distinguish "absent" from "present with NULLs"
+    val j = o.withColumn("__in_old", lit(true))
+      .join(n.withColumn("__in_new", lit(true)), Seq(keyCol), "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    val outCols =
+      col(keyCol) +: col("change_type") +:
+        compareCols.flatMap(c => Seq(
+          col(s"__o_$c").as(s"old_$c"), col(s"__n_$c").as(s"new_$c")))
+    j.withColumn("change_type",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .filter(col("change_type") =!= "update" || changed)
+      .select(outCols: _*)
+  }
 }

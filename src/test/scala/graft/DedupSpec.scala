@@ -167,4 +167,32 @@ class DedupSpec extends SparkSpec {
       (5L, 6L, 9L, 2L, true)))
   }
 
+  test("commonLineRemoval drops corpus-frequent lines, keeps order, exact counts") {
+    val docs = Seq(
+      (1L, Seq("COOKIE BANNER", "real content a", "FOOTER")),
+      (2L, Seq("COOKIE BANNER", "real content b", "FOOTER")),
+      (3L, Seq("FOOTER", "COOKIE BANNER", "unique c")),
+      (4L, Seq("COOKIE BANNER", "FOOTER"))) // all boilerplate
+      .toDF("doc_id", "lines")
+    val out = Dedup.commonLineRemoval(docs, "doc_id", col("lines"), maxFreq = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "real content a", 1L, 2L),
+      (2L, "real content b", 1L, 2L),
+      (3L, "unique c", 1L, 2L),
+      (4L, "", 0L, 2L))) // fully-boilerplate doc still emits, empty
+  }
+
+  test("commonLineRemoval with a loose threshold round-trips every doc") {
+    val docs = Seq(
+      (1L, Seq("x", "y", "z")),
+      (2L, Seq("x", "x", "q"))) // duplicate line WITHIN a doc counts per occurrence
+      .toDF("doc_id", "lines")
+    val out = Dedup.commonLineRemoval(docs, "doc_id", col("lines"),
+      maxFreq = 100, sep = "\n")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "x\ny\nz", 3L, 0L), (2L, "x\nx\nq", 3L, 0L)))
+  }
+
 }

@@ -38,6 +38,36 @@ class GraphSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("triangleCounts: K4 has four triangles, three per node") {
+    val k4 = for {
+      u <- 1L to 4L; v <- 1L to 4L if u < v
+    } yield (u, v)
+    val got = Graph.triangleCounts(k4.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: a square without diagonals has none") {
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(sq).count() == 0)
+  }
+
+  test("triangleCounts canonicalizes mixed directions and duplicate edges") {
+    // triangle 1-2-3 listed with every edge in some direction, twice
+    val messy = Seq((1L, 2L), (2L, 1L), (3L, 2L), (2L, 3L), (1L, 3L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(messy).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts is invariant across partition counts") {
+    val rel = (1L to 600L).map(i => (i % 41, i % 23)).toDF("c", "e")
+    val edges = Graph.coOccurrenceEdges(rel, "e", "c")
+    val a = Graph.triangleCounts(edges.repartition(1)).as[(Long, Long)].collect().toSet
+    val b = Graph.triangleCounts(edges.repartition(7)).as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("pageRank is bit-identical across partition counts") {
     val rel = (1L to 400L).map(i => (i % 37, i % 11)).toDF("c", "e")
     val edges = Graph.coOccurrenceEdges(rel, "e", "c")

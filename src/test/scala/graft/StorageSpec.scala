@@ -152,6 +152,38 @@ class StorageSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-order layout bounds BOTH dimensions' per-file spans; linear sort only one") {
+    import graft.functions.ZOrder
+    // 64×64 grid, one row per cell — every layout writes the same rows
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("xb"), expr("id div 64").as("yb"))
+      .withColumn("zval", ZOrder(col("xb"), col("yb")))
+    def spans(path: String): Seq[(Long, Long)] = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("xb")) - min(col("xb"))).as("xs"),
+          (max(col("yb")) - min(col("yb"))).as("ys"))
+      perFile.select("xs", "ys").as[(Long, Long)].collect().toSeq
+    }
+    val zDir = "/root/repo/target/storage_spec/zorder"
+    val linDir = "/root/repo/target/storage_spec/linear"
+    grid.repartitionByRange(16, col("zval")).sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(16, col("xb"), col("yb"))
+      .sortWithinPartitions(col("xb"), col("yb"))
+      .write.mode("overwrite").parquet(linDir)
+    val z = spans(zDir)
+    val lin = spans(linDir)
+    def avg(v: Seq[Long]): Double = v.sum.toDouble / v.size
+    // 16 z-range files ≈ 16 quadrant cells: both spans collapse to ~16 of 64.
+    // The linear layout pins x tightly but every file spans (almost) all of y
+    // — a y-only predicate prunes nothing there.
+    assert(avg(z.map(_._1)) < 24 && avg(z.map(_._2)) < 24,
+      s"z-order spans too wide: $z")
+    assert(avg(lin.map(_._2)) > 48, s"expected linear layout to span y: $lin")
+    assert(avg(z.map(_._2)) < avg(lin.map(_._2)) / 2)
+  }
+
   test("saltedJoin equals plain join under heavy key skew") {
     val big = (Seq.fill(3000)(1L) ++ (2L to 50L)).toDF("k")
     val small = Seq((1L, "one"), (2L, "two"), (99L, "none")).toDF("k", "name")

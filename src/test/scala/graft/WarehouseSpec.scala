@@ -79,4 +79,28 @@ class WarehouseSpec extends SparkSpec {
       .filter(col("prev_end").isNotNull && col("start_ts") <= col("prev_end"))
     assert(overlaps.count() == 0)
   }
+
+  test("cdcDiff classifies inserts, deletes, updates; drops unchanged rows") {
+    val oldSnap = Seq(
+      (1L, Some(10.0), "a"), // unchanged → absent from output
+      (2L, Some(20.0), "b"), // value update
+      (3L, Some(30.0), "c"), // deleted
+      (4L, None, "d"))       // NULL → value update (null-safe compare)
+      .toDF("k", "bal", "seg")
+    val newSnap = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, Some(21.0), "b"),
+      (4L, Some(40.0), "d"),
+      (5L, Some(50.0), "e")) // inserted
+      .toDF("k", "bal", "seg")
+    val out = Warehouse.cdcDiff(oldSnap, newSnap, "k", Seq("bal", "seg"))
+      .orderBy("k")
+      .as[(Long, String, Option[Double], Option[Double], Option[String], Option[String])]
+      .collect().toSeq
+    assert(out == Seq(
+      (2L, "update", Some(20.0), Some(21.0), Some("b"), Some("b")),
+      (3L, "delete", Some(30.0), None, Some("c"), None),
+      (4L, "update", None, Some(40.0), Some("d"), Some("d")),
+      (5L, "insert", None, Some(50.0), None, Some("e"))))
+  }
 }
