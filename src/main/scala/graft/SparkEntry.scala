@@ -1160,7 +1160,80 @@ object SparkEntry {
       Streaming.streamOuterAttribution(s, dir, s"$TMP/q114_src")
         // null view_id sorts differently in the two engines — make the
         // gate order explicit: nulls first, like Spark's asc default
-        .orderBy(col("purchase_id"), col("view_id").asc_nulls_first))
+        .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)),
+    "q128_doc_chunking" -> ((s, dir) =>
+      // sliding context-window chunking (size 20, stride 15 → overlap 5):
+      // one map-side pass, the fan-out happens after column pruning
+      Curation.chunkDocuments(T(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 20, stride = 15)
+        .orderBy("doc_id", "chunk_id")),
+    "q129_forward_fill" -> ((s, dir) =>
+      // dense series from sparse observations: `value` is only meaningful on
+      // purchase events here; carry the last purchase value forward per user
+      Relational.forwardFill(
+        T(s, dir, "events").withColumn("__sparse",
+          when(col("event_type") === "purchase", col("value"))),
+        "user_id", "ts", "event_id", "__sparse")
+        .select(col("event_id"), col("user_id"), col("ts"), col("filled_value"))
+        .orderBy("event_id")),
+    "q130_unicode_normalize" -> ((s, dir) => {
+      // NFC canonical composition (native codegen'd Expression). The ASCII
+      // testdata normalizes to itself, so a decomposed suffix (combining
+      // acute + diaeresis) is appended to every doc — the char-count drop
+      // proves real composition happened, not an identity pass.
+      val raw = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        length(raw).cast("long").as("n_chars_raw"),
+        graft.functions.NfcNormalize(raw).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+    "q131_attribution" -> ((s, dir) =>
+      // first/last-touch journey attribution for converting users — two
+      // co-partitioned hash aggs, tie-breaks inside struct min/max (no window)
+      Relational.attribution(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", conversionType = "purchase")
+        .orderBy("user_id")),
+    "q132_manifest_prune" -> ((s, dir) => {
+      // file-level min/max data skipping: time-clustered layout (8 range
+      // files over 30 days) + manifest consulted on the driver → a 7-day
+      // scan opens ~2 of 8 files (StorageSpec asserts the prune count);
+      // result ≡ full scan + filter, which is exactly what the oracle runs
+      val tmp = s"$TMP/q132_man"
+      T(s, dir, "events")
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(tmp)
+      val (pruned, _, _) = graft.storage.Storage.manifestPrunedRange(
+        s, tmp, "ts",
+        java.sql.Timestamp.valueOf("2024-01-08 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      pruned.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+    "q133_compaction" -> ((s, dir) => {
+      // lakehouse OPTIMIZE: a fragmented hive layout (16 writer tasks × 30
+      // day dirs ≈ 480 small files) compacts to one file per day with the
+      // layout — and its pruning — intact; the gate proves row fidelity
+      val tmp = s"$TMP/q133_comp"
+      T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+        .repartition(16)
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      graft.storage.Storage.compactPartitioned(s, tmp, "day")
+      s.read.parquet(tmp)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("day").cast("string").as("day"))
+        .orderBy("event_id")
+    }),
+    "q134_embed_centroids" -> ((s, dir) =>
+      // exact fixed-point class prototypes: posexplode fan-out is map-side,
+      // one hash agg reduces to |labels|·dim rows; integer sums commute so
+      // the result is partition-order independent (a float avg is not)
+      Similarity.labelCentroids(T(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label").cast("long").as("label"), col("pos"),
+          col("sum_scaled"), col("n"))
+        .orderBy("label", "pos"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -2191,6 +2264,68 @@ object SparkEntry {
         |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
         |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q128_doc_chunking" ->
+      // same window arithmetic: ceil(n/15) windows (min 1), slices of 20;
+      // DuckDB zips the parallel unnests positionally
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id,
+        |  unnest(range(0, greatest(CAST(ceil(len(tk) / 15.0) AS BIGINT), 1))) AS chunk_id,
+        |  unnest(list_transform(range(0, greatest(CAST(ceil(len(tk) / 15.0) AS BIGINT), 1)),
+        |    i -> array_to_string(tk[i * 15 + 1 : i * 15 + 20], ' '))) AS chunk,
+        |  unnest(list_transform(range(0, greatest(CAST(ceil(len(tk) / 15.0) AS BIGINT), 1)),
+        |    i -> CAST(len(tk[i * 15 + 1 : i * 15 + 20]) AS BIGINT))) AS chunk_tokens
+        |FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk, chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q129_forward_fill" ->
+      """SELECT event_id, user_id, ts,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q130_unicode_normalize" ->
+      // chr(769)/chr(776) = the same combining acute/diaeresis the engine
+      // appends; both engines implement Unicode NFC, both count code points
+      """WITH r AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  nfc_normalize(raw) AS norm_text,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_norm
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q131_attribution" ->
+      // rn is unique inside each user, so min_by/max_by on it are
+      // deterministic — the window twin of the engine's struct min/max
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |fp AS (SELECT user_id, min(rn) AS prn FROM e
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |ft AS (SELECT user_id, min_by(event_type, rn) AS first_touch FROM e GROUP BY 1),
+        |lt AS (SELECT e.user_id, max_by(e.event_type, e.rn) AS last_touch
+        |       FROM e JOIN fp USING (user_id) WHERE e.rn < fp.prn GROUP BY 1),
+        |cv AS (SELECT e.user_id, e.ts AS conversion_at
+        |       FROM e JOIN fp USING (user_id) WHERE e.rn = fp.prn)
+        |SELECT cv.user_id, ft.first_touch, lt.last_touch, cv.conversion_at
+        |FROM cv JOIN ft USING (user_id) LEFT JOIN lt USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q132_manifest_prune" ->
+      // pruning is invisible to correctness: the oracle is the full filter
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |ORDER BY event_id""".stripMargin,
+    "q133_compaction" ->
+      """SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d') AS day
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q134_embed_centroids" ->
+      // identical fixed-point scaling: float→double cast and ·10⁶ are
+      // IEEE-exact, round is half-away-from-zero in both engines
+      """WITH e AS (SELECT label, unnest(embedding) AS v,
+        |    unnest(range(0, len(embedding))) AS pos FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, pos,
+        |  CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "q44_minhash_neardup" -> q44Sql,
     // components over the SAME pair pipeline as q44, closed transitively by a
     // recursive CTE, labeled by the component minimum

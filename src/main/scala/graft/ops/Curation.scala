@@ -151,4 +151,37 @@ object Curation {
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).as("total_chars"))
   }
+
+  /** Sliding-window document chunking — long documents become overlapping
+    * token windows of `chunkSize` tokens advancing by `stride` (overlap =
+    * chunkSize − stride), the standard context-window prep for embedding
+    * and pretraining pipelines (each chunk fits the model; the overlap keeps
+    * boundary sentences in at least one chunk whole).
+    *
+    * Entirely map-side: tokenize → `sequence` of window starts → `transform`
+    * + `slice` builds every window from the ONE token array → `posexplode`.
+    * No shuffle, no UDF — a 100 TB corpus chunks in a single scan and the
+    * fan-out (×docTokens/stride rows) happens after column pruning, so only
+    * (id, chunk) width ever materializes. Window count = ceil(n/stride):
+    * every token is covered, the final windows may run short.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need chunkSize >= stride > 0, got chunkSize=$chunkSize stride=$stride")
+    // token count comes from the SLICE length, not a re-tokenization of the
+    // joined string — the two differ on pathological inputs (consecutive
+    // separators make empty tokens) and slice length is the contract
+    val windows = expr(
+      s"""transform(
+         |  sequence(0, greatest(cast(ceil(size(__tk) / $stride.0) as int) - 1, 0)),
+         |  i -> struct(
+         |    concat_ws(' ', slice(__tk, i * $stride + 1, $chunkSize)) AS chunk,
+         |    cast(size(slice(__tk, i * $stride + 1, $chunkSize)) as bigint) AS chunk_tokens))""".stripMargin)
+    docs
+      .withColumn("__tk", split(col(textCol), " "))
+      .select(col(idCol), posexplode(windows).as(Seq("__pos", "__w")))
+      .select(col(idCol), col("__pos").cast("long").as("chunk_id"),
+        col("__w.chunk").as("chunk"), col("__w.chunk_tokens").as("chunk_tokens"))
+  }
 }

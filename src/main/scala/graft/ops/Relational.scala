@@ -277,4 +277,58 @@ object Relational {
         graft.functions.BloomMightContain.serialize(bf)))
     pruned.join(dim, pruned(factKey) === dim(dimKey), "left_semi")
   }
+
+  /** Forward fill (last-observation-carried-forward): replace NULLs in
+    * `valueCol` with the most recent non-NULL value of the SAME key, in
+    * (orderCol, tieCol) order. The gap-filling primitive for sparse metrics
+    * — sensors report on change, events carry a value only on some types —
+    * before any windowed math that needs a dense series.
+    *
+    * One `last(ignoreNulls)` running window inside the key partition: the
+    * shuffle is the key hash exchange only, state per row is one value, and
+    * no key's window ever spans partitions (contrast a GLOBAL ordered fill,
+    * which would serialize — same trap as the q91 pre-fix window). The
+    * tie-break column makes the fill deterministic under equal timestamps.
+    */
+  def forwardFill(df: DataFrame, keyCol: String, orderCol: String,
+                  tieCol: String, valueCol: String,
+                  filledAs: String = "filled_value"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(filledAs, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** First/last-touch conversion attribution: for every key (user) that
+    * converts, the event type that opened the journey and the one
+    * immediately preceding the FIRST conversion. The marketing-analytics
+    * staple the reference's dashboard queries circle around
+    * (`Analysis Dashboard/app.py` engagement funnels) without owning.
+    *
+    * Two hash aggregates on the same key — the first finds each key's
+    * first conversion instant as `min(struct(order, tie))` (struct min =
+    * lexicographic, so the tie-break rides inside the aggregate: no window,
+    * no sort), the second folds first/last-touch as conditional struct
+    * min/max against that instant. Both exchanges hash on `keyCol` and AQE
+    * coalesces them into one effective shuffle; per-key state is three
+    * structs regardless of journey length.
+    */
+  def attribution(events: DataFrame, keyCol: String, orderCol: String,
+                  tieCol: String, typeCol: String,
+                  conversionType: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === conversionType)
+      .groupBy(col(keyCol))
+      .agg(min(struct(col(orderCol), col(tieCol))).as("__conv"))
+    events.join(conv, keyCol)
+      .groupBy(col(keyCol))
+      .agg(
+        min(struct(col(orderCol), col(tieCol), col(typeCol))).as("__first"),
+        max(when(struct(col(orderCol), col(tieCol)) < col("__conv"),
+          struct(col(orderCol), col(tieCol), col(typeCol)))).as("__last"),
+        first(col("__conv")).as("__c"))
+      .select(col(keyCol),
+        col(s"__first.$typeCol").as("first_touch"),
+        col(s"__last.$typeCol").as("last_touch"),
+        col(s"__c.$orderCol").as("conversion_at"))
+  }
 }

@@ -285,4 +285,27 @@ object Similarity {
     assigned.groupBy(col("__id").as(idCol))
       .agg(codes.head, codes.tail: _*)
   }
+
+  /** Per-group embedding centroids in EXACT fixed-point arithmetic: each
+    * component is scaled to micro-units (`round(v · 10⁶)` — float→double cast
+    * and the product are IEEE-exact, so every engine lands on the same
+    * integer) and summed as longs. Float centroids computed the obvious way
+    * (`avg` over doubles) are accumulation-order-dependent — a different
+    * partitioning gives a different last ulp — which poisons both
+    * reproducibility contracts and differential tests; integer sums commute.
+    *
+    * The shape is the class-prototype builder (nearest-class-mean
+    * classifiers, IVF seeding per label, embedding-drift monitoring):
+    * `posexplode` fans each vector into (label, pos, v) — map-side — and one
+    * hash aggregate with map-side combine reduces to |labels|·dim rows.
+    * The caller divides `sum_scaled / n` when a float centroid is wanted;
+    * keeping the (sum, count) pair exact also makes centroids MERGEABLE
+    * across shards (sums add), which a rounded average is not. */
+  def labelCentroids(vectors: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col(labelCol), col("__pos").cast("long").as("pos"))
+      .agg(
+        sum(round(col("__v").cast("double") * lit(1000000d)).cast("long")).as("sum_scaled"),
+        count(lit(1)).as("n"))
 }

@@ -82,4 +82,63 @@ object Storage {
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
+
+  /** Partition-preserving small-file compaction: rewrite a hive-layout table
+    * to ONE file per partition directory. `repartition(partCol)` hashes every
+    * partition value to exactly one task, and `partitionBy` on the write
+    * re-derives the same directories — so each `day=…/` dir collapses from a
+    * streaming run's many per-trigger files to a single scan-friendly file
+    * while the layout (and its pruning) survives. The lakehouse OPTIMIZE
+    * primitive, minus the txn log. StorageSpec asserts the file-count
+    * collapse and row fidelity. For very large single partitions add a salt
+    * column to the repartition to split them across several tasks/files.
+    */
+  def compactPartitioned(spark: SparkSession, path: String, partCol: String): Unit = {
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** File-level min/max statistics manifest — the data-skipping index the
+    * lakehouse txn logs (public Delta/Iceberg docs) persist per file: one
+    * row per parquet file with the min/max of the skipping column. Built
+    * with ONE distributed pass over the hidden `_metadata.file_path` column;
+    * the result is file-count-sized (KBs for a 100 TB table), which is what
+    * makes driver-side pruning on it legitimate.
+    *
+    * In production the manifest is written once per ingest batch and
+    * incrementally appended — the build cost amortizes to the files just
+    * written, exactly like a txn-log commit. */
+  def statsManifest(spark: SparkSession, path: String, statCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
+        count(lit(1)).as("rows"))
+
+  /** Manifest-pruned range scan: consult the (tiny) manifest on the driver,
+    * pass ONLY the overlapping files to the reader, then re-apply the exact
+    * predicate. The `collect()` is file-level metadata — the same planning
+    * read every lakehouse engine does — never data. Result ≡ full scan +
+    * filter; the win is that non-overlapping files are never opened (on a
+    * time-clustered layout that is most of them). Returns the pruned frame
+    * plus (selected, total) file counts for observability/assertions. */
+  def manifestPrunedRange(spark: SparkSession, path: String, statCol: String,
+                          lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    // one action: every file with its overlap verdict ([min,max] ∩ [lo,hi)),
+    // the comparison done by Catalyst so every orderable type works
+    val rows = statsManifest(spark, path, statCol)
+      .select(col("file"),
+        (col("max_v") >= lit(lo) && col("min_v") < lit(hi)).as("keep"))
+      .collect()
+    val keepFiles = rows.filter(_.getBoolean(1)).map(_.getString(0))
+    val pruned = spark.read.parquet(keepFiles.toIndexedSeq: _*)
+      .filter(col(statCol) >= lit(lo) && col(statCol) < lit(hi))
+    (pruned, keepFiles.length, rows.length)
+  }
 }

@@ -113,4 +113,40 @@ class CurationSpec extends SparkSpec {
     assert(out == expected, s"spark=$out bigint=$expected")
   }
 
+  test("chunkDocuments covers every token, overlaps by chunkSize - stride") {
+    val doc = (1 to 47).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(df, "doc_id", "text", chunkSize = 20, stride = 15)
+      .orderBy("chunk_id").as[(Long, Long, String, Long)].collect()
+    // ceil(47/15) = 4 windows; starts 0,15,30,45; sizes 20,20,17,2
+    assert(chunks.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_._4).toSeq == Seq(20L, 20L, 17L, 2L))
+    // coverage: the concatenation of stride-prefixes rebuilds the doc
+    val toks = doc.split(" ")
+    chunks.foreach { case (_, cid, chunk, _) =>
+      val start = (cid * 15).toInt
+      assert(chunk == toks.slice(start, start + 20).mkString(" "))
+    }
+    // overlap: each window's first 5 tokens = previous window's last 5
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      if (a._4 == 20 && b._4 >= 5)
+        assert(a._3.split(" ").takeRight(5).toSeq == b._3.split(" ").take(5).toSeq)
+      case _ => ()
+    }
+  }
+
+  test("chunkDocuments: a short doc yields exactly one chunk, itself") {
+    val df = Seq((7L, "only three tokens")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", 20, 15)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq((7L, 0L, "only three tokens", 3L)))
+  }
+
+  test("chunkDocuments rejects a stride wider than the chunk (gaps)") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(df, "doc_id", "text", chunkSize = 10, stride = 20)
+    }
+  }
+
 }

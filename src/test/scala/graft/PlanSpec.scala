@@ -153,4 +153,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"edge derivation must stay keyed on the order:\n$plan")
   }
+
+  test("doc chunking is one map-side pass — zero exchanges (q128 core)") {
+    // the registered key appends the determinism orderBy (a range exchange);
+    // the OPERATOR itself must plan scan → project → generate, nothing else
+    val df = graft.ops.Curation.chunkDocuments(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", 20, 15)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), s"expected the posexplode fan-out:\n$plan")
+  }
+
+  test("forward fill shuffles once, on the key hash — never a global window (q129)") {
+    val plan = q("q129_forward_fill")
+    // the fill's window exchange hashes on the key — an empty partition spec
+    // would plan SinglePartition and serialize the whole table through one task
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"fill window must partition by the key:\n$plan")
+  }
 }

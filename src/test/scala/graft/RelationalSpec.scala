@@ -197,4 +197,52 @@ class RelationalSpec extends SparkSpec {
     assert(kept == 1000L, "a bloom filter must have no false negatives")
   }
 
+  test("forwardFill carries the last non-null forward, leaves leading nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, Option.empty[Double]), // leading null stays null
+      (1L, 2L, Some(5.0)),
+      (1L, 3L, None), // filled with 5.0
+      (1L, 4L, Some(7.0)),
+      (1L, 5L, None), // filled with 7.0
+      (2L, 1L, None) // other key unaffected by key 1's values
+    ).toDF("k", "seq", "v")
+    val out = Relational.forwardFill(df, "k", "seq", "seq", "v")
+      .orderBy("k", "seq")
+      .select(col("filled_value")).as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, Some(5.0), Some(5.0), Some(7.0), Some(7.0), None))
+  }
+
+  test("forwardFill tie-break makes equal order keys deterministic") {
+    import spark.implicits._
+    // two observations at the SAME ts: the higher tie id wins downstream
+    val df = Seq(
+      (1L, 10L, 1L, Some(1.0)), (1L, 10L, 2L, Some(2.0)), (1L, 11L, 3L, None)
+    ).toDF("k", "ts", "id", "v")
+    val out = Relational.forwardFill(df, "k", "ts", "id", "v")
+      .filter(col("id") === 3).select("filled_value").as[Double].head()
+    assert(out == 2.0)
+  }
+
+  test("attribution finds first touch, last touch before FIRST conversion") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: view → click → purchase → signup → purchase
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"), (1L, 3L, 30L, "purchase"),
+      (1L, 4L, 40L, "signup"), (1L, 5L, 50L, "purchase"),
+      // user 2: purchase first — no last touch
+      (2L, 6L, 10L, "purchase"), (2L, 7L, 20L, "view"),
+      // user 3: never converts — absent from output
+      (3L, 8L, 10L, "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Relational.attribution(df, "user_id", "ts", "event_id",
+      "event_type", "purchase")
+      .orderBy("user_id")
+      .select("user_id", "first_touch", "last_touch", "conversion_at")
+      .as[(Long, String, Option[String], Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "view", Some("click"), 30L),
+      (2L, "purchase", None, 10L)))
+  }
+
 }

@@ -180,4 +180,27 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(out(1) == ((2L, 0L, Seq(0, 0, 0, 0))))
   }
+
+  test("labelCentroids is exact and partition-order independent") {
+    import spark.implicits._
+    val rows = (1 to 97).map { i =>
+      (i.toLong, (i % 3), Array(i * 0.001f, -i * 0.002f, 1.0f))
+    }
+    val df = rows.toDF("id", "label", "vec")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.labelCentroids(d, "label", "vec")
+        .orderBy("label", "pos")
+        .as[(Int, Long, Long, Long)].collect().toSeq
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(7, col("id")))
+    assert(a == b, "scaled-long sums must commute across partitionings")
+    // exactness vs direct computation on the driver
+    val expect = rows.groupBy(_._2).flatMap { case (lbl, rs) =>
+      (0 until 3).map { p =>
+        val sum = rs.map(r => math.round(r._3(p).toDouble * 1e6)).sum
+        (lbl, p.toLong, sum, rs.size.toLong)
+      }
+    }.toSeq.sorted
+    assert(a.sorted == expect)
+  }
 }

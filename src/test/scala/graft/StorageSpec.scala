@@ -193,4 +193,35 @@ class StorageSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(salted == plain && plain("one") == 3000L)
   }
+
+  test("compactPartitioned collapses each partition dir to one file, rows intact") {
+    val path = "/root/repo/target/test_compact"
+    val df = (1L to 400L).map(i => (i, s"d${i % 4}")).toDF("id", "day")
+    df.repartition(8).write.mode("overwrite").partitionBy("day").parquet(path)
+    def filesPerDay: Map[String, Int] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    assert(filesPerDay.values.forall(_ > 1), s"fixture not fragmented: $filesPerDay")
+    Storage.compactPartitioned(spark, path, "day")
+    assert(filesPerDay.values.forall(_ == 1), s"not compacted: $filesPerDay")
+    val back = spark.read.parquet(path).select("id").as[Long].collect().sorted.toSeq
+    assert(back == (1L to 400L).toSeq)
+  }
+
+  test("manifestPrunedRange opens only overlapping files, result = full filter") {
+    val path = "/root/repo/target/test_manifest"
+    // 8 range files over a sorted key: a [250, 500) scan overlaps ~2 of them
+    (0L until 1000L).toDF("v")
+      .repartitionByRange(8, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(path)
+    val (pruned, selected, total) =
+      Storage.manifestPrunedRange(spark, path, "v", 250L, 500L)
+    assert(total == 8 && selected < total,
+      s"manifest must prune: selected=$selected total=$total")
+    val got = pruned.select("v").as[Long].collect().sorted.toSeq
+    assert(got == (250L until 500L).toSeq)
+  }
 }

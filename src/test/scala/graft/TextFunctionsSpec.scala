@@ -88,4 +88,28 @@ class TextFunctionsSpec extends SparkSpec {
       .select(dayString(col("t")).as("d")).as[String].head()
     assert(out == "2024-03-05")
   }
+
+  test("NfcNormalize composes combining marks; ASCII is identity; null passes") {
+    val decomposed = "cafe\u0301 nai\u0308ve" // e + U+0301, i + U+0308
+    val df = Seq(Some(decomposed), Some("plain ascii"), None).toDF("t")
+    val out = df.select(graft.functions.NfcNormalize(col("t")).as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("caf\u00e9 na\u00efve"), Some("plain ascii"), None))
+    // parity with the JDK reference on every input incl. already-composed
+    val jdk = java.text.Normalizer.normalize(decomposed, java.text.Normalizer.Form.NFC)
+    assert(out.head.contains(jdk))
+    // idempotent: normalizing the normalized form changes nothing
+    val again = Seq(jdk).toDF("t")
+      .select(graft.functions.NfcNormalize(col("t")).as("n")).as[String].head()
+    assert(again == jdk)
+  }
+
+  test("NfcNormalize shortens the code-point count by the composed marks") {
+    val df = Seq("ab cde\u0301").toDF("t") // 7 code points -> 6 after NFC
+    val (raw, norm) = df.select(
+      length(col("t")).cast("long").as("r"),
+      length(graft.functions.NfcNormalize(col("t"))).cast("long").as("n"))
+      .as[(Long, Long)].head()
+    assert((raw, norm) == ((7L, 6L)))
+  }
 }
