@@ -1233,7 +1233,36 @@ object SparkEntry {
       Similarity.labelCentroids(T(s, dir, "embeddings"), "label", "embedding")
         .select(col("label").cast("long").as("label"), col("pos"),
           col("sum_scaled"), col("n"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+    "q135_scd2_lookup" -> ((s, dir) => {
+      // the SCD2 consumer: each purchase enriched with the browsing state
+      // the user was in AT purchase time (q94 builds the history; this is
+      // the join that makes historical attributes honest — joining
+      // "current state" instead silently time-travels them backwards)
+      val ev = T(s, dir, "events")
+      val dim = Warehouse.scd2Compact(
+        ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        "user_id", "event_type", "ts", "event_id")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Warehouse.pointInTimeLookup(facts, dim, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("state").as("state_at_purchase"))
+        .orderBy("event_id")
+    }),
+    "q136_inverted_index" -> ((s, dir) =>
+      // IR posting lists over the corpus: term → sorted doc ids + df. The
+      // gate row carries the list as a fold fingerprint + end-point docs
+      // (q98 convention — array cells don't survive the value comparator),
+      // which pins the exact sorted content modulo hash collisions
+      TextAnalysis.invertedIndex(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("term"), col("df"),
+          element_at(col("postings"), 1).as("first_doc"),
+          element_at(col("postings"), -1).as("last_doc"),
+          expr("aggregate(postings, CAST(0 AS BIGINT)," +
+            " (a, x) -> (a * 31 + x) % 1000000007)").as("postings_fp"))
+        .orderBy("term"))
   )
 
   // ------------------------------------------------------------------ oracle
@@ -2326,6 +2355,32 @@ object SparkEntry {
         |  CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    "q135_scd2_lookup" ->
+      // the q94 history CTE over non-purchase events, consumed by a
+      // validity-window join; versions are non-overlapping so each purchase
+      // matches at most one — LEFT keeps pre-history purchases with NULL
+      """WITH ev AS (SELECT user_id, event_type AS state, ts, event_id
+        |  FROM events WHERE event_type <> 'purchase'),
+        |ch AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+        |f AS (SELECT user_id, state, ts AS valid_from, event_id FROM ch
+        |  WHERE prev IS NULL OR prev <> state),
+        |d AS (SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to FROM f),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, d.state AS state_at_purchase
+        |FROM p LEFT JOIN d ON p.user_id = d.user_id
+        |  AND d.valid_from <= p.ts AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |ORDER BY p.event_id""".stripMargin,
+    "q136_inverted_index" ->
+      // list_reduce seeds with the first element — identical to the
+      // engine's 0-seeded fold because (0·31 + x) mod M = x for doc ids < M
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |p AS (SELECT term, list_sort(list(DISTINCT doc_id)) AS postings,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM t WHERE term <> '' GROUP BY term)
+        |SELECT term, df, postings[1] AS first_doc, postings[-1] AS last_doc,
+        |  list_reduce(postings, (a, x) -> (a * 31 + x) % 1000000007) AS postings_fp
+        |FROM p ORDER BY term""".stripMargin,
     "q44_minhash_neardup" -> q44Sql,
     // components over the SAME pair pipeline as q44, closed transitively by a
     // recursive CTE, labeled by the component minimum

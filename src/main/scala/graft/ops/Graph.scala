@@ -150,12 +150,15 @@ object Graph {
     val oriented = annotated.select(
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
       when(uFirst, col("v")).otherwise(col("u")).as("b"))
-      .localCheckpoint()
     val adj = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("__nb"))
-    val closed = oriented
-      .join(side(adj.select(col("a"), col("__nb").as("__na"))), Seq("a"))
-      // inner: a b-node with no out-edges closes nothing
+      .localCheckpoint()
+    // the edge stream is re-derived by EXPLODING the adjacency frame — each
+    // row arrives with N⁺(a) already attached, so only one (broadcast) join
+    // remains, fetching N⁺(b); a b-node with no out-edges closes nothing
+    // (inner join drops it)
+    val closed = adj
+      .select(col("a"), explode(col("__nb")).as("b"), col("__nb").as("__na"))
       .join(side(adj.select(col("a").as("b"), col("__nb"))), Seq("b"))
       .withColumn("__t", array_intersect(col("__na"), col("__nb")))
       .withColumn("__n", size(col("__t")))

@@ -217,4 +217,23 @@ object TextAnalysis {
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(k)
+
+  /** Inverted index: term → sorted unique posting list + document frequency.
+    * The IR primitive behind decontamination probes, keyword routing, and
+    * BM25-style retrieval over a training corpus.
+    *
+    * One token explode (map-side) and one hash aggregate on the term;
+    * `collect_set` partials merge in any order and `sort_array` canonicalizes
+    * after the merge, so postings are deterministic across partitionings.
+    * Skew honesty: a stopword's posting list is ~|corpus| ids in ONE row —
+    * at 100 TB posting lists are range-sharded ((term, doc_id bucket) keys,
+    * the standard index-sharding layout) and stopwords usually dropped by a
+    * df cap upstream; the single-array form here is the within-shard step. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(sort_array(collect_set(col(idCol))).as("postings"))
+      .withColumn("df", size(col("postings")).cast("long"))
 }

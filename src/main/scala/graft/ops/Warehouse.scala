@@ -155,4 +155,33 @@ object Warehouse {
       .filter(col("change_type") =!= "update" || changed)
       .select(outCols: _*)
   }
+
+  /** Point-in-time dimension lookup — the SCD2 CONSUMER: each fact row is
+    * enriched with the dimension version whose half-open validity window
+    * `[valid_from, valid_to)` contains the fact's timestamp (open-ended
+    * current versions match everything from `valid_from` on). Joining facts
+    * to "current state" silently time-travels attributes backwards; this is
+    * the join that makes historical aggregates honest.
+    *
+    * Plan shape: an EQUI join on the key with the validity window as a
+    * residual filter — one key-hash exchange each side; per-key fan-out is
+    * facts × versions WITHIN the key before the residual prunes to ≤ 1 match
+    * (versions are non-overlapping), so per-key cost is bounded by that
+    * key's version count, not the table. A key whose version history is
+    * itself huge wants the as-of formulation ([[graft.ops.Relational
+    * .asOfJoin]]: union + one window) — same semantics when `valid_to` is
+    * derived from the next `valid_from`, which [[scd2Compact]] guarantees.
+    * Facts with no valid version (before the key's first state) survive
+    * with a NULL state, left-join semantics. */
+  def pointInTimeLookup(facts: DataFrame, dim: DataFrame, keyCol: String,
+                        tsCol: String): DataFrame = {
+    val d = dim.select(col(keyCol).as("__dk"), col("state"),
+      col("valid_from"), col("valid_to"))
+    facts.join(d,
+      facts(keyCol) === col("__dk") &&
+        col("valid_from") <= facts(tsCol) &&
+        (col("valid_to").isNull || facts(tsCol) < col("valid_to")),
+      "left")
+      .drop("__dk", "valid_from", "valid_to")
+  }
 }

@@ -126,4 +126,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._3).forall(_ == 0L))
   }
 
+  test("invertedIndex: sorted unique postings, duplicate tokens counted once") {
+    val docs = Seq(
+      (3L, "b a b"), (1L, "a c"), (2L, "a")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+      .orderBy("term").as[(String, Seq[Long], Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", Seq(1L, 2L, 3L), 3L), // doc 3 lists 'a' once despite "b a b"
+      ("b", Seq(3L), 1L),
+      ("c", Seq(1L), 1L)))
+  }
+
+  test("invertedIndex postings are identical across partitionings") {
+    val docs = (1L to 200L).map(i => (i, s"w${i % 7} w${i % 11}")).toDF("doc_id", "text")
+    val a = TextAnalysis.invertedIndex(docs.repartition(1), "doc_id", "text")
+      .orderBy("term").as[(String, Seq[Long], Long)].collect().toSeq
+    val b = TextAnalysis.invertedIndex(docs.repartition(9), "doc_id", "text")
+      .orderBy("term").as[(String, Seq[Long], Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
 }

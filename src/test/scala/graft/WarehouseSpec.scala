@@ -103,4 +103,26 @@ class WarehouseSpec extends SparkSpec {
       (4L, "update", None, Some(40.0), Some("d"), Some("d")),
       (5L, "insert", None, Some(50.0), None, Some("e"))))
   }
+
+  test("pointInTimeLookup picks the version valid AT the fact timestamp") {
+    // key 1 history: a [01-01, 01-10), b [01-10, open)
+    val hist = Seq(
+      (1L, "x", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "x", ts("2024-01-05 00:00:00"), 2L), // same state: collapsed
+      (1L, "y", ts("2024-01-10 00:00:00"), 3L)
+    ).toDF("k", "state", "t", "tie")
+    val dim = Warehouse.scd2Compact(hist, "k", "state", "t", "tie")
+    val facts = Seq(
+      (100L, 1L, ts("2023-12-25 00:00:00")), // before any version -> NULL
+      (101L, 1L, ts("2024-01-07 00:00:00")), // inside [x)
+      (102L, 1L, ts("2024-01-10 00:00:00")), // boundary: y starts AT 01-10
+      (103L, 1L, ts("2024-09-01 00:00:00")), // open-ended current -> y
+      (104L, 2L, ts("2024-01-07 00:00:00")) // unknown key -> NULL
+    ).toDF("fid", "k", "t")
+    val out = Warehouse.pointInTimeLookup(facts, dim, "k", "t")
+      .orderBy("fid").select("fid", "state")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((100L, None), (101L, Some("x")), (102L, Some("y")),
+      (103L, Some("y")), (104L, None)))
+  }
 }
