@@ -51,6 +51,12 @@ object Bench {
 
     // min of two timed passes per query: damps machine-load noise (observed
     // run-to-run swings of 30%+ on an otherwise idle box)
+    // NOTE on cross-query interference: localCheckpoint blocks from earlier
+    // queries are released only when their RDDs are GC'd, so heavy keys can
+    // read ±30% depending on what ran before them. A System.gc() between
+    // queries was tried and made totals WORSE (+10%): the ContextCleaner
+    // work it enqueues is asynchronous and lands inside the NEXT timed
+    // region. min-of-two passes remains the noise control.
     def timedPass(): Seq[(String, Double, Boolean)] =
       names.map { name =>
         val t0 = System.nanoTime()

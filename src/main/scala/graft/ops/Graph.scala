@@ -63,7 +63,8 @@ object Graph {
     * adjacency array is that node's row, the explode streams it.
     *
     * Output: (node, rank) — rank in Scale units. */
-  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               broadcastRanks: Boolean = true): DataFrame = {
     // adjacency: out-neighbors per node; sort_array makes the frame (not
     // just the result) deterministic across shuffles
     val adj = edges.select(col("src"), col("dst"))
@@ -72,9 +73,16 @@ object Graph {
         count(lit(1)).as("__deg"))
       .localCheckpoint()
     var ranks = adj.select(col("src").as("node"), lit(Scale).as("rank"))
+    // the rank frame is |nodes| rows of two longs — for any graph whose
+    // adjacency fits memory it broadcasts, making each iteration's join
+    // map-side over the (stationary, checkpointed) adjacency frame; the
+    // only exchange per iteration is then the contribution groupBy. Beyond
+    // broadcast range, flip the flag: the join falls back to shuffling the
+    // two |nodes|-row frames (never the edge list).
     for (_ <- 1 to iterations) {
       ranks = adj
-        .join(ranks, adj("src") === ranks("node"))
+        .join(if (broadcastRanks) broadcast(ranks) else ranks,
+          adj("src") === ranks("node"))
         .select(explode(col("__out")).as("dst"), expr("rank div __deg").as("__contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("__contrib")).as("__in"))
