@@ -137,8 +137,12 @@ object Storage {
         (col("max_v") >= lit(lo) && col("min_v") < lit(hi)).as("keep"))
       .collect()
     val keepFiles = rows.filter(_.getBoolean(1)).map(_.getString(0))
-    val pruned = spark.read.parquet(keepFiles.toIndexedSeq: _*)
-      .filter(col(statCol) >= lit(lo) && col(statCol) < lit(hi))
+    // zero overlap: an empty path list is a reader error — keep the table's
+    // schema via a scan that the always-false filter prunes entirely
+    val base =
+      if (keepFiles.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keepFiles.toIndexedSeq: _*)
+    val pruned = base.filter(col(statCol) >= lit(lo) && col(statCol) < lit(hi))
     (pruned, keepFiles.length, rows.length)
   }
 }

@@ -136,4 +136,29 @@ class PropertySpec extends SparkSpec {
       assert(anti + semi == in.count())
     }
   }
+
+  test("property: chunking covers every token exactly once per stride window (q128)") {
+    val wordGen = Gen.listOfN(40, Gen.oneOf("aa", "b", "ccc", "dd"))
+    for (s <- 1L to 5L) {
+      val n = 1 + (s * 11 % 37).toInt
+      val words = sample(wordGen, s).take(n)
+      val doc = words.mkString(" ")
+      val chunks = graft.ops.Curation.chunkDocuments(
+        Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text", 7, 5)
+        .orderBy("chunk_id")
+        .as[(Long, Long, String, Long)].collect()
+      // window count and coverage invariants for any doc length
+      assert(chunks.length == math.max(1, math.ceil(n / 5.0).toInt))
+      chunks.foreach { case (_, cid, chunk, ct) =>
+        val start = (cid * 5).toInt
+        val expect = words.slice(start, start + 7)
+        assert(chunk == expect.mkString(" ") && ct == expect.length)
+      }
+      // stride-prefix concatenation rebuilds the document exactly
+      val rebuilt = chunks.map { case (_, _, c, _) =>
+        c.split(" ").take(5).mkString(" ")
+      }.filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == doc)
+    }
+  }
 }

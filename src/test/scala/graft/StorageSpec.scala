@@ -224,4 +224,15 @@ class StorageSpec extends SparkSpec {
     val got = pruned.select("v").as[Long].collect().sorted.toSeq
     assert(got == (250L until 500L).toSeq)
   }
+
+  test("manifestPrunedRange with no overlapping file returns empty, keeps schema") {
+    val path = "/root/repo/target/test_manifest_empty"
+    (0L until 100L).toDF("v")
+      .repartitionByRange(4, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(path)
+    val (pruned, selected, total) =
+      Storage.manifestPrunedRange(spark, path, "v", 5000L, 6000L)
+    assert(selected == 0 && total == 4)
+    assert(pruned.columns.toSeq == Seq("v") && pruned.count() == 0)
+  }
 }
