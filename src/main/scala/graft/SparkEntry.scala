@@ -1251,6 +1251,23 @@ object SparkEntry {
           col("state").as("state_at_purchase"))
         .orderBy("event_id")
     }),
+    "q137_budget_select" -> ((s, dir) =>
+      // greedy token-budget curation: best-quality-first cumulative token
+      // sum via the two-phase prefix machinery — no global window
+      Curation.budgetSelect(T(s, dir, "documents"), "doc_id", "text",
+        budget = 100000L)
+        .select(col("doc_id"), col("quality"), col("toks"), col("cum_tokens"))
+        .orderBy("doc_id")),
+    "q138_cluster_split" -> ((s, dir) => {
+      // leakage-safe split: assignment hashes the near-dup CLUSTER, so a
+      // training doc's near-copies can never land in the eval split
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minHashNearDup(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+      Curation.clusterSafeSplit(docs, "doc_id", "n_chars",
+        Dedup.connectedComponents(pairs))
+        .orderBy("split")
+    }),
     "q136_inverted_index" -> ((s, dir) =>
       // IR posting lists over the corpus: term → sorted doc ids + df. The
       // gate row carries the list as a fold fingerprint + end-point docs
@@ -2355,6 +2372,44 @@ object SparkEntry {
         |  CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    "q137_budget_select" ->
+      // q51's quality formula + a plain windowed cumsum — the oracle can
+      // afford the global window the engine's two-phase rewrite avoids
+      """WITH f AS (SELECT doc_id,
+        |CAST(length(text) AS DOUBLE) AS len,
+        |CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS DOUBLE) AS stop
+        |FROM documents),
+        |q AS (SELECT doc_id, round(
+        |(CASE WHEN len >= 100 AND len <= 10000 THEN CAST(1.0 AS DOUBLE) WHEN len >= 20 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+        |+ (CASE WHEN len > 0 THEN alpha / len ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+        |+ (CASE WHEN toks > 0 THEN least(stop / toks * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE),
+        |4) AS quality, CAST(toks AS BIGINT) AS toks FROM f),
+        |c AS (SELECT doc_id, quality, toks,
+        |  sum(toks) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM q)
+        |SELECT doc_id, quality, toks, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 100000 ORDER BY doc_id""".stripMargin,
+    "q138_cluster_split" ->
+      // q77's component CTE; unpaired docs are singleton clusters; the
+      // same reduce-first hash as q109, applied to the component id
+      s"""WITH RECURSIVE pairs AS ($q44Sql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |conn(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+         |lab AS (SELECT a, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |dc AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component, d.n_chars
+         |       FROM documents d LEFT JOIN lab l ON d.doc_id = l.a),
+         |s AS (SELECT *, (((component % 1000000007) * 2654435761) % 1000000007) % 100 AS cell FROM dc)
+         |SELECT CASE WHEN cell < 80 THEN 'train' WHEN cell < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
     "q135_scd2_lookup" ->
       // the q94 history CTE over non-purchase events, consumed by a
       // validity-window join; versions are non-overlapping so each purchase

@@ -152,6 +152,61 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).as("total_chars"))
   }
 
+  /** Token-budget corpus selection: keep the highest-quality documents whose
+    * cumulative token count fits a training budget — the greedy knapsack
+    * every "train on the best N tokens" curation run performs. Selection is
+    * by the (quality DESC, id) total order, so it is reproducible and
+    * engine-independent.
+    *
+    * The global running token sum is the q91 problem and uses the same
+    * machinery ([[TwoPhase.prefixSum]] keyed on descending quality): range
+    * bins + per-bin windows + broadcast offsets — a cumulative sum over the
+    * whole corpus with NO single-partition window anywhere. Returns the
+    * selected rows with their quality, token count, and inclusive running
+    * total (`cum_tokens <= budget`). */
+  def budgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                   budget: Long): DataFrame = {
+    val annotated = docs.select(col(idCol),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"),
+      TextAnalysis.tokenCount(col(textCol)).as("toks"))
+    val (cum, _) = TwoPhase.prefixSum(annotated, -col("quality"),
+      Seq(-col("quality"), col(idCol)), col("toks"), "cum_tokens")
+    cum.filter(col("cum_tokens") <= budget)
+  }
+
+  /** Leakage-safe train/val/test split: the assignment hash is computed on
+    * the near-dup CLUSTER id, not the document id, so every member of a
+    * duplicate cluster lands in the SAME split. Splitting by document id
+    * leaks: near-copies of a training document sit in the eval set and
+    * the eval score measures memorization. Zero cross-split clusters holds
+    * by construction — split is a pure function of the component.
+    *
+    * `components` is (node, component) from [[Dedup.connectedComponents]]
+    * over the near-dup pair stream; unpaired documents are their own
+    * singleton cluster (component = id via the left-join coalesce). Same
+    * reduce-first multiplicative hash as [[trainValTestSplit]] — overflow-
+    * free over the whole long domain. Output: per-split doc count, cluster
+    * count, and char volume. */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, sizeCol: String,
+                       components: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val withComp = docs
+      .join(components, docs(idCol) === components("node"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("__comp"),
+        col(sizeCol))
+    val cell = pmod(pmod(pmod(col("__comp"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L)), lit(100))
+    withComp
+      .withColumn("split",
+        when(cell < trainPct, "train")
+          .when(cell < trainPct + valPct, "val")
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__comp")).as("n_clusters"),
+        sum(col(sizeCol)).as("total_chars"))
+  }
+
   /** Sliding-window document chunking — long documents become overlapping
     * token windows of `chunkSize` tokens advancing by `stride` (overlap =
     * chunkSize − stride), the standard context-window prep for embedding

@@ -149,4 +149,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("budgetSelect keeps best-quality docs until the token budget is spent") {
+    // quality ladder: long alpha text scores high, short junk low
+    val good = ("the and of is a " * 30).trim // 150 tokens, stopword-rich
+    val mid = "plain words here without stopwords " * 5 // 25 tokens
+    val junk = "!!" // 1 token, score 0
+    val docs = Seq((1L, good), (2L, junk), (3L, mid), (4L, good))
+      .toDF("doc_id", "text")
+    // budget fits the two good docs (300) + mid (25) but not junk's turn
+    val out = Curation.budgetSelect(docs, "doc_id", "text", budget = 325L)
+      .orderBy("doc_id").select("doc_id", "cum_tokens")
+      .as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 3L, 4L))
+    // inclusive boundary: the last kept doc lands exactly on the budget
+    assert(out.map(_._2).max == 325L)
+  }
+
+  test("clusterSafeSplit lands every cluster member in the same split") {
+    val docs = (1L to 300L).map(i => (i, 10L)).toDF("doc_id", "n_chars")
+    // clusters: {1..10} -> 1, {11..20} -> 11; rest singletons
+    val comp = (1L to 20L).map(i => (i, if (i <= 10) 1L else 11L))
+      .toDF("node", "component")
+    val out = Curation.clusterSafeSplit(docs, "doc_id", "n_chars", comp)
+      .as[(String, Long, Long, Long)].collect()
+    // doc and char volumes conserved; clusters = 2 real + 280 singletons,
+    // and none is double-counted across splits (split is a component fn)
+    assert(out.map(_._2).sum == 300L && out.map(_._4).sum == 3000L)
+    assert(out.map(_._3).sum == 282L, s"cluster accounting off: ${out.toSeq}")
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
 }
