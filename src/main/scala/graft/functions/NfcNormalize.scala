@@ -3,7 +3,7 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,8 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NfcNormalize {
 
-  /** Shared by interpreted eval and the generated code. */
+  /** Shared by interpreted eval and the generated code. Two-tier fast path:
+    * pure-ASCII input (no high bit anywhere — the overwhelming web-corpus
+    * majority) is NFC by definition and returns the SAME UTF8String with no
+    * String decode and no allocation at all; otherwise `isNormalized` (a
+    * scan, no allocation beyond the decoded String) still short-circuits
+    * the allocating `normalize` call. */
   def nfc(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length && bytes(i) >= 0) i += 1
+    if (i == bytes.length) return s // pure ASCII: already NFC, zero-alloc
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
@@ -40,10 +49,14 @@ object NfcNormalize {
       NfcNormalizeExpression(org.apache.spark.sql.graft.Shims.expression(c)))
 }
 
-case class NfcNormalizeExpression(child: Expression) extends UnaryExpression {
+case class NfcNormalizeExpression(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "nfc_normalize"
+  // a non-string child is a plan-time AnalysisException, not a mid-job
+  // executor ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override protected def nullSafeEval(input: Any): Any =
     NfcNormalize.nfc(input.asInstanceOf[UTF8String])

@@ -38,6 +38,10 @@ object Graph {
   def coOccurrenceEdges(rel: DataFrame, entityCol: String,
                         containerCol: String): DataFrame =
     rel
+      // a NULL container is "no container", not a shared one: groupBy would
+      // collect every such entity into one phantom clique (the equi-join
+      // formulation dropped them implicitly — NULL keys never match)
+      .filter(col(containerCol).isNotNull && col(entityCol).isNotNull)
       .groupBy(col(containerCol).as("__c"))
       .agg(sort_array(collect_set(col(entityCol))).as("__es"))
       .select(explode(col("__es")).as("src"), col("__es"))
@@ -123,9 +127,9 @@ object Graph {
     * row (Σ outdeg² rows probing a broadcast hash of the closing edges);
     * the intersection does the same O(m^1.5) work as per-row array scans
     * inside one codegen stage — no wedge row ever exists, and the measured
-    * cost at sf0.1 dropped 2.2× (7.9 s → 3.6 s; the residual is the
-    * co-occurrence derivation itself — the container self-join + distinct —
-    * which every consumer of the edge list pays).
+    * cost at sf0.1 dropped 2.2× (7.9 s → ~3 s; the residual is the
+    * co-occurrence derivation itself — the container groupBy + pair
+    * explode + distinct — which every consumer of the edge list pays).
     *
     * Shuffle shape: degree agg → orientation joins → ONE adjacency groupBy;
     * the adjacency frame (|nodes| rows, Σ sizes = m longs ≈ the edge list

@@ -76,6 +76,15 @@ object Storage {
     val files = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapInto(spark, tmp, path)
+  }
+
+  /** Replace `path` with the directory at `tmp`. The delete→rename window is
+    * not atomic — a crash between the two leaves only the tmp dir, which is
+    * recoverable by hand but invisible to readers; a production store does
+    * this under a txn-log commit instead. Shared by both compaction paths
+    * so that hardening lands in one place. */
+  private def swapInto(spark: SparkSession, tmp: String, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -98,11 +107,7 @@ object Storage {
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     df.repartition(col(partCol))
       .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    swapInto(spark, tmp, path)
   }
 
   /** File-level min/max statistics manifest — the data-skipping index the
@@ -136,7 +141,10 @@ object Storage {
       .select(col("file"),
         (col("max_v") >= lit(lo) && col("min_v") < lit(hi)).as("keep"))
       .collect()
-    val keepFiles = rows.filter(_.getBoolean(1)).map(_.getString(0))
+    // a file whose stat column is entirely NULL has NULL min/max → NULL
+    // keep; skipping it is exact (the re-applied predicate drops NULL rows)
+    val keepFiles = rows.filter(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(_.getString(0))
     // zero overlap: an empty path list is a reader error — keep the table's
     // schema via a scan that the always-false filter prunes entirely
     val base =

@@ -68,6 +68,16 @@ class GraphSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("coOccurrenceEdges never links entities through a NULL container") {
+    val rel = Seq(
+      (Some(1L), Some(10L)), // only entity in container 10 -> no pairs
+      (Some(2L), Option.empty[Long]), // NULL container: no membership
+      (Some(3L), Option.empty[Long]),
+      (Option.empty[Long], Some(10L)) // NULL entity: ignored
+    ).toDF("e", "c")
+    assert(Graph.coOccurrenceEdges(rel, "e", "c").count() == 0)
+  }
+
   test("pageRank is bit-identical across partition counts") {
     val rel = (1L to 400L).map(i => (i % 37, i % 11)).toDF("c", "e")
     val edges = Graph.coOccurrenceEdges(rel, "e", "c")

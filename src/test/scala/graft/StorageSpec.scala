@@ -225,6 +225,18 @@ class StorageSpec extends SparkSpec {
     assert(got == (250L until 500L).toSeq)
   }
 
+  test("manifestPrunedRange skips a file whose stat column is entirely NULL") {
+    val path = "/root/repo/target/test_manifest_null"
+    (0L until 50L).map(Some(_)).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    Seq.fill(10)(Option.empty[Long]).toDF("v").coalesce(1)
+      .write.mode("append").parquet(path)
+    val (pruned, selected, total) =
+      Storage.manifestPrunedRange(spark, path, "v", 10L, 20L)
+    assert(total == 2 && selected == 1, s"sel=$selected tot=$total")
+    assert(pruned.select("v").as[Long].collect().sorted.toSeq == (10L until 20L).toSeq)
+  }
+
   test("manifestPrunedRange with no overlapping file returns empty, keeps schema") {
     val path = "/root/repo/target/test_manifest_empty"
     (0L until 100L).toDF("v")

@@ -112,4 +112,18 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert((raw, norm) == ((7L, 6L)))
   }
+
+  test("NfcNormalize ASCII fast path is zero-alloc; inputs coerce like built-ins") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain ascii, no high bit")
+    assert(graft.functions.NfcNormalize.nfc(ascii) eq ascii)
+    // non-ASCII but already-NFC also returns the same instance
+    val composed = UTF8String.fromString("caf\u00e9")
+    assert(graft.functions.NfcNormalize.nfc(composed) eq composed)
+    // ImplicitCastInputTypes: an atomic non-string child coerces to its
+    // string form at plan time (same contract as upper/length), no CCE
+    val viaLong = Seq(123L).toDF("n")
+      .select(graft.functions.NfcNormalize(col("n")).as("s")).as[String].head()
+    assert(viaLong == "123")
+  }
 }
