@@ -436,7 +436,10 @@ object SparkEntry {
         try it.forEach(p => java.nio.file.Files.delete(p)) finally it.close()
       }
       java.nio.file.Files.createDirectories(root)
-      T(s, dir, "documents").select(col("doc_id"), col("text"))
+      // a NULL text has no byte payload to stage — skipped on BOTH sides
+      // (the oracle filters identically), instead of an executor NPE
+      T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .foreachPartition { (it: Iterator[(Long, String)]) =>
           it.foreach { case (id, text) =>
@@ -1613,7 +1616,7 @@ object SparkEntry {
     "q122_binary_ingest" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "q123_cdc_diff" ->
       """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
         |o AS (SELECT * FROM base WHERE c_custkey % 10 <> 3),

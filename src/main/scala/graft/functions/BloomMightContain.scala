@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** `bloom.mightContainLong(key)` as a codegen'd Catalyst `Expression` — the
@@ -17,7 +17,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * WholeStageCodegen where it can run before the fact table's exchange.
   */
 case class BloomMightContainExpression(child: Expression, bits: Array[Byte])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  // narrower integral keys widen at plan time — without this, an
+  // IntegerType child (or a foldable one evaluated interpreted by
+  // ConstantFolding) throws ClassCastException in nullSafeEval
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "bloom_might_contain"

@@ -68,13 +68,17 @@ object Dedup {
     */
   def commonLineRemoval(docs: DataFrame, idCol: String, linesCol: Column,
                         maxFreq: Long, sep: String = "\n"): DataFrame = {
+    // checkpointed: the frequency aggregate AND the probe join both read the
+    // exploded corpus — without the barrier the explode+hash runs twice per
+    // action (same diamond as rareTokenStats, same fix)
     val lined = docs
       .select(col(idCol), posexplode(linesCol).as(Seq("__pos", "__line")))
       .withColumn("__h", xxhash64(col("__line")))
+      .localCheckpoint()
     val boilerplate = lined.groupBy(col("__h"))
       .agg(count(lit(1)).as("__cf"))
       .filter(col("__cf") > maxFreq)
-    lined
+    val rebuilt = lined
       .join(broadcast(boilerplate), Seq("__h"), "left")
       .withColumn("__keep", col("__cf").isNull)
       .groupBy(col(idCol))
@@ -85,6 +89,13 @@ object Dedup {
           sep).as("clean_text"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_lines"),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("dropped_lines"))
+    // posexplode of an empty/NULL lines array emits nothing — restore those
+    // docs so the documented every-doc-emits contract holds
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        coalesce(col("dropped_lines"), lit(0L)).as("dropped_lines"))
   }
 
   // ---------------------------------------------------------------- shingles

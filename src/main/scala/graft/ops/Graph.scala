@@ -144,10 +144,18 @@ object Graph {
     * de-duplicated here. Output: (node, triangles), nodes with ≥ 1 triangle.
     */
   def triangleCounts(edges: DataFrame, broadcastAdj: Boolean = true): DataFrame = {
+    // packed-key precondition enforced IN the plan (zero extra jobs): a
+    // negative or >32-bit id would sign-extend into the degree bits and
+    // silently corrupt orientation compares — fail loudly instead
+    val idOk = col("u") >= 0 && col("u") < lit(1L << 32) &&
+      col("v") >= 0 && col("v") < lit(1L << 32)
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
+      .filter(when(idOk, lit(true)).otherwise(raise_error(
+        lit("triangleCounts: node ids must fit in unsigned 32 bits " +
+          "(packed orientation-key precondition)"))))
       .distinct()
       .localCheckpoint()
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))

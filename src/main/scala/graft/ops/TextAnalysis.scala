@@ -114,7 +114,9 @@ object TextAnalysis {
       .filter(length(col("term")) > 0)
       .localCheckpoint()
     val freqs = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
-    val n = freqs.agg(coalesce(sum(col("cf")), lit(0L))).first().getLong(0)
+    // Σcf ≡ the token count — read it straight off the checkpoint instead
+    // of re-running the vocabulary aggregate a second time
+    val n = toks.count()
     // rare ⇔ cf·10⁶ < n·ppm, algebraically folded to a driver-side count
     // threshold so no executor multiplies cf by 10⁶ (cf can reach ~10¹³ on
     // a 100 TB corpus — the naive form is a silent long overflow)

@@ -141,9 +141,11 @@ object Warehouse {
     // distinguish "absent" from "present with NULLs"
     val j = o.withColumn("__in_old", lit(true))
       .join(n.withColumn("__in_new", lit(true)), Seq(keyCol), "full_outer")
+    // no compare columns = presence-only diffing: inserts/deletes only,
+    // a matched key is never an update
     val changed = compareCols
       .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val outCols =
       col(keyCol) +: col("change_type") +:
         compareCols.flatMap(c => Seq(

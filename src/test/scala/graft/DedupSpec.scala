@@ -195,4 +195,17 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, "x\ny\nz", 3L, 0L), (2L, "x\nx\nq", 3L, 0L)))
   }
 
+  test("commonLineRemoval emits docs whose lines array is empty or NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])
+    ).toDF("doc_id", "lines")
+    val out = Dedup.commonLineRemoval(docs, "doc_id", col("lines"), maxFreq = 100)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "a\nb", 2L, 0L), (2L, "", 0L, 0L), (3L, "", 0L, 0L)))
+  }
+
 }

@@ -68,6 +68,16 @@ class GraphSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("triangleCounts fails loudly on ids outside the packed-key domain") {
+    val bad = Seq((-5L, 2L), (2L, 3L), (3L, -5L)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      Graph.triangleCounts(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("unsigned 32 bits")), e.getMessage)
+  }
+
   test("coOccurrenceEdges never links entities through a NULL container") {
     val rel = Seq(
       (Some(1L), Some(10L)), // only entity in container 10 -> no pairs

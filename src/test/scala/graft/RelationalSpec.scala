@@ -197,6 +197,19 @@ class RelationalSpec extends SparkSpec {
     assert(kept == 1000L, "a bloom filter must have no false negatives")
   }
 
+  test("BloomMightContain widens narrower integral keys at plan time") {
+    val dim = (0L until 100L).toDF("k")
+    val bf = dim.stat.bloomFilter("k", 100L, 0.01)
+    val bits = graft.functions.BloomMightContain.serialize(bf)
+    // IntegerType probe column: must coerce, not ClassCastException
+    val ints = (0 until 100).toDF("i")
+    assert(ints.filter(graft.functions.BloomMightContain(col("i"), bits)).count() == 100L)
+    // foldable int child is evaluated interpreted by ConstantFolding on the
+    // driver; key 5 is inserted, so the constant filter keeps every row
+    val folded = dim.filter(graft.functions.BloomMightContain(lit(5), bits)).count()
+    assert(folded == 100L)
+  }
+
   test("forwardFill carries the last non-null forward, leaves leading nulls") {
     import spark.implicits._
     val df = Seq(

@@ -104,6 +104,15 @@ class WarehouseSpec extends SparkSpec {
       (5L, "insert", None, Some(50.0), None, Some("e"))))
   }
 
+  test("cdcDiff with no compare columns is presence-only: inserts and deletes") {
+    val oldSnap = Seq((1L, "a"), (2L, "b")).toDF("k", "seg")
+    val newSnap = Seq((2L, "CHANGED"), (3L, "c")).toDF("k", "seg")
+    val out = Warehouse.cdcDiff(oldSnap.select("k"), newSnap.select("k"), "k", Seq.empty)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    // key 2 matches -> never an update without compare columns
+    assert(out == Seq((1L, "delete"), (3L, "insert")))
+  }
+
   test("pointInTimeLookup picks the version valid AT the fact timestamp") {
     // key 1 history: a [01-01, 01-10), b [01-10, open)
     val hist = Seq(
