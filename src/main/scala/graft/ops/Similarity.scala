@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,9 +29,62 @@ object Similarity {
 
   def norm(a: String): Column = sqrt(dot(a, a))
 
+  /** Exact distributed top-k per query over a scored (query_id, neighbor_id,
+    * cosine) frame — two-phase, window-free. Phase 1 runs a bounded k-heap
+    * per INPUT partition (`mapPartitions`, no shuffle): memory is
+    * |queries|·k heap entries and the emit is ≤ |queries|·k rows per
+    * partition, so no reducer ever sees the full |corpus|×|queries| scored
+    * set. (The per-query `row_number` window this replaces hash-partitioned
+    * every scored row into only |queries| reducer partitions — the classic
+    * last-reducer pileup once the corpus is large.) Phase 2 merges the
+    * ≤ k·P survivors per query with one hash aggregate (sort + slice of the
+    * collected list) and derives the rank from the sorted position.
+    *
+    * Exact under any partitioning: a partition's local top-k is a superset
+    * of its contribution to the global top-k under the total order
+    * (cosine desc, neighbor_id asc), so the phase-2 merge sees every global
+    * winner. Precondition: cosine is non-NaN and ids are non-null (zero-norm
+    * vectors score NaN — filter them upstream; testdata has none).
+    *
+    * Output: (query_id, neighbor_id, cosine rounded 4dp, rn 1-based long),
+    * id columns keeping their input types; ordered by the caller.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val qType = scored.schema("query_id").dataType
+    val nType = scored.schema("neighbor_id").dataType
+    val narrowed = scored.select(
+      col("query_id").cast("long"), col("neighbor_id").cast("long"),
+      col("cosine").cast("double"))
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    val partial = narrowed.as(enc).mapPartitions { it =>
+      // heap head = current worst of the kept k (lowest cosine, then highest
+      // neighbor id) — the entry to evict when a better candidate arrives
+      val worstFirst = Ordering.by[(Double, Long), (Double, Long)] { case (c, n) => (-c, n) }
+      val heaps = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, n, c) =>
+        val h = heaps.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < k) h.enqueue((c, n))
+        else if (worstFirst.lt((c, n), h.head)) { h.dequeue(); h.enqueue((c, n)) }
+      }
+      heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (c, n) => (q, n, c) } }
+    }(enc).toDF("query_id", "neighbor_id", "cosine")
+    partial
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("cosine")).as("nc"), col("neighbor_id")))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__pos", "__t")))
+      .select(col("query_id").cast(qType).as("query_id"),
+        col("__t.neighbor_id").cast(nType).as("neighbor_id"),
+        round(negate(col("__t.nc")), 4).as("cosine"),
+        (col("__pos") + 1).cast("long").as("rn"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors (self excluded). Queries are broadcast; ranking is a
-    * per-query-partition window (k small ⇒ TakeOrdered-ish cost).
+    * corpus vectors (self excluded). Queries are broadcast and the corpus
+    * scans once with no shuffle of the scored set — ranking is the
+    * two-phase [[topKPerQuery]] (per-partition k-heap, then a k·P merge).
     *
     * Output: (query_id, neighbor_id, cosine rounded 4dp), ordered upstream by
     * the caller.
@@ -43,10 +96,8 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot("qv", "cv") / (norm("qv") * norm("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rn"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, cosine ≥
@@ -148,10 +199,10 @@ object Similarity {
     val scored = corpusCells.join(queryCells, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot("qv", "cv") / (norm("qv") * norm("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rn"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    // same two-phase ranking as the brute-force path: the probed-cell join
+    // bounds WHICH pairs score, topKPerQuery bounds the ranking fan-in
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes, splitmix64-mixed per (plane,

@@ -70,6 +70,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
   }
 
+  test("exact cosine top-k ranks two-phase — no full-width per-query window (q45)") {
+    val plan = q("q45_cosine_topk")
+    // phase 1 is a per-input-partition bounded k-heap; a Window here would
+    // mean the |corpus|×|queries| scored set funnels into |queries| reducers
+    assert(!plan.contains("Window"), s"unbounded per-query window in plan:\n$plan")
+    assert(plan.contains("MapPartitions"), s"missing partial top-k stage:\n$plan")
+  }
+
+  test("IVF top-k ranking is also two-phase after the cell join (q58)") {
+    val plan = q("q58_ann_ivf")
+    assert(plan.contains("MapPartitions"), s"missing partial top-k stage:\n$plan")
+  }
+
   test("date-partitioned layout prunes to the filtered day directories (q99)") {
     val plan = q("q99_partitioned_layout")
     assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
