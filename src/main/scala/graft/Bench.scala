@@ -44,24 +44,35 @@ object Bench {
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
 
+    // Release localCheckpoint blocks left behind by the query just timed.
+    // Safe: no table-level cache exists and every pass rebuilds each query's
+    // plan from scratch, so nothing reuses a prior query's persisted RDDs.
+    // blocking=true so the block-manager removal completes HERE, between
+    // timed regions, not inside the next query's timer. (A System.gc() here
+    // was tried and made totals WORSE (+10%): the ContextCleaner work it
+    // enqueues is asynchronous and lands inside the next timed region —
+    // synchronous unpersist has no such tail.)
+    def releaseCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
     // Untimed warm-up at the smallest SF: pays Janino/JIT codegen and file
     // index costs once so the timed pass measures data processing.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) names.foreach(materialize(_, warmDir))
+    if (new java.io.File(warmDir).isDirectory)
+      names.foreach { n => materialize(n, warmDir); releaseCheckpoints() }
 
     // min of two timed passes per query: damps machine-load noise (observed
-    // run-to-run swings of 30%+ on an otherwise idle box)
-    // NOTE on cross-query interference: localCheckpoint blocks from earlier
-    // queries are released only when their RDDs are GC'd, so heavy keys can
-    // read ±30% depending on what ran before them. A System.gc() between
-    // queries was tried and made totals WORSE (+10%): the ContextCleaner
-    // work it enqueues is asynchronous and lands inside the NEXT timed
-    // region. min-of-two passes remains the noise control.
+    // run-to-run swings of 30%+ on an otherwise idle box). Before round 9,
+    // lingering checkpoint blocks from earlier queries were released only at
+    // GC time and heavy keys read ±30-65% depending on what ran before them
+    // (q78 measured 1.01 s alone vs 1.78 s after the q1xx family);
+    // releaseCheckpoints() between timed regions removes that coupling.
     def timedPass(): Seq[(String, Double, Boolean)] =
       names.map { name =>
         val t0 = System.nanoTime()
         val ok = materialize(name, sfDir)
         val t = (System.nanoTime() - t0) / 1e9
+        releaseCheckpoints()
         (name, if (ok) t else ErrorSentinelSec, ok)
       }
     val p1 = timedPass()
