@@ -87,7 +87,15 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    // provenance: the driver's BENCH_r{N}.json tails truncate the per-query
+    // map, so also land the full line at a stable path for round-over-round
+    // comparison (committed per round as BENCH_LOCAL_r{N}.json)
+    try {
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench_local.json"), line)
+    } catch { case _: Throwable => () } // never fail the bench over provenance
     spark.stop()
   }
 }
