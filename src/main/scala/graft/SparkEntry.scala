@@ -406,7 +406,7 @@ object SparkEntry {
       // scaled-long arithmetic (deterministic across partitionings)
       Graph.pageRank(
         Graph.coOccurrenceEdges(T(s, dir, "lineitem"), "l_partkey", "l_orderkey"),
-        iterations = 3)
+        iterations = 3, broadcastRanks = true) // |parts| rank rows — well inside broadcast range
         .select(col("node").as("p_partkey"), col("rank").as("rank_scaled"))
         .orderBy("p_partkey")),
     "q121_line_dedup" -> ((s, dir) => {

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** `bloom.mightContainLong(key)` as a codegen'd Catalyst `Expression` — the
@@ -22,6 +23,19 @@ case class BloomMightContainExpression(child: Expression, bits: Array[Byte])
   // IntegerType child (or a foldable one evaluated interpreted by
   // ConstantFolding) throws ClassCastException in nullSafeEval
   override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  // ImplicitCastInputTypes would also accept a STRING key (string→long is a
+  // legal implicit cast): non-numeric strings cast to NULL, silently
+  // filtering every row instead of failing analysis. The analyzer wraps the
+  // original child in a Cast before this check runs, so look through it.
+  override def checkInputDataTypes(): TypeCheckResult = child match {
+    case c: Cast if c.child.dataType.isInstanceOf[StringType] =>
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain requires an integral key column, got STRING " +
+          "(hash string keys to a long — e.g. xxhash64 — on BOTH the build " +
+          "and probe side instead)")
+    case _ => super.checkInputDataTypes()
+  }
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "bloom_might_contain"

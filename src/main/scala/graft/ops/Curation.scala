@@ -194,6 +194,14 @@ object Curation {
       .join(components, docs(idCol) === components("node"), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("__comp"),
         col(sizeCol))
+      // precondition enforced in-plan (same discipline as triangleCounts):
+      // the cell hash uses Spark's pmod, whose non-negative result diverges
+      // from sign-preserving % engines (DuckDB, Java) for NEGATIVE ids — a
+      // negative component would split differently under the q138 oracle,
+      // so fail loudly instead of silently disagreeing
+      .filter(when(col("__comp") >= 0, lit(true)).otherwise(raise_error(
+        lit("clusterSafeSplit: cluster/doc ids must be non-negative " +
+          "(pmod cell-hash precondition)"))))
     val cell = pmod(pmod(pmod(col("__comp"), lit(1000000007L)) * lit(2654435761L),
       lit(1000000007L)), lit(100))
     withComp

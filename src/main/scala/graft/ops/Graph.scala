@@ -71,9 +71,17 @@ object Graph {
     * implementation). Skew bound: one row per node — a celebrity node's
     * adjacency array is that node's row, the explode streams it.
     *
-    * Output: (node, rank) — rank in Scale units. */
+    * Output: (node, rank) — rank in Scale units.
+    *
+    * `broadcastRanks` is OPT-IN: broadcasting the |nodes|-row rank frame
+    * makes each iteration's join map-side, but a graph beyond broadcast
+    * range (driver memory / the 8 GB broadcast cap) would fail at runtime
+    * instead of degrading — so the library default is the shuffle-safe
+    * join, and callers that know their node count (like the q120 gate at
+    * bench scale) flip it on. Results are bit-identical either way
+    * (GraphSpec asserts it). */
   def pageRank(edges: DataFrame, iterations: Int = 3,
-               broadcastRanks: Boolean = true): DataFrame = {
+               broadcastRanks: Boolean = false): DataFrame = {
     // adjacency: out-neighbors per node; sort_array makes the frame (not
     // just the result) deterministic across shuffles
     val adj = edges.select(col("src"), col("dst"))

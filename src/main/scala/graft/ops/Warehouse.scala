@@ -174,16 +174,25 @@ object Warehouse {
     * .asOfJoin]]: union + one window) — same semantics when `valid_to` is
     * derived from the next `valid_from`, which [[scd2Compact]] guarantees.
     * Facts with no valid version (before the key's first state) survive
-    * with a NULL state, left-join semantics. */
+    * with a NULL state, left-join semantics.
+    *
+    * The dim's columns are aliased to reserved `__`-prefixed names for the
+    * join (same convention as `__dk`), so a facts side that itself carries
+    * `state`/`valid_from`/`valid_to` keeps them untouched — only the
+    * enrichment column is renamed back to `state` on output (if the facts
+    * side also has `state`, the result carries both and the caller
+    * disambiguates by position/alias, rather than having its column
+    * silently dropped). */
   def pointInTimeLookup(facts: DataFrame, dim: DataFrame, keyCol: String,
                         tsCol: String): DataFrame = {
-    val d = dim.select(col(keyCol).as("__dk"), col("state"),
-      col("valid_from"), col("valid_to"))
+    val d = dim.select(col(keyCol).as("__dk"), col("state").as("__dstate"),
+      col("valid_from").as("__dvf"), col("valid_to").as("__dvt"))
     facts.join(d,
       facts(keyCol) === col("__dk") &&
-        col("valid_from") <= facts(tsCol) &&
-        (col("valid_to").isNull || facts(tsCol) < col("valid_to")),
+        col("__dvf") <= facts(tsCol) &&
+        (col("__dvt").isNull || facts(tsCol) < col("__dvt")),
       "left")
-      .drop("__dk", "valid_from", "valid_to")
+      .drop("__dk", "__dvf", "__dvt")
+      .withColumnRenamed("__dstate", "state")
   }
 }

@@ -146,10 +146,14 @@ object Storage {
     val keepFiles = rows.filter(r => !r.isNullAt(1) && r.getBoolean(1))
       .map(_.getString(0))
     // zero overlap: an empty path list is a reader error — keep the table's
-    // schema via a scan that the always-false filter prunes entirely
+    // schema via a scan that the always-false filter prunes entirely.
+    // basePath pins partition discovery to the table root, so on a
+    // hive-partitioned layout the survivors keep their partition columns
+    // (a bare file-list read would silently drop them and the pruned
+    // frame's schema would diverge from the full-table scan)
     val base =
       if (keepFiles.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(keepFiles.toIndexedSeq: _*)
+      else spark.read.option("basePath", path).parquet(keepFiles.toIndexedSeq: _*)
     val pruned = base.filter(col(statCol) >= lit(lo) && col(statCol) < lit(hi))
     (pruned, keepFiles.length, rows.length)
   }

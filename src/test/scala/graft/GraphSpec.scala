@@ -97,4 +97,14 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("pageRank broadcast and shuffle rank joins agree bit-identically") {
+    val rel = (1L to 400L).map(i => (i % 37, i % 11)).toDF("c", "e")
+    val edges = Graph.coOccurrenceEdges(rel, "e", "c")
+    val shuffled = Graph.pageRank(edges, 3, broadcastRanks = false)
+      .as[(Long, Long)].collect().toSet
+    val bcast = Graph.pageRank(edges, 3, broadcastRanks = true)
+      .as[(Long, Long)].collect().toSet
+    assert(shuffled == bcast && shuffled.nonEmpty)
+  }
 }

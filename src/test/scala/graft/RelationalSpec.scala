@@ -189,6 +189,18 @@ class RelationalSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("BloomMightContain rejects a STRING key at analysis instead of NULLing it") {
+    val dim = (0L until 10L).toDF("k")
+    val bf = dim.stat.bloomFilter("k", 10L, 0.01)
+    val bits = graft.functions.BloomMightContain.serialize(bf)
+    val strs = Seq("1", "oops").toDF("s")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      strs.filter(graft.functions.BloomMightContain(col("s"), bits)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral key"),
+      s"unexpected analysis error: ${e.getMessage}")
+  }
+
   test("BloomMightContain never rejects an inserted key (one-sided error only)") {
     val dim = (0L until 1000L).toDF("k")
     val bf = dim.stat.bloomFilter("k", 1000L, 0.01)

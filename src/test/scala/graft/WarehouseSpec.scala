@@ -134,4 +134,16 @@ class WarehouseSpec extends SparkSpec {
     assert(out == Seq((100L, None), (101L, Some("x")), (102L, Some("y")),
       (103L, Some("y")), (104L, None)))
   }
+
+  test("pointInTimeLookup keeps facts-side valid_from/valid_to columns intact") {
+    val hist = Seq((1L, "x", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "state", "t", "tie")
+    val dim = Warehouse.scd2Compact(hist, "k", "state", "t", "tie")
+    // facts carry their OWN valid_from column — it must survive the lookup
+    val facts = Seq((101L, 1L, ts("2024-01-07 00:00:00"), "fact-vf"))
+      .toDF("fid", "k", "t", "valid_from")
+    val out = Warehouse.pointInTimeLookup(facts, dim, "k", "t")
+    assert(out.columns.count(_ == "valid_from") == 1)
+    assert(out.select("valid_from").as[String].head() == "fact-vf")
+    assert(out.select("state").as[String].head() == "x")
+  }
 }
