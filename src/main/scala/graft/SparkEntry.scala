@@ -1156,6 +1156,28 @@ object SparkEntry {
           element_at(col("features"), 3).cast("long").as("peak"))
         .orderBy("doc_id")
     }),
+    "q139_video_frames" -> ((s, dir) => {
+      // REAL video-container frame sampling under the gate: per doc, an
+      // animated GIF with (n_chars%5+2) solid-color frames is synthesized
+      // (indexed palette — lossless), and sampleGifFrames genuinely walks
+      // the container with the JDK ImageIO reader, decoding every 2nd
+      // frame. The oracle predicts frame count, geometry, and exact
+      // per-channel means arithmetically.
+      import s.implicits._
+      val vids = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
+          val nFrames = (nc % 5 + 2).toInt
+          val colors = (0 until nFrames).map { i =>
+            val r = ((id + 37L * i) % 256).toInt
+            val g = ((nc + 11L * i) % 256).toInt
+            val b = (29 * i + 7) % 256
+            (r << 16) | (g << 8) | b
+          }
+          (id, Multimodal.synthGif((id % 8 + 1).toInt, 3, colors))
+        }).toDF("doc_id", "payload")
+      Multimodal.sampleGifFrames(vids, "doc_id", step = 2)
+        .orderBy("doc_id", "frame_idx")
+    }),
     "q114_stream_outer_join" -> ((s, dir) =>
       // outer stream-stream attribution: unmatched purchases survive as
       // null-extended rows, flushed deterministically by watermark sentinels
@@ -2246,6 +2268,21 @@ object SparkEntry {
         |  CAST(n_chars % 500 + 1 AS BIGINT) AS n_frames,
         |  CAST(doc_id % 30000 AS BIGINT) AS peak
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q139_video_frames" ->
+      // every-2nd-frame walk of a (n_chars%5+2)-frame animated GIF of
+      // (doc_id%8+1)×3 solid-color frames — frame colors are pure
+      // arithmetic here, genuine ImageIO container parsing on the Spark
+      // side (indexed-palette GIF encoding is lossless, so means are exact)
+      """WITH v AS (SELECT doc_id, n_chars, n_chars % 5 + 2 AS nf, doc_id % 8 + 1 AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_chars, nf, w, unnest(range(0, nf, 2)) AS frame_idx FROM v)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+        |  CAST((doc_id + 37 * frame_idx) % 256 AS BIGINT) AS mean_r,
+        |  CAST((n_chars + 11 * frame_idx) % 256 AS BIGINT) AS mean_g,
+        |  CAST((29 * frame_idx + 7) % 256 AS BIGINT) AS mean_b
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q114_stream_outer_join" ->
       // NULLS FIRST matches Spark's ascending null ordering
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),

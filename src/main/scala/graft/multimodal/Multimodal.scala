@@ -9,14 +9,16 @@ import org.apache.spark.sql.types._
   *
   * Decode is REAL for the formats the JDK ships codecs for — [[ImageDecoder]]
   * parses PNG/BMP/GIF/JPEG via `javax.imageio`, [[WavDecoder]] parses
-  * WAV/PCM via `javax.sound.sampled` — both under the oracle gate (q112/
-  * q113) through deterministic synthesized media whose decoded properties
-  * the oracle predicts arithmetically. Video frame decode stays STUBBED
-  * ([[frameSampleStub]] — no video codec in the JDK; a deployment drops an
-  * ffmpeg-backed decoder into the same [[Decoder]] seam). Everything
-  * Spark-side is real and tested: the schema (binary payload + metadata
-  * struct), the partition-parallel transform shape ([[extractFeatures]] —
-  * the `mapPartitions` slot where a per-partition codec instance amortizes),
+  * WAV/PCM via `javax.sound.sampled`, and [[sampleGifFrames]] parses
+  * multi-frame animated-GIF containers frame by frame — all under the
+  * oracle gate (q112/q113/q139) through deterministic synthesized media
+  * whose decoded properties the oracle predicts arithmetically. Codecs the
+  * JDK lacks (H.264 and friends) slot into the same per-partition decoder
+  * seam — the container walk, frame-stride sampling, and fan-out shape are
+  * what [[sampleGifFrames]] exercises for real. Everything Spark-side is
+  * real and tested: the schema (binary payload + metadata struct), the
+  * partition-parallel transform shape ([[extractFeatures]] — the
+  * `mapPartitions` slot where a per-partition codec instance amortizes),
   * and the batch iteration contract.
   */
 object Multimodal {
@@ -150,10 +152,110 @@ object Multimodal {
       struct(col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"),
         lit(width).as("target_w"), lit(height).as("target_h")))
 
-  /** Video frame-sampling stub: emits one row per sampled frame index with a
-    * deterministic byte-range "frame" slice — the explode/fan-out shape a real
-    * frame sampler produces (n rows out per video in), with the decode `???`
-    * replaced by a slice so tests can assert the plumbing. */
+  /** Deterministic animated-GIF synthesis: one solid-color frame per entry
+    * in `colors`, stored TYPE_BYTE_INDEXED with a 2-entry palette whose
+    * index 0 is the frame color — the GIF encoding of an indexed raster is
+    * LOSSLESS, so [[sampleGifFrames]]' decoded per-frame means are exactly
+    * the synthesized colors (the property the q139 differential gate uses;
+    * an RGB raster would get quantized to whatever palette the writer
+    * picks). INPUT SYNTHESIS only — the operator under test is the frame
+    * walk in [[sampleGifFrames]], which genuinely parses this container. */
+  def synthGif(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { rgb =>
+      val cm = new java.awt.image.IndexColorModel(8, 2,
+        Array(((rgb >> 16) & 0xff).toByte, 0.toByte),
+        Array(((rgb >> 8) & 0xff).toByte, 0.toByte),
+        Array((rgb & 0xff).toByte, 0.toByte))
+      // the fresh indexed raster is all zeros -> every pixel = palette[0]
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** REAL video-container frame sampling — multi-frame animated GIF via the
+    * JDK ImageIO reader (the one multi-frame container format with a JDK
+    * codec; an H.264 deployment swaps the reader behind the same shape).
+    * Walks the container index (`getNumImages`), decodes every `step`-th
+    * frame, and emits one row per sampled frame with the frame geometry and
+    * exact per-channel pixel means — the n-rows-out-per-video fan-out of a
+    * production frame sampler, happening map-side before any shuffle.
+    *
+    * One `ImageReader` instance per PARTITION (`setInput` per payload) —
+    * codec lookup is not paid per row. Undecodable payloads emit a single
+    * quarantine row (frame_idx −1, features −1), mirroring [[ImageDecoder]].
+    *
+    * Output: (idCol, n_frames, frame_idx, width, height, mean_r, mean_g,
+    * mean_b) — counts and means as longs (means are exact for the
+    * solid-color frames the gate synthesizes). */
+  def sampleGifFrames(mm: DataFrame, idCol: String, step: Int): DataFrame = {
+    require(step > 0, "frame stride must be positive")
+    val spark = mm.sparkSession
+    val idIdx = mm.schema.fieldIndex(idCol)
+    val payloadIdx = mm.schema.fieldIndex("payload")
+    val idType = mm.schema(idIdx).dataType
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("n_frames", LongType),
+      StructField("frame_idx", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("mean_r", LongType),
+      StructField("mean_g", LongType),
+      StructField("mean_b", LongType)))
+    val rdd = mm.rdd.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val id = r.get(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val frames =
+          try {
+            reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload)), false, false)
+            // a non-GIF payload surfaces as zero readable frames (the JDK
+            // reader often reports 0 rather than throwing) — quarantine it
+            val n = reader.getNumImages(true)
+            if (n <= 0) throw new java.io.IOException("no readable frames")
+            (0 until n by step).map { i =>
+              val img = reader.read(i)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val np = w.toLong * h
+              Row(id, n.toLong, i.toLong, w.toLong, h.toLong, sr / np, sg / np, sb / np)
+            }
+          } catch { case _: Exception =>
+            Seq(Row(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L))
+          }
+        frames
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Byte-window frame fan-out: emits one row per sampled window index with a
+    * deterministic byte-range "frame" slice — the explode/fan-out shape a
+    * frame sampler produces (n rows out per payload in) over an OPAQUE
+    * payload, no codec involved (the real container walk is
+    * [[sampleGifFrames]]). Useful as-is for fixed-record binary blobs. */
   def frameSampleStub(mm: DataFrame, idCol: String, everyNBytes: Int): DataFrame =
     mm.select(col(idCol), col("payload"),
       explode(sequence(lit(0L),

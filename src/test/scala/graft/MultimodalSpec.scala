@@ -49,6 +49,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq("abc", "def", "gh"))
   }
 
+  test("sampleGifFrames walks a real animated GIF: stride, geometry, exact colors") {
+    // 5 frames, stride 2 -> frames 0, 2, 4
+    val colors = Seq(0x102030, 0x405060, 0x708090, 0xa0b0c0, 0xd0e0f0)
+    val gif = Multimodal.synthGif(4, 3, colors)
+    val mm = Seq((7L, gif)).toDF("doc_id", "payload")
+    val got = Multimodal.sampleGifFrames(mm, "doc_id", step = 2)
+      .orderBy("frame_idx")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val expect = Seq(0, 2, 4).map { i =>
+      val c = colors(i)
+      (7L, 5L, i.toLong, 4L, 3L, ((c >> 16) & 0xff).toLong, ((c >> 8) & 0xff).toLong, (c & 0xff).toLong)
+    }
+    assert(got == expect)
+  }
+
+  test("sampleGifFrames quarantines undecodable payloads as a single -1 row") {
+    val mm = Seq((9L, "definitely not a gif".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Multimodal.sampleGifFrames(mm, "doc_id", step = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((9L, -1L, -1L, -1L, -1L, -1L, -1L, -1L)))
+  }
+
   test("extractFeatures runs the decoder per partition over every row") {
     val docs = Seq((1L, "abc"), (2L, "xyz"), (3L, "")).toDF("doc_id", "text")
     val mm = Multimodal.asMultimodal(docs, "doc_id", "text")
