@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -513,25 +513,43 @@ object SparkEntry {
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
     "q127_fuzzy_join" -> ((s, dir) => {
-      // blocked edit-distance self-join (entity resolution): candidate pairs
-      // come from an equi-join on a blocking key (here the 16-char name
-      // prefix), so Levenshtein — quadratic in the naive formulation — runs
-      // only inside blocks; there is NO cartesian anywhere in the plan.
-      // And because the block key IS a shared prefix, lev(full, full) =
-      // lev(suffix, suffix) (edit distance is common-prefix invariant), so
-      // the DP runs on 2-char tails instead of 18-char names — the same
-      // prefix-strip every serious Levenshtein implementation does, made
-      // explicit in the plan (measured 5.4 s → sub-second at sf0.1).
-      val c = T(s, dir, "customer")
-        .select(col("c_custkey"), substring(col("c_name"), 1, 16).as("__blk"),
-          substring(col("c_name"), 17, 1000000).as("__suf"))
-      val a = c.select(col("__blk"), col("c_custkey").as("key_a"), col("__suf").as("suf_a"))
-      val b = c.select(col("__blk"), col("c_custkey").as("key_b"), col("__suf").as("suf_b"))
-      a.join(b, Seq("__blk"))
-        .filter(col("key_a") < col("key_b"))
-        .withColumn("dist", levenshtein(col("suf_a"), col("suf_b")).cast("long"))
-        .filter(col("dist") <= 1)
-        .select(col("key_a"), col("key_b"), col("dist"))
+      // MULTI-PASS blocked edit-distance self-join (entity resolution):
+      // candidate pairs come from equi-joins on blocking keys, so
+      // Levenshtein — quadratic in the naive formulation — runs only inside
+      // blocks; there is NO cartesian anywhere in the plan. A single
+      // blocking key has a structural blind spot (prefix-16 blocking can
+      // never find a pair whose edit sits IN the first 16 chars), so two
+      // passes with complementary keys union their candidates — standard
+      // multi-blocking:
+      //   pass 1: block on the 16-char prefix, DP on the tails
+      //           (edit distance is common-PREFIX invariant)
+      //   pass 2: block on (length, last-8 suffix), DP on the heads
+      //           (edit distance is common-SUFFIX invariant)
+      // A substitution anywhere in an 18-char name lands in at least one
+      // pass; two fixture rows whose edit is at char 10 (invisible to pass
+      // 1) prove pass 2 carries its weight under the oracle.
+      import s.implicits._
+      val base = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .unionByName(Seq(
+          (900000001L, "Customer#A00001111"),
+          (900000002L, "Customer#B00001111")).toDF("c_custkey", "c_name"))
+      def pass(blk: Column, residue: Column): DataFrame = {
+        val c = base.select(col("c_custkey"), blk.as("__blk"), residue.as("__res"))
+        val a = c.select(col("__blk"), col("c_custkey").as("key_a"), col("__res").as("res_a"))
+        val b = c.select(col("__blk"), col("c_custkey").as("key_b"), col("__res").as("res_b"))
+        a.join(b, Seq("__blk"))
+          .filter(col("key_a") < col("key_b"))
+          .withColumn("dist", levenshtein(col("res_a"), col("res_b")).cast("long"))
+          .filter(col("dist") <= 1)
+          .select(col("key_a"), col("key_b"), col("dist"))
+      }
+      val p1 = pass(substring(col("c_name"), 1, 16),
+        substring(col("c_name"), 17, 1000000))
+      val p2 = pass(struct(length(col("c_name")), expr("substring(c_name, -8, 8)")),
+        expr("substring(c_name, 1, greatest(length(c_name) - 8, 0))"))
+      // a pair agreeing on BOTH keys surfaces twice with the same dist —
+      // dedup on the pair (dist is a pure function of it)
+      p1.unionByName(p2).dropDuplicates("key_a", "key_b")
         .orderBy("key_a", "key_b")
     }),
     "q115_xml_roundtrip" -> ((s, dir) => {
@@ -1684,11 +1702,19 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q127_fuzzy_join" ->
-      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      // same two blocking keys as the engine (prefix-16 OR length+suffix-8),
+      // fixtures included; lev() runs on full names — equivalent to the
+      // engine's residue DP by common-prefix/suffix invariance
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |  UNION ALL SELECT * FROM (VALUES (900000001, 'Customer#A00001111'),
+        |    (900000002, 'Customer#B00001111')) t(c_custkey, c_name))
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        |FROM customer a JOIN customer b
-        |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
-        | AND a.c_custkey < b.c_custkey
+        |FROM c a JOIN c b
+        |  ON a.c_custkey < b.c_custkey
+        | AND (substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+        |   OR (length(a.c_name) = length(b.c_name)
+        |       AND substr(a.c_name, -8) = substr(b.c_name, -8)))
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY key_a, key_b""".stripMargin,
     "q116_pq_encode" ->
