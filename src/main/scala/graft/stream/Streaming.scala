@@ -23,6 +23,30 @@ object Streaming {
 
   private val nameCounter = new AtomicLong(0)
 
+  /** Checkpoint base for REPLAY-MODE queries (memory sink, AvailableNow):
+    * tmpfs when the platform has one. A replay checkpoint is throwaway by
+    * construction — the gate rebuilds the stream from the staged input every
+    * run — but Spark still fsyncs every micro-batch's offset log, commit
+    * log, and state-store delta files into it; on a disk-backed tmpdir that
+    * fixed cost dominates the small-batch replay keys. A PRODUCTION
+    * deployment points `checkpointLocation` at durable storage
+    * ([[toParquetSink]] takes it as a parameter); only the ephemeral replay
+    * path opts into RAM. Dir names carry the PID so concurrent JVMs (sbt
+    * test + verify) can never resume each other's offsets. */
+  private lazy val replayCheckpointBase: Option[java.io.File] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, s"graft_stream_ckpt_${ProcessHandle.current().pid()}")
+      d.mkdirs()
+      Some(d)
+    } else None
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Streaming scan of a testdata table: file-source with the schema taken
     * from the batch reader (streams require a declared schema). */
   def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -101,12 +125,17 @@ object Streaming {
     // deployment knobs that must bind to the streaming session only — e.g.
     // the RocksDB state-store provider for beyond-heap state at scale
     extraConfs.foreach { case (k, v) => session.conf.set(k, v) }
-    val q = build(session).writeStream
+    val w = build(session).writeStream
       .format("memory").queryName(name)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
-      .start()
+    // tmpfs checkpoint for the throwaway replay (see replayCheckpointBase);
+    // pre-clean so a crashed prior run's offsets can never be resumed
+    val ckpt = replayCheckpointBase.map(new java.io.File(_, name))
+    ckpt.foreach { d => deleteRecursively(d); w.option("checkpointLocation", d.getAbsolutePath) }
+    val q = w.start()
     q.awaitTermination()
+    ckpt.foreach(deleteRecursively)
     session.table(name)
   }
 
