@@ -82,13 +82,7 @@ object Graph {
     * (GraphSpec asserts it). */
   def pageRank(edges: DataFrame, iterations: Int = 3,
                broadcastRanks: Boolean = false): DataFrame = {
-    // adjacency: out-neighbors per node; sort_array makes the frame (not
-    // just the result) deterministic across shuffles
-    val adj = edges.select(col("src"), col("dst"))
-      .groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("__out"),
-        count(lit(1)).as("__deg"))
-      .localCheckpoint()
+    val adj = adjacency(edges).localCheckpoint()
     var ranks = adj.select(col("src").as("node"), lit(Scale).as("rank"))
     // the rank frame is |nodes| rows of two longs — for any graph whose
     // adjacency fits memory it broadcasts, making each iteration's join
@@ -97,18 +91,34 @@ object Graph {
     // broadcast range, flip the flag: the join falls back to shuffling the
     // two |nodes|-row frames (never the edge list).
     for (_ <- 1 to iterations) {
-      ranks = adj
-        .join(if (broadcastRanks) broadcast(ranks) else ranks,
-          adj("src") === ranks("node"))
-        .select(explode(col("__out")).as("dst"), expr("rank div __deg").as("__contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("__contrib")).as("__in"))
-        .select(col("dst").as("node"),
-          (lit(15L * Scale / 100L) + expr("(85 * __in) div 100")).as("rank"))
-        .localCheckpoint(eager = false)
+      ranks = pageRankStep(adj, ranks, broadcastRanks).localCheckpoint(eager = false)
     }
     ranks
   }
+
+  /** Adjacency-list collapse of an edge list: out-neighbors (sorted — the
+    * frame itself, not just results, is deterministic across shuffles) and
+    * out-degree, one row per node. */
+  private[graft] def adjacency(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("__out"),
+        count(lit(1)).as("__deg"))
+
+  /** One PageRank iteration as a standalone frame — exposed so PlanSpec can
+    * assert the per-iteration plan shape (rank-frame broadcast, single
+    * node-keyed contribution exchange), which the lazy checkpoint in
+    * [[pageRank]]'s loop hides from the final query's explain. */
+  private[graft] def pageRankStep(adj: DataFrame, ranks: DataFrame,
+                                  broadcastRanks: Boolean): DataFrame =
+    adj
+      .join(if (broadcastRanks) broadcast(ranks) else ranks,
+        adj("src") === ranks("node"))
+      .select(explode(col("__out")).as("dst"), expr("rank div __deg").as("__contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("__contrib")).as("__in"))
+      .select(col("dst").as("node"),
+        (lit(15L * Scale / 100L) + expr("(85 * __in) div 100")).as("rank"))
 
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal (community density, spam-ring detection, link-farm

@@ -83,6 +83,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"), s"missing partial top-k stage:\n$plan")
   }
 
+  test("pageRank iteration broadcasts ranks; one node-keyed exchange (q120 shape)") {
+    import graft.ops.Graph
+    import org.apache.spark.sql.functions.{col, lit}
+    val edges = Graph.coOccurrenceEdges(
+      spark.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_orderkey")
+    val adj = Graph.adjacency(edges).localCheckpoint()
+    val ranks = adj.select(col("src").as("node"), lit(Graph.Scale).as("rank"))
+    val plan = finalPlan(Graph.pageRankStep(adj, ranks, broadcastRanks = true))
+    // rank frame joins map-side against the stationary adjacency...
+    assert(plan.contains("BroadcastHashJoin"), s"rank join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"edge-keyed shuffle join crept back:\n$plan")
+    // ...and the ONLY shuffle is the contribution groupBy — a regression to
+    // edge-keyed iteration would add a second exchange before the join
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges == 1, s"expected exactly 1 shuffle exchange, got $exchanges:\n$plan")
+  }
+
+  test("triangle closing joins broadcast adjacency; single post-closing exchange (q125)") {
+    val plan = q("q125_triangle_count")
+    assert(plan.contains("BroadcastHashJoin"), s"adjacency not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"wedge closing left the broadcast formulation:\n$plan")
+    val exchanges = shuffleExchanges(plan)
+    assert(exchanges <= 1, s"expected at most 1 shuffle exchange after closing, got $exchanges:\n$plan")
+  }
+
+  /** Shuffle (non-broadcast) exchange count in the EXECUTED tree — the
+    * formatted explain repeats the pre-AQE tree under "== Initial Plan ==",
+    * which must not double-count. */
+  private def shuffleExchanges(plan: String): Int =
+    " Exchange \\(".r.findAllIn(plan.split("== Initial Plan ==")(0)).size
+
   test("date-partitioned layout prunes to the filtered day directories (q99)") {
     val plan = q("q99_partitioned_layout")
     assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
