@@ -1196,6 +1196,23 @@ object SparkEntry {
       Multimodal.sampleGifFrames(vids, "doc_id", step = 2)
         .orderBy("doc_id", "frame_idx")
     }),
+    "q140_token_entropy" -> ((s, dir) =>
+      // repetition/gibberish curation signal: per-doc token-distribution
+      // entropy, float sum folded in sorted token order on both engines
+      TextAnalysis.tokenEntropy(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q141_incremental_neardup" -> ((s, dir) => {
+      // production dedup shape: the existing corpus's banded MinHash index
+      // is probed by the new batch — (existing, new) candidates only, the
+      // index never self-joins, recomputation stays linear in the batch
+      val docs = T(s, dir, "documents")
+      val index = Dedup.bandedSignatures(docs.filter(col("doc_id") < 400),
+        "doc_id", "text", shingleK = 2, numHashes = 16, bands = 8)
+      Dedup.probeNearDup(index, docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", shingleK = 2, numHashes = 16, bands = 8,
+        threshold = 0.25)
+        .orderBy("existing_id", "new_id")
+    }),
     "q114_stream_outer_join" -> ((s, dir) =>
       // outer stream-stream attribution: unmatched purchases survive as
       // null-extended rows, flushed deterministically by watermark sentinels
@@ -1371,6 +1388,33 @@ object SparkEntry {
        |  FROM cand JOIN sig a ON a.doc_id = cand.id_a JOIN sig b ON b.doc_id = cand.id_b)
        |SELECT id_a, id_b, round(CAST(agree AS DOUBLE) / 16, 4) AS est_jaccard FROM est
        |WHERE round(CAST(agree AS DOUBLE) / 16, 4) >= 0.25 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q141 twin: the q44 signature pipeline with candidates restricted to
+    * (existing < 400) × (new ≥ 400) — the incremental probe contract (the
+    * index side never self-joins; no ordering filter because the id sets
+    * are disjoint). */
+  private val q141Sql: String = {
+    import graft.functions.HashFamily
+    val sigCols = (0 until 16).map(i => s"min(${HashFamily.affineSql(i, "x")}) AS h$i").mkString(", ")
+    val bandKey = (0 until 8).map(b => s"WHEN $b THEN h${2 * b} || ',' || h${2 * b + 1}").mkString(" ")
+    val bandVals = (0 until 8).map(b => s"($b)").mkString(", ")
+    val agree = (0 until 16).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+       |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+       |rh AS (SELECT doc_id, ${krSql("shingle")} AS x FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM rh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, t.band, CASE t.band $bandKey END AS bkey
+       |  FROM sig, (VALUES $bandVals) AS t(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS existing_id, y.doc_id AS new_id
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id < 400 AND y.doc_id >= 400),
+       |est AS (SELECT existing_id, new_id, ($agree) AS agree
+       |  FROM cand JOIN sig a ON a.doc_id = cand.existing_id JOIN sig b ON b.doc_id = cand.new_id)
+       |SELECT existing_id, new_id, round(CAST(agree AS DOUBLE) / 16, 4) AS est_jaccard FROM est
+       |WHERE round(CAST(agree AS DOUBLE) / 16, 4) >= 0.25
+       |ORDER BY existing_id, new_id""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.simHash]]: 64 affine-parity bit generators over
@@ -2309,6 +2353,26 @@ object SparkEntry {
         |  CAST((n_chars + 11 * frame_idx) % 256 AS BIGINT) AS mean_g,
         |  CAST((29 * frame_idx + 7) % 256 AS BIGINT) AS mean_b
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q140_token_entropy" ->
+      // the identical ordered fold: per-token terms listed in sorted token
+      // order, summed left-to-right from 0.0 — same IEEE ops, same order
+      """WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+        |tok AS (SELECT doc_id, unnest(arr) AS tok FROM raw),
+        |tk AS (SELECT doc_id, tok, count(*) AS c FROM tok WHERE length(tok) > 0 GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, sum(c) AS n FROM tk GROUP BY 1),
+        |terms AS (SELECT tk.doc_id, tk.tok,
+        |  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+        |  FROM tk JOIN sz USING (doc_id)),
+        |ent AS (SELECT doc_id,
+        |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
+        |    (a, b) -> a + b), 4) AS entropy
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(sz.n, 0) AS BIGINT) AS n_tokens,
+        |  coalesce(ent.entropy, CAST(0.0 AS DOUBLE)) AS entropy
+        |FROM documents d LEFT JOIN sz ON d.doc_id = sz.doc_id
+        |LEFT JOIN ent ON d.doc_id = ent.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q141_incremental_neardup" -> q141Sql,
     "q114_stream_outer_join" ->
       // NULLS FIRST matches Spark's ascending null ordering
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),

@@ -172,31 +172,7 @@ object Dedup {
   def minHashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                      threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sigs = minHashSignatures(wordShingles(docs, idCol, textCol, shingleK), idCol, numHashes)
-    // band key: for 2-row bands (the registered q44 shape), pack the pair
-    // into ONE long — v1·P + v2 with both values < P = 1e9+7 fits 63 bits and
-    // is injective, so the join semantics are IDENTICAL to comparing the
-    // values themselves, but the shuffle key is 8 bytes instead of a ~21-char
-    // CSV (measured ~15% off the whole q44). Wider bands keep the exact CSV
-    // key (a mod-P fold would admit collisions, i.e. change candidate sets).
-    val bandKey: Int => Column =
-      if (rowsPerBand == 2) bI =>
-        element_at(col("sig"), bI * rowsPerBand + 1) * lit(1000000007L) +
-          element_at(col("sig"), bI * rowsPerBand + 2)
-      else bI => concat_ws(",", slice(col("sig"), bI * rowsPerBand + 1, rowsPerBand))
-    // materialize the banded signature matrix ONCE before the self-join:
-    // without this, both join branches re-run the whole scan → shingle
-    // explode → 16-min agg lineage (measured ~1.7× the whole q44 locally),
-    // and at scale the rewound branch is a full corpus re-read. The matrix
-    // itself is compact — (id, 16 longs, band key) per band — the thing you
-    // WANT resident for an LSH self-join. Same localCheckpoint pattern as
-    // Similarity.ivfIndex.
-    val banded = sigs.select(
-      col(idCol), col("sig"),
-      posexplode(array((0 until bands).map(bandKey): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-      .localCheckpoint()
+    val banded = bandedSignatures(docs, idCol, textCol, shingleK, numHashes, bands)
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
     val agree = expr(
@@ -210,6 +186,65 @@ object Dedup {
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard").distinct()
+  }
+
+  /** Banded MinHash signature matrix — THE near-dup index a production
+    * pipeline persists between ingest batches: one row per (doc, band) with
+    * the full signature and the band bucket key. Compact ((id, 16 longs,
+    * band key) per band) and checkpointed, because every consumer joins it
+    * at least twice and the upstream lineage (scan → shingle explode →
+    * 16-min agg) is the expensive part — without the barrier both join
+    * branches re-run it (measured ~1.7× the whole q44 locally).
+    *
+    * Band key: for 2-row bands, the pair packs into ONE long — v1·P + v2
+    * with both values < P = 1e9+7 fits 63 bits and is injective, so join
+    * semantics are IDENTICAL to comparing the values, but the shuffle key
+    * is 8 bytes instead of a ~21-char CSV (measured ~15% off the whole
+    * q44). Wider bands keep the exact CSV key (a mod-P fold would admit
+    * collisions, i.e. change candidate sets). */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minHashSignatures(wordShingles(docs, idCol, textCol, shingleK), idCol, numHashes)
+    val bandKey: Int => Column =
+      if (rowsPerBand == 2) bI =>
+        element_at(col("sig"), bI * rowsPerBand + 1) * lit(1000000007L) +
+          element_at(col("sig"), bI * rowsPerBand + 2)
+      else bI => concat_ws(",", slice(col("sig"), bI * rowsPerBand + 1, rowsPerBand))
+    sigs.select(
+      col(idCol), col("sig"),
+      posexplode(array((0 until bands).map(bandKey): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      .localCheckpoint()
+  }
+
+  /** INCREMENTAL near-dup: probe a NEW batch against the stored band index
+    * of the existing corpus — the production dedup shape (a crawler dedups
+    * each incoming batch against everything already kept; recomputing
+    * corpus×corpus per batch, as a naive q44 rerun would, is quadratic in
+    * ingest history). Only (existing, new) pairs are generated: the index
+    * side never self-joins, and within-batch dups are q44 applied to the
+    * batch alone. The probe side is banded with the SAME hash family and
+    * band layout as the index (that contract is what makes the stored index
+    * reusable); candidates come from the (band, band_hash) equi-join, so
+    * the join key is 8 bytes and the fan-in per bucket is index-occupancy
+    * bounded, never all-pairs.
+    *
+    * Output: (existing_id, new_id, est_jaccard ≥ threshold), distinct. */
+  def probeNearDup(index: DataFrame, fresh: DataFrame, idCol: String,
+                   textCol: String, shingleK: Int, numHashes: Int, bands: Int,
+                   threshold: Double): DataFrame = {
+    val e = index.select(col(idCol).as("existing_id"), col("sig").as("sig_a"),
+      col("band"), col("band_hash"))
+    val f = bandedSignatures(fresh, idCol, textCol, shingleK, numHashes, bands)
+      .select(col(idCol).as("new_id"), col("sig").as("sig_b"),
+        col("band"), col("band_hash"))
+    val agree = expr(
+      "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    e.join(f, Seq("band", "band_hash"))
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("existing_id", "new_id", "est_jaccard").distinct()
   }
 
   // ---------------------------------------------------------------- simhash

@@ -137,6 +137,44 @@ object TextAnalysis {
           expr("(10000 * rare_tokens) div n_tokens")).otherwise(lit(0L)))
   }
 
+  /** Per-document token-distribution entropy (nats, 4 dp) — the
+    * repetition/gibberish curation signal: near-zero entropy means the
+    * document is a handful of tokens repeated (boilerplate, keyword spam),
+    * entropy ≈ ln(n_tokens) means every token is unique (random-ish text);
+    * pretraining curation drops or buckets both tails. H = −Σ p·ln p over
+    * the doc's token frequencies.
+    *
+    * Determinism policy for the FLOAT sum: double addition is not
+    * associative, so the per-token terms are folded in SORTED token order
+    * via `aggregate()` over a `sort_array`-ed list — one canonical order
+    * across engines and partitionings (the same ordered-fold discipline as
+    * the q93 fingerprint). The DuckDB twin folds the identical list with
+    * `list_reduce`, so both engines execute the same IEEE ops in the same
+    * order. Zero-token docs are restored with explicit zeros (a column-
+    * pruned id scan, not a second text pass — rareTokenStats' pattern).
+    *
+    * Scale shape: one explode + (id, token) hash agg, then one per-doc agg
+    * whose list is |distinct tokens in the doc| — bounded by document size,
+    * never corpus size; nothing global anywhere. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stats = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("tok"), col("c")))).as("__tc"),
+        sum(col("c")).as("__n"))
+      .select(col(idCol), col("__n").cast("long").as("n_tokens"),
+        round(negate(expr(
+          "aggregate(__tc, CAST(0.0 AS DOUBLE), (acc, t) -> acc + " +
+            "(CAST(t.c AS DOUBLE) / CAST(__n AS DOUBLE)) * " +
+            "ln(CAST(t.c AS DOUBLE) / CAST(__n AS DOUBLE)))")), 4).as("entropy"))
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the classic keyword/topic signal
     * over a corpus (document fingerprinting for retrieval, dedup triage,
     * topic drift monitoring). tfidf = tf · ln((N+1)/(df+1)), smoothed so a

@@ -33,6 +33,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("probeNearDup finds a new batch's near-dups of the index, no index self-pairs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val baseCopy = base // exact dup of an indexed doc, arriving in the new batch
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val existing = Seq((1L, base), (2L, base + " tail"), (3L, unrelated)).toDF("doc_id", "text")
+    val fresh = Seq((10L, baseCopy), (11L, nearDup), (12L, "nothing shared here at all")).toDF("doc_id", "text")
+    val index = Dedup.bandedSignatures(existing, "doc_id", "text", 2, 16, 8)
+    val got = Dedup.probeNearDup(index, fresh, "doc_id", "text", 2, 16, 8, threshold = 0.5)
+      .select("existing_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 10L)) && got.contains((1L, 11L)))
+    // only (existing, new) pairs — never index-side or batch-side self-pairs
+    assert(got.forall { case (e, n) => e <= 3L && n >= 10L })
+    assert(!got.exists { case (e, n) => e == 3L || n == 12L })
+  }
+
   test("simHash fingerprints: near-dup pair closer in hamming than unrelated") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"

@@ -107,6 +107,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((1L, "a", 4L, 4L), (2L, "b", 2L, 6L)))
   }
 
+  test("tokenEntropy: hand-computed H, zero for repetition, empty docs restored") {
+    val docs = Seq(
+      (1L, "a a b"),       // H = -(2/3 ln 2/3 + 1/3 ln 1/3) = 0.6365
+      (2L, "x x x x"),     // single distinct token -> 0.0
+      (3L, "  "))          // no tokens -> restored (0, 0.0)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0.6365), (2L, 4L, 0.0), (3L, 0L, 0.0)))
+  }
+
+  test("tokenEntropy is bit-identical across partition counts (ordered fold)") {
+    val docs = (1L to 50L).map(i => (i, s"t${i % 7} t${i % 3} t${i % 3} filler$i words here"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.tokenEntropy(docs.repartition(1), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = TextAnalysis.tokenEntropy(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("rareTokenStats: share threshold, integer ratio, empty docs restored") {
     // corpus: 9 tokens — cf(a)=7, cf(b)=1, cf(c)=1. At rarePpm=200000 (20%)
     // the folded threshold is (9·200000−1) div 10⁶ = 1, so b and c are rare.
