@@ -161,4 +161,32 @@ class PropertySpec extends SparkSpec {
       assert(rebuilt == doc)
     }
   }
+
+  test("property: topKPerQuery == reference window top-k on random scored sets") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Similarity
+    // random scores INCLUDING planted ties, random partitioning — the
+    // two-phase heap+merge must agree with the classic window formulation
+    // under the total order (cosine desc, neighbor_id asc)
+    val rowsGen = Gen.listOfN(400, for {
+      q <- Gen.chooseNum(1L, 6L)
+      n <- Gen.chooseNum(100L, 160L)
+      c <- Gen.oneOf(Gen.chooseNum(0, 1000).map(_ / 1000.0), Gen.const(0.5))
+    } yield (q, n, c))
+    for (seed <- 1L to 3L) {
+      val rows = sample(rowsGen, seed)
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (query, neighbor)
+      val scored = rows.toDF("query_id", "neighbor_id", "cosine").repartition(7)
+      val got = Similarity.topKPerQuery(scored, 5)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val expect = scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rn"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(got == expect && got.nonEmpty, s"seed $seed mismatch")
+    }
+  }
 }
