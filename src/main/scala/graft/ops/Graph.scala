@@ -34,7 +34,15 @@ object Graph {
     * baskets a small constant (TPC-H ≈ 4 lines ⇒ ≈ 12 directed pairs per
     * order). A pathological hot container (one basket with 10^5 items)
     * needs a cap upstream, same discipline as ngramJaccard's df-cap —
-    * its pairs² blow-up is a property of the data, not the plan. */
+    * its pairs² blow-up is a property of the data, not the plan.
+    *
+    * NOTE (measured, not assumed): a half-width variant emitting only
+    * src < dst pairs via double `posexplode` + position filter (for
+    * consumers that canonicalize anyway, like triangle counting) was tried
+    * and REVERTED — the extra position columns through the generate stage
+    * cost more than the halved distinct saved (q125: 3.3 s → 3.7 s at
+    * sf0.1); at this per-container fan-out the distinct is not the
+    * bottleneck. */
   def coOccurrenceEdges(rel: DataFrame, entityCol: String,
                         containerCol: String): DataFrame =
     rel
