@@ -347,6 +347,20 @@ object SparkEntry {
         Seq("view_event_id", "view_value"))
         .orderBy("event_id")
     }),
+    "q142_asof_forward" -> ((s, dir) => {
+      // the mirror lookup of q61: each purchase labeled with the user's
+      // NEXT view at-or-after it (post-purchase behavior attribution) —
+      // union + one forward-facing window pass, no range join
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      Relational.asOfJoinForward(purchases, views, "user_id", "ts", "ts",
+        Seq("view_event_id", "view_value"))
+        .orderBy("event_id")
+    }),
     "q62_range_join" -> ((s, dir) => {
       // unkeyed interval join via time bins: clicks within ±30min per signup
       val ev = T(s, dir, "events")
@@ -1629,6 +1643,23 @@ object SparkEntry {
         |  last_value(payload IGNORE NULLS) OVER win AS a
         |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY uts, side, view_event_id
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, pts AS ts, a.vid AS view_event_id, a.vval AS view_value
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "q142_asof_forward" ->
+      // q61's carry, mirrored: left orders BEFORE right at equal ts (side
+      // 1 vs 2) and first_value faces the following frame
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |u AS (
+        |  SELECT user_id, ts AS uts, 2 AS side, event_id AS view_event_id,
+        |         {'vid': event_id, 'vval': value} AS payload,
+        |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS pts
+        |    FROM ev WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, NULL, event_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT *,
+        |  first_value(payload IGNORE NULLS) OVER win AS a
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY uts, side, view_event_id
+        |                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT event_id, user_id, pts AS ts, a.vid AS view_event_id, a.vval AS view_value
         |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q62_range_join" ->

@@ -137,6 +137,42 @@ object Relational {
     carried.filter(col("__side") === 1).select(outCols: _*)
   }
 
+  /** FORWARD as-of join — the mirror of [[asOfJoin]]: each left row is
+    * enriched with the EARLIEST right row at-or-after its timestamp (the
+    * "next event" lookup: next price quote after a trade, next maintenance
+    * window after an alert, the post-purchase behavior label). Same
+    * union + ONE window pass, no range join — the frame just faces forward:
+    * `first(payload, ignoreNulls)` over [current row, unbounded following]
+    * on the (key, ts, side) interleave. Cost at 100 TB is identical to the
+    * backward variant: a single shuffle+sort on (key, ts), each key's
+    * timeline scanned once, skew bounded by the hottest key.
+    *
+    * Ties: a right row AT the left timestamp matches (left orders before
+    * right here — side 1 vs 2 — so it falls inside the forward frame);
+    * equal-ts right rows order by `payloadCols`, making the carried row the
+    * smallest payload deterministically. Output: all left columns +
+    * `payloadCols` (null where no following right row). */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      payloadCols: Seq[String]): DataFrame = {
+    val reserved = payloadCols ++ Seq("__ts", "__side", "__payload")
+    val clash = reserved.filter(left.columns.contains)
+    require(clash.isEmpty, s"left side must not contain column(s): ${clash.mkString(", ")}")
+    val r = right.select(col(key), col(rightTs).as("__ts"), lit(2).as("__side"),
+      struct(payloadCols.map(col): _*).as("__payload"))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = u.withColumn("__asof", first(col("__payload"), ignoreNulls = true).over(w))
+    val outCols = left.columns.map(col).toSeq ++
+      payloadCols.map(p => col(s"__asof.$p").as(p))
+    carried.filter(col("__side") === 1).select(outCols: _*)
+  }
+
   /** Unkeyed interval join via time-binning: pairs (l, r) with
     * `rightTs ∈ [leftTs − before, leftTs + after]`. A naive unkeyed range
     * join is a cartesian product; here both sides shuffle on a time BIN of

@@ -77,6 +77,21 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map("p1" -> Some(200L), "p2" -> Some(300L), "p3" -> None))
   }
 
+  test("asOfJoinForward picks the earliest right row at-or-after each left ts per key") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(99), "p3"))
+      .toDF("k", "lts", "tag")
+    val right = Seq((1L, ts(5), 100L), (1L, ts(10), 200L), (1L, ts(15), 300L),
+      (2L, ts(5), 999L))
+      .toDF("k", "rts", "payload")
+      .select(col("k"), col("rts").as("lts"), col("payload")) // share the ts name
+    val out = Relational.asOfJoinForward(left, right, "k", "lts", "lts", Seq("payload"))
+      .select("tag", "payload").as[(String, Option[Long])].collect().toMap
+    // p1 at ts 10: right row AT 10 matches (inclusive); p2 at 20: nothing
+    // follows -> null; p3 at 99: key 2's only right row is in the past -> null
+    assert(out == Map("p1" -> Some(200L), "p2" -> None, "p3" -> None))
+  }
+
   test("asOfJoin carries the latest right ROW atomically, including its null fields") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
     val left = Seq((1L, ts(20))).toDF("k", "lts")
