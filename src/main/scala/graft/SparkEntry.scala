@@ -243,6 +243,10 @@ object SparkEntry {
         _.withColumn("label", valueBucket))
         .groupBy(col("label")).agg(count(lit(1)).as("cnt")).orderBy("label")
     }),
+    "q143_stream_static_join" -> ((s, dir) =>
+      // per-micro-batch broadcast join against a static dimension — no
+      // streaming state anywhere; complete-mode agg equals the batch twin
+      Streaming.streamStaticTierCounts(s, dir).orderBy("tier")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2008,6 +2012,10 @@ object SparkEntry {
         |count(*) AS cnt FROM events e WHERE NOT EXISTS
         |(SELECT 1 FROM events x WHERE x.event_id % 10 = 0 AND x.event_id = e.event_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q143_stream_static_join" ->
+      """SELECT CASE CAST(user_id % 5 AS INT) WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+        |WHEN 2 THEN 'gold' WHEN 3 THEN 'platinum' ELSE 'diamond' END AS tier,
+        |count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

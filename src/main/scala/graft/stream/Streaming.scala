@@ -197,6 +197,25 @@ object Streaming {
       enrich: DataFrame => DataFrame): DataFrame =
     enrich(stream.join(existingKeys, Seq(key), "left_anti"))
 
+  /** q143: stream-static enrichment — each micro-batch joins a STATIC
+    * dimension (broadcast per batch, NO streaming state): the canonical
+    * reference-data lookup (user tier, geo table, product catalog) in
+    * Structured Streaming. The static side re-resolves per micro-batch, so
+    * a dimension refreshed in place is picked up on the next trigger —
+    * the semantics that distinguish this from a stream-stream join (no
+    * watermarks, no state store, unmatched stream rows drop on the inner
+    * join). Complete-mode agg ⇒ final result equals the batch twin. */
+  def streamStaticTierCounts(spark: SparkSession, dir: String): DataFrame =
+    runToResult(spark, { s =>
+      val tiers = s.createDataFrame(Seq(
+        (0L, "bronze"), (1L, "silver"), (2L, "gold"),
+        (3L, "platinum"), (4L, "diamond"))).toDF("__t", "tier")
+      streamTable(s, dir, "events")
+        .withColumn("__t", pmod(col("user_id"), lit(5L)))
+        .join(broadcast(tiers), "__t")
+        .groupBy(col("tier")).agg(count(lit(1)).as("cnt"))
+    }, "complete", statePartitions = Some(4))
+
   /** q75: the custom-state sessionizer ([[statefulSessions]]) under the
     * replay gate. Determinism at end-of-stream: `flatMapGroupsWithState`
     * emits a session when a LATER event closes it by gap (or an event-time

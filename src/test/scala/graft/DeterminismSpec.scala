@@ -32,8 +32,10 @@ class DeterminismSpec extends SparkSpec {
     // which the staged sentinels must make batch-schedule-independent
     "q114_stream_outer_join",
     // round-9 keys: RDD-based container walk; a FLOAT sum whose value is
-    // only stable because of the ordered fold; index-probe band join
-    "q139_video_frames", "q140_token_entropy", "q141_incremental_neardup")
+    // only stable because of the ordered fold; index-probe band join;
+    // forward-frame window carry; per-batch static re-resolution
+    "q139_video_frames", "q140_token_entropy", "q141_incremental_neardup",
+    "q142_asof_forward", "q143_stream_static_join")
 
   for (name <- sampled) {
     test(s"$name is run-to-run deterministic") {

@@ -30,6 +30,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-batch parity: stream-static tier join equals the batch join") {
+    val streamed = Streaming.streamStaticTierCounts(spark, dir)
+      .orderBy("tier").as[(String, Long)].collect().toSeq
+    val batch = Tables.events(spark, dir)
+      .withColumn("__t", pmod(col("user_id"), lit(5L)))
+      .join(Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"),
+        (3L, "platinum"), (4L, "diamond")).toDF("__t", "tier"), "__t")
+      .groupBy("tier").agg(count(lit(1)).as("cnt"))
+      .orderBy("tier").as[(String, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("multi-batch MemoryStream dedup drops cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int)]
