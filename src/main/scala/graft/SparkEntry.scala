@@ -247,6 +247,15 @@ object SparkEntry {
       // per-micro-batch broadcast join against a static dimension — no
       // streaming state anywhere; complete-mode agg equals the batch twin
       Streaming.streamStaticTierCounts(s, dir).orderBy("tier")),
+    "q144_expectations" -> ((s, dir) =>
+      // ingest-gate quality audit: the whole rule set in ONE scan; a rule
+      // passes only when TRUE (NULL strict-fails)
+      Profiling.expectations(T(s, dir, "events"), Seq(
+        "value_present_non_negative" -> (col("value").isNotNull && col("value") >= 0),
+        "value_at_most_100" -> (col("value") <= 100),
+        "user_id_present" -> col("user_id").isNotNull,
+        "props_nonempty" -> (length(col("props")) > 0)))
+        .orderBy("rule")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2016,6 +2025,22 @@ object SparkEntry {
       """SELECT CASE CAST(user_id % 5 AS INT) WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
         |WHEN 2 THEN 'gold' WHEN 3 THEN 'platinum' ELSE 'diamond' END AS tier,
         |count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q144_expectations" ->
+      // same strict pass rule (TRUE passes, NULL fails) via coalesce
+      """WITH t AS (SELECT count(*) AS total,
+        |  sum(CASE WHEN coalesce(value IS NOT NULL AND value >= 0, false) THEN 0 ELSE 1 END) AS v_nonneg,
+        |  sum(CASE WHEN coalesce(value <= 100, false) THEN 0 ELSE 1 END) AS v_max,
+        |  sum(CASE WHEN coalesce(user_id IS NOT NULL, false) THEN 0 ELSE 1 END) AS v_uid,
+        |  sum(CASE WHEN coalesce(length(props) > 0, false) THEN 0 ELSE 1 END) AS v_props
+        |  FROM events)
+        |SELECT rule, CAST(violations AS BIGINT) AS violations, CAST(total AS BIGINT) AS total,
+        |  CAST((10000 * (total - violations)) // total AS BIGINT) AS pass_bp
+        |FROM (
+        |  SELECT 'value_present_non_negative' AS rule, v_nonneg AS violations, total FROM t
+        |  UNION ALL SELECT 'value_at_most_100', v_max, total FROM t
+        |  UNION ALL SELECT 'user_id_present', v_uid, total FROM t
+        |  UNION ALL SELECT 'props_nonempty', v_props, total FROM t)
+        |ORDER BY rule""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -42,4 +42,37 @@ object Profiling {
       .select(expr(
         s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_value, max_value)"))
   }
+
+  /** Declarative data-quality expectations, ALL evaluated in one scan — the
+    * ingest-gate audit (Deequ / DLT-expectations shape): each rule is a
+    * boolean Column; a row PASSES a rule only when it evaluates TRUE — NULL
+    * fails (a rule that can't be decided on a row is strict-failed, so a
+    * null-riddled column can never "pass" a range check by vacuous
+    * three-valued logic; wrap a rule in `coalesce`/`isNull` handling to
+    * opt out).
+    *
+    * Scale shape: the whole rule set is ONE global aggregate (each rule a
+    * conditional sum — partial map-side, one 1-row result), then a
+    * literal-array explode into one row per rule: N rules over 100 TB cost
+    * one scan, not N. Output: (rule, violations, total, pass_bp) with the
+    * pass rate as exact floor-divided basis points, ordered by the caller.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations: at least one rule required")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "expectations: rule names must be unique")
+    val aggs = rules.map { case (name, rule) =>
+      coalesce(sum(when(coalesce(rule, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"__v_$name")
+    } :+ count(lit(1)).as("__total")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__total"), explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(s"__v_$name").as("violations"))
+      }: _*)).as("__r"))
+      .select(col("__r.rule").as("rule"), col("__r.violations").as("violations"),
+        col("__total").as("total"),
+        when(col("__total") > 0,
+          expr("(10000 * (__total - __r.violations)) div __total"))
+          .otherwise(lit(0L)).as("pass_bp"))
+  }
 }

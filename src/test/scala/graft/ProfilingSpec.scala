@@ -23,4 +23,31 @@ class ProfilingSpec extends SparkSpec {
       .collect().toSeq
     assert(out == Seq(("k", 0L, 0L, None, None), ("s", 0L, 0L, None, None)))
   }
+
+  test("expectations: one scan, NULL strict-fails, exact basis points") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Some(5L), "a"), (Some(-1L), "b"), (None, "c"), (Some(7L), ""))
+      .toDF("v", "s")
+    val out = Profiling.expectations(df, Seq(
+      "v_non_negative" -> (col("v") >= 0),   // -1 fails, NULL fails -> 2
+      "s_nonempty" -> (col("s") =!= "")))    // "" fails -> 1
+      .orderBy("rule").as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("s_nonempty", 1L, 4L, 7500L), ("v_non_negative", 2L, 4L, 5000L)))
+  }
+
+  test("expectations on an EMPTY table: zero violations, pass_bp 0 not NULL") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq.empty[(Long, String)].toDF("v", "s")
+    val out = Profiling.expectations(df, Seq("v_pos" -> (col("v") > 0)))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("v_pos", 0L, 0L, 0L)))
+  }
+
+  test("expectations rejects duplicate rule names") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "x")).toDF("v", "s")
+    intercept[IllegalArgumentException] {
+      Profiling.expectations(df, Seq("r" -> (col("v") > 0), "r" -> (col("v") < 9)))
+    }
+  }
 }
