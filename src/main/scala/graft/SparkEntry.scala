@@ -455,6 +455,11 @@ object SparkEntry {
       // content) without a custom reader). Files are staged from executors
       // (one per doc, UTF-8 payload) and the scan proves content fidelity
       // by length + sha2 against the source table.
+      // The foreachPartition+Files.write staging loop below is TEST
+      // SCAFFOLDING ONLY — it manufactures the blob directory the operator
+      // then reads. In production the assets land from the crawler; never
+      // copy this one-file-per-row write as a Spark output path (it is the
+      // small-files antipattern q133's compaction exists to fix).
       import s.implicits._
       val tmp = s"$TMP/q122_bin"
       val root = java.nio.file.Paths.get(tmp)
