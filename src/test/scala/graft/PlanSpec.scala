@@ -115,6 +115,27 @@ class PlanSpec extends SparkSpec {
   private def shuffleExchanges(plan: String): Int =
     " Exchange \\(".r.findAllIn(plan.split("== Initial Plan ==")(0)).size
 
+  test("expectations evaluate ALL rules in one scan — no Expand, one agg pair (q144)") {
+    val plan = q("q144_expectations")
+    assert(!plan.contains("Expand"), s"rule set expanded the table:\n$plan")
+    // one partial+final global aggregate over the single scan
+    assert("HashAggregate".r.findAllIn(plan.split("== Initial Plan ==")(0)).size == 2, plan)
+    assert("Scan parquet".r.findAllIn(plan.split("== Initial Plan ==")(0)).size == 1,
+      s"rules must share one scan:\n$plan")
+  }
+
+  test("token entropy folds inside the aggregate — no per-doc window (q140)") {
+    val plan = q("q140_token_entropy")
+    assert(!plan.contains("Window"), s"entropy left the aggregate for a window:\n$plan")
+  }
+
+  test("forward as-of join is union + one window — no range/nested-loop join (q142)") {
+    val plan = q("q142_asof_forward")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of fell back to a range join:\n$plan")
+    assert(plan.contains("Window"), s"missing the forward-frame carry:\n$plan")
+  }
+
   test("date-partitioned layout prunes to the filtered day directories (q99)") {
     val plan = q("q99_partitioned_layout")
     assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
