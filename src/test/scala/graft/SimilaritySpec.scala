@@ -56,6 +56,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(2L, 3L)) // 2 most similar, then orthogonal 3, never self or -1
   }
 
+  test("cosineTopK with k larger than the corpus ranks every candidate") {
+    val vs = vecsDF(Seq(
+      1L -> Array(1f, 0f, 0f),
+      2L -> Array(0.9f, 0.1f, 0f),
+      3L -> Array(0f, 1f, 0f)))
+    val out = Similarity.cosineTopK(vs, vs.filter(col("vec_id") === 1), "vec_id", "embedding", 10)
+      .orderBy("rn").select("neighbor_id", "rn").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L), (3L, 2L))) // 2 candidates, ranks 1..2, no padding
+  }
+
   test("cosineNearDupPairs finds only pairs above threshold") {
     val vs = vecsDF(Seq(
       1L -> Array(1f, 0f),
