@@ -256,6 +256,39 @@ object SparkEntry {
         "user_id_present" -> col("user_id").isNotNull,
         "props_nonempty" -> (length(col("props")) > 0)))
         .orderBy("rule")),
+    "q145_weighted_sample" -> ((s, dir) =>
+      // A-ES weighted sampling via the exponential race: 100 docs drawn
+      // w.p. proportional to length — global top-n plans as
+      // TakeOrderedAndProject (per-partition heap), never a full sort
+      Curation.weightedPrioritySample(T(s, dir, "documents"), "doc_id", "n_chars", n = 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("priority"))
+        .orderBy("doc_id")),
+    "q146_rolling_median" -> ((s, dir) => {
+      // robust 7-day trend line: exact median over a bounded frame of
+      // per-day aggregates — per-row state is O(frame), not O(partition)
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), TextFunctions.dayString(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Relational.rollingMedian(daily, "event_type", "day", "cnt", frameRows = 7)
+        .orderBy("event_type", "day")
+    }),
+    "q147_mad_outliers" -> ((s, dir) => {
+      // breakdown-robust anomaly flags: |cnt − median| > 3·MAD per event
+      // type — exact interpolating percentiles over integer counts, group
+      // stats broadcast back so the daily frame never reshuffles
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), TextFunctions.dayString(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Profiling.madOutliers(daily, "event_type", "cnt", k = 3.0)
+        .select(col("event_type"), col("day"), col("cnt"), col("med"),
+          col("mad"), col("is_outlier"))
+        .orderBy("event_type", "day")
+    }),
+    "q148_unigram_logprob" -> ((s, dir) =>
+      // corpus-unigram perplexity stand-in: per-doc avg negative
+      // log-likelihood under the corpus's own token distribution
+      TextAnalysis.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2046,6 +2079,51 @@ object SparkEntry {
         |  UNION ALL SELECT 'user_id_present', v_uid, total FROM t
         |  UNION ALL SELECT 'props_nonempty', v_props, total FROM t)
         |ORDER BY rule""".stripMargin,
+    "q145_weighted_sample" ->
+      // same exponential-race key: u from the integer pseudo-shuffle, one
+      // ln + one divide, rounded to 10 dp with the id tie-break
+      """SELECT doc_id, lang, n_chars, priority FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(-ln((((doc_id % 1000003) * 2654435761) % 1000003 + 1) / 1000004.0)
+        |      / CAST(n_chars AS DOUBLE), 10) AS priority
+        |  FROM documents ORDER BY priority, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "q146_rolling_median" ->
+      """WITH d AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cnt,
+        |  median(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median
+        |FROM d ORDER BY event_type, day""".stripMargin,
+    "q147_mad_outliers" ->
+      """WITH d AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, median(cnt) AS med FROM d GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day, d.cnt, m.med,
+        |  abs(CAST(d.cnt AS DOUBLE) - m.med) AS dv FROM d JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(dv) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.event_type, day, cnt, med, mad, dv > mad * 3.0 AS is_outlier
+        |FROM dev JOIN md USING (event_type) ORDER BY event_type, day""".stripMargin,
+    "q148_unigram_logprob" ->
+      // the identical ordered fold as q140, over corpus-frequency terms
+      """WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+        |tok AS (SELECT doc_id, unnest(arr) AS tok FROM raw),
+        |tk AS (SELECT doc_id, tok, count(*) AS c FROM tok WHERE length(tok) > 0 GROUP BY 1, 2),
+        |cf AS (SELECT tok, sum(c) AS cf FROM tk GROUP BY 1),
+        |n AS (SELECT sum(cf) AS n FROM cf),
+        |sz AS (SELECT doc_id, sum(c) AS nt FROM tk GROUP BY 1),
+        |terms AS (SELECT tk.doc_id, tk.tok,
+        |  CAST(c AS DOUBLE) * ln(CAST(cf AS DOUBLE) / CAST(n.n AS DOUBLE)) AS term
+        |  FROM tk JOIN cf USING (tok) CROSS JOIN n),
+        |s AS (SELECT t.doc_id,
+        |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
+        |    (a, b) -> a + b) / CAST(any_value(sz.nt) AS DOUBLE), 4) AS avg_nll
+        |  FROM terms t JOIN sz ON t.doc_id = sz.doc_id GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(sz.nt, 0) AS BIGINT) AS n_tokens,
+        |  coalesce(s.avg_nll, CAST(0.0 AS DOUBLE)) AS avg_nll
+        |FROM documents d LEFT JOIN sz ON d.doc_id = sz.doc_id
+        |LEFT JOIN s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

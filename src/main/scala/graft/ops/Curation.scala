@@ -52,6 +52,33 @@ object Curation {
       .drop("__quota", "__rn")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis via the
+    * exponential race): each row draws a deterministic uniform u from the
+    * pseudo-shuffle of its id and competes with the exponential variate
+    * E = −ln(u) / w — the n SMALLEST E values are a weight-proportional
+    * sample without replacement (the Gumbel/exponential-race equivalence of
+    * A-ES keys u^(1/w)). Curation uses this to over-sample long or
+    * high-quality documents into a fixed token budget without a quota table.
+    *
+    * Determinism policy: u is exact integer arithmetic; the single ln and
+    * divide can differ across engines in the last ulp, so ordering uses the
+    * key ROUNDED to 10 dp with the id as tie-break — one canonical order in
+    * Spark and the DuckDB twin.
+    *
+    * Scale shape: the key is a map-side expression and the global top-n is
+    * `orderBy(...).limit(n)` — Spark plans TakeOrderedAndProject (per-
+    * partition n-heap, driver merge of P·n rows), NO full-sort shuffle. The
+    * 100 TB variant with a per-stratum budget swaps the global limit for the
+    * same key under `stratifiedSample`'s per-stratum window. */
+  def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
+                             n: Int): DataFrame = {
+    val u = (pseudoShuffleKey(col(idCol)) + lit(1L)).cast("double") / lit(1000004.0)
+    df.withColumn("priority",
+        round(negate(log(u)) / col(weightCol).cast("double"), 10))
+      .orderBy(col("priority"), col(idCol))
+      .limit(n)
+  }
+
   /** Composed pre-training curation chain (the C4/Gopher pipeline shape):
     * language filter → quality threshold → repetition cap → exact
     * content-hash dedup (keep the smallest id per hash among passing docs).

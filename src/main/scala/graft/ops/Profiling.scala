@@ -75,4 +75,33 @@ object Profiling {
           expr("(10000 * (__total - __r.violations)) div __total"))
           .otherwise(lit(0L)).as("pass_bp"))
   }
+
+  /** Robust per-group outlier detection via median absolute deviation — the
+    * heavy-tail-safe alternative to the q90 z-score (one genuine spike day
+    * inflates a mean AND its std enough to mask itself; the median/MAD pair
+    * is breakdown-50% robust). A row is an outlier when
+    * |value − median| > k · MAD (k defaults to the conventional 3).
+    *
+    * Determinism: values must be integer-derived (counts, cents). The exact
+    * interpolating `percentile` then lands on halves, deviations on halves,
+    * MAD on quarters — all exact in double and bit-equal to DuckDB's
+    * `median`/`quantile_cont`, so comparisons and output need no rounding.
+    *
+    * Scale shape: two grouped EXACT percentiles (group cardinality is the
+    * profile dimension — event types, days-per-key — small by construction;
+    * a 100 TB deployment with huge groups swaps in `approx_percentile` at
+    * the cost of the oracle) and two BROADCAST joins of group-sized stat
+    * frames back onto the fact side — the fact table never reshuffles. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier", col("__dev") > col("mad") * lit(k))
+      .drop("__dev")
+  }
 }

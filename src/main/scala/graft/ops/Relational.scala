@@ -367,4 +367,33 @@ object Relational {
         col(s"__last.$typeCol").as("last_touch"),
         col(s"__c.$orderCol").as("conversion_at"))
   }
+
+  /** Exact rolling median over a trailing `frameRows`-row frame per key —
+    * the robust twin of the q80 moving average (a single spike day drags a
+    * mean but not a median; ops dashboards smooth with both). Spark has no
+    * exact-median window function, so the frame is materialized as a
+    * `collect_list` over the window, sorted, and the middle element(s) read
+    * out — exact integer-derived arithmetic (the even-frame case averages
+    * two longs into a double: exact halves), so the result is bit-equal to
+    * the DuckDB `median(...) OVER (... ROWS BETWEEN k PRECEDING AND CURRENT
+    * ROW)` twin with no rounding discipline needed.
+    *
+    * Scale shape: the list is bounded by `frameRows` (a constant, typically
+    * 7–30), NOT by partition size, so per-row state is O(frame); the only
+    * exchange is the key hash partition. Run it over per-day aggregates —
+    * one row per (key, day) — never raw events. */
+  def rollingMedian(df: DataFrame, keyCol: String, orderCol: String,
+                    valueCol: String, frameRows: Int,
+                    medianAs: String = "rolling_median"): DataFrame = {
+    require(frameRows >= 1, s"frameRows must be >= 1, got $frameRows")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(frameRows - 1L), Window.currentRow)
+    df.withColumn("__frame", sort_array(collect_list(col(valueCol).cast("long")).over(w)))
+      .withColumn(medianAs, expr(
+        "CASE WHEN size(__frame) % 2 = 1 " +
+          "THEN CAST(element_at(__frame, CAST(size(__frame) DIV 2 + 1 AS INT)) AS DOUBLE) " +
+          "ELSE (CAST(element_at(__frame, CAST(size(__frame) DIV 2 AS INT)) AS DOUBLE) + " +
+          "element_at(__frame, CAST(size(__frame) DIV 2 + 1 AS INT))) / 2.0 END"))
+      .drop("__frame")
+  }
 }

@@ -175,6 +175,48 @@ object TextAnalysis {
         coalesce(col("entropy"), lit(0.0)).as("entropy"))
   }
 
+  /** Per-document average negative log-likelihood under the corpus's own
+    * unigram language model — the dependency-free stand-in for a perplexity
+    * filter (CCNet/Gopher shape): avg_nll = −(Σ c_t · ln(cf_t / N)) / n_doc
+    * over the doc's token frequencies, where cf is the corpus frequency and
+    * N the corpus token total. Low = stereotypical text, high = rare-token
+    * soup; curation drops or buckets both tails (complements q140's WITHIN-
+    * doc entropy with a cross-corpus signal).
+    *
+    * Determinism policy: same ordered-fold discipline as tokenEntropy — the
+    * per-token terms fold in sorted token order from 0.0, so both engines
+    * run the same IEEE ops in the same order; the result rounds to 4 dp.
+    *
+    * Scale shape: one (id, token) count shuffle (checkpointed — the corpus-
+    * frequency agg and the probe both read it; same barrier rationale as
+    * tfIdfTopTerms); cf and N join back as BROADCASTS (vocabulary-sized and
+    * 1 row), so the corpus never shuffles on `tok`; the per-doc fold list is
+    * |distinct tokens in the doc| — bounded by document size. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cf = tf.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("__n"))
+    val stats = tf.join(broadcast(cf), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("tok"), col("c"), col("cf")))).as("__tc"),
+        sum(col("c")).as("__nt"),
+        first(col("__n")).as("__N"))
+      .select(col(idCol), col("__nt").cast("long").as("n_tokens"),
+        round(negate(expr(
+          "aggregate(__tc, CAST(0.0 AS DOUBLE), (acc, t) -> acc + " +
+            "CAST(t.c AS DOUBLE) * ln(CAST(t.cf AS DOUBLE) / CAST(__N AS DOUBLE)))"))
+          / col("__nt"), 4).as("avg_nll"))
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the classic keyword/topic signal
     * over a corpus (document fingerprinting for retrieval, dedup triage,
     * topic drift monitoring). tfidf = tf · ln((N+1)/(df+1)), smoothed so a

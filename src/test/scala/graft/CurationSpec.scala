@@ -35,6 +35,27 @@ class CurationSpec extends SparkSpec {
     assert(counts == Map("en" -> 12L))
   }
 
+  test("weightedPrioritySample returns n rows, reproducibly") {
+    val weighted = docs.withColumn("w", org.apache.spark.sql.functions.lit(10L))
+    val a = Curation.weightedPrioritySample(weighted, "doc_id", "w", 25)
+    assert(a.count() == 25)
+    assert(a.columns.contains("priority"))
+    val b = Curation.weightedPrioritySample(weighted, "doc_id", "w", 25)
+    assert(a.orderBy("doc_id").collect().toSeq == b.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("weightedPrioritySample favors heavy weights (exponential race)") {
+    import org.apache.spark.sql.functions._
+    // even ids carry a 10^6× weight: their exponential keys are ~10^6×
+    // smaller, so the top-50 of 200 must be all even
+    val weighted = (1L to 200L).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") % 2 === 0, 1000000L).otherwise(1L))
+    val picked = Curation.weightedPrioritySample(weighted, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect()
+    assert(picked.length == 50)
+    assert(picked.forall(_ % 2 == 0), s"light rows leaked into: ${picked.toSeq}")
+  }
+
   test("curationChain assigns first-failure reasons and dedups by content") {
     val good = "the quick brown fox jumps over the lazy dog and runs on " +
       "through the green fields of a long morning walk is a fine thing " +

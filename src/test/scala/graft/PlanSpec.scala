@@ -46,6 +46,10 @@ class PlanSpec extends SparkSpec {
     assert(q("q17_topk_groups").contains("TakeOrderedAndProject"))
   }
 
+  test("weighted sample's global top-n is a heap, not a full sort (q145)") {
+    assert(q("q145_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
   test("aggregations split into partial + final hash agg (q15)") {
     val plan = q("q15_groupby_count")
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected 2-phase agg:\n$plan")

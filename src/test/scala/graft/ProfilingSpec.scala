@@ -50,4 +50,25 @@ class ProfilingSpec extends SparkSpec {
       Profiling.expectations(df, Seq("r" -> (col("v") > 0), "r" -> (col("v") < 9)))
     }
   }
+
+  test("madOutliers flags only the spike when MAD degenerates to 0") {
+    // med=10, deviations [0,0,0,0,90] → mad=0: any nonzero deviation flags
+    val df = Seq(("g", 10L), ("g", 10L), ("g", 10L), ("g", 10L), ("g", 100L))
+      .toDF("grp", "v")
+    val out = Profiling.madOutliers(df, "grp", "v")
+      .orderBy("v").select("v", "med", "mad", "is_outlier")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(out.map(_._2).forall(_ == 10.0))
+    assert(out.map(_._3).forall(_ == 0.0))
+    assert(out.map(_._4) == Seq(false, false, false, false, true))
+  }
+
+  test("madOutliers: symmetric series has no outliers at k=3") {
+    // med=3, devs [2,1,0,1,2] → mad=1: no dev exceeds 3
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 5L))
+      .toDF("grp", "v")
+    val out = Profiling.madOutliers(df, "grp", "v")
+      .select("is_outlier").as[Boolean].collect().toSeq
+    assert(out == Seq(false, false, false, false, false))
+  }
 }

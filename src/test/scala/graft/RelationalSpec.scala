@@ -285,4 +285,22 @@ class RelationalSpec extends SparkSpec {
       (2L, "purchase", None, 10L)))
   }
 
+  test("rollingMedian: exact medians over a 3-row trailing frame") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("a", 4L, 4L), ("a", 5L, 5L)).toDF("k", "t", "v")
+    val out = Relational.rollingMedian(df, "k", "t", "v", frameRows = 3)
+      .orderBy("t").select("rolling_median").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 1.5, 2.0, 3.0, 4.0))
+  }
+
+  test("rollingMedian: even frames average the two middles; keys isolate") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 4L), ("a", 3L, 10L),
+      ("b", 1L, 100L)).toDF("k", "t", "v")
+    val out = Relational.rollingMedian(df, "k", "t", "v", frameRows = 2)
+      .orderBy("k", "t").select("rolling_median").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 2.5, 7.0, 100.0))
+  }
+
 }

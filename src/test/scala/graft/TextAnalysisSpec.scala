@@ -168,4 +168,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("unigramLogProb: hand-computed corpus NLL, zero-token doc restored") {
+    // corpus: a=2 b=2 c=1, N=5. doc1 "a a b": -(3·ln(2/5))/3 = 0.9163
+    // doc2 "b c": -(ln(2/5)+ln(1/5))/2 = 1.2629; doc3 empty → (0, 0.0)
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0.9163), (2L, 2L, 1.2629), (3L, 0L, 0.0)))
+  }
+
+  test("unigramLogProb is identical across partitionings (ordered fold)") {
+    val docs = (1L to 120L).map(i => (i, s"w${i % 5} w${i % 9} w${i % 2}"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.unigramLogProb(docs.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val b = TextAnalysis.unigramLogProb(docs.repartition(11), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
 }
