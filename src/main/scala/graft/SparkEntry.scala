@@ -289,6 +289,44 @@ object SparkEntry {
       // log-likelihood under the corpus's own token distribution
       TextAnalysis.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "q149_time_travel" -> ((s, dir) => {
+      // snapshot-isolation time travel: v1 commits the first half-month,
+      // v2 appends the rest to the SAME directory; reading v1 afterwards
+      // must not see the appended files — the txn-log read, not a data copy
+      val tmp = s"$TMP/q149_tt"
+      val log = s"$TMP/q149_tt_log"
+      val ev = T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+      ev.filter(col("day") < "2024-01-16")
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      graft.storage.Storage.commitSnapshot(s, tmp, log, 1L, reset = true)
+      ev.filter(col("day") >= "2024-01-16")
+        .write.mode("append").partitionBy("day").parquet(tmp)
+      graft.storage.Storage.commitSnapshot(s, tmp, log, 2L)
+      graft.storage.Storage.readSnapshot(s, tmp, log, 1L)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
+        .orderBy("day")
+    }),
+    "q150_snapshot_diff" -> ((s, dir) => {
+      // incremental consumption: process ONLY the files the v2 commit added
+      // — the change-feed read whose cost tracks the increment, not the
+      // table (file-granularity complement of q123's row-level CDC)
+      val tmp = s"$TMP/q150_sd"
+      val log = s"$TMP/q150_sd_log"
+      val ev = T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+      ev.filter(col("day") < "2024-01-16")
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      graft.storage.Storage.commitSnapshot(s, tmp, log, 1L, reset = true)
+      ev.filter(col("day") >= "2024-01-16")
+        .write.mode("append").partitionBy("day").parquet(tmp)
+      graft.storage.Storage.commitSnapshot(s, tmp, log, 2L)
+      graft.storage.Storage.readSnapshotDiff(s, tmp, log, 1L, 2L)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
+        .orderBy("day")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2124,6 +2162,18 @@ object SparkEntry {
         |FROM documents d LEFT JOIN sz ON d.doc_id = sz.doc_id
         |LEFT JOIN s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q149_time_travel" ->
+      // v1's snapshot ≡ the rows that existed before the second append
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id FROM events
+        |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') < '2024-01-16'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q150_snapshot_diff" ->
+      // the v1→v2 increment ≡ the rows the second append landed
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id FROM events
+        |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-16'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

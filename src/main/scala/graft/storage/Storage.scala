@@ -157,4 +157,51 @@ object Storage {
     val pruned = base.filter(col(statCol) >= lit(lo) && col(statCol) < lit(hi))
     (pruned, keepFiles.length, rows.length)
   }
+
+  /** Commit the table's CURRENT file set to the snapshot log as `version` —
+    * the manifest-list shape of the public lakehouse txn logs (each version
+    * row set is the FULL snapshot, not a delta, so a read never replays
+    * history). One distributed pass over file-path metadata; the log grows
+    * by file-count rows per commit — KBs for a 100 TB table.
+    *
+    * `reset = true` truncates the log first (the create-table commit);
+    * subsequent commits append. */
+  def commitSnapshot(spark: SparkSession, tablePath: String, logPath: String,
+                     version: Long, reset: Boolean = false): Unit =
+    spark.read.parquet(tablePath)
+      .select(col("_metadata.file_path").as("file")).distinct()
+      .withColumn("version", lit(version))
+      .write.mode(if (reset) SaveMode.Overwrite else SaveMode.Append)
+      .parquet(logPath)
+
+  /** Time-travel read: exactly the files committed at `version`. Files
+    * appended to the directory AFTER that commit are invisible — snapshot
+    * isolation from the log alone, no data copied. The log read is
+    * file-count-sized driver metadata (the same planning read as
+    * `manifestPrunedRange`); `basePath` keeps hive partition columns on the
+    * survivors. An unknown version reads as empty WITH the table schema. */
+  def readSnapshot(spark: SparkSession, tablePath: String, logPath: String,
+                   version: Long): DataFrame = {
+    val files = spark.read.parquet(logPath)
+      .filter(col("version") === version)
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
+    else spark.read.option("basePath", tablePath).parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Incremental snapshot diff: ONLY the files added between `fromV` and
+    * `toV` — the change-feed consumption shape for append-mostly tables (a
+    * downstream job processes what landed since its last run without ever
+    * re-reading the base). File-granularity complement of the row-level CDC
+    * diff: no old data is opened at all, so the cost tracks the increment,
+    * not the table. The file-set difference is driver-side log metadata. */
+  def readSnapshotDiff(spark: SparkSession, tablePath: String, logPath: String,
+                       fromV: Long, toV: Long): DataFrame = {
+    val log = spark.read.parquet(logPath)
+    val files = log.filter(col("version") === toV).select("file")
+      .except(log.filter(col("version") === fromV).select("file"))
+      .collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(tablePath).filter(lit(false))
+    else spark.read.option("basePath", tablePath).parquet(files.toIndexedSeq: _*)
+  }
 }

@@ -247,4 +247,25 @@ class StorageSpec extends SparkSpec {
     assert(selected == 0 && total == 4)
     assert(pruned.columns.toSeq == Seq("v") && pruned.count() == 0)
   }
+
+  test("snapshot log: v1 read is isolated from a later append; v2 sees all") {
+    val path = "/root/repo/target/test_snapshot"
+    val log = "/root/repo/target/test_snapshot_log"
+    (0L until 40L).toDF("v").coalesce(2).write.mode("overwrite").parquet(path)
+    Storage.commitSnapshot(spark, path, log, 1L, reset = true)
+    (40L until 60L).toDF("v").coalesce(1).write.mode("append").parquet(path)
+    Storage.commitSnapshot(spark, path, log, 2L)
+    val v1 = Storage.readSnapshot(spark, path, log, 1L).as[Long].collect().sorted
+    val v2 = Storage.readSnapshot(spark, path, log, 2L).as[Long].collect().sorted
+    assert(v1.toSeq == (0L until 40L), s"v1 leaked appended rows: ${v1.length}")
+    assert(v2.toSeq == (0L until 60L))
+    // unknown version: empty but schema-true
+    val v9 = Storage.readSnapshot(spark, path, log, 9L)
+    assert(v9.columns.toSeq == Seq("v") && v9.count() == 0)
+    // the v1→v2 increment is exactly the appended rows; v1→v1 is empty
+    val diff = Storage.readSnapshotDiff(spark, path, log, 1L, 2L)
+      .as[Long].collect().sorted
+    assert(diff.toSeq == (40L until 60L))
+    assert(Storage.readSnapshotDiff(spark, path, log, 1L, 1L).count() == 0)
+  }
 }
