@@ -327,6 +327,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
         .orderBy("day")
     }),
+    "q151_transition_matrix" -> ((s, dir) =>
+      // first-order Markov journey matrix: which event follows which, and
+      // how often — one user-hash window + a matrix-sized share window
+      Relational.transitionMatrix(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type")),
+    "q152_winsorize" -> ((s, dir) => {
+      // robust clipping to per-type [p05, p95] DISCRETE percentiles — cut
+      // points are actual elements, so the audit sums stay exact longs
+      val ev = T(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      Profiling.winsorize(ev, "event_type", "cents", 0.05, 0.95)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clipped_low"), 1L).otherwise(0L)).as("clipped_low"),
+          sum(when(col("clipped_high"), 1L).otherwise(0L)).as("clipped_high"),
+          sum(col("winsorized")).as("sum_winsorized"))
+        .orderBy("event_type")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2174,6 +2193,27 @@ object SparkEntry {
         |  count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id FROM events
         |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2024-01-16'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q151_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type FROM events),
+        |m AS (SELECT from_type, to_type, count(*) AS cnt FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  CAST((10000 * cnt) // sum(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS share_bp
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "q152_winsorize" ->
+      // quantile_disc ≡ SQL-standard percentile_disc: actual elements, so
+      // the winsorized sum is exact integer arithmetic end-to-end
+      """WITH e AS (SELECT event_type,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT event_type, quantile_disc(cents, 0.05) AS lo,
+        |  quantile_disc(cents, 0.95) AS hi FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS clipped_low,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS clipped_high,
+        |  CAST(sum(greatest(least(cents, hi), lo)) AS BIGINT) AS sum_winsorized
+        |FROM e JOIN c USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -92,6 +92,36 @@ object Profiling {
     * a 100 TB deployment with huge groups swaps in `approx_percentile` at
     * the cost of the oracle) and two BROADCAST joins of group-sized stat
     * frames back onto the fact side — the fact table never reshuffles. */
+  /** Per-group winsorization: clip `valueCol` (an exact integer unit —
+    * cents, counts) to that group's [loQ, hiQ] DISCRETE percentiles — the
+    * standard outlier treatment before moment-based stats (a mean over
+    * winsorized values is robust without discarding rows, unlike trimming).
+    *
+    * Determinism: `percentile_disc` (the SQL-standard smallest-value-with-
+    * cume_dist ≥ q, = DuckDB `quantile_disc`) returns an ACTUAL element, so
+    * cut points, clipped values, and their sums all stay exact longs — no
+    * float interpolation anywhere, hence no cross-engine ulp risk (the
+    * interpolating `percentile` would put engine-private FMA ordering inside
+    * the cut value). Scale shape: one grouped percentile pass (both
+    * cutpoints in ONE aggregate) BROADCAST back; the fact side never
+    * reshuffles. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, s"bad quantiles [$loQ, $hiQ]")
+    // percentile_disc surfaces as DOUBLE; the value is an actual element, so
+    // the cast back to long is exact (integer units stay < 2^53)
+    val cuts = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile_disc($loQ) WITHIN GROUP (ORDER BY $valueCol)")
+        .cast("long").as("__lo"),
+        expr(s"percentile_disc($hiQ) WITHIN GROUP (ORDER BY $valueCol)")
+          .cast("long").as("__hi"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("winsorized", greatest(least(col(valueCol), col("__hi")), col("__lo")))
+      .withColumn("clipped_low", col(valueCol) < col("__lo"))
+      .withColumn("clipped_high", col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.0): DataFrame = {
     val med = df.groupBy(col(groupCol))

@@ -368,6 +368,32 @@ object Relational {
         col(s"__c.$orderCol").as("conversion_at"))
   }
 
+  /** Event-transition matrix (first-order Markov counts): for every
+    * consecutive pair of events within a key's timeline, count (from → to)
+    * and its share of the from-state's outgoing transitions — the journey
+    * analysis behind funnel design (which step follows which, and how
+    * often). Exact basis points, floor-divided.
+    *
+    * Scale shape: ONE key-hash exchange for the `lead` window (per-row state
+    * is one lookahead value), then a two-phase hash agg on the (from, to)
+    * pair; the share window runs over the AGGREGATED matrix —
+    * |states|² rows, never events. The tie column makes equal-timestamp
+    * ordering deterministic. */
+  def transitionMatrix(events: DataFrame, keyCol: String, orderCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val fromW = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("__tot", sum(col("cnt")).over(fromW))
+      .withColumn("share_bp", expr("(10000 * cnt) div __tot"))
+      .drop("__tot")
+  }
+
   /** Exact rolling median over a trailing `frameRows`-row frame per key —
     * the robust twin of the q80 moving average (a single spike day drags a
     * mean but not a median; ops dashboards smooth with both). Spark has no

@@ -63,6 +63,25 @@ class ProfilingSpec extends SparkSpec {
     assert(out.map(_._4) == Seq(false, false, false, false, true))
   }
 
+  test("winsorize clips to discrete per-group percentiles, all-long output") {
+    // 1..20: p05 disc = 1 (cume_dist 1/20 ≥ 0.05), p95 disc = 19 (19/20 ≥ .95)
+    val df = (1L to 20L).map(("g", _)).toDF("grp", "v")
+    val out = Profiling.winsorize(df, "grp", "v")
+      .orderBy("v").select("v", "winsorized", "clipped_low", "clipped_high")
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(out.head == ((1L, 1L, false, false)))
+    assert(out.last == ((20L, 19L, false, true)))
+    assert(out.count(_._3) == 0 && out.count(_._4) == 1)
+    assert(out.map(_._2).sum == (1L to 19L).sum + 19L)
+  }
+
+  test("winsorize rejects inverted quantiles") {
+    val df = Seq(("g", 1L)).toDF("grp", "v")
+    intercept[IllegalArgumentException] {
+      Profiling.winsorize(df, "grp", "v", loQ = 0.9, hiQ = 0.1)
+    }
+  }
+
   test("madOutliers: symmetric series has no outliers at k=3") {
     // med=3, devs [2,1,0,1,2] → mad=1: no dev exceeds 3
     val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 5L))

@@ -285,6 +285,27 @@ class RelationalSpec extends SparkSpec {
       (2L, "purchase", None, 10L)))
   }
 
+  test("transitionMatrix counts consecutive pairs per key with exact shares") {
+    import spark.implicits._
+    // user 1: a→b→a ; user 2: a→b — transitions: a→b ×2, b→a ×1
+    val df = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (2L, 10L, 4L, "a"), (2L, 20L, 5L, "b")).toDF("u", "t", "id", "et")
+    val out = Relational.transitionMatrix(df, "u", "t", "id", "et")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", "b", 2L, 10000L), ("b", "a", 1L, 10000L)))
+  }
+
+  test("transitionMatrix: equal timestamps order by the tie column") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1L, "x"), (1L, 10L, 2L, "y"), (1L, 10L, 3L, "z"))
+      .toDF("u", "t", "id", "et")
+    val out = Relational.transitionMatrix(df, "u", "t", "id", "et")
+      .orderBy("from_type").select("from_type", "to_type")
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq(("x", "y"), ("y", "z")))
+  }
+
   test("rollingMedian: exact medians over a 3-row trailing frame") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
