@@ -346,6 +346,18 @@ object SparkEntry {
           sum(col("winsorized")).as("sum_winsorized"))
         .orderBy("event_type")
     }),
+    "q153_journey_trigrams" -> ((s, dir) =>
+      // order-3 behavioral n-grams: two leads share ONE user-hash window;
+      // rank runs after the top-k limit (bounded by k, the q103 discipline)
+      Relational.journeyTrigrams(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", k = 25)
+        .orderBy("rank")),
+    "q154_interevent_gaps" -> ((s, dir) =>
+      // latency fingerprint: whole-second gaps since the user's previous
+      // event, summarized with DISCRETE percentiles — exact longs only
+      Relational.interEventGaps(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("event_type")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2214,6 +2226,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS clipped_high,
         |  CAST(sum(greatest(least(cents, hi), lo)) AS BIGINT) AS sum_winsorized
         |FROM e JOIN c USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q153_journey_trigrams" ->
+      """WITH p AS (SELECT event_type AS step1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS step2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS step3 FROM events),
+        |m AS (SELECT step1, step2, step3, count(*) AS cnt FROM p
+        |  WHERE step2 IS NOT NULL AND step3 IS NOT NULL GROUP BY 1, 2, 3
+        |  ORDER BY cnt DESC, step1, step2, step3 LIMIT 25)
+        |SELECT step1, step2, step3, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, step1, step2, step3) AS BIGINT) AS rank
+        |FROM m ORDER BY rank""".stripMargin,
+    "q154_interevent_gaps" ->
+      // floor(gap_us / 1e6): // on non-negative BIGINTs ≡ Spark's `div`
+      """WITH g AS (SELECT event_type,
+        |  (epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP), 1)
+        |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)))
+        |    // 1000000 AS gap_s
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
+        |  CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_s
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -394,6 +394,60 @@ object Relational {
       .drop("__tot")
   }
 
+  /** Top-k behavioral n-grams (order-3 journeys): the most common
+    * three-step event sequences within a key's timeline — transitionMatrix's
+    * higher-order sibling (catches patterns a first-order matrix factors
+    * away, e.g. view→click→purchase vs view→click→bounce).
+    *
+    * Scale shape: the two `lead`s share ONE key-hash window (single
+    * exchange, two lookahead values per row), then a two-phase hash agg on
+    * the trigram; top-k is TakeOrderedAndProject and the rank window runs
+    * AFTER the limit — bounded by k, the q103 discipline. */
+  def journeyTrigrams(events: DataFrame, keyCol: String, orderCol: String,
+                      tieCol: String, typeCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    val counts = events
+      .withColumn("__e2", lead(col(typeCol), 1).over(w))
+      .withColumn("__e3", lead(col(typeCol), 2).over(w))
+      .filter(col("__e2").isNotNull && col("__e3").isNotNull)
+      .groupBy(col(typeCol).as("step1"), col("__e2").as("step2"),
+        col("__e3").as("step3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+    counts.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("step1"), col("step2"), col("step3")))
+      .cast("long"))
+  }
+
+  /** Inter-event gap distribution: per event type, how long since the same
+    * user's PREVIOUS event (any type) — the latency fingerprint behind
+    * "time to purchase" dashboards. Gaps are exact whole seconds (floored
+    * integer division of the microsecond difference) and the distribution
+    * summary uses DISCRETE percentiles, so every output value is an exact
+    * long — no interpolation, no float.
+    *
+    * Scale shape: one key-hash window (per-row state = one lag), then a
+    * two-phase agg per event type; percentile_disc groups are event-type
+    * sized. */
+  def interEventGaps(events: DataFrame, keyCol: String, orderCol: String,
+                     tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    events
+      .withColumn("__us", unix_micros(col(orderCol)))
+      .withColumn("__prev_us", lag(col("__us"), 1).over(w))
+      // gaps are non-negative (ascending order), so integer `div` IS floor
+      .withColumn("__gap_s", expr("(__us - __prev_us) div 1000000"))
+      .filter(col("__gap_s").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __gap_s)")
+          .cast("long").as("p50_s"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY __gap_s)")
+          .cast("long").as("p90_s"),
+        max(col("__gap_s")).as("max_s"))
+  }
+
   /** Exact rolling median over a trailing `frameRows`-row frame per key —
     * the robust twin of the q80 moving average (a single spike day drags a
     * mean but not a median; ops dashboards smooth with both). Spark has no

@@ -306,6 +306,42 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(("x", "y"), ("y", "z")))
   }
 
+  test("journeyTrigrams counts three-step sequences with post-limit rank") {
+    import spark.implicits._
+    // user 1: a b c a b c → (a,b,c)×2, (b,c,a)×1, (c,a,b)×1
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (1L, 4L, "a"), (1L, 5L, "b"), (1L, 6L, "c"))
+      .map { case (u, t, e) => (u, t, t, e) }.toDF("u", "t", "id", "et")
+    val out = Relational.journeyTrigrams(df, "u", "t", "id", "et", k = 10)
+      .orderBy("rank")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", "c", 2L, 1L), ("b", "c", "a", 1L, 2L), ("c", "a", "b", 1L, 3L)))
+  }
+
+  test("journeyTrigrams: sequences never cross key boundaries") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
+      (2L, 3L, 3L, "c"), (2L, 4L, 4L, "d")).toDF("u", "t", "id", "et")
+    assert(Relational.journeyTrigrams(df, "u", "t", "id", "et", 10).count() == 0)
+  }
+
+  test("interEventGaps: exact whole-second gaps with discrete percentiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    // one user, events at 0s, 10s, 10.9s, 31s — gaps (by CURRENT type):
+    // b: 10s, c: 0s (floored from 0.9), d: 20s (floored from 20.1)
+    val df = Seq((1L, 0L, 1L, "a"), (1L, 10000000L, 2L, "b"),
+      (1L, 10900000L, 3L, "c"), (1L, 31000000L, 4L, "d"))
+      .toDF("u", "us", "id", "et")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = Relational.interEventGaps(df, "u", "ts", "id", "et")
+      .orderBy("et")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("b", 1L, 10L, 10L, 10L), ("c", 1L, 0L, 0L, 0L),
+      ("d", 1L, 20L, 20L, 20L)))
+  }
+
   test("rollingMedian: exact medians over a 3-row trailing frame") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
