@@ -50,6 +50,37 @@ class PlanSpec extends SparkSpec {
     assert(q("q145_weighted_sample").contains("TakeOrderedAndProject"))
   }
 
+  test("journey trigrams: heap top-k; ONE window exchange for both leads (q153)") {
+    val df = SparkEntry.queries("q153_journey_trigrams")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .contains("TakeOrderedAndProject"))
+    // both lead()s must resolve in a single user-hash window stage — a
+    // second per-lead exchange would double the shuffle for no reason
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case qs: QueryStageExec => flatten(qs.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val userExchanges = flatten(df.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeLike if (s.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.exists(_.references.exists(_.name == "user_id"))
+        case _ => false
+      }) => s
+    }
+    assert(userExchanges.size == 1,
+      s"expected exactly one user_id exchange, got ${userExchanges.size}")
+  }
+
+  test("winsorize cut frame re-joins as a broadcast, fact side unshuffled (q152)") {
+    val plan = q("q152_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("aggregations split into partial + final hash agg (q15)") {
     val plan = q("q15_groupby_count")
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected 2-phase agg:\n$plan")
