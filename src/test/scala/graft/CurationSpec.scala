@@ -56,6 +56,11 @@ class CurationSpec extends SparkSpec {
     assert(picked.forall(_ % 2 == 0), s"light rows leaked into: ${picked.toSeq}")
   }
 
+  test("weightedPrioritySample with n above the population keeps every row") {
+    val weighted = docs.withColumn("w", org.apache.spark.sql.functions.lit(5L))
+    assert(Curation.weightedPrioritySample(weighted, "doc_id", "w", 1000).count() == 100)
+  }
+
   test("curationChain assigns first-failure reasons and dedups by content") {
     val good = "the quick brown fox jumps over the lazy dog and runs on " +
       "through the green fields of a long morning walk is a fine thing " +

@@ -351,6 +351,26 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(1.0, 1.5, 2.0, 3.0, 4.0))
   }
 
+  test("journeyTrigrams rank ties break on the trigram strings") {
+    import spark.implicits._
+    // two distinct trigrams, same count — rank order must be lexicographic
+    val df = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (2L, 1L, 4L, "x"), (2L, 2L, 5L, "y"), (2L, 3L, 6L, "z"))
+      .toDF("u", "t", "id", "et")
+    val out = Relational.journeyTrigrams(df, "u", "t", "id", "et", 10)
+      .orderBy("rank").select("step1", "rank")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L), ("x", 2L)))
+  }
+
+  test("interEventGaps: a single-event user contributes no gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    val df = Seq((1L, 0L, 1L, "a")).toDF("u", "us", "id", "et")
+      .withColumn("ts", timestamp_micros($"us"))
+    assert(Relational.interEventGaps(df, "u", "ts", "id", "et").count() == 0)
+  }
+
   test("rollingMedian: even frames average the two middles; keys isolate") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1L), ("a", 2L, 4L), ("a", 3L, 10L),
