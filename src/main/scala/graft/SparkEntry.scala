@@ -358,6 +358,15 @@ object SparkEntry {
       Relational.interEventGaps(T(s, dir, "events"),
         "user_id", "ts", "event_id", "event_type")
         .orderBy("event_type")),
+    "q155_heavy_hitters" -> ((s, dir) => {
+      // Misra–Gries candidates (map-side, k counters per partition) +
+      // exact recount of candidates only — the vocabulary never shuffles
+      import s.implicits._
+      val toks = T(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("item"))
+        .filter(length(col("item")) > 0).as[String]
+      ops.Sketch.heavyHitters(toks, shareBp = 100L).orderBy("item")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2250,6 +2259,15 @@ object SparkEntry {
         |  CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s,
         |  CAST(max(gap_s) AS BIGINT) AS max_s
         |FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q155_heavy_hitters" ->
+      // the sketch only proposes candidates — the answer is this exact query
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS item FROM documents),
+        |t AS (SELECT item FROM tok WHERE length(item) > 0),
+        |n AS (SELECT count(*) AS total FROM t)
+        |SELECT item, cnt, CAST((10000 * cnt) // total AS BIGINT) AS share_bp FROM (
+        |  SELECT item, count(*) AS cnt FROM t GROUP BY 1) CROSS JOIN n
+        |WHERE cnt >= (total * 100 + 9999) // 10000
+        |ORDER BY item""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal
