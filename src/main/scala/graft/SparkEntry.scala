@@ -367,6 +367,20 @@ object SparkEntry {
         .filter(length(col("item")) > 0).as[String]
       ops.Sketch.heavyHitters(toks, shareBp = 100L).orderBy("item")
     }),
+    "q156_unpivot" -> ((s, dir) =>
+      // wide→long reshape (melt), q66's inverse: the crosstab unpivots back
+      // to (day, event_type, cnt) rows — native `unpivot` plans an Expand,
+      // a pure map-side row fan-out with no exchange
+      T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1))).na.fill(0)
+        .unpivot(Array(col("day")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "cnt")
+        .orderBy("day", "event_type")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2268,6 +2282,16 @@ object SparkEntry {
         |  SELECT item, count(*) AS cnt FROM t GROUP BY 1) CROSS JOIN n
         |WHERE cnt >= (total * 100 + 9999) // 10000
         |ORDER BY item""".stripMargin,
+    "q156_unpivot" ->
+      // the melt round-trip keeps pivot's zero-filled cells as explicit rows
+      """WITH d AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM d),
+        |types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type)
+        |SELECT days.day, types.event_type, CAST(coalesce(d.cnt, 0) AS BIGINT) AS cnt
+        |FROM days CROSS JOIN types
+        |LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

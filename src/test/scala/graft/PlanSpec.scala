@@ -81,6 +81,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("unpivot melts via a map-side Expand — no join, no extra exchange (q156)") {
+    val plan = q("q156_unpivot")
+    assert(plan.contains("Expand"), s"expected the unpivot Expand:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"melt must not plan a join:\n$plan")
+  }
+
   test("aggregations split into partial + final hash agg (q15)") {
     val plan = q("q15_groupby_count")
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected 2-phase agg:\n$plan")
