@@ -73,7 +73,17 @@ object Curation {
   def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
                              n: Int): DataFrame = {
     val u = (pseudoShuffleKey(col(idCol)) + lit(1L)).cast("double") / lit(1000004.0)
-    df.withColumn("priority",
+    df
+      // a negative id makes the sign-preserving % scramble negative → u ≤ 0
+      // → ln undefined → NULL priority, and Spark/DuckDB order NULLs
+      // differently — fail loudly instead of silently disagreeing (the
+      // clusterSafeSplit discipline); a zero/negative weight breaks the
+      // exponential-race semantics the same way
+      .filter(when(col(idCol) >= 0 && col(weightCol) > 0, lit(true))
+        .otherwise(raise_error(lit(
+          "weightedPrioritySample: ids must be non-negative and weights " +
+            "positive (exponential-race precondition)"))))
+      .withColumn("priority",
         round(negate(log(u)) / col(weightCol).cast("double"), 10))
       .orderBy(col("priority"), col(idCol))
       .limit(n)

@@ -61,6 +61,18 @@ class CurationSpec extends SparkSpec {
     assert(Curation.weightedPrioritySample(weighted, "doc_id", "w", 1000).count() == 100)
   }
 
+  test("weightedPrioritySample fails loudly on negative ids or zero weights") {
+    import org.apache.spark.sql.functions._
+    val negId = Seq((-1L, 5L), (2L, 5L)).toDF("doc_id", "w")
+    intercept[Exception] {
+      Curation.weightedPrioritySample(negId, "doc_id", "w", 10).collect()
+    }
+    val zeroW = Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "w")
+    intercept[Exception] {
+      Curation.weightedPrioritySample(zeroW, "doc_id", "w", 10).collect()
+    }
+  }
+
   test("curationChain assigns first-failure reasons and dedups by content") {
     val good = "the quick brown fox jumps over the lazy dog and runs on " +
       "through the green fields of a long morning walk is a fine thing " +
