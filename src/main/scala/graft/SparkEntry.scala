@@ -381,6 +381,67 @@ object SparkEntry {
             col("signup"), col("view")),
           "event_type", "cnt")
         .orderBy("day", "event_type")),
+    "q157_cube" -> ((s, dir) =>
+      // full 2-D cube: every (type, day) cell, both 1-D margins, and the
+      // grand total in ONE pass — rollup's (q64) superset, same Expand-based
+      // plan (no re-scan per granularity)
+      T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+    "q158_psi_drift" -> ((s, dir) =>
+      // distribution drift: PSI of the value histogram, first half-month vs
+      // second, per event type — the training-data freshness gate
+      Stats.psiDrift(
+        T(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+          .withColumn("period",
+            when(TextFunctions.dayString(col("ts")) < "2024-01-16", "a").otherwise("b")),
+        "event_type", "cents", "period", bins = 10, binWidth = 5000L)
+        .orderBy("event_type")),
+    "q159_group_corr" -> ((s, dir) =>
+      // price–quantity correlation per return flag from exact power sums
+      // (never the engines' own streaming `corr` — see Stats.pearsonByGroup)
+      Stats.pearsonByGroup(
+        T(s, dir, "lineitem")
+          .withColumn("qty", col("l_quantity").cast("long"))
+          .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long")),
+        "l_returnflag", "qty", "cents")
+        .orderBy("l_returnflag")),
+    "q160_event_entropy" -> ((s, dir) =>
+      // per-day event-mix entropy: a day collapsing to one event type is a
+      // collection outage, not a trend — the degenerate-slice detector
+      Stats.categoricalEntropy(
+        T(s, dir, "events")
+          .withColumn("day", TextFunctions.dayString(col("ts"))),
+        "day", "event_type")
+        .orderBy("day")),
+    "q161_pmi_bigrams" -> ((s, dir) =>
+      // collocation mining: adjacent-pair PMI over the corpus — phrase
+      // candidates for tokenizer merges and multi-word unit detection
+      TextAnalysis.pmiBigrams(T(s, dir, "documents"), "text", minCount = 25L)
+        .orderBy("w1", "w2")),
+    "q162_resample" -> ((s, dir) =>
+      // hourly resample with LOCF gap fill: dense regular grid per type,
+      // manufactured buckets flagged, last observed sum carried forward
+      Relational.resampleLocf(
+        T(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100, 0).cast("long")),
+        "event_type", "ts", "cents", grain = "hour")
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH").as("bucket"),
+          col("cnt"), col("filled"), col("locf").cast("long").as("locf_cents"))
+        .orderBy("event_type", "bucket")),
+    "q163_conversion_lift" -> ((s, dir) =>
+      // funnel health: per-day purchase/view conversion in basis points and
+      // its two-proportion z-score against the month's pooled rate
+      Stats.conversionLift(
+        T(s, dir, "events")
+          .withColumn("day", TextFunctions.dayString(col("ts"))),
+        "day", "event_type", denomType = "view", numType = "purchase")
+        .orderBy("day")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2292,6 +2353,114 @@ object SparkEntry {
         |FROM days CROSS JOIN types
         |LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type
         |ORDER BY 1, 2""".stripMargin,
+    "q157_cube" ->
+      """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY CUBE (event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q158_psi_drift" ->
+      // identical smoothed-term formula and bin-ordered fold as the Spark
+      // side; the explicit spine makes absent bins contribute in both
+      """WITH e AS (SELECT event_type AS g,
+        |  CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') < '2024-01-16'
+        |    THEN 'a' ELSE 'b' END AS p,
+        |  least(CAST(round(value * 100, 0) AS BIGINT) // 5000, 9) AS bin FROM events),
+        |c AS (SELECT g, bin, count(*) FILTER (p = 'a') AS ca,
+        |  count(*) FILTER (p = 'b') AS cb FROM e GROUP BY 1, 2),
+        |t AS (SELECT g, sum(ca) AS na, sum(cb) AS nb FROM c GROUP BY 1),
+        |spine AS (SELECT g, unnest(range(10)) AS bin FROM (SELECT DISTINCT g FROM e)),
+        |terms AS (SELECT spine.g, spine.bin, t.na, t.nb,
+        |  (CAST(coalesce(c.ca, 0) + 1 AS DOUBLE) / (t.na + 10) -
+        |   CAST(coalesce(c.cb, 0) + 1 AS DOUBLE) / (t.nb + 10)) *
+        |  ln((CAST(coalesce(c.ca, 0) + 1 AS DOUBLE) / (t.na + 10)) /
+        |     (CAST(coalesce(c.cb, 0) + 1 AS DOUBLE) / (t.nb + 10))) AS term
+        |  FROM spine LEFT JOIN c ON spine.g = c.g AND spine.bin = c.bin
+        |  JOIN t ON spine.g = t.g)
+        |SELECT g AS event_type, CAST(any_value(na) AS BIGINT) AS n_a,
+        |  CAST(any_value(nb) AS BIGINT) AS n_b,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bin)),
+        |    (a, b) -> a + b), 4) AS psi
+        |FROM terms GROUP BY g ORDER BY 1""".stripMargin,
+    "q159_group_corr" ->
+      // exact integer power sums (HUGEINT ≡ Spark decimal(38,0)), then the
+      // one textbook formula on doubles — never the engine's streaming corr
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |      CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syy,
+        |  sum(CAST(l_quantity AS BIGINT) *
+        |      CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, round(CASE
+        |  WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |   AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END, 4) AS r
+        |FROM s ORDER BY 1""".stripMargin,
+    "q160_event_entropy" ->
+      // the q148-style ordered fold, over each day's category terms
+      """WITH c AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  event_type AS cat, count(*) AS c FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, sum(c) AS n FROM c GROUP BY 1),
+        |terms AS (SELECT c.day, t.n, c.cat,
+        |  (CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n) AS term
+        |  FROM c JOIN t USING (day))
+        |SELECT day, CAST(any_value(n) AS BIGINT) AS n, count(*) AS n_cats,
+        |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY cat)),
+        |    (a, b) -> a + b), 4) AS entropy
+        |FROM terms GROUP BY day ORDER BY day""".stripMargin,
+    "q161_pmi_bigrams" ->
+      // pmi = ln cb − ln Nb − ln cx − ln cy + 2·ln Nu, the exact term order
+      // the Spark side evaluates; Nb is taken BEFORE the min-count floor
+      """WITH raw AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS arr FROM documents),
+        |w AS (SELECT arr FROM raw WHERE len(arr) > 0),
+        |uc AS (SELECT tok, count(*) AS cw FROM (SELECT unnest(arr) AS tok FROM w) GROUP BY 1),
+        |nu AS (SELECT sum(cw) AS nu FROM uc),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM (
+        |  SELECT unnest(arr[:len(arr)-1]) AS w1, unnest(arr[2:]) AS w2 FROM w
+        |  WHERE len(arr) >= 2) GROUP BY 1, 2),
+        |nb AS (SELECT sum(cb) AS nb FROM bc)
+        |SELECT w1, w2, cb,
+        |  round(ln(CAST(cb AS DOUBLE)) - ln(CAST(nb.nb AS DOUBLE)) -
+        |    ln(CAST(u1.cw AS DOUBLE)) - ln(CAST(u2.cw AS DOUBLE)) +
+        |    2.0 * ln(CAST(nu.nu AS DOUBLE)), 4) AS pmi
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.tok JOIN uc u2 ON bc.w2 = u2.tok
+        |CROSS JOIN nb CROSS JOIN nu
+        |WHERE cb >= 25 ORDER BY w1, w2""".stripMargin,
+    "q162_resample" ->
+      // generate_series is inclusive on both ends, matching Spark sequence
+      """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+        |  count(*) AS cnt, sum(CAST(round(value * 100, 0) AS BIGINT)) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM h GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b FROM s)
+        |SELECT spine.event_type, strftime(spine.b, '%Y-%m-%d %H') AS bucket,
+        |  CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt, h.cnt IS NULL AS filled,
+        |  CAST(last_value(h.sc IGNORE NULLS) OVER (PARTITION BY spine.event_type
+        |    ORDER BY spine.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS locf_cents
+        |FROM spine LEFT JOIN h ON spine.event_type = h.event_type AND spine.b = h.b
+        |ORDER BY 1, 2""".stripMargin,
+    "q163_conversion_lift" ->
+      """WITH per AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposures,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conversions
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT * FROM per WHERE exposures > 0),
+        |g AS (SELECT sum(exposures) AS e, sum(conversions) AS c FROM p)
+        |SELECT day, CAST(exposures AS BIGINT) AS exposures,
+        |  CAST(conversions AS BIGINT) AS conversions,
+        |  CAST((10000 * conversions) // exposures AS BIGINT) AS cvr_bp,
+        |  round((CAST(conversions AS DOUBLE) / exposures - CAST(g.c AS DOUBLE) / g.e) /
+        |    sqrt((CAST(g.c AS DOUBLE) / g.e) * (1.0 - CAST(g.c AS DOUBLE) / g.e) /
+        |      CAST(exposures AS DOUBLE)), 4) AS z
+        |FROM p CROSS JOIN g ORDER BY day""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -476,4 +476,36 @@ object Relational {
           "element_at(__frame, CAST(size(__frame) DIV 2 + 1 AS INT))) / 2.0 END"))
       .drop("__frame")
   }
+
+  /** Fixed-grain time-series resample with gap fill: aggregate raw events
+    * to one row per (key, bucket), densify each key's span to EVERY bucket
+    * between its first and last observation, and carry the last observed
+    * sum forward (LOCF) across the manufactured gaps. Downstream
+    * window/forecast ops need a dense regular grid; raw event time is
+    * neither (the reference's dashboard loop manufactures the x-axis
+    * client-side, `Analysis Dashboard/app.py:32-59`).
+    *
+    * Scale shape: the aggregate shuffles (key, bucket) partials —
+    * metadata-sized vs the raw events; the spine is a per-key `sequence`
+    * explode (|keys| · span rows, generated map-side, no exchange of its
+    * own); the LOCF window sorts per key over that bounded spine, not
+    * over raw events. First bucket is an observation by construction, so
+    * `locf` is never NULL. */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, grain: String = "hour"): DataFrame = {
+    val bucketed = events
+      .groupBy(col(keyCol), date_trunc(grain, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("__sum"))
+    val span = bucketed.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+    val spine = span.select(col(keyCol),
+      explode(expr(s"sequence(__mn, __mx, interval 1 $grain)")).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(bucketed, Seq(keyCol, "bucket"), "left")
+      .withColumn("filled", col("cnt").isNull)
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("locf", last(col("__sum"), ignoreNulls = true).over(w))
+      .drop("__sum")
+  }
 }

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Comparative statistics over grouped streams: distribution drift,
+  * correlation, entropy, and experiment lift. The reference compares
+  * period-over-period counts by re-issuing one Postgres COUNT(*) per
+  * platform and eyeballing the plot (`Analysis Dashboard/app.py:69-92`);
+  * these are the engine-side versions of that "did the data move?"
+  * question, each a one-or-two-pass aggregate that never collects rows.
+  *
+  * Determinism discipline (SURVEY.md §7.6): all inputs to a float op are
+  * exact integers (counts, cents), every float reduction is an ordered
+  * fold over a sorted collect_list, and every surfaced double is rounded
+  * to 4 dp — so the DuckDB oracle (same formula text, list_reduce over
+  * list(... ORDER BY ...)) hashes identically.
+  */
+object Stats {
+
+  /** Population Stability Index between two labelled periods, per group —
+    * the standard "has this feature drifted?" monitor (banking scorecards,
+    * training-data freshness gates). Values are bucketed into `bins`
+    * fixed-width bins of `binWidth` (last bin open-ended), counts are
+    * add-1 smoothed so empty bins stay finite, and
+    * psi = Σ_bins (pa − pb) · ln(pa / pb).
+    *
+    * Scale shape: ONE (group, bin) count shuffle with map-side combine —
+    * the cardinality after the partial agg is |groups|·|bins|·|periods|,
+    * metadata-sized no matter how many rows scan in. The bin spine is
+    * enumerated per group (groups × bins rows) so absent bins contribute
+    * their smoothed term identically in both engines; the per-group fold
+    * runs over ≤ `bins` elements sorted by bin id.
+    *
+    * Precondition: `centsCol` must be non-negative (enforced in-plan) and
+    * `periodCol` must be exactly 'a' or 'b'. */
+  def psiDrift(df: DataFrame, groupCol: String, centsCol: String,
+               periodCol: String, bins: Int = 10, binWidth: Long = 5000L): DataFrame = {
+    require(bins >= 2 && binWidth > 0, s"bad binning ($bins, $binWidth)")
+    val guarded = df.withColumn("__v",
+      when(col(centsCol) >= 0 && col(periodCol).isin("a", "b"), col(centsCol))
+        .otherwise(raise_error(lit(
+          s"psiDrift: $centsCol must be >= 0 and $periodCol in ('a','b')"))))
+    val binned = guarded.select(col(groupCol).as("g"), col(periodCol).as("p"),
+      least(expr(s"__v div $binWidth"), lit(bins - 1L)).as("bin"))
+    val counts = binned.groupBy(col("g"), col("bin"))
+      .agg(sum(when(col("p") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("p") === "b", 1L).otherwise(0L)).as("cb"))
+    val totals = counts.groupBy(col("g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // explicit bin spine: a bin empty in BOTH periods still carries its
+    // smoothed term, so the fold's element list is engine-independent
+    val spine = counts.select(col("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val terms = spine.join(counts, Seq("g", "bin"), "left")
+      .join(broadcast(totals), Seq("g"))
+      .select(col("g"), col("bin"), col("na"), col("nb"),
+        ((coalesce(col("ca"), lit(0L)) + lit(1L)).cast("double") / (col("na") + lit(bins.toLong)))
+          .as("__pa"),
+        ((coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") / (col("nb") + lit(bins.toLong)))
+          .as("__pb"))
+      .select(col("g"), col("bin"), col("na"), col("nb"),
+        ((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))).as("term"))
+    terms.groupBy(col("g"))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        sort_array(collect_list(struct(col("bin"), col("term")))).as("__t"))
+      .select(col("g").as(groupCol),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        round(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
+          .as("psi"))
+  }
+
+  /** Per-group Pearson correlation from EXACT integer power sums. Never
+    * uses the engines' `corr` (their streaming update orders differ, so
+    * the last ulp diverges); instead both engines sum n, Σx, Σy, Σx²,
+    * Σy², Σxy exactly — per-row products fit a long for cents-scale
+    * inputs, the sums go through decimal(38,0) ≡ HUGEINT — and evaluate
+    * the ONE textbook formula on doubles cast from those exact sums:
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̂) · √(n·Σy² − Σy²̂)).
+    *
+    * Scale shape: a single grouped aggregate (map-side partials, six
+    * numeric buffers), |groups| output rows. Degenerate groups (zero
+    * variance on either axis) surface NULL, matching SQL `corr`. */
+  def pearsonByGroup(df: DataFrame, groupCol: String,
+                     xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol)).cast(dec).as("sx"),
+        sum(col(yCol)).cast(dec).as("sy"),
+        sum((col(xCol) * col(xCol)).cast(dec)).as("sxx"),
+        sum((col(yCol) * col(yCol)).cast(dec)).as("syy"),
+        sum((col(xCol) * col(yCol)).cast(dec)).as("sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val denX = sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+    val denY = sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    sums.select(col(groupCol), col("n"),
+      round(when(denX > 0 && denY > 0, num / (denX * denY)), 4).as("r"))
+  }
+
+  /** Shannon entropy (nats) of a categorical column's distribution per
+    * group — the "is this slice degenerate?" curation signal (a day whose
+    * event mix collapses to one type, a source emitting a single
+    * language). H = −Σ_cat (c/n)·ln(c/n), folded over categories in
+    * sorted order.
+    *
+    * Scale shape: one (group, category) count shuffle with map-side
+    * combine, then a per-group fold over that group's DISTINCT categories
+    * only — the collect_list is bounded by the category domain, never by
+    * row count. */
+  def categoricalEntropy(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    counts.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("n"), col(catCol).as("cat"),
+        ((col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n"))).as("term"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("__n"), count(lit(1)).as("n_cats"),
+        sort_array(collect_list(struct(col("cat"), col("term")))).as("__t"))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        col("n_cats").cast("long").as("n_cats"),
+        round(negate(expr(
+          "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)")), 4)
+          .as("entropy"))
+  }
+
+  /** Per-slice conversion rate vs the global baseline, with a
+    * two-proportion z-score — the experiment-readout / funnel-health
+    * query (`app.py` plots raw per-platform counts; this is the version
+    * with the statistics attached). For each group: exposures = rows of
+    * `denomType`, conversions = rows of `numType`, cvr in integer basis
+    * points, and z = (p − p0) / √(p0·(1−p0)/exposures) against the
+    * pooled rate p0.
+    *
+    * Scale shape: one conditional-count aggregate per group plus a 1-row
+    * global aggregate broadcast back — the fact table is scanned once. */
+  def conversionLift(df: DataFrame, groupCol: String, typeCol: String,
+                     denomType: String, numType: String): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(sum(when(col(typeCol) === denomType, 1L).otherwise(0L)).as("exposures"),
+        sum(when(col(typeCol) === numType, 1L).otherwise(0L)).as("conversions"))
+      .filter(col("exposures") > 0)
+    val global = per.agg(sum(col("exposures")).as("__e"), sum(col("conversions")).as("__c"))
+    per.crossJoin(broadcast(global))
+      .select(col(groupCol), col("exposures"), col("conversions"),
+        expr("(10000 * conversions) div exposures").as("cvr_bp"),
+        round((col("conversions").cast("double") / col("exposures") -
+          col("__c").cast("double") / col("__e")) /
+          sqrt((col("__c").cast("double") / col("__e")) *
+            (lit(1.0) - col("__c").cast("double") / col("__e")) /
+            col("exposures").cast("double")), 4).as("z"))
+  }
+}

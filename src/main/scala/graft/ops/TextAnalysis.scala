@@ -318,4 +318,45 @@ object TextAnalysis {
       .groupBy(col("term"))
       .agg(sort_array(collect_set(col(idCol))).as("postings"))
       .withColumn("df", size(col("postings")).cast("long"))
+
+  /** Pointwise mutual information for adjacent token pairs — the
+    * collocation detector ("new york" is a unit, "the the" is noise) used
+    * for phrase mining and tokenizer-merge candidates. With unigram
+    * occurrences cx over Nu tokens and bigram occurrences cb over Nb pairs,
+    * pmi = ln P(x,y) − ln P(x) − ln P(y)
+    *     = ln cb − ln Nb − ln cx − ln cy + 2·ln Nu,
+    * evaluated term-by-term in that exact order on doubles cast from exact
+    * longs (both engines run the same formula text; result rounded 4 dp).
+    *
+    * Scale shape: the token-array frame is checkpointed once and feeds two
+    * count shuffles (unigram, bigram) with map-side combine; Nu/Nb are
+    * 1-row broadcasts; the unigram vocabulary joins back as a broadcast
+    * (vocab-sized, the q78 TF-IDF discipline). The `minCount` floor is
+    * applied AFTER Nb is taken, so totals are scan-exact, and it bounds
+    * the output to pairs a phrase miner would keep anyway. */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long = 25L): DataFrame = {
+    val arr = docs
+      .select(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .localCheckpoint()
+    val uni = arr.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nu = uni.agg(sum(col("cw")).as("__nu"))
+    val bcounts = arr.filter(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("w1"),
+          element_at(col("__w"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val nb = bcounts.agg(sum(col("cb")).as("__nb"))
+    bcounts.filter(col("cb") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("__c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("__c2"))), Seq("w2"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("cb"),
+        round(log(col("cb").cast("double")) - log(col("__nb").cast("double")) -
+          log(col("__c1").cast("double")) - log(col("__c2").cast("double")) +
+          lit(2.0) * log(col("__nu").cast("double")), 4).as("pmi"))
+  }
 }

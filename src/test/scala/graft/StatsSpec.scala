@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Relational, Stats, TextAnalysis}
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- psiDrift
+
+  test("psiDrift: identical distributions score ~0, shifted ones > 0") {
+    val same = (0 until 100).flatMap(i => Seq(("g", "a", (i % 10) * 5000L),
+      ("g", "b", (i % 10) * 5000L))).toDF("g", "p", "v")
+    val Array((na, nb, psi0)) = Stats.psiDrift(same, "g", "v", "p")
+      .select("n_a", "n_b", "psi").as[(Long, Long, Double)].collect()
+    assert(na == 100L && nb == 100L && psi0 == 0.0)
+
+    // period b collapses into bin 0 — a gross shift must score big
+    val shifted = (0 until 100).flatMap(i =>
+      Seq(("g", "a", (i % 10) * 5000L), ("g", "b", 0L))).toDF("g", "p", "v")
+    val psi = Stats.psiDrift(shifted, "g", "v", "p")
+      .select("psi").as[Double].head()
+    assert(psi > 1.0, s"expected gross drift to score > 1, got $psi")
+  }
+
+  test("psiDrift: a bin empty in BOTH periods still contributes its smoothed term") {
+    // all mass in bin 0 for both periods, but with different counts: the
+    // smoothed probabilities differ in EVERY bin, including the 9 empty ones
+    val df = ((0 until 40).map(_ => ("g", "a", 0L)) ++
+      (0 until 10).map(_ => ("g", "b", 0L))).toDF("g", "p", "v")
+    val psi = Stats.psiDrift(df, "g", "v", "p").select("psi").as[Double].head()
+    // hand-computed: pa0=41/50, pb0=11/20, empty bins pa=1/50 vs pb=1/20
+    val t0 = (41.0 / 50 - 11.0 / 20) * math.log((41.0 / 50) / (11.0 / 20))
+    val te = (1.0 / 50 - 1.0 / 20) * math.log((1.0 / 50) / (1.0 / 20))
+    val expect = BigDecimal(t0 + 9 * te).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(psi - expect.toDouble) < 1e-9, s"got $psi want $expect")
+  }
+
+  test("psiDrift rejects negative values and unknown period labels") {
+    val bad = Seq(("g", "a", -1L)).toDF("g", "p", "v")
+    val e = intercept[Exception](Stats.psiDrift(bad, "g", "v", "p").collect())
+    assert(e.getMessage.contains("psiDrift"))
+    val badP = Seq(("g", "x", 1L)).toDF("g", "p", "v")
+    val e2 = intercept[Exception](Stats.psiDrift(badP, "g", "v", "p").collect())
+    assert(e2.getMessage.contains("psiDrift"))
+  }
+
+  // -------------------------------------------------------- pearsonByGroup
+
+  test("pearsonByGroup: perfect line r=1, anti-line r=-1, constant is NULL") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("dn", 1L, 30L), ("dn", 2L, 20L), ("dn", 3L, 10L),
+      ("fl", 1L, 5L), ("fl", 2L, 5L), ("fl", 3L, 5L)
+    ).toDF("g", "x", "y")
+    val out = Stats.pearsonByGroup(df, "g", "x", "y")
+      .orderBy("g").as[(String, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(("dn", 3L, Some(-1.0)), ("fl", 3L, None), ("up", 3L, Some(1.0))))
+  }
+
+  test("pearsonByGroup matches Spark's corr to 4 dp on noisy data") {
+    val df = (1 to 200).map(i =>
+      ("g", i.toLong, (i * 3 + (i * 2654435761L % 97) - 48).toLong))
+      .toDF("g", "x", "y")
+    val r = Stats.pearsonByGroup(df, "g", "x", "y").select("r").as[Double].head()
+    val ref = df.agg(corr(col("x").cast("double"), col("y").cast("double")))
+      .as[Double].head()
+    assert(math.abs(r - ref) < 5e-5, s"exact-sum r=$r vs streaming corr=$ref")
+  }
+
+  // ----------------------------------------------------- categoricalEntropy
+
+  test("categoricalEntropy: uniform = ln(k), degenerate = 0, counts exact") {
+    val df = (Seq.fill(10)(("uni", "a")) ++ Seq.fill(10)(("uni", "b")) ++
+      Seq.fill(10)(("uni", "c")) ++ Seq.fill(10)(("uni", "d")) ++
+      Seq.fill(7)(("one", "z"))).toDF("g", "cat")
+    val out = Stats.categoricalEntropy(df, "g", "cat")
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    val ln4 = BigDecimal(math.log(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(out == Seq(("one", 7L, 1L, 0.0), ("uni", 40L, 4L, ln4.toDouble)))
+  }
+
+  test("categoricalEntropy is bit-identical across partition counts") {
+    val rows = (0 until 500).map(i => (s"g${i % 3}", s"c${i % 7}"))
+    val a = Stats.categoricalEntropy(rows.toDF("g", "cat").repartition(1), "g", "cat")
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    val b = Stats.categoricalEntropy(rows.toDF("g", "cat").repartition(13), "g", "cat")
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  // -------------------------------------------------------- conversionLift
+
+  test("conversionLift: exact counts, floor basis points, z sign and baseline") {
+    val df = (Seq.fill(100)(("d1", "view")) ++ Seq.fill(30)(("d1", "purchase")) ++
+      Seq.fill(100)(("d2", "view")) ++ Seq.fill(10)(("d2", "purchase")) ++
+      Seq.fill(5)(("d1", "click"))).toDF("day", "et")
+    val out = Stats.conversionLift(df, "day", "et", "view", "purchase")
+      .orderBy("day").as[(String, Long, Long, Long, Double)].collect().toSeq
+    // pooled p0 = 40/200 = 0.2
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq(("d1", 100L, 30L, 3000L), ("d2", 100L, 10L, 1000L)))
+    val z1 = out.head._5; val z2 = out(1)._5
+    assert(z1 > 0 && z2 < 0, s"lift signs wrong: $z1, $z2")
+    val se = math.sqrt(0.2 * 0.8 / 100)
+    assert(math.abs(z1 - (0.3 - 0.2) / se) < 1e-3)
+  }
+
+  test("conversionLift drops groups with zero exposures instead of dividing by 0") {
+    val df = Seq(("d1", "view"), ("d1", "purchase"), ("d2", "click")).toDF("day", "et")
+    val out = Stats.conversionLift(df, "day", "et", "view", "purchase")
+    assert(out.select("day").as[String].collect().toSeq == Seq("d1"))
+  }
+
+  // ---------------------------------------------------------- resampleLocf
+
+  test("resampleLocf: gaps densified, flagged, and carried forward") {
+    val df = Seq(
+      ("k", "2024-01-01 00:10:00", 5L),
+      ("k", "2024-01-01 00:50:00", 7L),   // hour 00: cnt 2, sum 12
+      ("k", "2024-01-01 03:00:00", 9L)    // hours 01,02 are gaps
+    ).toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = Relational.resampleLocf(df, "k", "ts", "v")
+      .select(col("k"), date_format(col("bucket"), "HH").as("h"),
+        col("cnt"), col("filled"), col("locf"))
+      .orderBy("h").as[(String, String, Long, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      ("k", "00", 2L, false, 12L),
+      ("k", "01", 0L, true, 12L),
+      ("k", "02", 0L, true, 12L),
+      ("k", "03", 1L, false, 9L)))
+  }
+
+  test("resampleLocf spans are PER KEY, not global") {
+    val df = Seq(
+      ("a", "2024-01-01 00:00:00", 1L),
+      ("a", "2024-01-01 01:00:00", 2L),
+      ("b", "2024-01-01 05:00:00", 3L)
+    ).toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = Relational.resampleLocf(df, "k", "ts", "v")
+    assert(out.count() == 3) // key b contributes ONE bucket, not hours 0-5
+  }
+
+  // ------------------------------------------------------------ pmiBigrams
+
+  test("pmiBigrams: hand-computed pmi on a tiny corpus, floor applied") {
+    // corpus: "x y" twice, "x z" once → Nu=6, Nb=3; cb(x,y)=2, cx=3, cy=2
+    val docs = Seq("x y", "x y", "x z").toDF("text")
+    val out = TextAnalysis.pmiBigrams(docs, "text", minCount = 2L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val expect = math.log(2.0) - math.log(3.0) - math.log(3.0) - math.log(2.0) +
+      2.0 * math.log(6.0)
+    val e4 = BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(out == Seq(("x", "y", 2L, e4.toDouble)))
+  }
+
+  test("pmiBigrams: multi-space runs never create empty-token bigrams") {
+    val docs = Seq("a  b", "a \t b", "a b").toDF("text")
+    val out = TextAnalysis.pmiBigrams(docs, "text", minCount = 3L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq(("a", "b", 3L)))
+  }
+}
