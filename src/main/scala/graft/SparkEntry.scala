@@ -442,6 +442,36 @@ object SparkEntry {
           .withColumn("day", TextFunctions.dayString(col("ts"))),
         "day", "event_type", denomType = "view", numType = "purchase")
         .orderBy("day")),
+    "q164_skyline" -> ((s, dir) =>
+      // 2-D Pareto frontier: cheapest price at each quantity level that no
+      // higher quantity beats — input collapses to |distinct qty| candidates
+      // BEFORE the single-partition frontier window
+      Relational.paretoFrontier(
+        T(s, dir, "lineitem")
+          .withColumn("qty", col("l_quantity").cast("long"))
+          .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long")),
+        "qty", "cents")
+        .orderBy("qty")),
+    "q165_timed_funnel" -> ((s, dir) =>
+      // cohorted view→purchase conversion WITHIN 24h of the user's first
+      // view — the timed complement of q86's ordered funnel
+      Relational.timedFunnel(T(s, dir, "events"),
+        "user_id", "ts", "event_type", "view", "purchase", withinHours = 24)
+        .orderBy("cohort_day")),
+    "q166_skew_profile" -> ((s, dir) =>
+      // the pre-salting diagnosis: per join-key candidate, exact hot-key
+      // share / p99 / mean — q69/q85 are the treatments this prescribes
+      Relational.skewProfile(T(s, dir, "events"), Seq("user_id", "event_type"))
+        .orderBy("col_name")),
+    "q167_mutual_info" -> ((s, dir) =>
+      // does the event mix depend on the weekday? MI(event_type; dow) per
+      // week, in nats — the aggregated twin of q161's per-pair PMI
+      Stats.mutualInfo(
+        T(s, dir, "events")
+          .withColumn("week", expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7"))
+          .withColumn("dow", expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7")),
+        "week", "event_type", "dow")
+        .orderBy("week")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2461,6 +2491,68 @@ object SparkEntry {
         |    sqrt((CAST(g.c AS DOUBLE) / g.e) * (1.0 - CAST(g.c AS DOUBLE) / g.e) /
         |      CAST(exposures AS DOUBLE)), 4) AS z
         |FROM p CROSS JOIN g ORDER BY day""".stripMargin,
+    "q164_skyline" ->
+      // frontier of (qty, min cents per qty) ≡ frontier of the raw points;
+      // ROWS preceding under qty DESC = all strictly-greater quantities
+      """WITH best AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |  min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT qty, cents, min(cents) OVER (ORDER BY qty DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev FROM best)
+        |SELECT qty, cents FROM f WHERE prev IS NULL OR cents < prev
+        |ORDER BY qty""".stripMargin,
+    "q165_timed_funnel" ->
+      // latency = floor-seconds(tc) − floor-seconds(t0), matching Spark's
+      // timestamp→long cast; quantile_disc ignores non-converted NULLs
+      """WITH entry AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |hit AS (SELECT e.user_id, min(CAST(p.ts AS TIMESTAMP)) AS tc
+        |  FROM entry e JOIN events p ON p.user_id = e.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) >= e.t0
+        |  AND CAST(p.ts AS TIMESTAMP) <= e.t0 + INTERVAL 24 HOURS GROUP BY 1),
+        |j AS (SELECT entry.user_id, t0,
+        |  epoch_us(tc) // 1000000 - epoch_us(t0) // 1000000 AS lat
+        |  FROM entry LEFT JOIN hit ON entry.user_id = hit.user_id)
+        |SELECT strftime(t0, '%Y-%m-%d') AS cohort_day, count(*) AS users,
+        |  CAST(sum(CASE WHEN lat IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+        |  CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50_latency_s,
+        |  CAST((10000 * sum(CASE WHEN lat IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS cvr_bp
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q166_skew_profile" ->
+      """WITH cu AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |ce AS (SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |su AS (SELECT 'user_id' AS col_name, CAST(sum(cnt) AS BIGINT) AS n,
+        |  count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  CAST(sum(cnt) // count(*) AS BIGINT) AS avg_cnt,
+        |  CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt,
+        |  CAST((10000 * max(cnt)) // sum(cnt) AS BIGINT) AS top1_share_bp FROM cu),
+        |se AS (SELECT 'event_type' AS col_name, CAST(sum(cnt) AS BIGINT) AS n,
+        |  count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  CAST(sum(cnt) // count(*) AS BIGINT) AS avg_cnt,
+        |  CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt,
+        |  CAST((10000 * max(cnt)) // sum(cnt) AS BIGINT) AS top1_share_bp FROM ce)
+        |SELECT * FROM su UNION ALL SELECT * FROM se ORDER BY col_name""".stripMargin,
+    "q167_mutual_info" ->
+      // same ln-space cell terms as the Spark side, folded in (x, y) order
+      """WITH e AS (SELECT
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week,
+        |  event_type,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow FROM events),
+        |cells AS (SELECT week, event_type AS x, dow AS y, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |mx AS (SELECT week, x, sum(c) AS cx FROM cells GROUP BY 1, 2),
+        |my AS (SELECT week, y, sum(c) AS cy FROM cells GROUP BY 1, 2),
+        |t AS (SELECT week, sum(c) AS n FROM cells GROUP BY 1),
+        |terms AS (SELECT cells.week, t.n, cells.x, cells.y,
+        |  (CAST(c AS DOUBLE) / t.n) * (ln(CAST(c AS DOUBLE)) - ln(CAST(cx AS DOUBLE)) -
+        |    ln(CAST(cy AS DOUBLE)) + ln(CAST(t.n AS DOUBLE))) AS term
+        |  FROM cells JOIN mx ON cells.week = mx.week AND cells.x = mx.x
+        |  JOIN my ON cells.week = my.week AND cells.y = my.y
+        |  JOIN t ON cells.week = t.week)
+        |SELECT week, CAST(any_value(n) AS BIGINT) AS n,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY x, y)),
+        |    (a, b) -> a + b), 4) AS mi
+        |FROM terms GROUP BY week ORDER BY week""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -508,4 +508,90 @@ object Relational {
       .withColumn("locf", last(col("__sum"), ignoreNulls = true).over(w))
       .drop("__sum")
   }
+
+  /** 2-D Pareto frontier (skyline): the points where `maxCol` cannot be
+    * raised without raising `minCol` — best-price-for-quantity curves,
+    * cost/quality trade-off menus. A point survives iff its y is strictly
+    * below EVERY y at strictly greater x.
+    *
+    * Scale shape: the frontier of (x, min y per x) equals the frontier of
+    * the raw points, so the heavy input collapses FIRST through a two-phase
+    * min-per-x aggregate (map-side combine; |distinct x| rows out). Only
+    * that domain-bounded candidate set pays the single-partition running-min
+    * window — for a quantized x (quantity, rating, bucketed size) that is
+    * tens-to-thousands of rows regardless of input scale. An unbounded
+    * continuous x would make the window the bottleneck; quantize x first
+    * (the same rule as q89's histogram). */
+  def paretoFrontier(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    val best = df.groupBy(col(maxCol)).agg(min(col(minCol)).as("__y"))
+    // one row per distinct x, so "rows preceding" under x DESC ≡ all
+    // strictly-greater x — rowsBetween is exact here, no range semantics
+    val w = Window.orderBy(col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    best.withColumn("__prev", min(col("__y")).over(w))
+      .filter(col("__prev").isNull || col("__y") < col("__prev"))
+      .select(col(maxCol), col("__y").as(minCol))
+  }
+
+  /** Time-bounded funnel conversion: of the users whose FIRST `startType`
+    * event landed in a cohort bucket, how many reached `endType` within
+    * `withinHours` — and how fast. The timed version of q86's ordered
+    * funnel (a purchase a week later is organic, not converted).
+    *
+    * Scale shape: two user-keyed aggregates and one user-keyed join — the
+    * cohort entry frame is (user, t0), metadata vs raw events; the join
+    * filters the end-type stream against [t0, t0+w] per user and takes the
+    * FIRST qualifying hit. Latency summarizes via discrete percentiles
+    * (actual elements, exact longs). */
+  def timedFunnel(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, startType: String, endType: String,
+                  withinHours: Int): DataFrame = {
+    require(withinHours > 0, s"withinHours must be > 0, got $withinHours")
+    val entry = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    val hit = events.filter(col(typeCol) === endType)
+      .select(col(userCol), col(tsCol).as("__t1"))
+      .join(entry, Seq(userCol))
+      .filter(col("__t1") >= col("__t0") &&
+        col("__t1") <= col("__t0") + expr(s"interval $withinHours hours"))
+      .groupBy(col(userCol)).agg(min(col("__t1")).as("__tc"), first(col("__t0")).as("__t0c"))
+      .withColumn("__lat_s",
+        (col("__tc").cast("long") - col("__t0c").cast("long")))
+    entry.join(hit.select(col(userCol), col("__lat_s")), Seq(userCol), "left")
+      .groupBy(TextFunctions.dayString(col("__t0")).as("cohort_day"))
+      .agg(count(lit(1)).as("users"),
+        sum(when(col("__lat_s").isNotNull, 1L).otherwise(0L)).as("converted"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __lat_s)")
+          .cast("long").as("p50_latency_s"))
+      .withColumn("cvr_bp", expr("(10000 * converted) div users"))
+  }
+
+  /** Join-key skew profile: the numbers you read BEFORE deciding to salt,
+    * broadcast, or AQE-split a join (q69/q85 are the treatments; this is
+    * the diagnosis). Per candidate key column: rows, distinct keys, the
+    * hottest key's count, floor-mean count, p99 count, and the hottest
+    * key's share in basis points — all exact integer arithmetic.
+    *
+    * Scale shape: per column, ONE two-phase count aggregate (the same
+    * exchange the real join would pay) and then a single aggregate over
+    * the |distinct|-row count table; columns union as independent branches
+    * of one job. percentile_disc holds a group's counts in one buffer —
+    * |distinct|-bounded, the q65 histogram rule applies if that ever
+    * exceeds memory. */
+  def skewProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "skewProfile needs at least one column")
+    cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        .agg(sum(col("__cnt")).as("n"), count(lit(1)).as("n_distinct"),
+          max(col("__cnt")).as("max_cnt"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY __cnt)")
+            .cast("long").as("p99_cnt"))
+        .select(lit(c).as("col_name"), col("n").cast("long").as("n"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("max_cnt").cast("long").as("max_cnt"),
+          expr("n div n_distinct").as("avg_cnt"),
+          col("p99_cnt"),
+          expr("(10000 * max_cnt) div n").as("top1_share_bp"))
+    }.reduce(_ union _)
+  }
 }

@@ -153,4 +153,37 @@ object Stats {
             (lit(1.0) - col("__c").cast("double") / col("__e")) /
             col("exposures").cast("double")), 4).as("z"))
   }
+
+  /** Mutual information (nats) between two categorical columns, per group —
+    * "does event mix depend on weekday?" quantified. With cell counts c_xy
+    * over n rows and margins c_x, c_y:
+    * mi = Σ_cells (c_xy/n) · (ln c_xy − ln c_x − ln c_y + ln n),
+    * the ln-space decomposition (q161's discipline) so no product of
+    * margins ever materializes; folded over cells in (x, y) order.
+    *
+    * Scale shape: ONE (group, x, y) count shuffle — checkpointed, since
+    * both margins and the total derive from it rather than re-scanning the
+    * input — then margin/total joins as broadcasts (domain-sized); the
+    * fold is bounded by |x-domain|·|y-domain| cells per group. */
+  def mutualInfo(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(xCol), col(yCol))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val mx = cells.groupBy(col(groupCol), col(xCol)).agg(sum(col("c")).as("cx"))
+    val my = cells.groupBy(col(groupCol), col(yCol)).agg(sum(col("c")).as("cy"))
+    val tot = cells.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    cells.join(broadcast(mx), Seq(groupCol, xCol))
+      .join(broadcast(my), Seq(groupCol, yCol))
+      .join(broadcast(tot), Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        struct(col(xCol).as("x"), col(yCol).as("y"),
+          ((col("c").cast("double") / col("n")) *
+            (log(col("c").cast("double")) - log(col("cx").cast("double")) -
+              log(col("cy").cast("double")) + log(col("n").cast("double"))))
+            .as("term")).as("__cell"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("__n"), sort_array(collect_list(col("__cell"))).as("__t"))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        round(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
+          .as("mi"))
+  }
 }

@@ -380,4 +380,76 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(1.0, 2.5, 7.0, 100.0))
   }
 
+  test("paretoFrontier: strict domination, equal-y at greater x dominates") {
+    val pts = Seq(
+      (1L, 50L), (1L, 90L),   // qty 1: best 50 — kept (50 < 55, nothing above beats it)
+      (2L, 55L),              // equal price to qty 3's 55 → dominated by (3, 55)
+      (3L, 55L),              // kept: 55 < best of qty >= 4 (65)
+      (4L, 70L),              // qty 5 is cheaper (65 <= 70) → dominated
+      (5L, 65L)
+    ).toDF("q", "p")
+    val out = Relational.paretoFrontier(pts, "q", "p")
+      .orderBy("q").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 50L), (3L, 55L), (5L, 65L)))
+  }
+
+  test("paretoFrontier: price increasing with qty keeps all, decreasing keeps one") {
+    val inc = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("q", "p")
+    assert(Relational.paretoFrontier(inc, "q", "p")
+      .orderBy("q").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // a strictly cheaper HIGHER quantity dominates everything below it
+    val dec = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("q", "p")
+    assert(Relational.paretoFrontier(dec, "q", "p")
+      .orderBy("q").as[(Long, Long)].collect().toSeq == Seq((3L, 10L)))
+  }
+
+  test("timedFunnel: converts inside the window only, from the FIRST start event") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val ev = Seq(
+      // u1: first view 01:00, purchase 05:00 → converted, lat 4h = 14400 s
+      (1L, "2024-01-01 01:00:00", "view"),
+      (1L, "2024-01-01 09:00:00", "view"),      // later view must NOT reset t0
+      (1L, "2024-01-01 05:00:00", "purchase"),
+      // u2: purchase 26h after first view → outside 24h
+      (2L, "2024-01-01 01:00:00", "view"),
+      (2L, "2024-01-02 03:00:00", "purchase"),
+      // u3: purchase BEFORE the first view → not a conversion
+      (3L, "2024-01-01 10:00:00", "purchase"),
+      (3L, "2024-01-01 12:00:00", "view")
+    ).toDF("u", "ts", "et").withColumn("ts", to_timestamp(col("ts")))
+    val out = Relational.timedFunnel(ev, "u", "ts", "et", "view", "purchase", 24)
+      .orderBy("cohort_day")
+      .as[(String, Long, Long, Option[Long], Long)].collect().toSeq
+    assert(out == Seq(("2024-01-01", 3L, 1L, Some(14400L), 3333L)))
+  }
+
+  test("timedFunnel: a boundary hit exactly at t0+window converts") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-02 00:00:00", "purchase")
+    ).toDF("u", "ts", "et").withColumn("ts", to_timestamp(col("ts")))
+    val out = Relational.timedFunnel(ev, "u", "ts", "et", "view", "purchase", 24)
+      .as[(String, Long, Long, Option[Long], Long)].collect().toSeq
+    assert(out == Seq(("2024-01-01", 1L, 1L, Some(86400L), 10000L)))
+  }
+
+  test("skewProfile: exact hot-key stats per candidate column") {
+    val df = (Seq.fill(70)(("hot", 1L)) ++ (1 to 30).map(i => (s"k$i", i.toLong)))
+      .toDF("k", "v")
+    val out = Relational.skewProfile(df, Seq("k"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // n=100, distinct=31, max=70, avg=100 div 31=3, top1=7000bp
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5, r._7)) ==
+      Seq(("k", 100L, 31L, 70L, 3L, 7000L)))
+  }
+
+  test("skewProfile unions one row per column in argument order") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "b")).toDF("x", "y")
+    val out = Relational.skewProfile(df, Seq("x", "y"))
+      .select("col_name", "n", "n_distinct", "max_cnt")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("x", 3L, 2L, 2L), ("y", 3L, 2L, 2L)))
+  }
 }

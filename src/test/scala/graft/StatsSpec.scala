@@ -154,6 +154,33 @@ class StatsSpec extends SparkSpec {
     assert(out == Seq(("x", "y", 2L, e4.toDouble)))
   }
 
+  // ------------------------------------------------------------ mutualInfo
+
+  test("mutualInfo: independent columns score ~0, copies score ln(k)") {
+    // x uniform over 2 values, y uniform over 2 values, fully crossed →
+    // independent → MI = 0 exactly (every cell term cancels)
+    val ind = (0 until 40).map(i => ("g", s"x${i % 2}", (i / 2 % 2).toLong))
+      .toDF("g", "x", "y")
+    val mi0 = Stats.mutualInfo(ind, "g", "x", "y").select("mi").as[Double].head()
+    assert(mi0 == 0.0, s"independent MI should be 0, got $mi0")
+
+    // y is a copy of x over 4 symbols → MI = H(x) = ln 4
+    val dep = (0 until 40).map(i => ("g", s"x${i % 4}", (i % 4).toLong))
+      .toDF("g", "x", "y")
+    val mi = Stats.mutualInfo(dep, "g", "x", "y").select("mi").as[Double].head()
+    val ln4 = BigDecimal(math.log(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(mi == ln4.toDouble, s"copy MI should be ln4, got $mi")
+  }
+
+  test("mutualInfo is bit-identical across partition counts") {
+    val rows = (0 until 300).map(i => (s"g${i % 2}", s"x${i % 5}", (i % 3).toLong))
+    val a = Stats.mutualInfo(rows.toDF("g", "x", "y").repartition(1), "g", "x", "y")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    val b = Stats.mutualInfo(rows.toDF("g", "x", "y").repartition(17), "g", "x", "y")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
   test("pmiBigrams: multi-space runs never create empty-token bigrams") {
     val docs = Seq("a  b", "a \t b", "a b").toDF("text")
     val out = TextAnalysis.pmiBigrams(docs, "text", minCount = 3L)
