@@ -472,6 +472,31 @@ object SparkEntry {
           .withColumn("dow", expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7")),
         "week", "event_type", "dow")
         .orderBy("week")),
+    "q168_gini" -> ((s, dir) =>
+      // engagement inequality: Gini of the cents distribution per type via
+      // the exact rank-sum identity over the GROUPED value domain
+      Stats.giniByGroup(
+        T(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100, 0).cast("long")),
+        "event_type", "cents")
+        .orderBy("event_type")),
+    "q169_hhi" -> ((s, dir) =>
+      // concentration twin of q160's entropy: HHI of each day's event mix
+      Stats.hhiByGroup(
+        T(s, dir, "events")
+          .withColumn("day", TextFunctions.dayString(col("ts"))),
+        "day", "event_type")
+        .orderBy("day")),
+    "q170_changepoint" -> ((s, dir) =>
+      // CUSUM mean-shift probe over daily counts — scaled-long cumulative
+      // sums, argmax resolved by max + earliest-day join-back
+      Stats.cusumChangepoint(
+        T(s, dir, "events")
+          .withColumn("day", TextFunctions.dayString(col("ts")))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "day", "x")
+        .orderBy("event_type")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2553,6 +2578,47 @@ object SparkEntry {
         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY x, y)),
         |    (a, b) -> a + b), 4) AS mi
         |FROM terms GROUP BY week ORDER BY week""".stripMargin,
+    "q168_gini" ->
+      // rank-sum identity over grouped values: a run of c equal values v
+      // after cumulative count cp contributes v·(c·cp + c(c+1)/2) — exact
+      """WITH e AS (SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        |c AS (SELECT g, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT g, v, c, coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp FROM c),
+        |a AS (SELECT g, sum(c) AS n, sum(v * c) AS s,
+        |  sum(v * (c * cp + (c * (c + 1)) // 2)) AS n1 FROM w GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_value,
+        |  round(CASE WHEN s > 0 THEN
+        |    (2.0 * CAST(n1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) -
+        |    CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END, 4) AS gini
+        |FROM a ORDER BY 1""".stripMargin,
+    "q169_hhi" ->
+      // same count shuffle + ordered fold as q160, squared-share terms
+      """WITH c AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  event_type AS cat, count(*) AS c FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, sum(c) AS n FROM c GROUP BY 1),
+        |terms AS (SELECT c.day, t.n, c.cat,
+        |  (CAST(c.c AS DOUBLE) / t.n) * (CAST(c.c AS DOUBLE) / t.n) AS term
+        |  FROM c JOIN t USING (day))
+        |SELECT day, CAST(any_value(n) AS BIGINT) AS n, count(*) AS n_cats,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY cat)),
+        |    (a, b) -> a + b), 4) AS hhi
+        |FROM terms GROUP BY day ORDER BY day""".stripMargin,
+    "q170_changepoint" ->
+      // K-scaled CUSUM keeps everything in exact longs; ties resolve to the
+      // earliest day, matching the Spark min-over-peak join-back
+      """WITH d AS (SELECT event_type AS g, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS x FROM events GROUP BY 1, 2),
+        |t AS (SELECT g, count(*) AS k, sum(x) AS s FROM d GROUP BY 1),
+        |w AS (SELECT d.g, d.day, t.k,
+        |  abs(sum(t.k * d.x - t.s) OVER (PARTITION BY d.g ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS a
+        |  FROM d JOIN t ON d.g = t.g),
+        |m AS (SELECT g, max(a) AS ma FROM w GROUP BY 1)
+        |SELECT w.g AS event_type, CAST(any_value(w.k) AS BIGINT) AS n_buckets,
+        |  CAST(m.ma AS BIGINT) AS cusum_max_abs, min(w.day) AS changepoint
+        |FROM w JOIN m ON w.g = m.g AND w.a = m.ma GROUP BY w.g, m.ma
+        |ORDER BY 1""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Comparative statistics over grouped streams: distribution drift,
@@ -185,5 +186,98 @@ object Stats {
       .select(col(groupCol), col("__n").cast("long").as("n"),
         round(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
           .as("mi"))
+  }
+
+  /** Gini coefficient of a non-negative integer measure per group — the
+    * inequality number behind "1% of users generate 40% of events" /
+    * "a handful of documents carry most of the tokens". Uses the
+    * rank-sum identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n, computed over
+    * the GROUPED value distribution: a run of c equal values x starting
+    * after cumulative count C contributes x·(c·C + c(c+1)/2) — exact
+    * integer arithmetic, invariant to tie order.
+    *
+    * Scale shape: one (group, value) count shuffle with map-side combine
+    * collapses the input to the value domain; the cumulative window and
+    * final aggregate run over ≤ |value-domain| rows per group (the q65
+    * histogram rule — quantize a continuous measure first). Contribution
+    * products stay within long for n ≤ ~3·10⁹ per group; the sums ride
+    * decimal(38,0) ≡ HUGEINT. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val guarded = df.withColumn("__v",
+      when(col(valueCol) >= 0, col(valueCol)).otherwise(
+        raise_error(lit(s"giniByGroup: $valueCol must be non-negative"))))
+    val counts = guarded.groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sums = counts
+      .withColumn("cp", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"),
+        sum((col("__v") * col("c")).cast("decimal(38,0)")).as("s"),
+        sum((col("__v") * (col("c") * col("cp") +
+          expr("(c * (c + 1)) div 2"))).cast("decimal(38,0)")).as("n1"))
+    sums.select(col(groupCol), col("n").cast("long").as("n"),
+      col("s").cast("long").as("sum_value"),
+      round(when(col("s") > 0,
+        (lit(2.0) * col("n1").cast("double")) /
+          (col("n").cast("double") * col("s").cast("double")) -
+          (col("n") + lit(1L)).cast("double") / col("n").cast("double")), 4)
+        .as("gini"))
+  }
+
+  /** Herfindahl–Hirschman concentration of a categorical mix per group —
+    * entropy's (q160) market-share twin: Σ_cat (c/n)², 1/|cats| ≤ hhi ≤ 1.
+    * Same single count shuffle and category-ordered fold as entropy; the
+    * two surface complementary readings of the same distribution (entropy:
+    * "how many effective categories"; HHI: "how dominated by the top"). */
+  def hhiByGroup(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    counts.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("n"), col(catCol).as("cat"),
+        ((col("c").cast("double") / col("n")) *
+          (col("c").cast("double") / col("n"))).as("term"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("__n"), count(lit(1)).as("n_cats"),
+        sort_array(collect_list(struct(col("cat"), col("term")))).as("__t"))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        col("n_cats").cast("long").as("n_cats"),
+        round(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
+          .as("hhi"))
+  }
+
+  /** CUSUM changepoint probe over a per-group ordered series: with K
+    * buckets and total S, the k-th cumulative sum of (K·xᵢ − S) crosses
+    * zero-mean drift scaled by K — EXACT longs, no division. Reports the
+    * largest |CUSUM| and the earliest bucket achieving it: the most
+    * likely single changepoint under a mean-shift model. The monitoring
+    * query behind "did collection break mid-month?" (the reference
+    * eyeballs this on a dashboard plot, `Analysis Dashboard/app.py:32-59`).
+    *
+    * Scale shape: the series is an aggregated (group, bucket) frame —
+    * time-domain-bounded per group — so the per-group cumulative window
+    * sorts ≤ |buckets| rows; group totals join back as a broadcast and
+    * the argmax resolves via a broadcast self-join (max, then earliest
+    * bucket), never a collect. */
+  def cusumChangepoint(series: DataFrame, groupCol: String, bucketCol: String,
+                       valueCol: String): DataFrame = {
+    val totals = series.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__k"), sum(col(valueCol)).as("__s"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = series.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__c",
+        sum(col("__k") * col(valueCol) - col("__s")).over(w))
+      .withColumn("__abs", abs(col("__c")))
+    val peaks = cusum.groupBy(col(groupCol))
+      .agg(first(col("__k")).as("n_buckets"), max(col("__abs")).as("cusum_max_abs"))
+    cusum.join(broadcast(peaks.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) === col("__g") && col("__abs") === col("cusum_max_abs"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_buckets")).cast("long").as("n_buckets"),
+        first(col("cusum_max_abs")).cast("long").as("cusum_max_abs"),
+        min(col(bucketCol)).as("changepoint"))
   }
 }

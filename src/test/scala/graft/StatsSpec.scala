@@ -187,4 +187,72 @@ class StatsSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(out.map(r => (r._1, r._2, r._3)) == Seq(("a", "b", 3L)))
   }
+
+  // ----------------------------------------------------------- giniByGroup
+
+  test("giniByGroup: perfect equality 0, one-holder max (n-1)/n, zero-sum NULL") {
+    val df = (Seq.fill(4)(("eq", 5L)) ++
+      Seq(("one", 0L), ("one", 0L), ("one", 0L), ("one", 10L)) ++
+      Seq(("z", 0L), ("z", 0L))).toDF("g", "v")
+    val out = Stats.giniByGroup(df, "g", "v")
+      .orderBy("g").as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("eq", 4L, 20L, Some(0.0)),
+      ("one", 4L, 10L, Some(0.75)),   // (n-1)/n with n=4
+      ("z", 2L, 0L, None)))
+  }
+
+  test("giniByGroup: tie runs are order-invariant and match the itemized formula") {
+    // values [1,1,2,4]: Σ i·x with ties 1,1 at ranks 1,2 = 1+2+6+16 = 25
+    // G = 2·25/(4·8) − 5/4 = 1.5625 − 1.25 = 0.3125
+    val df = Seq(("g", 2L), ("g", 1L), ("g", 4L), ("g", 1L)).toDF("g", "v")
+    val a = Stats.giniByGroup(df.repartition(1), "g", "v")
+      .select("gini").as[Double].head()
+    val b = Stats.giniByGroup(df.repartition(7), "g", "v")
+      .select("gini").as[Double].head()
+    assert(a == 0.3125 && b == 0.3125)
+  }
+
+  test("giniByGroup rejects negative values in-plan") {
+    val e = intercept[Exception](
+      Stats.giniByGroup(Seq(("g", -1L)).toDF("g", "v"), "g", "v").collect())
+    assert(e.getMessage.contains("giniByGroup"))
+  }
+
+  // ------------------------------------------------------------ hhiByGroup
+
+  test("hhiByGroup: uniform k categories = 1/k, single category = 1") {
+    val df = ((0 until 40).map(i => ("uni", s"c${i % 4}")) ++
+      Seq.fill(9)(("mono", "only"))).toDF("g", "cat")
+    val out = Stats.hhiByGroup(df, "g", "cat")
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("mono", 9L, 1L, 1.0), ("uni", 40L, 4L, 0.25)))
+  }
+
+  // ------------------------------------------------------ cusumChangepoint
+
+  test("cusumChangepoint: peak lands on the last pre-break bucket, exact longs") {
+    // counts [10,10,10,2]: K=4, S=32, K·x−S = [8,8,8,−24], cusum [8,16,24,0]
+    val s = Seq(("g", "d1", 10L), ("g", "d2", 10L), ("g", "d3", 10L), ("g", "d4", 2L))
+      .toDF("g", "day", "x")
+    val out = Stats.cusumChangepoint(s, "g", "day", "x")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out == Seq(("g", 4L, 24L, "d3")))
+  }
+
+  test("cusumChangepoint: tied peaks resolve to the EARLIEST bucket") {
+    // counts [10,2,10,2]: cusum [16,0,16,0] — d1 and d3 tie at 16
+    val s = Seq(("g", "d1", 10L), ("g", "d2", 2L), ("g", "d3", 10L), ("g", "d4", 2L))
+      .toDF("g", "day", "x")
+    val out = Stats.cusumChangepoint(s, "g", "day", "x")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out == Seq(("g", 4L, 16L, "d1")))
+  }
+
+  test("cusumChangepoint: a flat series peaks at 0 on its first bucket") {
+    val s = Seq(("g", "d1", 5L), ("g", "d2", 5L), ("g", "d3", 5L)).toDF("g", "day", "x")
+    val out = Stats.cusumChangepoint(s, "g", "day", "x")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out == Seq(("g", 3L, 0L, "d1")))
+  }
 }
