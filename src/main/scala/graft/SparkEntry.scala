@@ -497,6 +497,35 @@ object SparkEntry {
           .agg(count(lit(1)).as("x")),
         "event_type", "day", "x")
         .orderBy("event_type")),
+    "q171_assoc_rules" -> ((s, dir) =>
+      // market-basket rules: per-order item pairs → support/confidence/lift;
+      // pairs fan out AFTER the per-basket agg, margins re-join as broadcasts
+      Graph.associationRules(T(s, dir, "lineitem"),
+        "l_partkey", "l_orderkey", minPairs = 2L)
+        .orderBy("x", "y")),
+    "q172_golden_record" -> ((s, dir) => {
+      // survivorship merge: the freshest NON-NULL per column — a user whose
+      // newest event isn't a purchase still keeps the last purchase amount
+      val ev = T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+        .withColumn("amount_cents", when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")))
+      Warehouse.goldenRecord(ev, "user_id", "ts", "event_id",
+        Seq("amount_cents", "event_type", "day"))
+        .orderBy("user_id")
+    }),
+    "q173_rank_normalize" -> ((s, dir) => {
+      // quantile (rank) normalization of the value column — EXACT global
+      // percentile in basis points, via the q96/q137 two-phase global rank
+      // (never a single-partition row_number window)
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+      val (ranked, n) = graft.ops.TwoPhase.globalRank(ev, col("cents"),
+        Seq(col("cents"), col("event_id")), "rank")
+      ranked.select(col("event_id"), col("cents"), col("rank").cast("long").as("rank"),
+        expr(s"((rank - 1) * 10000) div ${n - 1}L").as("pct_bp"))
+        .orderBy("rank")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2503,6 +2532,8 @@ object SparkEntry {
         |FROM spine LEFT JOIN h ON spine.event_type = h.event_type AND spine.b = h.b
         |ORDER BY 1, 2""".stripMargin,
     "q163_conversion_lift" ->
+      // z is guarded to genuine proportions (0 < pooled < 1) — the two
+      // event types need not be nested, so the pooled rate can exceed 1
       """WITH per AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposures,
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conversions
@@ -2512,9 +2543,10 @@ object SparkEntry {
         |SELECT day, CAST(exposures AS BIGINT) AS exposures,
         |  CAST(conversions AS BIGINT) AS conversions,
         |  CAST((10000 * conversions) // exposures AS BIGINT) AS cvr_bp,
-        |  round((CAST(conversions AS DOUBLE) / exposures - CAST(g.c AS DOUBLE) / g.e) /
-        |    sqrt((CAST(g.c AS DOUBLE) / g.e) * (1.0 - CAST(g.c AS DOUBLE) / g.e) /
-        |      CAST(exposures AS DOUBLE)), 4) AS z
+        |  CASE WHEN g.c > 0 AND g.c < g.e THEN
+        |    round((CAST(conversions AS DOUBLE) / exposures - CAST(g.c AS DOUBLE) / g.e) /
+        |      sqrt((CAST(g.c AS DOUBLE) / g.e) * (1.0 - CAST(g.c AS DOUBLE) / g.e) /
+        |        CAST(exposures AS DOUBLE)), 4) END AS z
         |FROM p CROSS JOIN g ORDER BY day""".stripMargin,
     "q164_skyline" ->
       // frontier of (qty, min cents per qty) ≡ frontier of the raw points;
@@ -2619,6 +2651,49 @@ object SparkEntry {
         |  CAST(m.ma AS BIGINT) AS cusum_max_abs, min(w.day) AS changepoint
         |FROM w JOIN m ON w.g = m.g AND w.a = m.ma GROUP BY w.g, m.ma
         |ORDER BY 1""".stripMargin,
+    "q171_assoc_rules" ->
+      // item counts come from the DISTINCT per-basket item lists, so ci =
+      // baskets containing the item — the same frame the pairs explode from
+      """WITH b AS (SELECT l_orderkey AS c, list_sort(list(DISTINCT l_partkey)) AS items
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT c, unnest(items) AS item FROM b),
+        |pc AS (SELECT p1.item AS x, p2.item AS y, count(*) AS n_pairs
+        |  FROM p p1 JOIN p p2 ON p1.c = p2.c AND p1.item < p2.item GROUP BY 1, 2),
+        |f AS (SELECT * FROM pc WHERE n_pairs >= 2),
+        |ic AS (SELECT item, count(*) AS ci FROM p GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM b)
+        |SELECT x, y, n_pairs,
+        |  CAST((10000 * n_pairs) // n.n AS BIGINT) AS support_bp,
+        |  CAST((10000 * n_pairs) // i1.ci AS BIGINT) AS conf_xy_bp,
+        |  CAST((10000 * n_pairs) // i2.ci AS BIGINT) AS conf_yx_bp,
+        |  round((CAST(n_pairs AS DOUBLE) * n.n) / (CAST(i1.ci AS DOUBLE) * i2.ci), 4) AS lift
+        |FROM f JOIN ic i1 ON f.x = i1.item JOIN ic i2 ON f.y = i2.item CROSS JOIN n
+        |ORDER BY x, y""".stripMargin,
+    "q172_golden_record" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+        |  CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100, 0) AS BIGINT) END AS amount_cents,
+        |  event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day FROM events),
+        |w AS (SELECT user_id,
+        |  last_value(amount_cents IGNORE NULLS) OVER win AS amount_cents,
+        |  last_value(event_type IGNORE NULLS) OVER win AS event_type,
+        |  last_value(day IGNORE NULLS) OVER win AS day,
+        |  count(*) OVER (PARTITION BY user_id) AS n_versions,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, amount_cents, event_type, day,
+        |  CAST(n_versions AS BIGINT) AS n_versions
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q173_rank_normalize" ->
+      // the oracle's global window IS the thing the two-phase rank replaces
+      """WITH e AS (SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_id, cents,
+        |  row_number() OVER (ORDER BY cents, event_id) AS rank,
+        |  count(*) OVER () AS n FROM e)
+        |SELECT event_id, cents, CAST(rank AS BIGINT) AS rank,
+        |  CAST(((rank - 1) * 10000) // (n - 1) AS BIGINT) AS pct_bp
+        |FROM r ORDER BY rank""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -222,4 +222,46 @@ object Graph {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Market-basket association rules over (entity, container) relations:
+    * canonical item pairs with support, both directional confidences, and
+    * lift — the recommendation/affinity readout behind "users who bought X
+    * also bought Y" (q120 ranks items globally; this scores PAIRS).
+    *
+    * Scale shape: the [[coOccurrenceEdges]] discipline — baskets aggregate
+    * ONCE into sorted item sets (checkpointed: pair counts, item counts,
+    * and the basket total all derive from that frame, never re-scanning
+    * the relation), pairs fan out map-side AFTER the per-basket agg (never
+    * a row-level self-join), and the item-count/total frames re-join as
+    * broadcasts. `minPairs` floors the pair table BEFORE the joins, so the
+    * broadcast probe side is already support-pruned. lift evaluates as
+    * (c_xy·n)/(c_x·c_y) on doubles cast from exact longs, rounded 4 dp. */
+  def associationRules(rel: DataFrame, entityCol: String, containerCol: String,
+                       minPairs: Long = 2L): DataFrame = {
+    require(minPairs >= 1, s"minPairs must be >= 1, got $minPairs")
+    val baskets = rel
+      .filter(col(containerCol).isNotNull && col(entityCol).isNotNull)
+      .groupBy(col(containerCol).as("__c"))
+      .agg(sort_array(collect_set(col(entityCol))).as("__es"))
+      .localCheckpoint()
+    val pairs = baskets
+      .select(explode(col("__es")).as("x"), col("__es"))
+      .select(col("x"), explode(col("__es")).as("y"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minPairs)
+    val items = baskets.select(explode(col("__es")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("ci"))
+    val total = baskets.agg(count(lit(1)).as("__n"))
+    pairs
+      .join(broadcast(items.select(col("item").as("x"), col("ci").as("__cx"))), Seq("x"))
+      .join(broadcast(items.select(col("item").as("y"), col("ci").as("__cy"))), Seq("y"))
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("n_pairs"),
+        expr("(10000 * n_pairs) div __n").as("support_bp"),
+        expr("(10000 * n_pairs) div __cx").as("conf_xy_bp"),
+        expr("(10000 * n_pairs) div __cy").as("conf_yx_bp"),
+        round((col("n_pairs").cast("double") * col("__n")) /
+          (col("__cx").cast("double") * col("__cy")), 4).as("lift"))
+  }
 }

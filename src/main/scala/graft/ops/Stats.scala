@@ -137,7 +137,14 @@ object Stats {
     * pooled rate p0.
     *
     * Scale shape: one conditional-count aggregate per group plus a 1-row
-    * global aggregate broadcast back — the fact table is scanned once. */
+    * global aggregate broadcast back — the fact table is scanned once.
+    *
+    * The z-score is a two-PROPORTION statistic: it is only defined while
+    * the pooled rate is a genuine proportion (0 < p0 < 1). When the
+    * "conversion" events are not a subset of the "exposure" events (they
+    * need not share rows — any two type labels can be compared), the
+    * pooled count can reach or exceed the exposure count; z surfaces NULL
+    * there instead of a NaN/negative-sqrt (cvr_bp is still exact). */
   def conversionLift(df: DataFrame, groupCol: String, typeCol: String,
                      denomType: String, numType: String): DataFrame = {
     val per = df.groupBy(col(groupCol))
@@ -148,11 +155,12 @@ object Stats {
     per.crossJoin(broadcast(global))
       .select(col(groupCol), col("exposures"), col("conversions"),
         expr("(10000 * conversions) div exposures").as("cvr_bp"),
-        round((col("conversions").cast("double") / col("exposures") -
-          col("__c").cast("double") / col("__e")) /
-          sqrt((col("__c").cast("double") / col("__e")) *
-            (lit(1.0) - col("__c").cast("double") / col("__e")) /
-            col("exposures").cast("double")), 4).as("z"))
+        round(when(col("__c") > 0 && col("__c") < col("__e"),
+          (col("conversions").cast("double") / col("exposures") -
+            col("__c").cast("double") / col("__e")) /
+            sqrt((col("__c").cast("double") / col("__e")) *
+              (lit(1.0) - col("__c").cast("double") / col("__e")) /
+              col("exposures").cast("double"))), 4).as("z"))
   }
 
   /** Mutual information (nats) between two categorical columns, per group —

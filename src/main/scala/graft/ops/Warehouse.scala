@@ -195,4 +195,33 @@ object Warehouse {
       .drop("__dk", "__dvf", "__dvt")
       .withColumnRenamed("__dstate", "state")
   }
+
+  /** Survivorship merge (golden record): collapse a key's update stream to
+    * one row carrying, per column, the LAST NON-NULL value in
+    * (orderCol, tieCol) order — the MDM "best version of the truth" rule.
+    * q97 keeps the latest whole ROW; this survives per COLUMN, so a field
+    * absent from the newest update falls back to the freshest update that
+    * had it. Emits `n_versions` for lineage.
+    *
+    * Scale shape: both windows (full-frame fill + latest-row rank) share
+    * the key-hash partitioning — ONE exchange, no join; per-key state is
+    * the key's version run, never the table. */
+  def goldenRecord(updates: DataFrame, keyCol: String, orderCol: String,
+                   tieCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "goldenRecord needs at least one value column")
+    val full = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val latest = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    val filled = valueCols.foldLeft(updates) { (d, c) =>
+      d.withColumn(s"__g_$c", last(col(c), ignoreNulls = true).over(full))
+    }
+    filled
+      .withColumn("__nv", count(lit(1)).over(full))
+      .withColumn("__rn", row_number().over(latest))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol) +: valueCols.map(c => col(s"__g_$c").as(c))
+        :+ col("__nv").cast("long").as("n_versions"): _*)
+  }
 }

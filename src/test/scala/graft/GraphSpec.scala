@@ -107,4 +107,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(shuffled == bcast && shuffled.nonEmpty)
   }
+
+  test("associationRules: hand-computed support/confidence/lift, floor applied") {
+    // baskets: {1,2,3}, {1,2}, {1,2}, {3} → pair (1,2)×3, (1,3)×1, (2,3)×1
+    val rel = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (30L, 2L), // duplicate line must not double-count
+      (40L, 3L)
+    ).toDF("basket", "item")
+    val out = Graph.associationRules(rel, "item", "basket", minPairs = 2L)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // support 3/4 = 7500bp; c(1)=3, c(2)=3 → conf 10000bp both directions;
+    // lift = 3·4 / (3·3) = 1.3333
+    assert(out == Seq((1L, 2L, 3L, 7500L, 10000L, 10000L, 1.3333)))
+  }
+
+  test("associationRules drops NULL baskets/items instead of pairing them") {
+    val rel = Seq(
+      (Some(1L), Some(1L)), (Some(1L), Some(2L)),
+      (None, Some(1L)), (None, Some(2L)),        // null basket: no phantom pair
+      (Some(2L), Some(1L)), (Some(2L), Some(2L)),
+      (Some(3L), None)                           // null item: ignored
+    ).toDF("basket", "item")
+    val out = Graph.associationRules(rel, "item", "basket", minPairs = 2L)
+      .select("x", "y", "n_pairs").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L)))
+  }
 }

@@ -279,4 +279,70 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(user_id"),
       s"fill window must partition by the key:\n$plan")
   }
+
+  test("psi drift joins the bin spine and totals as broadcasts (q158)") {
+    val plan = q("q158_psi_drift")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"psi must never shuffle-join its metadata-sized frames:\n$plan")
+  }
+
+  test("group correlation is one aggregate — no join, no window (q159)") {
+    val plan = q("q159_group_corr")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"exact-sum correlation needs only a grouped aggregate:\n$plan")
+  }
+
+  test("pmi re-joins vocab counts and totals as broadcasts only (q161)") {
+    val plan = q("q161_pmi_bigrams")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"unigram margins must broadcast, not shuffle-join:\n$plan")
+  }
+
+  test("resample generates the spine map-side; LOCF window is key-partitioned (q162)") {
+    val plan = q("q162_resample")
+    assert(plan.contains("Generate"), s"no sequence explode found:\n$plan")
+    assert(plan.contains("hashpartitioning(event_type"),
+      s"LOCF window must partition by the key:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("skyline collapses through an aggregate before the frontier window (q164)") {
+    val plan = q("q164_skyline")
+    assert(plan.contains("Window") && plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join"),
+      s"frontier needs no join at all:\n$plan")
+  }
+
+  test("skew profile unions independent per-column aggregates — no join (q166)") {
+    val plan = q("q166_skew_profile")
+    assert(plan.contains("Union"), plan)
+    assert(!plan.contains("Join"),
+      s"per-column stats must stay join-free:\n$plan")
+  }
+
+  test("mutual info margins and totals re-join as broadcasts (q167)") {
+    val plan = q("q167_mutual_info")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("gini windows over the value-domain aggregate, never raw rows (q168)") {
+    val plan = q("q168_gini")
+    // tree order is output→scan: the cumulative Window must CONSUME the
+    // (group, value) aggregate, so Window prints above a HashAggregate
+    val w = plan.indexOf("Window")
+    val a = plan.indexOf("HashAggregate", w)
+    assert(w >= 0 && a > w,
+      s"gini window must run over the count aggregate:\n$plan")
+    assert(plan.contains("hashpartitioning(event_type"), plan)
+  }
+
+  test("cusum totals and peaks join back as broadcasts (q170)") {
+    val plan = q("q170_changepoint")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -112,6 +112,16 @@ class StatsSpec extends SparkSpec {
     assert(out.select("day").as[String].collect().toSeq == Seq("d1"))
   }
 
+  test("conversionLift: z is NULL when the pooled rate is not a proportion") {
+    // conversions EXCEED exposures (the types aren't nested) — the pooled
+    // rate is > 1, so z must surface NULL, never NaN / sqrt-of-negative
+    val df = (Seq.fill(10)(("d1", "view")) ++ Seq.fill(30)(("d1", "purchase")))
+      .toDF("day", "et")
+    val out = Stats.conversionLift(df, "day", "et", "view", "purchase")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(("d1", 10L, 30L, 30000L, None)))
+  }
+
   // ---------------------------------------------------------- resampleLocf
 
   test("resampleLocf: gaps densified, flagged, and carried forward") {

@@ -146,4 +146,29 @@ class WarehouseSpec extends SparkSpec {
     assert(out.select("valid_from").as[String].head() == "fact-vf")
     assert(out.select("state").as[String].head() == "x")
   }
+
+  test("goldenRecord survives the last NON-NULL per column, not the last row") {
+    val upd = Seq(
+      (1L, 1L, Some(500L), "a"),   // oldest: has amount
+      (1L, 2L, None, "b"),         // newest: no amount — amount survives from v1
+      (2L, 1L, None, "x"),         // never any amount → NULL
+      (2L, 2L, None, "y"),
+      (2L, 3L, Some(9L), "z")
+    ).toDF("k", "v", "amount", "status")
+    val out = Warehouse.goldenRecord(upd, "k", "v", "v", Seq("amount", "status"))
+      .orderBy("k").as[(Long, Option[Long], String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(500L), "b", 2L),
+      (2L, Some(9L), "z", 3L)))
+  }
+
+  test("goldenRecord ties break on the tie column, deterministically") {
+    val upd = Seq(
+      (1L, 5L, 10L, Some("early")),
+      (1L, 5L, 20L, None)          // same version, higher tie — status from tie 10
+    ).toDF("k", "v", "tie", "status")
+    val out = Warehouse.goldenRecord(upd, "k", "v", "tie", Seq("status"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "early", 2L)))
+  }
 }
