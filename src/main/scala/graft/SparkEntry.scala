@@ -526,6 +526,37 @@ object SparkEntry {
         expr(s"((rank - 1) * 10000) div ${n - 1}L").as("pct_bp"))
         .orderBy("rank")
     }),
+    "q174_rfm" -> ((s, dir) => {
+      // RFM segmentation against the corpus's own tercile cutpoints — the
+      // anchor "now" is the data max (no wall clock), cut values broadcast
+      val ev = T(s, dir, "events")
+        .withColumn("amount", when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+      Stats.rfmSegments(ev, "user_id", "ts", "amount")
+        .orderBy("user_id")
+    }),
+    "q175_seasonality" -> ((s, dir) =>
+      // weekday over/under-indexing per type, floor basis points — runs on
+      // the daily aggregate, never raw events
+      Stats.seasonalityIndex(
+        T(s, dir, "events")
+          .withColumn("day", TextFunctions.dayString(col("ts")))
+          .withColumn("dow",
+            expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7").cast("long"))
+          .groupBy(col("event_type"), col("day"), col("dow"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "day", "dow", "x")
+        .orderBy("event_type", "dow")),
+    "q176_autocorr" -> ((s, dir) =>
+      // does today's volume predict tomorrow's (lag 1) and next week's
+      // (lag 7)? — exact-sum Pearson over lag pairs from ONE shared window
+      Stats.autocorrByGroup(
+        T(s, dir, "events")
+          .withColumn("day", TextFunctions.dayString(col("ts")))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "day", "x", Seq(1, 7))
+        .orderBy("event_type", "lag")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2694,6 +2725,68 @@ object SparkEntry {
         |SELECT event_id, cents, CAST(rank AS BIGINT) AS rank,
         |  CAST(((rank - 1) * 10000) // (n - 1) AS BIGINT) AS pct_bp
         |FROM r ORDER BY rank""".stripMargin,
+    "q174_rfm" ->
+      // quantile_disc cutpoints are actual elements; recency scores invert
+      """WITH anchor AS (SELECT max(CAST(ts AS TIMESTAMP)) AS now FROM events),
+        |per AS (SELECT user_id,
+        |  min(date_diff('day', CAST(ts AS DATE), CAST(now AS DATE))) AS recency_days,
+        |  count(*) AS frequency,
+        |  sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS monetary
+        |  FROM events CROSS JOIN anchor GROUP BY 1),
+        |cuts AS (SELECT
+        |  quantile_disc(recency_days, 0.33) AS r33, quantile_disc(recency_days, 0.67) AS r67,
+        |  quantile_disc(frequency, 0.33) AS f33, quantile_disc(frequency, 0.67) AS f67,
+        |  quantile_disc(monetary, 0.33) AS m33, quantile_disc(monetary, 0.67) AS m67 FROM per),
+        |s AS (SELECT user_id, recency_days, frequency, monetary,
+        |  4 - (1 + (CASE WHEN recency_days > r33 THEN 1 ELSE 0 END) +
+        |           (CASE WHEN recency_days > r67 THEN 1 ELSE 0 END)) AS r_score,
+        |  1 + (CASE WHEN frequency > f33 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN frequency > f67 THEN 1 ELSE 0 END) AS f_score,
+        |  1 + (CASE WHEN monetary > m33 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN monetary > m67 THEN 1 ELSE 0 END) AS m_score
+        |  FROM per CROSS JOIN cuts)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+        |  CAST(monetary AS BIGINT) AS monetary,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
+    "q175_seasonality" ->
+      """WITH s AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+        |  count(*) AS x FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT event_type, dow, count(*) AS n_buckets_phase, sum(x) AS sum_phase
+        |  FROM s GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS nb, sum(x) AS tot FROM s GROUP BY 1)
+        |SELECT p.event_type, p.dow, p.n_buckets_phase,
+        |  CAST(p.sum_phase AS BIGINT) AS sum_phase,
+        |  CAST((10000 * p.sum_phase * t.nb) // (p.n_buckets_phase * t.tot) AS BIGINT)
+        |    AS seasonal_idx_bp
+        |FROM p JOIN t ON p.event_type = t.event_type WHERE t.tot > 0
+        |ORDER BY 1, 2""".stripMargin,
+    "q176_autocorr" ->
+      // identical power-sum formula as q159, over (series, lag) pairs
+      """WITH d AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS x FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, x,
+        |  lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+        |  lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7 FROM d),
+        |pairs AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag, x1 AS xa, x AS xb FROM l WHERE x1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, CAST(7 AS BIGINT) AS lag, x7 AS xa, x AS xb FROM l WHERE x7 IS NOT NULL),
+        |s AS (SELECT event_type, lag, count(*) AS n, sum(xa) AS sx, sum(xb) AS sy,
+        |  sum(xa * xa) AS sxx, sum(xb * xb) AS syy, sum(xa * xb) AS sxy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, lag, n, round(CASE
+        |  WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |   AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END, 4) AS r
+        |FROM s ORDER BY 1, 2""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

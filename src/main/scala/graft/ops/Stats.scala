@@ -83,9 +83,15 @@ object Stats {
     * numeric buffers), |groups| output rows. Degenerate groups (zero
     * variance on either axis) surface NULL, matching SQL `corr`. */
   def pearsonByGroup(df: DataFrame, groupCol: String,
-                     xCol: String, yCol: String): DataFrame = {
+                     xCol: String, yCol: String): DataFrame =
+    pearsonByGroups(df, Seq(groupCol), xCol, yCol)
+
+  /** Multi-key variant of [[pearsonByGroup]] — same exact power sums and
+    * formula, grouped on a composite key (e.g. (series, lag)). */
+  def pearsonByGroups(df: DataFrame, groupCols: Seq[String],
+                      xCol: String, yCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val sums = df.groupBy(col(groupCol))
+    val sums = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(col(xCol)).cast(dec).as("sx"),
         sum(col(yCol)).cast(dec).as("sy"),
@@ -96,8 +102,8 @@ object Stats {
     val num = d("n") * d("sxy") - d("sx") * d("sy")
     val denX = sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
     val denY = sqrt(d("n") * d("syy") - d("sy") * d("sy"))
-    sums.select(col(groupCol), col("n"),
-      round(when(denX > 0 && denY > 0, num / (denX * denY)), 4).as("r"))
+    sums.select(groupCols.map(col) ++ Seq(col("n"),
+      round(when(denX > 0 && denY > 0, num / (denX * denY)), 4).as("r")): _*)
   }
 
   /** Shannon entropy (nats) of a categorical column's distribution per
@@ -287,5 +293,98 @@ object Stats {
       .agg(first(col("n_buckets")).cast("long").as("n_buckets"),
         first(col("cusum_max_abs")).cast("long").as("cusum_max_abs"),
         min(col(bucketCol)).as("changepoint"))
+  }
+
+  /** RFM segmentation: per entity, Recency (buckets since last activity,
+    * lower = fresher), Frequency (row count), Monetary (an exact integer
+    * measure), each scored 1–3 against the population's DISCRETE tercile
+    * cutpoints, concatenated into the classic "333 = best" segment label.
+    * Recency scores INVERTED (recent = high score).
+    *
+    * Scale shape: one entity-level aggregate (the anchor "now" is the
+    * corpus max, a 1-row broadcast — no wall clock, SURVEY §7.6), then ONE
+    * grouped percentile pass over the |entities|-row frame whose 6 cut
+    * values broadcast back; scoring is a map-side comparison ladder.
+    * percentile_disc cutpoints are actual elements (exact longs, the q152
+    * discipline). */
+  def rfmSegments(df: DataFrame, entityCol: String, tsCol: String,
+                  monetaryCol: String): DataFrame = {
+    val anchor = df.agg(max(col(tsCol)).as("__now"))
+    val per = df.crossJoin(broadcast(anchor))
+      .groupBy(col(entityCol))
+      .agg(min(datediff(col("__now").cast("date"), col(tsCol).cast("date")))
+        .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(col(monetaryCol)), lit(0L)).as("monetary"))
+    val cuts = per.agg(
+      expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY recency_days)").cast("long").as("__r33"),
+      expr("percentile_disc(0.67) WITHIN GROUP (ORDER BY recency_days)").cast("long").as("__r67"),
+      expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY frequency)").cast("long").as("__f33"),
+      expr("percentile_disc(0.67) WITHIN GROUP (ORDER BY frequency)").cast("long").as("__f67"),
+      expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY monetary)").cast("long").as("__m33"),
+      expr("percentile_disc(0.67) WITHIN GROUP (ORDER BY monetary)").cast("long").as("__m67"))
+    def score(v: Column, c33: Column, c67: Column): Column =
+      lit(1L) + when(v > c33, 1L).otherwise(0L) + when(v > c67, 1L).otherwise(0L)
+    per.crossJoin(broadcast(cuts))
+      .withColumn("r_score",
+        lit(4L) - score(col("recency_days"), col("__r33"), col("__r67")))
+      .withColumn("f_score", score(col("frequency"), col("__f33"), col("__f67")))
+      .withColumn("m_score", score(col("monetary"), col("__m33"), col("__m67")))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+      .select(col(entityCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+  }
+
+  /** Per-(group, phase) seasonality index: how each cyclic phase (weekday,
+    * hour-of-day) over- or under-indexes against the group's own mean, in
+    * floor basis points — idx = mean(phase) / mean(all) =
+    * (sum_phase · n_buckets) / (cnt_phase · total), evaluated as ONE
+    * integer expression. 10000 = neutral.
+    *
+    * Scale shape: runs on an aggregated (group, bucket, value) series —
+    * two tiny grouped aggregates ((group, phase) and (group)) and a
+    * broadcast join; nothing touches raw rows. Products stay in longs for
+    * totals up to ~10¹⁴ per group. */
+  def seasonalityIndex(series: DataFrame, groupCol: String, bucketCol: String,
+                       phaseCol: String, valueCol: String): DataFrame = {
+    val byPhase = series.groupBy(col(groupCol), col(phaseCol))
+      .agg(count(lit(1)).as("n_buckets_phase"), sum(col(valueCol)).as("sum_phase"))
+    val totals = series.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__nb"), sum(col(valueCol)).as("__tot"))
+    byPhase.join(broadcast(totals), Seq(groupCol))
+      .filter(col("__tot") > 0)
+      .select(col(groupCol), col(phaseCol), col("n_buckets_phase"),
+        col("sum_phase"),
+        expr("(10000 * sum_phase * __nb) div (n_buckets_phase * __tot)")
+          .as("seasonal_idx_bp"))
+  }
+
+  /** Lag-k autocorrelation of a per-group ordered series, for several lags
+    * at once — "does today predict tomorrow (k=1)? last week (k=7)?". Each
+    * lag contributes the (xₜ₋ₖ, xₜ) pairs via one shared per-group lag
+    * window; the correlations themselves reuse [[pearsonByGroup]]'s
+    * exact-integer power sums on a (group, lag) composite key.
+    *
+    * Scale shape: the input is an aggregated series (time-domain-bounded
+    * per group), so the lag window sorts ≤ |buckets| rows per group; the
+    * lags union map-side before ONE grouped aggregate. */
+  def autocorrByGroup(series: DataFrame, groupCol: String, bucketCol: String,
+                      valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags: $lags")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+    // only the REQUESTED lags get a column; they all share one window spec,
+    // so Spark plans a single Window operator with one sort
+    val lagged = lags.foldLeft(series) { (d, k) =>
+      d.withColumn(s"__lag_$k", lag(col(valueCol), k).over(w))
+    }
+    val pairs = lags.map { k =>
+      lagged.filter(col(s"__lag_$k").isNotNull)
+        .select(col(groupCol), lit(k.toLong).as("lag"),
+          col(s"__lag_$k").as("__x"), col(valueCol).as("__y"))
+    }.reduce(_ union _)
+    pearsonByGroups(pairs, Seq(groupCol, "lag"), "__x", "__y")
   }
 }

@@ -265,4 +265,59 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long, Long, String)].collect().toSeq
     assert(out == Seq(("g", 3L, 0L, "d1")))
   }
+
+  // ------------------------------------------------------------ rfmSegments
+
+  test("rfmSegments: discrete tercile scores with inverted recency") {
+    // user k (1..9): k events, all on day 10−k, 100 cents each →
+    // recency = k−1 (0..8), frequency = k, monetary = 100k.
+    // Discrete cuts (cum ≥ p over 9 values): r33=2, r67=6; f33=3, f67=7;
+    // m33=300, m67=700 → k≤3 score "311", k=4..7 "222", k≥8 "133".
+    val rows = (1 to 9).flatMap(k =>
+      Seq.fill(k)((k.toLong, f"2024-01-0${10 - k}%d", 100L)))
+    val df = rows.toDF("u", "d", "amount")
+      .withColumn("ts", to_timestamp(col("d")))
+    val out = Stats.rfmSegments(df, "u", "ts", "amount")
+      .orderBy("u")
+      .select("u", "recency_days", "frequency", "monetary", "segment")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out.map(_._5) ==
+      Seq("311", "311", "311", "222", "222", "222", "222", "133", "133"))
+    assert(out(8) == (9L, 8L, 9L, 900L, "133"))
+    assert(out(0) == (1L, 0L, 1L, 100L, "311"))
+  }
+
+  // ------------------------------------------------------- seasonalityIndex
+
+  test("seasonalityIndex: a flat series indexes 10000 everywhere; spikes over-index") {
+    val flat = Seq(("g", "d1", 0L, 10L), ("g", "d2", 1L, 10L),
+      ("g", "d3", 0L, 10L), ("g", "d4", 1L, 10L)).toDF("g", "b", "ph", "x")
+    val f = Stats.seasonalityIndex(flat, "g", "b", "ph", "x")
+      .select("seasonal_idx_bp").as[Long].collect().toSeq
+    assert(f == Seq(10000L, 10000L))
+
+    // phase 1 carries double volume: mean(ph1)=20 vs mean(all)=15 → 13333
+    val skew = Seq(("g", "d1", 0L, 10L), ("g", "d2", 1L, 20L),
+      ("g", "d3", 0L, 10L), ("g", "d4", 1L, 20L)).toDF("g", "b", "ph", "x")
+    val s = Stats.seasonalityIndex(skew, "g", "b", "ph", "x")
+      .orderBy("ph").select("seasonal_idx_bp").as[Long].collect().toSeq
+    assert(s == Seq(6666L, 13333L))
+  }
+
+  // -------------------------------------------------------- autocorrByGroup
+
+  test("autocorrByGroup: alternating series has r = -1 at lag 1, +1 at lag 2") {
+    val s = (0 until 10).map(i => ("g", f"d$i%02d", if (i % 2 == 0) 10L else 20L))
+      .toDF("g", "b", "x")
+    val out = Stats.autocorrByGroup(s, "g", "b", "x", Seq(1, 2))
+      .orderBy("lag").as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(("g", 1L, 9L, Some(-1.0)), ("g", 2L, 8L, Some(1.0))))
+  }
+
+  test("autocorrByGroup: constant series surfaces NULL (zero variance)") {
+    val s = (0 until 5).map(i => ("g", s"d$i", 7L)).toDF("g", "b", "x")
+    val out = Stats.autocorrByGroup(s, "g", "b", "x", Seq(1))
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(("g", 1L, 4L, None)))
+  }
 }
