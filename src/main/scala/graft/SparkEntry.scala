@@ -557,6 +557,35 @@ object SparkEntry {
           .agg(count(lit(1)).as("x")),
         "event_type", "day", "x", Seq(1, 7))
         .orderBy("event_type", "lag")),
+    "q177_survival" -> ((s, dir) => {
+      // Kaplan-Meier time-to-conversion: users who never purchase inside
+      // the horizon are right-censored, not dropped — the honest funnel
+      val ev = T(s, dir, "events")
+      val entry = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__t0"))
+      val hit = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("__t1"))
+        .join(entry, Seq("user_id"))
+        .filter(col("__t1") >= col("__t0"))
+        .groupBy(col("user_id")).agg(min(col("__t1")).as("__te"))
+      val horizon = ev.agg(max(col("ts")).as("__h"))
+      val durations = entry.join(hit, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("__te").isNotNull,
+            datediff(col("__te").cast("date"), col("__t0").cast("date")))
+            .otherwise(datediff(col("__h").cast("date"), col("__t0").cast("date")))
+            .cast("long").as("duration_days"),
+          col("__te").isNotNull.as("converted"))
+      Stats.kaplanMeier(durations, "duration_days", "converted")
+        .orderBy("duration_days")
+    }),
+    "q178_bm25" -> ((s, dir) =>
+      // Okapi BM25 top-k for a fixed query over the corpus — the ranking
+      // layer on top of q136's inverted index; rank AFTER the limit
+      TextAnalysis.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "filter", "scan"), k = 20)
+        .orderBy("rank")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2787,6 +2816,63 @@ object SparkEntry {
         |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |  END, 4) AS r
         |FROM s ORDER BY 1, 2""".stripMargin,
+    "q177_survival" ->
+      // same ordered running ln-sum as the Spark side; the everyone-
+      // converts case rides a cumulative zero-flag (Spark ln(0) is NULL,
+      // libm's is −inf — neither crosses engines safely)
+      """WITH entry AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |hit AS (SELECT e.user_id, min(CAST(p.ts AS TIMESTAMP)) AS te
+        |  FROM entry e JOIN events p ON p.user_id = e.user_id
+        |  AND p.event_type = 'purchase' AND CAST(p.ts AS TIMESTAMP) >= e.t0 GROUP BY 1),
+        |hz AS (SELECT max(CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |d AS (SELECT entry.user_id,
+        |  CASE WHEN te IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(te AS DATE))
+        |    ELSE date_diff('day', CAST(t0 AS DATE), CAST(h AS DATE)) END AS dur,
+        |  te IS NOT NULL AS ev FROM entry LEFT JOIN hit USING (user_id) CROSS JOIN hz),
+        |g AS (SELECT dur, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS events,
+        |  sum(CASE WHEN ev THEN 0 ELSE 1 END) AS censored FROM d GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM d),
+        |w AS (SELECT dur, events, censored,
+        |  total - coalesce(sum(events + censored) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        |  FROM g CROSS JOIN t),
+        |s AS (SELECT dur, events, censored, at_risk,
+        |  sum(CASE WHEN events > 0 AND at_risk > events
+        |    THEN ln(CAST(at_risk - events AS DOUBLE) / at_risk)
+        |    ELSE CAST(0.0 AS DOUBLE) END)
+        |    OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumln,
+        |  sum(CASE WHEN events > 0 AND at_risk = events THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+        |  FROM w)
+        |SELECT dur AS duration_days, CAST(at_risk AS BIGINT) AS at_risk,
+        |  CAST(events AS BIGINT) AS events, CAST(censored AS BIGINT) AS censored,
+        |  CASE WHEN zeroed > 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE round(exp(cumln), 4) END AS survival
+        |FROM s ORDER BY 1""".stripMargin,
+    "q178_bm25" ->
+      // identical float shapes: idf, the length normalizer, the ordered
+      // per-doc term fold; rank over the ROUNDED score after the limit
+      """WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS arr FROM documents),
+        |lens AS (SELECT doc_id, len(arr) AS len FROM raw),
+        |st AS (SELECT count(*) AS n, sum(len) AS tl FROM lens),
+        |tok AS (SELECT doc_id, unnest(arr) AS tok FROM raw),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tok,
+        |  ln(1.0 + (CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+        |  (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |  (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |    (CAST(lens.len AS DOUBLE) / (CAST(st.tl AS DOUBLE) / st.n)))) AS s
+        |  FROM tf JOIN df USING (tok) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st),
+        |agg AS (SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(s ORDER BY tok)), (a, b) -> a + b), 4) AS bm25 FROM sc GROUP BY 1),
+        |top AS (SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20)
+        |SELECT doc_id, bm25,
+        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

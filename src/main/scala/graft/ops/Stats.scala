@@ -387,4 +387,45 @@ object Stats {
     }.reduce(_ union _)
     pearsonByGroups(pairs, Seq(groupCol, "lag"), "__x", "__y")
   }
+
+  /** Kaplan–Meier survival over right-censored integer durations: at each
+    * distinct duration d, S(d) = Π_{d'≤d, events>0} (1 − e/n_at_risk) —
+    * "how long until a user converts / a doc is revised / a job fails,
+    * when many never do inside the horizon". Censored rows (event=false)
+    * leave the risk set silently, the textbook KM treatment.
+    *
+    * Determinism: n_at_risk and event counts are exact longs; the product
+    * evaluates as exp(Σ ln(1 − e/n)) with BOTH the ln terms and the
+    * running sum ordered by duration. A duration where EVERYONE at risk
+    * converts would need ln(0) — Spark's `log` returns NULL there while
+    * libm returns −∞, so that case rides an explicit cumulative zero-flag
+    * (survival pinned to 0.0 from that row on) instead of an infinity.
+    * The cumulative windows are GLOBAL but run over the grouped duration
+    * frame — bounded by the duration domain (days within the horizon),
+    * the q91 empty-partitionBy precedent, never raw rows. */
+  def kaplanMeier(durations: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val g = durations.groupBy(col(durationCol))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("events"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("censored"))
+    val total = durations.agg(count(lit(1)).as("__total"))
+    val wPrev = Window.orderBy(col(durationCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col(durationCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(total))
+      .withColumn("at_risk",
+        col("__total") - coalesce(sum(col("events") + col("censored")).over(wPrev), lit(0L)))
+      .withColumn("__term", when(col("events") > 0 && col("at_risk") > col("events"),
+        log((col("at_risk") - col("events")).cast("double") / col("at_risk")))
+        .otherwise(lit(0.0)))
+      .withColumn("__zero",
+        when(col("events") > 0 && col("at_risk") === col("events"), 1L).otherwise(0L))
+      .withColumn("survival",
+        when(sum(col("__zero")).over(wCum) > 0, lit(0.0))
+          .otherwise(round(exp(sum(col("__term")).over(wCum)), 4)))
+      .select(col(durationCol), col("at_risk").cast("long").as("at_risk"),
+        col("events").cast("long").as("events"),
+        col("censored").cast("long").as("censored"), col("survival"))
+  }
 }

@@ -359,4 +359,55 @@ object TextAnalysis {
           log(col("__c1").cast("double")) - log(col("__c2").cast("double")) +
           lit(2.0) * log(col("__nu").cast("double")), 4).as("pmi"))
   }
+
+  /** BM25 retrieval scoring for a fixed term set — the ranking behind the
+    * decontamination / targeted-curation probes q102/q136 set up (the
+    * inverted index finds WHERE a term occurs; this ranks HOW WELL each
+    * doc matches a multi-term query). Okapi BM25 with k1 = 1.2, b = 0.75:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen)),
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism: tf/df/len/N are exact longs; every float subexpression
+    * is written with the same shape the oracle uses and the per-doc sum
+    * is an ordered fold over the query terms; ranking uses the ROUNDED
+    * score with a doc-id tie-break (the q78 rule).
+    *
+    * Scale shape: doc lengths are one map-side pass; the tf explode
+    * filters to the query terms BEFORE aggregating, so the (doc, term)
+    * shuffle carries only matching postings; df and the corpus stats are
+    * broadcasts. The rank window runs AFTER the top-k limit (q103 rule) —
+    * k rows, never the corpus. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty && k >= 1, "bm25TopK: empty query or k < 1")
+    val toks = docs.select(col(idCol),
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("__w"))
+      .localCheckpoint()
+    val lens = toks.select(col(idCol), size(col("__w")).cast("long").as("__len"))
+    val stats = lens.agg(count(lit(1)).as("__N"), sum(col("__len")).as("__tl"))
+    val tf = toks.select(col(idCol), explode(col("__w")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("tok"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avg", col("__tl").cast("double") / col("__N"))
+      .withColumn("__idf", log(lit(1.0) +
+        ((col("__N") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("__s", col("__idf") * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("__len").cast("double") / col("__avg")))))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("tok"), col("__s")))).as("__t"))
+      .select(col(idCol), round(expr(
+        "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.__s)"), 4)
+        .as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
+    perDoc.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col(idCol))).cast("long"))
+  }
 }

@@ -320,4 +320,25 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Double])].collect().toSeq
     assert(out == Seq(("g", 1L, 4L, None)))
   }
+
+  // ------------------------------------------------------------ kaplanMeier
+
+  test("kaplanMeier: censoring shrinks the risk set without a survival step") {
+    // durations: two events at d=1, one CENSOR at d=2, one event at d=3
+    val d = Seq((1L, true), (1L, true), (2L, false), (3L, true))
+      .toDF("dur", "ev")
+    val out = Stats.kaplanMeier(d, "dur", "ev")
+      .orderBy("dur").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 2L, 0L, 0.5),   // S = 1·(1 − 2/4)
+      (2L, 2L, 0L, 1L, 0.5),   // censor: no step, risk set 2 → 1
+      (3L, 1L, 1L, 0L, 0.0)))  // last survivor converts → S = 0
+  }
+
+  test("kaplanMeier: all-censored input keeps S = 1 throughout") {
+    val d = Seq((5L, false), (9L, false)).toDF("dur", "ev")
+    val out = Stats.kaplanMeier(d, "dur", "ev")
+      .orderBy("dur").select("survival").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 1.0))
+  }
 }

@@ -187,4 +187,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("bm25TopK: higher tf ranks higher; formula matches the hand rollout") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b"), (2L, "a a"), (3L, "c")).toDF("id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "id", "text", Seq("a"), k = 10)
+      .orderBy("rank").as[(Long, Double, Long)].collect().toSeq
+    // N=3, total len 5, avg 5/3; df(a)=2 → idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5)
+    def s(tf: Long, len: Long): Double = {
+      val raw = idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (len / (5.0 / 3.0))))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out == Seq((2L, s(2, 2), 1L), (1L, s(1, 2), 2L)))
+    assert(out.head._2 > out(1)._2)
+  }
+
+  test("bm25TopK: score ties rank by doc id, and k truncates") {
+    val docs = Seq((5L, "x y"), (3L, "x y"), (9L, "x y")).toDF("id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "id", "text", Seq("x"), k = 2)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 5L))
+  }
 }
