@@ -586,6 +586,27 @@ object SparkEntry {
       TextAnalysis.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
         Seq("join", "filter", "scan"), k = 20)
         .orderBy("rank")),
+    "q179_bollinger" -> ((s, dir) =>
+      // trailing 7-day mean ± 2sigma bands with an EXACT integer breakout
+      // test — a band-edge value can never flip engines
+      Stats.rollingBands(
+        T(s, dir, "events")
+          .withColumn("day", TextFunctions.dayString(col("ts")))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "day", "x", frameRows = 7)
+        .orderBy("event_type", "day")),
+    "q180_top_movers" -> ((s, dir) =>
+      // week-over-week movement in basis points, sign-split so truncation
+      // semantics agree across engines below zero
+      Stats.periodMovers(
+        T(s, dir, "events")
+          .withColumn("week",
+            expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7"))
+          .groupBy(col("event_type"), col("week"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "week", "x")
+        .orderBy("event_type", "week")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2873,6 +2894,32 @@ object SparkEntry {
         |SELECT doc_id, bm25,
         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
         |FROM top ORDER BY rank""".stripMargin,
+    "q179_bollinger" ->
+      // breakout decided on exact integers: (7x − Σx)² > 4·(7·Σx² − Σx²̂)
+      """WITH d AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS x FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |  count(*) OVER f AS cnt, sum(x) OVER f AS sx, sum(x * x) OVER f AS sxx
+        |  FROM d WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, CAST(x AS BIGINT) AS x,
+        |  round(CAST(sx AS DOUBLE) / 7, 4) AS mean,
+        |  round(sqrt(CAST(7 AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 7, 4) AS sd,
+        |  (7 * x - sx) * (7 * x - sx) > 4 * (7 * sxx - sx * sx) AS breakout
+        |FROM w WHERE cnt = 7 ORDER BY event_type, day""".stripMargin,
+    "q180_top_movers" ->
+      // sign-split division: magnitudes divide on non-negative operands
+      """WITH s AS (SELECT event_type,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week,
+        |  count(*) AS x FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, x,
+        |  lag(x, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev FROM s)
+        |SELECT event_type, week, CAST(prev AS BIGINT) AS prev, CAST(x AS BIGINT) AS cur,
+        |  CASE WHEN prev > 0 THEN
+        |    CASE WHEN x >= prev THEN CAST(((x - prev) * 10000) // prev AS BIGINT)
+        |    ELSE -CAST(((prev - x) * 10000) // prev AS BIGINT) END END AS change_bp
+        |FROM l WHERE prev IS NOT NULL ORDER BY event_type, week""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

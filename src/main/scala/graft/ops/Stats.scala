@@ -428,4 +428,122 @@ object Stats {
         col("events").cast("long").as("events"),
         col("censored").cast("long").as("censored"), col("survival"))
   }
+
+  /** Bollinger-style rolling bands over a per-group ordered series: the
+    * trailing `frameRows`-bucket mean ± 2σ, plus a breakout flag. The
+    * surfaced mean/σ are display doubles (4 dp), but the FLAG is decided
+    * in exact integer arithmetic — |x − μ| > 2σ ⟺ (n·x − Σx)² > 4·(n·Σx² − (Σx)²)
+    * — so a value sitting on the band never flips engines (the float
+    * boundary-compare trap q163/q177 taught, avoided by construction).
+    * Only full frames emit (partial leading windows are not comparable).
+    *
+    * Scale shape: runs on the aggregated series; one key-hash window whose
+    * state is the constant-size frame (the q146 rolling-median rule);
+    * squares ride decimal(38,0) so hot series cannot overflow. */
+  def rollingBands(series: DataFrame, groupCol: String, bucketCol: String,
+                   valueCol: String, frameRows: Int = 7): DataFrame = {
+    require(frameRows >= 2, s"frameRows must be >= 2, got $frameRows")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+      .rowsBetween(-(frameRows - 1L), Window.currentRow)
+    val dec = "decimal(38,0)"
+    val framed = series
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col(valueCol)).over(w).cast(dec))
+      .withColumn("__sxx", sum((col(valueCol) * col(valueCol)).cast(dec)).over(w))
+      .filter(col("__cnt") === frameRows)
+    val n = lit(frameRows.toLong)
+    // exact integer breakout test: (n·x − Σx)² > 4·(n·Σx² − Σx²̂)
+    val dev = (n.cast(dec) * col(valueCol) - col("__sx")).cast(dec)
+    val varTerm = (n.cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+    framed.select(col(groupCol), col(bucketCol), col(valueCol),
+      round(col("__sx").cast("double") / n, 4).as("mean"),
+      round(sqrt((n.cast("double") * col("__sxx").cast("double") -
+        col("__sx").cast("double") * col("__sx").cast("double"))) / n, 4).as("sd"),
+      (dev * dev > lit(4).cast(dec) * varTerm).as("breakout"))
+  }
+
+  /** Period-over-period top movers: for each (group, period) with a
+    * predecessor, the basis-point change vs the previous period — the
+    * "what's trending" readout. Exact integers end-to-end; groups whose
+    * previous period is 0 surface NULL change (a 0→n jump has no finite
+    * percentage). Negative changes are computed sign-split — magnitude
+    * divided on NON-NEGATIVE operands, then negated — because Spark's
+    * `div` truncates toward zero while floor semantics differ across
+    * engines below zero (SURVEY §7.6 only equates them for n ≥ 0).
+    *
+    * Scale shape: one (group, period) aggregate feeds a per-group lag
+    * window bounded by the period domain; nothing global. */
+  def periodMovers(series: DataFrame, groupCol: String, periodCol: String,
+                   valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(periodCol))
+    series
+      .withColumn("prev", lag(col(valueCol), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col(groupCol), col(periodCol), col("prev").cast("long").as("prev"),
+        col(valueCol).cast("long").as("cur"),
+        when(col("prev") > 0,
+          when(col(valueCol) >= col("prev"),
+            expr(s"(($valueCol - prev) * 10000) div prev"))
+            .otherwise(-expr(s"((prev - $valueCol) * 10000) div prev")))
+          .as("change_bp"))
+  }
+
+  /** Exponentially-weighted moving average of a per-group ordered series —
+    * the smoothed "current level" readout (alerting baselines, trend
+    * dashboards). The fold sₖ = sₖ₋₁·(1−α) + xₖ·α is inherently
+    * sequential, so it runs as an ordered fold seeded by the FIRST
+    * element (both engines: Spark `aggregate` over the sorted tail,
+    * DuckDB `list_reduce`, which seeds from the head) — identical IEEE
+    * op sequence, rounded 4 dp on the way out. `alphaBp` is α in basis
+    * points so the smoothing weight itself is exact.
+    *
+    * Scale shape: one (group, bucket) pre-aggregate upstream, then ONE
+    * group-keyed collect whose state is the group's bucket series — the
+    * same bound as every per-group fold here (buckets per group is the
+    * calendar, not the row count). Emits the final level and the series
+    * length. */
+  def ewma(series: DataFrame, groupCol: String, bucketCol: String,
+           valueCol: String, alphaBp: Int = 3000): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000, s"alphaBp must be in (0,10000), got $alphaBp")
+    val a = alphaBp / 10000.0
+    series
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(struct(col(bucketCol).as("b"),
+          col(valueCol).cast("double").as("x")))).as("__s"))
+      .select(col(groupCol), col("n_buckets").cast("long").as("n_buckets"),
+        round(expr(
+          s"aggregate(slice(__s, 2, size(__s) - 1), __s[0].x, " +
+            s"(acc, e) -> acc * ${1.0 - a} + e.x * $a)"), 4).as("ewma"))
+  }
+
+  /** Time-weighted average value per group — the TWAP/mean-level of an
+    * irregularly-sampled series, where each observation holds until the
+    * next one. Each row's weight is its duration in seconds to the group's
+    * next event ((ts, id)-ordered so ties pair deterministically); the
+    * last observation has no duration and drops out. Entirely exact:
+    * weighted sums ride decimal(38,0), the surfaced average is the one
+    * final division rounded 4 dp.
+    *
+    * Scale shape: one group-keyed lead window (state = nothing beyond the
+    * sort) then a group aggregate on the same key-hash partitioning —
+    * ONE exchange end to end. */
+  def timeWeightedAvg(events: DataFrame, groupCol: String, tsCol: String,
+                      idCol: String, centsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(tsCol), col(idCol))
+    val dec = "decimal(38,0)"
+    events
+      .withColumn("__next", lead(col(tsCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("__dur", col("__next").cast("long") - col(tsCol).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__dur")).cast(dec).as("__sw"),
+        sum((col(centsCol) * col("__dur")).cast(dec)).as("__swv"))
+      .filter(col("__sw") > 0)
+      .select(col(groupCol), col("n_obs").cast("long").as("n_obs"),
+        col("__sw").cast("long").as("total_secs"),
+        round(col("__swv").cast("double") / col("__sw").cast("double"), 4)
+          .as("twap_cents"))
+  }
 }

@@ -341,4 +341,37 @@ class StatsSpec extends SparkSpec {
       .orderBy("dur").select("survival").as[Double].collect().toSeq
     assert(out == Seq(1.0, 1.0))
   }
+
+  // ------------------------------------------------------------ rollingBands
+
+  test("rollingBands: exact integer breakout test, partial frames excluded") {
+    // 7 stable days then a spike: day 8's frame is [10×6, 40] →
+    // dev = 7·40−100 = 180, dev² = 32400 > 4·(7·2200−100²) = 21600 → breakout
+    val s = ((1 to 7).map(i => ("g", f"d$i%02d", 10L)) :+ (("g", "d08", 40L)))
+      .toDF("g", "b", "x")
+    val out = Stats.rollingBands(s, "g", "b", "x", frameRows = 7)
+      .orderBy("b").select("b", "breakout").as[(String, Boolean)].collect().toSeq
+    assert(out == Seq(("d07", false), ("d08", true))) // days 1-6: partial frames
+  }
+
+  test("rollingBands: a constant series has sd 0 and never breaks out") {
+    val s = (1 to 9).map(i => ("g", f"d$i%02d", 5L)).toDF("g", "b", "x")
+    val out = Stats.rollingBands(s, "g", "b", "x", frameRows = 7)
+      .select("mean", "sd", "breakout").as[(Double, Double, Boolean)].collect().toSeq
+    assert(out.size == 3 && out.forall(_ == ((5.0, 0.0, false))))
+  }
+
+  // ------------------------------------------------------------ periodMovers
+
+  test("periodMovers: sign-split basis points, zero-base surfaces NULL") {
+    val s = Seq(("g", 1L, 100L), ("g", 2L, 150L), ("g", 3L, 75L),
+      ("z", 1L, 0L), ("z", 2L, 10L)).toDF("g", "w", "x")
+    val out = Stats.periodMovers(s, "g", "w", "x")
+      .orderBy("g", "w")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("g", 2L, 100L, 150L, Some(5000L)),
+      ("g", 3L, 150L, 75L, Some(-5000L)),
+      ("z", 2L, 0L, 10L, None)))
+  }
 }
