@@ -607,6 +607,88 @@ object SparkEntry {
           .agg(count(lit(1)).as("x")),
         "event_type", "week", "x")
         .orderBy("event_type", "week")),
+    "q181_ewma" -> ((s, dir) =>
+      // smoothed daily level per type: sequential fold seeded from the
+      // first day — identical IEEE op order to the oracle's list_reduce
+      Stats.ewma(
+        T(s, dir, "events")
+          .withColumn("day", TextFunctions.dayString(col("ts")))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "day", "x", alphaBp = 3000)
+        .orderBy("event_type")),
+    "q182_twap" -> ((s, dir) =>
+      // time-weighted mean value per type: each observation holds until
+      // the next (micros-exact durations, decimal-exact weighted sums)
+      Stats.timeWeightedAvg(
+        T(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "event_type", "ts", "event_id", "cents")
+        .orderBy("event_type")),
+    "q183_cohort_retention" -> ((s, dir) =>
+      // first-week cohorts × weeks-since: distinct actives and exact
+      // basis-point retention vs the cohort's own week-0 size
+      Relational.cohortRetention(T(s, dir, "events"), "user_id", "ts",
+        origin = "2024-01-01")
+        .orderBy("cohort_week", "week_offset")),
+    "q184_benford" -> ((s, dir) =>
+      // first-digit audit over order totals in cents — string-bucketed,
+      // so no float log sits in the grouping path
+      Profiling.benford(
+        T(s, dir, "orders")
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")),
+        "cents")
+        .orderBy("digit")),
+    "q185_clustering_coeff" -> ((s, dir) =>
+      // how clique-like each part's co-purchase neighborhood is:
+      // triangles over wedges, exact basis points
+      Graph.clusteringCoefficient(
+        Graph.coOccurrenceEdges(T(s, dir, "lineitem"), "l_partkey", "l_orderkey"))
+        .orderBy(col("coeff_bp").desc, col("triangles").desc, col("node"))
+        .limit(30)),
+    "q186_audience_overlap" -> ((s, dir) =>
+      // pairwise user-set Jaccard between event types — membership
+      // collapses to distinct (user, type) BEFORE any pairing
+      Relational.audienceOverlap(T(s, dir, "events"), "user_id", "event_type")
+        .orderBy("seg_a", "seg_b")),
+    "q187_pivot" -> ((s, dir) =>
+      // long-to-wide with an explicit value list: one aggregate pass,
+      // schema fixed at plan time (no hidden distinct-collect job)
+      Relational.pivotCounts(
+        T(s, dir, "events").withColumn("day", TextFunctions.dayString(col("ts"))),
+        "day", "event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("day")),
+    "q188_session_stats" -> ((s, dir) =>
+      // dwell-time distribution over q57's gap sessions: discrete
+      // percentiles on exact microsecond durations
+      Relational.sessionStats(T(s, dir, "events"), "user_id", "ts")),
+    "q189_rrf_fusion" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val byText = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("join", "filter", "scan"), k = 20).select(col("doc_id"), col("rank"))
+      val byLen = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      // calibration-free merge of the lexical and length signals; both
+      // inputs are top-20 lists so the fusion runs on metadata
+      TextAnalysis.rrfFusion(Seq(byText, byLen), "doc_id", "rank", k = 60)
+        .orderBy("fused_rank")
+    }),
+    "q190_jsd" -> ((s, dir) =>
+      // symmetric, smoothing-free drift between the month's two halves
+      Stats.jsDivergence(
+        T(s, dir, "events").withColumn("period",
+          when(expr("CAST(ts AS DATE) < DATE '2024-01-16'"), "a").otherwise("b")),
+        "event_type", "period")),
+    "q191_kcore" -> ((s, dir) =>
+      // dense-subgraph extraction: 3 bounded peel rounds at k=6 over the
+      // co-purchase graph, survivors with their post-peel degree
+      Graph.kCorePeel(
+        Graph.coOccurrenceEdges(T(s, dir, "lineitem"), "l_partkey", "l_orderkey"),
+        k = 6, rounds = 3)
+        .orderBy(col("deg").desc, col("node")).limit(50)),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -677,8 +759,10 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
         .orderBy("doc_id")),
     "q57_sessionize" -> ((s, dir) =>
-      // gap-based sessionization (session_window): a new session starts when
-      // the inter-event gap reaches 30 min (end-exclusive semantics)
+      // gap-based sessionization (session_window): a new session starts only
+      // when the inter-event gap EXCEEDS 30 min — session_window merges a
+      // window starting exactly at the previous end (boundary-inclusive;
+      // verified empirically, RelationalSpec "sessionStats")
       T(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
@@ -1945,7 +2029,7 @@ object SparkEntry {
   private val sessionizeSql: String =
     """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
       |  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-      |       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL 30 MINUTE
+      |       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
       |       THEN 1 ELSE 0 END AS brk
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |y AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
@@ -2920,6 +3004,186 @@ object SparkEntry {
         |    CASE WHEN x >= prev THEN CAST(((x - prev) * 10000) // prev AS BIGINT)
         |    ELSE -CAST(((prev - x) * 10000) // prev AS BIGINT) END END AS change_bp
         |FROM l WHERE prev IS NOT NULL ORDER BY event_type, week""".stripMargin,
+    "q181_ewma" ->
+      // list_reduce seeds from the head exactly like the engine's
+      // aggregate-over-tail; same fold expression text → same IEEE sequence
+      """WITH d AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS x FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  round(list_reduce(list(CAST(x AS DOUBLE) ORDER BY day),
+        |    (acc, e) -> acc * 0.7 + e * 0.3), 4) AS ewma
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q182_twap" ->
+      // epoch_us ≡ unix_micros; weighted sums ride HUGEINT ≡ decimal(38,0)
+      """WITH e AS (SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, cents,
+        |    lead(us, 1) OVER (PARTITION BY event_type ORDER BY us, event_id) - us AS dur
+        |  FROM e),
+        |f AS (SELECT event_type, count(*) AS n_obs, sum(dur) AS sw,
+        |    sum(CAST(cents AS HUGEINT) * dur) AS swv
+        |  FROM d WHERE dur IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs, CAST(sw AS BIGINT) AS total_us,
+        |  round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 4) AS twap_cents
+        |FROM f WHERE sw > 0 ORDER BY event_type""".stripMargin,
+    "q183_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS w0 FROM wk GROUP BY 1),
+        |m AS (SELECT w0 AS cohort_week, w - w0 AS week_offset, count(*) AS n_users
+        |  FROM wk JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, n_users AS size FROM m WHERE week_offset = 0)
+        |SELECT m.cohort_week, m.week_offset, CAST(m.n_users AS BIGINT) AS n_users,
+        |  CAST((10000 * m.n_users) // s.size AS BIGINT) AS retained_bp
+        |FROM m JOIN s USING (cohort_week) ORDER BY cohort_week, week_offset""".stripMargin,
+    "q184_benford" ->
+      // digit bucketing is a string op; the only doubles are the 4-dp
+      // expected-share constants (identical formula text)
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM d),
+        |b AS (SELECT digit, CAST(n AS BIGINT) AS n,
+        |    CAST((10000 * n) // tot AS BIGINT) AS share_bp,
+        |    round(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) * 10000, 4)
+        |      AS expected_bp
+        |  FROM d, t)
+        |SELECT digit, n, share_bp, expected_bp,
+        |  round(CAST(share_bp AS DOUBLE) - expected_bp, 4) AS gap_bp
+        |FROM b ORDER BY digit""".stripMargin,
+    "q185_clustering_coeff" ->
+      // q125's u<v<w triangle enumeration plus degrees from the same
+      // canonical pair list; coefficient = triangles over deg-choose-2
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT unnest([a, b, c]) AS node FROM t),
+        |tri AS (SELECT node, count(*) AS triangles FROM n GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1),
+        |m AS (SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+        |    CAST(coalesce(tri.triangles, 0) AS BIGINT) AS triangles,
+        |    CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS wedges
+        |  FROM deg d LEFT JOIN tri USING (node) WHERE d.deg >= 2)
+        |SELECT node, deg, triangles, wedges,
+        |  CAST((10000 * triangles) // wedges AS BIGINT) AS coeff_bp
+        |FROM m ORDER BY coeff_bp DESC, triangles DESC, node LIMIT 30""".stripMargin,
+    "q186_audience_overlap" ->
+      """WITH m AS (SELECT DISTINCT user_id AS u, event_type AS s FROM events
+        |    WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |sz AS (SELECT s, count(*) AS n FROM m GROUP BY 1),
+        |i AS (SELECT a.s AS seg_a, b.s AS seg_b, count(*) AS n_both
+        |  FROM m a JOIN m b ON a.u = b.u AND a.s < b.s GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+        |  CAST(n_both AS BIGINT) AS n_both,
+        |  CAST((10000 * n_both) // (x.n + y.n - n_both) AS BIGINT) AS jaccard_bp
+        |FROM i JOIN sz x ON i.seg_a = x.s JOIN sz y ON i.seg_b = y.s
+        |ORDER BY seg_a, seg_b""".stripMargin,
+    "q187_pivot" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q188_session_stats" ->
+      // q57's gap-break reconstruction, summarized; quantile_disc ≡
+      // percentile_disc, durations in exact epoch_us
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid FROM x),
+        |s AS (SELECT user_id, sid, epoch_us(max(t)) - epoch_us(min(t)) AS dur,
+        |    count(*) AS ev FROM y GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(quantile_disc(dur, 0.5) AS BIGINT) AS p50_dur_us,
+        |  CAST(quantile_disc(dur, 0.9) AS BIGINT) AS p90_dur_us,
+        |  CAST(quantile_disc(ev, 0.5) AS BIGINT) AS p50_events,
+        |  CAST((100 * sum(ev)) // count(*) AS BIGINT) AS avg_events_x100
+        |FROM s""".stripMargin,
+    "q189_rrf_fusion" ->
+      // q178's BM25 list fused with a length ranking; reciprocal terms in
+      // fixed order, fused rank over the ROUNDED score
+      """WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS arr FROM documents),
+        |lens AS (SELECT doc_id, len(arr) AS len FROM raw),
+        |st AS (SELECT count(*) AS n, sum(len) AS tl FROM lens),
+        |tok AS (SELECT doc_id, unnest(arr) AS tok FROM raw),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tok,
+        |  ln(1.0 + (CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+        |  (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |  (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |    (CAST(lens.len AS DOUBLE) / (CAST(st.tl AS DOUBLE) / st.n)))) AS s
+        |  FROM tf JOIN df USING (tok) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st),
+        |agg AS (SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(s ORDER BY tok)), (a, b) -> a + b), 4) AS bm25 FROM sc GROUP BY 1),
+        |top AS (SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |la AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_0 FROM top),
+        |lb AS (SELECT doc_id, rank_1 FROM (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_1
+        |  FROM documents) WHERE rank_1 <= 20),
+        |j AS (SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id, la.rank_0, lb.rank_1,
+        |  round(coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + la.rank_0), CAST(0 AS DOUBLE)) +
+        |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + lb.rank_1), CAST(0 AS DOUBLE)), 4) AS rrf
+        |  FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id)
+        |SELECT doc_id, rank_0, rank_1, rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+        |FROM j ORDER BY fused_rank""".stripMargin,
+    "q190_jsd" ->
+      // 0·ln0 ≡ 0 encoded as the same CASE guard; category-sorted fold,
+      // halved then rounded — identical formula text
+      """WITH p AS (SELECT event_type AS cat,
+        |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'a' ELSE 'b' END AS period
+        |  FROM events),
+        |c AS (SELECT cat, count(*) FILTER (WHERE period = 'a') AS ca,
+        |    count(*) FILTER (WHERE period = 'b') AS cb FROM p GROUP BY 1),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |r AS (SELECT cat, na, nb, CAST(ca AS DOUBLE) / na AS pa,
+        |    CAST(cb AS DOUBLE) / nb AS pb FROM c, t),
+        |s AS (SELECT cat, na, nb,
+        |    (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE CAST(0 AS DOUBLE) END +
+        |     CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE CAST(0 AS DOUBLE) END) AS term
+        |  FROM r)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_cats,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY cat)),
+        |    (a, b) -> a + b) / 2, 4) AS jsd
+        |FROM s""".stripMargin,
+    "q191_kcore" ->
+      // the same 3 peel rounds unrolled; degree recounted AFTER the last
+      // restriction, exactly like the engine's loop
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d1 AS (SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |n1 AS (SELECT node FROM d1 WHERE d >= 6),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM n1)
+        |  AND v IN (SELECT node FROM n1)),
+        |d2 AS (SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |n2 AS (SELECT node FROM d2 WHERE d >= 6),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM n2)
+        |  AND v IN (SELECT node FROM n2)),
+        |d3 AS (SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |n3 AS (SELECT node FROM d3 WHERE d >= 6),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM n3)
+        |  AND v IN (SELECT node FROM n3)),
+        |f AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1)
+        |SELECT node, CAST(deg AS BIGINT) AS deg FROM f
+        |ORDER BY deg DESC, node LIMIT 50""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -223,6 +223,67 @@ object Graph {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Local clustering coefficient per node: closed triangles over possible
+    * wedges, tri / (deg·(deg−1)/2) — "how clique-like is this node's
+    * neighborhood?" (the community-structure readout on top of
+    * [[triangleCounts]]). Entirely exact: deg·(deg−1) is even so wedges is
+    * an exact long, and the coefficient surfaces in basis points via
+    * non-negative integer division. Nodes of degree < 2 have no wedges
+    * and drop out; triangle-less nodes surface with coefficient 0.
+    *
+    * Scale shape: [[triangleCounts]] does the heavy lifting (oriented
+    * adjacency, map-side closing); degrees are one count over the
+    * canonical undirected pair list; the final join keys on node — the
+    * |nodes|-row frames, never edges. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(edges), Seq("node"), "left")
+      .select(col("node"), col("deg").cast("long").as("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("wedges", expr("deg * (deg - 1) div 2"))
+      .withColumn("coeff_bp", expr("(10000 * triangles) div wedges"))
+  }
+
+  /** Bounded k-core peeling: `rounds` iterations of "drop every node whose
+    * degree is < k, then recount" over an undirected edge list — the dense
+    * spam/bot subgraph extractor. A FIXED round count (not loop-to-
+    * fixpoint) keeps the result a deterministic function of the input on
+    * every engine; callers wanting the true k-core raise `rounds` until
+    * the output stops shrinking (each round can only remove nodes, so
+    * convergence is monotone).
+    *
+    * Scale shape: per round, one (node)-count aggregate over the canonical
+    * pair list and two semi-joins restricting the pair list to surviving
+    * endpoints — all key-hash exchanges on node ids; the pair list only
+    * ever shrinks. The survivor frame is checkpointed per round so the
+    * lineage stays flat across iterations (the q120 PageRank discipline).
+    * Output: surviving (node, deg) with the degree AFTER the last peel. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad kCorePeel params ($k, $rounds)")
+    var pairs = edges.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") < col("v")).distinct().localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val deg = pairs.select(col("u").as("node"))
+        .union(pairs.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      pairs = pairs
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    pairs.select(col("u").as("node"))
+      .union(pairs.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Market-basket association rules over (entity, container) relations:
     * canonical item pairs with support, both directional confidences, and
     * lift — the recommendation/affinity readout behind "users who bought X

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: the "look before you train" summary a pipeline
@@ -133,5 +134,34 @@ object Profiling {
     dev.join(broadcast(mad), Seq(groupCol))
       .withColumn("is_outlier", col("__dev") > col("mad") * lit(k))
       .drop("__dev")
+  }
+
+  /** Benford first-digit audit over a positive integer amount column —
+    * the fabricated-data smoke test (organic monetary amounts follow
+    * log10(1 + 1/d); synthetic or truncated feeds don't). Emits, per
+    * leading digit: the exact count, its share in basis points, the
+    * Benford-expected share, and the signed gap. The digit is the first
+    * character of the decimal rendering — a string op both engines spell
+    * identically, with no float log in the bucketing path; the only
+    * doubles are the 4-dp expected-share constants (same formula text on
+    * the oracle side).
+    *
+    * Scale shape: one 9-group count aggregate with map-side combine; the
+    * global total rides a window over the 9-row result, never a second
+    * scan. */
+  def benford(df: DataFrame, amountCol: String): DataFrame = {
+    val digits = df
+      .filter(col(amountCol) > 0)
+      .select(substring(col(amountCol).cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    digits
+      .withColumn("__tot", sum(col("n")).over(total))
+      .select(col("digit"), col("n").cast("long").as("n"),
+        expr("(10000 * n) div __tot").as("share_bp"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")) * 10000, 4)
+          .as("expected_bp"))
+      .withColumn("gap_bp",
+        round(col("share_bp").cast("double") - col("expected_bp"), 4))
   }
 }

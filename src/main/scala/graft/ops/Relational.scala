@@ -594,4 +594,115 @@ object Relational {
           expr("(10000 * max_cnt) div n").as("top1_share_bp"))
     }.reduce(_ union _)
   }
+
+  /** Cohort retention matrix: users bucketed by the week of their FIRST
+    * event, then per (cohort_week, weeks-since) the distinct users still
+    * active and their share of the cohort — the classic "do users come
+    * back?" triangle every growth dashboard draws. Weeks are day-offsets
+    * from `origin` div 7, so the bucket math is exact integer and
+    * identical across engines (origin must not postdate the data —
+    * non-negative `div` precondition, SURVEY §7.6).
+    *
+    * Scale shape: the raw stream collapses FIRST to distinct
+    * (user, week) — the smallest frame that still answers the question —
+    * then one user-keyed min-aggregate and a user-keyed join that AQE can
+    * co-partition (both sides hash on user), then a (cohort, offset)
+    * count whose output is calendar² rows. The cohort-size denominator
+    * joins back from the offset-0 slice of the SAME matrix — a
+    * metadata-sized broadcast, not a second pass over events. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      origin: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("__u"),
+      expr(s"datediff(CAST($tsCol AS DATE), DATE '$origin') div 7").as("__w"))
+      .distinct()
+    val firstW = weeks.groupBy(col("__u")).agg(min(col("__w")).as("__w0"))
+    val matrix = weeks.join(firstW, Seq("__u"))
+      .groupBy(col("__w0").as("cohort_week"),
+        (col("__w") - col("__w0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = matrix.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("__size"))
+    matrix.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"),
+        col("n_users").cast("long").as("n_users"),
+        expr("(10000 * n_users) div __size").as("retained_bp"))
+  }
+
+  /** Pairwise audience overlap between categorical segments: for every
+    * unordered segment pair, the distinct users in both and the exact
+    * Jaccard in basis points — "how much does #viewers overlap with
+    * #buyers?". The user universe never materializes pairwise; segments
+    * first collapse to distinct (user, segment) memberships.
+    *
+    * Scale shape: the membership frame self-joins on user — per-user
+    * fan-out is (segments-per-user choose 2), bounded by the SEGMENT
+    * DOMAIN (a handful), never by user count — then one (a, b) count.
+    * Per-segment sizes are a |segments|-row broadcast joined twice.
+    * Jaccard stays exact: |A∪B| = |A| + |B| − |A∩B| in longs. */
+  def audienceOverlap(events: DataFrame, userCol: String,
+                      segmentCol: String): DataFrame = {
+    val m = events.select(col(userCol).as("__u"), col(segmentCol).as("__s"))
+      .filter(col("__u").isNotNull && col("__s").isNotNull)
+      .distinct()
+    val sizes = m.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val inter = m.select(col("__u"), col("__s").as("seg_a"))
+      .join(m.select(col("__u"), col("__s").as("seg_b")), Seq("__u"))
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("__s").as("seg_a"), col("__n").as("n_a"))), Seq("seg_a"))
+      .join(broadcast(sizes.select(col("__s").as("seg_b"), col("__n").as("n_b"))), Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("n_both").cast("long").as("n_both"),
+        expr("(10000 * n_both) div (n_a + n_b - n_both)").as("jaccard_bp"))
+  }
+
+  /** Long-to-wide pivot with an EXPLICIT value list — the inverse of q156's
+    * unpivot. Passing `values` is the scale-correct form: Spark's
+    * values-less `pivot` first runs a separate distinct-collect job over
+    * the pivot column (a full extra scan, and an unbounded-width schema if
+    * the column is dirty); with the list supplied the whole reshape is ONE
+    * count aggregate whose output schema is fixed at plan time. Absent
+    * cells surface as exact 0, not NULL. */
+  def pivotCounts(df: DataFrame, rowCol: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivotCounts needs an explicit value list")
+    df.groupBy(col(rowCol))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .select(col(rowCol) +: values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+  }
+
+  /** Session summary distribution on top of q57's gap sessionization: one
+    * row with the session count, discrete duration percentiles
+    * (microseconds — actual elements, exact longs), the median depth, and
+    * the exact mean depth ×100. The "how long do people actually stay?"
+    * readout.
+    *
+    * Scale shape: `session_window` keeps the grouping streaming-capable
+    * and per-user-bounded; the summary is a single global aggregate whose
+    * percentile buffers hold per-SESSION rows (events collapse first) —
+    * the q65 histogram rule applies if sessions themselves outgrow a
+    * buffer. */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(min(col(tsCol)).as("__st"), max(col(tsCol)).as("__en"),
+        count(lit(1)).as("__ev"))
+      .select((unix_micros(col("__en")) - unix_micros(col("__st"))).as("__dur"),
+        col("__ev"))
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dur)")
+          .cast("long").as("p50_dur_us"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY __dur)")
+          .cast("long").as("p90_dur_us"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __ev)")
+          .cast("long").as("p50_events"),
+        expr("(100 * sum(__ev)) div count(*)").as("avg_events_x100"))
+      .select(col("n_sessions").cast("long").as("n_sessions"),
+        col("p50_dur_us"), col("p90_dur_us"), col("p50_events"),
+        col("avg_events_x100"))
 }

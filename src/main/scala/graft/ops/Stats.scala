@@ -522,8 +522,10 @@ object Stats {
     * next one. Each row's weight is its duration in seconds to the group's
     * next event ((ts, id)-ordered so ties pair deterministically); the
     * last observation has no duration and drops out. Entirely exact:
-    * weighted sums ride decimal(38,0), the surfaced average is the one
-    * final division rounded 4 dp.
+    * durations are integer MICROSECONDS (`unix_micros` ≡ DuckDB
+    * `epoch_us` — no seconds-cast truncation ambiguity), weighted sums
+    * ride decimal(38,0), and the surfaced average is the one final
+    * division rounded 4 dp.
     *
     * Scale shape: one group-keyed lead window (state = nothing beyond the
     * sort) then a group aggregate on the same key-hash partitioning —
@@ -533,17 +535,59 @@ object Stats {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(tsCol), col(idCol))
     val dec = "decimal(38,0)"
     events
-      .withColumn("__next", lead(col(tsCol), 1).over(w))
+      .withColumn("__next", lead(unix_micros(col(tsCol)), 1).over(w))
       .filter(col("__next").isNotNull)
-      .withColumn("__dur", col("__next").cast("long") - col(tsCol).cast("long"))
+      .withColumn("__dur", col("__next") - unix_micros(col(tsCol)))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_obs"),
         sum(col("__dur")).cast(dec).as("__sw"),
         sum((col(centsCol) * col("__dur")).cast(dec)).as("__swv"))
       .filter(col("__sw") > 0)
       .select(col(groupCol), col("n_obs").cast("long").as("n_obs"),
-        col("__sw").cast("long").as("total_secs"),
+        col("__sw").cast("long").as("total_us"),
         round(col("__swv").cast("double") / col("__sw").cast("double"), 4)
           .as("twap_cents"))
+  }
+
+  /** Jensen–Shannon divergence between two labelled periods' categorical
+    * distributions — the symmetric, bounded (≤ ln 2) drift measure that,
+    * unlike q158's PSI, needs no smoothing: a category absent from one
+    * side contributes only the other side's half-KL term (0·ln0 ≡ 0 by
+    * convention, encoded as a guard in BOTH engines).
+    *
+    *   jsd = ½·Σ pa·ln(pa/m) + ½·Σ pb·ln(pb/m),  m = ½(pa + pb)
+    *
+    * Scale shape: ONE (category, period) count shuffle with map-side
+    * combine; totals are a 1-row broadcast; the per-category terms fold
+    * category-sorted (the engine-parity float discipline). Output is a
+    * single row: period sizes, category count, jsd at 4 dp. */
+  def jsDivergence(df: DataFrame, catCol: String, periodCol: String): DataFrame = {
+    val counts = df
+      .filter(col(periodCol).isin("a", "b"))
+      .groupBy(col(catCol).as("cat"))
+      .agg(sum(when(col(periodCol) === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col(periodCol) === "b", 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cat"), col("na"), col("nb"),
+        (col("ca").cast("double") / col("na")).as("__pa"),
+        (col("cb").cast("double") / col("nb")).as("__pb"))
+      .select(col("cat"), col("na"), col("nb"),
+        (when(col("__pa") > 0,
+          col("__pa") * log(col("__pa") / ((col("__pa") + col("__pb")) / 2)))
+          .otherwise(lit(0.0)) +
+          when(col("__pb") > 0,
+            col("__pb") * log(col("__pb") / ((col("__pa") + col("__pb")) / 2)))
+            .otherwise(lit(0.0))).as("term"))
+      .groupBy()
+      .agg(first(col("na")).as("__na"), first(col("nb")).as("__nb"),
+        count(lit(1)).as("n_cats"),
+        sort_array(collect_list(struct(col("cat"), col("term")))).as("__t"))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        col("n_cats").cast("long").as("n_cats"),
+        round(expr(
+          "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)") / 2, 4)
+          .as("jsd"))
   }
 }

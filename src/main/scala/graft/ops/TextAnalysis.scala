@@ -410,4 +410,33 @@ object TextAnalysis {
     perDoc.withColumn("rank",
       row_number().over(Window.orderBy(col("bm25").desc, col(idCol))).cast("long"))
   }
+
+  /** Reciprocal-rank fusion of N rank lists — the standard way to merge
+    * heterogeneous retrieval signals (BM25, embedding ANN, recency) without
+    * score calibration: rrf(d) = Σᵢ 1/(k + rankᵢ(d)), an absent list
+    * contributing 0. Ranks are exact integers, so the only floats are the
+    * N fixed-order reciprocal terms — identical expression text on the
+    * oracle side; the fused rank orders by the ROUNDED score (then id),
+    * the q178 discipline.
+    *
+    * Scale shape: inputs are already top-k lists, so everything here —
+    * the full-outer id joins, the single-partition rank window — runs on
+    * ≤ N·k rows of metadata. The heavy lifting happened upstream in
+    * whatever produced the lists. */
+  def rrfFusion(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+                k: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.size >= 2, "rrfFusion needs at least two rank lists")
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"rank_$i"))
+    }
+    val joined = tagged.reduce((l, r) => l.join(r, Seq(idCol), "full_outer"))
+    val score = tagged.indices
+      .map(i => coalesce(lit(1.0) / (lit(k.toDouble) + col(s"rank_$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf", round(score, 4))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col(idCol))).cast("long"))
+  }
 }

@@ -407,7 +407,10 @@ object Streaming {
             val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
             sorted.foreach { m =>
               open match {
-                case Some(s) if m - s.endMicros < gapMicros =>
+                // <= : session_window merges a window that starts exactly at
+                // the previous session's end (boundary-inclusive) — the
+                // custom-state replay must break on the SAME boundary
+                case Some(s) if m - s.endMicros <= gapMicros =>
                   // an in-horizon out-of-order event may precede the open
                   // session's start — the interval must absorb it on BOTH ends
                   open = Some(s.copy(

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Graph
+import org.apache.spark.sql.functions.col
 
 /** Graph ops: co-occurrence edge derivation and the integer-deterministic
   * PageRank (exact recurrence parity + partitioning invariance — the whole
@@ -133,5 +134,28 @@ class GraphSpec extends SparkSpec {
     val out = Graph.associationRules(rel, "item", "basket", minPairs = 2L)
       .select("x", "y", "n_pairs").as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L, 2L)))
+  }
+
+  test("clusteringCoefficient: triangles over wedges, exact bp") {
+    // triangle {1,2,3} plus {1,2,4}: nodes 3,4 are fully clustered
+    // (deg 2, 1 triangle, 1 wedge); nodes 1,2 have deg 3 → 3 wedges, 2 closed
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.clusteringCoefficient(edges)
+      .orderBy(col("coeff_bp").desc, col("node"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (3L, 2L, 1L, 1L, 10000L), (4L, 2L, 1L, 1L, 10000L),
+      (1L, 3L, 2L, 3L, 6666L), (2L, 3L, 2L, 3L, 6666L)))
+  }
+
+  test("kCorePeel: pendant nodes peel off, the core's degrees recount") {
+    // triangle {1,2,3} with pendant 4—1: at k=2 the pendant drops in
+    // round 1 and node 1's degree recounts from 3 to 2
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.kCorePeel(edges, k = 2, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
   }
 }

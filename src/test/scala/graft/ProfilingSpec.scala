@@ -90,4 +90,16 @@ class ProfilingSpec extends SparkSpec {
       .select("is_outlier").as[Boolean].collect().toSeq
     assert(out == Seq(false, false, false, false, false))
   }
+
+  test("benford: string-bucketed first digits, exact shares, <=0 dropped") {
+    val df = Seq(100L, 150L, 20L, 300L, 9L, 0L, -5L).toDF("amt")
+    val out = Profiling.benford(df, "amt")
+      .select("digit", "n", "share_bp").as[(Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(out == Seq((1L, 2L, 4000L), (2L, 1L, 2000L),
+      (3L, 1L, 2000L), (9L, 1L, 2000L)))
+    val exp1 = Profiling.benford(df, "amt")
+      .where("digit = 1").select("expected_bp").as[Double].collect().head
+    assert(exp1 == 3010.3) // round(log10(2)·10000, 4)
+  }
 }

@@ -452,4 +452,57 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(out == Seq(("x", 3L, 2L, 2L), ("y", 3L, 2L, 2L)))
   }
+
+  // ------------------------------------------------------- cohortRetention
+
+  test("cohortRetention: first-week cohorts, exact bp vs week-0 size") {
+    def t(d: String) = Timestamp.valueOf(s"2024-01-$d 12:00:00")
+    // u1: weeks 0+1; u2: week 0 only; u3: first seen week 1
+    val ev = Seq((1L, t("03")), (1L, t("10")), (1L, t("10")),
+      (2L, t("05")), (3L, t("11"))).toDF("user_id", "ts")
+    val out = Relational.cohortRetention(ev, "user_id", "ts", "2024-01-01")
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 10000L), (0L, 1L, 1L, 5000L),
+      (1L, 0L, 1L, 10000L)))
+  }
+
+  // ------------------------------------------------------- audienceOverlap
+
+  test("audienceOverlap: distinct membership, exact Jaccard bp") {
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"),
+      (3L, "b"), (4L, "a"), (4L, "b")).toDF("user_id", "event_type")
+    val out = Relational.audienceOverlap(ev, "user_id", "event_type")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // |a|=3, |b|=3, both={1,4} → 2/4 = 5000bp
+    assert(out == Seq(("a", "b", 3L, 3L, 2L, 5000L)))
+  }
+
+  // ----------------------------------------------------------- pivotCounts
+
+  test("pivotCounts: fixed schema from the value list, absent cells are 0") {
+    val df = Seq(("d1", "x"), ("d1", "x"), ("d1", "y"), ("d2", "y"),
+      ("d2", "z")).toDF("day", "t") // z not in the value list: ignored
+    val out = Relational.pivotCounts(df, "day", "t", Seq("x", "y"))
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("d1", 2L, 1L), ("d2", 0L, 1L)))
+  }
+
+  // ---------------------------------------------------------- sessionStats
+
+  test("sessionStats: exact 30-min gap MERGES (boundary-inclusive), " +
+      "strictly larger breaks") {
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000)
+    // u1: 0, 10, 40 — the 10→40 gap is exactly 30 min and session_window
+    // MERGES it (window starting at the previous end is absorbed), so u1
+    // is ONE 40-min session; 40→71 (31 min) would break. u2: singleton.
+    val ev = Seq((1L, t(0)), (1L, t(10)), (1L, t(40)), (2L, t(5)))
+      .toDF("user_id", "ts")
+    val out = Relational.sessionStats(ev, "user_id", "ts")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // durations [0, 2400e6]: p50 = 0, p90 = 2400e6; events [1, 3]:
+    // p50 = 1, mean×100 = 400 div 2 = 200
+    assert(out == Seq((2L, 0L, 2400000000L, 1L, 200L)))
+  }
 }

@@ -374,4 +374,41 @@ class StatsSpec extends SparkSpec {
       ("g", 3L, 150L, 75L, Some(-5000L)),
       ("z", 2L, 0L, 10L, None)))
   }
+
+  // ------------------------------------------------------------------ ewma
+
+  test("ewma: sequential fold seeded from the first bucket") {
+    val s = Seq(("g", "d1", 10L), ("g", "d2", 20L), ("g", "d3", 40L),
+      ("z", "d1", 5L)).toDF("g", "b", "x")
+    val out = Stats.ewma(s, "g", "b", "x", alphaBp = 3000)
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    // g: 10 → 10·0.7+20·0.3 = 13 → 13·0.7+40·0.3 = 21.1; z: seed only
+    assert(out == Seq(("g", 3L, 21.1), ("z", 1L, 5.0)))
+  }
+
+  // ------------------------------------------------------- timeWeightedAvg
+
+  test("timeWeightedAvg: micros-exact durations, last observation drops") {
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(("g", 1L, t(0), 100L), ("g", 2L, t(10), 200L),
+      ("g", 3L, t(30), 300L)).toDF("g", "id", "ts", "cents")
+    val out = Stats.timeWeightedAvg(ev, "g", "ts", "id", "cents")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // (100·10s + 200·20s) / 30s = 166.6667, in µs on both sides
+    assert(out == Seq(("g", 2L, 30000000L, 166.6667)))
+  }
+
+  // ---------------------------------------------------------- jsDivergence
+
+  test("jsDivergence: identical distributions score 0, disjoint score ln 2") {
+    val same = Seq(("x", "a"), ("y", "a"), ("x", "b"), ("y", "b"))
+      .toDF("cat", "p")
+    val s = Stats.jsDivergence(same, "cat", "p")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(s == ((2L, 2L, 2L, 0.0)))
+    val disj = Seq(("x", "a"), ("x", "a"), ("y", "b")).toDF("cat", "p")
+    val d = Stats.jsDivergence(disj, "cat", "p")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(d == ((2L, 1L, 2L, 0.6931))) // ln 2
+  }
 }

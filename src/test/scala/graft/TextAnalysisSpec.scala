@@ -209,4 +209,15 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("rank").select("id").as[Long].collect().toSeq
     assert(out == Seq(3L, 5L))
   }
+
+  test("rrfFusion: fixed-order reciprocal terms, absent list contributes 0") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = TextAnalysis.rrfFusion(Seq(a, b), "id", "rank", k = 60)
+      .orderBy("fused_rank")
+      .select("id", "rrf", "fused_rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    // d2 in both lists: 1/62 + 1/61 = 0.0325; d1: 1/61 = 0.0164; d3: 1/62
+    assert(out == Seq((2L, 0.0325, 1L), (1L, 0.0164, 2L), (3L, 0.0161, 3L)))
+  }
 }
