@@ -689,6 +689,40 @@ object SparkEntry {
         Graph.coOccurrenceEdges(T(s, dir, "lineitem"), "l_partkey", "l_orderkey"),
         k = 6, rounds = 3)
         .orderBy(col("deg").desc, col("node")).limit(50)),
+    "q192_clamped_balance" -> ((s, dir) =>
+      // credit-ledger fold per user: purchases draw down, everything else
+      // accrues, the balance floors at zero — nonlinear, so no window
+      // prefix-sum; pure long arithmetic end to end
+      Stats.clampedBalance(
+        T(s, dir, "events")
+          .withColumn("delta",
+            when(col("event_type") === "purchase",
+              -expr("CAST(round(value * 100, 0) AS BIGINT)"))
+              .otherwise(expr("CAST(round(value * 100, 0) AS BIGINT)"))),
+        "user_id", Seq("ts", "event_id"), "delta")
+        .orderBy("user_id")),
+    "q193_max_concurrency" -> ((s, dir) =>
+      // capacity peak over gap sessions: ±1 sweep through the two-phase
+      // global prefix sum, starts ordering before ends at the same instant
+      Relational.maxConcurrentSessions(T(s, dir, "events"), "user_id", "ts")),
+    "q194_theil" -> ((s, dir) =>
+      // inequality in order revenue BETWEEN nations vs WITHIN them; the
+      // decomposition identity defines the reported total
+      Stats.theilDecomposition(
+        T(s, dir, "orders")
+          .join(T(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")),
+        "n_name", "cents")),
+    "q195_weighted_median" -> ((s, dir) =>
+      // the price the median traded UNIT moved at — quantity-weighted,
+      // exact longs through the two-phase prefix sum
+      Relational.weightedMedian(
+        T(s, dir, "lineitem")
+          .withColumn("cents", expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")),
+        "cents", "l_quantity", Seq("l_orderkey", "l_linenumber"))),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3184,6 +3218,71 @@ object SparkEntry {
         |    SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1)
         |SELECT node, CAST(deg AS BIGINT) AS deg FROM f
         |ORDER BY deg DESC, node LIMIT 50""".stripMargin,
+    "q192_clamped_balance" ->
+      // same fold, same zero floor, pure BIGINT arithmetic
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN -CAST(round(value * 100, 0) AS BIGINT)
+        |         ELSE CAST(round(value * 100, 0) AS BIGINT) END AS delta
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(delta ORDER BY t, event_id)),
+        |    (acc, x) -> greatest(acc + x, CAST(0 AS BIGINT))) AS balance
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q193_max_concurrency" ->
+      // ±1 sweep over the q57 sessions; starts order before ends at the
+      // same instant (end-inclusive), running sum peaks at the answer
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid FROM x),
+        |s AS (SELECT user_id, sid, min(t) AS st, max(t) AS en FROM y GROUP BY 1, 2),
+        |sw AS (SELECT epoch_us(st) AS t, 1 AS d FROM s
+        |  UNION ALL SELECT epoch_us(en) AS t, -1 AS d FROM s),
+        |r AS (SELECT sum(d) OVER (ORDER BY t, -d ROWS UNBOUNDED PRECEDING) AS running FROM sw)
+        |SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sessions,
+        |  CAST(max(running) AS BIGINT) AS max_concurrent FROM r""".stripMargin,
+    "q194_theil" ->
+      // same decomposition: member folds per group, group folds over the
+      // nation list, total DEFINED as between + within
+      """WITH rows0 AS (SELECT n_name AS g,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |grp AS (SELECT g, count(*) AS ng, sum(x) AS sxg FROM rows0 GROUP BY 1),
+        |tot AS (SELECT sum(ng) AS n, sum(sxg) AS sx FROM grp),
+        |gs AS (SELECT g, ng, sxg, n, sx,
+        |    CAST(sxg AS DOUBLE) / ng AS mug, CAST(sx AS DOUBLE) / n AS mu
+        |  FROM grp, tot),
+        |w AS (SELECT r.g, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list((r.x / gs.mug) * ln(r.x / gs.mug) ORDER BY r.x)),
+        |    (a, b) -> a + b) AS tsum
+        |  FROM rows0 r JOIN gs USING (g) GROUP BY r.g),
+        |f AS (SELECT gs.g, gs.n, gs.ng,
+        |    (CAST(gs.sxg AS DOUBLE) / CAST(gs.sx AS DOUBLE)) * ln(gs.mug / gs.mu) AS bterm,
+        |    (CAST(gs.sxg AS DOUBLE) / CAST(gs.sx AS DOUBLE)) * (w.tsum / gs.ng) AS wterm
+        |  FROM gs JOIN w USING (g)),
+        |z AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_groups,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(bterm ORDER BY g)),
+        |    (a, b) -> a + b), 4) AS t_between,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(wterm ORDER BY g)),
+        |    (a, b) -> a + b), 4) AS t_within
+        |  FROM f)
+        |SELECT n, n_groups, t_between, t_within,
+        |  round(t_between + t_within, 4) AS t_total FROM z""".stripMargin,
+    "q195_weighted_median" ->
+      // explicit ROWS frame mirrors the engine's two-phase row-wise
+      // cumulative; the pick is total-order-first with 2·cum ≥ total
+      """WITH x AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS q, l_orderkey, l_linenumber FROM lineitem),
+        |w AS (SELECT cents, l_orderkey, l_linenumber,
+        |    sum(q) OVER (ORDER BY cents, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    (SELECT sum(q) FROM x) AS tot FROM x)
+        |SELECT cents AS median_amount, CAST(tot AS BIGINT) AS total_weight
+        |FROM w WHERE 2 * cw >= tot
+        |ORDER BY cents, l_orderkey, l_linenumber LIMIT 1""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

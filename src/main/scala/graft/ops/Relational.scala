@@ -705,4 +705,48 @@ object Relational {
       .select(col("n_sessions").cast("long").as("n_sessions"),
         col("p50_dur_us"), col("p90_dur_us"), col("p50_events"),
         col("avg_events_x100"))
+
+  /** Peak concurrency over q57's gap sessions — the capacity-planning
+    * number ("how many users were on at once?"). Each session becomes a
+    * +1 at its start and a −1 at its end (END-INCLUSIVE: starts order
+    * before ends at the same instant, so a single-event session still
+    * counts while it exists); the running sum over the global
+    * (time, −delta) order peaks at the answer.
+    *
+    * Scale shape: the global prefix sum is the q91 two-phase rewrite
+    * ([[TwoPhase.prefixSum]]: range bins → per-bin windows → broadcast
+    * offsets) — NO single-partition window even though the order is
+    * global; the sweep frame is 2 rows per SESSION, not per event. */
+  def maxConcurrentSessions(events: DataFrame, userCol: String, tsCol: String,
+                            gap: String = "30 minutes"): DataFrame = {
+    val ses = events
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(min(col(tsCol)).as("__st"), max(col(tsCol)).as("__en"))
+    val sweep = ses.select(unix_micros(col("__st")).as("t"), lit(1L).as("d"))
+      .unionAll(ses.select(unix_micros(col("__en")).as("t"), lit(-1L).as("d")))
+    val (cum, _) = TwoPhase.prefixSum(sweep, col("t"),
+      Seq(col("t"), -col("d")), col("d"), "running")
+    cum.agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+      max(col("running")).cast("long").as("max_concurrent"))
+  }
+
+  /** Weighted median: the smallest amount whose cumulative weight reaches
+    * half the total — "the price the median UNIT traded at", which a
+    * row-median misstates whenever weights skew. Entirely exact longs:
+    * the cumulative weight is a global prefix sum in a fixed total order
+    * and the pick is the first row with 2·cum ≥ total.
+    *
+    * Scale shape: [[TwoPhase.prefixSum]] again (range bins + broadcast
+    * offsets — no single-partition window); the pick is a 1-row
+    * TakeOrdered over the qualifying suffix. */
+  def weightedMedian(df: DataFrame, amountCol: String, weightCol: String,
+                     tieCols: Seq[String]): DataFrame = {
+    val (cum, total) = TwoPhase.prefixSum(df, col(amountCol),
+      col(amountCol) +: tieCols.map(col), col(weightCol).cast("long"), "__cw")
+    cum.filter(col("__cw") * 2 >= total)
+      .orderBy(col(amountCol) +: tieCols.map(col): _*)
+      .limit(1)
+      .select(col(amountCol).cast("long").as("median_amount"),
+        lit(total).as("total_weight"))
+  }
 }

@@ -590,4 +590,91 @@ object Stats {
           "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)") / 2, 4)
           .as("jsd"))
   }
+
+  /** Clamped running balance: per key, fold the (order-sorted) delta
+    * stream through balance ← max(0, balance + δ) — the
+    * inventory/credit-ledger recurrence where stock can't go negative.
+    * The clamp makes each step NONLINEAR, so no window prefix-sum can
+    * express it; it runs as the same per-key ordered fold as [[ewma]],
+    * but entirely in LONG arithmetic — no float anywhere. Emits the final
+    * balance and the step count.
+    *
+    * Scale shape: ONE key-hash collect whose state is the key's delta
+    * run; the q65 bound applies to a key whose history outgrows a buffer
+    * (chunk the fold by period and carry the balance forward). */
+  def clampedBalance(deltas: DataFrame, keyCol: String, orderCols: Seq[String],
+                     deltaCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "clampedBalance needs an ordering")
+    val sortStruct = struct(
+      orderCols.map(col) :+ col(deltaCol).cast("long").as("d"): _*)
+    deltas
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_steps"),
+        sort_array(collect_list(sortStruct)).as("__s"))
+      .select(col(keyCol), col("n_steps").cast("long").as("n_steps"),
+        expr("aggregate(__s, CAST(0 AS BIGINT), " +
+          "(acc, e) -> greatest(acc + e.d, CAST(0 AS BIGINT)))").as("balance"))
+  }
+
+  /** Theil T inequality index with its between/within-group decomposition
+    * — the inequality measure that (unlike q168's Gini) splits exactly
+    * into "inequality ACROSS groups" + "inequality INSIDE groups":
+    *
+    *   T_between = Σ_g s_g · ln(μ_g/μ),   T_within = Σ_g s_g · T_g,
+    *   T_g = (1/n_g) Σ_i (x_i/μ_g) · ln(x_i/μ_g),   s_g = Σ_g x / Σ x
+    *
+    * and T_total is REPORTED as their sum (the decomposition identity),
+    * so every float reduction is either a per-group member fold or a
+    * |groups|-sized fold — nothing folds over the whole table. Amounts
+    * must be positive (ln); enforced in-plan.
+    *
+    * Scale shape: one (group) sum/count aggregate; member terms join the
+    * group frame back as a broadcast; the member fold is per-group
+    * ordered ((amount, group) sort inside the group's buffer, q65 bound);
+    * the two cross-group folds run over |groups| rows of metadata. */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         amountCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df
+      .filter(when(col(amountCol) > 0, lit(true)).otherwise(raise_error(
+        lit("theilDecomposition: amounts must be positive (ln of a " +
+          "non-positive share is undefined)"))))
+      .select(col(groupCol).as("g"), col(amountCol).cast("long").as("x"))
+    val groups = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).cast(dec).as("sxg"))
+    val totals = groups.agg(sum(col("ng")).as("n"), sum(col("sxg")).as("sx"))
+    val gstat = groups.crossJoin(broadcast(totals))
+      .select(col("g"), col("ng"), col("sxg"), col("n"), col("sx"),
+        (col("sxg").cast("double") / col("ng")).as("__mug"),
+        (col("sx").cast("double") / col("n")).as("__mu"))
+    // member terms: (x/μg)·ln(x/μg), folded per group in (x) order
+    val within = rows.join(broadcast(gstat.select(col("g"), col("__mug"))), Seq("g"))
+      .select(col("g"),
+        ((col("x") / col("__mug")) * log(col("x") / col("__mug"))).as("term"),
+        col("x"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("x"), col("term")))).as("__t"))
+      .select(col("g"), expr(
+        "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)").as("tsum"))
+    // group terms fold over |groups| rows, g-sorted
+    gstat.join(within, Seq("g"))
+      .select(col("g"), col("n"), col("ng"),
+        ((col("sxg").cast("double") / col("sx").cast("double")) *
+          log(col("__mug") / col("__mu"))).as("bterm"),
+        ((col("sxg").cast("double") / col("sx").cast("double")) *
+          (col("tsum") / col("ng"))).as("wterm"))
+      .groupBy()
+      .agg(first(col("n")).as("__n"), count(lit(1)).as("n_groups"),
+        sort_array(collect_list(struct(col("g"), col("bterm")))).as("__b"),
+        sort_array(collect_list(struct(col("g"), col("wterm")))).as("__w"))
+      .select(col("__n").cast("long").as("n"),
+        col("n_groups").cast("long").as("n_groups"),
+        round(expr(
+          "aggregate(__b, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.bterm)"), 4)
+          .as("t_between"),
+        round(expr(
+          "aggregate(__w, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.wterm)"), 4)
+          .as("t_within"))
+      .withColumn("t_total", round(col("t_between") + col("t_within"), 4))
+  }
 }

@@ -505,4 +505,33 @@ class RelationalSpec extends SparkSpec {
     // p50 = 1, mean×100 = 400 div 2 = 200
     assert(out == Seq((2L, 0L, 2400000000L, 1L, 200L)))
   }
+
+  // -------------------------------------------- maxConcurrentSessions
+
+  test("maxConcurrentSessions: overlapping sessions peak, disjoint don't") {
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000)
+    // u1 session [0, 10], u2 session [5, 5] (overlaps u1), u3 at 60
+    val ev = Seq((1L, t(0)), (1L, t(10)), (2L, t(5)), (3L, t(60)))
+      .toDF("user_id", "ts")
+    val out = Relational.maxConcurrentSessions(ev, "user_id", "ts")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((3L, 2L)))
+  }
+
+  // -------------------------------------------------------- weightedMedian
+
+  test("weightedMedian: weights move the median off the row median") {
+    val df = Seq((10L, 1L, 1L), (20L, 10L, 2L), (30L, 1L, 3L))
+      .toDF("amt", "w", "id")
+    val out = Relational.weightedMedian(df, "amt", "w", Seq("id"))
+      .as[(Long, Long)].collect().toSeq
+    // total 12; first amount with 2·cum ≥ 12 is 20 (cum 11); the row
+    // median would also be 20 here, but with weight on 30 it shifts:
+    assert(out == Seq((20L, 12L)))
+    val df2 = Seq((10L, 1L, 1L), (20L, 1L, 2L), (30L, 10L, 3L))
+      .toDF("amt", "w", "id")
+    val out2 = Relational.weightedMedian(df2, "amt", "w", Seq("id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(out2 == Seq((30L, 12L)))
+  }
 }

@@ -411,4 +411,33 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().head
     assert(d == ((2L, 1L, 2L, 0.6931))) // ln 2
   }
+
+  // -------------------------------------------------------- clampedBalance
+
+  test("clampedBalance: the zero floor absorbs overdraws order-sensitively") {
+    val d = Seq(("g", 1L, 5L), ("g", 2L, -8L), ("g", 3L, 3L),
+      ("z", 1L, -4L)).toDF("k", "seq", "delta")
+    val out = Stats.clampedBalance(d, "k", Seq("seq"), "delta")
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    // g: 5 → max(0, −3) = 0 → 3 (an unfloored sum would say 0);
+    // z: a first-step overdraw floors at 0
+    assert(out == Seq(("g", 3L, 3L), ("z", 1L, 0L)))
+  }
+
+  // ---------------------------------------------------- theilDecomposition
+
+  test("theilDecomposition: perfectly equal amounts score zero everywhere") {
+    val df = Seq(("a", 100L), ("a", 100L), ("b", 100L), ("b", 100L))
+      .toDF("g", "amt")
+    val out = Stats.theilDecomposition(df, "g", "amt")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(out == ((4L, 2L, 0.0, 0.0, 0.0)))
+  }
+
+  test("theilDecomposition rejects non-positive amounts in-plan") {
+    val df = Seq(("a", 100L), ("a", 0L)).toDF("g", "amt")
+    assertThrows[Exception] {
+      Stats.theilDecomposition(df, "g", "amt").collect()
+    }
+  }
 }
