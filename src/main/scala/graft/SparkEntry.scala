@@ -723,6 +723,41 @@ object SparkEntry {
         T(s, dir, "lineitem")
           .withColumn("cents", expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")),
         "cents", "l_quantity", Seq("l_orderkey", "l_linenumber"))),
+    "q196_lorenz" -> ((s, dir) =>
+      // who holds the revenue: customers decile'd by spend via the
+      // two-phase exact ntile, shares in exact basis points
+      Stats.lorenzDeciles(
+        T(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(expr("sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))").as("spend")),
+        "spend", "o_custkey")
+        .orderBy("decile")),
+    "q197_trimmed_mean" -> ((s, dir) =>
+      // tail-dropping robust center per type; discrete percentile bounds,
+      // one exact division
+      Stats.trimmedMean(
+        T(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "event_type", "cents")
+        .orderBy("event_type")),
+    "q198_mode" -> ((s, dir) =>
+      // most common order priority per nation, ties to the lexicographic
+      // first — the categorical profile column
+      Stats.modePerGroup(
+        T(s, dir, "orders")
+          .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey")),
+        "n_name", "o_orderpriority")
+        .orderBy("n_name")),
+    "q199_streak" -> ((s, dir) =>
+      // longest consecutive-day streak per user (gaps-and-islands),
+      // summarized as a streak-length histogram
+      Relational.longestStreak(T(s, dir, "events"), "user_id", "ts",
+        origin = "2024-01-01")
+        .groupBy(col("streak_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("streak_days")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3283,6 +3318,53 @@ object SparkEntry {
         |SELECT cents AS median_amount, CAST(tot AS BIGINT) AS total_weight
         |FROM w WHERE 2 * cw >= tot
         |ORDER BY cents, l_orderkey, l_linenumber LIMIT 1""".stripMargin,
+    "q196_lorenz" ->
+      // window ntile ≡ the engine's two-phase rank allocation
+      // (TwoPhaseSpec pins the parity)
+      """WITH sp AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT spend, ntile(10) OVER (ORDER BY spend, o_custkey) AS decile FROM sp),
+        |g AS (SELECT decile, count(*) AS n, sum(spend) AS amt FROM d GROUP BY 1),
+        |t AS (SELECT sum(amt) AS tot FROM g),
+        |c AS (SELECT decile, n, amt,
+        |    sum(amt) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+        |  CAST(amt AS BIGINT) AS amount,
+        |  CAST((10000 * amt) // tot AS BIGINT) AS share_bp,
+        |  CAST((10000 * cum) // tot AS BIGINT) AS cum_share_bp
+        |FROM c, t ORDER BY decile""".stripMargin,
+    "q197_trimmed_mean" ->
+      """WITH x AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT event_type, quantile_disc(cents, 0.05) AS lo,
+        |    quantile_disc(cents, 0.95) AS hi FROM x GROUP BY 1),
+        |k AS (SELECT x.event_type, cents, lo, hi FROM x JOIN b USING (event_type)
+        |  WHERE cents >= lo AND cents <= hi)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(max(lo) AS BIGINT) AS lo, CAST(max(hi) AS BIGINT) AS hi,
+        |  CAST((100 * sum(cents)) // count(*) AS BIGINT) AS mean_x100
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q198_mode" ->
+      """WITH j AS (SELECT n_name, o_orderpriority AS v FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |c AS (SELECT n_name, v, count(*) AS n FROM j GROUP BY 1, 2),
+        |r AS (SELECT n_name, v, n,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY n DESC, v) AS rn FROM c)
+        |SELECT n_name, v AS mode_value, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin,
+    "q199_streak" ->
+      // gaps-and-islands: consecutive day numbers share dd − row_number()
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd FROM events),
+        |i AS (SELECT user_id, dd,
+        |    dd - row_number() OVER (PARTITION BY user_id ORDER BY dd) AS isl FROM d),
+        |l AS (SELECT user_id, count(*) AS len FROM i GROUP BY user_id, isl),
+        |m AS (SELECT user_id, max(len) AS streak_days FROM l GROUP BY 1)
+        |SELECT CAST(streak_days AS BIGINT) AS streak_days,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM m GROUP BY 1 ORDER BY streak_days""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -749,4 +749,27 @@ object Relational {
       .select(col(amountCol).cast("long").as("median_amount"),
         lit(total).as("total_weight"))
   }
+
+  /** Longest consecutive-day activity streak per entity — gaps-and-islands
+    * on the calendar: distinct active days first, then the island id
+    * day_number − row_number() (consecutive days share it), then the
+    * longest island per entity. Entirely exact integer date arithmetic.
+    *
+    * Scale shape: the raw stream collapses to distinct (entity, day)
+    * BEFORE any window; the row_number window and both counts share the
+    * entity key-hash — per-entity state is its DAY LIST (calendar-
+    * bounded), never its events. */
+  def longestStreak(events: DataFrame, entityCol: String, tsCol: String,
+                    origin: String): DataFrame = {
+    val days = events.select(col(entityCol).as("__e"),
+      expr(s"datediff(CAST($tsCol AS DATE), DATE '$origin')").as("__d"))
+      .distinct()
+    val w = Window.partitionBy(col("__e")).orderBy(col("__d"))
+    days
+      .withColumn("__isl", col("__d") - row_number().over(w))
+      .groupBy(col("__e"), col("__isl"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("__e").as(entityCol))
+      .agg(max(col("__len")).cast("long").as("streak_days"))
+  }
 }

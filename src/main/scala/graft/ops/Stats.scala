@@ -677,4 +677,82 @@ object Stats {
           .as("t_within"))
       .withColumn("t_total", round(col("t_between") + col("t_within"), 4))
   }
+
+  /** Lorenz curve points: entities decile-bucketed by amount ascending,
+    * each decile's exact share of the total and the cumulative share —
+    * the "bottom 10% hold X bp" readout behind q168's single Gini number.
+    * Deciles come from [[TwoPhase.globalRank]] + SQL-standard ntile
+    * allocation (no single-partition window); shares are non-negative
+    * integer division in basis points; the cumulative sum runs over the
+    * 10-row decile frame.
+    *
+    * `tieCol` must make (amount, tie) unique — ntile semantics need a
+    * total order. Amounts must be non-negative (share math). */
+  def lorenzDeciles(df: DataFrame, amountCol: String, tieCol: String): DataFrame = {
+    val guarded = df
+      .filter(when(col(amountCol) >= 0, lit(true)).otherwise(raise_error(
+        lit("lorenzDeciles: amounts must be non-negative"))))
+    val (ranked, n) = TwoPhase.globalRank(guarded, col(amountCol),
+      Seq(col(amountCol), col(tieCol)), "__rank")
+    val dec = "decimal(38,0)"
+    val byDecile = ranked
+      .withColumn("decile", TwoPhase.ntileFromRank("__rank", n, 10).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col(amountCol)).cast(dec).as("__amt"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    byDecile
+      .withColumn("__tot", sum(col("__amt")).over(total))
+      .withColumn("__cum", sum(col("__amt")).over(w))
+      .select(col("decile"), col("n").cast("long").as("n"),
+        col("__amt").cast("long").as("amount"),
+        expr("CAST((10000 * __amt) div __tot AS BIGINT)").as("share_bp"),
+        expr("CAST((10000 * __cum) div __tot AS BIGINT)").as("cum_share_bp"))
+  }
+
+  /** Trimmed mean per group: the mean of the values inside the discrete
+    * [loP, hiP] percentile band — the outlier-robust center that, unlike
+    * q152's winsorize, DROPS the tails instead of clamping them. Bounds
+    * are actual elements (percentile_disc), the kept-mean is one exact
+    * integer division ×100.
+    *
+    * Scale shape: one percentile aggregate per group (buffer = the
+    * group's values, q65 bound) broadcast back, then one filtered
+    * sum/count on the same grouping key. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP < hiP, s"bad band ($loP, $hiP)")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile_disc($loP) WITHIN GROUP (ORDER BY $valueCol)").as("__lo"),
+        expr(s"percentile_disc($hiP) WITHIN GROUP (ORDER BY $valueCol)").as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(valueCol)).cast("decimal(38,0)").as("__s"),
+        first(col("__lo")).as("lo"), first(col("__hi")).as("hi"))
+      .select(col(groupCol), col("n_kept").cast("long").as("n_kept"),
+        col("lo").cast("long").as("lo"), col("hi").cast("long").as("hi"),
+        expr("CAST((100 * __s) div n_kept AS BIGINT)").as("mean_x100"))
+  }
+
+  /** Per-group mode with a deterministic tie-break (highest count, then
+    * LOWEST value) — the categorical "typical value" profile column.
+    * Exact counts; the winner selection is a (count desc, value) window
+    * rank on the already-aggregated (group, value) frame.
+    *
+    * Scale shape: one two-phase count aggregate, then a window whose
+    * partitions are the DISTINCT-VALUE frame per group — never raw rows. */
+  def modePerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col(valueCol))
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valueCol).as("mode_value"),
+        col("n").cast("long").as("n"))
+  }
 }

@@ -534,4 +534,15 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(out2 == Seq((30L, 12L)))
   }
+
+  // --------------------------------------------------------- longestStreak
+
+  test("longestStreak: gaps split islands, duplicates within a day don't") {
+    def t(d: String) = Timestamp.valueOf(s"2024-01-$d 09:00:00")
+    val ev = Seq((1L, t("01")), (1L, t("02")), (1L, t("02")), (1L, t("03")),
+      (1L, t("05")), (1L, t("06")), (2L, t("04"))).toDF("user_id", "ts")
+    val out = Relational.longestStreak(ev, "user_id", "ts", "2024-01-01")
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 1L)))
+  }
 }

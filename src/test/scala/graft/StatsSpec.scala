@@ -440,4 +440,38 @@ class StatsSpec extends SparkSpec {
       Stats.theilDecomposition(df, "g", "amt").collect()
     }
   }
+
+  // --------------------------------------------------------- lorenzDeciles
+
+  test("lorenzDeciles: exact decile shares, cumulative reaches 10000 bp") {
+    val df = (1L to 10L).map(i => (i, i)).toDF("amt", "id")
+    val out = Stats.lorenzDeciles(df, "amt", "id")
+      .orderBy("decile")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // total 55: bottom decile holds 1 → 181 bp; top holds 10 → 1818 bp
+    assert(out.head == ((1L, 1L, 1L, 181L, 181L)))
+    assert(out.last == ((10L, 1L, 10L, 1818L, 10000L)))
+    assert(out.size == 10)
+  }
+
+  // ----------------------------------------------------------- trimmedMean
+
+  test("trimmedMean: the p95 cut drops the tail the winsorize would clamp") {
+    val vals = (1L to 19L) :+ 1000L
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val out = Stats.trimmedMean(df, "grp", "v")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // disc bounds [1, 19] keep 19 values; mean = 190/19 = 10
+    assert(out == Seq(("g", 19L, 1L, 19L, 1000L)))
+  }
+
+  // ---------------------------------------------------------- modePerGroup
+
+  test("modePerGroup: highest count wins, ties break to the lowest value") {
+    val df = Seq(("g", "a"), ("g", "a"), ("g", "b"),
+      ("t", "b"), ("t", "a")).toDF("grp", "v")
+    val out = Stats.modePerGroup(df, "grp", "v")
+      .orderBy("grp").as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("g", "a", 2L), ("t", "a", 1L)))
+  }
 }
