@@ -758,6 +758,31 @@ object SparkEntry {
         .groupBy(col("streak_days"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("streak_days")),
+    "q200_holt" -> ((s, dir) =>
+      // level + trend smoothing per type: the registry's only two-state
+      // fold, struct accumulator with identical lambda text both engines
+      Stats.holt(
+        T(s, dir, "events")
+          .withColumn("day", TextFunctions.dayString(col("ts")))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "day", "x")
+        .orderBy("event_type")),
+    "q201_bfs_hops" -> ((s, dir) =>
+      // reach profile from the busiest part: nodes first touched at each
+      // hop, 3 bounded frontier expansions
+      Graph.bfsHopCounts(
+        Graph.coOccurrenceEdges(T(s, dir, "lineitem"), "l_partkey", "l_orderkey"),
+        maxHops = 3)
+        .orderBy("hop")),
+    "q202_systematic" -> ((s, dir) =>
+      // every-100th doc in (n_chars, doc_id) order — uniform coverage of
+      // the length dimension via the two-phase exact global rank
+      Curation.systematicSample(
+        T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq("n_chars", "doc_id"), k = 100)
+        .select(col("doc_id"), col("n_chars"), col("rank"))
+        .orderBy("rank")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3365,6 +3390,62 @@ object SparkEntry {
         |SELECT CAST(streak_days AS BIGINT) AS streak_days,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM m GROUP BY 1 ORDER BY streak_days""".stripMargin,
+    "q200_holt" ->
+      // recursive CTE with PURE step semantics and the engine's exact
+      // lambda text. (A struct-state list_reduce was tried first and
+      // silently diverged: DuckDB evaluates lambda struct fields
+      // sequentially and mutates the accumulator IN PLACE, so the trend
+      // field saw the freshly-assigned level — don't fold multi-field
+      // state through list_reduce.)
+      """WITH RECURSIVE d AS (SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |    CAST(x AS DOUBLE) AS x FROM d),
+        |nb AS (SELECT event_type, max(rn) AS n FROM ser GROUP BY 1),
+        |rec AS (
+        |  SELECT s2.event_type, CAST(2 AS BIGINT) AS rn, s2.x AS l, s2.x - s1.x AS b
+        |  FROM ser s1 JOIN ser s2 ON s1.event_type = s2.event_type
+        |    AND s1.rn = 1 AND s2.rn = 2
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn + 1,
+        |    0.3 * s.x + 0.7 * (r.l + r.b),
+        |    0.1 * (0.3 * s.x + 0.7 * (r.l + r.b) - r.l) + 0.9 * r.b
+        |  FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+        |SELECT r.event_type, CAST(nb.n AS BIGINT) AS n_buckets,
+        |  round(r.l, 4) AS level, round(r.b, 4) AS trend,
+        |  round(r.l + r.b, 4) AS forecast
+        |FROM rec r JOIN nb ON r.event_type = nb.event_type AND r.rn = nb.n
+        |WHERE nb.n >= 2 ORDER BY r.event_type""".stripMargin,
+    "q201_bfs_hops" ->
+      // 3 unrolled frontier expansions from the same max-degree seed
+      """WITH p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u AS node, count(*) AS d FROM p GROUP BY 1),
+        |seed AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+        |v0 AS (SELECT node FROM seed),
+        |f1 AS (SELECT DISTINCT v AS node FROM p WHERE u IN (SELECT node FROM v0)
+        |  AND v NOT IN (SELECT node FROM v0)),
+        |v1 AS (SELECT node FROM v0 UNION ALL SELECT node FROM f1),
+        |f2 AS (SELECT DISTINCT v AS node FROM p WHERE u IN (SELECT node FROM f1)
+        |  AND v NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT node FROM v1 UNION ALL SELECT node FROM f2),
+        |f3 AS (SELECT DISTINCT v AS node FROM p WHERE u IN (SELECT node FROM f2)
+        |  AND v NOT IN (SELECT node FROM v2)),
+        |h AS (SELECT 0 AS hop, count(*) AS n FROM v0
+        |  UNION ALL SELECT 1, count(*) FROM f1
+        |  UNION ALL SELECT 2, count(*) FROM f2
+        |  UNION ALL SELECT 3, count(*) FROM f3)
+        |SELECT CAST(hop AS BIGINT) AS hop, CAST(n AS BIGINT) AS n_nodes
+        |FROM h WHERE n > 0 ORDER BY hop""".stripMargin,
+    "q202_systematic" ->
+      // window row_number ≡ the engine's two-phase global rank
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank FROM documents)
+        |SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank % 100 = 1 ORDER BY rank""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

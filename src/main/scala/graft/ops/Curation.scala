@@ -284,4 +284,21 @@ object Curation {
       .select(col(idCol), col("__pos").cast("long").as("chunk_id"),
         col("__w.chunk").as("chunk"), col("__w.chunk_tokens").as("chunk_tokens"))
   }
+
+  /** Systematic (every-k-th) sample in an explicit total order — the
+    * eval-slice selector whose coverage is UNIFORM across the order
+    * dimension by construction (a hash sample can cluster; this can't).
+    * Picks ranks ≡ 1 (mod k). Deterministic and engine-independent: the
+    * rank is [[TwoPhase.globalRank]] over the caller's (unique) order —
+    * no single-partition window at any size.
+    *
+    * Returns the sampled rows with their 1-based global rank. */
+  def systematicSample(df: DataFrame, orderCols: Seq[String], k: Int): DataFrame = {
+    require(orderCols.nonEmpty && k >= 2, s"need an order and k >= 2, got k=$k")
+    val (ranked, _) = TwoPhase.globalRank(df, col(orderCols.head),
+      orderCols.map(col), "__rank")
+    ranked
+      .filter(pmod(col("__rank"), lit(k.toLong)) === 1)
+      .withColumnRenamed("__rank", "rank")
+  }
 }

@@ -284,6 +284,38 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Bounded BFS from the graph's busiest node: per hop count of nodes
+    * first reached at that distance — the "how far does influence spread"
+    * profile. The seed is deterministic (max degree, ties to the lowest
+    * node id); a FIXED hop bound keeps the result a pure function of the
+    * input (the [[kCorePeel]] discipline).
+    *
+    * Scale shape: per hop, one semi-join expanding the frontier through
+    * the (stationary, checkpointed) edge list and one anti-join against
+    * the visited set — all node-keyed; the frontier frame is |reached
+    * nodes|, never edges. Hop counts are the only driver-visible rows. */
+  def bfsHopCounts(edges: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val und = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val seed = deg.orderBy(col("d").desc, col("node")).limit(1).select("node")
+    var visited = seed.withColumn("hop", lit(0L)).localCheckpoint(eager = false)
+    var frontier = seed
+    for (h <- 1 to maxHops) {
+      val next = und
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(eager = false)
+      visited = visited
+        .unionAll(next.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint(eager = false)
+      frontier = next
+    }
+    visited.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Market-basket association rules over (entity, container) relations:
     * canonical item pairs with support, both directional confidences, and
     * lift — the recommendation/affinity readout behind "users who bought X

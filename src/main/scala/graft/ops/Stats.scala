@@ -737,6 +737,48 @@ object Stats {
         expr("CAST((100 * __s) div n_kept AS BIGINT)").as("mean_x100"))
   }
 
+  /** Holt's linear-trend smoothing per series — [[ewma]] plus a TREND
+    * state, the two-state recurrence
+    *
+    *   lₜ = α·xₜ + (1−α)(lₜ₋₁ + bₜ₋₁),   bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁
+    *
+    * seeded textbook-style (l = x₂, b = x₂ − x₁, fold from the third
+    * bucket). Both engines fold a STRUCT accumulator over struct
+    * elements with the same lambda text — the only two-state fold in the
+    * registry, and the level expression is repeated verbatim inside the
+    * trend update so the IEEE sequence is identical by construction.
+    * Emits level, trend, and the one-step forecast (level + trend),
+    * 4 dp. Groups need ≥ 2 buckets (the seed).
+    *
+    * Scale shape: identical to [[ewma]] — one group-keyed collect whose
+    * state is the group's bucket series. */
+  def holt(series: DataFrame, groupCol: String, bucketCol: String,
+           valueCol: String, alphaBp: Int = 3000, betaBp: Int = 1000): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000 && betaBp > 0 && betaBp < 10000,
+      s"alpha/beta must be in (0,10000) bp, got ($alphaBp, $betaBp)")
+    val a = alphaBp / 10000.0
+    val b = betaBp / 10000.0
+    val (ia, ib) = (1.0 - a, 1.0 - b)
+    val lvl = s"$a * e.l + $ia * (acc.l + acc.b)"
+    series
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(struct(col(bucketCol).as("d"),
+          col(valueCol).cast("double").as("l"),
+          lit(0.0).as("b")))).as("__s"))
+      .filter(col("n_buckets") >= 2)
+      .select(col(groupCol), col("n_buckets").cast("long").as("n_buckets"),
+        expr(
+          s"aggregate(slice(__s, 3, greatest(size(__s) - 2, 0)), " +
+            s"named_struct('d', __s[1].d, 'l', __s[1].l, 'b', __s[1].l - __s[0].l), " +
+            s"(acc, e) -> named_struct('d', e.d, 'l', $lvl, " +
+            s"'b', $b * ($lvl - acc.l) + $ib * acc.b))").as("__f"))
+      .select(col(groupCol), col("n_buckets"),
+        round(col("__f.l"), 4).as("level"),
+        round(col("__f.b"), 4).as("trend"),
+        round(col("__f.l") + col("__f.b"), 4).as("forecast"))
+  }
+
   /** Per-group mode with a deterministic tie-break (highest count, then
     * LOWEST value) — the categorical "typical value" profile column.
     * Exact counts; the winner selection is a (count desc, value) window

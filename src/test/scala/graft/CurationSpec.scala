@@ -217,4 +217,10 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("systematicSample: ranks 1 (mod k) in the explicit total order") {
+    val df = (1L to 10L).map(i => (i, i * 10)).toDF("id", "v")
+    val out = Curation.systematicSample(df, Seq("v", "id"), k = 4)
+      .orderBy("rank").select("id", "rank").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (5L, 5L), (9L, 9L)))
+  }
 }

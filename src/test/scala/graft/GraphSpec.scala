@@ -158,4 +158,14 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
   }
+
+  test("bfsHopCounts: max-degree seed, hops count first-reach only") {
+    // path 2—1—3—4 plus 2—5: node 1 and 3 tie on degree 2 → seed 1
+    val und = Seq((1L, 2L), (1L, 3L), (3L, 4L), (2L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.bfsHopCounts(edges, maxHops = 3)
+      .orderBy("hop").as[(Long, Long)].collect().toSeq
+    // hop0 {1}, hop1 {2,3}, hop2 {4,5}
+    assert(out == Seq((0L, 1L), (1L, 2L), (2L, 2L)))
+  }
 }

@@ -345,4 +345,58 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("bollinger bands window is key-partitioned over the daily aggregate (q179)") {
+    val plan = q("q179_bollinger")
+    assert(plan.contains("hashpartitioning(event_type"),
+      s"rolling frame must partition by the series key:\n$plan")
+    // the window consumes the (type, day) aggregate, never raw events
+    val w = plan.indexOf("Window")
+    val a = plan.indexOf("HashAggregate", w)
+    assert(w >= 0 && a > w, s"bands must run over the aggregated series:\n$plan")
+  }
+
+  test("cohort retention sizes re-join as a broadcast (q183)") {
+    val plan = q("q183_cohort_retention")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("audience overlap joins sizes as broadcasts; pairing is user-keyed (q186)") {
+    val plan = q("q186_audience_overlap")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("pivot with an explicit value list is one aggregate — no pivot-values job (q187)") {
+    val plan = q("q187_pivot")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"explicit-list pivot must not plan joins or windows:\n$plan")
+  }
+
+  test("max concurrency never plans a SinglePartition window (q193)") {
+    val plan = q("q193_max_concurrency")
+    // the global running sum must ride the two-phase rewrite: every Window
+    // in the plan partitions on the bin hash, none on SinglePartition
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"two-phase prefix must keep windows bin-partitioned:\n$plan")
+    assert(plan.contains("hashpartitioning(__bin"),
+      s"expected the two-phase bin hash:\n$plan")
+  }
+
+  test("weighted median picks via TakeOrdered over the two-phase cumulative (q195)") {
+    val plan = q("q195_weighted_median")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("hashpartitioning(__bin"),
+      s"cumulative weight must be two-phase binned:\n$plan")
+  }
+
+  test("streaks window per user over distinct days, never raw events (q199)") {
+    val plan = q("q199_streak")
+    assert(plan.contains("hashpartitioning(__e"),
+      s"island window must partition by the entity:\n$plan")
+    assert(!plan.contains("SinglePartition") || !plan.contains("Window ["),
+      s"no global window in gaps-and-islands:\n$plan")
+  }
 }

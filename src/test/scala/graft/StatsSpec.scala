@@ -441,6 +441,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------ holt
+
+  test("holt: textbook seed (l=x2, b=x2-x1), two-state fold from bucket 3") {
+    val s = Seq(("g", "a", 1L), ("g", "b", 2L), ("g", "c", 4L),
+      ("z", "a", 7L)).toDF("g", "d", "x")
+    val out = Stats.holt(s, "g", "d", "x")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // g: seed (2, 1); x=4 → l = 0.3·4 + 0.7·3 = 3.3, b = 0.1·1.3 + 0.9 = 1.03
+    // z: single bucket → filtered (no seed)
+    assert(out == Seq(("g", 3L, 3.3, 1.03, 4.33)))
+  }
+
   // --------------------------------------------------------- lorenzDeciles
 
   test("lorenzDeciles: exact decile shares, cumulative reaches 10000 bp") {
