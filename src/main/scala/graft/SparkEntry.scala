@@ -20,6 +20,46 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** MULTI-PASS blocked edit-distance self-join over customer names (shared
+    * by q127's pair listing and q203's transitive entity resolution):
+    * candidate pairs come from equi-joins on blocking keys, so Levenshtein
+    * — quadratic in the naive formulation — runs only inside blocks; there
+    * is NO cartesian anywhere in the plan. A single blocking key has a
+    * structural blind spot (prefix-16 blocking can never find a pair whose
+    * edit sits IN the first 16 chars), so two passes with complementary
+    * keys union their candidates — standard multi-blocking:
+    *   pass 1: block on the 16-char prefix, DP on the tails
+    *           (edit distance is common-PREFIX invariant)
+    *   pass 2: block on (length, last-8 suffix), DP on the heads
+    *           (edit distance is common-SUFFIX invariant)
+    * A substitution anywhere in an 18-char name lands in at least one pass;
+    * two fixture rows whose edit is at char 10 (invisible to pass 1) prove
+    * pass 2 carries its weight under the oracle. */
+  private def fuzzyCustomerPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      .unionByName(Seq(
+        (900000001L, "Customer#A00001111"),
+        (900000002L, "Customer#B00001111")).toDF("c_custkey", "c_name"))
+    def pass(blk: Column, residue: Column): DataFrame = {
+      val c = base.select(col("c_custkey"), blk.as("__blk"), residue.as("__res"))
+      val a = c.select(col("__blk"), col("c_custkey").as("key_a"), col("__res").as("res_a"))
+      val b = c.select(col("__blk"), col("c_custkey").as("key_b"), col("__res").as("res_b"))
+      a.join(b, Seq("__blk"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("res_a"), col("res_b")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("key_a"), col("key_b"), col("dist"))
+    }
+    val p1 = pass(substring(col("c_name"), 1, 16),
+      substring(col("c_name"), 17, 1000000))
+    val p2 = pass(struct(length(col("c_name")), expr("substring(c_name, -8, 8)")),
+      expr("substring(c_name, 1, greatest(length(c_name) - 8, 0))"))
+    // a pair agreeing on BOTH keys surfaces twice with the same dist —
+    // dedup on the pair (dist is a pure function of it)
+    p1.unionByName(p2).dropDuplicates("key_a", "key_b")
+  }
+
   private val TMP = "/root/repo/target/qtmp"
 
   /** Morton interleave of the low 16 bits of `x`/`y` as plain SQL bit
@@ -783,6 +823,30 @@ object SparkEntry {
         Seq("n_chars", "doc_id"), k = 100)
         .select(col("doc_id"), col("n_chars"), col("rank"))
         .orderBy("rank")),
+    "q203_entity_resolution" -> ((s, dir) => {
+      // end-to-end MDM: blocked fuzzy matching (q127's pairs) → transitive
+      // closure → one golden id per entity, singletons self-canonical
+      import s.implicits._
+      val base = T(s, dir, "customer").select(col("c_custkey"))
+        .unionByName(Seq(900000001L, 900000002L).toDF("c_custkey"))
+      val pairs = fuzzyCustomerPairs(s, dir)
+        .select(col("key_a").as("id_a"), col("key_b").as("id_b"))
+      val comp = Dedup.connectedComponents(pairs)
+      val m = base.join(comp, base("c_custkey") === comp("node"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("component"), col("c_custkey")).as("entity_id"))
+      val sz = m.groupBy(col("entity_id")).agg(count(lit(1)).as("cluster_size"))
+      m.join(sz, Seq("entity_id"))
+        .select(col("c_custkey"), col("entity_id"),
+          (col("c_custkey") === col("entity_id")).as("is_canonical"),
+          col("cluster_size").cast("long").as("cluster_size"))
+        .orderBy("c_custkey")
+    }),
+    "q204_bigram_lm" -> ((s, dir) =>
+      // context-aware fluency score: Jelinek-Mercer interpolated bigram
+      // NLL per document, unseen bigrams backed off to the unigram floor
+      TextAnalysis.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -1073,46 +1137,8 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
-    "q127_fuzzy_join" -> ((s, dir) => {
-      // MULTI-PASS blocked edit-distance self-join (entity resolution):
-      // candidate pairs come from equi-joins on blocking keys, so
-      // Levenshtein — quadratic in the naive formulation — runs only inside
-      // blocks; there is NO cartesian anywhere in the plan. A single
-      // blocking key has a structural blind spot (prefix-16 blocking can
-      // never find a pair whose edit sits IN the first 16 chars), so two
-      // passes with complementary keys union their candidates — standard
-      // multi-blocking:
-      //   pass 1: block on the 16-char prefix, DP on the tails
-      //           (edit distance is common-PREFIX invariant)
-      //   pass 2: block on (length, last-8 suffix), DP on the heads
-      //           (edit distance is common-SUFFIX invariant)
-      // A substitution anywhere in an 18-char name lands in at least one
-      // pass; two fixture rows whose edit is at char 10 (invisible to pass
-      // 1) prove pass 2 carries its weight under the oracle.
-      import s.implicits._
-      val base = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-        .unionByName(Seq(
-          (900000001L, "Customer#A00001111"),
-          (900000002L, "Customer#B00001111")).toDF("c_custkey", "c_name"))
-      def pass(blk: Column, residue: Column): DataFrame = {
-        val c = base.select(col("c_custkey"), blk.as("__blk"), residue.as("__res"))
-        val a = c.select(col("__blk"), col("c_custkey").as("key_a"), col("__res").as("res_a"))
-        val b = c.select(col("__blk"), col("c_custkey").as("key_b"), col("__res").as("res_b"))
-        a.join(b, Seq("__blk"))
-          .filter(col("key_a") < col("key_b"))
-          .withColumn("dist", levenshtein(col("res_a"), col("res_b")).cast("long"))
-          .filter(col("dist") <= 1)
-          .select(col("key_a"), col("key_b"), col("dist"))
-      }
-      val p1 = pass(substring(col("c_name"), 1, 16),
-        substring(col("c_name"), 17, 1000000))
-      val p2 = pass(struct(length(col("c_name")), expr("substring(c_name, -8, 8)")),
-        expr("substring(c_name, 1, greatest(length(c_name) - 8, 0))"))
-      // a pair agreeing on BOTH keys surfaces twice with the same dist —
-      // dedup on the pair (dist is a pure function of it)
-      p1.unionByName(p2).dropDuplicates("key_a", "key_b")
-        .orderBy("key_a", "key_b")
-    }),
+    "q127_fuzzy_join" -> ((s, dir) =>
+      fuzzyCustomerPairs(s, dir).orderBy("key_a", "key_b")),
     "q115_xml_roundtrip" -> ((s, dir) => {
       // Spark 4's native XML source (the web-scrape interchange format the
       // reference's collectors would meet in the wild): write, read back
@@ -3446,6 +3472,57 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank FROM documents)
         |SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank % 100 = 1 ORDER BY rank""".stripMargin,
+    "q203_entity_resolution" ->
+      // q127's blocked pairs + the q77 recursive closure, singletons
+      // self-canonical via the left-join coalesce
+      """WITH RECURSIVE c AS (SELECT c_custkey, c_name FROM customer
+        |    UNION ALL SELECT * FROM (VALUES (900000001, 'Customer#A00001111'),
+        |      (900000002, 'Customer#B00001111')) t(c_custkey, c_name)),
+        |p AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b FROM c a JOIN c b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND (substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+        |    OR (length(a.c_name) = length(b.c_name)
+        |        AND substr(a.c_name, -8) = substr(b.c_name, -8)))
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT key_a AS src, key_b AS dst FROM p
+        |  UNION SELECT key_b, key_a FROM p),
+        |conn(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+        |lab AS (SELECT a, least(a, min(b)) AS entity FROM conn GROUP BY a),
+        |m AS (SELECT c.c_custkey, coalesce(lab.entity, c.c_custkey) AS entity_id
+        |  FROM c LEFT JOIN lab ON c.c_custkey = lab.a),
+        |sz AS (SELECT entity_id, count(*) AS cluster_size FROM m GROUP BY 1)
+        |SELECT m.c_custkey, m.entity_id, m.c_custkey = m.entity_id AS is_canonical,
+        |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+        |FROM m JOIN sz USING (entity_id) ORDER BY m.c_custkey""".stripMargin,
+    "q204_bigram_lm" ->
+      // same map-side positional bigrams, same mixture text; the per-doc
+      // fold orders by the distinct bigram
+      """WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS arr FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+        |    i -> {'a': arr[i], 'b': arr[i + 1]})) AS g FROM raw),
+        |bi AS (SELECT doc_id, g.a AS a, g.b AS b FROM bg),
+        |dbc AS (SELECT doc_id, a, b, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+        |cf2 AS (SELECT a, b, sum(c) AS cf2 FROM dbc GROUP BY 1, 2),
+        |cf1 AS (SELECT a, sum(cf2) AS cf1 FROM cf2 GROUP BY 1),
+        |tok AS (SELECT unnest(arr) AS t FROM raw),
+        |cfu AS (SELECT t, count(*) AS cu FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM tok),
+        |terms AS (SELECT dbc.doc_id, dbc.a, dbc.b, dbc.c,
+        |    CAST(dbc.c AS DOUBLE) * ln(0.7 * (CAST(cf2.cf2 AS DOUBLE) / CAST(cf1.cf1 AS DOUBLE))
+        |      + 0.3 * (CAST(cfu.cu AS DOUBLE) / CAST(n.nn AS DOUBLE))) AS term
+        |  FROM dbc JOIN cf2 USING (a, b) JOIN cf1 USING (a)
+        |  JOIN cfu ON dbc.b = cfu.t CROSS JOIN n),
+        |agg AS (SELECT doc_id, sum(c) AS nb,
+        |    round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY a, b)),
+        |      (x, y) -> x + y) / sum(c), 4) AS avg_nll
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+        |  coalesce(agg.avg_nll, CAST(0.0 AS DOUBLE)) AS avg_nll
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -411,6 +411,64 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("bm25").desc, col(idCol))).cast("long"))
   }
 
+  /** Interpolated bigram language-model scoring — [[unigramLogProb]]'s
+    * context-aware upgrade: each document's average negative log-likelihood
+    * under p(b|a) = λ·cf₂(a,b)/cf₁(a) + (1−λ)·cf(b)/N, the Jelinek–Mercer
+    * mixture every n-gram quality filter uses (unseen bigrams back off to
+    * the unigram floor, so no document scores −∞). λ in basis points.
+    *
+    * Scale shape: bigrams derive MAP-SIDE from the token array (a
+    * positional transform — never a positional self-join); one
+    * (doc, a, b) count shuffle, checkpointed because the corpus bigram
+    * table derives from it; the bigram-vocabulary join keys on (a, b)
+    * hash (too big to assume broadcastable — AQE may still choose to);
+    * unigram margins and the corpus total re-join as broadcasts; the
+    * per-doc fold runs over that doc's DISTINCT bigrams. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambdaBp: Int = 7000): DataFrame = {
+    require(lambdaBp > 0 && lambdaBp < 10000, s"lambdaBp out of (0,10000): $lambdaBp")
+    val lam = lambdaBp / 10000.0
+    val ilam = 1.0 - lam
+    val withArr = docs.select(col(idCol),
+      expr(s"filter(split(lower($textCol), '\\\\s+'), t -> length(t) > 0)").as("__tk"))
+    // sequence() DESCENDS when start > stop, so the < 2-token case must be
+    // guarded to an empty array, not sequence(0, -1)
+    val bi = withArr
+      .select(col(idCol), explode(expr(
+        "CASE WHEN size(__tk) >= 2 THEN " +
+          "transform(sequence(0, size(__tk) - 2), i -> struct(__tk[i] AS a, __tk[i + 1] AS b)) " +
+          "ELSE array() END")).as("__bg"))
+      .select(col(idCol), col("__bg.a").as("a"), col("__bg.b").as("b"))
+    val dbc = bi.groupBy(col(idCol), col("a"), col("b"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val cf2 = dbc.groupBy(col("a"), col("b")).agg(sum(col("c")).as("cf2"))
+    val cf1 = cf2.groupBy(col("a")).agg(sum(col("cf2")).as("cf1"))
+    val tok = withArr.select(explode(col("__tk")).as("t"))
+    val cfu = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val total = tok.agg(count(lit(1)).as("__N"))
+    val stats = dbc
+      .join(cf2, Seq("a", "b"))
+      .join(broadcast(cf1), Seq("a"))
+      .join(broadcast(cfu.select(col("t").as("b"), col("cu"))), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("a"), col("b"), col("c"),
+        (col("c").cast("double") * log(
+          lit(lam) * (col("cf2").cast("double") / col("cf1").cast("double")) +
+            lit(ilam) * (col("cu").cast("double") / col("__N").cast("double"))))
+          .as("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("__nb"),
+        sort_array(collect_list(struct(col("a"), col("b"), col("term")))).as("__t"))
+      .select(col(idCol), col("__nb").cast("long").as("n_bigrams"),
+        round(negate(expr(
+          "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"))
+          / col("__nb"), 4).as("avg_nll"))
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+  }
+
   /** Reciprocal-rank fusion of N rank lists — the standard way to merge
     * heterogeneous retrieval signals (BM25, embedding ANN, recency) without
     * score calibration: rrf(d) = Σᵢ 1/(k + rankᵢ(d)), an absent list

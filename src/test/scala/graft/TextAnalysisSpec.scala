@@ -210,6 +210,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(3L, 5L))
   }
 
+  test("bigramLogProb: JM mixture, short docs surface 0 not -inf") {
+    val docs = Seq((1L, "a b a b"), (2L, "a")).toDF("id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    // corpus: cf2(a,b)=2, cf2(b,a)=1, cf1(a)=2, cf1(b)=1, unigrams a=3 b=2
+    // N=5 → p(b|a) = 0.7·1 + 0.3·0.4 = 0.82; p(a|b) = 0.7·1 + 0.3·0.6 = 0.88
+    // doc1 nll = −(2·ln0.82 + ln0.88)/3 = 0.175; doc2: no bigrams → 0
+    assert(out.map(_._2) == Seq(3L, 0L))
+    assert(math.abs(out.head._3 - 0.175) < 0.001 && out(1)._3 == 0.0)
+  }
+
   test("rrfFusion: fixed-order reciprocal terms, absent list contributes 0") {
     val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
     val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
