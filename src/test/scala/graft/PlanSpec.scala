@@ -399,4 +399,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition") || !plan.contains("Window ["),
       s"no global window in gaps-and-islands:\n$plan")
   }
+
+  test("entity resolution: blocked equi-joins only, no cartesian (q203)") {
+    val plan = q("q203_entity_resolution")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy matching must stay blocked:\n$plan")
+  }
+
+  test("bigram LM: margins broadcast; no positional self-join (q204)") {
+    val plan = q("q204_bigram_lm")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -189,4 +189,57 @@ class PropertySpec extends SparkSpec {
       assert(got == expect && got.nonEmpty, s"seed $seed mismatch")
     }
   }
+
+  test("property: clampedBalance equals the sequential clamped scan; " +
+      "never negative; equals the plain sum when nothing overdraws") {
+    import graft.ops.Stats
+    val deltaGen = Gen.listOfN(40, Gen.chooseNum(-50L, 80L))
+    for (seed <- 1L to 5L) {
+      val ds = sample(deltaGen, seed).zipWithIndex
+        .map { case (d, i) => ("k", i.toLong, d) }
+      val df = ds.toDF("k", "seq", "d")
+      val got = Stats.clampedBalance(df, "k", Seq("seq"), "d")
+        .select("balance").as[Long].collect().head
+      val expect = ds.map(_._3).foldLeft(0L)((acc, d) => math.max(acc + d, 0L))
+      assert(got == expect && got >= 0, s"seed $seed: $got != $expect")
+    }
+    // all-positive deltas: the floor never engages
+    val pos = (1L to 20L).map(i => ("k", i, i)).toDF("k", "seq", "d")
+    val g = Stats.clampedBalance(pos, "k", Seq("seq"), "d")
+      .select("balance").as[Long].collect().head
+    assert(g == (1L to 20L).sum)
+  }
+
+  test("property: weightedMedian equals the brute-force scan pick") {
+    import graft.ops.Relational
+    val rowGen = Gen.listOfN(60, for {
+      amt <- Gen.chooseNum(1L, 30L)
+      w <- Gen.chooseNum(1L, 9L)
+    } yield (amt, w))
+    for (seed <- 1L to 5L) {
+      val rows = sample(rowGen, seed).zipWithIndex
+        .map { case ((a, w), i) => (a, w, i.toLong) }
+      val df = rows.toDF("amt", "w", "id")
+      val got = Relational.weightedMedian(df, "amt", "w", Seq("id"))
+        .as[(Long, Long)].collect().head
+      val total = rows.map(_._2).sum
+      val sorted = rows.sortBy(r => (r._1, r._3))
+      var cum = 0L
+      val pick = sorted.find { r => cum += r._2; 2 * cum >= total }.get._1
+      assert(got == ((pick, total)), s"seed $seed: $got vs ($pick, $total)")
+    }
+  }
+
+  test("property: modePerGroup equals the brute-force argmax with the tie rule") {
+    import graft.ops.Stats
+    val vGen = Gen.listOfN(80, Gen.chooseNum(0L, 9L))
+    for (seed <- 1L to 5L) {
+      val vs = sample(vGen, seed).map(v => ("g", v))
+      val got = Stats.modePerGroup(vs.toDF("g", "v"), "g", "v")
+        .as[(String, Long, Long)].collect().head
+      val counts = vs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val best = counts.toSeq.sortBy { case (v, n) => (-n, v) }.head
+      assert(got == (("g", best._1, best._2)), s"seed $seed: $got vs $best")
+    }
+  }
 }
