@@ -847,6 +847,13 @@ object SparkEntry {
       // NLL per document, unseen bigrams backed off to the unigram floor
       TextAnalysis.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "q205_srm" -> ((s, dir) =>
+      // experiment-health gate per event type: deterministic user_id % 2
+      // arms; the 5% flag decides on exact integers, chi2 is display-only
+      Stats.sampleRatioMismatch(
+        T(s, dir, "events").withColumn("arm", expr("pmod(user_id, 2)")),
+        "event_type", "arm")
+        .orderBy("event_type")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3523,6 +3530,17 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
         |  coalesce(agg.avg_nll, CAST(0.0 AS DOUBLE)) AS avg_nll
         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q205_srm" ->
+      // two-cell chi-square: flag (n_a - n_b)^2 * 100 > 384 * n on exact ints
+      """WITH a AS (SELECT event_type,
+        |    count(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+        |    count(*) FILTER (WHERE user_id % 2 = 1) AS n_b
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE), 4) AS chi2,
+        |  (n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b) AS srm_flag
+        |FROM a ORDER BY event_type""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -779,6 +779,35 @@ object Stats {
         round(col("__f.l") + col("__f.b"), 4).as("forecast"))
   }
 
+  /** Sample-ratio-mismatch check for a deterministic 50/50 split — the
+    * first experiment-health gate: if the two arms' sizes diverge more
+    * than chance allows, the assignment (not the treatment) is broken and
+    * every downstream readout (q163's lift) is invalid. For a two-cell
+    * split, χ² = (n_a − n_b)²/n, so the 5%-level flag
+    * χ² > 3.84 ⟺ (n_a − n_b)²·100 > 384·n decides on EXACT integers —
+    * the surfaced χ² is display-only (4 dp).
+    *
+    * Scale shape: one (group, arm) count with map-side combine; |groups|
+    * output rows. Squares ride decimal(38,0). */
+  def sampleRatioMismatch(df: DataFrame, groupCol: String,
+                          armCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df
+      .filter(when(col(armCol).isin(0, 1), lit(true)).otherwise(raise_error(
+        lit("sampleRatioMismatch: arm must be 0 or 1"))))
+      .groupBy(col(groupCol))
+      .agg(sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(armCol) === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col(groupCol), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        round((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"), 4).as("chi2"),
+        (((col("n_a") - col("n_b")).cast(dec) * (col("n_a") - col("n_b")).cast(dec))
+          * lit(100) > lit(384).cast(dec) * (col("n_a") + col("n_b")).cast(dec))
+          .as("srm_flag"))
+  }
+
   /** Per-group mode with a deterministic tie-break (highest count, then
     * LOWEST value) — the categorical "typical value" profile column.
     * Exact counts; the winner selection is a (count desc, value) window

@@ -477,6 +477,24 @@ class StatsSpec extends SparkSpec {
     assert(out == Seq(("g", 19L, 1L, 19L, 1000L)))
   }
 
+  // --------------------------------------------------- sampleRatioMismatch
+
+  test("sampleRatioMismatch: exact-integer flag at the 3.84 boundary") {
+    // 60/40 of 100: chi2 = 400/100 = 4 > 3.84 → flag; 59/41: 3.24 → clear
+    val df = (1 to 60).map(_ => ("g", 0)) ++ (1 to 40).map(_ => ("g", 1)) ++
+      (1 to 59).map(_ => ("h", 0)) ++ (1 to 41).map(_ => ("h", 1))
+    val out = Stats.sampleRatioMismatch(df.toDF("g", "arm"), "g", "arm")
+      .orderBy("g").as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(("g", 60L, 40L, 4.0, true), ("h", 59L, 41L, 3.24, false)))
+  }
+
+  test("sampleRatioMismatch rejects arms outside {0, 1} in-plan") {
+    val df = Seq(("g", 2)).toDF("g", "arm")
+    assertThrows[Exception] {
+      Stats.sampleRatioMismatch(df, "g", "arm").collect()
+    }
+  }
+
   // ---------------------------------------------------------- modePerGroup
 
   test("modePerGroup: highest count wins, ties break to the lowest value") {
