@@ -854,6 +854,16 @@ object SparkEntry {
         T(s, dir, "events").withColumn("arm", expr("pmod(user_id, 2)")),
         "event_type", "arm")
         .orderBy("event_type")),
+    "q206_did" -> ((s, dir) =>
+      // treatment effect net of the control drift: q205's deterministic
+      // arms, the month's halves as pre/post, value cents as the outcome
+      Stats.diffInDiff(
+        T(s, dir, "events")
+          .withColumn("arm", expr("pmod(user_id, 2)"))
+          .withColumn("period",
+            when(expr("CAST(ts AS DATE) < DATE '2024-01-16'"), "a").otherwise("b"))
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "arm", "period", "cents")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3541,6 +3551,33 @@ object SparkEntry {
         |    / CAST(n_a + n_b AS DOUBLE), 4) AS chi2,
         |  (n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b) AS srm_flag
         |FROM a ORDER BY event_type""".stripMargin,
+    "q206_did" ->
+      // four exact cells from one pass; means and the DiD share formula
+      // text with the engine (sum/count casts, rounding order)
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'a' ELSE 'b' END AS period,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT
+        |    sum(cents) FILTER (WHERE arm = 0 AND period = 'a') AS sca,
+        |    count(*) FILTER (WHERE arm = 0 AND period = 'a') AS n_c_pre,
+        |    sum(cents) FILTER (WHERE arm = 0 AND period = 'b') AS scb,
+        |    count(*) FILTER (WHERE arm = 0 AND period = 'b') AS n_c_post,
+        |    sum(cents) FILTER (WHERE arm = 1 AND period = 'a') AS sta,
+        |    count(*) FILTER (WHERE arm = 1 AND period = 'a') AS n_t_pre,
+        |    sum(cents) FILTER (WHERE arm = 1 AND period = 'b') AS stb,
+        |    count(*) FILTER (WHERE arm = 1 AND period = 'b') AS n_t_post
+        |  FROM e)
+        |SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre, CAST(n_c_post AS BIGINT) AS n_c_post,
+        |  CAST(n_t_pre AS BIGINT) AS n_t_pre, CAST(n_t_post AS BIGINT) AS n_t_post,
+        |  round(CAST(sca AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 4) AS m_c_pre,
+        |  round(CAST(scb AS DOUBLE) / CAST(n_c_post AS DOUBLE), 4) AS m_c_post,
+        |  round(CAST(sta AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 4) AS m_t_pre,
+        |  round(CAST(stb AS DOUBLE) / CAST(n_t_post AS DOUBLE), 4) AS m_t_post,
+        |  round((CAST(stb AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |      - CAST(sta AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+        |    - (CAST(scb AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |      - CAST(sca AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 4) AS did
+        |FROM c WHERE n_c_pre > 0 AND n_c_post > 0 AND n_t_pre > 0 AND n_t_post > 0""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -808,6 +808,52 @@ object Stats {
           .as("srm_flag"))
   }
 
+  /** Difference-in-differences: the treatment effect estimate that
+    * subtracts the control arm's pre→post drift from the treated arm's —
+    * the readout that separates "the feature moved the metric" from "the
+    * metric was moving anyway". Cells are (arm ∈ {0 control, 1 treated},
+    * period ∈ {'a' pre, 'b' post}); all four sums/counts are exact longs
+    * from ONE aggregate, the four means and the DiD are display doubles
+    * computed from them with identical formula text (4 dp).
+    *
+    * Scale shape: a single global aggregate with conditional sums — one
+    * pass, no join, no window, 1 output row. */
+  def diffInDiff(df: DataFrame, armCol: String, periodCol: String,
+                 centsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def cell(arm: Int, p: String) =
+      (sum(when(col(armCol) === arm && col(periodCol) === p, col(centsCol))
+        .otherwise(lit(0L))).cast(dec),
+        sum(when(col(armCol) === arm && col(periodCol) === p, 1L)
+          .otherwise(0L)))
+    val ((sc_a, _), (sc_b, _), (st_a, _), (st_b, _)) =
+      (cell(0, "a"), cell(0, "b"), cell(1, "a"), cell(1, "b"))
+    val guarded = df.filter(
+      when(col(armCol).isin(0, 1) && col(periodCol).isin("a", "b"), lit(true))
+        .otherwise(raise_error(lit(
+          "diffInDiff: arm must be 0/1 and period 'a'/'b'"))))
+    def m(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    guarded
+      .agg(sc_a.as("__sca"), cell(0, "a")._2.as("n_c_pre"),
+        sc_b.as("__scb"), cell(0, "b")._2.as("n_c_post"),
+        st_a.as("__sta"), cell(1, "a")._2.as("n_t_pre"),
+        st_b.as("__stb"), cell(1, "b")._2.as("n_t_post"))
+      .filter(col("n_c_pre") > 0 && col("n_c_post") > 0 &&
+        col("n_t_pre") > 0 && col("n_t_post") > 0)
+      .select(
+        col("n_c_pre").cast("long").as("n_c_pre"),
+        col("n_c_post").cast("long").as("n_c_post"),
+        col("n_t_pre").cast("long").as("n_t_pre"),
+        col("n_t_post").cast("long").as("n_t_post"),
+        round(m(col("__sca"), col("n_c_pre")), 4).as("m_c_pre"),
+        round(m(col("__scb"), col("n_c_post")), 4).as("m_c_post"),
+        round(m(col("__sta"), col("n_t_pre")), 4).as("m_t_pre"),
+        round(m(col("__stb"), col("n_t_post")), 4).as("m_t_post"),
+        round((m(col("__stb"), col("n_t_post")) - m(col("__sta"), col("n_t_pre"))) -
+          (m(col("__scb"), col("n_c_post")) - m(col("__sca"), col("n_c_pre"))), 4)
+          .as("did"))
+  }
+
   /** Per-group mode with a deterministic tie-break (highest count, then
     * LOWEST value) — the categorical "typical value" profile column.
     * Exact counts; the winner selection is a (count desc, value) window

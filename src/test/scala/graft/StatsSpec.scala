@@ -495,6 +495,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ diffInDiff
+
+  test("diffInDiff: treated lift net of the control drift") {
+    // control drifts +10 (100→110); treated moves +30 (100→130): did = 20
+    val rows = Seq((0, "a", 100L), (0, "b", 110L),
+      (1, "a", 100L), (1, "b", 130L)).map { case (a, p, c) => (a, p, c) }
+    val out = Stats.diffInDiff(rows.toDF("arm", "period", "cents"),
+      "arm", "period", "cents")
+      .select("m_c_pre", "m_c_post", "m_t_pre", "m_t_post", "did")
+      .as[(Double, Double, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((100.0, 110.0, 100.0, 130.0, 20.0)))
+  }
+
+  test("diffInDiff: an empty cell yields no row rather than a NaN estimate") {
+    val rows = Seq((0, "a", 100L), (1, "a", 100L), (1, "b", 130L))
+    val out = Stats.diffInDiff(rows.toDF("arm", "period", "cents"),
+      "arm", "period", "cents").collect()
+    assert(out.isEmpty)
+  }
+
   // ---------------------------------------------------------- modePerGroup
 
   test("modePerGroup: highest count wins, ties break to the lowest value") {
