@@ -57,9 +57,8 @@ object Streaming {
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
     if (name == "events")
-      // true floor division (matches graft.Tables.events — `div` alone
-      // truncates toward zero and diverges on pre-1970 epochs)
-      raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      // encoding-agnostic ts normalization (matches graft.Tables.events)
+      Tables.normalizeTs(raw)
     else raw
   }
 
