@@ -864,6 +864,42 @@ object SparkEntry {
             when(expr("CAST(ts AS DATE) < DATE '2024-01-16'"), "a").otherwise("b"))
           .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
         "arm", "period", "cents")),
+    "q207_ks_drift" -> ((s, dir) =>
+      // distribution-level arm health: exact-integer KS over value cents,
+      // complements q205's count-level SRM
+      Stats.ksDrift(
+        T(s, dir, "events")
+          .withColumn("arm", expr("pmod(user_id, 2)"))
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "arm", "cents")),
+    "q208_auc" -> ((s, dir) =>
+      // scorer quality readout: exact Mann-Whitney AUC of value cents as a
+      // predictor of the purchase label — rank-free histogram formulation
+      Stats.aucFromScores(
+        T(s, dir, "events")
+          .withColumn("is_purchase", col("event_type") === "purchase")
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "is_purchase", "cents")),
+    "q209_silhouette" -> ((s, dir) =>
+      // cluster validity over the labeled embedding table: sampled
+      // silhouette, distances on the tenth-of-bp integer grid
+      Similarity.silhouetteSampled(
+        T(s, dir, "embeddings"), "vec_id", "embedding", "label", sampleMod = 4)
+        .orderBy("vec_id")),
+    "q210_chi2_assoc" -> ((s, dir) =>
+      // is language independent of source? exact micro-unit chi-square
+      // contribution per (lang, source) cell
+      Stats.chi2Independence(T(s, dir, "documents"), "lang", "source")
+        .orderBy("lang", "source")),
+    "q211_calibration" -> ((s, dir) =>
+      // reliability deciles: mean predicted score vs observed purchase
+      // rate per clamped score decile
+      Stats.calibrationBins(
+        T(s, dir, "events")
+          .withColumn("is_purchase", col("event_type") === "purchase")
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "is_purchase", "cents")
+        .orderBy("bin")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3578,6 +3614,92 @@ object SparkEntry {
         |    - (CAST(scb AS DOUBLE) / CAST(n_c_post AS DOUBLE)
         |      - CAST(sca AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 4) AS did
         |FROM c WHERE n_c_pre > 0 AND n_c_post > 0 AND n_t_pre > 0 AND n_t_post > 0""".stripMargin,
+    "q207_ks_drift" ->
+      // exact-integer KS: D numerator = max |cumA·nB − cumB·nA| over the
+      // pooled distinct cents; flag squares the 1.358·sqrt bound into
+      // hugeint arithmetic (≡ the engine's decimal(38,0))
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT cents,
+        |    count(*) FILTER (WHERE arm = 0) AS na,
+        |    count(*) FILTER (WHERE arm = 1) AS nb FROM e GROUP BY 1),
+        |c AS (SELECT cents, sum(na) OVER (ORDER BY cents) AS ca,
+        |    sum(nb) OVER (ORDER BY cents) AS cb FROM g),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM g),
+        |d AS (SELECT CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS d_num
+        |  FROM c CROSS JOIN t)
+        |SELECT ta AS n_a, tb AS n_b, d_num,
+        |  round(CAST(d_num AS DOUBLE) / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 4)
+        |    AS d_stat,
+        |  CAST(d_num AS HUGEINT) * CAST(d_num AS HUGEINT) * 1000000
+        |    > CAST(1844164 AS HUGEINT) * ta * tb * (ta + tb) AS drift_flag
+        |FROM d CROSS JOIN t""".stripMargin,
+    "q208_auc" ->
+      // rank-free exact AUC from the score histogram: positives at score s
+      // beat negatives below s, half-tie with negatives at s → exact 2U
+      """WITH e AS (SELECT event_type = 'purchase' AS lab,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT cents,
+        |    count(*) FILTER (WHERE lab) AS np,
+        |    count(*) FILTER (WHERE NOT lab) AS nn FROM e GROUP BY 1),
+        |c AS (SELECT cents, np, nn,
+        |    sum(nn) OVER (ORDER BY cents) - nn AS below FROM g),
+        |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    (SELECT CAST(sum(nn) AS BIGINT) FROM g) AS n_neg,
+        |    CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2 FROM c)
+        |SELECT n_pos, n_neg, u2,
+        |  round(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 4) AS auc
+        |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+    "q209_silhouette" ->
+      // pairwise Euclidean via norms+dot on double-cast lists, quantized to
+      // the tenth-of-bp integer grid before any mean — matches the engine's
+      // DotProduct accumulation bit for bit
+      """WITH s AS (SELECT vec_id AS sid, label AS sl,
+        |    CAST(embedding AS DOUBLE[]) AS sv FROM embeddings WHERE vec_id % 4 = 0),
+        |p AS (SELECT vec_id AS pid, label AS pl,
+        |    CAST(embedding AS DOUBLE[]) AS pv FROM embeddings),
+        |sn AS (SELECT sid, sl, sv, list_dot_product(sv, sv) AS snorm FROM s),
+        |pn AS (SELECT pid, pl, pv, list_dot_product(pv, pv) AS pnorm FROM p),
+        |pr AS (SELECT sid, sl, pl,
+        |    CAST(round(sqrt(greatest(snorm + pnorm - 2 * list_dot_product(sv, pv), 0))
+        |      * 100000, 0) AS BIGINT) AS d
+        |  FROM pn CROSS JOIN sn WHERE pid <> sid),
+        |pc AS (SELECT sid, sl, pl, sum(d) AS sm, count(*) AS n FROM pr GROUP BY 1, 2, 3),
+        |ab AS (SELECT sid, sl,
+        |    max(CASE WHEN pl = sl THEN CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) END) AS a,
+        |    min(CASE WHEN pl <> sl THEN CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) END) AS b
+        |  FROM pc GROUP BY 1, 2)
+        |SELECT sid AS vec_id, sl AS label,
+        |  round(a / 100000, 4) AS a_dist, round(b / 100000, 4) AS b_dist,
+        |  round((b - a) / greatest(a, b), 4) AS silhouette
+        |FROM ab WHERE a IS NOT NULL AND b IS NOT NULL ORDER BY vec_id""".stripMargin,
+    "q210_chi2_assoc" ->
+      // per-cell chi-square contribution in exact micro-units:
+      // (o·n − r·c)²·10⁶ // (r·c·n) on hugeint ≡ the engine's decimal floor
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, sum(o) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT source, sum(o) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM cells)
+        |SELECT lang, source, o AS observed,
+        |  round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 4) AS expected,
+        |  CAST((CAST(o * n - r * c AS HUGEINT) * CAST(o * n - r * c AS HUGEINT) * 1000000)
+        |    // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS contrib_micro
+        |FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+        |ORDER BY lang, source""".stripMargin,
+    "q211_calibration" ->
+      // clamped score deciles: exact integer sums, 4-dp display ratios
+      """WITH e AS (SELECT event_type = 'purchase' AS lab,
+        |    least(CAST(round(value * 100, 0) AS BIGINT), 10000) AS cents FROM events),
+        |b AS (SELECT least((cents * 10) // 10000, 9) AS bin, cents, lab FROM e)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(cents) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0), 4)
+        |    AS mean_score,
+        |  round(CAST(count(*) FILTER (WHERE lab) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS pos_rate,
+        |  round(CAST(count(*) FILTER (WHERE lab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    - CAST(sum(cents) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0), 4) AS gap
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

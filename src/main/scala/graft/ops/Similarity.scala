@@ -359,4 +359,58 @@ object Similarity {
       .agg(
         sum(round(col("__v").cast("double") * lit(1000000d)).cast("long")).as("sum_scaled"),
         count(lit(1)).as("n"))
+
+  /** Sampled silhouette coefficient per point — the standard internal
+    * validity check for a labeled/clustered embedding table (are q134's
+    * label clusters actually tight?). For each sampled point i:
+    * a = mean distance to its own cluster's other members, b = the minimum
+    * over other clusters of the mean distance to that cluster,
+    * s = (b−a)/max(a,b).
+    *
+    * Determinism: each pairwise Euclidean distance is computed as
+    * √(max(‖x‖²+‖y‖²−2x·y, 0)) with [[DotProduct]]'s left-to-right double
+    * accumulation (bit-identical to DuckDB's `list_dot_product` on the
+    * double-cast list; the max(·,0) clamps negative float cancellation) and
+    * immediately quantized to an integer tenth-of-basis-point grid, so the
+    * per-cluster means are exact-integer-sum / exact-count — no
+    * order-dependent float aggregation anywhere. a, b and s are 4-dp
+    * display values derived per-row from those exact sums.
+    *
+    * Scale shape: silhouette is inherently all-pairs, so the sample side is
+    * the knob — `sampleMod` keeps it a fixed-size deterministic slice
+    * (id mod sampleMod = 0) that BROADCASTS against a single pass over the
+    * full corpus (BroadcastNestedLoopJoin, corpus never shuffles); the
+    * reduce is |sample|·|labels| rows. At 100 TB you raise sampleMod, not
+    * the join strategy. */
+  def silhouetteSampled(emb: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, sampleMod: Int = 4): DataFrame = {
+    val s = emb.select(col(idCol).as("__sid"), col(vecCol).as("__sv"),
+        col(labelCol).as("__sl"))
+      .filter(pmod(col("__sid"), lit(sampleMod)) === 0)
+      .withColumn("__sn", dot("__sv", "__sv"))
+    val p = emb.select(col(idCol).as("__pid"), col(vecCol).as("__pv"),
+        col(labelCol).as("__pl"))
+      .withColumn("__pn", dot("__pv", "__pv"))
+    val d2 = greatest(
+      col("__sn") + col("__pn") - lit(2.0) * dot("__sv", "__pv"),
+      lit(0.0))
+    val distTb = round(sqrt(d2) * lit(100000d)).cast("long")
+    val perCluster = p.crossJoin(broadcast(s))
+      .filter(col("__pid") =!= col("__sid"))
+      .select(col("__sid"), col("__sl"), col("__pl"), distTb.as("__d"))
+      .groupBy(col("__sid"), col("__sl"), col("__pl"))
+      .agg(sum("__d").as("__s"), count(lit(1)).as("__n"))
+    val mean = col("__s").cast("double") / col("__n").cast("double")
+    perCluster
+      .withColumn("__m", mean)
+      .groupBy(col("__sid"), col("__sl"))
+      .agg(max(when(col("__pl") === col("__sl"), col("__m"))).as("__a"),
+        min(when(col("__pl") =!= col("__sl"), col("__m"))).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .select(col("__sid").as("vec_id"), col("__sl").as("label"),
+        round(col("__a") / 100000d, 4).as("a_dist"),
+        round(col("__b") / 100000d, 4).as("b_dist"),
+        round((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 4)
+          .as("silhouette"))
+  }
 }

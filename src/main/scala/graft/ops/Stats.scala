@@ -872,4 +872,138 @@ object Stats {
       .select(col(groupCol), col(valueCol).as("mode_value"),
         col("n").cast("long").as("n"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift gate over an exact integer unit
+    * column (cents/bp) — the distribution-level health check that catches
+    * what q205's count-level SRM can't: two arms with identical sizes but
+    * shifted value distributions. D is computed as an exact integer
+    * numerator `max |cumA·nB − cumB·nA|` over the pooled distinct units
+    * (D = numerator / (nA·nB)); the 5% rejection flag squares the classic
+    * large-sample bound D > 1.358·√((nA+nB)/(nA·nB)) into pure integer
+    * arithmetic on decimal(38,0): num²·10⁶ > 1844164·nA·nB·(nA+nB)
+    * (1844164 = ⌈1.358²·10⁶⌉ truncated — both engines compare the same
+    * exact integers, no float boundary). The surfaced d_stat is 4-dp
+    * display.
+    *
+    * Scale shape: one (unit, arm-conditional counts) aggregate with
+    * map-side combine, then [[TwoPhase.prefixSum]] twice over the
+    * |distinct units| frame (never raw rows, no empty-partition window),
+    * then a single global max. 1 output row. */
+  def ksDrift(df: DataFrame, armCol: String, unitsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val grouped = df
+      .filter(when(col(armCol).isin(0, 1), lit(true)).otherwise(raise_error(
+        lit("ksDrift: arm must be 0 or 1"))))
+      .groupBy(col(unitsCol).as("__u"))
+      .agg(sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(armCol) === 1, 1L).otherwise(0L)).as("__nb"))
+    val (withA, totA) = TwoPhase.prefixSum(
+      grouped, col("__u"), Seq(col("__u")), col("__na"), "__ca")
+    val (withB, totB) = TwoPhase.prefixSum(
+      withA, col("__u"), Seq(col("__u")), col("__nb"), "__cb")
+    require(totA > 0 && totB > 0, "ksDrift: both arms must be non-empty")
+    withB
+      .agg(max(abs(col("__ca") * lit(totB) - col("__cb") * lit(totA))).as("d_num"))
+      .select(lit(totA).as("n_a"), lit(totB).as("n_b"),
+        col("d_num").cast("long").as("d_num"),
+        round(col("d_num").cast("double") /
+          (lit(totA).cast("double") * lit(totB).cast("double")), 4).as("d_stat"),
+        (col("d_num").cast(dec) * col("d_num").cast(dec) * lit(1000000L).cast(dec) >
+          lit(1844164L).cast(dec) * lit(totA).cast(dec) * lit(totB).cast(dec) *
+            lit(totA + totB).cast(dec)).as("drift_flag"))
+  }
+
+  /** Exact AUC (= Mann-Whitney U / (nP·nN)) of an integer score column
+    * against a boolean label — the standard readout for any quality /
+    * toxicity / dedup-priority scorer feeding a curation gate. Computed
+    * rank-free from the grouped score histogram: for each distinct score,
+    * positives there beat every negative BELOW it and half-tie with the
+    * negatives AT it, so 2U = Σ nP(s)·(2·cumNegBelow(s) + nN(s)) — exact
+    * longs end to end (u2 ≤ 2·nP·nN), AUC surfaced as 4-dp display.
+    *
+    * Scale shape: one histogram aggregate with map-side combine, one
+    * [[TwoPhase.prefixSum]] over |distinct scores| rows, one global sum.
+    * No per-row ranks, no window over raw rows. 1 output row. */
+  def aucFromScores(df: DataFrame, labelCol: String, unitsCol: String): DataFrame = {
+    val grouped = df
+      .groupBy(col(unitsCol).as("__u"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
+    val (withC, totN) = TwoPhase.prefixSum(
+      grouped, col("__u"), Seq(col("__u")), col("__nn"), "__cn")
+    withC
+      .agg(sum(col("__np")).as("n_pos"),
+        sum(col("__np") * (lit(2L) * (col("__cn") - col("__nn")) + col("__nn")))
+          .as("u2"))
+      .filter(col("n_pos") > 0 && lit(totN) > 0)
+      .select(col("n_pos").cast("long").as("n_pos"), lit(totN).as("n_neg"),
+        col("u2").cast("long").as("u2"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * lit(totN).cast("double")), 4)
+          .as("auc"))
+  }
+
+  /** Pearson chi-square contribution table for the independence of two
+    * categorical columns — the drift/association profile over e.g.
+    * (lang, source). Each cell's contribution (o−e)²/e is surfaced in
+    * exact integer MICRO-units via the overflow-safe identity
+    * (o·n − r·c)²·10⁶ div (r·c·n) on decimal(38,0) (floor division written
+    * as (x − x mod d)/d so both engines floor identically — Spark's
+    * decimal `/` alone rounds HALF_UP at scale 6, which could cross an
+    * integer boundary). `expected` is 4-dp display from the same exact
+    * marginals.
+    *
+    * Scale shape: raw rows are touched ONCE (the cell count aggregate,
+    * map-side combined, localCheckpointed); marginals and the total reduce
+    * the |x|·|y| cell frame and come back broadcast. |x|·|y| output rows. */
+  def chi2Independence(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("__o"))
+      .localCheckpoint(eager = false)
+    val rowTot = cells.groupBy(col(xCol)).agg(sum("__o").as("__r"))
+    val colTot = cells.groupBy(col(yCol)).agg(sum("__o").as("__c"))
+    val grand = cells.agg(sum("__o").as("__n"))
+    val num = (col("__o") * col("__n") - col("__r") * col("__c")).cast(dec)
+    val num2 = num * num * lit(1000000L).cast(dec)
+    val den = (col("__r") * col("__c")).cast(dec) * col("__n").cast(dec)
+    cells
+      .join(broadcast(rowTot), Seq(xCol))
+      .join(broadcast(colTot), Seq(yCol))
+      .crossJoin(broadcast(grand))
+      .select(col(xCol), col(yCol), col("__o").cast("long").as("observed"),
+        round(col("__r").cast("double") * col("__c").cast("double") /
+          col("__n").cast("double"), 4).as("expected"),
+        ((num2 - num2 % den) / den).cast("long").as("contrib_micro"))
+  }
+
+  /** Calibration (reliability) bins for an integer score in [0, maxUnits]
+    * against a boolean label: per decile-of-score, the mean predicted
+    * score vs the observed positive rate and their gap — the standard
+    * check before a classifier's scores are trusted as selection
+    * probabilities in a curation pipeline. Scores above `maxUnits` clamp
+    * into the top bin. All three surfaced ratios are 4-dp display computed
+    * from exact integer sums; bin assignment is integer floor division
+    * (`div`), identical to the oracle's `//`.
+    *
+    * Scale shape: one aggregate over raw rows with map-side combine,
+    * ≤ `bins` output rows, no join, no window. */
+  def calibrationBins(df: DataFrame, labelCol: String, unitsCol: String,
+                      bins: Int = 10, maxUnits: Long = 10000L): DataFrame = {
+    val capped = least(col(unitsCol).cast("long"), lit(maxUnits))
+    val bin = least(expr(s"(least(CAST($unitsCol AS BIGINT), $maxUnits) * $bins) " +
+      s"div $maxUnits"), lit(bins - 1L)).cast("long")
+    df
+      .filter(when(col(unitsCol) >= 0, lit(true)).otherwise(raise_error(
+        lit("calibrationBins: score units must be non-negative"))))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("__n"), sum(capped).as("__s"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"))
+      .select(col("bin"), col("__n").cast("long").as("n"),
+        round(col("__s").cast("double") /
+          (col("__n").cast("double") * lit(maxUnits.toDouble)), 4).as("mean_score"),
+        round(col("__p").cast("double") / col("__n").cast("double"), 4).as("pos_rate"),
+        round(col("__p").cast("double") / col("__n").cast("double") -
+          col("__s").cast("double") / (col("__n").cast("double") *
+            lit(maxUnits.toDouble)), 4).as("gap"))
+  }
 }

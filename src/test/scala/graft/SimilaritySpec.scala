@@ -213,4 +213,47 @@ class SimilaritySpec extends SparkSpec {
     }.toSeq.sorted
     assert(a.sorted == expect)
   }
+
+  test("silhouetteSampled matches an in-memory brute-force reference") {
+    import spark.implicits._
+    // 3 planted clusters in 2D; ids chosen so sampleMod=4 keeps one or more
+    // points of every label (0,4,8 → label 0; 12 → label 1; 16 → label 2)
+    val pts = Seq(
+      (0L, Array(0f, 0f), 0), (4L, Array(0f, 1f), 0), (8L, Array(1f, 0f), 0),
+      (1L, Array(10f, 0f), 1), (2L, Array(10f, 1f), 1), (12L, Array(11f, 0f), 1),
+      (3L, Array(5f, 5f), 2), (16L, Array(5f, 6f), 2))
+    val out = Similarity.silhouetteSampled(
+      pts.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", sampleMod = 4)
+      .orderBy("vec_id")
+      .as[(Long, Int, Double, Double, Double)].collect().toSeq
+
+    def dtb(a: Array[Float], b: Array[Float]): Long = {
+      def dot(x: Array[Float], y: Array[Float]): Double =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      math.round(math.sqrt(math.max(dot(a, a) + dot(b, b) - 2 * dot(a, b), 0.0)) * 100000)
+    }
+    def r4(d: Double): Double =
+      BigDecimal.valueOf(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = pts.filter(_._1 % 4 == 0).sortBy(_._1).map { case (id, v, l) =>
+      val byLabel = pts.filter(_._1 != id).groupBy(_._3)
+        .map { case (lab, ps) => lab -> ps.map(p => dtb(v, p._2)).sum.toDouble / ps.size }
+      val a = byLabel(l)
+      val b = (byLabel - l).values.min
+      (id, l, r4(a / 100000), r4(b / 100000), r4((b - a) / math.max(a, b)))
+    }
+    assert(out.size == 5 && out == expect, s"got $out want $expect")
+  }
+
+  test("silhouetteSampled: tight own cluster and far others approach +1") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(0f, 0.1f), 0),
+      (2L, Array(100f, 0f), 1), (3L, Array(100f, 0.1f), 1))
+    val s = Similarity.silhouetteSampled(
+      pts.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", sampleMod = 2)
+      .select("silhouette").as[Double].collect()
+    assert(s.length == 2 && s.forall(_ > 0.99), s.toSeq.toString)
+  }
 }

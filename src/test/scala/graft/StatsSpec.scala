@@ -524,4 +524,104 @@ class StatsSpec extends SparkSpec {
       .orderBy("grp").as[(String, String, Long)].collect().toSeq
     assert(out == Seq(("g", "a", 2L), ("t", "a", 1L)))
   }
+
+  // --------------------------------------------------------------- ksDrift
+
+  test("ksDrift: identical arms score zero, disjoint arms score D=1 and flag") {
+    val same = (1 to 4).flatMap(v => Seq((0, v.toLong), (1, v.toLong)))
+      .toDF("arm", "u")
+    val (na0, nb0, dn0, d0, f0) = Stats.ksDrift(same, "arm", "u")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert((na0, nb0, dn0, d0, f0) == (4L, 4L, 0L, 0.0, false))
+
+    val disjoint = ((1 to 10).map(_ => (0, 1L)) ++ (1 to 10).map(_ => (1, 2L)))
+      .toDF("arm", "u")
+    val (_, _, dn1, d1, f1) = Stats.ksDrift(disjoint, "arm", "u")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    // D = 1 exactly: numerator = nA·nB = 100
+    assert(dn1 == 100L && d1 == 1.0 && f1)
+  }
+
+  test("ksDrift: exact hand-computed numerator") {
+    // arm0 = {1,1,2}, arm1 = {2,3,3}: cum diffs ·3 are 6, 6, 0 → d_num = 6
+    val df = Seq((0, 1L), (0, 1L), (0, 2L), (1, 2L), (1, 3L), (1, 3L))
+      .toDF("arm", "u")
+    val (na, nb, dn, d, _) = Stats.ksDrift(df, "arm", "u")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(na == 3L && nb == 3L && dn == 6L && d == 0.6667)
+  }
+
+  test("ksDrift rejects arms outside {0, 1} in-plan") {
+    val bad = Seq((2, 1L)).toDF("arm", "u")
+    val e = intercept[Exception](Stats.ksDrift(bad, "arm", "u"))
+    assert(e.getMessage.contains("arm must be 0 or 1"))
+  }
+
+  // --------------------------------------------------------- aucFromScores
+
+  test("aucFromScores: perfect separation scores 1, all-tied scores 0.5") {
+    val perfect = Seq((true, 3L), (true, 4L), (false, 1L), (false, 2L))
+      .toDF("lab", "u")
+    val (np, nn, u2, auc) = Stats.aucFromScores(perfect, "lab", "u")
+      .as[(Long, Long, Long, Double)].head()
+    assert((np, nn, u2, auc) == (2L, 2L, 8L, 1.0))
+
+    val tied = Seq((true, 5L), (true, 5L), (false, 5L), (false, 5L))
+      .toDF("lab", "u")
+    val (_, _, u2t, auct) = Stats.aucFromScores(tied, "lab", "u")
+      .as[(Long, Long, Long, Double)].head()
+    assert(u2t == 4L && auct == 0.5)
+  }
+
+  test("aucFromScores: ties at the positive's score count half") {
+    // pos {2}, neg {1,2,3}: 2U = 2·below(2) + ties(2) = 2·1 + 1 = 3
+    val df = Seq((true, 2L), (false, 1L), (false, 2L), (false, 3L))
+      .toDF("lab", "u")
+    val (np, nn, u2, auc) = Stats.aucFromScores(df, "lab", "u")
+      .as[(Long, Long, Long, Double)].head()
+    assert((np, nn, u2, auc) == (1L, 3L, 3L, 0.5))
+  }
+
+  // ------------------------------------------------------ chi2Independence
+
+  test("chi2Independence: independent table contributes zero, dependent cells exact") {
+    val indep = (0 until 8).map(i =>
+      (if (i % 2 == 0) "a" else "b", if (i % 4 < 2) "x" else "y"))
+      .toDF("p", "q")
+    val zeros = Stats.chi2Independence(indep, "p", "q")
+      .select("contrib_micro").as[Long].collect()
+    assert(zeros.length == 4 && zeros.forall(_ == 0L))
+
+    // 30/10/10/30 on 2×2: every e = 20, every (o−e)²/e = 5 → 5_000_000 micro
+    val dep = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))).toDF("p", "q")
+    val cells = Stats.chi2Independence(dep, "p", "q")
+      .orderBy("p", "q")
+      .select("observed", "expected", "contrib_micro")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(cells == Seq((30L, 20.0, 5000000L), (10L, 20.0, 5000000L),
+      (10L, 20.0, 5000000L), (30L, 20.0, 5000000L)))
+  }
+
+  // ------------------------------------------------------- calibrationBins
+
+  test("calibrationBins: decile assignment, clamping, and exact ratios") {
+    val df = Seq((false, 500L), (true, 1500L), (false, 1500L),
+      (true, 9000L), (true, 15000L)).toDF("lab", "u")
+    val out = Stats.calibrationBins(df, "lab", "u")
+      .orderBy("bin").as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // bin 0: one row at 500 → mean 0.05, rate 0; bin 1: 1500×2 → mean 0.15,
+    // rate 0.5; bin 9: 9000 + clamped 15000→10000 → mean 0.95, rate 1
+    assert(out == Seq(
+      (0L, 1L, 0.05, 0.0, -0.05),
+      (1L, 2L, 0.15, 0.5, 0.35),
+      (9L, 2L, 0.95, 1.0, 0.05)))
+  }
+
+  test("calibrationBins rejects negative score units in-plan") {
+    val bad = Seq((true, -1L)).toDF("lab", "u")
+    val e = intercept[Exception](
+      Stats.calibrationBins(bad, "lab", "u").collect())
+    assert(e.getMessage.contains("non-negative"))
+  }
 }
