@@ -411,4 +411,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("KS drift: prefix sums stay two-phase — no single-partition window (q207)") {
+    val plan = q("q207_ks_drift")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"KS cumulative counts must ride TwoPhase, not a global window:\n$plan")
+  }
+
+  test("AUC: histogram + two-phase prefix, no per-row rank window (q208)") {
+    val plan = q("q208_auc")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"AUC must be rank-free:\n$plan")
+  }
+
+  test("silhouette: fixed sample broadcast against one corpus pass (q209)") {
+    val plan = q("q209_silhouette")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the sample side must broadcast (corpus never shuffles raw):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no shuffled cartesian allowed:\n$plan")
+  }
+
+  test("chi-square association: marginals broadcast back onto the cells (q210)") {
+    val plan = q("q210_chi2_assoc")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"cell-frame joins are metadata-sized and must broadcast:\n$plan")
+  }
+
+  test("calibration: one hash aggregate, no join, no window (q211)") {
+    val plan = q("q211_calibration")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window [") && !plan.contains("Join"),
+      s"calibration is a single aggregate:\n$plan")
+  }
 }
