@@ -900,6 +900,39 @@ object SparkEntry {
           .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
         "is_purchase", "cents")
         .orderBy("bin")),
+    "q212_recall_at_k" -> ((s, dir) => {
+      // ANN eval harness: recall@5 of the IVF path (q58) against the exact
+      // brute-force truth (q45) — the number that justifies nprobe/cell
+      // choices before a recall target ships
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, queries, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", 5)
+        .select(col("query_id").as("__aq"), col("neighbor_id").as("__an"))
+      truth.join(approx,
+          col("query_id") === col("__aq") && col("neighbor_id") === col("__an"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("__an")).as("hits"))
+        .select(col("query_id"), col("hits").cast("long").as("hits"),
+          round(col("hits") / lit(5.0), 4).as("recall"))
+        .orderBy("query_id")
+    }),
+    "q213_mann_kendall" -> ((s, dir) =>
+      // monotonic-trend gate over the daily count series per event type;
+      // pair join runs on the aggregated |days| frame, never raw events
+      Stats.mannKendall(
+        T(s, dir, "events")
+          .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "day", "x")
+        .orderBy("event_type")),
+    "q214_readability" -> ((s, dir) =>
+      // Flesch reading ease per doc — dictionary-free vowel-group syllables
+      TextAnalysis.readability(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3700,6 +3733,68 @@ object SparkEntry {
         |  round(CAST(count(*) FILTER (WHERE lab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    - CAST(sum(cents) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0), 4) AS gap
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q212_recall_at_k" ->
+      // truth = q45's brute-force top-5; approx = q58's nprobe=1 IVF top-5;
+      // recall = |intersection| / k per query
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vv AS qv FROM vecs WHERE vec_id < 8),
+        |bs AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+        |  FROM vecs CROSS JOIN q WHERE vec_id <> query_id),
+        |tr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM bs) WHERE rn <= 5),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |scored AS (SELECT x.vec_id, x.vv, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, vv, cell FROM scored WHERE crn = 1),
+        |qa AS (SELECT vec_id AS query_id, vv AS qv, cell FROM asg WHERE vec_id < 8),
+        |s2 AS (SELECT qa.query_id, a.vec_id AS neighbor_id,
+        |  list_dot_product(qa.qv, a.vv) / (sqrt(list_dot_product(qa.qv, qa.qv)) * sqrt(list_dot_product(a.vv, a.vv))) AS cosine
+        |  FROM qa JOIN asg a ON a.cell = qa.cell AND a.vec_id <> qa.query_id),
+        |ap AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM s2) WHERE rn <= 5)
+        |SELECT tr.query_id, CAST(count(ap.neighbor_id) AS BIGINT) AS hits,
+        |  round(count(ap.neighbor_id) / 5.0, 4) AS recall
+        |FROM tr LEFT JOIN ap ON ap.query_id = tr.query_id AND ap.neighbor_id = tr.neighbor_id
+        |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
+    "q213_mann_kendall" ->
+      // S and the tie-corrected 18·Var(S) exact; flag S²·18·10⁴ > 38416·var18
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT event_type, sum(tn * (tn - 1) * (2 * tn + 5)) AS tv
+        |  FROM (SELECT event_type, x, count(*) AS tn FROM d GROUP BY 1, 2) GROUP BY 1)
+        |SELECT n.event_type, n.n AS n, CAST(coalesce(p.s, 0) AS BIGINT) AS s,
+        |  CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tv AS BIGINT) AS var18,
+        |  CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.tv > 0 THEN
+        |    round(CAST(coalesce(p.s, 0) AS DOUBLE)
+        |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tv AS DOUBLE) / 18.0), 4)
+        |  END AS z,
+        |  coalesce(p.s, 0) * coalesce(p.s, 0) * 180000
+        |    > 38416 * (n.n * (n.n - 1) * (2 * n.n + 5) - t.tv) AS trend_flag
+        |FROM n JOIN t USING (event_type) LEFT JOIN p USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q214_readability" ->
+      // identical formula text: 206.835 − 1.015·(w/s) − 84.6·(sy/w), 4 dp
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+        |    CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CASE WHEN words > 0 THEN
+        |    round(206.835 - 1.015 * CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)
+        |      - 84.6 * CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 4)
+        |  END AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

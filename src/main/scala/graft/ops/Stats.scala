@@ -976,6 +976,45 @@ object Stats {
         ((num2 - num2 % den) / den).cast("long").as("contrib_micro"))
   }
 
+  /** Mann-Kendall monotonic-trend test per group over an ALREADY-BUCKETED
+    * series (e.g. daily counts): S = Σ_{i<j in time} sign(x_j − x_i),
+    * exact from a within-group pair join; the tie-corrected variance rides
+    * as the exact integer `var18` = 18·Var(S) = n(n−1)(2n+5) − Σ_t
+    * t(t−1)(2t+5); the 5% two-sided flag squares |S| > 1.96·√(var18/18)
+    * into pure integers: S²·18·10⁴ > 38416·var18. z is 4-dp display.
+    *
+    * Scale shape: the pair join runs on the AGGREGATED |buckets|-per-group
+    * frame (|buckets|² per group pairs of metadata rows), never raw
+    * events — same discipline as q176's autocorrelation. Groups with
+    * var18 = 0 (constant series) surface z NULL, flag false. */
+  def mannKendall(series: DataFrame, groupCol: String, bucketCol: String,
+                  valueCol: String): DataFrame = {
+    val a = series.select(col(groupCol).as("__g"), col(bucketCol).as("__t"),
+      col(valueCol).cast("long").as("__x"))
+    val b = series.select(col(groupCol).as("__g2"), col(bucketCol).as("__t2"),
+      col(valueCol).cast("long").as("__x2"))
+    val sAgg = a.join(b, col("__g") === col("__g2") && col("__t") < col("__t2"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__x2") > col("__x"), 1L)
+        .when(col("__x2") < col("__x"), -1L).otherwise(0L)).as("__s"))
+    val nAgg = a.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val ties = a.groupBy(col("__g"), col("__x")).agg(count(lit(1)).as("__tn"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__tn") * (col("__tn") - 1) * (lit(2L) * col("__tn") + 5))
+        .as("__tv"))
+    val var18 = (col("__n") * (col("__n") - 1) * (lit(2L) * col("__n") + 5) -
+      col("__tv")).cast("long")
+    nAgg.join(ties, Seq("__g"))
+      .join(sAgg, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        coalesce(col("__s"), lit(0L)).cast("long").as("s"),
+        var18.as("var18"),
+        when(var18 > 0, round(coalesce(col("__s"), lit(0L)).cast("double") /
+          sqrt(var18.cast("double") / lit(18.0)), 4)).as("z"),
+        (coalesce(col("__s"), lit(0L)) * coalesce(col("__s"), lit(0L)) *
+          lit(180000L) > lit(38416L) * var18).as("trend_flag"))
+  }
+
   /** Calibration (reliability) bins for an integer score in [0, maxUnits]
     * against a boolean label: per decile-of-score, the mean predicted
     * score vs the observed positive rate and their gap — the standard

@@ -497,4 +497,36 @@ object TextAnalysis {
       .withColumn("fused_rank",
         row_number().over(Window.orderBy(col("rrf").desc, col(idCol))).cast("long"))
   }
+
+  /** Flesch Reading Ease score per document — the classic readability
+    * proxy a curation pipeline uses alongside q51's surface-quality score
+    * (length/punctuation ratios say "well-formed", Flesch says "simple
+    * enough / complex enough" for the target training mix).
+    *
+    * Counts are exact integers from codegen'd regexp extraction:
+    * words = \S+ runs, sentences = [.!?]+ runs (floored at 1 so headline
+    * fragments don't divide by zero), syllables = vowel groups
+    * ([aeiouy]+, the standard dictionary-free approximation, floored at
+    * 1). The score 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words) is per-row double arithmetic over those exact
+    * ints, 4-dp display — identical formula text in the oracle.
+    *
+    * Scale shape: one projection over one scan — no shuffle at all. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+      .cast("long")
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val syllables = greatest(
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0))),
+      lit(1)).cast("long")
+    docs.select(col(idCol), words.as("words"), sentences.as("sentences"),
+      syllables.as("syllables"),
+      when(words > 0, round(
+        lit(206.835) -
+          lit(1.015) * words.cast("double") / sentences.cast("double") -
+          lit(84.6) * syllables.cast("double") / words.cast("double"), 4))
+        .as("flesch"))
+  }
 }

@@ -445,4 +445,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window [") && !plan.contains("Join"),
       s"calibration is a single aggregate:\n$plan")
   }
+
+  test("recall@k: both rankings broadcast-probe; no shuffled cartesian (q212)") {
+    val plan = q("q212_recall_at_k")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast against the corpus scan:\n$plan")
+  }
+
+  test("Mann-Kendall pairs join the AGGREGATED day series, never raw events (q213)") {
+    val plan = q("q213_mann_kendall")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the self-join input must already be the (event_type, day) aggregate
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }

@@ -624,4 +624,31 @@ class StatsSpec extends SparkSpec {
       Stats.calibrationBins(bad, "lab", "u").collect())
     assert(e.getMessage.contains("non-negative"))
   }
+
+  // ----------------------------------------------------------- mannKendall
+
+  test("mannKendall: monotone series hit ±n(n−1)/2, constants are null-z") {
+    val df = Seq(
+      ("up", 1, 1L), ("up", 2, 2L), ("up", 3, 3L),
+      ("down", 1, 5L), ("down", 2, 3L), ("down", 3, 1L),
+      ("flat", 1, 2L), ("flat", 2, 2L)).toDF("g", "t", "x")
+    val out = Stats.mannKendall(df, "g", "t", "x")
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Option[Double], Boolean)].collect().toSeq
+    // n=3 no ties: var18 = 3·2·11 = 66; z = ±3/√(66/18) = ±1.5667;
+    // flag: 9·180000 = 1.62e6 vs 38416·66 = 2.535e6 → false
+    assert(out == Seq(
+      ("down", 3L, -3L, 66L, Some(-1.5667), false),
+      ("flat", 2L, 0L, 0L, None, false),
+      ("up", 3L, 3L, 66L, Some(1.5667), false)))
+  }
+
+  test("mannKendall: tie correction subtracts the tied run's variance share") {
+    // x = [1, 1, 2]: pairs (1,1)=0, (1,2)=+1, (1,2)=+1 → S = 2;
+    // var18 = 3·2·11 − 2·1·9 = 48
+    val df = Seq(("g", 1, 1L), ("g", 2, 1L), ("g", 3, 2L)).toDF("g", "t", "x")
+    val (_, n, s, v, _, _) = Stats.mannKendall(df, "g", "t", "x")
+      .as[(String, Long, Long, Long, Option[Double], Boolean)].head()
+    assert((n, s, v) == (3L, 2L, 48L))
+  }
 }

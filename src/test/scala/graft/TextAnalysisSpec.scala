@@ -231,4 +231,18 @@ class TextAnalysisSpec extends SparkSpec {
     // d2 in both lists: 1/62 + 1/61 = 0.0325; d1: 1/61 = 0.0164; d3: 1/62
     assert(out == Seq((2L, 0.0325, 1L), (1L, 0.0164, 2L), (3L, 0.0161, 3L)))
   }
+
+  test("readability: exact counts and the hand-computed Flesch score") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello world. It is good."), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    // doc 1: 5 words, 2 sentence runs, 6 vowel groups (he-llo=2, world=1,
+    // it=1, is=1, good=1) → 206.835 − 1.015·2.5 − 84.6·1.2 = 102.7775
+    assert(out(0) == ((1L, 5L, 2L, 6L, Some(102.7775))))
+    // zero words → score null; sentence/syllable floors at 1
+    assert(out(1) == ((2L, 0L, 1L, 1L, None)))
+  }
 }
