@@ -933,6 +933,55 @@ object SparkEntry {
       // Flesch reading ease per doc — dictionary-free vowel-group syllables
       TextAnalysis.readability(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "q215_log_odds_terms" -> ((s, dir) =>
+      // per-source distinctive vocabulary: smoothed log-odds vs the rest of
+      // the corpus, top-5 per source
+      TextAnalysis.logOddsTerms(T(s, dir, "documents"), "source", "text", k = 5)
+        .orderBy("source", "rank")),
+    "q216_curation_funnel" -> ((s, dir) =>
+      // survival counts through the cumulative cleaning gates — one pass
+      Curation.curationFunnel(T(s, dir, "documents"), "text", "lang", "n_chars")
+        .orderBy("stage_idx")),
+    "q217_neardup_rate" -> ((s, dir) => {
+      // corpus-health readout: per source, share of docs with >= 1 minhash
+      // near-dup candidate (q44's banding, est_jaccard >= 0.25)
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minHashNearDup(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+        .withColumn("__dup", lit(1L))
+      docs.join(ids, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_dup").cast("long").as("n_dup"),
+          round(col("n_dup").cast("double") / col("n_docs").cast("double"), 4)
+            .as("dup_rate"))
+        .orderBy("source")
+    }),
+    "q218_lm_buckets" -> ((s, dir) => {
+      // CCNet-style corpus split: exact terciles of the q204 bigram-LM
+      // score (head = fluent, tail = noisy), two-phase rank — no global
+      // window; mean rides exact scaled ints
+      val scores = TextAnalysis.bigramLogProb(T(s, dir, "documents"),
+        "doc_id", "text")
+      val (ranked, n) = graft.ops.TwoPhase.globalRank(scores, col("avg_nll"),
+        Seq(col("avg_nll"), col("doc_id")), "__rank")
+      ranked
+        .withColumn("bucket",
+          graft.ops.TwoPhase.ntileFromRank("__rank", n, 3).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("avg_nll").as("min_nll"), max("avg_nll").as("max_nll"),
+          sum(round(col("avg_nll") * 10000, 0).cast("long")).as("__s"))
+        .select(col("bucket"), col("n_docs").cast("long").as("n_docs"),
+          col("min_nll"), col("max_nll"),
+          round(col("__s").cast("double") /
+            (col("n_docs").cast("double") * lit(10000.0)), 4).as("mean_nll"))
+        .orderBy("bucket")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2270,6 +2319,34 @@ object SparkEntry {
        |       WHEN doc_id <> keeper THEN 'duplicate' END AS drop_reason
        |FROM p LEFT JOIN kk USING (text) ORDER BY doc_id""".stripMargin
 
+  /** q204 oracle (shared: q218 ranks these scores into terciles). Same
+    * map-side positional bigrams, same mixture text; the per-doc fold
+    * orders by the distinct bigram. */
+  private val q204Sql: String =
+    """WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS arr FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+        |    i -> {'a': arr[i], 'b': arr[i + 1]})) AS g FROM raw),
+        |bi AS (SELECT doc_id, g.a AS a, g.b AS b FROM bg),
+        |dbc AS (SELECT doc_id, a, b, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+        |cf2 AS (SELECT a, b, sum(c) AS cf2 FROM dbc GROUP BY 1, 2),
+        |cf1 AS (SELECT a, sum(cf2) AS cf1 FROM cf2 GROUP BY 1),
+        |tok AS (SELECT unnest(arr) AS t FROM raw),
+        |cfu AS (SELECT t, count(*) AS cu FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM tok),
+        |terms AS (SELECT dbc.doc_id, dbc.a, dbc.b, dbc.c,
+        |    CAST(dbc.c AS DOUBLE) * ln(0.7 * (CAST(cf2.cf2 AS DOUBLE) / CAST(cf1.cf1 AS DOUBLE))
+        |      + 0.3 * (CAST(cfu.cu AS DOUBLE) / CAST(n.nn AS DOUBLE))) AS term
+        |  FROM dbc JOIN cf2 USING (a, b) JOIN cf1 USING (a)
+        |  JOIN cfu ON dbc.b = cfu.t CROSS JOIN n),
+        |agg AS (SELECT doc_id, sum(c) AS nb,
+        |    round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY a, b)),
+        |      (x, y) -> x + y) / sum(c), 4) AS avg_nll
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+        |  coalesce(agg.avg_nll, CAST(0.0 AS DOUBLE)) AS avg_nll
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q74_unified_pipeline" -> q74Sql,
     "q76_curation_chain" -> q76Sql,
@@ -3583,32 +3660,7 @@ object SparkEntry {
         |SELECT m.c_custkey, m.entity_id, m.c_custkey = m.entity_id AS is_canonical,
         |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
         |FROM m JOIN sz USING (entity_id) ORDER BY m.c_custkey""".stripMargin,
-    "q204_bigram_lm" ->
-      // same map-side positional bigrams, same mixture text; the per-doc
-      // fold orders by the distinct bigram
-      """WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    t -> length(t) > 0) AS arr FROM documents),
-        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)),
-        |    i -> {'a': arr[i], 'b': arr[i + 1]})) AS g FROM raw),
-        |bi AS (SELECT doc_id, g.a AS a, g.b AS b FROM bg),
-        |dbc AS (SELECT doc_id, a, b, count(*) AS c FROM bi GROUP BY 1, 2, 3),
-        |cf2 AS (SELECT a, b, sum(c) AS cf2 FROM dbc GROUP BY 1, 2),
-        |cf1 AS (SELECT a, sum(cf2) AS cf1 FROM cf2 GROUP BY 1),
-        |tok AS (SELECT unnest(arr) AS t FROM raw),
-        |cfu AS (SELECT t, count(*) AS cu FROM tok GROUP BY 1),
-        |n AS (SELECT count(*) AS nn FROM tok),
-        |terms AS (SELECT dbc.doc_id, dbc.a, dbc.b, dbc.c,
-        |    CAST(dbc.c AS DOUBLE) * ln(0.7 * (CAST(cf2.cf2 AS DOUBLE) / CAST(cf1.cf1 AS DOUBLE))
-        |      + 0.3 * (CAST(cfu.cu AS DOUBLE) / CAST(n.nn AS DOUBLE))) AS term
-        |  FROM dbc JOIN cf2 USING (a, b) JOIN cf1 USING (a)
-        |  JOIN cfu ON dbc.b = cfu.t CROSS JOIN n),
-        |agg AS (SELECT doc_id, sum(c) AS nb,
-        |    round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY a, b)),
-        |      (x, y) -> x + y) / sum(c), 4) AS avg_nll
-        |  FROM terms GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
-        |  coalesce(agg.avg_nll, CAST(0.0 AS DOUBLE)) AS avg_nll
-        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q204_bigram_lm" -> q204Sql,
     "q205_srm" ->
       // two-cell chi-square: flag (n_a - n_b)^2 * 100 > 384 * n on exact ints
       """WITH a AS (SELECT event_type,
@@ -3795,6 +3847,65 @@ object SparkEntry {
         |      - 84.6 * CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 4)
         |  END AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q215_log_odds_terms" ->
+      // identical formula text: ln((y+1)/(ns−y+1)) − ln((yt−y+1)/((n−ns)−(yt−y)+1))
+      """WITH tok AS (SELECT source, t.term FROM documents,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
+        |  WHERE length(t.term) > 0),
+        |yst AS (SELECT source, term, CAST(count(*) AS BIGINT) AS y FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(y) AS ns FROM yst GROUP BY 1),
+        |yt AS (SELECT term, sum(y) AS yt FROM yst GROUP BY 1),
+        |n AS (SELECT sum(y) AS n FROM yst),
+        |sc AS (SELECT source, term, y,
+        |    ln(CAST(y + 1 AS DOUBLE) / CAST(ns - y + 1 AS DOUBLE))
+        |      - ln(CAST(yt - y + 1 AS DOUBLE) / CAST((n - ns) - (yt - y) + 1 AS DOUBLE)) AS score
+        |  FROM yst JOIN ns USING (source) JOIN yt USING (term) CROSS JOIN n),
+        |r AS (SELECT source, term, y, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT source, term, y, CAST(rank AS BIGINT) AS rank, round(score, 4) AS log_odds
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q216_curation_funnel" ->
+      // cumulative conjunction counts from ONE aggregate; UNION ALL unpivot
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS s0,
+        |    CAST(count(*) FILTER (WHERE n_chars BETWEEN 100 AND 500) AS BIGINT) AS s1,
+        |    CAST(count(*) FILTER (WHERE n_chars BETWEEN 100 AND 500
+        |      AND lang IN ('en', 'es', 'de')) AS BIGINT) AS s2,
+        |    CAST(count(*) FILTER (WHERE n_chars BETWEEN 100 AND 500
+        |      AND lang IN ('en', 'es', 'de')
+        |      AND len(regexp_extract_all(text, '\S+')) >= 20) AS BIGINT) AS s3,
+        |    CAST(count(*) FILTER (WHERE n_chars BETWEEN 100 AND 500
+        |      AND lang IN ('en', 'es', 'de')
+        |      AND len(regexp_extract_all(text, '\S+')) >= 20
+        |      AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 10
+        |        >= length(text) * 4) AS BIGINT) AS s4
+        |  FROM documents),
+        |u AS (SELECT 0 AS stage_idx, 'total' AS stage, s0 AS n, s0 FROM m
+        |  UNION ALL SELECT 1, 'length', s1, s0 FROM m
+        |  UNION ALL SELECT 2, 'lang', s2, s0 FROM m
+        |  UNION ALL SELECT 3, 'tokens', s3, s0 FROM m
+        |  UNION ALL SELECT 4, 'alpha', s4, s0 FROM m)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n,
+        |  round(CAST(n AS DOUBLE) / CAST(s0 AS DOUBLE), 4) AS share
+        |FROM u ORDER BY stage_idx""".stripMargin,
+    "q217_neardup_rate" ->
+      s"""WITH pairs AS ($q44Sql),
+         |ids AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b AS doc_id FROM pairs),
+         |f AS (SELECT d.source, d.doc_id, CASE WHEN ids.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+         |  FROM documents d LEFT JOIN ids ON d.doc_id = ids.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q218_lm_buckets" ->
+      s"""WITH scores AS ($q204Sql),
+         |b AS (SELECT doc_id, avg_nll,
+         |    CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
+         |  FROM scores)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(avg_nll) AS min_nll, max(avg_nll) AS max_nll,
+         |  round(CAST(sum(CAST(round(avg_nll * 10000, 0) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 10000.0), 4) AS mean_nll
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -301,4 +301,35 @@ object Curation {
       .filter(pmod(col("__rank"), lit(k.toLong)) === 1)
       .withColumnRenamed("__rank", "rank")
   }
+
+  /** Curation funnel: how many documents survive each successive filter
+    * stage of a pretraining cleaning recipe — the per-run dashboard row
+    * that tells you WHICH stage ate the corpus when volume drops. Stages
+    * are cumulative conjunctions (each row passes all previous gates):
+    * length band → allowed language → minimum tokens → alpha ratio.
+    * One aggregate pass over raw rows (conditional exact counts), then a
+    * constant-size `stack` unpivot; shares are 4-dp display.
+    *
+    * Scale shape: one scan, one 1-row aggregate, zero joins/windows. */
+  def curationFunnel(docs: DataFrame, textCol: String, langCol: String,
+                     nCharsCol: String): DataFrame = {
+    val c1 = col(nCharsCol).between(100, 500)
+    val c2 = c1 && col(langCol).isin("en", "es", "de")
+    val c3 = c2 &&
+      (size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))) >= 20)
+    val c4 = c3 && (length(regexp_replace(lower(col(textCol)), "[^a-z]", "")) *
+      10 >= length(col(textCol)) * 4)
+    docs
+      .agg(count(lit(1)).as("s0"),
+        sum(when(c1, 1L).otherwise(0L)).as("s1"),
+        sum(when(c2, 1L).otherwise(0L)).as("s2"),
+        sum(when(c3, 1L).otherwise(0L)).as("s3"),
+        sum(when(c4, 1L).otherwise(0L)).as("s4"))
+      .select(col("s0"), expr(
+        "stack(5, 0L, 'total', s0, 1L, 'length', s1, 2L, 'lang', s2, " +
+          "3L, 'tokens', s3, 4L, 'alpha', s4) AS (stage_idx, stage, n)"))
+      .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
+        col("n").cast("long").as("n"),
+        round(col("n").cast("double") / col("s0").cast("double"), 4).as("share"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: token counting, quality
@@ -496,6 +497,45 @@ object TextAnalysis {
       .withColumn("rrf", round(score, 4))
       .withColumn("fused_rank",
         row_number().over(Window.orderBy(col("rrf").desc, col(idCol))).cast("long"))
+  }
+
+  /** Top-k distinctive terms per group by smoothed log-odds against the
+    * rest of the corpus — the "what makes this source/slice different"
+    * profile (the additive-smoothing core of Monroe et al.'s weighted
+    * log-odds): score = ln((y+1)/(nG−y+1)) − ln((yR+1)/(nR−yR+1)) with
+    * yR/nR the term's and group's complements. All counts exact longs;
+    * the score is per-row double arithmetic with identical formula text
+    * in the oracle, ranked (score desc, term) for a total order.
+    *
+    * Scale shape: tokens reduce map-side to the (group, term) frame; the
+    * margins are one broadcast (groups) and one key-hash join (term
+    * totals, vocabulary-sized). The rank window partitions by group over
+    * the AGGREGATED term frame — q78's discipline, never raw tokens. */
+  def logOddsTerms(docs: DataFrame, groupCol: String, textCol: String,
+                   k: Int = 5): DataFrame = {
+    val tok = docs.select(col(groupCol).as("__g"),
+        explode(split(lower(col(textCol)), "\\s+")).as("__t"))
+      .filter(length(col("__t")) > 0)
+    val yst = tok.groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__y"))
+    val ns = yst.groupBy(col("__g")).agg(sum("__y").as("__ns"))
+    val yt = yst.groupBy(col("__t")).agg(sum("__y").as("__yt"))
+    val n1 = yst.agg(sum("__y").as("__n"))
+    val score =
+      log((col("__y") + 1).cast("double") /
+          (col("__ns") - col("__y") + 1).cast("double")) -
+      log((col("__yt") - col("__y") + 1).cast("double") /
+          ((col("__n") - col("__ns")) - (col("__yt") - col("__y")) + 1).cast("double"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__score").desc, col("__t"))
+    yst
+      .join(broadcast(ns), Seq("__g"))
+      .join(yt, Seq("__t"))
+      .crossJoin(broadcast(n1))
+      .withColumn("__score", score)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__g").as(groupCol), col("__t").as("term"),
+        col("__y").cast("long").as("y"), col("__rn").cast("long").as("rank"),
+        round(col("__score"), 4).as("log_odds"))
   }
 
   /** Flesch Reading Ease score per document — the classic readability

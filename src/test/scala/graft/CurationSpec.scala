@@ -223,4 +223,21 @@ class CurationSpec extends SparkSpec {
       .orderBy("rank").select("id", "rank").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1L), (5L, 5L), (9L, 9L)))
   }
+
+  test("curationFunnel: each stage is a cumulative conjunction") {
+    val passText = (1 to 25).map(_ => "word").mkString(" ") // 25 tokens, all alpha
+    val df = Seq(
+      (passText, "en", 300L),            // survives every gate
+      ("short", "en", 50L),              // fails length band
+      (passText, "zh", 300L),            // fails language
+      ("one two three", "en", 300L))     // fails min tokens
+      .toDF("text", "lang", "n_chars")
+    val out = Curation.curationFunnel(df, "text", "lang", "n_chars")
+      .orderBy("stage_idx")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, "total", 4L, 1.0), (1L, "length", 3L, 0.75),
+      (2L, "lang", 2L, 0.5), (3L, "tokens", 1L, 0.25),
+      (4L, "alpha", 1L, 0.25)))
+  }
 }

@@ -459,4 +459,24 @@ class PlanSpec extends SparkSpec {
     // the self-join input must already be the (event_type, day) aggregate
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("log-odds terms: rank window over the aggregated term frame; no cartesian (q215)") {
+    val plan = q("q215_log_odds_terms")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the group margins must broadcast:\n$plan")
+  }
+
+  test("curation funnel: one aggregate pass, no join, no window (q216)") {
+    val plan = q("q216_curation_funnel")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Window ["),
+      s"funnel is a single conditional-count aggregate:\n$plan")
+  }
+
+  test("LM buckets: tercile rank is two-phase — no single-partition window (q218)") {
+    val plan = q("q218_lm_buckets")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"bucketing must ride TwoPhase.globalRank:\n$plan")
+  }
 }

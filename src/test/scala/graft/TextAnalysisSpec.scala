@@ -232,6 +232,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((2L, 0.0325, 1L), (1L, 0.0164, 2L), (3L, 0.0161, 3L)))
   }
 
+  test("logOddsTerms: hand-computed smoothed log-odds and rank order") {
+    import spark.implicits._
+    val df = Seq(("A", "cat cat dog"), ("B", "dog dog bird"))
+      .toDF("source", "text")
+    val out = TextAnalysis.logOddsTerms(df, "source", "text", k = 2)
+      .orderBy("source", "rank")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // A/cat: ln(3/2) − ln(1/4) = 1.7918; A/dog: ln(2/3) − ln(3/2) = −0.8109
+    // B/bird: ln(2/3) − ln(1/4) = 0.9808; B/dog: ln(3/2) − ln(2/3) = 0.8109
+    assert(out == Seq(
+      ("A", "cat", 2L, 1L, 1.7918), ("A", "dog", 1L, 2L, -0.8109),
+      ("B", "bird", 1L, 1L, 0.9808), ("B", "dog", 2L, 2L, 0.8109)))
+  }
+
   test("readability: exact counts and the hand-computed Flesch score") {
     import spark.implicits._
     val df = Seq((1L, "Hello world. It is good."), (2L, ""))
