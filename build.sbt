@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full bench JIT-compiles ~650 codegen'd query executions in one JVM;
+  // the JDK-17 default 240 MB code cache fills late in the run, the JIT shuts
+  // off ("CodeCache is full"), and tail keys silently run interpreted (q137
+  // measured 11 s in the full run vs 1.9 s in isolation). Headroom makes the
+  // bench measure data processing, not code-cache eviction.
+  "-XX:ReservedCodeCacheSize=512m",
 )
