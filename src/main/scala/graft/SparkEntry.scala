@@ -982,6 +982,26 @@ object SparkEntry {
             (col("n_docs").cast("double") * lit(10000.0)), 4).as("mean_nll"))
         .orderBy("bucket")
     }),
+    "q219_pettitt" -> ((s, dir) =>
+      // nonparametric changepoint LOCATION per event type (q170's CUSUM
+      // says THAT it drifted; Pettitt says WHERE) — exact U_t via the
+      // interval-add identity over the aggregated day series
+      Stats.pettittChangepoint(
+        T(s, dir, "events")
+          .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "day", "x")
+        .orderBy("event_type")),
+    "q220_cross_corr" -> ((s, dir) =>
+      // lead/lag readout: do views at day t predict purchases at t+lag?
+      Stats.crossCorrLagged(
+        T(s, dir, "events")
+          .groupBy(expr("CAST(ts AS DATE)").as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("purchases")),
+        "day", "views", "purchases", maxLag = 3)
+        .orderBy("lag")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3906,6 +3926,50 @@ object SparkEntry {
          |  round(CAST(sum(CAST(round(avg_nll * 10000, 0) AS BIGINT)) AS DOUBLE)
          |    / (CAST(count(*) AS DOUBLE) * 10000.0), 4) AS mean_nll
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q219_pettitt" ->
+      // interval-add identity: each (i<j) pair contributes sgn on [i, j);
+      // flag in hugeint ≡ the engine's decimal(38,0)
+      """WITH d0 AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |d AS (SELECT g, day, x,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY day) AS BIGINT) AS t FROM d0),
+        |pr AS (SELECT a.g, a.t AS i, b.t AS j,
+        |    CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END AS s
+        |  FROM d a JOIN d b ON a.g = b.g AND a.t < b.t),
+        |em AS (SELECT g, i AS t, s FROM pr UNION ALL SELECT g, j AS t, -s FROM pr),
+        |pt AS (SELECT g, t, sum(s) AS ds FROM em GROUP BY 1, 2),
+        |u AS (SELECT g, t, sum(ds) OVER (PARTITION BY g ORDER BY t) AS u FROM pt),
+        |k AS (SELECT g, max(abs(u)) AS k FROM u GROUP BY 1),
+        |tsr AS (SELECT u.g, k.k, min(u.t) AS t_star
+        |  FROM u JOIN k ON u.g = k.g AND abs(u.u) = k.k GROUP BY 1, 2),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+        |SELECT n.g AS event_type, n.n AS n, CAST(tsr.k AS BIGINT) AS k,
+        |  CAST(tsr.t_star AS BIGINT) AS t_star, d.day AS break_bucket,
+        |  round(least(2.0 * exp(-(6.0 * tsr.k * tsr.k)
+        |    / (CAST(n.n * n.n * n.n AS DOUBLE) + CAST(n.n * n.n AS DOUBLE))), 1.0), 4)
+        |    AS p_approx,
+        |  CAST(6000000 AS HUGEINT) * tsr.k * tsr.k
+        |    > CAST(3688879 AS HUGEINT) * (CAST(n.n AS HUGEINT) * n.n * n.n
+        |      + CAST(n.n AS HUGEINT) * n.n) AS break_flag
+        |FROM n JOIN tsr ON n.g = tsr.g JOIN d ON d.g = n.g AND d.t = tsr.t_star
+        |ORDER BY event_type""".stripMargin,
+    "q220_cross_corr" ->
+      // exact sufficient statistics per lag; r double only at the final row
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS x,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT unnest(range(0, 4)) AS lag),
+        |j AS (SELECT l.lag, a.x, b.y FROM daily a CROSS JOIN l
+        |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+        |agg AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM j GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+        |  END AS r
+        |FROM agg ORDER BY lag""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

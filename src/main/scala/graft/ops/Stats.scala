@@ -1015,6 +1015,95 @@ object Stats {
           lit(180000L) > lit(38416L) * var18).as("trend_flag"))
   }
 
+  /** Pettitt changepoint test per group over an ALREADY-BUCKETED series:
+    * the nonparametric "where did the level shift" complement to q170's
+    * CUSUM (which flags THAT it drifted). U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i−x_j)
+    * is computed exactly via the interval-add identity — each (i<j) pair
+    * contributes its sign on [i, j) only, so emitting (+s at i, −s at j)
+    * and prefix-summing per group reconstructs every U_t from 2·pairs
+    * delta rows. K = max|U_t|, t* = the earliest t attaining it; the
+    * approximate significance p ≈ 2·exp(−6K²/(n³+n²)) is 4-dp display and
+    * the 5% flag decides on exact integers (6·10⁶·K² > 3688879·(n³+n²),
+    * 3688879 = ⌊ln(40)·10⁶⌋).
+    *
+    * Scale shape: like [[mannKendall]], the pair join runs on the
+    * aggregated |buckets|-per-group frame; the prefix window partitions by
+    * group over ≤ |buckets| delta rows. */
+  def pettittChangepoint(series: DataFrame, groupCol: String, bucketCol: String,
+                         valueCol: String): DataFrame = {
+    val wIdx = Window.partitionBy(col("__g")).orderBy(col("__b"))
+    val d = series.select(col(groupCol).as("__g"), col(bucketCol).as("__b"),
+        col(valueCol).cast("long").as("__x"))
+      .withColumn("__t", row_number().over(wIdx).cast("long"))
+    val a = d.select(col("__g"), col("__t").as("__i"), col("__x"))
+    val b = d.select(col("__g").as("__g2"), col("__t").as("__j"),
+      col("__x").as("__x2"))
+    val pairs = a.join(b, col("__g") === col("__g2") && col("__i") < col("__j"))
+      .select(col("__g"), col("__i"), col("__j"),
+        when(col("__x") > col("__x2"), 1L)
+          .when(col("__x") < col("__x2"), -1L).otherwise(0L).as("__s"))
+    val em = pairs.select(col("__g"), col("__i").as("__t"), col("__s"))
+      .unionAll(pairs.select(col("__g"), col("__j").as("__t"),
+        negate(col("__s")).as("__s")))
+    val u = em.groupBy(col("__g"), col("__t")).agg(sum("__s").as("__d"))
+      .withColumn("__u",
+        sum("__d").over(Window.partitionBy(col("__g")).orderBy(col("__t"))))
+    val k = u.groupBy(col("__g")).agg(max(abs(col("__u"))).as("__k"))
+    val tStar = u.join(k, Seq("__g"))
+      .filter(abs(col("__u")) === col("__k"))
+      .groupBy(col("__g"), col("__k")).agg(min(col("__t")).as("t_star"))
+    val n = d.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val dd = d.select(col("__g").as("__g3"), col("__t").as("__t3"), col("__b"))
+    val dec = "decimal(38,0)"
+    val nCubed = (col("__n") * col("__n") * col("__n")).cast("double") +
+      (col("__n") * col("__n")).cast("double")
+    n.join(tStar, Seq("__g"))
+      .join(dd, col("__t3") === col("t_star") && col("__g3") === col("__g"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("k"), col("t_star").cast("long").as("t_star"),
+        col("__b").as("break_bucket"),
+        round(least(lit(2.0) * exp(negate(lit(6.0) * col("__k") * col("__k")) /
+          nCubed), lit(1.0)), 4).as("p_approx"),
+        (lit(6000000L).cast(dec) * col("__k").cast(dec) * col("__k").cast(dec) >
+          lit(3688879L).cast(dec) * (col("__n").cast(dec) * col("__n").cast(dec) *
+            col("__n").cast(dec) + col("__n").cast(dec) * col("__n").cast(dec)))
+          .as("break_flag"))
+  }
+
+  /** Lagged cross-correlation between two aligned daily series — the
+    * lead/lag readout ("do views at day t predict purchases at t+lag?").
+    * For each lag 0..maxLag, Pearson r over the overlapping days from ONE
+    * exact-integer sufficient-statistics aggregate per lag:
+    * r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)), double only at the
+    * final per-lag row, 4-dp display.
+    *
+    * Scale shape: the daily frame is calendar-sized; lags fan it out
+    * |lags|× (a handful) and each lag reduces to one row of exact longs.
+    * Raw events are touched once, in the caller's daily aggregate. */
+  def crossCorrLagged(daily: DataFrame, bucketCol: String, xCol: String,
+                      yCol: String, maxLag: Int = 3): DataFrame = {
+    val lags = daily.sparkSession.range(0, maxLag + 1)
+      .select(col("id").cast("int").as("__lag"))
+    val xs = daily.select(col(bucketCol).as("__d"), col(xCol).cast("long").as("__x"))
+    val ys = daily.select(col(bucketCol).as("__d2"), col(yCol).cast("long").as("__y"))
+    xs.crossJoin(broadcast(lags))
+      .join(ys, col("__d2") === date_add(col("__d"), col("__lag")))
+      .groupBy(col("__lag"))
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("__lag").cast("long").as("lag"),
+        col("__n").cast("long").as("n_days"),
+        when(
+          col("__n") * col("__sxx") - col("__sx") * col("__sx") > 0 &&
+            col("__n") * col("__syy") - col("__sy") * col("__sy") > 0,
+          round((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
+              (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")), 4))
+          .as("r"))
+  }
+
   /** Calibration (reliability) bins for an integer score in [0, maxUnits]
     * against a boolean label: per decile-of-score, the mean predicted
     * score vs the observed positive rate and their gap — the standard

@@ -479,4 +479,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
       s"bucketing must ride TwoPhase.globalRank:\n$plan")
   }
+
+  test("Pettitt: pair join and prefix run on the aggregated day frame (q219)") {
+    val plan = q("q219_pettitt")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("cross-correlation: lag fan-out broadcasts; join is key-hash on day (q220)") {
+    val plan = q("q220_cross_corr")
+    assert(!plan.contains("CartesianProduct"),
+      s"the lag fan-out must broadcast, not shuffle a cartesian:\n$plan")
+  }
 }

@@ -643,6 +643,30 @@ class StatsSpec extends SparkSpec {
       ("up", 3L, 3L, 66L, Some(1.5667), false)))
   }
 
+  test("pettittChangepoint: hand-computed U_t, break position, and p") {
+    // x = [1,1,5,5]: U = [-2,-4,-2,0] → K=4 at t*=2 (the true break);
+    // p = 2·exp(−6·16/(64+16)) = 0.6024; flag 9.6e7 > 2.95e8 is false
+    val df = Seq(("g", 1, 1L), ("g", 2, 1L), ("g", 3, 5L), ("g", 4, 5L))
+      .toDF("g", "b", "x")
+    val out = Stats.pettittChangepoint(df, "g", "b", "x")
+      .as[(String, Long, Long, Long, Int, Double, Boolean)].head()
+    assert(out == (("g", 4L, 4L, 2L, 2, 0.6024, false)))
+  }
+
+  test("crossCorrLagged: the planted lag-1 shift scores r=1 at lag 1") {
+    val d = java.sql.Date.valueOf(_: String)
+    val df = Seq(
+      (d("2024-01-01"), 1L, 5L), (d("2024-01-02"), 2L, 1L),
+      (d("2024-01-03"), 3L, 2L), (d("2024-01-04"), 4L, 3L))
+      .toDF("day", "x", "y")
+    val out = Stats.crossCorrLagged(df, "day", "x", "y", maxLag = 3)
+      .orderBy("lag").as[(Long, Long, Option[Double])].collect().toSeq
+    // lag0 over all 4 days: r = −10/√(20·35) = −0.378; lag1 aligns the
+    // shifted series exactly; lag2 has 2 colinear points; lag3 n=1 → null
+    assert(out == Seq((0L, 4L, Some(-0.378)), (1L, 3L, Some(1.0)),
+      (2L, 2L, Some(1.0)), (3L, 1L, None)))
+  }
+
   test("mannKendall: tie correction subtracts the tied run's variance share") {
     // x = [1, 1, 2]: pairs (1,1)=0, (1,2)=+1, (1,2)=+1 → S = 2;
     // var18 = 3·2·11 − 2·1·9 = 48
