@@ -1002,6 +1002,14 @@ object SparkEntry {
               .as("purchases")),
         "day", "views", "purchases", maxLag = 3)
         .orderBy("lag")),
+    "q221_group_ks" -> ((s, dir) =>
+      // segment-level drift table: each event type's value-cents
+      // distribution vs the rest of the corpus
+      Stats.ksDriftByGroup(
+        T(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "event_type", "cents")
+        .orderBy("event_type")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3970,6 +3978,33 @@ object SparkEntry {
         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4)
         |  END AS r
         |FROM agg ORDER BY lag""".stripMargin,
+    "q221_group_ks" ->
+      // the group×unit grid zero-fills absent units so the ECDF difference
+      // is evaluated at every pooled distinct unit; hugeint flag as q207
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS u FROM events),
+        |counts AS (SELECT g, u, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |groups AS (SELECT g, sum(c) AS ng FROM counts GROUP BY 1),
+        |units AS (SELECT u, sum(c) AS cu FROM counts GROUP BY 1),
+        |grand AS (SELECT sum(c) AS n FROM counts),
+        |grid AS (SELECT units.u, groups.g, groups.ng, units.cu,
+        |    coalesce(counts.c, 0) AS cg
+        |  FROM units CROSS JOIN groups
+        |  LEFT JOIN counts ON counts.g = groups.g AND counts.u = units.u),
+        |cums AS (SELECT g, ng, cu, u,
+        |    sum(cg) OVER (PARTITION BY g ORDER BY u) AS cumg,
+        |    sum(cu) OVER (PARTITION BY g ORDER BY u) AS cumall
+        |  FROM grid),
+        |d AS (SELECT g, ng, n - ng AS nr,
+        |    max(abs(cumg * (n - ng) - (cumall - cumg) * ng)) AS d_num
+        |  FROM cums CROSS JOIN grand GROUP BY 1, 2, 3)
+        |SELECT g AS event_type, CAST(ng AS BIGINT) AS n_group,
+        |  CAST(nr AS BIGINT) AS n_rest, CAST(d_num AS BIGINT) AS d_num,
+        |  round(CAST(d_num AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)), 4)
+        |    AS d_stat,
+        |  CAST(d_num AS HUGEINT) * CAST(d_num AS HUGEINT) * 1000000
+        |    > CAST(1844164 AS HUGEINT) * ng * nr * (ng + nr) AS drift_flag
+        |FROM d WHERE ng > 0 AND nr > 0 ORDER BY event_type""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal

@@ -913,6 +913,51 @@ object Stats {
             lit(totA + totB).cast(dec)).as("drift_flag"))
   }
 
+  /** Per-group two-sample KS: each group's unit distribution against the
+    * REST of the corpus — the segment-level drift table ("which source's
+    * value distribution is the outlier"), generalizing [[ksDrift]]'s
+    * two-arm gate. The ECDF difference must be evaluated at every pooled
+    * distinct unit, including units absent from a group, so the group×unit
+    * GRID is materialized with zero-filled counts and group-partitioned
+    * prefix sums — exact integer numerators as in [[ksDrift]], same
+    * decimal(38,0) 5% flag, d_stat 4-dp display.
+    *
+    * Scale shape: the grid is |groups|·|distinct units| rows — bounded by
+    * segment count × value-domain granularity (cents), NOT by raw rows;
+    * all windows partition by group. Raw rows are touched once. */
+  def ksDriftByGroup(df: DataFrame, groupCol: String, unitsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(groupCol).as("__g"), col(unitsCol).as("__u"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val groups = counts.groupBy(col("__g")).agg(sum("__c").as("__ng"))
+    val units = counts.groupBy(col("__u")).agg(sum("__c").as("__cu"))
+    val grand = counts.agg(sum("__c").as("__n"))
+    val grid = units.crossJoin(broadcast(groups))
+      .join(counts, Seq("__g", "__u"), "left")
+      .withColumn("__cg", coalesce(col("__c"), lit(0L)))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__u"))
+    val cums = grid
+      .withColumn("__cumG", sum("__cg").over(w))
+      .withColumn("__cumAll", sum("__cu").over(w))
+      .crossJoin(broadcast(grand))
+      .withColumn("__nr", col("__n") - col("__ng"))
+      .withColumn("__diff", abs(col("__cumG") * col("__nr") -
+        (col("__cumAll") - col("__cumG")) * col("__ng")))
+    cums
+      .groupBy(col("__g"), col("__ng"), col("__nr"))
+      .agg(max("__diff").as("d_num"))
+      .filter(col("__ng") > 0 && col("__nr") > 0)
+      .select(col("__g").as(groupCol), col("__ng").cast("long").as("n_group"),
+        col("__nr").cast("long").as("n_rest"),
+        col("d_num").cast("long").as("d_num"),
+        round(col("d_num").cast("double") /
+          (col("__ng").cast("double") * col("__nr").cast("double")), 4).as("d_stat"),
+        (col("d_num").cast(dec) * col("d_num").cast(dec) * lit(1000000L).cast(dec) >
+          lit(1844164L).cast(dec) * col("__ng").cast(dec) * col("__nr").cast(dec) *
+            (col("__ng") + col("__nr")).cast(dec)).as("drift_flag"))
+  }
+
   /** Exact AUC (= Mann-Whitney U / (nP·nN)) of an integer score column
     * against a boolean label — the standard readout for any quality /
     * toxicity / dedup-priority scorer feeding a curation gate. Computed

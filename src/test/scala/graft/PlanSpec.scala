@@ -491,4 +491,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"the lag fan-out must broadcast, not shuffle a cartesian:\n$plan")
   }
+
+  test("group KS: grid windows partition by group; group dim broadcasts (q221)") {
+    val plan = q("q221_group_ks")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"all prefix windows must partition by group:\n$plan")
+  }
 }

@@ -551,6 +551,26 @@ class StatsSpec extends SparkSpec {
     assert(na == 3L && nb == 3L && dn == 6L && d == 0.6667)
   }
 
+  test("ksDriftByGroup: disjoint segments score D=1 against the rest") {
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L)).toDF("g", "u")
+    val out = Stats.ksDriftByGroup(df, "g", "u")
+      .orderBy("g").as[(String, Long, Long, Long, Double, Boolean)]
+      .collect().toSeq
+    // A vs rest: at u=1 |2·2 − 0·2| = 4 → D = 4/(2·2) = 1; flag needs
+    // 16e6 > 1844164·2·2·4 = 2.95e7 → false at these tiny n
+    assert(out == Seq(("A", 2L, 2L, 4L, 1.0, false),
+      ("B", 2L, 2L, 4L, 1.0, false)))
+  }
+
+  test("ksDriftByGroup: a group matching the pooled mix scores low") {
+    // C has the same 50/50 mix as the rest → its ECDF tracks the rest's
+    val df = (Seq.fill(5)(("C", 1L)) ++ Seq.fill(5)(("C", 2L)) ++
+      Seq.fill(10)(("D", 1L)) ++ Seq.fill(10)(("E", 2L))).toDF("g", "u")
+    val c = Stats.ksDriftByGroup(df, "g", "u")
+      .filter(col("g") === "C").select("d_stat").as[Double].head()
+    assert(c == 0.0, s"matched mix must score 0, got $c")
+  }
+
   test("ksDrift rejects arms outside {0, 1} in-plan") {
     val bad = Seq((2, 1L)).toDF("arm", "u")
     val e = intercept[Exception](Stats.ksDrift(bad, "arm", "u"))
