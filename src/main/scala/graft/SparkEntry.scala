@@ -1010,6 +1010,21 @@ object SparkEntry {
           .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
         "event_type", "cents")
         .orderBy("event_type")),
+    "q222_ttr" -> ((s, dir) =>
+      // lexical diversity per doc: type-token ratio — the boilerplate /
+      // keyword-spam signal complementing q140's entropy (TTR is
+      // length-sensitive where entropy is distribution-sensitive)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("__t"))
+        .filter(length(col("__t")) > 0)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n"), count_distinct(col("__t")).as("__d"))
+        .select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
+          col("__d").cast("long").as("n_types"),
+          round(col("__d").cast("double") / col("__n").cast("double"), 4)
+            .as("ttr"))
+        .orderBy("doc_id")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4005,6 +4020,14 @@ object SparkEntry {
         |  CAST(d_num AS HUGEINT) * CAST(d_num AS HUGEINT) * 1000000
         |    > CAST(1844164 AS HUGEINT) * ng * nr * (ng + nr) AS drift_flag
         |FROM d WHERE ng > 0 AND nr > 0 ORDER BY event_type""".stripMargin,
+    "q222_ttr" ->
+      """WITH tok AS (SELECT doc_id, t.term FROM documents,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
+        |  WHERE length(t.term) > 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+        |  round(CAST(count(DISTINCT term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS ttr
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal
