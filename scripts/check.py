@@ -43,7 +43,15 @@ for name in sorted(oracle):
             if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
                 a = pd.to_datetime(a).astype("datetime64[ns]")
                 b = pd.to_datetime(b).astype("datetime64[ns]")
-            eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
+            if str(a.dtype) == "float64" and str(b.dtype) == "float64":
+                # the driver's hash is BIT-level: -0.0 != +0.0 there, so
+                # compare the raw bit patterns, not IEEE == (which treats
+                # signed zeros as equal and would hide a gate failure)
+                import numpy as np
+                av, bv = a.values.view("int64"), b.values.view("int64")
+                eq = (av == bv) | (pd.isna(a).values & pd.isna(b).values)
+            else:
+                eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
             if not eq.all():
                 i = int((~eq).argmax())
                 mismatch = f"VALUE_MISMATCH col={c} row={i} spark={a.iloc[i]!r} oracle={b.iloc[i]!r} (dtypes {sdf[c].dtype}/{odf[c].dtype})"

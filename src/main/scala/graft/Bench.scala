@@ -91,10 +91,24 @@ object Bench {
     println(line)
     // provenance: the driver's BENCH_r{N}.json tails truncate the per-query
     // map, so also land the full line at a stable path for round-over-round
-    // comparison (committed per round as BENCH_LOCAL_r{N}.json)
+    // comparison — BOTH the fixed scratch path and the round-stamped repo
+    // path (BENCH_LOCAL_r{NN}.json) that gets committed. The round is the
+    // successor of the newest driver-written BENCH_r{N}.json (that file
+    // exists from round N before round N+1's bench runs), overridable with
+    // SPARK_GRAFT_ROUND; no BENCH_r files → no stamped copy (fresh clone).
     try {
       new java.io.File("target").mkdirs()
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench_local.json"), line)
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).orElse {
+        val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+          .map(_.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+        if (prev.isEmpty) None else Some(prev.max + 1)
+      }
+      round.foreach { r =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f"BENCH_LOCAL_r$r%02d.json"), line)
+      }
     } catch { case _: Throwable => () } // never fail the bench over provenance
     spark.stop()
   }

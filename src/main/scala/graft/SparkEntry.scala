@@ -111,7 +111,7 @@ object SparkEntry {
         .select(col("custkey"), explode(col("o.items")).as("it"))
         .groupBy(col("custkey"))
         // exact integer-cents sum: order-independent, bit-identical to the oracle
-        .agg((sum(round(col("it.l_quantity") * 100, 0).cast("long")) / 100.0).as("sum_qty"))
+        .agg((sum(ops.Num.roundz(col("it.l_quantity") * 100, 0).cast("long")) / 100.0).as("sum_qty"))
         .orderBy("custkey")
     }),
     "q04_table_sink_append" -> ((s, dir) => {
@@ -154,7 +154,7 @@ object SparkEntry {
         .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"),
-          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("sum_price"))
+          (sum(ops.Num.roundz(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("sum_price"))
         .orderBy("c_mktsegment")),
     "q12_anti_join_dedup" -> ((s, dir) =>
       Relational.antiDedup(
@@ -244,7 +244,7 @@ object SparkEntry {
       T(s, dir, "events")
         .groupBy(TextFunctions.dayString(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("extrapolated", round(col("cnt") / lit(10.0) * lit(5.5), 2))
+        .withColumn("extrapolated", ops.Num.roundz(col("cnt") / lit(10.0) * lit(5.5), 2))
         .orderBy("day")),
     "q32_json_get" -> ((s, dir) =>
       T(s, dir, "events")
@@ -377,7 +377,7 @@ object SparkEntry {
       // robust clipping to per-type [p05, p95] DISCRETE percentiles — cut
       // points are actual elements, so the audit sums stay exact longs
       val ev = T(s, dir, "events")
-        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("cents", ops.Num.roundz(col("value") * 100, 0).cast("long"))
       Profiling.winsorize(ev, "event_type", "cents", 0.05, 0.95)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -427,7 +427,7 @@ object SparkEntry {
       // plan (no re-scan per granularity)
       T(s, dir, "events")
         .withColumn("day", TextFunctions.dayString(col("ts")))
-        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("cents", ops.Num.roundz(col("value") * 100, 0).cast("long"))
         .cube(col("event_type"), col("day"))
         .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
@@ -436,7 +436,7 @@ object SparkEntry {
       // second, per event type — the training-data freshness gate
       Stats.psiDrift(
         T(s, dir, "events")
-          .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+          .withColumn("cents", ops.Num.roundz(col("value") * 100, 0).cast("long"))
           .withColumn("period",
             when(TextFunctions.dayString(col("ts")) < "2024-01-16", "a").otherwise("b")),
         "event_type", "cents", "period", bins = 10, binWidth = 5000L)
@@ -447,7 +447,7 @@ object SparkEntry {
       Stats.pearsonByGroup(
         T(s, dir, "lineitem")
           .withColumn("qty", col("l_quantity").cast("long"))
-          .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long")),
+          .withColumn("cents", ops.Num.roundz(col("l_extendedprice") * 100, 0).cast("long")),
         "l_returnflag", "qty", "cents")
         .orderBy("l_returnflag")),
     "q160_event_entropy" -> ((s, dir) =>
@@ -468,7 +468,7 @@ object SparkEntry {
       // manufactured buckets flagged, last observed sum carried forward
       Relational.resampleLocf(
         T(s, dir, "events")
-          .withColumn("cents", round(col("value") * 100, 0).cast("long")),
+          .withColumn("cents", ops.Num.roundz(col("value") * 100, 0).cast("long")),
         "event_type", "ts", "cents", grain = "hour")
         .select(col("event_type"),
           date_format(col("bucket"), "yyyy-MM-dd HH").as("bucket"),
@@ -489,7 +489,7 @@ object SparkEntry {
       Relational.paretoFrontier(
         T(s, dir, "lineitem")
           .withColumn("qty", col("l_quantity").cast("long"))
-          .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long")),
+          .withColumn("cents", ops.Num.roundz(col("l_extendedprice") * 100, 0).cast("long")),
         "qty", "cents")
         .orderBy("qty")),
     "q165_timed_funnel" -> ((s, dir) =>
@@ -517,7 +517,7 @@ object SparkEntry {
       // the exact rank-sum identity over the GROUPED value domain
       Stats.giniByGroup(
         T(s, dir, "events")
-          .withColumn("cents", round(col("value") * 100, 0).cast("long")),
+          .withColumn("cents", ops.Num.roundz(col("value") * 100, 0).cast("long")),
         "event_type", "cents")
         .orderBy("event_type")),
     "q169_hhi" -> ((s, dir) =>
@@ -549,7 +549,7 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .withColumn("day", TextFunctions.dayString(col("ts")))
         .withColumn("amount_cents", when(col("event_type") === "purchase",
-          round(col("value") * 100, 0).cast("long")))
+          ops.Num.roundz(col("value") * 100, 0).cast("long")))
       Warehouse.goldenRecord(ev, "user_id", "ts", "event_id",
         Seq("amount_cents", "event_type", "day"))
         .orderBy("user_id")
@@ -559,7 +559,7 @@ object SparkEntry {
       // percentile in basis points, via the q96/q137 two-phase global rank
       // (never a single-partition row_number window)
       val ev = T(s, dir, "events")
-        .select(col("event_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+        .select(col("event_id"), ops.Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
       val (ranked, n) = graft.ops.TwoPhase.globalRank(ev, col("cents"),
         Seq(col("cents"), col("event_id")), "rank")
       ranked.select(col("event_id"), col("cents"), col("rank").cast("long").as("rank"),
@@ -571,7 +571,7 @@ object SparkEntry {
       // anchor "now" is the data max (no wall clock), cut values broadcast
       val ev = T(s, dir, "events")
         .withColumn("amount", when(col("event_type") === "purchase",
-          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          ops.Num.roundz(col("value") * 100, 0).cast("long")).otherwise(0L))
       Stats.rfmSegments(ev, "user_id", "ts", "amount")
         .orderBy("user_id")
     }),
@@ -917,7 +917,7 @@ object SparkEntry {
         .groupBy(col("query_id"))
         .agg(count(col("__an")).as("hits"))
         .select(col("query_id"), col("hits").cast("long").as("hits"),
-          round(col("hits") / lit(5.0), 4).as("recall"))
+          ops.Num.roundz(col("hits") / lit(5.0), 4).as("recall"))
         .orderBy("query_id")
     }),
     "q213_mann_kendall" -> ((s, dir) =>
@@ -957,7 +957,7 @@ object SparkEntry {
           sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
         .select(col("source"), col("n_docs").cast("long").as("n_docs"),
           col("n_dup").cast("long").as("n_dup"),
-          round(col("n_dup").cast("double") / col("n_docs").cast("double"), 4)
+          ops.Num.roundz(col("n_dup").cast("double") / col("n_docs").cast("double"), 4)
             .as("dup_rate"))
         .orderBy("source")
     }),
@@ -975,10 +975,10 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min("avg_nll").as("min_nll"), max("avg_nll").as("max_nll"),
-          sum(round(col("avg_nll") * 10000, 0).cast("long")).as("__s"))
+          sum(ops.Num.roundz(col("avg_nll") * 10000, 0).cast("long")).as("__s"))
         .select(col("bucket"), col("n_docs").cast("long").as("n_docs"),
           col("min_nll"), col("max_nll"),
-          round(col("__s").cast("double") /
+          ops.Num.roundz(col("__s").cast("double") /
             (col("n_docs").cast("double") * lit(10000.0)), 4).as("mean_nll"))
         .orderBy("bucket")
     }),
@@ -1022,15 +1022,64 @@ object SparkEntry {
         .agg(count(lit(1)).as("__n"), count_distinct(col("__t")).as("__d"))
         .select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
           col("__d").cast("long").as("n_types"),
-          round(col("__d").cast("double") / col("__n").cast("double"), 4)
+          ops.Num.roundz(col("__d").cast("double") / col("__n").cast("double"), 4)
             .as("ttr"))
         .orderBy("doc_id")),
+    "q223_bpe_merges" -> ((s, dir) => {
+      // BPE vocabulary learning (ops/Bpe.scala) gets its gate key: k = 8
+      // bounded merges over the word-frequency table. Each step is one
+      // distributed pair-count aggregate with map-side combine plus a 1-row
+      // argmax collect (metadata, not data) — the corpus is scanned once,
+      // ever, to build the |vocab|-sized word table. The oracle unrolls the
+      // same k steps as chained CTEs (see [[bpeOracleSql]]).
+      import s.implicits._
+      Bpe.learnMerges(T(s, dir, "documents"), "text", k = 8)
+        .zipWithIndex
+        .map { case ((p1, p2, cnt), i) => (i + 1L, p1, p2, cnt) }
+        .toDF("rank", "p1", "p2", "cnt")
+        .orderBy("rank")
+    }),
+    "q224_pq_search" -> ((s, dir) => {
+      // ADC search over the q116 PQ codes — the query path that completes
+      // the ANN triple (LSH buckets / IVF cells / PQ codes): per query an
+      // m×K LUT of quantized sub-distances, candidate distance = m exact
+      // long lookups summed, ranking via the two-phase k-heap
+      val emb = T(s, dir, "embeddings")
+      val cb = emb.filter(col("vec_id") < 8)
+      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      Similarity.pqSearchTopK(codes, emb.filter(col("vec_id") < 8), cb,
+        "vec_id", "embedding", m = 4, subDim = 16, k = 5)
+        .orderBy("query_id", "rn")
+    }),
+    "q225_pq_recall" -> ((s, dir) => {
+      // recall@5 of the PQ/ADC path against q45's exact brute-force truth —
+      // the q212 harness pointed at the third ANN index; the number that
+      // justifies m/subDim before a recall target ships
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val codes = Similarity.pqEncode(emb, queries, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val approx = Similarity.pqSearchTopK(codes, queries, queries,
+        "vec_id", "embedding", m = 4, subDim = 16, k = 5)
+        .select(col("query_id").as("__aq"), col("neighbor_id").as("__an"))
+      truth.join(approx,
+          col("query_id") === col("__aq") && col("neighbor_id") === col("__an"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("__an")).as("hits"))
+        .select(col("query_id"), col("hits").cast("long").as("hits"),
+          ops.Num.roundz(col("hits") / lit(5.0), 4).as("recall"))
+        .orderBy("query_id")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("cnt"),
-          sum(round(col("c_acctbal") * 100, 0).cast("long")).as("__cents"))
+          sum(ops.Num.roundz(col("c_acctbal") * 100, 0).cast("long")).as("__cents"))
         // integer half-up rounding of cents/cnt: engine-independent (fp round
         // semantics differ between Spark and DuckDB at exact .5 boundaries)
         .withColumn("avg_bal", (expr("(__cents * 2 + cnt) div (2 * cnt)") / lit(100.0)))
@@ -1312,7 +1361,7 @@ object SparkEntry {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(grouping_id().cast("long").as("gid"),
           count(lit(1)).as("cnt"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+          sum(ops.Num.roundz(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
     "q127_fuzzy_join" -> ((s, dir) =>
@@ -1346,9 +1395,9 @@ object SparkEntry {
       val quants = Relational.histogramQuantiles(
         T(s, dir, "events"), "event_type", "value", Seq(0.5, 0.9, 0.99))
       quants.groupBy(col("event_type"))
-        .agg(round(min(when(col("q") === 0.5, col("quantile"))), 4).as("p50"),
-          round(min(when(col("q") === 0.9, col("quantile"))), 4).as("p90"),
-          round(min(when(col("q") === 0.99, col("quantile"))), 4).as("p99"))
+        .agg(ops.Num.roundz(min(when(col("q") === 0.5, col("quantile"))), 4).as("p50"),
+          ops.Num.roundz(min(when(col("q") === 0.9, col("quantile"))), 4).as("p90"),
+          ops.Num.roundz(min(when(col("q") === 0.99, col("quantile"))), 4).as("p99"))
         .orderBy("event_type")
     }),
     "q66_pivot" -> ((s, dir) =>
@@ -1476,7 +1525,7 @@ object SparkEntry {
           sum(when(col("is_hate_speech"), 1L).otherwise(0L)).as("hate_cnt"),
           // exact integer 1e-4-unit sum of the (4dp-rounded) scores:
           // order-independent and bit-identical to the oracle
-          (sum(round(col("sentiment_score") * 10000, 0).cast("long")) / 10000.0)
+          (sum(ops.Num.roundz(col("sentiment_score") * 10000, 0).cast("long")) / 10000.0)
             .as("sum_score"))
         .orderBy("platform", "day", "sentiment")
     }),
@@ -1520,7 +1569,7 @@ object SparkEntry {
       // RANGE frame is engine-portable
       val daily = T(s, dir, "events")
         .groupBy(TextFunctions.dayString(col("ts")).as("day"))
-        .agg(sum(round(col("value") * 100, 0).cast("long")).as("day_cents"))
+        .agg(sum(ops.Num.roundz(col("value") * 100, 0).cast("long")).as("day_cents"))
         .withColumn("day_idx", datediff(col("day").cast("date"), lit("1970-01-01").cast("date")))
       // exact-arithmetic moving average: one long sum over the frame, one
       // final double division (a segment-tree vs sequential float summation
@@ -1528,7 +1577,7 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("day_idx")).rangeBetween(-6, 0)
       daily
-        .withColumn("ma7", round(
+        .withColumn("ma7", ops.Num.roundz(
           sum(col("day_cents")).over(w).cast("double") /
             count(col("day_cents")).over(w) / 100.0, 4))
         .select(col("day"), (col("day_cents") / 100.0).as("day_value"), col("ma7"))
@@ -1552,7 +1601,7 @@ object SparkEntry {
       // partials merge in any order, sqrt+divide happen once at finish
       T(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(round(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
+        .agg(ops.Num.roundz(udaf(graft.functions.RmsCents).apply(col("value")), 4).as("rms_value"))
         .orderBy("event_type")),
     "q93_vocab_encode" -> ((s, dir) => {
       // text → training tensors: frequency-ranked vocabulary (1 = most
@@ -1642,7 +1691,7 @@ object SparkEntry {
       // the unit (e.g. whole currency) before this frame.
       val daily = T(s, dir, "events")
         .groupBy(TextFunctions.dayString(col("ts")).as("day"))
-        .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
+        .agg(sum(ops.Num.roundz(col("value") * 100, 0).cast("long")).as("c"))
         .withColumn("day_idx",
           datediff(col("day").cast("date"), lit("1970-01-01").cast("date")))
       val w = org.apache.spark.sql.expressions.Window
@@ -1652,7 +1701,7 @@ object SparkEntry {
       val msq = sum(col("c") * col("c")).over(w).cast("double") / n
       val vr = msq - mean * mean
       val std = when(vr > 0, sqrt(vr)).otherwise(lit(0.0))
-      val z = when(std > 0, round((col("c").cast("double") - mean) / std, 4))
+      val z = when(std > 0, ops.Num.roundz((col("c").cast("double") - mean) / std, 4))
         .otherwise(lit(0.0))
       daily
         .withColumn("zscore", z)
@@ -1675,7 +1724,7 @@ object SparkEntry {
         .join(s.table("g88_customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"),
-          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("sum_price"))
+          (sum(ops.Num.roundz(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("sum_price"))
         .orderBy("c_mktsegment")
     }),
     "q86_funnel" -> ((s, dir) => {
@@ -1749,7 +1798,7 @@ object SparkEntry {
       // January delta — matched users update, new users insert, absent
       // users keep; exact cents so the full-outer coalesce is portable
       val ev = T(s, dir, "events").select(col("user_id"), col("ts"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
+        ops.Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
       def profile(f: org.apache.spark.sql.Column) = ev.filter(f).groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
       Warehouse.mergeUpsert(
@@ -1811,7 +1860,7 @@ object SparkEntry {
         .filter(col("day").between("2024-01-10", "2024-01-14"))
         .groupBy(col("day").cast("string").as("day"))
         .agg(count(lit(1)).as("cnt"),
-          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+          sum(ops.Num.roundz(col("value") * 100, 0).cast("long")).as("sum_cents"))
         .orderBy("day")
     }),
     "q100_bigram_freq" -> ((s, dir) =>
@@ -1889,7 +1938,7 @@ object SparkEntry {
       // add, min/max take extremes) — the oracle recomputes over base ∪
       // delta in FULL, so a green row proves merge == full recompute
       val ev = T(s, dir, "events").select(col("user_id"), col("ts"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
+        ops.Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
       val cutoff = lit("2024-01-20").cast("timestamp")
       def agg(f: org.apache.spark.sql.Column) = ev.filter(f).groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"),
@@ -2151,8 +2200,8 @@ object SparkEntry {
        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |est AS (SELECT id_a, id_b, ($agree) AS agree
        |  FROM cand JOIN sig a ON a.doc_id = cand.id_a JOIN sig b ON b.doc_id = cand.id_b)
-       |SELECT id_a, id_b, round(CAST(agree AS DOUBLE) / 16, 4) AS est_jaccard FROM est
-       |WHERE round(CAST(agree AS DOUBLE) / 16, 4) >= 0.25 ORDER BY id_a, id_b""".stripMargin
+       |SELECT id_a, id_b, (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) AS est_jaccard FROM est
+       |WHERE (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) >= 0.25 ORDER BY id_a, id_b""".stripMargin
   }
 
   /** q141 twin: the q44 signature pipeline with candidates restricted to
@@ -2177,8 +2226,8 @@ object SparkEntry {
        |  WHERE x.doc_id < 400 AND y.doc_id >= 400),
        |est AS (SELECT existing_id, new_id, ($agree) AS agree
        |  FROM cand JOIN sig a ON a.doc_id = cand.existing_id JOIN sig b ON b.doc_id = cand.new_id)
-       |SELECT existing_id, new_id, round(CAST(agree AS DOUBLE) / 16, 4) AS est_jaccard FROM est
-       |WHERE round(CAST(agree AS DOUBLE) / 16, 4) >= 0.25
+       |SELECT existing_id, new_id, (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) AS est_jaccard FROM est
+       |WHERE (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) >= 0.25
        |ORDER BY existing_id, new_id""".stripMargin
   }
 
@@ -2234,7 +2283,7 @@ object SparkEntry {
        |p AS (SELECT id_a, id_b,
        |  list_dot_product(xv, yv) / (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))) AS cosine
        |  FROM cand)
-       |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
+       |SELECT id_a, id_b, (round(cosine, 4) + 0.0) AS cosine FROM p WHERE cosine >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -2268,7 +2317,7 @@ object SparkEntry {
        |  (coalesce(micro, 0) + (CASE WHEN coalesce(micro, 0) > 0 THEN 1
        |     WHEN coalesce(micro, 0) < 0 THEN -1 ELSE 0 END) * a) / 10000.0 AS s
        |  FROM amp LEFT JOIN sums ON sums.doc_id = amp.doc_id)
-       |SELECT doc_id, round(s / sqrt(s * s + 15.0), 4) AS vader_score,
+       |SELECT doc_id, (round(s / sqrt(s * s + 15.0), 4) + 0.0) AS vader_score,
        |  CASE WHEN s / sqrt(s * s + 15.0) >= 0.05 THEN 'positive'
        |       WHEN s / sqrt(s * s + 15.0) <= -0.05 THEN 'negative' ELSE 'neutral' END AS vader_label
        |FROM fin ORDER BY doc_id""".stripMargin
@@ -2312,8 +2361,8 @@ object SparkEntry {
        |enr AS (SELECT platform, strftime(created_ts, '%Y-%m-%d') AS day,
        |  CASE WHEN $comp >= 0.05 THEN 'positive'
        |       WHEN $comp <= -0.05 THEN 'negative' ELSE 'neutral' END AS sentiment,
-       |  round($comp, 4) AS score,
-       |  round($hits / ($hits + 1.0), 4) AS conf
+       |  (round($comp, 4) + 0.0) AS score,
+       |  (round($hits / ($hits + 1.0), 4) + 0.0) AS conf
        |  FROM cleaned LEFT JOIN sc USING (comment_id))
        |SELECT platform, day, sentiment, count(*) AS cnt,
        |  CAST(sum(CASE WHEN conf > 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS hate_cnt,
@@ -2345,11 +2394,11 @@ object SparkEntry {
        |  CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|a)\\b')) AS DOUBLE) AS stop
        |  FROM documents),
        |a AS (SELECT doc_id, text, $langCase AS lang_pred,
-       |  round((CASE WHEN len >= 100 AND len <= 10000 THEN 1.0 WHEN len >= 20 THEN 0.5 ELSE 0.0 END) * 0.4
+       |  (round((CASE WHEN len >= 100 AND len <= 10000 THEN 1.0 WHEN len >= 20 THEN 0.5 ELSE 0.0 END) * 0.4
        |    + (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.3
-       |    + (CASE WHEN toks > 0 THEN least(stop / toks * 5.0, 1.0) ELSE 0.0 END) * 0.3, 4) AS quality,
-       |  round(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS DOUBLE)
-       |    / len(regexp_split_to_array(lower(text), '\\s+')), 4) AS rep_ratio,
+       |    + (CASE WHEN toks > 0 THEN least(stop / toks * 5.0, 1.0) ELSE 0.0 END) * 0.3, 4) + 0.0) AS quality,
+       |  (round(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS DOUBLE)
+       |    / len(regexp_split_to_array(lower(text), '\\s+')), 4) + 0.0) AS rep_ratio,
        |  CAST(toks AS BIGINT) AS n_tokens
        |  FROM f),
        |p AS (SELECT *, (lang_pred = 'en' AND quality >= 0.6 AND rep_ratio <= 0.6) AS pass FROM a),
@@ -2383,12 +2432,60 @@ object SparkEntry {
         |  FROM dbc JOIN cf2 USING (a, b) JOIN cf1 USING (a)
         |  JOIN cfu ON dbc.b = cfu.t CROSS JOIN n),
         |agg AS (SELECT doc_id, sum(c) AS nb,
-        |    round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY a, b)),
-        |      (x, y) -> x + y) / sum(c), 4) AS avg_nll
+        |    (round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY a, b)),
+        |      (x, y) -> x + y) / sum(c), 4) + 0.0) AS avg_nll
         |  FROM terms GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
         |  coalesce(agg.avg_nll, CAST(0.0 AS DOUBLE)) AS avg_nll
         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** q223's oracle: classic BPE ([[Bpe.learnMerges]]) unrolled as k chained
+    * CTE steps — k is small and bounded, so no recursion is needed (and a
+    * recursive CTE could not host the per-step aggregate anyway). Each step
+    * i: re-derive the symbol list from the current wrapped string (`pl`),
+    * count adjacent pairs weighted by word frequency (`pr`), take the
+    * argmax with the engine's exact tie-break (cnt DESC, p1, p2) (`b`),
+    * and apply the merge (`w`).
+    *
+    * Symbolizations ride as STRINGS with every symbol wrapped as
+    * chr(31)‖sym‖chr(30), so applying a merge is ONE `replace`:
+    * SQL replace scans left-to-right, replaces non-overlapping matches,
+    * and resumes AFTER each replacement — exactly the greedy fold
+    * [[Bpe.applyMerge]] implements ("aaaa" + (a,a) → ["aa","aa"], and a
+    * pattern can never straddle a symbol boundary because both delimiters
+    * participate in the match). A step with no remaining pair leaves `b`
+    * empty, which empties every later step through the cross join — the
+    * merge list just comes back shorter, like the engine's `exhausted`.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val w0 =
+      """w0 AS (SELECT
+        |  array_to_string(list_transform(regexp_split_to_array(word, ''),
+        |    c -> chr(31) || c || chr(30)), '') AS ws,
+        |  CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> length(t) > 0)) AS word FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""pl$i AS (SELECT freq,
+         |  list_transform(list_filter(string_split(ws, chr(30)), x -> length(x) > 0),
+         |    x -> ltrim(x, chr(31))) AS l
+         |  FROM w${i - 1}),
+         |pr$i AS (SELECT p[1] AS p1, p[2] AS p2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+         |    FROM pl$i WHERE len(l) >= 2)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT p1, p2, cnt FROM pr$i ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         |w$i AS (SELECT replace(ws, chr(31) || b.p1 || chr(30) || chr(31) || b.p2 || chr(30),
+         |    chr(31) || b.p1 || b.p2 || chr(30)) AS ws, freq
+         |  FROM w${i - 1}, b$i b)""".stripMargin
+    }
+    val union = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, p1, p2, cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"WITH $w0,\n${steps.mkString(",\n")}\n" +
+      s"SELECT rank, p1, p2, cnt FROM (\n$union) ORDER BY rank"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q74_unified_pipeline" -> q74Sql,
@@ -2400,7 +2497,7 @@ object SparkEntry {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),
-        |s AS (SELECT doc_id, term, round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+        |s AS (SELECT doc_id, term, (round(tf * ln((n + 1.0) / (df + 1.0)), 4) + 0.0) AS tfidf
         |  FROM tf JOIN idf USING (term) CROSS JOIN n),
         |r AS (SELECT doc_id, term, tfidf,
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn FROM s)
@@ -2596,9 +2693,9 @@ object SparkEntry {
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "q65_percentiles" ->
       """SELECT event_type,
-        |round(quantile_cont(value, 0.5), 4) AS p50,
-        |round(quantile_cont(value, 0.9), 4) AS p90,
-        |round(quantile_cont(value, 0.99), 4) AS p99
+        |(round(quantile_cont(value, 0.5), 4) + 0.0) AS p50,
+        |(round(quantile_cont(value, 0.9), 4) + 0.0) AS p90,
+        |(round(quantile_cont(value, 0.99), 4) + 0.0) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q66_pivot" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
@@ -2637,8 +2734,8 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
     "q73_repetition_filter" ->
       """WITH r AS (SELECT doc_id,
-        |  round(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS DOUBLE)
-        |    / len(regexp_split_to_array(lower(text), '\s+')), 4) AS rep_ratio
+        |  (round(1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(lower(text), '\s+')), 4) + 0.0) AS rep_ratio
         |  FROM documents)
         |SELECT doc_id, rep_ratio, rep_ratio <= CAST(0.2 AS DOUBLE) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
@@ -2705,7 +2802,7 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_share_of_total" ->
       """SELECT event_type, count(*) AS cnt,
-        |round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+        |(round(count(*) * 100.0 / sum(count(*)) OVER (), 4) + 0.0) AS pct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_orderby_ts" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
@@ -2749,7 +2846,7 @@ object SparkEntry {
       "SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS due FROM orders ORDER BY o_orderkey",
     "q31_scalar_math" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt,
-        |round(count(*) / 10.0 * 5.5, 2) AS extrapolated FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |(round(count(*) / 10.0 * 5.5, 2) + 0.0) AS extrapolated FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q32_json_get" ->
       """SELECT event_id, coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -2761,7 +2858,7 @@ object SparkEntry {
          |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word FROM documents),
          |sc AS (SELECT doc_id, sum(tenths) / 10.0 AS sv FROM tok JOIN lex USING (word) GROUP BY doc_id)
          |SELECT d.doc_id,
-         |round(coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0), 4) AS sentiment_score,
+         |(round(coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0), 4) + 0.0) AS sentiment_score,
          |CASE WHEN coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0) >= 0.05 THEN 'positive'
          |     WHEN coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0) <= -0.05 THEN 'negative'
          |     ELSE 'neutral' END AS sentiment
@@ -2770,8 +2867,8 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id,
         |CAST(len(regexp_extract_all(lower(text), '\b(error|slow|bad|crash|fail)\b')) AS DOUBLE) AS hits
         |FROM documents)
-        |SELECT doc_id, round(hits / (hits + 1.0), 4) > 0.9 AS is_hate_speech,
-        |round(hits / (hits + 1.0), 4) AS hate_speech_confidence FROM h ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, (round(hits / (hits + 1.0), 4) + 0.0) > 0.9 AS is_hate_speech,
+        |(round(hits / (hits + 1.0), 4) + 0.0) AS hate_speech_confidence FROM h ORDER BY doc_id""".stripMargin,
     "q36_case_label" ->
       """SELECT CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'mid' ELSE 'low' END AS label,
         |count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2812,8 +2909,8 @@ object SparkEntry {
       // ln + one divide, rounded to 10 dp with the id tie-break
       """SELECT doc_id, lang, n_chars, priority FROM (
         |  SELECT doc_id, lang, n_chars,
-        |    round(-ln((((doc_id % 1000003) * 2654435761) % 1000003 + 1) / 1000004.0)
-        |      / CAST(n_chars AS DOUBLE), 10) AS priority
+        |    (round(-ln((((doc_id % 1000003) * 2654435761) % 1000003 + 1) / 1000004.0)
+        |      / CAST(n_chars AS DOUBLE), 10) + 0.0) AS priority
         |  FROM documents ORDER BY priority, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
     "q146_rolling_median" ->
@@ -2844,8 +2941,8 @@ object SparkEntry {
         |  CAST(c AS DOUBLE) * ln(CAST(cf AS DOUBLE) / CAST(n.n AS DOUBLE)) AS term
         |  FROM tk JOIN cf USING (tok) CROSS JOIN n),
         |s AS (SELECT t.doc_id,
-        |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
-        |    (a, b) -> a + b) / CAST(any_value(sz.nt) AS DOUBLE), 4) AS avg_nll
+        |  (round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
+        |    (a, b) -> a + b) / CAST(any_value(sz.nt) AS DOUBLE), 4) + 0.0) AS avg_nll
         |  FROM terms t JOIN sz ON t.doc_id = sz.doc_id GROUP BY t.doc_id)
         |SELECT d.doc_id, CAST(coalesce(sz.nt, 0) AS BIGINT) AS n_tokens,
         |  coalesce(s.avg_nll, CAST(0.0 AS DOUBLE)) AS avg_nll
@@ -2954,8 +3051,8 @@ object SparkEntry {
         |  JOIN t ON spine.g = t.g)
         |SELECT g AS event_type, CAST(any_value(na) AS BIGINT) AS n_a,
         |  CAST(any_value(nb) AS BIGINT) AS n_b,
-        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bin)),
-        |    (a, b) -> a + b), 4) AS psi
+        |  (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bin)),
+        |    (a, b) -> a + b), 4) + 0.0) AS psi
         |FROM terms GROUP BY g ORDER BY 1""".stripMargin,
     "q159_group_corr" ->
       // exact integer power sums (HUGEINT ≡ Spark decimal(38,0)), then the
@@ -2969,13 +3066,13 @@ object SparkEntry {
         |  sum(CAST(l_quantity AS BIGINT) *
         |      CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy
         |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, n, round(CASE
+        |SELECT l_returnflag, n, (round(CASE
         |  WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
         |   AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
         |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |  END, 4) AS r
+        |  END, 4) + 0.0) AS r
         |FROM s ORDER BY 1""".stripMargin,
     "q160_event_entropy" ->
       // the q148-style ordered fold, over each day's category terms
@@ -2986,8 +3083,8 @@ object SparkEntry {
         |  (CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n) AS term
         |  FROM c JOIN t USING (day))
         |SELECT day, CAST(any_value(n) AS BIGINT) AS n, count(*) AS n_cats,
-        |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY cat)),
-        |    (a, b) -> a + b), 4) AS entropy
+        |  (round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY cat)),
+        |    (a, b) -> a + b), 4) + 0.0) AS entropy
         |FROM terms GROUP BY day ORDER BY day""".stripMargin,
     "q161_pmi_bigrams" ->
       // pmi = ln cb − ln Nb − ln cx − ln cy + 2·ln Nu, the exact term order
@@ -3002,9 +3099,9 @@ object SparkEntry {
         |  WHERE len(arr) >= 2) GROUP BY 1, 2),
         |nb AS (SELECT sum(cb) AS nb FROM bc)
         |SELECT w1, w2, cb,
-        |  round(ln(CAST(cb AS DOUBLE)) - ln(CAST(nb.nb AS DOUBLE)) -
+        |  (round(ln(CAST(cb AS DOUBLE)) - ln(CAST(nb.nb AS DOUBLE)) -
         |    ln(CAST(u1.cw AS DOUBLE)) - ln(CAST(u2.cw AS DOUBLE)) +
-        |    2.0 * ln(CAST(nu.nu AS DOUBLE)), 4) AS pmi
+        |    2.0 * ln(CAST(nu.nu AS DOUBLE)), 4) + 0.0) AS pmi
         |FROM bc JOIN uc u1 ON bc.w1 = u1.tok JOIN uc u2 ON bc.w2 = u2.tok
         |CROSS JOIN nb CROSS JOIN nu
         |WHERE cb >= 25 ORDER BY w1, w2""".stripMargin,
@@ -3035,9 +3132,9 @@ object SparkEntry {
         |  CAST(conversions AS BIGINT) AS conversions,
         |  CAST((10000 * conversions) // exposures AS BIGINT) AS cvr_bp,
         |  CASE WHEN g.c > 0 AND g.c < g.e THEN
-        |    round((CAST(conversions AS DOUBLE) / exposures - CAST(g.c AS DOUBLE) / g.e) /
+        |    (round((CAST(conversions AS DOUBLE) / exposures - CAST(g.c AS DOUBLE) / g.e) /
         |      sqrt((CAST(g.c AS DOUBLE) / g.e) * (1.0 - CAST(g.c AS DOUBLE) / g.e) /
-        |        CAST(exposures AS DOUBLE)), 4) END AS z
+        |        CAST(exposures AS DOUBLE)), 4) + 0.0) END AS z
         |FROM p CROSS JOIN g ORDER BY day""".stripMargin,
     "q164_skyline" ->
       // frontier of (qty, min cents per qty) ≡ frontier of the raw points;
@@ -3098,8 +3195,8 @@ object SparkEntry {
         |  JOIN my ON cells.week = my.week AND cells.y = my.y
         |  JOIN t ON cells.week = t.week)
         |SELECT week, CAST(any_value(n) AS BIGINT) AS n,
-        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY x, y)),
-        |    (a, b) -> a + b), 4) AS mi
+        |  (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY x, y)),
+        |    (a, b) -> a + b), 4) + 0.0) AS mi
         |FROM terms GROUP BY week ORDER BY week""".stripMargin,
     "q168_gini" ->
       // rank-sum identity over grouped values: a run of c equal values v
@@ -3111,9 +3208,9 @@ object SparkEntry {
         |a AS (SELECT g, sum(c) AS n, sum(v * c) AS s,
         |  sum(v * (c * cp + (c * (c + 1)) // 2)) AS n1 FROM w GROUP BY 1)
         |SELECT g AS event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_value,
-        |  round(CASE WHEN s > 0 THEN
+        |  (round(CASE WHEN s > 0 THEN
         |    (2.0 * CAST(n1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) -
-        |    CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END, 4) AS gini
+        |    CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END, 4) + 0.0) AS gini
         |FROM a ORDER BY 1""".stripMargin,
     "q169_hhi" ->
       // same count shuffle + ordered fold as q160, squared-share terms
@@ -3124,8 +3221,8 @@ object SparkEntry {
         |  (CAST(c.c AS DOUBLE) / t.n) * (CAST(c.c AS DOUBLE) / t.n) AS term
         |  FROM c JOIN t USING (day))
         |SELECT day, CAST(any_value(n) AS BIGINT) AS n, count(*) AS n_cats,
-        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY cat)),
-        |    (a, b) -> a + b), 4) AS hhi
+        |  (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY cat)),
+        |    (a, b) -> a + b), 4) + 0.0) AS hhi
         |FROM terms GROUP BY day ORDER BY day""".stripMargin,
     "q170_changepoint" ->
       // K-scaled CUSUM keeps everything in exact longs; ties resolve to the
@@ -3157,7 +3254,7 @@ object SparkEntry {
         |  CAST((10000 * n_pairs) // n.n AS BIGINT) AS support_bp,
         |  CAST((10000 * n_pairs) // i1.ci AS BIGINT) AS conf_xy_bp,
         |  CAST((10000 * n_pairs) // i2.ci AS BIGINT) AS conf_yx_bp,
-        |  round((CAST(n_pairs AS DOUBLE) * n.n) / (CAST(i1.ci AS DOUBLE) * i2.ci), 4) AS lift
+        |  (round((CAST(n_pairs AS DOUBLE) * n.n) / (CAST(i1.ci AS DOUBLE) * i2.ci), 4) + 0.0) AS lift
         |FROM f JOIN ic i1 ON f.x = i1.item JOIN ic i2 ON f.y = i2.item CROSS JOIN n
         |ORDER BY x, y""".stripMargin,
     "q172_golden_record" ->
@@ -3239,13 +3336,13 @@ object SparkEntry {
         |s AS (SELECT event_type, lag, count(*) AS n, sum(xa) AS sx, sum(xb) AS sy,
         |  sum(xa * xa) AS sxx, sum(xb * xb) AS syy, sum(xa * xb) AS sxy
         |  FROM pairs GROUP BY 1, 2)
-        |SELECT event_type, lag, n, round(CASE
+        |SELECT event_type, lag, n, (round(CASE
         |  WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
         |   AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
         |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |  END, 4) AS r
+        |  END, 4) + 0.0) AS r
         |FROM s ORDER BY 1, 2""".stripMargin,
     "q177_survival" ->
       // same ordered running ln-sum as the Spark side; the everyone-
@@ -3279,7 +3376,7 @@ object SparkEntry {
         |SELECT dur AS duration_days, CAST(at_risk AS BIGINT) AS at_risk,
         |  CAST(events AS BIGINT) AS events, CAST(censored AS BIGINT) AS censored,
         |  CASE WHEN zeroed > 0 THEN CAST(0.0 AS DOUBLE)
-        |    ELSE round(exp(cumln), 4) END AS survival
+        |    ELSE (round(exp(cumln), 4) + 0.0) END AS survival
         |FROM s ORDER BY 1""".stripMargin,
     "q178_bm25" ->
       // identical float shapes: idf, the length normalizer, the ordered
@@ -3298,8 +3395,8 @@ object SparkEntry {
         |  (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
         |    (CAST(lens.len AS DOUBLE) / (CAST(st.tl AS DOUBLE) / st.n)))) AS s
         |  FROM tf JOIN df USING (tok) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st),
-        |agg AS (SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list(s ORDER BY tok)), (a, b) -> a + b), 4) AS bm25 FROM sc GROUP BY 1),
+        |agg AS (SELECT doc_id, (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(s ORDER BY tok)), (a, b) -> a + b), 4) + 0.0) AS bm25 FROM sc GROUP BY 1),
         |top AS (SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20)
         |SELECT doc_id, bm25,
         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
@@ -3313,9 +3410,9 @@ object SparkEntry {
         |  FROM d WINDOW f AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT event_type, day, CAST(x AS BIGINT) AS x,
-        |  round(CAST(sx AS DOUBLE) / 7, 4) AS mean,
-        |  round(sqrt(CAST(7 AS DOUBLE) * CAST(sxx AS DOUBLE) -
-        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 7, 4) AS sd,
+        |  (round(CAST(sx AS DOUBLE) / 7, 4) + 0.0) AS mean,
+        |  (round(sqrt(CAST(7 AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 7, 4) + 0.0) AS sd,
         |  (7 * x - sx) * (7 * x - sx) > 4 * (7 * sxx - sx * sx) AS breakout
         |FROM w WHERE cnt = 7 ORDER BY event_type, day""".stripMargin,
     "q180_top_movers" ->
@@ -3336,8 +3433,8 @@ object SparkEntry {
       """WITH d AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |  count(*) AS x FROM events GROUP BY 1, 2)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
-        |  round(list_reduce(list(CAST(x AS DOUBLE) ORDER BY day),
-        |    (acc, e) -> acc * 0.7 + e * 0.3), 4) AS ewma
+        |  (round(list_reduce(list(CAST(x AS DOUBLE) ORDER BY day),
+        |    (acc, e) -> acc * 0.7 + e * 0.3), 4) + 0.0) AS ewma
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q182_twap" ->
       // epoch_us ≡ unix_micros; weighted sums ride HUGEINT ≡ decimal(38,0)
@@ -3350,7 +3447,7 @@ object SparkEntry {
         |    sum(CAST(cents AS HUGEINT) * dur) AS swv
         |  FROM d WHERE dur IS NOT NULL GROUP BY 1)
         |SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs, CAST(sw AS BIGINT) AS total_us,
-        |  round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 4) AS twap_cents
+        |  (round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 4) + 0.0) AS twap_cents
         |FROM f WHERE sw > 0 ORDER BY event_type""".stripMargin,
     "q183_cohort_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id,
@@ -3371,11 +3468,11 @@ object SparkEntry {
         |t AS (SELECT sum(n) AS tot FROM d),
         |b AS (SELECT digit, CAST(n AS BIGINT) AS n,
         |    CAST((10000 * n) // tot AS BIGINT) AS share_bp,
-        |    round(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) * 10000, 4)
+        |    (round(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) * 10000, 4) + 0.0)
         |      AS expected_bp
         |  FROM d, t)
         |SELECT digit, n, share_bp, expected_bp,
-        |  round(CAST(share_bp AS DOUBLE) - expected_bp, 4) AS gap_bp
+        |  (round(CAST(share_bp AS DOUBLE) - expected_bp, 4) + 0.0) AS gap_bp
         |FROM b ORDER BY digit""".stripMargin,
     "q185_clustering_coeff" ->
       // q125's u<v<w triangle enumeration plus degrees from the same
@@ -3450,8 +3547,8 @@ object SparkEntry {
         |  (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
         |    (CAST(lens.len AS DOUBLE) / (CAST(st.tl AS DOUBLE) / st.n)))) AS s
         |  FROM tf JOIN df USING (tok) JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st),
-        |agg AS (SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list(s ORDER BY tok)), (a, b) -> a + b), 4) AS bm25 FROM sc GROUP BY 1),
+        |agg AS (SELECT doc_id, (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(s ORDER BY tok)), (a, b) -> a + b), 4) + 0.0) AS bm25 FROM sc GROUP BY 1),
         |top AS (SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20),
         |la AS (SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_0 FROM top),
@@ -3459,8 +3556,8 @@ object SparkEntry {
         |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_1
         |  FROM documents) WHERE rank_1 <= 20),
         |j AS (SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id, la.rank_0, lb.rank_1,
-        |  round(coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + la.rank_0), CAST(0 AS DOUBLE)) +
-        |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + lb.rank_1), CAST(0 AS DOUBLE)), 4) AS rrf
+        |  (round(coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + la.rank_0), CAST(0 AS DOUBLE)) +
+        |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + lb.rank_1), CAST(0 AS DOUBLE)), 4) + 0.0) AS rrf
         |  FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id)
         |SELECT doc_id, rank_0, rank_1, rrf,
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
@@ -3482,8 +3579,8 @@ object SparkEntry {
         |  FROM r)
         |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
         |  CAST(count(*) AS BIGINT) AS n_cats,
-        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY cat)),
-        |    (a, b) -> a + b) / 2, 4) AS jsd
+        |  (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY cat)),
+        |    (a, b) -> a + b) / 2, 4) + 0.0) AS jsd
         |FROM s""".stripMargin,
     "q191_kcore" ->
       // the same 3 peel rounds unrolled; degree recounted AFTER the last
@@ -3556,13 +3653,13 @@ object SparkEntry {
         |    (CAST(gs.sxg AS DOUBLE) / CAST(gs.sx AS DOUBLE)) * (w.tsum / gs.ng) AS wterm
         |  FROM gs JOIN w USING (g)),
         |z AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_groups,
-        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(bterm ORDER BY g)),
-        |    (a, b) -> a + b), 4) AS t_between,
-        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(wterm ORDER BY g)),
-        |    (a, b) -> a + b), 4) AS t_within
+        |  (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(bterm ORDER BY g)),
+        |    (a, b) -> a + b), 4) + 0.0) AS t_between,
+        |  (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(wterm ORDER BY g)),
+        |    (a, b) -> a + b), 4) + 0.0) AS t_within
         |  FROM f)
         |SELECT n, n_groups, t_between, t_within,
-        |  round(t_between + t_within, 4) AS t_total FROM z""".stripMargin,
+        |  (round(t_between + t_within, 4) + 0.0) AS t_total FROM z""".stripMargin,
     "q195_weighted_median" ->
       // explicit ROWS frame mirrors the engine's two-phase row-wise
       // cumulative; the pick is total-order-first with 2·cum ≥ total
@@ -3646,8 +3743,8 @@ object SparkEntry {
         |    0.1 * (0.3 * s.x + 0.7 * (r.l + r.b) - r.l) + 0.9 * r.b
         |  FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
         |SELECT r.event_type, CAST(nb.n AS BIGINT) AS n_buckets,
-        |  round(r.l, 4) AS level, round(r.b, 4) AS trend,
-        |  round(r.l + r.b, 4) AS forecast
+        |  (round(r.l, 4) + 0.0) AS level, (round(r.b, 4) + 0.0) AS trend,
+        |  (round(r.l + r.b, 4) + 0.0) AS forecast
         |FROM rec r JOIN nb ON r.event_type = nb.event_type AND r.rn = nb.n
         |WHERE nb.n >= 2 ORDER BY r.event_type""".stripMargin,
     "q201_bfs_hops" ->
@@ -3711,8 +3808,8 @@ object SparkEntry {
         |    count(*) FILTER (WHERE user_id % 2 = 1) AS n_b
         |  FROM events GROUP BY 1)
         |SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |  round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
-        |    / CAST(n_a + n_b AS DOUBLE), 4) AS chi2,
+        |  (round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE), 4) + 0.0) AS chi2,
         |  (n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b) AS srm_flag
         |FROM a ORDER BY event_type""".stripMargin,
     "q206_did" ->
@@ -3733,14 +3830,14 @@ object SparkEntry {
         |  FROM e)
         |SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre, CAST(n_c_post AS BIGINT) AS n_c_post,
         |  CAST(n_t_pre AS BIGINT) AS n_t_pre, CAST(n_t_post AS BIGINT) AS n_t_post,
-        |  round(CAST(sca AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 4) AS m_c_pre,
-        |  round(CAST(scb AS DOUBLE) / CAST(n_c_post AS DOUBLE), 4) AS m_c_post,
-        |  round(CAST(sta AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 4) AS m_t_pre,
-        |  round(CAST(stb AS DOUBLE) / CAST(n_t_post AS DOUBLE), 4) AS m_t_post,
-        |  round((CAST(stb AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |  (round(CAST(sca AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 4) + 0.0) AS m_c_pre,
+        |  (round(CAST(scb AS DOUBLE) / CAST(n_c_post AS DOUBLE), 4) + 0.0) AS m_c_post,
+        |  (round(CAST(sta AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 4) + 0.0) AS m_t_pre,
+        |  (round(CAST(stb AS DOUBLE) / CAST(n_t_post AS DOUBLE), 4) + 0.0) AS m_t_post,
+        |  (round((CAST(stb AS DOUBLE) / CAST(n_t_post AS DOUBLE)
         |      - CAST(sta AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
         |    - (CAST(scb AS DOUBLE) / CAST(n_c_post AS DOUBLE)
-        |      - CAST(sca AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 4) AS did
+        |      - CAST(sca AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 4) + 0.0) AS did
         |FROM c WHERE n_c_pre > 0 AND n_c_post > 0 AND n_t_pre > 0 AND n_t_post > 0""".stripMargin,
     "q207_ks_drift" ->
       // exact-integer KS: D numerator = max |cumA·nB − cumB·nA| over the
@@ -3757,7 +3854,7 @@ object SparkEntry {
         |d AS (SELECT CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS d_num
         |  FROM c CROSS JOIN t)
         |SELECT ta AS n_a, tb AS n_b, d_num,
-        |  round(CAST(d_num AS DOUBLE) / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 4)
+        |  (round(CAST(d_num AS DOUBLE) / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 4) + 0.0)
         |    AS d_stat,
         |  CAST(d_num AS HUGEINT) * CAST(d_num AS HUGEINT) * 1000000
         |    > CAST(1844164 AS HUGEINT) * ta * tb * (ta + tb) AS drift_flag
@@ -3776,7 +3873,7 @@ object SparkEntry {
         |    (SELECT CAST(sum(nn) AS BIGINT) FROM g) AS n_neg,
         |    CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2 FROM c)
         |SELECT n_pos, n_neg, u2,
-        |  round(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 4) AS auc
+        |  (round(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 4) + 0.0) AS auc
         |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
     "q209_silhouette" ->
       // pairwise Euclidean via norms+dot on double-cast lists, quantized to
@@ -3798,8 +3895,8 @@ object SparkEntry {
         |    min(CASE WHEN pl <> sl THEN CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) END) AS b
         |  FROM pc GROUP BY 1, 2)
         |SELECT sid AS vec_id, sl AS label,
-        |  round(a / 100000, 4) AS a_dist, round(b / 100000, 4) AS b_dist,
-        |  round((b - a) / greatest(a, b), 4) AS silhouette
+        |  (round(a / 100000, 4) + 0.0) AS a_dist, (round(b / 100000, 4) + 0.0) AS b_dist,
+        |  (round((b - a) / greatest(a, b), 4) + 0.0) AS silhouette
         |FROM ab WHERE a IS NOT NULL AND b IS NOT NULL ORDER BY vec_id""".stripMargin,
     "q210_chi2_assoc" ->
       // per-cell chi-square contribution in exact micro-units:
@@ -3810,23 +3907,25 @@ object SparkEntry {
         |c AS (SELECT source, sum(o) AS c FROM cells GROUP BY 1),
         |n AS (SELECT sum(o) AS n FROM cells)
         |SELECT lang, source, o AS observed,
-        |  round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 4) AS expected,
+        |  (round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0.0) AS expected,
         |  CAST((CAST(o * n - r * c AS HUGEINT) * CAST(o * n - r * c AS HUGEINT) * 1000000)
         |    // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS contrib_micro
         |FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
         |ORDER BY lang, source""".stripMargin,
     "q211_calibration" ->
-      // clamped score deciles: exact integer sums, 4-dp display ratios
+      // clamped score deciles: exact integer sums, 4-dp display ratios;
+      // greatest(…, 0) clamps out-of-domain negatives into bin 0 exactly
+      // like the engine does
       """WITH e AS (SELECT event_type = 'purchase' AS lab,
-        |    least(CAST(round(value * 100, 0) AS BIGINT), 10000) AS cents FROM events),
+        |    greatest(least(CAST(round(value * 100, 0) AS BIGINT), 10000), 0) AS cents FROM events),
         |b AS (SELECT least((cents * 10) // 10000, 9) AS bin, cents, lab FROM e)
         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        |  round(CAST(sum(cents) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0), 4)
+        |  (round(CAST(sum(cents) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0), 4) + 0.0)
         |    AS mean_score,
-        |  round(CAST(count(*) FILTER (WHERE lab) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |  (round(CAST(count(*) FILTER (WHERE lab) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) + 0.0)
         |    AS pos_rate,
-        |  round(CAST(count(*) FILTER (WHERE lab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |    - CAST(sum(cents) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0), 4) AS gap
+        |  (round(CAST(count(*) FILTER (WHERE lab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    - CAST(sum(cents) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0), 4) + 0.0) AS gap
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q212_recall_at_k" ->
       // truth = q45's brute-force top-5; approx = q58's nprobe=1 IVF top-5;
@@ -3854,7 +3953,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         |  FROM s2) WHERE rn <= 5)
         |SELECT tr.query_id, CAST(count(ap.neighbor_id) AS BIGINT) AS hits,
-        |  round(count(ap.neighbor_id) / 5.0, 4) AS recall
+        |  (round(count(ap.neighbor_id) / 5.0, 4) + 0.0) AS recall
         |FROM tr LEFT JOIN ap ON ap.query_id = tr.query_id AND ap.neighbor_id = tr.neighbor_id
         |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
     "q213_mann_kendall" ->
@@ -3870,11 +3969,11 @@ object SparkEntry {
         |SELECT n.event_type, n.n AS n, CAST(coalesce(p.s, 0) AS BIGINT) AS s,
         |  CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tv AS BIGINT) AS var18,
         |  CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.tv > 0 THEN
-        |    round(CAST(coalesce(p.s, 0) AS DOUBLE)
-        |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tv AS DOUBLE) / 18.0), 4)
+        |    (round(CAST(coalesce(p.s, 0) AS DOUBLE)
+        |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tv AS DOUBLE) / 18.0), 4) + 0.0)
         |  END AS z,
-        |  coalesce(p.s, 0) * coalesce(p.s, 0) * 180000
-        |    > 38416 * (n.n * (n.n - 1) * (2 * n.n + 5) - t.tv) AS trend_flag
+        |  CAST(coalesce(p.s, 0) AS HUGEINT) * coalesce(p.s, 0) * 180000
+        |    > 38416 * CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tv AS HUGEINT) AS trend_flag
         |FROM n JOIN t USING (event_type) LEFT JOIN p USING (event_type)
         |ORDER BY event_type""".stripMargin,
     "q214_readability" ->
@@ -3886,8 +3985,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, words, sentences, syllables,
         |  CASE WHEN words > 0 THEN
-        |    round(206.835 - 1.015 * CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)
-        |      - 84.6 * CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 4)
+        |    (round(206.835 - 1.015 * CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)
+        |      - 84.6 * CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 4) + 0.0)
         |  END AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
     "q215_log_odds_terms" ->
@@ -3905,7 +4004,7 @@ object SparkEntry {
         |  FROM yst JOIN ns USING (source) JOIN yt USING (term) CROSS JOIN n),
         |r AS (SELECT source, term, y, score,
         |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank FROM sc)
-        |SELECT source, term, y, CAST(rank AS BIGINT) AS rank, round(score, 4) AS log_odds
+        |SELECT source, term, y, CAST(rank AS BIGINT) AS rank, (round(score, 4) + 0.0) AS log_odds
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "q216_curation_funnel" ->
       // cumulative conjunction counts from ONE aggregate; UNION ALL unpivot
@@ -3928,7 +4027,7 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'tokens', s3, s0 FROM m
         |  UNION ALL SELECT 4, 'alpha', s4, s0 FROM m)
         |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n,
-        |  round(CAST(n AS DOUBLE) / CAST(s0 AS DOUBLE), 4) AS share
+        |  (round(CAST(n AS DOUBLE) / CAST(s0 AS DOUBLE), 4) + 0.0) AS share
         |FROM u ORDER BY stage_idx""".stripMargin,
     "q217_neardup_rate" ->
       s"""WITH pairs AS ($q44Sql),
@@ -3937,7 +4036,7 @@ object SparkEntry {
          |  FROM documents d LEFT JOIN ids ON d.doc_id = ids.doc_id)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(dup) AS BIGINT) AS n_dup,
-         |  round(CAST(sum(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+         |  (round(CAST(sum(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) + 0.0) AS dup_rate
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "q218_lm_buckets" ->
       s"""WITH scores AS ($q204Sql),
@@ -3946,8 +4045,8 @@ object SparkEntry {
          |  FROM scores)
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
          |  min(avg_nll) AS min_nll, max(avg_nll) AS max_nll,
-         |  round(CAST(sum(CAST(round(avg_nll * 10000, 0) AS BIGINT)) AS DOUBLE)
-         |    / (CAST(count(*) AS DOUBLE) * 10000.0), 4) AS mean_nll
+         |  (round(CAST(sum(CAST(round(avg_nll * 10000, 0) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 10000.0), 4) + 0.0) AS mean_nll
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q219_pettitt" ->
       // interval-add identity: each (i<j) pair contributes sgn on [i, j);
@@ -3968,8 +4067,8 @@ object SparkEntry {
         |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
         |SELECT n.g AS event_type, n.n AS n, CAST(tsr.k AS BIGINT) AS k,
         |  CAST(tsr.t_star AS BIGINT) AS t_star, d.day AS break_bucket,
-        |  round(least(2.0 * exp(-(6.0 * tsr.k * tsr.k)
-        |    / (CAST(n.n * n.n * n.n AS DOUBLE) + CAST(n.n * n.n AS DOUBLE))), 1.0), 4)
+        |  (round(least(2.0 * exp(-(6.0 * tsr.k * tsr.k)
+        |    / (CAST(n.n * n.n * n.n AS DOUBLE) + CAST(n.n * n.n AS DOUBLE))), 1.0), 4) + 0.0)
         |    AS p_approx,
         |  CAST(6000000 AS HUGEINT) * tsr.k * tsr.k
         |    > CAST(3688879 AS HUGEINT) * (CAST(n.n AS HUGEINT) * n.n * n.n
@@ -3989,8 +4088,8 @@ object SparkEntry {
         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM j GROUP BY 1)
         |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
         |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
-        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+        |    (round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4) + 0.0)
         |  END AS r
         |FROM agg ORDER BY lag""".stripMargin,
     "q221_group_ks" ->
@@ -4015,7 +4114,7 @@ object SparkEntry {
         |  FROM cums CROSS JOIN grand GROUP BY 1, 2, 3)
         |SELECT g AS event_type, CAST(ng AS BIGINT) AS n_group,
         |  CAST(nr AS BIGINT) AS n_rest, CAST(d_num AS BIGINT) AS d_num,
-        |  round(CAST(d_num AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)), 4)
+        |  (round(CAST(d_num AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)), 4) + 0.0)
         |    AS d_stat,
         |  CAST(d_num AS HUGEINT) * CAST(d_num AS HUGEINT) * 1000000
         |    > CAST(1844164 AS HUGEINT) * ng * nr * (ng + nr) AS drift_flag
@@ -4026,8 +4125,76 @@ object SparkEntry {
         |  WHERE length(t.term) > 0)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(count(DISTINCT term) AS BIGINT) AS n_types,
-        |  round(CAST(count(DISTINCT term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS ttr
+        |  (round(CAST(count(DISTINCT term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) + 0.0) AS ttr
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q223_bpe_merges" -> bpeOracleSql(8),
+    "q224_pq_search" ->
+      // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
+      // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,
+      // (adist_tb, neighbor_id) ranking
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |subs AS (SELECT vec_id, CAST(s.i AS BIGINT) AS sub,
+        |    vv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS xs
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |cb AS (SELECT vec_id AS code, sub, xs AS cs FROM subs WHERE vec_id < 8),
+        |sc AS (SELECT x.vec_id, x.sub, c.code,
+        |  row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+        |    list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), c.code) AS rn
+        |  FROM subs x JOIN cb c USING (sub)),
+        |codes AS (SELECT vec_id, sub, code FROM sc WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub, xs AS qs FROM subs WHERE vec_id < 8),
+        |lut AS (SELECT q.query_id, c.sub, c.code,
+        |    CAST(round(greatest(list_dot_product(q.qs, q.qs)
+        |      - 2 * list_dot_product(q.qs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), 0) * 100000) AS BIGINT) AS d
+        |  FROM q JOIN cb c USING (sub)),
+        |sc2 AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adist_tb
+        |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+        |  WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adist_tb,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist_tb, neighbor_id) AS BIGINT) AS rn FROM sc2)
+        |SELECT query_id, neighbor_id, adist_tb, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+    "q225_pq_recall" ->
+      // q45's truth CTE + q224's ADC chain, joined per (query, neighbor)
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, vv AS qvv FROM vecs WHERE vec_id < 8),
+        |bs AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_dot_product(qvv, vv) / (sqrt(list_dot_product(qvv, qvv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+        |  FROM vecs CROSS JOIN qv WHERE vec_id <> query_id),
+        |tr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM bs) WHERE rn <= 5),
+        |subs AS (SELECT vec_id, CAST(s.i AS BIGINT) AS sub,
+        |    vv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS xs
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |cb AS (SELECT vec_id AS code, sub, xs AS cs FROM subs WHERE vec_id < 8),
+        |sc AS (SELECT x.vec_id, x.sub, c.code,
+        |  row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+        |    list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), c.code) AS rn
+        |  FROM subs x JOIN cb c USING (sub)),
+        |codes AS (SELECT vec_id, sub, code FROM sc WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub, xs AS qs FROM subs WHERE vec_id < 8),
+        |lut AS (SELECT q.query_id, c.sub, c.code,
+        |    CAST(round(greatest(list_dot_product(q.qs, q.qs)
+        |      - 2 * list_dot_product(q.qs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), 0) * 100000) AS BIGINT) AS d
+        |  FROM q JOIN cb c USING (sub)),
+        |sc2 AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adist_tb
+        |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+        |  WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+        |ap AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist_tb, neighbor_id) AS BIGINT) AS rn FROM sc2) WHERE rn <= 5)
+        |SELECT tr.query_id, CAST(count(ap.neighbor_id) AS BIGINT) AS hits,
+        |  (round(count(ap.neighbor_id) / 5.0, 4) + 0.0) AS recall
+        |FROM tr LEFT JOIN ap ON ap.query_id = tr.query_id AND ap.neighbor_id = tr.neighbor_id
+        |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
     "q41_keyed_fanout" ->
       """SELECT n_name, count(*) AS cnt,
         |CAST((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 2 + count(*)) // (2 * count(*)) AS BIGINT) / 100.0 AS avg_bal
@@ -4046,14 +4213,14 @@ object SparkEntry {
         |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
         |r AS (SELECT query_id, neighbor_id, cosine,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
-        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
+        |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
     "q46_approx_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1 ORDER BY 1",
     "q47_text_stats" ->
       """SELECT lang, count(*) AS docs,
         |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
-        |round(avg(length(text)), 2) AS avg_chars, CAST(max(length(text)) AS BIGINT) AS max_chars
+        |(round(avg(length(text)), 2) + 0.0) AS avg_chars, CAST(max(length(text)) AS BIGINT) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q49_ngram_jaccard" ->
       """WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents WHERE doc_id < 100),
@@ -4064,9 +4231,9 @@ object SparkEntry {
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
         |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) AS jaccard
+        |SELECT id_a, id_b, (round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) + 0.0) AS jaccard
         |FROM shared JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
-        |WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) >= 0.1
+        |WHERE (round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 4) + 0.0) >= 0.1
         |ORDER BY id_a, id_b""".stripMargin,
     "q50_langid" ->
       s"SELECT doc_id, $langCase AS lang_pred FROM documents ORDER BY doc_id",
@@ -4077,11 +4244,11 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
         |CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS DOUBLE) AS stop
         |FROM documents)
-        |SELECT doc_id, round(
+        |SELECT doc_id, (round(
         |(CASE WHEN len >= 100 AND len <= 10000 THEN CAST(1.0 AS DOUBLE) WHEN len >= 20 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
         |+ (CASE WHEN len > 0 THEN alpha / len ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
         |+ (CASE WHEN toks > 0 THEN least(stop / toks * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE),
-        |4) AS quality FROM f ORDER BY doc_id""".stripMargin,
+        |4) + 0.0) AS quality FROM f ORDER BY doc_id""".stripMargin,
     "q52_token_count" ->
       """SELECT lang,
         |CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
@@ -4101,7 +4268,7 @@ object SparkEntry {
          |p AS (SELECT id_a, id_b,
          |  list_dot_product(xv, yv) / (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))) AS cosine
          |  FROM cand)
-         |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
+         |SELECT id_a, id_b, (round(cosine, 4) + 0.0) AS cosine FROM p WHERE cosine >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
     "q56_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -4124,7 +4291,7 @@ object SparkEntry {
         |  FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.query_id),
         |r AS (SELECT query_id, neighbor_id, cosine,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
-        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn FROM r WHERE rn <= 5
+        |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
     "q92_jdbc_roundtrip" ->
       """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
@@ -4173,7 +4340,7 @@ object SparkEntry {
         |z AS (SELECT day, c,
         |  CASE WHEN (scc / n - (sc / n) * (sc / n)) > 0
         |       AND sqrt(scc / n - (sc / n) * (sc / n)) > 0
-        |    THEN round((CAST(c AS DOUBLE) - sc / n) / sqrt(scc / n - (sc / n) * (sc / n)), 4)
+        |    THEN (round((CAST(c AS DOUBLE) - sc / n) / sqrt(scc / n - (sc / n) * (sc / n)), 4) + 0.0)
         |    ELSE 0.0 END AS zscore
         |  FROM m)
         |SELECT day, c / 100.0 AS day_value, zscore, abs(zscore) > 2 AS anomaly
@@ -4211,7 +4378,7 @@ object SparkEntry {
     "q83_custom_udaf" ->
       """WITH c AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
-        |  round(sqrt(CAST(CAST(sum(cents * cents) AS BIGINT) AS DOUBLE) / count(*)) / 100.0, 4) AS rms_value
+        |  (round(sqrt(CAST(CAST(sum(cents * cents) AS BIGINT) AS DOUBLE) / count(*)) / 100.0, 4) + 0.0) AS rms_value
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q94_scd2_history" ->
       """WITH ev AS (SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
@@ -4415,8 +4582,8 @@ object SparkEntry {
         |  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term
         |  FROM tk JOIN sz USING (doc_id)),
         |ent AS (SELECT doc_id,
-        |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
-        |    (a, b) -> a + b), 4) AS entropy
+        |  (round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
+        |    (a, b) -> a + b), 4) + 0.0) AS entropy
         |  FROM terms GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(sz.n, 0) AS BIGINT) AS n_tokens,
         |  coalesce(ent.entropy, CAST(0.0 AS DOUBLE)) AS entropy
@@ -4472,8 +4639,8 @@ object SparkEntry {
         |i AS (SELECT day, cents,
         |  CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx FROM d)
         |SELECT day, cents / 100.0 AS day_value,
-        |  round(CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE)
-        |    / CAST(count(*) OVER w AS BIGINT) / 100.0, 4) AS ma7
+        |  (round(CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) OVER w AS BIGINT) / 100.0, 4) + 0.0) AS ma7
         |FROM i WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
     "q59_stratified_sample" ->
@@ -4562,11 +4729,11 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
         |CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS DOUBLE) AS stop
         |FROM documents),
-        |q AS (SELECT doc_id, round(
+        |q AS (SELECT doc_id, (round(
         |(CASE WHEN len >= 100 AND len <= 10000 THEN CAST(1.0 AS DOUBLE) WHEN len >= 20 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
         |+ (CASE WHEN len > 0 THEN alpha / len ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
         |+ (CASE WHEN toks > 0 THEN least(stop / toks * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE),
-        |4) AS quality, CAST(toks AS BIGINT) AS toks FROM f),
+        |4) + 0.0) AS quality, CAST(toks AS BIGINT) AS toks FROM f),
         |c AS (SELECT doc_id, quality, toks,
         |  sum(toks) OVER (ORDER BY quality DESC, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM q)

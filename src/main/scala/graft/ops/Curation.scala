@@ -84,7 +84,7 @@ object Curation {
           "weightedPrioritySample: ids must be non-negative and weights " +
             "positive (exponential-race precondition)"))))
       .withColumn("priority",
-        round(negate(log(u)) / col(weightCol).cast("double"), 10))
+        Num.roundz(negate(log(u)) / col(weightCol).cast("double"), 10))
       .orderBy(col("priority"), col(idCol))
       .limit(n)
   }
@@ -330,6 +330,6 @@ object Curation {
           "3L, 'tokens', s3, 4L, 'alpha', s4) AS (stage_idx, stage, n)"))
       .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
         col("n").cast("long").as("n"),
-        round(col("n").cast("double") / col("s0").cast("double"), 4).as("share"))
+        Num.roundz(col("n").cast("double") / col("s0").cast("double"), 4).as("share"))
   }
 }

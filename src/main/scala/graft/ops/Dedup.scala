@@ -183,7 +183,7 @@ object Dedup {
     // narrow columns instead of two full signature arrays per row
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
+      .withColumn("est_jaccard", Num.roundz(agree.cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard").distinct()
   }
@@ -242,7 +242,7 @@ object Dedup {
     val agree = expr(
       "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
     e.join(f, Seq("band", "band_hash"))
-      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 4))
+      .withColumn("est_jaccard", Num.roundz(agree.cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= threshold)
       .select("existing_id", "new_id", "est_jaccard").distinct()
   }
@@ -330,7 +330,7 @@ object Dedup {
       .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard",
-        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4))
+        Num.roundz(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -354,7 +354,7 @@ object Graph {
         expr("(10000 * n_pairs) div __n").as("support_bp"),
         expr("(10000 * n_pairs) div __cx").as("conf_xy_bp"),
         expr("(10000 * n_pairs) div __cy").as("conf_yx_bp"),
-        round((col("n_pairs").cast("double") * col("__n")) /
+        Num.roundz((col("n_pairs").cast("double") * col("__n")) /
           (col("__cx").cast("double") * col("__cy")), 4).as("lift"))
   }
 }

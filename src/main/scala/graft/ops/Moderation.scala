@@ -28,7 +28,7 @@ object Moderation {
   def confidence(textCol: Column): Column = {
     // null text scores 0.0, mirroring the partitioned variant's empty-string guard
     val hits = coalesce(regexp_count(lower(textCol), lit(termPattern)), lit(0)).cast("double")
-    round(hits / (hits + lit(1.0)), 4)
+    Num.roundz(hits / (hits + lit(1.0)), 4)
   }
 
   def isHate(conf: Column): Column = conf > confidenceThreshold

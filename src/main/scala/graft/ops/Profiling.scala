@@ -159,9 +159,9 @@ object Profiling {
       .withColumn("__tot", sum(col("n")).over(total))
       .select(col("digit"), col("n").cast("long").as("n"),
         expr("(10000 * n) div __tot").as("share_bp"),
-        round(log10(lit(1.0) + lit(1.0) / col("digit")) * 10000, 4)
+        Num.roundz(log10(lit(1.0) + lit(1.0) / col("digit")) * 10000, 4)
           .as("expected_bp"))
       .withColumn("gap_bp",
-        round(col("share_bp").cast("double") - col("expected_bp"), 4))
+        Num.roundz(col("share_bp").cast("double") - col("expected_bp"), 4))
   }
 }

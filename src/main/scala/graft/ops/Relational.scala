@@ -44,7 +44,7 @@ object Relational {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
     counts.withColumn(
       "pct",
-      round(col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()), 4))
+      Num.roundz(col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()), 4))
   }
 
   /** Tumbling daily counts (reference hand-rolls this with an ordered python

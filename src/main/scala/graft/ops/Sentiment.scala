@@ -66,7 +66,7 @@ object Sentiment {
       .groupBy(col(idCol)).agg((sum(col("tenths")) / 10.0).as("__s"))
     docs.join(sums, Seq(idCol), "left")
       .withColumn("__s", coalesce(col("__s"), lit(0.0)))
-      .withColumn("sentiment_score", round(compoundOf(col("__s")), 4))
+      .withColumn("sentiment_score", Num.roundz(compoundOf(col("__s")), 4))
       .withColumn("sentiment", label(compoundOf(col("__s"))))
       .drop("__s")
   }
@@ -127,7 +127,7 @@ object Sentiment {
     val v2 = (v + signum(v) * boost) *
       when(negated, lit(negationFactor)).otherwise(lit(1.0))
     val sums = ann.join(lex, "word")
-      .withColumn("__micro", round(v2 * 10000, 0).cast("long"))
+      .withColumn("__micro", Num.roundz(v2 * 10000, 0).cast("long"))
       .groupBy(col(idCol)).agg(sum(col("__micro")).as("__micro"))
     // '!' count (capped at 4) amplifies the total, sign-aware; micro units
     val excl = least(length(col(textCol)) - length(regexp_replace(col(textCol), "!", "")), lit(4))
@@ -136,7 +136,7 @@ object Sentiment {
       .withColumn("__micro", coalesce(col("__micro"), lit(0L)))
       .withColumn("__s", (col("__micro") + signum(col("__micro")) * col("__amp")) / 10000.0)
       .select(col(idCol),
-        round(compoundOf(col("__s")), 4).as("vader_score"),
+        Num.roundz(compoundOf(col("__s")), 4).as("vader_score"),
         label(compoundOf(col("__s"))).as("vader_label"))
   }
 

@@ -77,7 +77,7 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("__pos", "__t")))
       .select(col("query_id").cast(qType).as("query_id"),
         col("__t.neighbor_id").cast(nType).as("neighbor_id"),
-        round(negate(col("__t.nc")), 4).as("cosine"),
+        Num.roundz(negate(col("__t.nc")), 4).as("cosine"),
         (col("__pos") + 1).cast("long").as("rn"))
   }
 
@@ -113,7 +113,7 @@ object Similarity {
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", dot("va", "vb") / (norm("va") * norm("vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .select(col("id_a"), col("id_b"), Num.roundz(col("cosine"), 4).as("cosine"))
   }
 
   /** IVF coarse quantization: assign every vector to its nearest centroid
@@ -277,7 +277,7 @@ object Similarity {
     a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", dot("va", "vb") / (norm("va") * norm("vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .select(col("id_a"), col("id_b"), Num.roundz(col("cosine"), 4).as("cosine"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -337,6 +337,61 @@ object Similarity {
       .agg(codes.head, codes.tail: _*)
   }
 
+  /** Asymmetric-distance (ADC) top-k search over a PQ-ENCODED corpus — the
+    * query path that makes [[pqEncode]] a complete ANN index (LSH probes
+    * buckets, IVF probes cells, PQ scans CODES): the corpus is never
+    * decoded; each query builds an m×K lookup table of
+    * squared-L2(query-subvector, centroid) and a candidate's distance is m
+    * table lookups summed.
+    *
+    * Determinism: every LUT entry is quantized to the tenth-of-bp integer
+    * grid (`round(d·10⁵)` as long — the q209 silhouette convention, clamped
+    * at 0 against −ulp noise in x·x − 2·x·c + c·c) BEFORE summing, so the
+    * per-candidate distance is an exact long sum of m integers — immune to
+    * aggregation order — and the ranking (adist_tb asc, neighbor_id asc) is
+    * a total order both engines resolve identically.
+    *
+    * Scale shape: the LUT is |queries|·m·K rows of metadata built from two
+    * broadcast-sized slices and broadcast to the corpus scan; the encoded
+    * corpus fans out m-way on (sub, code) — m narrow longs per vector, the
+    * whole point of PQ — and reduces straight back through one map-side-
+    * combined sum. Ranking is the two-phase [[topKPerQuery]] k-heap; no
+    * window over the scored set, no shuffle wider than (id, sub, code).
+    *
+    * Output: (query_id, neighbor_id, adist_tb, rn), rank 1..k per query. */
+  def pqSearchTopK(corpusCodes: DataFrame, queries: DataFrame,
+                   codebook: DataFrame, idCol: String, vecCol: String,
+                   m: Int, subDim: Int, k: Int): DataFrame = {
+    def sliced(df: DataFrame, idAs: String, vecAs: String) = df.select(
+      col(idCol).as(idAs),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice($vecCol, i * $subDim + 1, $subDim))"))
+        .as(Seq("sub", vecAs)))
+    val qs = sliced(queries, "query_id", "qs")
+    val cb = sliced(codebook, "code", "cs")
+    val lut = qs.join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        Num.roundz(greatest(lit(0.0),
+          dot("qs", "qs") - lit(2.0) * dot("qs", "cs") + dot("cs", "cs")) *
+          lit(100000d)).cast("long").as("__d_tb"))
+    val unpivot = corpusCodes.select(col(idCol).as("neighbor_id"),
+      posexplode(array((0 until m).map(i => col(s"c$i")): _*))
+        .as(Seq("sub", "code")))
+    // inner join is total: corpus codes come from the same codebook the LUT
+    // enumerates, so every (query, neighbor) pair sums exactly m entries
+    val scored = unpivot.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__d_tb")).as("__dist"))
+      // negate into topKPerQuery's (cosine desc) order: exact — the longs
+      // are far below 2^53, so the double round-trips bit-perfectly
+      .select(col("query_id"), col("neighbor_id"),
+        negate(col("__dist").cast("double")).as("cosine"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        negate(col("cosine")).cast("long").as("adist_tb"), col("rn"))
+  }
+
   /** Per-group embedding centroids in EXACT fixed-point arithmetic: each
     * component is scaled to micro-units (`round(v · 10⁶)` — float→double cast
     * and the product are IEEE-exact, so every engine lands on the same
@@ -357,7 +412,7 @@ object Similarity {
       .select(col(labelCol), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       .groupBy(col(labelCol), col("__pos").cast("long").as("pos"))
       .agg(
-        sum(round(col("__v").cast("double") * lit(1000000d)).cast("long")).as("sum_scaled"),
+        sum(Num.roundz(col("__v").cast("double") * lit(1000000d)).cast("long")).as("sum_scaled"),
         count(lit(1)).as("n"))
 
   /** Sampled silhouette coefficient per point — the standard internal
@@ -394,7 +449,7 @@ object Similarity {
     val d2 = greatest(
       col("__sn") + col("__pn") - lit(2.0) * dot("__sv", "__pv"),
       lit(0.0))
-    val distTb = round(sqrt(d2) * lit(100000d)).cast("long")
+    val distTb = Num.roundz(sqrt(d2) * lit(100000d)).cast("long")
     val perCluster = p.crossJoin(broadcast(s))
       .filter(col("__pid") =!= col("__sid"))
       .select(col("__sid"), col("__sl"), col("__pl"), distTb.as("__d"))
@@ -408,9 +463,9 @@ object Similarity {
         min(when(col("__pl") =!= col("__sl"), col("__m"))).as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
       .select(col("__sid").as("vec_id"), col("__sl").as("label"),
-        round(col("__a") / 100000d, 4).as("a_dist"),
-        round(col("__b") / 100000d, 4).as("b_dist"),
-        round((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 4)
+        Num.roundz(col("__a") / 100000d, 4).as("a_dist"),
+        Num.roundz(col("__b") / 100000d, 4).as("b_dist"),
+        Num.roundz((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 4)
           .as("silhouette"))
   }
 }

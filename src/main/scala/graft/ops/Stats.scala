@@ -67,7 +67,7 @@ object Stats {
         sort_array(collect_list(struct(col("bin"), col("term")))).as("__t"))
       .select(col("g").as(groupCol),
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
-        round(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
+        Num.roundz(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
           .as("psi"))
   }
 
@@ -103,7 +103,7 @@ object Stats {
     val denX = sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
     val denY = sqrt(d("n") * d("syy") - d("sy") * d("sy"))
     sums.select(groupCols.map(col) ++ Seq(col("n"),
-      round(when(denX > 0 && denY > 0, num / (denX * denY)), 4).as("r")): _*)
+      Num.roundz(when(denX > 0 && denY > 0, num / (denX * denY)), 4).as("r")): _*)
   }
 
   /** Shannon entropy (nats) of a categorical column's distribution per
@@ -129,7 +129,7 @@ object Stats {
         sort_array(collect_list(struct(col("cat"), col("term")))).as("__t"))
       .select(col(groupCol), col("__n").cast("long").as("n"),
         col("n_cats").cast("long").as("n_cats"),
-        round(negate(expr(
+        Num.roundz(negate(expr(
           "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)")), 4)
           .as("entropy"))
   }
@@ -161,7 +161,7 @@ object Stats {
     per.crossJoin(broadcast(global))
       .select(col(groupCol), col("exposures"), col("conversions"),
         expr("(10000 * conversions) div exposures").as("cvr_bp"),
-        round(when(col("__c") > 0 && col("__c") < col("__e"),
+        Num.roundz(when(col("__c") > 0 && col("__c") < col("__e"),
           (col("conversions").cast("double") / col("exposures") -
             col("__c").cast("double") / col("__e")) /
             sqrt((col("__c").cast("double") / col("__e")) *
@@ -198,7 +198,7 @@ object Stats {
       .groupBy(col(groupCol))
       .agg(first(col("n")).as("__n"), sort_array(collect_list(col("__cell"))).as("__t"))
       .select(col(groupCol), col("__n").cast("long").as("n"),
-        round(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
+        Num.roundz(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
           .as("mi"))
   }
 
@@ -233,7 +233,7 @@ object Stats {
           expr("(c * (c + 1)) div 2"))).cast("decimal(38,0)")).as("n1"))
     sums.select(col(groupCol), col("n").cast("long").as("n"),
       col("s").cast("long").as("sum_value"),
-      round(when(col("s") > 0,
+      Num.roundz(when(col("s") > 0,
         (lit(2.0) * col("n1").cast("double")) /
           (col("n").cast("double") * col("s").cast("double")) -
           (col("n") + lit(1L)).cast("double") / col("n").cast("double")), 4)
@@ -258,7 +258,7 @@ object Stats {
         sort_array(collect_list(struct(col("cat"), col("term")))).as("__t"))
       .select(col(groupCol), col("__n").cast("long").as("n"),
         col("n_cats").cast("long").as("n_cats"),
-        round(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
+        Num.roundz(expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"), 4)
           .as("hhi"))
   }
 
@@ -423,7 +423,7 @@ object Stats {
         when(col("events") > 0 && col("at_risk") === col("events"), 1L).otherwise(0L))
       .withColumn("survival",
         when(sum(col("__zero")).over(wCum) > 0, lit(0.0))
-          .otherwise(round(exp(sum(col("__term")).over(wCum)), 4)))
+          .otherwise(Num.roundz(exp(sum(col("__term")).over(wCum)), 4)))
       .select(col(durationCol), col("at_risk").cast("long").as("at_risk"),
         col("events").cast("long").as("events"),
         col("censored").cast("long").as("censored"), col("survival"))
@@ -456,8 +456,8 @@ object Stats {
     val dev = (n.cast(dec) * col(valueCol) - col("__sx")).cast(dec)
     val varTerm = (n.cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
     framed.select(col(groupCol), col(bucketCol), col(valueCol),
-      round(col("__sx").cast("double") / n, 4).as("mean"),
-      round(sqrt((n.cast("double") * col("__sxx").cast("double") -
+      Num.roundz(col("__sx").cast("double") / n, 4).as("mean"),
+      Num.roundz(sqrt((n.cast("double") * col("__sxx").cast("double") -
         col("__sx").cast("double") * col("__sx").cast("double"))) / n, 4).as("sd"),
       (dev * dev > lit(4).cast(dec) * varTerm).as("breakout"))
   }
@@ -512,7 +512,7 @@ object Stats {
         sort_array(collect_list(struct(col(bucketCol).as("b"),
           col(valueCol).cast("double").as("x")))).as("__s"))
       .select(col(groupCol), col("n_buckets").cast("long").as("n_buckets"),
-        round(expr(
+        Num.roundz(expr(
           s"aggregate(slice(__s, 2, size(__s) - 1), __s[0].x, " +
             s"(acc, e) -> acc * ${1.0 - a} + e.x * $a)"), 4).as("ewma"))
   }
@@ -545,7 +545,7 @@ object Stats {
       .filter(col("__sw") > 0)
       .select(col(groupCol), col("n_obs").cast("long").as("n_obs"),
         col("__sw").cast("long").as("total_us"),
-        round(col("__swv").cast("double") / col("__sw").cast("double"), 4)
+        Num.roundz(col("__swv").cast("double") / col("__sw").cast("double"), 4)
           .as("twap_cents"))
   }
 
@@ -586,7 +586,7 @@ object Stats {
       .select(col("__na").cast("long").as("n_a"),
         col("__nb").cast("long").as("n_b"),
         col("n_cats").cast("long").as("n_cats"),
-        round(expr(
+        Num.roundz(expr(
           "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)") / 2, 4)
           .as("jsd"))
   }
@@ -669,13 +669,13 @@ object Stats {
         sort_array(collect_list(struct(col("g"), col("wterm")))).as("__w"))
       .select(col("__n").cast("long").as("n"),
         col("n_groups").cast("long").as("n_groups"),
-        round(expr(
+        Num.roundz(expr(
           "aggregate(__b, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.bterm)"), 4)
           .as("t_between"),
-        round(expr(
+        Num.roundz(expr(
           "aggregate(__w, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.wterm)"), 4)
           .as("t_within"))
-      .withColumn("t_total", round(col("t_between") + col("t_within"), 4))
+      .withColumn("t_total", Num.roundz(col("t_between") + col("t_within"), 4))
   }
 
   /** Lorenz curve points: entities decile-bucketed by amount ascending,
@@ -774,9 +774,9 @@ object Stats {
             s"(acc, e) -> named_struct('d', e.d, 'l', $lvl, " +
             s"'b', $b * ($lvl - acc.l) + $ib * acc.b))").as("__f"))
       .select(col(groupCol), col("n_buckets"),
-        round(col("__f.l"), 4).as("level"),
-        round(col("__f.b"), 4).as("trend"),
-        round(col("__f.l") + col("__f.b"), 4).as("forecast"))
+        Num.roundz(col("__f.l"), 4).as("level"),
+        Num.roundz(col("__f.b"), 4).as("trend"),
+        Num.roundz(col("__f.l") + col("__f.b"), 4).as("forecast"))
   }
 
   /** Sample-ratio-mismatch check for a deterministic 50/50 split — the
@@ -800,7 +800,7 @@ object Stats {
         sum(when(col(armCol) === 1, 1L).otherwise(0L)).as("n_b"))
       .select(col(groupCol), col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"),
-        round((col("n_a") - col("n_b")).cast("double") *
+        Num.roundz((col("n_a") - col("n_b")).cast("double") *
           (col("n_a") - col("n_b")).cast("double") /
           (col("n_a") + col("n_b")).cast("double"), 4).as("chi2"),
         (((col("n_a") - col("n_b")).cast(dec) * (col("n_a") - col("n_b")).cast(dec))
@@ -845,11 +845,11 @@ object Stats {
         col("n_c_post").cast("long").as("n_c_post"),
         col("n_t_pre").cast("long").as("n_t_pre"),
         col("n_t_post").cast("long").as("n_t_post"),
-        round(m(col("__sca"), col("n_c_pre")), 4).as("m_c_pre"),
-        round(m(col("__scb"), col("n_c_post")), 4).as("m_c_post"),
-        round(m(col("__sta"), col("n_t_pre")), 4).as("m_t_pre"),
-        round(m(col("__stb"), col("n_t_post")), 4).as("m_t_post"),
-        round((m(col("__stb"), col("n_t_post")) - m(col("__sta"), col("n_t_pre"))) -
+        Num.roundz(m(col("__sca"), col("n_c_pre")), 4).as("m_c_pre"),
+        Num.roundz(m(col("__scb"), col("n_c_post")), 4).as("m_c_post"),
+        Num.roundz(m(col("__sta"), col("n_t_pre")), 4).as("m_t_pre"),
+        Num.roundz(m(col("__stb"), col("n_t_post")), 4).as("m_t_post"),
+        Num.roundz((m(col("__stb"), col("n_t_post")) - m(col("__sta"), col("n_t_pre"))) -
           (m(col("__scb"), col("n_c_post")) - m(col("__sca"), col("n_c_pre"))), 4)
           .as("did"))
   }
@@ -906,7 +906,7 @@ object Stats {
       .agg(max(abs(col("__ca") * lit(totB) - col("__cb") * lit(totA))).as("d_num"))
       .select(lit(totA).as("n_a"), lit(totB).as("n_b"),
         col("d_num").cast("long").as("d_num"),
-        round(col("d_num").cast("double") /
+        Num.roundz(col("d_num").cast("double") /
           (lit(totA).cast("double") * lit(totB).cast("double")), 4).as("d_stat"),
         (col("d_num").cast(dec) * col("d_num").cast(dec) * lit(1000000L).cast(dec) >
           lit(1844164L).cast(dec) * lit(totA).cast(dec) * lit(totB).cast(dec) *
@@ -951,7 +951,7 @@ object Stats {
       .select(col("__g").as(groupCol), col("__ng").cast("long").as("n_group"),
         col("__nr").cast("long").as("n_rest"),
         col("d_num").cast("long").as("d_num"),
-        round(col("d_num").cast("double") /
+        Num.roundz(col("d_num").cast("double") /
           (col("__ng").cast("double") * col("__nr").cast("double")), 4).as("d_stat"),
         (col("d_num").cast(dec) * col("d_num").cast(dec) * lit(1000000L).cast(dec) >
           lit(1844164L).cast(dec) * col("__ng").cast(dec) * col("__nr").cast(dec) *
@@ -970,7 +970,12 @@ object Stats {
     * [[TwoPhase.prefixSum]] over |distinct scores| rows, one global sum.
     * No per-row ranks, no window over raw rows. 1 output row. */
   def aucFromScores(df: DataFrame, labelCol: String, unitsCol: String): DataFrame = {
+    // NULL labels belong to neither class: drop them up front so the engine
+    // sees the same row set as the oracle's count(*) FILTER (WHERE lab) /
+    // FILTER (WHERE NOT lab) pair, which skips NULLs on both counts —
+    // otherwise(1L) alone would silently count a NULL label as a negative.
     val grouped = df
+      .filter(col(labelCol).isNotNull)
       .groupBy(col(unitsCol).as("__u"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
@@ -983,7 +988,7 @@ object Stats {
       .filter(col("n_pos") > 0 && lit(totN) > 0)
       .select(col("n_pos").cast("long").as("n_pos"), lit(totN).as("n_neg"),
         col("u2").cast("long").as("u2"),
-        round(col("u2").cast("double") /
+        Num.roundz(col("u2").cast("double") /
           (lit(2.0) * col("n_pos").cast("double") * lit(totN).cast("double")), 4)
           .as("auc"))
   }
@@ -1016,7 +1021,7 @@ object Stats {
       .join(broadcast(colTot), Seq(yCol))
       .crossJoin(broadcast(grand))
       .select(col(xCol), col(yCol), col("__o").cast("long").as("observed"),
-        round(col("__r").cast("double") * col("__c").cast("double") /
+        Num.roundz(col("__r").cast("double") * col("__c").cast("double") /
           col("__n").cast("double"), 4).as("expected"),
         ((num2 - num2 % den) / den).cast("long").as("contrib_micro"))
   }
@@ -1026,7 +1031,11 @@ object Stats {
     * exact from a within-group pair join; the tie-corrected variance rides
     * as the exact integer `var18` = 18·Var(S) = n(n−1)(2n+5) − Σ_t
     * t(t−1)(2t+5); the 5% two-sided flag squares |S| > 1.96·√(var18/18)
-    * into pure integers: S²·18·10⁴ > 38416·var18. z is 4-dp display.
+    * into pure integers: S²·18·10⁴ > 38416·var18, evaluated on
+    * decimal(38,0) (like ksDrift / pettittChangepoint / chi2Independence)
+    * because S²·18·10⁴ exceeds Long at n ≳ 4600 buckets per group and
+    * non-ANSI Spark would wrap silently; the oracle runs the same
+    * comparison on HUGEINT. z is 4-dp display.
     *
     * Scale shape: the pair join runs on the AGGREGATED |buckets|-per-group
     * frame (|buckets|² per group pairs of metadata rows), never raw
@@ -1034,6 +1043,7 @@ object Stats {
     * var18 = 0 (constant series) surface z NULL, flag false. */
   def mannKendall(series: DataFrame, groupCol: String, bucketCol: String,
                   valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val a = series.select(col(groupCol).as("__g"), col(bucketCol).as("__t"),
       col(valueCol).cast("long").as("__x"))
     val b = series.select(col(groupCol).as("__g2"), col(bucketCol).as("__t2"),
@@ -1054,10 +1064,11 @@ object Stats {
       .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
         coalesce(col("__s"), lit(0L)).cast("long").as("s"),
         var18.as("var18"),
-        when(var18 > 0, round(coalesce(col("__s"), lit(0L)).cast("double") /
+        when(var18 > 0, Num.roundz(coalesce(col("__s"), lit(0L)).cast("double") /
           sqrt(var18.cast("double") / lit(18.0)), 4)).as("z"),
-        (coalesce(col("__s"), lit(0L)) * coalesce(col("__s"), lit(0L)) *
-          lit(180000L) > lit(38416L) * var18).as("trend_flag"))
+        (coalesce(col("__s"), lit(0L)).cast(dec) *
+          coalesce(col("__s"), lit(0L)).cast(dec) * lit(180000L).cast(dec) >
+          lit(38416L).cast(dec) * var18.cast(dec)).as("trend_flag"))
   }
 
   /** Pettitt changepoint test per group over an ALREADY-BUCKETED series:
@@ -1107,7 +1118,7 @@ object Stats {
       .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
         col("__k").cast("long").as("k"), col("t_star").cast("long").as("t_star"),
         col("__b").as("break_bucket"),
-        round(least(lit(2.0) * exp(negate(lit(6.0) * col("__k") * col("__k")) /
+        Num.roundz(least(lit(2.0) * exp(negate(lit(6.0) * col("__k") * col("__k")) /
           nCubed), lit(1.0)), 4).as("p_approx"),
         (lit(6000000L).cast(dec) * col("__k").cast(dec) * col("__k").cast(dec) >
           lit(3688879L).cast(dec) * (col("__n").cast(dec) * col("__n").cast(dec) *
@@ -1143,7 +1154,7 @@ object Stats {
         when(
           col("__n") * col("__sxx") - col("__sx") * col("__sx") > 0 &&
             col("__n") * col("__syy") - col("__sy") * col("__sy") > 0,
-          round((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          Num.roundz((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
             sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
               (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")), 4))
           .as("r"))
@@ -1154,28 +1165,32 @@ object Stats {
     * score vs the observed positive rate and their gap — the standard
     * check before a classifier's scores are trusted as selection
     * probabilities in a curation pipeline. Scores above `maxUnits` clamp
-    * into the top bin. All three surfaced ratios are 4-dp display computed
-    * from exact integer sums; bin assignment is integer floor division
-    * (`div`), identical to the oracle's `//`.
+    * into the top bin; NEGATIVE scores clamp into bin 0 with the
+    * contribution clamped to 0 — the SAME clamp the oracle SQL applies, so
+    * out-of-domain inputs (a refund-style negative cents value in a future
+    * testdata generation) keep the engines aligned instead of one raising
+    * where the other bins (advisor note, round 10). All three surfaced
+    * ratios are 4-dp display computed from exact integer sums; bin
+    * assignment is integer floor division (`div`), identical to the
+    * oracle's `//`.
     *
     * Scale shape: one aggregate over raw rows with map-side combine,
     * ≤ `bins` output rows, no join, no window. */
   def calibrationBins(df: DataFrame, labelCol: String, unitsCol: String,
                       bins: Int = 10, maxUnits: Long = 10000L): DataFrame = {
-    val capped = least(col(unitsCol).cast("long"), lit(maxUnits))
-    val bin = least(expr(s"(least(CAST($unitsCol AS BIGINT), $maxUnits) * $bins) " +
-      s"div $maxUnits"), lit(bins - 1L)).cast("long")
+    val capped = greatest(lit(0L),
+      least(col(unitsCol).cast("long"), lit(maxUnits)))
+    val bin = least(expr(s"(greatest(least(CAST($unitsCol AS BIGINT), " +
+      s"$maxUnits), 0) * $bins) div $maxUnits"), lit(bins - 1L)).cast("long")
     df
-      .filter(when(col(unitsCol) >= 0, lit(true)).otherwise(raise_error(
-        lit("calibrationBins: score units must be non-negative"))))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("__n"), sum(capped).as("__s"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"))
       .select(col("bin"), col("__n").cast("long").as("n"),
-        round(col("__s").cast("double") /
+        Num.roundz(col("__s").cast("double") /
           (col("__n").cast("double") * lit(maxUnits.toDouble)), 4).as("mean_score"),
-        round(col("__p").cast("double") / col("__n").cast("double"), 4).as("pos_rate"),
-        round(col("__p").cast("double") / col("__n").cast("double") -
+        Num.roundz(col("__p").cast("double") / col("__n").cast("double"), 4).as("pos_rate"),
+        Num.roundz(col("__p").cast("double") / col("__n").cast("double") -
           col("__s").cast("double") / (col("__n").cast("double") *
             lit(maxUnits.toDouble)), 4).as("gap"))
   }

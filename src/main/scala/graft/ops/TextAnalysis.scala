@@ -69,7 +69,7 @@ object TextAnalysis {
       .when(len >= 20, 0.5).otherwise(0.0)
     val alphaRatio = when(len > 0, alpha / len).otherwise(0.0)
     val stopScore = when(toks > 0, least(stop / toks * lit(5.0), lit(1.0))).otherwise(0.0)
-    round(lenScore * 0.4 + alphaRatio * 0.3 + stopScore * 0.3, 4)
+    Num.roundz(lenScore * 0.4 + alphaRatio * 0.3 + stopScore * 0.3, 4)
   }
 
   /** HyperLogLog distinct count (q46 scale path): one pass, fixed-size sketch
@@ -87,7 +87,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("docs"),
         sum(tokenCount(col(textCol))).as("tokens"),
-        round(avg(length(col(textCol))), 2).as("avg_chars"),
+        Num.roundz(avg(length(col(textCol))), 2).as("avg_chars"),
         max(length(col(textCol))).cast("long").as("max_chars"))
 
   /** Per-document rare-token statistics — the unigram-LM-flavored quality
@@ -166,7 +166,7 @@ object TextAnalysis {
       .agg(sort_array(collect_list(struct(col("tok"), col("c")))).as("__tc"),
         sum(col("c")).as("__n"))
       .select(col(idCol), col("__n").cast("long").as("n_tokens"),
-        round(negate(expr(
+        Num.roundz(negate(expr(
           "aggregate(__tc, CAST(0.0 AS DOUBLE), (acc, t) -> acc + " +
             "(CAST(t.c AS DOUBLE) / CAST(__n AS DOUBLE)) * " +
             "ln(CAST(t.c AS DOUBLE) / CAST(__n AS DOUBLE)))")), 4).as("entropy"))
@@ -208,7 +208,7 @@ object TextAnalysis {
         sum(col("c")).as("__nt"),
         first(col("__n")).as("__N"))
       .select(col(idCol), col("__nt").cast("long").as("n_tokens"),
-        round(negate(expr(
+        Num.roundz(negate(expr(
           "aggregate(__tc, CAST(0.0 AS DOUBLE), (acc, t) -> acc + " +
             "CAST(t.c AS DOUBLE) * ln(CAST(t.cf AS DOUBLE) / CAST(__N AS DOUBLE)))"))
           / col("__nt"), 4).as("avg_nll"))
@@ -250,7 +250,7 @@ object TextAnalysis {
     tf.join(broadcast(df_), "term")
       .crossJoin(broadcast(total))
       .withColumn("tfidf",
-        round(col("tf") * log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))), 4))
+        Num.roundz(col("tf") * log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))), 4))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))))
       .filter(col("rn") <= k)
@@ -356,7 +356,7 @@ object TextAnalysis {
       .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("__c2"))), Seq("w2"))
       .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
       .select(col("w1"), col("w2"), col("cb"),
-        round(log(col("cb").cast("double")) - log(col("__nb").cast("double")) -
+        Num.roundz(log(col("cb").cast("double")) - log(col("__nb").cast("double")) -
           log(col("__c1").cast("double")) - log(col("__c2").cast("double")) +
           lit(2.0) * log(col("__nu").cast("double")), 4).as("pmi"))
   }
@@ -404,7 +404,7 @@ object TextAnalysis {
           (lit(0.25) + lit(0.75) * (col("__len").cast("double") / col("__avg")))))
     val perDoc = scored.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("tok"), col("__s")))).as("__t"))
-      .select(col(idCol), round(expr(
+      .select(col(idCol), Num.roundz(expr(
         "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.__s)"), 4)
         .as("bm25"))
       .orderBy(col("bm25").desc, col(idCol)).limit(k)
@@ -461,7 +461,7 @@ object TextAnalysis {
       .agg(sum(col("c")).as("__nb"),
         sort_array(collect_list(struct(col("a"), col("b"), col("term")))).as("__t"))
       .select(col(idCol), col("__nb").cast("long").as("n_bigrams"),
-        round(negate(expr(
+        Num.roundz(negate(expr(
           "aggregate(__t, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term)"))
           / col("__nb"), 4).as("avg_nll"))
     docs.select(col(idCol)).join(stats, Seq(idCol), "left")
@@ -494,7 +494,7 @@ object TextAnalysis {
       .map(i => coalesce(lit(1.0) / (lit(k.toDouble) + col(s"rank_$i")), lit(0.0)))
       .reduce(_ + _)
     joined
-      .withColumn("rrf", round(score, 4))
+      .withColumn("rrf", Num.roundz(score, 4))
       .withColumn("fused_rank",
         row_number().over(Window.orderBy(col("rrf").desc, col(idCol))).cast("long"))
   }
@@ -535,7 +535,7 @@ object TextAnalysis {
       .filter(col("__rn") <= k)
       .select(col("__g").as(groupCol), col("__t").as("term"),
         col("__y").cast("long").as("y"), col("__rn").cast("long").as("rank"),
-        round(col("__score"), 4).as("log_odds"))
+        Num.roundz(col("__score"), 4).as("log_odds"))
   }
 
   /** Flesch Reading Ease score per document — the classic readability
@@ -563,7 +563,7 @@ object TextAnalysis {
       lit(1)).cast("long")
     docs.select(col(idCol), words.as("words"), sentences.as("sentences"),
       syllables.as("syllables"),
-      when(words > 0, round(
+      when(words > 0, Num.roundz(
         lit(206.835) -
           lit(1.015) * words.cast("double") / sentences.cast("double") -
           lit(84.6) * syllables.cast("double") / words.cast("double"), 4))

@@ -38,7 +38,7 @@ object TextFunctions {
     * tokens| / |tokens|, in [0, 1). High values mean boilerplate/spam. */
   def repetitionRatio(c: Column): Column = {
     val toks = split(lower(c), "\\s+")
-    round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 4)
+    Num.roundz(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 4)
   }
 
   /** HTML → text: drop tags, unescape the entities the reference handles, drop

@@ -146,6 +146,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqSearchTopK matches an exact in-test ADC reference, self-excluded") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 4)
+    val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 4, subDim = 16)
+    val got = Similarity.pqSearchTopK(codes, queries, cb, "vec_id", "embedding",
+        m = 4, subDim = 16, k = 5)
+      .orderBy("query_id", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // reference: same LUT quantization (round(d·1e5) half-up, clamped at 0),
+    // exact long sums, (dist asc, id asc) ranking
+    val cbRows = cb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qRows = queries.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val codeRows = codes.collect()
+      .map(r => (r.getLong(0), (1 to 4).map(r.getLong).toArray))
+    def sub(v: Array[Float], i: Int) = v.slice(i * 16, i * 16 + 16).map(_.toDouble)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      // the engine's x·x − 2·x·c + c·c, each dot an ordered fold
+      def dp(x: Array[Double], y: Array[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      dp(a, a) - 2.0 * dp(a, b) + dp(b, b)
+    }
+    val want = qRows.flatMap { case (qid, qv) =>
+      val lut = (0 until 4).map(s => cbRows.map { case (cid, cv) =>
+        cid -> BigDecimal(math.max(0.0, d2(sub(qv, s), sub(cv, s))) * 100000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.toMap)
+      codeRows.filter(_._1 != qid)
+        .map { case (nid, cs) => (nid, (0 until 4).map(s => lut(s)(cs(s))).sum) }
+        .sortBy { case (nid, d) => (d, nid) }.take(5).zipWithIndex
+        .map { case ((nid, d), i) => (qid, nid, d, i + 1L) }
+    }.toSeq
+    assert(got == want, s"got:\n${got.mkString("\n")}\nwant:\n${want.mkString("\n")}")
+    // and an identical-to-codebook query ranks its own encoding's cell-mates
+    // by exact 0-extendable distances — spot: top-1 distance is the minimum
+    assert(got.filter(_._4 == 1L).forall { case (_, _, d, _) => d >= 0 })
+  }
+
   test("ivfTrain reduces distortion vs the raw seed centroids") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val seeds = emb.filter(col("vec_id") < 8).select("vec_id", "embedding")

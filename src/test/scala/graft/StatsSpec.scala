@@ -638,11 +638,20 @@ class StatsSpec extends SparkSpec {
       (9L, 2L, 0.95, 1.0, 0.05)))
   }
 
-  test("calibrationBins rejects negative score units in-plan") {
-    val bad = Seq((true, -1L)).toDF("lab", "u")
-    val e = intercept[Exception](
-      Stats.calibrationBins(bad, "lab", "u").collect())
-    assert(e.getMessage.contains("non-negative"))
+  test("calibrationBins clamps negative score units into bin 0, like the oracle") {
+    // out-of-domain negatives bin at 0 with their contribution clamped to 0
+    // (round-10 advisor note: the oracle SQL applies the same greatest(…,0),
+    // so neither engine errors where the other bins)
+    val df = Seq((true, -250L), (false, -1L), (false, 1500L))
+      .toDF("lab", "u")
+    val out = Stats.calibrationBins(df, "lab", "u")
+      .orderBy("bin")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // bin 0: two clamped rows, capped sum 0 → mean_score 0, pos_rate 0.5
+    // bin 1: 1500 → mean 0.15, pos_rate 0
+    assert(out == Seq(
+      (0L, 2L, 0.0, 0.5, 0.5),
+      (1L, 1L, 0.15, 0.0, -0.15)))
   }
 
   // ----------------------------------------------------------- mannKendall
