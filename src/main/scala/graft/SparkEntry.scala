@@ -258,7 +258,10 @@ object SparkEntry {
         .orderBy("doc_id")),
     // ---------------------------------------------------------- §2.8 UDF surface
     "q34_sentiment_udf" -> ((s, dir) =>
-      Sentiment.scoreByLexiconJoin(T(s, dir, "documents"), "doc_id", "text")
+      // native codegen'd expression (functions/LexiconScore.scala): scoring
+      // is one map-side byte loop per row — no token explode, no join, no
+      // exchange; bit-parity with the relational and UDF forms is spec'd
+      Sentiment.scoreByLexiconNative(T(s, dir, "documents"), "text")
         .select(col("doc_id"), col("sentiment_score"), col("sentiment"))
         .orderBy("doc_id")),
     "q35_hate_udf" -> ((s, dir) =>

@@ -26,11 +26,10 @@ import org.apache.spark.sql.functions._
 object Sentiment {
 
   /** Bundled word → valence map (deterministic stand-in for the VADER lexicon;
-    * values in VADER's [-4, 4] convention). */
-  val lexicon: Seq[(String, Double)] = Seq(
-    "good" -> 1.9, "great" -> 3.1, "love" -> 3.2, "win" -> 2.8, "fast" -> 2.1,
-    "big" -> 1.2, "merge" -> 0.6, "bad" -> -2.5, "hate" -> -2.7, "slow" -> -1.8,
-    "error" -> -2.2, "small" -> -0.9, "crash" -> -3.0, "fail" -> -2.3)
+    * values in VADER's [-4, 4] convention). Canonical copy lives with the
+    * native expression ([[graft.functions.LexiconScore.words]]) so all three
+    * forms — native, join, UDF — score from one table. */
+  val lexicon: Seq[(String, Double)] = graft.functions.LexiconScore.words
 
   val normalizationAlpha = 15.0
   val positiveThreshold = 0.05
@@ -69,6 +68,25 @@ object Sentiment {
       .withColumn("sentiment_score", Num.roundz(compoundOf(col("__s")), 4))
       .withColumn("sentiment", label(compoundOf(col("__s"))))
       .drop("__s")
+  }
+
+  /** Native scorer — the registered q34 path: the codegen'd
+    * [[graft.functions.LexiconScore]] expression computes the identical
+    * tenths sum in one byte loop per row, so scoring is a pure MAP-SIDE
+    * projection: no token explode, no join, no aggregate, no exchange
+    * anywhere (PlanSpec pins the plan). The relational
+    * [[scoreByLexiconJoin]] stays for pipelines that want Catalyst to see
+    * the token relation (or a lexicon too big to bake into an expression);
+    * [[compoundUdf]] stays for per-row API parity with the reference.
+    * All three agree bit-for-bit (SentimentModerationSpec).
+    *
+    * Output matches [[scoreByLexiconJoin]]: docs columns +
+    * (`sentiment_score` 4dp, `sentiment`); NULL/hitless text scores 0. */
+  def scoreByLexiconNative(docs: DataFrame, textCol: String): DataFrame = {
+    val s = coalesce(graft.functions.LexiconScore(col(textCol)), lit(0L)) / 10.0
+    docs
+      .withColumn("sentiment_score", Num.roundz(compoundOf(s), 4))
+      .withColumn("sentiment", label(compoundOf(s)))
   }
 
   // ------------------------------------------------------- VADER heuristics

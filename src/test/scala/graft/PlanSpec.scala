@@ -103,8 +103,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(__h"), s"expected shuffle on content hash:\n$plan")
   }
 
-  test("lexicon sentiment join broadcasts the lexicon (q34)") {
-    assert(q("q34_sentiment_udf").contains("BroadcastHashJoin"))
+  test("lexicon sentiment is a pure map-side projection — native expression, no exchange (q34)") {
+    // round 10: the registered path is the codegen'd LexiconScore
+    // expression; scoring adds NO shuffle (the only Exchange allowed is the
+    // final orderBy's range partitioning) and stays inside codegen
+    val plan = q("q34_sentiment_udf")
+    assert(plan.contains("lexicon_score_tenths"),
+      s"expected the native expression in the plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("HashAggregate"),
+      s"native path must not join or aggregate:\n$plan")
+    assert(shuffleExchanges(plan) <= 1, // the orderBy only
+      s"scoring must add no exchange beyond the output sort:\n$plan")
+    assert(plan.contains("[codegen id :"), s"no codegen spans:\n$plan")
   }
 
   test("embedding near-dup has no cartesian product — LSH candidates only (q54)") {

@@ -45,6 +45,39 @@ class SentimentModerationSpec extends SparkSpec {
     joined.zip(viaUdf).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
   }
 
+  test("scoreByLexiconNative agrees bit-for-bit with the join form on testdata + edges") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val edges = Seq(
+      (9000001L, null.asInstanceOf[String]),     // NULL text -> 0.0 neutral
+      (9000002L, ""),                            // empty -> 0.0
+      (9000003L, "  GOOD\tgReAt\ncrash  "),      // case + all six \s chars
+      (9000004L, "good, win! (fail)"),           // punctuation glues tokens: no hits
+      (9000005L, "goodgood good win"),      // NBSP is NOT \s: glued token
+      (9000006L, "münchen ß good Σ bad")         // multi-byte neighbors
+    ).toDF("doc_id", "text")
+    val docs = real.unionByName(edges)
+    val viaJoin = Sentiment.scoreByLexiconJoin(docs, "doc_id", "text")
+      .select("doc_id", "sentiment_score", "sentiment")
+      .orderBy("doc_id").as[(Long, Double, String)].collect().toSeq
+    val viaNative = Sentiment.scoreByLexiconNative(docs, "text")
+      .select("doc_id", "sentiment_score", "sentiment")
+      .orderBy("doc_id").as[(Long, Double, String)].collect().toSeq
+    assert(viaNative.size == viaJoin.size)
+    viaJoin.zip(viaNative).foreach { case ((id1, s1, l1), (id2, s2, l2)) =>
+      assert(id1 == id2 && l1 == l2, s"label diverged at $id1: $l1 vs $l2")
+      assert(java.lang.Double.doubleToRawLongBits(s1) ==
+        java.lang.Double.doubleToRawLongBits(s2),
+        s"score diverged at $id1: $s1 vs $s2")
+    }
+    // and the crafted rows score what a hand count says
+    val byId = viaNative.map(t => t._1 -> t).toMap
+    assert(byId(9000001L)._3 == "neutral" && byId(9000001L)._2 == 0.0)
+    assert(byId(9000004L)._2 == 0.0, "punctuation-glued tokens must not match")
+    val c3 = (1.9 + 3.1 - 3.0) / math.sqrt(2.0 * 2.0 + 15.0)
+    assert(math.abs(byId(9000003L)._2 - c3) < 1e-4)
+  }
+
   test("moderation threshold is strictly > 0.9 (R4A.py:42)") {
     // 9 hits -> conf = 0.9 exactly -> NOT flagged; 10 hits -> 0.9091 -> flagged
     val nine = Array.fill(9)("error").mkString(" ")
