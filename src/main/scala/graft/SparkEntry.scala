@@ -1077,6 +1077,86 @@ object SparkEntry {
           ops.Num.roundz(col("hits") / lit(5.0), 4).as("recall"))
         .orderBy("query_id")
     }),
+    "q226_link_predict" -> ((s, dir) =>
+      // Resource-Allocation link prediction over the co-purchase graph:
+      // which part pairs are NOT co-purchased but structurally implied by
+      // shared neighbors. Scaled-long contributions (order-free integer
+      // sums), wedge fan-out map-side from sorted neighbor arrays, one
+      // (u,v)-keyed aggregate, anti-join vs existing edges, distributed
+      // TakeOrdered top-k. The relation is TIME-WINDOWED (one ship year) —
+      // candidate generation runs on recent activity by design: wedge
+      // volume is Σ deg², and the full-history graph's mean degree grows
+      // with corpus age while the recommendation signal does not (the
+      // whole-history variant measured 37 s vs ~1 s here at sf0.1, all of
+      // it wedge shuffle)
+      Graph.resourceAllocationTopK(
+        Graph.coOccurrenceEdges(
+          T(s, dir, "lineitem").filter(
+            col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp")),
+          "l_partkey", "l_orderkey"),
+        k = 20)
+        .select(col("u"), col("v"), col("score"))),
+    "q227_bpe_encode" -> ((s, dir) => {
+      // the q223 learner's natural pair: ENCODE the corpus with the learned
+      // merges — token counting under a learned tokenizer, the per-doc
+      // budget signal a training pipeline actually bills by. Merges are
+      // driver-side metadata (k rows); the encode is one map-side
+      // projection (chained codegen'd folds), no join, no shuffle beyond
+      // the output sort
+      val docs = T(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, "text", k = 8)
+        .map { case (p1, p2, _) => (p1, p2) }
+      // encodeRanked, not the fold-chain encode: the rank loop ships the
+      // merge table once per partition and costs O(|word|·k) per word with
+      // NO per-merge plan growth — the fold chain measured 20 s at sf0.1
+      // vs ~2 s here (equivalence on learner output proven in BpeSpec)
+      Bpe.encodeRanked(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_s"))
+        .orderBy("doc_id")
+    }),
+    "q228_image_dhash" -> ((s, dir) => {
+      // IMAGE near-duplicate detection under the gate: per doc a 9×7
+      // gradient PNG is synthesized (pixel value a pure function of
+      // doc_id % 50 and position, so ~50 planted duplicate groups), REAL
+      // ImageIO decode + 56-bit difference hash per partition, then dedup
+      // is a hash groupBy — never pairwise pixel comparison. The oracle
+      // predicts every gradient bit arithmetically
+      import s.implicits._
+      val imgs = T(s, dir, "documents").select(col("doc_id"))
+        .as[Long].mapPartitions(_.map { id =>
+          val g = id % 50
+          (id, Multimodal.synthPngPixels(9, 7, (x, y) =>
+            { val v = ((g * 13 + x * (y + 3)) % 256).toInt; (v << 16) | (v << 8) | v }))
+        }).toDF("doc_id", "payload")
+      Multimodal.dHash56(imgs, "doc_id")
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("dhash")
+    }),
+    "q229_negative_sample" -> ((s, dir) => {
+      // deterministic negative sampling for training pairs: per customer,
+      // 5 hash-derived candidate parts, minus anything actually purchased
+      // (anti-join on the positive set). Hash is plain integer arithmetic
+      // so any engine reproduces it bit-for-bit; the anti-join shuffles on
+      // the (custkey, partkey) key — no randomness, no driver loop
+      val positives = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      val maxP = T(s, dir, "part").agg(max(col("p_partkey")).as("__maxp"))
+      T(s, dir, "orders").select(col("o_custkey").as("c")).distinct()
+        .crossJoin(broadcast(maxP))
+        .select(col("c"), col("__maxp"), explode(sequence(lit(0L), lit(4L))).as("sample_idx"))
+        .withColumn("p",
+          expr("((c * 2654435761 + sample_idx * 40503 + 12345) % 1000000007) % __maxp + 1"))
+        .join(positives, Seq("c", "p"), "left_anti")
+        .select(col("c").as("c_custkey"), col("sample_idx"), col("p").as("neg_partkey"))
+        .orderBy("c_custkey", "sample_idx")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -1256,7 +1336,7 @@ object SparkEntry {
       // scaled-long arithmetic (deterministic across partitionings)
       Graph.pageRank(
         Graph.coOccurrenceEdges(T(s, dir, "lineitem"), "l_partkey", "l_orderkey"),
-        iterations = 3, broadcastRanks = true) // |parts| rank rows — well inside broadcast range
+        iterations = 3) // auto strategy: |parts| nodes measure inside broadcast range
         .select(col("node").as("p_partkey"), col("rank").as("rank_scaled"))
         .orderBy("p_partkey")),
     "q121_line_dedup" -> ((s, dir) => {
@@ -2488,6 +2568,44 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     s"WITH $w0,\n${steps.mkString(",\n")}\n" +
       s"SELECT rank, p1, p2, cnt FROM (\n$union) ORDER BY rank"
+  }
+
+  /** q227's oracle: [[bpeOracleSql]]'s k learning steps (reused verbatim —
+    * they define b1..bk), then the corpus ENCODED with those merges. Each
+    * document rides as one delimiter-wrapped string (symbols as
+    * chr(31)‖sym‖chr(30), words separated by chr(29) so a merge pattern —
+    * which requires chr(30)chr(31) adjacency — can never straddle a word
+    * boundary), and each merge applies as the same single greedy `replace`
+    * the learner's steps use. Token count = chr(31) occurrences; the token
+    * string unwraps the delimiters. */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val learn = bpeOracleSql(k)
+    // reuse the WITH-chain of the learning oracle up to (and incl.) w_k/b_k:
+    // strip its final SELECT and append the doc-encoding CTEs
+    val withChain = learn.substring(0, learn.lastIndexOf("\nSELECT rank"))
+    val doc0 =
+      """doc0 AS (SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |      t -> length(t) > 0),
+        |    w -> array_to_string(list_transform(regexp_split_to_array(w, ''),
+        |      c -> chr(31) || c || chr(30)), '')), chr(29)) AS ds
+        |  FROM documents)""".stripMargin
+    val docSteps = (1 to k).map { i =>
+      s"""doc$i AS (SELECT doc_id, replace(ds,
+         |    chr(31) || b.p1 || chr(30) || chr(31) || b.p2 || chr(30),
+         |    chr(31) || b.p1 || b.p2 || chr(30)) AS ds
+         |  FROM doc${i - 1}, b$i b)""".stripMargin
+    }
+    s"""$withChain,
+       |$doc0,
+       |${docSteps.mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST(length(ds) - length(replace(ds, chr(31), '')) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_transform(
+       |    list_filter(string_split(replace(ds, chr(29), ''), chr(30)),
+       |      x -> length(x) > 0),
+       |    x -> ltrim(x, chr(31))), ' ') AS tokens_s
+       |FROM doc$k ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4131,6 +4249,60 @@ object SparkEntry {
         |  (round(CAST(count(DISTINCT term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) + 0.0) AS ttr
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q223_bpe_merges" -> bpeOracleSql(8),
+    "q226_link_predict" ->
+      // q120's co-occurrence edge CTE, RA weights as floor-divided scaled
+      // longs (// = Spark's div on non-negatives), wedge pairs via the
+      // center self-join, anti-join on the symmetric edge list
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |sc AS (SELECT e1.dst AS u, e2.dst AS v,
+        |    CAST(sum(1000000 // d.deg) AS BIGINT) AS score
+        |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  JOIN d ON d.src = e1.src
+        |  WHERE d.deg <= 10000
+        |  GROUP BY 1, 2)
+        |SELECT u, v, score FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e x WHERE x.src = sc.u AND x.dst = sc.v)
+        |ORDER BY score DESC, u, v LIMIT 20""".stripMargin,
+    "q227_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q228_image_dhash" ->
+      // every gradient bit of the synthesized 9×7 PNG predicted
+      // arithmetically: bit (x, y) set when pixel(x+1, y) > pixel(x, y),
+      // pixel(x, y) = (13·(doc_id % 50) + x·(y + 3)) % 256 — genuine
+      // ImageIO decode + per-pixel hash loop on the Spark side
+      """WITH g AS (SELECT doc_id, doc_id % 50 AS gv FROM documents),
+        |bits AS (SELECT g.doc_id,
+        |    CASE WHEN (g.gv * 13 + (x.x + 1) * (y.y + 3)) % 256
+        |            > (g.gv * 13 + x.x * (y.y + 3)) % 256
+        |      THEN CAST(1 AS BIGINT) << CAST(y.y * 8 + x.x AS INT)
+        |      ELSE 0 END AS b
+        |  FROM g,
+        |    (SELECT unnest(range(0, 8)) AS x) x,
+        |    (SELECT unnest(range(0, 7)) AS y) y),
+        |h AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS dhash FROM bits GROUP BY 1)
+        |SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id
+        |FROM h GROUP BY dhash HAVING count(*) >= 2 ORDER BY dhash""".stripMargin,
+    "q229_negative_sample" ->
+      // the identical integer hash on both engines; candidates minus the
+      // actually-purchased (custkey, partkey) set
+      """WITH mp AS (SELECT max(p_partkey) AS maxp FROM part),
+        |pos AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cand AS (SELECT c, sample_idx,
+        |    ((c * 2654435761 + sample_idx * 40503 + 12345) % 1000000007) % maxp + 1 AS p
+        |  FROM (SELECT DISTINCT o_custkey AS c FROM orders),
+        |    (SELECT unnest(range(0, 5)) AS sample_idx), mp)
+        |SELECT c AS c_custkey, CAST(sample_idx AS BIGINT) AS sample_idx,
+        |  CAST(p AS BIGINT) AS neg_partkey
+        |FROM cand
+        |WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.c = cand.c AND pos.p = cand.p)
+        |ORDER BY c_custkey, sample_idx""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

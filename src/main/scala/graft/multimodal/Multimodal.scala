@@ -111,6 +111,74 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic PNG synthesis with per-pixel control: pixel (x, y) gets
+    * RGB `rgb(x, y)`. INPUT SYNTHESIS for the perceptual-hash gate — PNG is
+    * lossless, so [[dHash56]]'s decode recovers exactly these values. */
+  def synthPngPixels(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Perceptual difference-hash over decoded image pixels — the IMAGE
+    * near-duplicate key (the visual twin of minhash/simhash text dedup):
+    * images whose horizontal gradient structure matches collide into one
+    * hash bucket, so image dedup is a hash groupBy, never pairwise pixel
+    * comparison.
+    *
+    * Variant: 8×7 = 56 gradient bits (classic dHash is 9×8 → 64), kept at
+    * 56 so the hash is portably a NON-NEGATIVE signed 64-bit value in every
+    * engine (bit 63 would overflow a signed BIGINT oracle). Bit (x, y) —
+    * x < min(w−1, 8), y < min(h, 7) — is set when red(x+1, y) > red(x, y)
+    * (the gate's grayscale images carry r = g = b; a production variant
+    * luma-weights first), positioned at y·8 + x. A real deployment resizes
+    * to 9×8 before hashing; the JDK-only gate synthesizes at target
+    * geometry instead, keeping every decoded value exact.
+    *
+    * One decode per row inside `mapPartitions` (same seam as
+    * [[extractFeatures]]); undecodable payloads hash to −1 (quarantine).
+    * Output: (idCol, dhash). */
+  def dHash56(mm: DataFrame, idCol: String): DataFrame = {
+    val spark = mm.sparkSession
+    val idIdx = mm.schema.fieldIndex(idCol)
+    val payloadIdx = mm.schema.fieldIndex("payload")
+    val idType = mm.schema(idIdx).dataType
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("dhash", LongType)))
+    val rdd = mm.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        val hash = if (img == null) -1L else {
+          var acc = 0L
+          val xs = math.min(img.getWidth - 1, 8)
+          val ys = math.min(img.getHeight, 7)
+          var y = 0
+          while (y < ys) {
+            var x = 0
+            while (x < xs) {
+              val a = (img.getRGB(x, y) >> 16) & 0xff
+              val b = (img.getRGB(x + 1, y) >> 16) & 0xff
+              if (b > a) acc |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          acc
+        }
+        Row(r.get(idIdx), hash)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Deterministic WAV synthesis: 16-bit LE mono PCM, constant amplitude —
     * a well-formed RIFF container [[WavDecoder]] genuinely parses. */
   def synthWav(nSamples: Int, amplitude: Short, sampleRate: Int): Array[Byte] = {

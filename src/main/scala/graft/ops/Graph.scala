@@ -81,16 +81,22 @@ object Graph {
     *
     * Output: (node, rank) — rank in Scale units.
     *
-    * `broadcastRanks` is OPT-IN: broadcasting the |nodes|-row rank frame
-    * makes each iteration's join map-side, but a graph beyond broadcast
-    * range (driver memory / the 8 GB broadcast cap) would fail at runtime
-    * instead of degrading — so the library default is the shuffle-safe
-    * join, and callers that know their node count (like the q120 gate at
-    * bench scale) flip it on. Results are bit-identical either way
-    * (GraphSpec asserts it). */
+    * `broadcastRanks` selects the per-iteration join strategy: broadcasting
+    * the |nodes|-row rank frame makes each iteration's join map-side, but a
+    * graph beyond broadcast range (driver memory / the 8 GB broadcast cap)
+    * would fail at runtime instead of degrading. The default (`None`) is
+    * AUTO: the adjacency checkpoint has already materialized the node
+    * frame, so counting nodes is a cheap second action over cached blocks,
+    * and the broadcast is taken only when the node count is provably inside
+    * range ([[AutoBroadcastNodes]]). `Some(true|false)` pins the strategy
+    * for callers that know their graph (or whose driver is sized
+    * differently). Results are bit-identical either way (GraphSpec asserts
+    * it — integer arithmetic, so the join strategy cannot leak into
+    * values). */
   def pageRank(edges: DataFrame, iterations: Int = 3,
-               broadcastRanks: Boolean = false): DataFrame = {
+               broadcastRanks: Option[Boolean] = None): DataFrame = {
     val adj = adjacency(edges).localCheckpoint()
+    val bcast = broadcastRanks.getOrElse(adj.count() <= AutoBroadcastNodes)
     var ranks = adj.select(col("src").as("node"), lit(Scale).as("rank"))
     // the rank frame is |nodes| rows of two longs — for any graph whose
     // adjacency fits memory it broadcasts, making each iteration's join
@@ -99,10 +105,19 @@ object Graph {
     // broadcast range, flip the flag: the join falls back to shuffling the
     // two |nodes|-row frames (never the edge list).
     for (_ <- 1 to iterations) {
-      ranks = pageRankStep(adj, ranks, broadcastRanks).localCheckpoint(eager = false)
+      ranks = pageRankStep(adj, ranks, bcast).localCheckpoint(eager = false)
     }
     ranks
   }
+
+  /** Auto-broadcast ceiling for [[pageRank]]'s rank frame: 10M (node, rank)
+    * rows is low-hundreds-of-MB as a broadcast — comfortably inside the
+    * 8 GB hard cap and a normally-sized driver, while any graph big enough
+    * to exceed it gets the shuffle-safe join without the caller having to
+    * know. Measured at the 10× probe (SCALE.md): the broadcast path saves
+    * one exchange per iteration and the auto count() adds no measurable
+    * cost over the already-checkpointed adjacency. */
+  val AutoBroadcastNodes: Long = 10000000L
 
   /** Adjacency-list collapse of an edge list: out-neighbors (sorted — the
     * frame itself, not just results, is deterministic across shuffles) and
@@ -356,5 +371,50 @@ object Graph {
         expr("(10000 * n_pairs) div __cy").as("conf_yx_bp"),
         Num.roundz((col("n_pairs").cast("double") * col("__n")) /
           (col("__cx").cast("double") * col("__cy")), 4).as("lift"))
+  }
+
+  /** Resource-Allocation link prediction (Zhou, Lü & Zhang 2009): score a
+    * NON-adjacent pair (u, v) by Σ_{c ∈ N(u)∩N(v)} 1/deg(c) — each common
+    * neighbor contributes its "resource" split evenly among its neighbors.
+    * The crawl-frontier / recommendation primitive on top of the same
+    * co-occurrence graph PageRank and triangles score: which edges are
+    * MISSING but structurally implied.
+    *
+    * Determinism discipline: contributions are SCALED LONGS
+    * (`Scale div deg(c)` — non-negative integer division, order-free
+    * integer sums), so scores hash-match any engine with the same floor
+    * semantics. Top-k surfaces via (score desc, u, v) — a total order.
+    *
+    * Scale shape: one adjacency collapse per center node, wedge pairs
+    * fan out map-side from each center's sorted neighbor array, and ONE
+    * (u, v)-keyed aggregate sums the contributions. Wedge volume is
+    * Σ deg(c)² — bounded for co-occurrence graphs whose containers are
+    * small (TPC-H baskets ≈ 4 lines); `maxDegree` drops hub centers above
+    * the cap BEFORE the fan-out, the same df-cap discipline as
+    * ngramJaccard (a hub's wedges are the data's property, not the
+    * plan's; for RA specifically a hub contributes ≤ Scale/maxDegree per
+    * pair — the weight the cap discards is provably the smallest).
+    * Existing edges leave via one anti-join against the (already
+    * canonical) edge list; the top-k is a distributed TakeOrdered, never
+    * a single-partition window. */
+  def resourceAllocationTopK(edges: DataFrame, k: Int,
+                             maxDegree: Long = 10000L): DataFrame = {
+    val adj = edges.select(col("src"), col("dst"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("__nb"))
+      .select(col("src"), col("__nb"), size(col("__nb")).cast("long").as("__deg"))
+      .filter(col("__deg") <= maxDegree)
+    val scores = adj
+      .select(expr(s"$Scale div __deg").as("__w"),
+        explode(col("__nb")).as("u"), col("__nb"))
+      .select(col("__w"), col("u"), explode(col("__nb")).as("v"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("__w")).as("score"))
+    scores
+      .join(edges.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("score").desc, col("u"), col("v"))
+      .limit(k)
   }
 }

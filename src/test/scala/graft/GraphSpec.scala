@@ -102,11 +102,16 @@ class GraphSpec extends SparkSpec {
   test("pageRank broadcast and shuffle rank joins agree bit-identically") {
     val rel = (1L to 400L).map(i => (i % 37, i % 11)).toDF("c", "e")
     val edges = Graph.coOccurrenceEdges(rel, "e", "c")
-    val shuffled = Graph.pageRank(edges, 3, broadcastRanks = false)
+    val shuffled = Graph.pageRank(edges, 3, broadcastRanks = Some(false))
       .as[(Long, Long)].collect().toSet
-    val bcast = Graph.pageRank(edges, 3, broadcastRanks = true)
+    val bcast = Graph.pageRank(edges, 3, broadcastRanks = Some(true))
       .as[(Long, Long)].collect().toSet
     assert(shuffled == bcast && shuffled.nonEmpty)
+    // auto mode (None) must agree too — this tiny graph measures far below
+    // AutoBroadcastNodes, so auto resolves to the broadcast strategy
+    val auto = Graph.pageRank(edges, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(auto == bcast)
   }
 
   test("associationRules: hand-computed support/confidence/lift, floor applied") {
@@ -167,5 +172,28 @@ class GraphSpec extends SparkSpec {
       .orderBy("hop").as[(Long, Long)].collect().toSeq
     // hop0 {1}, hop1 {2,3}, hop2 {4,5}
     assert(out == Seq((0L, 1L), (1L, 2L), (2L, 2L)))
+  }
+
+  test("resourceAllocationTopK scores non-adjacent pairs by 1/deg of shared neighbors") {
+    // path 1—2—3 plus 2—4: center 2 (deg 3) implies the missing pairs
+    // (1,3)/(1,4)/(3,4) each at Scale div 3; existing edges never surface
+    val und = Seq((1L, 2L), (2L, 3L), (2L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.resourceAllocationTopK(edges, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val w = Graph.Scale / 3
+    assert(out == Seq((1L, 3L, w), (1L, 4L, w), (3L, 4L, w)))
+  }
+
+  test("resourceAllocationTopK: maxDegree drops hub centers before fan-out") {
+    // star center 10 with 5 leaves: capping degree at 4 removes the only
+    // center, so no pair scores at all
+    val und = (1L to 5L).map(i => (10L, i))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(Graph.resourceAllocationTopK(edges, k = 10, maxDegree = 4).count() == 0)
+    // uncapped, every leaf pair scores Scale div 5 through the center
+    val got = Graph.resourceAllocationTopK(edges, k = 100)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 10 && got.forall(_._3 == Graph.Scale / 5))
   }
 }

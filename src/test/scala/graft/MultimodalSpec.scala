@@ -71,6 +71,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq((9L, -1L, -1L, -1L, -1L, -1L, -1L, -1L)))
   }
 
+  test("dHash56: gradient bits match a hand computation; identical images collide") {
+    // 3×2 ramp: pixel value 10·x + y → every horizontal step rises, so
+    // bits (x<2, y<2) all set: positions 0,1,8,9 → 0b1100000011 = 771
+    def ramp(mult: Int) = Multimodal.synthPngPixels(3, 2, (x, y) =>
+      { val v = mult * x + y; (v << 16) | (v << 8) | v })
+    val mm = Seq((1L, ramp(10)), (2L, ramp(10)), (3L, ramp(0)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.dHash56(mm, "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 771L), (2L, 771L), (3L, 0L)),
+      "identical ramps must collide; a flat image has no rising gradient")
+  }
+
+  test("dHash56 quarantines undecodable payloads as hash -1") {
+    val mm = Seq((9L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.dHash56(mm, "doc_id").as[(Long, Long)].collect().toSeq
+      == Seq((9L, -1L)))
+  }
+
   test("extractFeatures runs the decoder per partition over every row") {
     val docs = Seq((1L, "abc"), (2L, "xyz"), (3L, "")).toDF("doc_id", "text")
     val mm = Multimodal.asMultimodal(docs, "doc_id", "text")

@@ -208,6 +208,66 @@ class StreamingSpec extends SparkSpec {
     assert(parts.toSet == Set("part=0", "part=1"))
   }
 
+  test("statefulSessions survives a mid-stream kill: restart resumes state, exactly-once") {
+    // q75's replay gate proves end-to-end determinism on an uninterrupted
+    // run; this closes the exactly-once claim for the CUSTOM-STATE path
+    // under failure — kill the query between micro-batches, restart from
+    // the same checkpoint, and the emitted session set must still equal
+    // the batch session_window twin: no lost open-session state (user 3's
+    // session spans the kill point), no duplicated closed sessions (the
+    // file sink's metadata log + state-store versioning together).
+    import Streaming.{ClosedSession, SessionEvent}
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_restart").toString
+    val src = s"$base/src"; val out = s"$base/out"; val chk = s"$base/chk"
+    new java.io.File(src).mkdirs()
+    // +1000 min base: an event at exactly epoch 0 sits ON the initial
+    // watermark value and is dropped as late — a degenerate boundary the
+    // other stateful tests also avoid (their 600-min base)
+    def min(m: Long) = new Timestamp((1000L + m) * 60000L)
+    def addFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = s"$base/stage_$name"
+      rows.map { case (u, m) => (u, min(m)) }.toDF("user_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    // gap = 30 min. Sessions: u1 (0-20,3) (100-110,2) (200-200,1);
+    // u2 (5-5,1) (50-55,2); u3 (0-75,4) — u3's single session is extended
+    // in every early file, so its OPEN state must cross the restart.
+    addFile("f1", Seq((1L, 0L), (1L, 10L), (1L, 20L), (2L, 5L), (3L, 0L), (3L, 25L)))
+    addFile("f2", Seq((2L, 50L), (2L, 55L), (3L, 50L), (3L, 75L)))
+    addFile("f3", Seq((1L, 100L), (1L, 110L)))
+    def startRun(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1) // one file per micro-batch
+        .parquet(src).as[SessionEvent]
+      Streaming.statefulSessions(stream, gapMinutes = 30).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    def commits: Int = Option(new java.io.File(s"$chk/commits").listFiles())
+      .map(_.count(f => f.getName.forall(_.isDigit))).getOrElse(0)
+    val q1 = startRun()
+    while (q1.isActive && commits < 2) Thread.sleep(10)
+    q1.stop(); q1.awaitTermination() // the kill, mid-stream
+    // the flush sentinels (close every open session; their own 1-event
+    // sessions stay open, never emitted) arrive only AFTER the kill — the
+    // restart provably does real work from recovered state
+    addFile("f4", Seq((1L, 200L), (1L, 100000L), (2L, 100000L), (3L, 100000L)))
+    val q2 = startRun(); q2.awaitTermination()
+    val got = spark.read.parquet(out).as[ClosedSession].collect()
+      .map(c => (c.user_id, c.session_start.getTime / 60000L - 1000L,
+        c.session_end.getTime / 60000L - 1000L, c.events)).toSet
+    assert(got == Set(
+      (1L, 0L, 20L, 3L), (1L, 100L, 110L, 2L), (1L, 200L, 200L, 1L),
+      (2L, 5L, 5L, 1L), (2L, 50L, 55L, 2L), (3L, 0L, 75L, 4L)),
+      s"restart lost or duplicated sessions: $got")
+  }
+
   test("watermark drops late data beyond the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
