@@ -1157,6 +1157,37 @@ object SparkEntry {
         .select(col("c").as("c_custkey"), col("sample_idx"), col("p").as("neg_partkey"))
         .orderBy("c_custkey", "sample_idx")
     }),
+    "q230_nb_classify" -> ((s, dir) => {
+      // supervised curation gate trained in-engine: multinomial Naive Bayes
+      // over whitespace tokens, lang as the class — train on doc_id % 5 <> 0,
+      // score the held-out fifth. Integer micro-nat weights make every score
+      // an exact long sum (q224's ADC discipline), so the argmax — and the
+      // per-doc hit flag against the true label — is deterministic
+      val docs = T(s, dir, "documents")
+      TextAnalysis.naiveBayes(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+    "q231_containment" -> ((s, dir) =>
+      // asymmetric sub-document duplication: directed |A∩B|/|A| over the
+      // q49 candidate generator — catches the quoted-paragraph/template
+      // cases symmetric Jaccard structurally misses. Same doc_id slice and
+      // df-cap as q49 so bucket volume stays maxShingleDf²-bounded
+      Dedup.ngramContainment(T(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", k = 2, threshold = 0.5)
+        .orderBy("src_id", "dst_id")),
+    "q232_seasonal_error" -> ((s, dir) =>
+      // seasonal-naive backtest on the daily event series: the exact
+      // integer error floor (SAE longs, floor-divided MAPE basis points)
+      // that gates trust in the smoothing forecasts (q200/q181)
+      Stats.seasonalNaiveError(
+        T(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c")),
+        "event_type", "day", "c", season = 7)
+        .orderBy("event_type")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4303,6 +4334,70 @@ object SparkEntry {
         |FROM cand
         |WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.c = cand.c AND pos.p = cand.p)
         |ORDER BY c_custkey, sample_idx""".stripMargin,
+    "q230_nb_classify" ->
+      // the identical Laplace-smoothed micro-nat weight per (term, class)
+      // cell — quantized ONCE, then summed as exact BIGINTs; argmax tie
+      // breaks to the greatest label (max over the (score, lab) pair)
+      """WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+        |tok AS (SELECT tr.lang AS lab, t.term FROM tr,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
+        |  WHERE length(t.term) > 0),
+        |ctc AS (SELECT lab, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ctot AS (SELECT lab, sum(c) AS n FROM ctc GROUP BY 1),
+        |vs AS (SELECT count(DISTINCT term) AS v FROM ctc),
+        |w AS (SELECT ct.lab, vo.term,
+        |    CAST(round(ln((coalesce(c.c, 0) + 1) / CAST(ct.n + vs.v AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS lw
+        |  FROM (SELECT DISTINCT term FROM ctc) vo CROSS JOIN ctot ct CROSS JOIN vs
+        |  LEFT JOIN ctc c ON c.lab = ct.lab AND c.term = vo.term),
+        |pr AS (SELECT lang AS lab, count(*) AS cd FROM tr GROUP BY 1),
+        |prior AS (SELECT lab,
+        |    CAST(round(ln(CAST(cd AS DOUBLE) / (SELECT sum(cd) FROM pr))
+        |      * 1000000, 0) AS BIGINT) AS pm FROM pr),
+        |sc AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        |stf AS (SELECT sc.doc_id, t.term, count(*) AS c FROM sc,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
+        |  WHERE length(t.term) > 0 GROUP BY 1, 2),
+        |scores AS (SELECT stf.doc_id, w.lab, prior.pm + sum(stf.c * w.lw) AS s
+        |  FROM stf JOIN w ON w.term = stf.term JOIN prior ON prior.lab = w.lab
+        |  GROUP BY stf.doc_id, w.lab, prior.pm),
+        |pred AS (SELECT s.doc_id, max(s.lab) AS pred_label, s.s AS score_micro
+        |  FROM scores s JOIN (SELECT doc_id, max(s) AS ms FROM scores GROUP BY 1) b
+        |    ON s.doc_id = b.doc_id AND s.s = b.ms
+        |  GROUP BY s.doc_id, s.s)
+        |SELECT p.doc_id, p.pred_label, CAST(p.score_micro AS BIGINT) AS score_micro,
+        |  p.pred_label = d.lang AS hit
+        |FROM pred p JOIN sc d ON d.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+    "q231_containment" ->
+      // q49's shingle CTEs verbatim; pairs directed (<>) and scored
+      // against the SOURCE size only — threshold on the rounded value
+      """WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents WHERE doc_id < 100),
+        |sha AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+        |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+        |rare AS (SELECT shingle FROM sha GROUP BY shingle HAVING count(*) <= 100),
+        |sh AS (SELECT sha.doc_id, sha.shingle FROM sha JOIN rare USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT x.doc_id AS src_id, y.doc_id AS dst_id, count(*) AS shared
+        |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id <> y.doc_id GROUP BY 1, 2)
+        |SELECT src_id, dst_id, CAST(ns.n AS BIGINT) AS n_src,
+        |  CAST(shared AS BIGINT) AS shared,
+        |  (round(CAST(shared AS DOUBLE) / ns.n, 4) + 0.0) AS containment
+        |FROM shared JOIN sizes ns ON ns.doc_id = src_id
+        |WHERE (round(CAST(shared AS DOUBLE) / ns.n, 4) + 0.0) >= 0.5
+        |ORDER BY src_id, dst_id""".stripMargin,
+    "q232_seasonal_error" ->
+      // identical aggregated day frame; DuckDB's // is Spark's div on the
+      // non-negative error units
+      """WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.c, b.c AS p
+        |  FROM d a JOIN d b ON b.event_type = a.event_type AND b.day = a.day - 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(c - p)) AS BIGINT) AS sae,
+        |  (round(CAST(sum(abs(c - p)) AS DOUBLE) / count(*), 4) + 0.0) AS mae,
+        |  CAST(sum((10000 * abs(c - p)) // c) // count(*) AS BIGINT) AS mape_bp
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

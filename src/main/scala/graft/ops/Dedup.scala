@@ -335,6 +335,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram CONTAINMENT — [[ngramJaccard]]'s asymmetric twin,
+    * |A∩B| / |A| for DIRECTED pairs. Jaccard misses sub-document
+    * duplication by construction (a paragraph quoted inside a 100×-longer
+    * page has tiny |A∩B|/|A∪B| but containment ≈ 1 for the paragraph), so
+    * this is the signal a curation pipeline uses to drop embedded copies,
+    * quote farms, and template-wrapped reposts that survive the symmetric
+    * near-dup gates.
+    *
+    * Same candidate generator and `maxShingleDf` skew guard as
+    * [[ngramJaccard]] (shingles carrying no signal are dropped from sizes
+    * AND intersections, bounding every shingle bucket's self-join at
+    * maxShingleDf²); pairs come out directed (src ≠ dst, both directions),
+    * thresholded on the ROUNDED score so the cut is engine-independent.
+    *
+    * Output: (src_id, dst_id, n_src, shared, containment ≥ threshold) —
+    * src is the (partially) contained document. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double,
+                       maxShingleDf: Int = 100): DataFrame = {
+    val all = wordShingles(docs, idCol, textCol, k)
+    val rare = all.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf).select("shingle")
+    val sh = all.join(rare, "shingle")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    sh.as("x").join(sh.as("y"), Seq("shingle"))
+      .filter(col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("src_id"), col(s"y.$idCol").as("dst_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col(idCol).as("src_id"), col("n").as("n_src")), "src_id")
+      .withColumn("containment",
+        Num.roundz(col("shared").cast("double") / col("n_src"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("src_id"), col("dst_id"), col("n_src").cast("long").as("n_src"),
+        col("shared").cast("long").as("shared"), col("containment"))
+  }
+
   // ------------------------------------------------------------- components
 
   /** Connected components over a near-dup pair graph, labeled by the minimum

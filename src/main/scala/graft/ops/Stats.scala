@@ -1160,6 +1160,41 @@ object Stats {
           .as("r"))
   }
 
+  /** Seasonal-naive backtest per group over an ALREADY-BUCKETED daily
+    * series: predict each day with the value `season` days earlier, then
+    * score the prediction — the mandatory accuracy floor before any
+    * smoothing forecast (q200's Holt, q181's EWMA) is trusted, and the
+    * drift tripwire when a pipeline's "same day last week" assumption
+    * quietly breaks. Days without a predecessor (the first `season` days
+    * of each group) are excluded from scoring in both engines.
+    *
+    * Error discipline: SAE = Σ|c−p| is an exact long; MAE is that one
+    * exact ratio at 4-dp display; MAPE rides basis points with per-day
+    * FLOOR division ((10⁴·|c−p|) div c, c ≥ 1 since buckets come from
+    * counts) summed as exact longs then floor-divided by n — no float
+    * accumulates anywhere, so the metric is order-free.
+    *
+    * Scale shape: the self-join runs on the aggregated (group, day) frame
+    * (calendar-bounded metadata, never raw events — the
+    * mannKendall/autocorr discipline), keyed on (group, day): co-partition
+    * friendly, no window, ≤ |groups| output rows. */
+  def seasonalNaiveError(series: DataFrame, groupCol: String, dayCol: String,
+                         valueCol: String, season: Int = 7): DataFrame = {
+    val actual = series.select(col(groupCol).as("__g"), col(dayCol).as("__d"),
+      col(valueCol).cast("long").as("__c"))
+    val pred = series.select(col(groupCol).as("__g"),
+      date_add(col(dayCol), season).as("__d"), col(valueCol).cast("long").as("__p"))
+    actual.join(pred, Seq("__g", "__d"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(abs(col("__c") - col("__p"))).as("__sae"),
+        sum(expr("(10000 * abs(__c - __p)) div __c")).as("__sape"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n_days"),
+        col("__sae").cast("long").as("sae"),
+        Num.roundz(col("__sae").cast("double") / col("__n"), 4).as("mae"),
+        expr("__sape div __n").cast("long").as("mape_bp"))
+  }
+
   /** Calibration (reliability) bins for an integer score in [0, maxUnits]
     * against a boolean label: per decile-of-score, the mean predicted
     * score vs the observed positive rate and their gap — the standard

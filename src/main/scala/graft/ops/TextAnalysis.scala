@@ -538,6 +538,75 @@ object TextAnalysis {
         Num.roundz(col("__score"), 4).as("log_odds"))
   }
 
+  /** Multinomial Naive Bayes text classifier, trained AND scored entirely
+    * in-engine — the fastText-shaped supervised gate every curation
+    * pipeline eventually grows (language routing, quality tiers, topic
+    * allow-lists) once the q50-style heuristics run out. Train split →
+    * per-class Laplace-smoothed token log-likelihoods; score split →
+    * argmax_class [ ln P(class) + Σ_tok c·ln P(tok|class) ].
+    *
+    * Determinism discipline (the q224 ADC pattern, not the q148 fold):
+    * each ln is evaluated ONCE per (term, class) cell and quantized to an
+    * exact MICRO-NAT long — lw = round(ln((c+1)/(n_class+V))·10⁶) — so
+    * every per-document score is a pure integer sum (order-free, no float
+    * accumulation anywhere) and the argmax is exact. Ties break to the
+    * greatest label via one struct-max aggregate (no window). Score-split
+    * tokens absent from the training vocabulary drop out in the weight
+    * join (standard NB OOV handling; identical inner-join semantics in the
+    * oracle); a document with NO in-vocabulary token leaves the output in
+    * both engines.
+    *
+    * Scale shape: one (class, term) count shuffle over the train split
+    * (map-side combined, checkpointed — class totals and the vocabulary
+    * both derive from it); the weight table is |V|·|classes| METADATA rows
+    * built from domain-sized joins; scoring reshuffles the score split
+    * once on term (the weight side is vocabulary-sized — broadcast when it
+    * fits, hash-join keyed on term when a 100 TB corpus's vocabulary
+    * doesn't), then once on (doc, class). Priors are a |classes|-row
+    * broadcast. No window, no cartesian, no driver data. */
+  def naiveBayes(train: DataFrame, scoreDocs: DataFrame, idCol: String,
+                 textCol: String, labelCol: String): DataFrame = {
+    def toks(df: DataFrame, keep: Column*): DataFrame = df
+      .select(keep :+ explode(split(lower(col(textCol)), "\\s+")).as("__t"): _*)
+      .filter(length(col("__t")) > 0)
+    val ctc = toks(train, col(labelCol).as("__lab"))
+      .groupBy(col("__lab"), col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val classTot = ctc.groupBy(col("__lab")).agg(sum(col("__c")).as("__n"))
+    val vocab = ctc.select(col("__t")).distinct()
+    val vsize = ctc.agg(countDistinct(col("__t")).as("__V"))
+    val weights = vocab
+      .crossJoin(broadcast(classTot))
+      .crossJoin(broadcast(vsize))
+      .join(ctc, Seq("__t", "__lab"), "left")
+      .select(col("__t"), col("__lab"),
+        round(log((coalesce(col("__c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__n") + col("__V")).cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("__lw"))
+    val classDocs = train.groupBy(col(labelCol).as("__lab"))
+      .agg(count(lit(1)).as("__cd"))
+    val totDocs = train.agg(count(lit(1)).as("__td"))
+    val priors = classDocs.crossJoin(broadcast(totDocs))
+      .select(col("__lab"),
+        round(log(col("__cd").cast("double") / col("__td").cast("double")) *
+          lit(1000000.0), 0).cast("long").as("__pm"))
+    val stf = toks(scoreDocs, col(idCol))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val scores = stf.join(weights, Seq("__t"))
+      .groupBy(col(idCol), col("__lab"))
+      .agg(sum(col("__c") * col("__lw")).as("__s"))
+      .join(broadcast(priors), Seq("__lab"))
+      .select(col(idCol), col("__lab"), (col("__pm") + col("__s")).as("__score"))
+    scores
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score"), col("__lab"))).as("__best"))
+      .join(scoreDocs.select(col(idCol), col(labelCol).as("__actual")), Seq(idCol))
+      .select(col(idCol),
+        col("__best.__lab").as("pred_label"),
+        col("__best.__score").cast("long").as("score_micro"),
+        (col("__best.__lab") === col("__actual")).as("hit"))
+  }
+
   /** Flesch Reading Ease score per document — the classic readability
     * proxy a curation pipeline uses alongside q51's surface-quality score
     * (length/punctuation ratios say "well-formed", Flesch says "simple

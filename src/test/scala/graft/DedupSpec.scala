@@ -95,6 +95,34 @@ class DedupSpec extends SparkSpec {
     assert(uncapped > 100, s"expected hot-shingle blowup without cap, got $uncapped")
   }
 
+  test("ngramContainment: directed sub-document score Jaccard can't see") {
+    // doc 1 is a 3-word snippet quoted inside the much longer doc 2:
+    // S(1) = {a b, b c} ⊂ S(2) (8 bigrams) → containment(1→2) = 1.0 while
+    // J = 2/8 = 0.25 sits below any sane near-dup threshold; the reverse
+    // direction 2→1 scores 0.25 and is cut by the threshold
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContainment(docs, "doc_id", "text", k = 2,
+      threshold = 0.5).as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 2L, 1.0)))
+    // sanity: symmetric Jaccard misses the same pair at the same threshold
+    assert(Dedup.ngramJaccard(docs, "doc_id", "text", k = 2, threshold = 0.5)
+      .count() == 0L)
+  }
+
+  test("ngramContainment honors the df cap on sizes and intersections") {
+    // "common tail" rides every doc; capped out, doc 21's containment of
+    // doc 1's informative shingles is 2/3 (doc21 = {unique1 word1,
+    // word1 common, tail extra} informative, doc1 = {unique1 word1,
+    // word1 common}) → 1→21 scores 2/2 = 1.0, 21→3 pairs drop entirely
+    val docs = ((1 to 20).map(i => (i.toLong, s"unique$i word$i common tail")) :+
+      (21L, "unique1 word1 common tail extra")).toDF("doc_id", "text")
+    val out = Dedup.ngramContainment(docs, "doc_id", "text", k = 2,
+      threshold = 0.5, maxShingleDf = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 21L, 2L, 2L, 1.0), (21L, 1L, 3L, 2L, 0.6667)))
+  }
+
   test("dedup is idempotent: re-running exactDedup output changes nothing") {
     val docs = Seq((1L, "t"), (2L, "t"), (3L, "u")).toDF("doc_id", "text")
     val once = Dedup.exactDedup(docs, "doc_id", "text")

@@ -672,6 +672,19 @@ class StatsSpec extends SparkSpec {
       ("up", 3L, 3L, 66L, Some(1.5667), false)))
   }
 
+  test("seasonalNaiveError: hand-computed SAE/MAE/MAPE, headless days drop") {
+    val df = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-08", 12L), ("a", "2024-01-15", 9L),
+      ("b", "2024-01-01", 5L))
+      .toDF("g", "day", "c").withColumn("day", to_date($"day"))
+    val out = Stats.seasonalNaiveError(df, "g", "day", "c", season = 7)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    // a: 01-08 predicted by 01-01 (|12−10|=2, ape 1666 bp), 01-15 by 01-08
+    // (|9−12|=3, ape 3333 bp) → n=2, sae=5, mae=2.5, mape=(1666+3333) div 2;
+    // b has no day with a 7-day predecessor → no row
+    assert(out == Seq(("a", 2L, 5L, 2.5, 2499L)))
+  }
+
   test("pettittChangepoint: hand-computed U_t, break position, and p") {
     // x = [1,1,5,5]: U = [-2,-4,-2,0] → K=4 at t*=2 (the true break);
     // p = 2·exp(−6·16/(64+16)) = 0.6024; flag 9.6e7 > 2.95e8 is false

@@ -259,4 +259,52 @@ class TextAnalysisSpec extends SparkSpec {
     // zero words → score null; sentence/syllable floors at 1
     assert(out(1) == ((2L, 0L, 1L, 1L, None)))
   }
+
+  test("naiveBayes: separable classes, OOV drop, tie to greatest label") {
+    import spark.implicits._
+    // train vocabulary: A = {alpha:3, beta:2} (5 toks), B = {gamma:3,
+    // delta:2} (5 toks); V = 4; priors 2/4 each — fully symmetric, so
+    // hand-reasoned argmaxes below are exact
+    val train = Seq(
+      (1L, "alpha beta alpha", "A"), (2L, "alpha beta", "A"),
+      (3L, "gamma delta gamma", "B"), (4L, "gamma delta", "B"))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (10L, "alpha alpha beta", "A"),  // clearly A → hit
+      (11L, "gamma delta", "B"),       // clearly B → hit
+      (12L, "beta gamma", "A"),        // B's evidence wins (4/9 vs 3/9) → miss
+      (13L, "zzz qqq", "A"),           // all OOV → drops from the output
+      (14L, "alpha gamma", "A"))       // exact score tie → greatest label B
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.naiveBayes(train, score, "doc_id", "text", "lang")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._4)) ==
+      Seq((10L, "A", true), (11L, "B", true), (12L, "B", false),
+        (14L, "B", false)))
+    // doc 11 exact micro-nat score: prior ln(1/2) + ln(4/9) + ln(3/9),
+    // each term quantized independently (±1 covers rounding-mode nuance
+    // vs the test's Math.round; the gate proves the exact convention)
+    val expected = Seq(0.5, 4.0 / 9, 3.0 / 9)
+      .map(x => Math.round(math.log(x) * 1e6)).sum
+    assert(math.abs(out(1)._3 - expected) <= 3)
+  }
+
+  test("naiveBayes is identical across partitionings (exact integer sums)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (1L to 60L).map { i =>
+      val lab = if (i % 3 == 0) "B" else "A"
+      val bias = if (lab == "A") 0 else 2
+      (i, (1 to 8).map(_ => words((rnd.nextInt(4) + bias) % 6)).mkString(" "), lab)
+    }.toDF("doc_id", "text", "lang")
+    val tr = docs.filter($"doc_id" % 5 =!= 0)
+    val sc = docs.filter($"doc_id" % 5 === 0)
+    val a = TextAnalysis.naiveBayes(tr.repartition(1), sc.repartition(1),
+      "doc_id", "text", "lang").orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.naiveBayes(tr.repartition(11), sc.repartition(7),
+      "doc_id", "text", "lang").orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
