@@ -1188,6 +1188,69 @@ object SparkEntry {
           .agg(count(lit(1)).as("c")),
         "event_type", "day", "c", season = 7)
         .orderBy("event_type")),
+    "q233_minhash_recall" -> ((s, dir) => {
+      // the dedup family's eval loop (q212/q225's role for ANN): plant
+      // HARD near-dups — each variant keeps only the first half of the
+      // doc's words, putting exact Jaccard near the 8-band × 2-row LSH
+      // curve's steep region (j ≈ 0.5 → P(catch) = 1−(1−j²)⁸ ≈ 0.9) so
+      // recall < 1 actually measures band-collision physics, not a
+      // foregone conclusion. Truth = exact Jaccard ≥ 0.25 computed ONLY on
+      // the planted pair mapping — a keyed (shingle, id→id+100000) join,
+      // never all-pairs
+      val base = T(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val variants = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, '\\\\s+'), 1, " +
+            "(size(split(text, '\\\\s+')) + 1) div 2))").as("text"))
+      val corp = base.unionByName(variants)
+      val mh = Dedup.minHashNearDup(corp, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+        .select("id_a", "id_b")
+      val sh = Dedup.wordShingles(corp, "doc_id", "text", 2)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = sh.as("x").join(sh.as("y"),
+          col("y.shingle") === col("x.shingle") &&
+            col("y.doc_id") === col("x.doc_id") + 100000L)
+        .filter(col("x.doc_id") < 300 && col("x.doc_id") % 3 === 0)
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+      val truth = shared
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .filter(ops.Num.roundz(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 4) >= 0.25)
+        .select("id_a", "id_b")
+      val caught = truth.join(mh, Seq("id_a", "id_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+        .select(col("n_truth"), col("n_caught"),
+          ops.Num.roundz(col("n_caught").cast("double") / col("n_truth"), 4)
+            .as("recall"))
+    }),
+    "q234_bpe_fertility" -> ((s, dir) => {
+      // tokens-per-word under the LEARNED tokenizer, per language — the
+      // fertility curve a multilingual mix is budgeted by. Reuses the
+      // q223 learner + q227 encodeRanked (merge table ships once per
+      // partition); the per-lang aggregate is exact longs, one 4-dp ratio
+      val docs = T(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, "text", k = 8)
+        .map { case (p1, p2, _) => (p1, p2) }
+      val enc = Bpe.encodeRanked(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_bpe_doc"))
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_words_doc"))
+        .join(enc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words_doc")).as("n_words"), sum(col("n_bpe_doc")).as("n_bpe"))
+        .filter(col("n_words") > 0)
+        .select(col("lang"), col("n_words").cast("long").as("n_words"),
+          col("n_bpe").cast("long").as("n_bpe"),
+          ops.Num.roundz(col("n_bpe").cast("double") / col("n_words"), 4)
+            .as("fertility"))
+        .orderBy("lang")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2343,6 +2406,70 @@ object SparkEntry {
        |SELECT existing_id, new_id, (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) AS est_jaccard FROM est
        |WHERE (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) >= 0.25
        |ORDER BY existing_id, new_id""".stripMargin
+  }
+
+  /** q233's oracle: the q44 signature pipeline run over the PLANTED corpus
+    * (originals < 300 ∪ one-word-appended variants at doc_id + 100000),
+    * exact-Jaccard truth restricted to the planted pair mapping (a keyed
+    * join, never all-pairs), recall = caught/truth — the dedup family's
+    * eval loop, mirroring what q212/q225 do for ANN. */
+  private val q233Sql: String = {
+    import graft.functions.HashFamily
+    val sigCols = (0 until 16).map(i => s"min(${HashFamily.affineSql(i, "x")}) AS h$i").mkString(", ")
+    val bandKey = (0 until 8).map(b => s"WHEN $b THEN h${2 * b} || ',' || h${2 * b + 1}").mkString(" ")
+    val bandVals = (0 until 8).map(b => s"($b)").mkString(", ")
+    val agree = (0 until 16).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
+       |  UNION ALL SELECT doc_id + 100000,
+       |    array_to_string(wv[1:(len(wv) + 1) // 2], ' ')
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS wv
+       |    FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0)),
+       |ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM corp),
+       |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+       |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+       |rh AS (SELECT doc_id, ${krSql("shingle")} AS x FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM rh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, t.band, CASE t.band $bandKey END AS bkey
+       |  FROM sig, (VALUES $bandVals) AS t(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |est AS (SELECT id_a, id_b, ($agree) AS agree
+       |  FROM cand JOIN sig a ON a.doc_id = cand.id_a JOIN sig b ON b.doc_id = cand.id_b),
+       |mh AS (SELECT id_a, id_b FROM est
+       |  WHERE (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) >= 0.25),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |tshared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+       |  FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 100000 AND y.shingle = x.shingle
+       |  WHERE x.doc_id < 300 AND x.doc_id % 3 = 0 GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM tshared
+       |  JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
+       |  WHERE (round(CAST(shared AS DOUBLE) / (a.n + b.n - shared), 4) + 0.0) >= 0.25),
+       |caught AS (SELECT t.id_a FROM truth t JOIN mh ON mh.id_a = t.id_a AND mh.id_b = t.id_b)
+       |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |  CAST((SELECT count(*) FROM caught) AS BIGINT) AS n_caught,
+       |  (round(CAST((SELECT count(*) FROM caught) AS DOUBLE) /
+       |    (SELECT count(*) FROM truth), 4) + 0.0) AS recall""".stripMargin
+  }
+
+  /** q234's oracle: [[bpeEncodeOracleSql]]'s WITH-chain up to the encoded
+    * corpus, then tokens-per-word fertility per language — the tokenizer
+    * cost curve a multilingual training mix is budgeted by. */
+  private def bpeFertilityOracleSql(k: Int): String = {
+    val enc = bpeEncodeOracleSql(k)
+    val withChain = enc.substring(0, enc.lastIndexOf("\nSELECT doc_id"))
+    s"""$withChain,
+       |enc AS (SELECT doc_id,
+       |    CAST(length(ds) - length(replace(ds, chr(31), '')) AS BIGINT) AS n_bpe
+       |  FROM doc$k),
+       |wrd AS (SELECT doc_id, lang,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+       |      t -> length(t) > 0)) AS BIGINT) AS n_words
+       |  FROM documents)
+       |SELECT w.lang, CAST(sum(w.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_bpe) AS BIGINT) AS n_bpe,
+       |  (round(CAST(sum(e.n_bpe) AS DOUBLE) / sum(w.n_words), 4) + 0.0) AS fertility
+       |FROM wrd w JOIN enc e USING (doc_id)
+       |GROUP BY 1 HAVING sum(w.n_words) > 0 ORDER BY 1""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.simHash]]: 64 affine-parity bit generators over
@@ -4398,6 +4525,8 @@ object SparkEntry {
         |  (round(CAST(sum(abs(c - p)) AS DOUBLE) / count(*), 4) + 0.0) AS mae,
         |  CAST(sum((10000 * abs(c - p)) // c) // count(*) AS BIGINT) AS mape_bp
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q233_minhash_recall" -> q233Sql,
+    "q234_bpe_fertility" -> bpeFertilityOracleSql(8),
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,
