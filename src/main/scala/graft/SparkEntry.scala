@@ -1251,6 +1251,13 @@ object SparkEntry {
             .as("fertility"))
         .orderBy("lang")
     }),
+    "q235_centroid_classify" -> ((s, dir) =>
+      // embedding-quality readout: per-label centroids, nearest-centroid
+      // assignment, confusion matrix — exact micro-long arithmetic end to
+      // end (quantize once, floor-div centroids, long squared distances)
+      Similarity.nearestCentroid(T(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy("label", "pred_label")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4527,6 +4534,27 @@ object SparkEntry {
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q233_minhash_recall" -> q233Sql,
     "q234_bpe_fertility" -> bpeFertilityOracleSql(8),
+    "q235_centroid_classify" ->
+      // same micro-long quantization, floor-div centroids, exact long
+      // squared distances; argmin tie to the SMALLEST label via the
+      // min-dist-then-min-label pair (= Spark's struct-min)
+      """WITH comp AS (SELECT vec_id, CAST(label AS BIGINT) AS label, t.d AS dim,
+        |    CAST(round(CAST(embedding[CAST(t.d AS BIGINT)] AS DOUBLE) * 1000000, 0)
+        |      AS BIGINT) AS vm
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d) t),
+        |cent AS (SELECT label AS clabel, dim,
+        |    CAST(floor(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+        |  FROM comp GROUP BY 1, 2),
+        |dist AS (SELECT c.vec_id, c.label, ct.clabel,
+        |    sum((c.vm - ct.cm) * (c.vm - ct.cm)) AS d2
+        |  FROM comp c JOIN cent ct ON ct.dim = c.dim GROUP BY 1, 2, 3),
+        |best AS (SELECT vec_id, min(d2) AS md FROM dist GROUP BY 1),
+        |pred AS (SELECT d.vec_id, d.label, min(d.clabel) AS pred_label
+        |  FROM dist d JOIN best b ON b.vec_id = d.vec_id AND d.d2 = b.md
+        |  GROUP BY 1, 2)
+        |SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

@@ -468,4 +468,48 @@ object Similarity {
         Num.roundz((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 4)
           .as("silhouette"))
   }
+
+  /** Nearest-class-centroid classifier over a labeled embedding table —
+    * per-label mean vectors, every vector assigned to its closest
+    * centroid, surfaced as the CONFUSION MATRIX (label, pred_label, n).
+    * The standard "are these embeddings any good" readout (Rocchio / one
+    * Lloyd step with labels as seeds): diagonal mass ⇒ the space separates
+    * the classes; a hot off-diagonal cell names the confused pair.
+    *
+    * Determinism discipline: components quantize ONCE to micro longs
+    * (float→double is exact, so both engines round the same product);
+    * centroids are floor(sum/n) — the double division is safe because the
+    * true quotient is a rational with denominator n, which sits ≥ 1/n from
+    * any integer while ulp(10⁶-scale doubles) ≪ 1/n, so the floor can
+    * never flip; distances are exact long sums of squared micro diffs
+    * (≤ 64·1.6e13 ≪ Long.Max); argmin ties break to the smallest label
+    * via one struct-min. No float comparison anywhere.
+    *
+    * Scale shape: one posexplode pass (|vecs|·d rows, map-side combined
+    * into the |labels|·d centroid METADATA frame, which re-joins as a
+    * BROADCAST on dim); the distance aggregate reduces the |labels|-way
+    * fan-out back to |vecs|·|labels| rows, then |vecs| rows, then the
+    * ≤ |labels|² confusion cells. No window, no cartesian. */
+  def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val comp = emb
+      .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__l"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      .select(col("__id"), col("__l"), col("__dim"),
+        round(col("__v").cast("double") * lit(1000000.0), 0).cast("long").as("__vm"))
+      .localCheckpoint(eager = false)
+    val cent = comp.groupBy(col("__l").as("__cl"), col("__dim"))
+      .agg(sum(col("__vm")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__cl"), col("__dim"),
+        floor(col("__s").cast("double") / col("__n")).cast("long").as("__cm"))
+    val pred = comp.join(broadcast(cent), Seq("__dim"))
+      .groupBy(col("__id"), col("__l"), col("__cl"))
+      .agg(sum((col("__vm") - col("__cm")) * (col("__vm") - col("__cm"))).as("__d2"))
+      .groupBy(col("__id"), col("__l"))
+      .agg(min(struct(col("__d2"), col("__cl"))).as("__best"))
+      .select(col("__l"), col("__best.__cl").as("__p"))
+    pred.groupBy(col("__l").as("label"), col("__p").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label"), col("pred_label"), col("n").cast("long").as("n"))
+  }
 }

@@ -297,4 +297,41 @@ class SimilaritySpec extends SparkSpec {
       .select("silhouette").as[Double].collect()
     assert(s.length == 2 && s.forall(_ > 0.99), s.toSeq.toString)
   }
+
+  test("nearestCentroid: hand-checked confusion cells and smallest-label ties") {
+    import spark.implicits._
+    // label 0 centroid = (0, 0.05); label 1 centroid = (1, 0); the stray
+    // vector 4 (true label 1) sits at the label-0 centroid → off-diagonal
+    // cell (1, 0); vector 5 is EXACTLY equidistant from both centroids
+    // ((0.5, 0.025) after floor-div micro centroids has asymmetric micro
+    // distances — instead plant the tie by symmetry on one axis)
+    val pts = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(0f, 0.1f), 0),
+      (2L, Array(1f, 0f), 1), (3L, Array(1f, 0f), 1),
+      (4L, Array(0f, 0.05f), 1))
+    val out = Similarity.nearestCentroid(pts.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label")
+      .orderBy("label", "pred_label").as[(Long, Long, Long)].collect().toSeq
+    // centroids: l0 = (0, 50000µ), l1 = (666666µ, 16666µ) → vectors 0, 1, 4
+    // are all nearest l0; vectors 2, 3 nearest l1
+    assert(out == Seq((0L, 0L, 2L), (1L, 0L, 1L), (1L, 1L, 2L)))
+  }
+
+  test("nearestCentroid: exact tie breaks to the smallest label") {
+    import spark.implicits._
+    // the probe pulls its own class centroid, so the tie is engineered
+    // with that pull included: l1 = {(2,0), probe (0,0)} → centroid (1,0);
+    // l0 = {(-1,0)} → centroid (-1,0); the probe sits exactly 10¹² µ² from
+    // BOTH → struct-min picks label 0 → cell (1, 0)
+    val pts = Seq(
+      (0L, Array(-1f, 0f), 0), (1L, Array(2f, 0f), 1), (9L, Array(0f, 0f), 1))
+    def run(parts: Int) =
+      Similarity.nearestCentroid(
+        pts.toDF("vec_id", "embedding", "label").repartition(parts),
+        "vec_id", "embedding", "label")
+        .orderBy("label", "pred_label").as[(Long, Long, Long)].collect().toSeq
+    val a = run(1)
+    assert(a == Seq((0L, 0L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)), a.toString)
+    assert(a == run(7))
+  }
 }
