@@ -508,4 +508,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
       s"all prefix windows must partition by group:\n$plan")
   }
+
+  test("Naive Bayes: priors broadcast; no window; scoring joins are hash (q230)") {
+    val plan = q("q230_nb_classify")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window ["), s"argmax must be struct-max, not a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"priors/class totals must broadcast:\n$plan")
+  }
+
+  test("containment: candidates come from the shingle equi-join (q231)") {
+    val plan = q("q231_containment")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window ["), plan)
+  }
+
+  test("seasonal backtest: joins the aggregated day frame, no window (q232)") {
+    val plan = q("q232_seasonal_error")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window ["), plan)
+  }
+
+  test("minhash recall: truth is a keyed join; counts broadcast (q233)") {
+    val plan = q("q233_minhash_recall")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row count frames must broadcast-join:\n$plan")
+  }
+
+  test("centroid classifier: centroid frame broadcasts; argmin is struct-min (q235)") {
+    val plan = q("q235_centroid_classify")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window ["), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$plan")
+  }
 }
