@@ -1258,6 +1258,26 @@ object SparkEntry {
       Similarity.nearestCentroid(T(s, dir, "embeddings"),
           "vec_id", "embedding", "label")
         .orderBy("label", "pred_label")),
+    "q236_audio_segments" -> ((s, dir) => {
+      // REAL voice-activity segmentation under the gate: per doc a WAV of
+      // (n_chars%8+4) 100-sample blocks is synthesized — block b silent
+      // when (doc_id+b)%3=0, else constant amplitude doc_id%20000+500 —
+      // and silenceSegments genuinely parses the RIFF container and scans
+      // the PCM. The oracle predicts every block flag arithmetically
+      import s.implicits._
+      val wavs = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
+          val nb = (nc % 8 + 4).toInt
+          val amp = (id % 20000 + 500).toShort
+          val samples = Array.tabulate[Short](nb * 100) { i =>
+            if ((id + i / 100) % 3 == 0) 0 else amp
+          }
+          (id, Multimodal.synthWavSamples(samples, 16000))
+        }).toDF("doc_id", "payload")
+      Multimodal.silenceSegments(wavs, "doc_id", blockSamples = 100,
+          threshold = 250)
+        .orderBy("doc_id")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4555,6 +4575,23 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q236_audio_segments" ->
+      // every block flag is arithmetic: block b of doc d is silent iff
+      // (d + b) % 3 = 0; a segment starts at a non-silent block whose
+      // predecessor is silent (or at block 0) — genuine RIFF parsing and
+      // PCM peak scanning on the Spark side
+      """WITH v AS (SELECT doc_id, n_chars % 8 + 4 AS nb FROM documents),
+        |b AS (SELECT doc_id, nb, unnest(range(0, nb)) AS blk FROM v),
+        |fl AS (SELECT doc_id, nb,
+        |    CASE WHEN (doc_id + blk) % 3 = 0 THEN 1 ELSE 0 END AS silent,
+        |    CASE WHEN (doc_id + blk) % 3 <> 0
+        |      AND (blk = 0 OR (doc_id + blk - 1) % 3 = 0)
+        |      THEN 1 ELSE 0 END AS seg_start
+        |  FROM b)
+        |SELECT doc_id, CAST(min(nb) AS BIGINT) AS n_blocks,
+        |  CAST(sum(silent) AS BIGINT) AS n_silent,
+        |  CAST(sum(seg_start) AS BIGINT) AS n_segments
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

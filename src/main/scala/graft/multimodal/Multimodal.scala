@@ -200,6 +200,78 @@ object Multimodal {
     bb.array()
   }
 
+  /** [[synthWav]]'s per-sample variant: 16-bit LE mono PCM with caller-
+    * supplied samples. INPUT SYNTHESIS for the segmentation gate — the
+    * operator under test is [[silenceSegments]], which genuinely parses the
+    * RIFF container these bytes form. */
+  def synthWavSamples(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio silence segmentation — the voice-activity-detection shape a
+    * speech-training pipeline runs before transcription/chunking: JDK
+    * `javax.sound` parses the RIFF container, 16-bit LE mono PCM splits
+    * into `blockSamples`-sample blocks, a block is silent when its peak
+    * |amplitude| < `threshold`, and a SPEECH SEGMENT is a maximal run of
+    * non-silent blocks (counted at its first block — one pass, O(1) state
+    * per doc). Non-audio payloads surface as (-1, -1, -1) quarantine rows.
+    *
+    * Scale shape: pure per-row work behind one `mapPartitions` (the
+    * multimodal seam discipline — a codec swap touches only this method);
+    * no shuffle until whatever aggregate the caller adds. Output:
+    * (id, n_blocks, n_silent, n_segments). */
+  def silenceSegments(mm: DataFrame, idCol: String, blockSamples: Int,
+                      threshold: Int): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        if (in == null) (id, -1L, -1L, -1L)
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val nb = (n + blockSamples - 1) / blockSamples
+          var segments = 0; var silent = 0; var prevSilent = true
+          var b = 0
+          while (b < nb) {
+            var peak = 0
+            var i = b * blockSamples
+            val end = math.min(n, i + blockSamples)
+            while (i < end) {
+              val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+              val a = math.abs(s.toInt)
+              if (a > peak) peak = a
+              i += 1
+            }
+            val isSil = peak < threshold
+            if (isSil) silent += 1 else if (prevSilent) segments += 1
+            prevSilent = isSil
+            b += 1
+          }
+          (id, nb.toLong, silent.toLong, segments.toLong)
+        }
+      }).toDF(idCol, "n_blocks", "n_silent", "n_segments")
+  }
+
   /** Wrap a text corpus as a multimodal table: payload (binary) + metadata
     * struct. Testdata carries no real media, so payload bytes are the UTF-8
     * text — the schema/partitioning plumbing is what's under test. */

@@ -90,6 +90,24 @@ class MultimodalSpec extends SparkSpec {
       == Seq((9L, -1L)))
   }
 
+  test("silenceSegments: hand-built PCM yields exact block/segment counts") {
+    // 5 blocks of 10 samples: loud, silent, loud, loud, silent →
+    // 2 segments (blocks 0 and 2–3), 2 silent blocks; the ragged tail
+    // case appends 5 extra loud samples → a 6th (short) block = segment 3
+    def wav(pattern: Seq[Boolean], tail: Int) = Multimodal.synthWavSamples(
+      (pattern.zipWithIndex.flatMap { case (loud, _) =>
+        Array.fill[Short](10)(if (loud) 3000 else 0)
+      } ++ Array.fill[Short](tail)(3000)).toArray, 8000)
+    val mm = Seq(
+      (1L, wav(Seq(true, false, true, true, false), 0)),
+      (2L, wav(Seq(true, false, true, true, false), 5)),
+      (3L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.silenceSegments(mm, "doc_id", blockSamples = 10,
+        threshold = 250)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 5L, 2L, 2L), (2L, 6L, 2L, 3L), (3L, -1L, -1L, -1L)))
+  }
+
   test("extractFeatures runs the decoder per partition over every row") {
     val docs = Seq((1L, "abc"), (2L, "xyz"), (3L, "")).toDF("doc_id", "text")
     val mm = Multimodal.asMultimodal(docs, "doc_id", "text")
