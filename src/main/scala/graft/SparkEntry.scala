@@ -1278,6 +1278,15 @@ object SparkEntry {
           threshold = 250)
         .orderBy("doc_id")
     }),
+    "q237_personalized_pr" -> ((s, dir) =>
+      // recommendation-from-seeds: restart mass pinned to the seed items
+      // (partkey % 97 = 0) over the q120 co-purchase graph; same exact
+      // scaled-long damping, top-20 neighborhood via TakeOrdered
+      Graph.personalizedPageRank(
+          Graph.coOccurrenceEdges(T(s, dir, "lineitem"), "l_partkey", "l_orderkey"),
+          seedPred = col("src") % 97 === 0, iterations = 3)
+        .select(col("node").as("p_partkey"), col("rank").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("p_partkey")).limit(20)),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4592,6 +4601,35 @@ object SparkEntry {
         |  CAST(sum(silent) AS BIGINT) AS n_silent,
         |  CAST(sum(seg_start) AS BIGINT) AS n_segments
         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q237_personalized_pr" ->
+      // q120's edge/degree CTEs; 3 unrolled steps with the restart term
+      // gated on seed membership via a FULL JOIN against the seed set
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |s AS (SELECT DISTINCT src AS snode FROM e WHERE src % 97 = 0),
+        |r0 AS (SELECT snode AS node, CAST(1000000 AS BIGINT) AS r FROM s),
+        |c1 AS (SELECT e.dst AS node, CAST((85 * sum(r0.r // d.deg)) // 100 AS BIGINT) AS cin
+        |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT coalesce(c.node, s.snode) AS node,
+        |    CAST(CASE WHEN s.snode IS NOT NULL THEN 150000 ELSE 0 END
+        |      + coalesce(c.cin, 0) AS BIGINT) AS r
+        |  FROM c1 c FULL JOIN s ON s.snode = c.node),
+        |c2 AS (SELECT e.dst AS node, CAST((85 * sum(r1.r // d.deg)) // 100 AS BIGINT) AS cin
+        |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT coalesce(c.node, s.snode) AS node,
+        |    CAST(CASE WHEN s.snode IS NOT NULL THEN 150000 ELSE 0 END
+        |      + coalesce(c.cin, 0) AS BIGINT) AS r
+        |  FROM c2 c FULL JOIN s ON s.snode = c.node),
+        |c3 AS (SELECT e.dst AS node, CAST((85 * sum(r2.r // d.deg)) // 100 AS BIGINT) AS cin
+        |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT coalesce(c.node, s.snode) AS node,
+        |    CAST(CASE WHEN s.snode IS NOT NULL THEN 150000 ELSE 0 END
+        |      + coalesce(c.cin, 0) AS BIGINT) AS r
+        |  FROM c3 c FULL JOIN s ON s.snode = c.node)
+        |SELECT node AS p_partkey, r AS rank_scaled FROM r3
+        |ORDER BY rank_scaled DESC, p_partkey LIMIT 20""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

@@ -110,6 +110,49 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: [[pageRank]] with the restart mass pinned to a
+    * SEED set — "importance relative to THESE items", the
+    * recommendation/expansion primitive (seed a user's history or a topic's
+    * anchor docs, read off the neighborhood by stationary mass) where
+    * global PageRank answers only "important overall". Same scaled-long
+    * arithmetic (rank div deg contributions, 85/15 damping in exact
+    * integer basis), so results are bit-identical across partitionings and
+    * oracle-able; rank_0 = Scale on seeds, 0 elsewhere, and each step adds
+    * the 0.15·Scale restart ONLY on seed nodes (a full-outer merge of the
+    * contribution frame with the seed frame — nodes outside the seed set
+    * keep pure propagated mass, unreached nodes simply stay absent, as in
+    * [[pageRank]]'s receiving-nodes convention).
+    *
+    * Scale shape: identical cost class to [[pageRank]] — the adjacency
+    * is checkpointed once; per iteration one broadcast-or-shuffled
+    * rank join + one node-keyed contribution exchange + one node-keyed
+    * full-outer with the (≤ |nodes|-row) seed frame. */
+  def personalizedPageRank(edges: DataFrame, seedPred: Column,
+                           iterations: Int = 3,
+                           broadcastRanks: Option[Boolean] = None): DataFrame = {
+    val adj = adjacency(edges).localCheckpoint()
+    val bcast = broadcastRanks.getOrElse(adj.count() <= AutoBroadcastNodes)
+    // seedPred is a predicate over the node id column `src` (seeds outside
+    // the graph's source set carry no out-edges and no mass — excluded)
+    val seeds = adj.where(seedPred).select(col("src").as("__snode"))
+      .localCheckpoint(eager = false)
+    var ranks = seeds.select(col("__snode").as("node"), lit(Scale).as("rank"))
+    for (_ <- 1 to iterations) {
+      val in = adj
+        .join(if (bcast) broadcast(ranks) else ranks, adj("src") === ranks("node"))
+        .select(explode(col("__out")).as("dst"), expr("rank div __deg").as("__contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("(85 * sum(__contrib)) div 100").as("__cin"))
+      ranks = in
+        .join(seeds, in("dst") === seeds("__snode"), "full_outer")
+        .select(coalesce(col("dst"), col("__snode")).as("node"),
+          (when(col("__snode").isNotNull, lit(15L * Scale / 100L)).otherwise(lit(0L)) +
+            coalesce(col("__cin"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   /** Auto-broadcast ceiling for [[pageRank]]'s rank frame: 10M (node, rank)
     * rows is low-hundreds-of-MB as a broadcast — comfortably inside the
     * 8 GB hard cap and a normally-sized driver, while any graph big enough

@@ -196,4 +196,29 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got.size == 10 && got.forall(_._3 == Graph.Scale / 5))
   }
+
+  test("personalizedPageRank matches the hand-computed seeded recurrence") {
+    // 3-cycle 1→2→3→1, seed {1}: r0 = {1: 10⁶};
+    // r1 = {1: 150000 (restart), 2: 850000};
+    // r2 = {1: 150000, 2: 127500, 3: 722500};
+    // r3 = {1: 614125 + 150000, 2: 127500, 3: 108375} — mass flows back to
+    // the seed's in-neighborhood, non-seeds never get restart
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.personalizedPageRank(edges, col("src") === 1, iterations = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 764125L), (2L, 127500L), (3L, 108375L)))
+  }
+
+  test("personalizedPageRank is bit-identical across partitionings/strategies") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val a = Graph.personalizedPageRank(edges.repartition(1), col("src") % 7 === 0,
+      iterations = 3, broadcastRanks = Some(true))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val b = Graph.personalizedPageRank(edges.repartition(13), col("src") % 7 === 0,
+      iterations = 3, broadcastRanks = Some(false))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
