@@ -1287,6 +1287,47 @@ object SparkEntry {
           seedPred = col("src") % 97 === 0, iterations = 3)
         .select(col("node").as("p_partkey"), col("rank").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("p_partkey")).limit(20)),
+    "q238_kappa_agreement" -> ((s, dir) => {
+      // do the q50 heuristic and the q230 trained classifier actually
+      // agree? Cohen's kappa on the scored split via the rational identity
+      // kappa = (n·agree − Σr·c)/(n² − Σr·c): every count exact, products
+      // on decimal(38,0), ONE display division
+      val dec = "decimal(38,0)"
+      val docs = T(s, dir, "documents")
+      val nb = TextAnalysis.naiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+      val pairs = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("a"))
+        .join(nb.select(col("doc_id"), col("pred_label").as("b")), "doc_id")
+        .localCheckpoint(eager = false)
+      val tot = pairs.agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("ag"))
+      val ra = pairs.groupBy(col("a")).agg(count(lit(1)).as("r"))
+      val cb = pairs.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val pe = ra.join(cb, col("a") === col("b"))
+        .agg(coalesce(sum(col("r").cast(dec) * col("c")), lit(0L).cast(dec)).as("sm"))
+      tot.crossJoin(broadcast(pe))
+        .filter(col("n").cast(dec) * col("n") > col("sm"))
+        .select(col("n").cast("long").as("n"), col("ag").cast("long").as("n_agree"),
+          col("sm").cast("long").as("pe_num"),
+          ops.Num.roundz((col("n").cast(dec) * col("ag") - col("sm")).cast("double") /
+            (col("n").cast(dec) * col("n") - col("sm")).cast("double"), 4).as("kappa"))
+    }),
+    "q239_label_outliers" -> ((s, dir) =>
+      // corrupted-embedding sweep with PLANTED corruption: vec_id % 50 = 0
+      // rows are ×4-scaled (a power of two — float math exact in BOTH
+      // engines, no single-vs-double rounding skew), modeling a
+      // wrong-normalization batch. Measured separation: clean ratios
+      // ≤ 1.11, planted ≥ 8.8 → factor 4 flags exactly the planted set.
+      // Exact micro-long distances, decimal cross-product flag, no division
+      Similarity.centroidOutliers(
+          T(s, dir, "embeddings").select(col("vec_id"), col("label"),
+            when(col("vec_id") % 50 === 0,
+              expr("transform(embedding, x -> x * CAST(4 AS FLOAT))"))
+              .otherwise(col("embedding")).as("embedding")),
+          "vec_id", "embedding", "label")
+        .orderBy("vec_id")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2443,6 +2484,67 @@ object SparkEntry {
        |WHERE (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) >= 0.25
        |ORDER BY existing_id, new_id""".stripMargin
   }
+
+  /** q230's WITH-chain (shared with q238): multinomial Naive Bayes trained
+    * on doc_id % 5 <> 0 — Laplace-smoothed micro-nat weights quantized ONCE
+    * per (term, class) cell, exact BIGINT score sums, argmax tie to the
+    * greatest label. Ends with CTEs `pred` (doc_id, pred_label,
+    * score_micro) and `sc` (the scored split with lang + text). */
+  private val nbChainSql: String =
+    """WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+      |tok AS (SELECT tr.lang AS lab, t.term FROM tr,
+      |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
+      |  WHERE length(t.term) > 0),
+      |ctc AS (SELECT lab, term, count(*) AS c FROM tok GROUP BY 1, 2),
+      |ctot AS (SELECT lab, sum(c) AS n FROM ctc GROUP BY 1),
+      |vs AS (SELECT count(DISTINCT term) AS v FROM ctc),
+      |w AS (SELECT ct.lab, vo.term,
+      |    CAST(round(ln((coalesce(c.c, 0) + 1) / CAST(ct.n + vs.v AS DOUBLE))
+      |      * 1000000, 0) AS BIGINT) AS lw
+      |  FROM (SELECT DISTINCT term FROM ctc) vo CROSS JOIN ctot ct CROSS JOIN vs
+      |  LEFT JOIN ctc c ON c.lab = ct.lab AND c.term = vo.term),
+      |pr AS (SELECT lang AS lab, count(*) AS cd FROM tr GROUP BY 1),
+      |prior AS (SELECT lab,
+      |    CAST(round(ln(CAST(cd AS DOUBLE) / (SELECT sum(cd) FROM pr))
+      |      * 1000000, 0) AS BIGINT) AS pm FROM pr),
+      |sc AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+      |stf AS (SELECT sc.doc_id, t.term, count(*) AS c FROM sc,
+      |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
+      |  WHERE length(t.term) > 0 GROUP BY 1, 2),
+      |scores AS (SELECT stf.doc_id, w.lab, prior.pm + sum(stf.c * w.lw) AS s
+      |  FROM stf JOIN w ON w.term = stf.term JOIN prior ON prior.lab = w.lab
+      |  GROUP BY stf.doc_id, w.lab, prior.pm),
+      |pred AS (SELECT s.doc_id, max(s.lab) AS pred_label, s.s AS score_micro
+      |  FROM scores s JOIN (SELECT doc_id, max(s) AS ms FROM scores GROUP BY 1) b
+      |    ON s.doc_id = b.doc_id AND s.s = b.ms
+      |  GROUP BY s.doc_id, s.s)""".stripMargin
+
+  private val q230Sql: String =
+    s"""$nbChainSql
+       |SELECT p.doc_id, p.pred_label, CAST(p.score_micro AS BIGINT) AS score_micro,
+       |  p.pred_label = d.lang AS hit
+       |FROM pred p JOIN sc d ON d.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** q238's oracle: Cohen's kappa between the q50 language heuristic and
+    * the q230 NB prediction on the scored split — the rational identity
+    * kappa = (n·agree − Σ r·c)/(n² − Σ r·c) on HUGEINT so nothing rounds
+    * until the one 4-dp display division. */
+  private val q238Sql: String =
+    s"""$nbChainSql,
+       |hx AS (SELECT doc_id, $langCase AS heur FROM sc),
+       |pairs AS (SELECT h.heur AS a, p.pred_label AS b
+       |  FROM hx h JOIN pred p USING (doc_id)),
+       |tot AS (SELECT count(*) AS n,
+       |    sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS ag FROM pairs),
+       |ra AS (SELECT a, count(*) AS r FROM pairs GROUP BY 1),
+       |cb AS (SELECT b, count(*) AS c FROM pairs GROUP BY 1),
+       |pe AS (SELECT coalesce(sum(r * c), 0) AS sm FROM ra JOIN cb ON cb.b = ra.a)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(ag AS BIGINT) AS n_agree,
+       |  CAST(sm AS BIGINT) AS pe_num,
+       |  (round(CAST(CAST(n AS HUGEINT) * ag - sm AS DOUBLE) /
+       |    CAST(CAST(n AS HUGEINT) * n - sm AS DOUBLE), 4) + 0.0) AS kappa
+       |FROM tot, pe WHERE CAST(n AS HUGEINT) * n > sm""".stripMargin
 
   /** q233's oracle: the q44 signature pipeline run over the PLANTED corpus
     * (originals < 300 ∪ one-word-appended variants at doc_id + 100000),
@@ -4497,41 +4599,7 @@ object SparkEntry {
         |FROM cand
         |WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.c = cand.c AND pos.p = cand.p)
         |ORDER BY c_custkey, sample_idx""".stripMargin,
-    "q230_nb_classify" ->
-      // the identical Laplace-smoothed micro-nat weight per (term, class)
-      // cell — quantized ONCE, then summed as exact BIGINTs; argmax tie
-      // breaks to the greatest label (max over the (score, lab) pair)
-      """WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
-        |tok AS (SELECT tr.lang AS lab, t.term FROM tr,
-        |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
-        |  WHERE length(t.term) > 0),
-        |ctc AS (SELECT lab, term, count(*) AS c FROM tok GROUP BY 1, 2),
-        |ctot AS (SELECT lab, sum(c) AS n FROM ctc GROUP BY 1),
-        |vs AS (SELECT count(DISTINCT term) AS v FROM ctc),
-        |w AS (SELECT ct.lab, vo.term,
-        |    CAST(round(ln((coalesce(c.c, 0) + 1) / CAST(ct.n + vs.v AS DOUBLE))
-        |      * 1000000, 0) AS BIGINT) AS lw
-        |  FROM (SELECT DISTINCT term FROM ctc) vo CROSS JOIN ctot ct CROSS JOIN vs
-        |  LEFT JOIN ctc c ON c.lab = ct.lab AND c.term = vo.term),
-        |pr AS (SELECT lang AS lab, count(*) AS cd FROM tr GROUP BY 1),
-        |prior AS (SELECT lab,
-        |    CAST(round(ln(CAST(cd AS DOUBLE) / (SELECT sum(cd) FROM pr))
-        |      * 1000000, 0) AS BIGINT) AS pm FROM pr),
-        |sc AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
-        |stf AS (SELECT sc.doc_id, t.term, count(*) AS c FROM sc,
-        |  LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term) t
-        |  WHERE length(t.term) > 0 GROUP BY 1, 2),
-        |scores AS (SELECT stf.doc_id, w.lab, prior.pm + sum(stf.c * w.lw) AS s
-        |  FROM stf JOIN w ON w.term = stf.term JOIN prior ON prior.lab = w.lab
-        |  GROUP BY stf.doc_id, w.lab, prior.pm),
-        |pred AS (SELECT s.doc_id, max(s.lab) AS pred_label, s.s AS score_micro
-        |  FROM scores s JOIN (SELECT doc_id, max(s) AS ms FROM scores GROUP BY 1) b
-        |    ON s.doc_id = b.doc_id AND s.s = b.ms
-        |  GROUP BY s.doc_id, s.s)
-        |SELECT p.doc_id, p.pred_label, CAST(p.score_micro AS BIGINT) AS score_micro,
-        |  p.pred_label = d.lang AS hit
-        |FROM pred p JOIN sc d ON d.doc_id = p.doc_id
-        |ORDER BY p.doc_id""".stripMargin,
+    "q230_nb_classify" -> q230Sql,
     "q231_containment" ->
       // q49's shingle CTEs verbatim; pairs directed (<>) and scored
       // against the SOURCE size only — threshold on the rounded value
@@ -4630,6 +4698,33 @@ object SparkEntry {
         |  FROM c3 c FULL JOIN s ON s.snode = c.node)
         |SELECT node AS p_partkey, r AS rank_scaled FROM r3
         |ORDER BY rank_scaled DESC, p_partkey LIMIT 20""".stripMargin,
+    "q238_kappa_agreement" -> q238Sql,
+    "q239_label_outliers" ->
+      // q235's comp/cent CTEs verbatim; own-class distance joins exactly
+      // ONE centroid row per component; flag on HUGEINT cross-products
+      """WITH base AS (SELECT vec_id, label,
+        |    CASE WHEN vec_id % 50 = 0
+        |      THEN list_transform(embedding, x -> x * CAST(4 AS FLOAT))
+        |      ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |comp AS (SELECT vec_id, CAST(label AS BIGINT) AS label, t.d AS dim,
+        |    CAST(round(CAST(embedding[CAST(t.d AS BIGINT)] AS DOUBLE) * 1000000, 0)
+        |      AS BIGINT) AS vm
+        |  FROM base,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d) t),
+        |cent AS (SELECT label AS clabel, dim,
+        |    CAST(floor(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+        |  FROM comp GROUP BY 1, 2),
+        |own AS (SELECT c.vec_id, c.label,
+        |    sum((c.vm - ct.cm) * (c.vm - ct.cm)) AS d2
+        |  FROM comp c JOIN cent ct ON ct.dim = c.dim AND ct.clabel = c.label
+        |  GROUP BY 1, 2),
+        |cls AS (SELECT label, sum(CAST(d2 AS HUGEINT)) AS s, count(*) AS n
+        |  FROM own GROUP BY 1)
+        |SELECT o.vec_id, o.label, CAST(o.d2 AS BIGINT) AS d2
+        |FROM own o JOIN cls ON cls.label = o.label
+        |WHERE CAST(o.d2 AS HUGEINT) * cls.n > 4 * cls.s
+        |ORDER BY o.vec_id""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

@@ -492,16 +492,8 @@ object Similarity {
     * ≤ |labels|² confusion cells. No window, no cartesian. */
   def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
                       labelCol: String): DataFrame = {
-    val comp = emb
-      .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__l"),
-        posexplode(col(vecCol)).as(Seq("__dim", "__v")))
-      .select(col("__id"), col("__l"), col("__dim"),
-        round(col("__v").cast("double") * lit(1000000.0), 0).cast("long").as("__vm"))
-      .localCheckpoint(eager = false)
-    val cent = comp.groupBy(col("__l").as("__cl"), col("__dim"))
-      .agg(sum(col("__vm")).as("__s"), count(lit(1)).as("__n"))
-      .select(col("__cl"), col("__dim"),
-        floor(col("__s").cast("double") / col("__n")).cast("long").as("__cm"))
+    val comp = microComponents(emb, idCol, vecCol, labelCol)
+    val cent = microCentroids(comp)
     val pred = comp.join(broadcast(cent), Seq("__dim"))
       .groupBy(col("__id"), col("__l"), col("__cl"))
       .agg(sum((col("__vm") - col("__cm")) * (col("__vm") - col("__cm"))).as("__d2"))
@@ -511,5 +503,59 @@ object Similarity {
     pred.groupBy(col("__l").as("label"), col("__p").as("pred_label"))
       .agg(count(lit(1)).as("n"))
       .select(col("label"), col("pred_label"), col("n").cast("long").as("n"))
+  }
+
+  /** (id, label, dim, micro-quantized component) — [[nearestCentroid]] /
+    * [[centroidOutliers]]'s shared one-pass explode, checkpointed because
+    * both the centroid aggregate and the distance pass derive from it. */
+  private def microComponents(emb: DataFrame, idCol: String, vecCol: String,
+                              labelCol: String): DataFrame = emb
+    .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__l"),
+      posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+    .select(col("__id"), col("__l"), col("__dim"),
+      round(col("__v").cast("double") * lit(1000000.0), 0).cast("long").as("__vm"))
+    .localCheckpoint(eager = false)
+
+  /** |labels|·d centroid metadata from [[microComponents]]: floor(sum/n)
+    * micro longs (the no-flip argument lives at [[nearestCentroid]]). */
+  private def microCentroids(comp: DataFrame): DataFrame = comp
+    .groupBy(col("__l").as("__cl"), col("__dim"))
+    .agg(sum(col("__vm")).as("__s"), count(lit(1)).as("__n"))
+    .select(col("__cl"), col("__dim"),
+      floor(col("__s").cast("double") / col("__n")).cast("long").as("__cm"))
+
+  /** Corrupted-embedding sweep: vectors whose squared distance to their
+    * OWN class centroid exceeds `factor`× the class's mean squared
+    * distance — the hygiene pass an embedding store runs before vectors
+    * are trusted (catches wrong-normalization batches, truncated encodes,
+    * unit mix-ups). The factor is calibrated to CONCENTRATION, not σ: in
+    * high dimension distances concentrate hard (measured on the 64-d
+    * testdata: every clean ratio ∈ [0.53, 1.11], while a ×4-scaled
+    * corruption lands ≥ 8.8), so a Gaussian-style 3σ rule would never
+    * fire and factor ≈ 4 separates cleanly. Same exact micro-long
+    * discipline as [[nearestCentroid]]; the flag compares decimal(38,0)
+    * cross-products (d2·n > factor·Σd2) so nothing divides and nothing
+    * overflows at any class size.
+    *
+    * Scale shape: the shared component pass + one broadcast centroid join
+    * keyed (label, dim) — each component row matches exactly ONE centroid
+    * row (no |labels| fan-out, cheaper than classification); class stats
+    * re-broadcast onto the |vecs|-row distance frame. Output: the flagged
+    * (id, label, d2) rows only. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, factor: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val comp = microComponents(emb, idCol, vecCol, labelCol)
+    val cent = microCentroids(comp)
+    val own = comp.join(broadcast(cent),
+        col("__l") === col("__cl") && comp("__dim") === cent("__dim"))
+      .groupBy(col("__id"), col("__l"))
+      .agg(sum((col("__vm") - col("__cm")) * (col("__vm") - col("__cm"))).as("__d2"))
+    val cls = own.groupBy(col("__l"))
+      .agg(sum(col("__d2").cast(dec)).as("__S"), count(lit(1)).as("__n"))
+    own.join(broadcast(cls), Seq("__l"))
+      .filter(col("__d2").cast(dec) * col("__n") > lit(factor) * col("__S"))
+      .select(col("__id").as(idCol), col("__l").as("label"),
+        col("__d2").cast("long").as("d2"))
   }
 }

@@ -334,4 +334,28 @@ class SimilaritySpec extends SparkSpec {
     assert(a == Seq((0L, 0L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)), a.toString)
     assert(a == run(7))
   }
+
+  test("centroidOutliers flags only the corrupted vector, partition-invariant") {
+    import spark.implicits._
+    // 8 clean unit vectors + one ×8-scaled corruption in class 0; the
+    // corruption drags the centroid, but its own distance (≈ 50× the
+    // clean ones) still clears 4× the class mean while every clean
+    // vector stays far under it. Class 1 is clean → no flags there
+    val clean = Seq((1f, 0f), (-1f, 0f), (0f, 1f), (0f, -1f))
+    val pts =
+      (clean ++ clean).zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, Array(x, y), 0) } ++
+      Seq((100L, Array(8f, 0f), 0)) ++
+      clean.zipWithIndex.map { case ((x, y), i) => (200L + i, Array(x * 2, y * 2), 1) }
+    def run(parts: Int) = Similarity.centroidOutliers(
+      pts.toDF("vec_id", "embedding", "label").repartition(parts),
+      "vec_id", "embedding", "label")
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    val a = run(1)
+    assert(a.map(_._1) == Seq(100L), a.toString)
+    assert(a == run(9))
+    // a sky-high factor flags nothing
+    assert(Similarity.centroidOutliers(pts.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", factor = 1000).count() == 0L)
+  }
 }
