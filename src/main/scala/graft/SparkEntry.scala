@@ -1328,6 +1328,39 @@ object SparkEntry {
               .otherwise(col("embedding")).as("embedding")),
           "vec_id", "embedding", "label")
         .orderBy("vec_id")),
+    "q240_textrank" -> ((s, dir) => {
+      // graph-based keyword extraction (TextRank): adjacent-word pairs
+      // with corpus count ≥ 3 form the word graph (the df-cap discipline
+      // inverted — RARE pairs drop, bounding the graph to recurring
+      // collocations), then the q120 PageRank machinery runs verbatim on
+      // word nodes — exact scaled-long damping, top-20 via TakeOrdered
+      val pairs = T(s, dir, "documents")
+        .withColumn("__w", split(lower(col("text")), "\\s+"))
+        .filter(size(col("__w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("__w")) - 1),
+          i => struct(element_at(col("__w"), i).as("a"),
+            element_at(col("__w"), i + 1).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b") && length(col("a")) > 0 && length(col("b")) > 0)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      Graph.pageRank(edges, iterations = 3)
+        .select(col("node").as("word"), col("rank").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("word")).limit(20)
+    }),
+    "q241_emd_drift" -> ((s, dir) =>
+      // q221's KS table, integrated: earth-mover distance of each event
+      // type's value-cents distribution vs the rest — prices how much
+      // value MOVED, not just the worst CDF gap; exact gap-weighted
+      // cross-multiplied integers on decimal(38,0)
+      Stats.emdDriftByGroup(
+        T(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "event_type", "cents")
+        .orderBy("event_type")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4725,6 +4758,53 @@ object SparkEntry {
         |FROM own o JOIN cls ON cls.label = o.label
         |WHERE CAST(o.d2 AS HUGEINT) * cls.n > 4 * cls.s
         |ORDER BY o.vec_id""".stripMargin,
+    "q240_textrank" ->
+      // adjacent-pair word graph (count ≥ 3, symmetric, deduped), then
+      // q120's three unrolled damped steps on word nodes
+      """WITH ws AS (SELECT regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+        |bp AS (SELECT w[CAST(i AS BIGINT)] AS a, w[CAST(i AS BIGINT) + 1] AS b
+        |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+        |pc AS (SELECT a, b, count(*) AS c FROM bp
+        |  WHERE a <> b AND length(a) > 0 AND length(b) > 0 GROUP BY 1, 2),
+        |pf AS (SELECT a, b FROM pc WHERE c >= 3),
+        |e AS (SELECT a AS src, b AS dst FROM pf UNION SELECT b, a FROM pf),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
+        |r1 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r0.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r1.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r2.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst)
+        |SELECT node AS word, r AS rank_scaled FROM r3
+        |ORDER BY rank_scaled DESC, word LIMIT 20""".stripMargin,
+    "q241_emd_drift" ->
+      // q221's grid/cums CTEs with the max swapped for the gap-weighted
+      // HUGEINT sum; the trailing grid row's gap coalesces to 0
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS u FROM events),
+        |counts AS (SELECT g, u, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |groups AS (SELECT g, sum(c) AS ng FROM counts GROUP BY 1),
+        |units AS (SELECT u, sum(c) AS cu FROM counts GROUP BY 1),
+        |grand AS (SELECT sum(c) AS n FROM counts),
+        |grid AS (SELECT units.u, groups.g, groups.ng, units.cu,
+        |    coalesce(counts.c, 0) AS cg
+        |  FROM units CROSS JOIN groups
+        |  LEFT JOIN counts ON counts.g = groups.g AND counts.u = units.u),
+        |cums AS (SELECT g, ng, u,
+        |    sum(cg) OVER (PARTITION BY g ORDER BY u) AS cumg,
+        |    sum(cu) OVER (PARTITION BY g ORDER BY u) AS cumall,
+        |    coalesce(lead(u) OVER (PARTITION BY g ORDER BY u) - u, 0) AS gap
+        |  FROM grid),
+        |d AS (SELECT g, ng, n - ng AS nr,
+        |    sum(CAST(abs(cumg * (n - ng) - (cumall - cumg) * ng) AS HUGEINT)
+        |      * gap) AS emd
+        |  FROM cums CROSS JOIN grand GROUP BY 1, 2, 3)
+        |SELECT g AS event_type, CAST(ng AS BIGINT) AS n_group,
+        |  CAST(nr AS BIGINT) AS n_rest, CAST(emd AS BIGINT) AS emd_num,
+        |  (round(CAST(emd AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)), 4)
+        |    + 0.0) AS emd_units
+        |FROM d WHERE ng > 0 AND nr > 0 ORDER BY event_type""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

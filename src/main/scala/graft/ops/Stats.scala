@@ -1160,6 +1160,60 @@ object Stats {
           .as("r"))
   }
 
+  /** Earth-mover (1-Wasserstein) drift per group vs the rest of the
+    * corpus — [[ksDriftByGroup]]'s integrating twin: KS reads the single
+    * WORST CDF gap (sensitive to one sharp shift, blind to how long it
+    * persists), EMD integrates |CDF_g − CDF_rest| over the value domain,
+    * so a broad small shift and a narrow large one rank differently —
+    * the distance that prices "how much value actually moved", in the
+    * unit's own scale. On the discrete unit grid EMD = Σᵢ |cumdiff(uᵢ)| ·
+    * (uᵢ₊₁ − uᵢ): the CDF gap is constant between observed units, so the
+    * gap-weighted sum over the grid is EXACT, not an approximation.
+    *
+    * Exactness: cumdiff numerators are the same cross-multiplied integers
+    * as KS (cumG·nr − (cumAll−cumG)·ng); each term × its unit gap rides
+    * decimal(38,0) (n²·domain-width can pass Long); the surfaced
+    * `emd_units` = emd_num/(ng·nr) is ONE 4-dp display division. The last
+    * grid row has no successor — its gap coalesces to 0, and its cumdiff
+    * is identically 0 there anyway (both CDFs have reached 1).
+    *
+    * Scale shape: identical to [[ksDriftByGroup]] — one (group, unit)
+    * count shuffle (checkpointed), zero-filled grid bounded by
+    * |groups| × |unit-domain|, group-partitioned windows (the cum sums and
+    * the unit lead share ONE exchange), ≤ |groups| output rows. */
+  def emdDriftByGroup(df: DataFrame, groupCol: String, unitsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(groupCol).as("__g"), col(unitsCol).as("__u"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val groups = counts.groupBy(col("__g")).agg(sum("__c").as("__ng"))
+    val units = counts.groupBy(col("__u")).agg(sum("__c").as("__cu"))
+    val grand = counts.agg(sum("__c").as("__n"))
+    val grid = units.crossJoin(broadcast(groups))
+      .join(counts, Seq("__g", "__u"), "left")
+      .withColumn("__cg", coalesce(col("__c"), lit(0L)))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__u"))
+    val cums = grid
+      .withColumn("__cumG", sum("__cg").over(w))
+      .withColumn("__cumAll", sum("__cu").over(w))
+      .withColumn("__gap", coalesce(lead(col("__u"), 1).over(w) - col("__u"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("__nr", col("__n") - col("__ng"))
+      .withColumn("__term",
+        (abs(col("__cumG") * col("__nr") - (col("__cumAll") - col("__cumG")) * col("__ng"))
+          .cast(dec) * col("__gap").cast(dec)))
+    cums
+      .groupBy(col("__g"), col("__ng"), col("__nr"))
+      .agg(sum(col("__term")).as("__emd"))
+      .filter(col("__ng") > 0 && col("__nr") > 0)
+      .select(col("__g").as(groupCol), col("__ng").cast("long").as("n_group"),
+        col("__nr").cast("long").as("n_rest"),
+        col("__emd").cast("long").as("emd_num"),
+        Num.roundz(col("__emd").cast("double") /
+          (col("__ng").cast("double") * col("__nr").cast("double")), 4)
+          .as("emd_units"))
+  }
+
   /** Seasonal-naive backtest per group over an ALREADY-BUCKETED daily
     * series: predict each day with the value `season` days earlier, then
     * score the prediction — the mandatory accuracy floor before any

@@ -672,6 +672,25 @@ class StatsSpec extends SparkSpec {
       ("up", 3L, 3L, 66L, Some(1.5667), false)))
   }
 
+  test("emdDriftByGroup: hand-computed gap-weighted CDF integral") {
+    // a = {0, 0, 10, 10}, b = {0, 0, 20, 20}; grid units {0, 10, 20}.
+    // Group a vs rest: cumdiffs ×(ng·nr=16) are 0 @0, 8 @10 (gap 10),
+    // 0 @20 → emd_num 80, emd = 80/16 = 5.0; b symmetric
+    val df = Seq(("a", 0L), ("a", 0L), ("a", 10L), ("a", 10L),
+      ("b", 0L), ("b", 0L), ("b", 20L), ("b", 20L)).toDF("g", "u")
+    val out = Stats.emdDriftByGroup(df, "g", "u").orderBy("g")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 4L, 4L, 80L, 5.0), ("b", 4L, 4L, 80L, 5.0)))
+  }
+
+  test("emdDriftByGroup: identical distributions score exactly zero") {
+    val df = (0 until 40).flatMap(i => Seq(("x", (i % 5) * 7L), ("y", (i % 5) * 7L)))
+      .toDF("g", "u")
+    val out = Stats.emdDriftByGroup(df, "g", "u")
+      .select("emd_num").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L))
+  }
+
   test("seasonalNaiveError: hand-computed SAE/MAE/MAPE, headless days drop") {
     val df = Seq(
       ("a", "2024-01-01", 10L), ("a", "2024-01-08", 12L), ("a", "2024-01-15", 9L),
