@@ -1361,6 +1361,20 @@ object SparkEntry {
           .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
         "event_type", "cents")
         .orderBy("event_type")),
+    "q242_novelty" -> ((s, dir) =>
+      // the corpus-order novelty curve: share of each doc's bigrams first
+      // seen IN that doc — per-doc complement of the pairwise near-dup
+      // gates (catches fragment-assembled docs that evade every pairwise
+      // check); floor basis points, one min-aggregate + one keyed join
+      Dedup.noveltyByDoc(T(s, dir, "documents"), "doc_id", "text", k = 2)
+        .orderBy("doc_id")),
+    "q243_stream_quota" -> ((s, dir) =>
+      // per-(user, hour) ingestion quota as a custom-state stream: ledgers
+      // emit exactly once on watermark close; replay equals the batch
+      // least(n, quota) twin because admission counts, not per-event
+      // verdicts, are the contract (order-independent by construction)
+      Streaming.quotaReplay(s, dir, s"$TMP/q243_src", maxPerHour = 1)
+        .orderBy("user_id", "hour_start")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4805,6 +4819,27 @@ object SparkEntry {
         |  (round(CAST(emd AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)), 4)
         |    + 0.0) AS emd_units
         |FROM d WHERE ng > 0 AND nr > 0 ORDER BY event_type""".stripMargin,
+    "q242_novelty" ->
+      // q44's shingle CTE (whole corpus), first-occurrence min per
+      // shingle, floor-bp novelty share per doc
+      """WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+        |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+        |f AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST((10000 * sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS novelty_bp
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "q243_stream_quota" ->
+      // the batch twin: hourly counts, admission = least(n, quota)
+      """SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(least(count(*), 1) AS BIGINT) AS n_accepted,
+        |  CAST(count(*) - least(count(*), 1) AS BIGINT) AS n_dropped
+        |FROM events GROUP BY 1, 2
+        |ORDER BY user_id, hour_start""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

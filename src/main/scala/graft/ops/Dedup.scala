@@ -371,6 +371,35 @@ object Dedup {
         col("shared").cast("long").as("shared"), col("containment"))
   }
 
+  /** Corpus-order novelty per document: the share of a doc's distinct
+    * k-shingles whose FIRST corpus occurrence (minimum doc id) is the doc
+    * itself — the "how much new content does each document actually add"
+    * curve that decides where a crawl stops paying for itself, and the
+    * per-doc complement of the pairwise near-dup view (a doc can evade
+    * every pairwise gate yet be assembled entirely from seen fragments —
+    * novelty ≈ 0 catches exactly that).
+    *
+    * Exactness: counts are longs; novelty is FLOOR basis points
+    * ((10⁴·n_novel) div n_shingles) — no float anywhere. Docs with no
+    * k-shingle (< k words) leave the output in both engines.
+    *
+    * Scale shape: one (shingle → min doc) aggregate with map-side combine
+    * over the distinct (doc, shingle) pairs, one equi-join back on the
+    * shingle key, one per-doc count aggregate. No window, no pair join —
+    * linear in total shingle volume, unlike anything pairwise. */
+  def noveltyByDoc(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val sh = wordShingles(docs, idCol, textCol, k).localCheckpoint(eager = false)
+    val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_shingles").cast("long").as("n_shingles"),
+        col("n_novel").cast("long").as("n_novel"),
+        expr("(10000 * n_novel) div n_shingles").cast("long").as("novelty_bp"))
+  }
+
   // ------------------------------------------------------------- components
 
   /** Connected components over a near-dup pair graph, labeled by the minimum

@@ -356,6 +356,77 @@ object Streaming {
 
   // ---------------------------------------------------- custom state (q57 twin)
 
+  case class QuotaState(count: Long)
+  case class HourQuota(user_id: Long, hour_start: java.sql.Timestamp,
+                       n_events: Long, n_accepted: Long, n_dropped: Long)
+
+  /** Custom-state per-key rate limiting: count each user's events per
+    * event-time hour, admit at most `maxPerHour`, and emit the hour's
+    * (total, accepted, dropped) ledger exactly once — when the watermark
+    * proves the hour closed (EventTimeTimeout). The ingestion-quota
+    * primitive (API fairness, abuse throttling, per-source crawl budgets)
+    * as a stream: state is ONE counter per open (user, hour) key, evicted
+    * on emit, so memory is bounded by keys inside the watermark horizon —
+    * never by history. Counting (not per-event admit/reject emission)
+    * keeps the result independent of intra-hour arrival order, which is
+    * what makes the replay equal the batch least(n, quota) twin.
+    */
+  def quotaByHour(events: org.apache.spark.sql.Dataset[SessionEvent],
+                  maxPerHour: Int): org.apache.spark.sql.Dataset[HourQuota] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hourMicros = 3600L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => (e.user_id, micros(e.ts) / hourMicros))
+      .flatMapGroupsWithState[QuotaState, HourQuota](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, hourIdx), evs, state: GroupState[QuotaState]) =>
+          if (state.hasTimedOut) {
+            val n = state.get.count
+            state.remove()
+            val acc = math.min(n, maxPerHour.toLong)
+            Iterator(HourQuota(user,
+              new java.sql.Timestamp(hourIdx * 3600L * 1000L), n, acc, n - acc))
+          } else {
+            val c = state.getOption.map(_.count).getOrElse(0L) + evs.size
+            state.update(QuotaState(c))
+            // fire once the watermark passes the END of this hour (ms)
+            state.setTimeoutTimestamp((hourIdx + 1) * 3600L * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** q243: [[quotaByHour]] under the replay gate. One far-future sentinel
+    * (user −1) advances the GLOBAL watermark past every real hour, so each
+    * real (user, hour) ledger times out and emits deterministically; the
+    * sentinel's own key stays open and never emits, and is filtered on the
+    * batch side (inside the streaming plan the predicate would be pushed
+    * below the watermark node and prune the sentinel at the scan — the
+    * q114 lesson). */
+  def quotaReplay(spark: SparkSession, dir: String, stageDirBase: String,
+                  maxPerHour: Int): DataFrame = {
+    import spark.implicits._
+    val stageDir = s"$stageDirBase/${stageKey(dir)}"
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+      val sentinel = spark.createDataFrame(Seq((-1L, "2025-01-01 00:00:00")))
+        .toDF("user_id", "__ts")
+        .select(col("user_id"), col("__ts").cast("timestamp").as("ts"))
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(stageDir)
+    }
+    runToResult(spark, { s =>
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP").parquet(stageDir)
+        .as[SessionEvent]
+      quotaByHour(stream, maxPerHour).toDF()
+    }, "append", statePartitions = Some(4))
+      .filter(col("user_id") >= 0)
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(startMicros: Long, endMicros: Long, events: Long)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -123,6 +123,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 21L, 2L, 2L, 1.0), (21L, 1L, 3L, 2L, 0.6667)))
   }
 
+  test("noveltyByDoc: corpus-order novelty in floor basis points") {
+    // doc 1 introduces {a b, b c} (10000 bp); doc 2 reuses "a b", adds
+    // "b x" (5000 bp); doc 3 is assembled ENTIRELY from seen bigrams
+    // (0 bp — invisible to pairwise gates, caught here); doc 4 has no
+    // bigram and leaves the output
+    val docs = Seq((1L, "a b c"), (2L, "a b x"), (3L, "a b"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyByDoc(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 10000L), (2L, 2L, 1L, 5000L),
+      (3L, 1L, 0L, 0L)))
+  }
+
   test("dedup is idempotent: re-running exactDedup output changes nothing") {
     val docs = Seq((1L, "t"), (2L, "t"), (3L, "u")).toDF("doc_id", "text")
     val once = Dedup.exactDedup(docs, "doc_id", "text")

@@ -358,4 +358,30 @@ class StreamingSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("quotaByHour: hand-computed hourly ledgers; sentinel closes the tail") {
+    import Streaming.SessionEvent
+    val src = java.nio.file.Files.createTempDirectory("graft_quota").toString
+    // absolute epoch hours 100/101: u1 puts 3 events in hour 100 (quota 2
+    // → 1 dropped) and 1 in hour 101; u2 1 in hour 100. The -1 sentinel
+    // (far future) advances the watermark so every real ledger times out;
+    // its own key never emits and is filtered batch-side
+    def at(h: Long, m: Long) = new Timestamp((h * 3600L + m * 60L) * 1000L)
+    Seq((1L, at(100, 0)), (1L, at(100, 10)), (1L, at(100, 20)),
+      (1L, at(101, 5)), (2L, at(100, 30)), (-1L, at(5000, 0)))
+      .toDF("user_id", "ts").write.mode("overwrite").parquet(src)
+    val out = Streaming.runToResult(spark, { s =>
+      Streaming.quotaByHour(
+        s.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(src)
+          .as[SessionEvent](org.apache.spark.sql.Encoders.product[SessionEvent]),
+        maxPerHour = 2).toDF()
+    }, "append", statePartitions = Some(2))
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "hour_start")
+      .as[(Long, Timestamp, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, at(100, 0), 3L, 2L, 1L),
+      (1L, at(101, 0), 1L, 1L, 0L),
+      (2L, at(100, 0), 1L, 1L, 0L)), out.toString)
+  }
 }
