@@ -1375,6 +1375,34 @@ object SparkEntry {
       // verdicts, are the contract (order-independent by construction)
       Streaming.quotaReplay(s, dir, s"$TMP/q243_src", maxPerHour = 1)
         .orderBy("user_id", "hour_start")),
+    "q244_welch_t" -> ((s, dir) =>
+      // per-metric two-arm mean test with unequal variances (the
+      // experiment default): exact long/decimal sufficient stats, one
+      // shared double chain for t and the Welch–Satterthwaite df
+      Stats.welchTTest(
+        T(s, dir, "events")
+          .withColumn("arm", pmod(col("user_id"), lit(2L)))
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "event_type", "arm", "cents")
+        .orderBy("event_type")),
+    "q245_bh_fdr" -> ((s, dir) => {
+      // multiple-testing correction over the q221 drift family: KS
+      // asymptotic p per segment (identical formula text both engines,
+      // from exact integer inputs), then Benjamini–Hochberg at 5% FDR
+      val ks = Stats.ksDriftByGroup(
+        T(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "event_type", "cents")
+      val withP = ks.select(col("event_type"),
+        least(lit(1.0), lit(2.0) * exp(lit(-2.0) *
+          col("d_num").cast("double") * col("d_num").cast("double") /
+          (col("n_group").cast("double") * col("n_rest").cast("double") *
+            (col("n_group") + col("n_rest")).cast("double")))).as("p"))
+      Stats.bhAdjust(withP, "event_type", "p")
+        .select(col("event_type"), ops.Num.roundz(col("p"), 4).as("p"),
+          col("rank"), col("rejected"))
+        .orderBy("rank")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4840,6 +4868,67 @@ object SparkEntry {
         |  CAST(count(*) - least(count(*), 1) AS BIGINT) AS n_dropped
         |FROM events GROUP BY 1, 2
         |ORDER BY user_id, hour_start""".stripMargin,
+    "q244_welch_t" ->
+      // the identical sufficient-stats → double chain; variances on
+      // HUGEINT numerators, t/df/flag from the same expression tree
+      """WITH e AS (SELECT event_type AS g, user_id % 2 AS arm,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS u FROM events),
+        |st AS (SELECT g,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 0 THEN u ELSE 0 END) AS sa,
+        |    sum(CASE WHEN arm = 0 THEN CAST(u AS HUGEINT) * u ELSE 0 END) AS qa,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN arm = 1 THEN u ELSE 0 END) AS sb,
+        |    sum(CASE WHEN arm = 1 THEN CAST(u AS HUGEINT) * u ELSE 0 END) AS qb
+        |  FROM e GROUP BY 1),
+        |v AS (SELECT g, na, nb, sa, sb,
+        |    CAST(CAST(na AS HUGEINT) * qa - CAST(sa AS HUGEINT) * sa AS DOUBLE) /
+        |      (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)) / CAST(na AS DOUBLE) AS wa,
+        |    CAST(CAST(nb AS HUGEINT) * qb - CAST(sb AS HUGEINT) * sb AS DOUBLE) /
+        |      (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)) / CAST(nb AS DOUBLE) AS wb
+        |  FROM st WHERE na >= 2 AND nb >= 2),
+        |t AS (SELECT g, na, nb, wa, wb,
+        |    (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / sqrt(wa + wb) AS tt
+        |  FROM v WHERE wa + wb > 0)
+        |SELECT g AS event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  (round(tt, 4) + 0.0) AS t_stat,
+        |  (round((wa + wb) * (wa + wb) /
+        |    (wa * wa / CAST(na - 1 AS DOUBLE) + wb * wb / CAST(nb - 1 AS DOUBLE)), 4)
+        |    + 0.0) AS df,
+        |  abs(tt) > 1.96 AS sig_flag
+        |FROM t ORDER BY event_type""".stripMargin,
+    "q245_bh_fdr" ->
+      // q221's grid chain → asymptotic KS p per segment → BH at 5% FDR;
+      // ranks and the k* cutoff over the |segments|-row metadata frame
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS u FROM events),
+        |counts AS (SELECT g, u, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |groups AS (SELECT g, sum(c) AS ng FROM counts GROUP BY 1),
+        |units AS (SELECT u, sum(c) AS cu FROM counts GROUP BY 1),
+        |grand AS (SELECT sum(c) AS n FROM counts),
+        |grid AS (SELECT units.u, groups.g, groups.ng, units.cu,
+        |    coalesce(counts.c, 0) AS cg
+        |  FROM units CROSS JOIN groups
+        |  LEFT JOIN counts ON counts.g = groups.g AND counts.u = units.u),
+        |cums AS (SELECT g, ng, u,
+        |    sum(cg) OVER (PARTITION BY g ORDER BY u) AS cumg,
+        |    sum(cu) OVER (PARTITION BY g ORDER BY u) AS cumall
+        |  FROM grid),
+        |d AS (SELECT g, ng, n - ng AS nr,
+        |    max(abs(cumg * (n - ng) - (cumall - cumg) * ng)) AS d_num
+        |  FROM cums CROSS JOIN grand GROUP BY 1, 2, 3),
+        |pv AS (SELECT g, least(1.0, 2 * exp(-2 *
+        |    CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) /
+        |    (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE) * CAST(ng + nr AS DOUBLE)))) AS p
+        |  FROM d WHERE ng > 0 AND nr > 0),
+        |r AS (SELECT g, p,
+        |    CAST(row_number() OVER (ORDER BY p, g) AS BIGINT) AS rank FROM pv),
+        |m AS (SELECT count(*) AS m FROM r),
+        |k AS (SELECT coalesce(max(CASE WHEN p * 100.0 * m.m <= rank * 5.0
+        |    THEN rank END), 0) AS k FROM r, m)
+        |SELECT g AS event_type, (round(p, 4) + 0.0) AS p, rank,
+        |  rank <= k.k AS rejected
+        |FROM r, k ORDER BY rank""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

@@ -1160,6 +1160,102 @@ object Stats {
           .as("r"))
   }
 
+  /** Welch's unequal-variance t-test per group between two arms — the
+    * default two-sample mean test for experiment readouts where the z-test
+    * (q- uplift family) assumes a known/pooled variance it doesn't have.
+    * All sufficient statistics are EXACT: per-arm n (long), Σx (long
+    * units), Σx² (decimal(38,0) — the per-row square can pass Long under
+    * large units × deep groups); the sample variance uses the
+    * overflow-safe identity (n·Σx² − (Σx)²)/(n·(n−1)) on decimals. The
+    * t statistic and the Welch–Satterthwaite df are then plain double
+    * arithmetic over those exact integers — both engines evaluate the
+    * SAME expression tree on the SAME doubles, and sqrt is IEEE
+    * correctly-rounded in both, so full-precision values agree bit-for-bit
+    * before the 4-dp display rounds. The 5% flag compares |t| against
+    * 1.96 on the full-precision double (not the display value).
+    *
+    * Groups need ≥ 2 rows per arm and a nonzero variance sum — degenerate
+    * groups drop in both engines.
+    *
+    * Scale shape: ONE aggregate over raw rows with map-side combine
+    * (per-(group, arm) partials), a |groups|-row self-merge, no window,
+    * ≤ |groups| output rows. */
+  def welchTTest(df: DataFrame, groupCol: String, armCol: String,
+                 unitsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val stats = df
+      .filter(when(col(armCol).isin(0, 1), lit(true)).otherwise(raise_error(
+        lit("welchTTest: arm must be 0 or 1"))))
+      .groupBy(col(groupCol).as("__g"))
+      .agg(
+        sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(armCol) === 0, col(unitsCol).cast("long")).otherwise(0L)).as("__sa"),
+        sum(when(col(armCol) === 0,
+          (col(unitsCol).cast("long") * col(unitsCol).cast("long")).cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("__qa"),
+        sum(when(col(armCol) === 1, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col(armCol) === 1, col(unitsCol).cast("long")).otherwise(0L)).as("__sb"),
+        sum(when(col(armCol) === 1,
+          (col(unitsCol).cast("long") * col(unitsCol).cast("long")).cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("__qb"))
+      .filter(col("__na") >= 2 && col("__nb") >= 2)
+    // exact-integer variance numerators, then one double chain
+    val va = (col("__na").cast(dec) * col("__qa") -
+      col("__sa").cast(dec) * col("__sa").cast(dec)).cast("double") /
+      (col("__na").cast("double") * (col("__na") - 1).cast("double"))
+    val vb = (col("__nb").cast(dec) * col("__qb") -
+      col("__sb").cast(dec) * col("__sb").cast(dec)).cast("double") /
+      (col("__nb").cast("double") * (col("__nb") - 1).cast("double"))
+    stats
+      .withColumn("__wa", va / col("__na").cast("double"))
+      .withColumn("__wb", vb / col("__nb").cast("double"))
+      .filter(col("__wa") + col("__wb") > 0)
+      .withColumn("__t",
+        (col("__sa").cast("double") / col("__na") -
+          col("__sb").cast("double") / col("__nb")) /
+          sqrt(col("__wa") + col("__wb")))
+      .select(col("__g").as(groupCol),
+        col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+        Num.roundz(col("__t"), 4).as("t_stat"),
+        Num.roundz((col("__wa") + col("__wb")) * (col("__wa") + col("__wb")) /
+          (col("__wa") * col("__wa") / (col("__na") - 1).cast("double") +
+            col("__wb") * col("__wb") / (col("__nb") - 1).cast("double")), 4)
+          .as("df"),
+        (abs(col("__t")) > lit(1.96)).as("sig_flag"))
+  }
+
+  /** Benjamini–Hochberg FDR correction over a FAMILY of per-test
+    * p-values — the multiple-testing step every per-segment drift/
+    * significance table (q221, q210, q213…) needs before anyone acts on
+    * "23 of 40 segments flagged": rank p ascending, reject ranks ≤ k* =
+    * max{i : p₍ᵢ₎ ≤ q·i/m}. Deterministic because both engines rank the
+    * SAME doubles (p must arrive computed from exact integers by an
+    * identical formula) with ties broken by the test id, and the
+    * acceptance inequality is evaluated on the same doubles.
+    *
+    * Scale shape: the input is an ALREADY-AGGREGATED one-row-per-test
+    * frame (|tests| = segments, not raw data); the rank window and the
+    * k* aggregate run over that metadata frame, with k* re-broadcast.
+    * `qPct` is the FDR level in percent (5 → 0.05). */
+  def bhAdjust(tests: DataFrame, testCol: String, pCol: String,
+               qPct: Int = 5): DataFrame = {
+    val w = Window.orderBy(col(pCol).asc, col(testCol).asc)
+    // |tests|-row metadata frame: the single-partition rank window is the
+    // deliberate exception to the two-phase rule (same as q215's rank
+    // over the aggregated term frame)
+    val ranked = tests
+      .withColumn("__rank", row_number().over(w))
+      .crossJoin(broadcast(tests.agg(count(lit(1)).as("__m"))))
+      .withColumn("__ok",
+        col(pCol) * lit(100.0) * col("__m") <= col("__rank") * lit(qPct.toDouble))
+    val kStar = ranked.agg(coalesce(max(when(col("__ok"), col("__rank"))), lit(0))
+      .as("__k"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col(testCol), col(pCol),
+        col("__rank").cast("long").as("rank"),
+        (col("__rank") <= col("__k")).as("rejected"))
+  }
+
   /** Earth-mover (1-Wasserstein) drift per group vs the rest of the
     * corpus — [[ksDriftByGroup]]'s integrating twin: KS reads the single
     * WORST CDF gap (sensitive to one sharp shift, blind to how long it

@@ -672,6 +672,38 @@ class StatsSpec extends SparkSpec {
       ("up", 3L, 3L, 66L, Some(1.5667), false)))
   }
 
+  test("welchTTest: hand-computed t, Welch df, degenerate groups drop") {
+    // g: arm0 {0, 2} (mean 1, var 2 → w=1), arm1 {10, 14} (mean 12,
+    // var 8 → w=4): t = −11/√5 = −4.9193, df = 25/17 = 1.4706, |t| > 1.96.
+    // h: arm1 has one row → drops. i: both arms constant → w sum 0 → drops
+    val df = Seq(
+      ("g", 0L, 0L), ("g", 0L, 2L), ("g", 1L, 10L), ("g", 1L, 14L),
+      ("h", 0L, 1L), ("h", 0L, 2L), ("h", 1L, 3L),
+      ("i", 0L, 5L), ("i", 0L, 5L), ("i", 1L, 7L), ("i", 1L, 7L))
+      .toDF("g", "arm", "u")
+    val out = Stats.welchTTest(df, "g", "arm", "u")
+      .as[(String, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(out == Seq(("g", 2L, 2L, -4.9193, 1.4706, true)))
+  }
+
+  test("welchTTest rejects invalid arms loudly") {
+    val df = Seq(("g", 2L, 1L)).toDF("g", "arm", "u")
+    val e = intercept[Exception](Stats.welchTTest(df, "g", "arm", "u").collect())
+    assert(e.getMessage.contains("arm must be 0 or 1"))
+  }
+
+  test("bhAdjust: step-up cutoff rejects exactly the first k* ranks") {
+    // m = 5 at 5% FDR → thresholds i/100: p = .005, .015, .025 pass their
+    // slots, .5/.9 fail → k* = 3; note .025 is rejected even though it
+    // exceeds threshold 2 — the STEP-UP property a per-test cutoff misses
+    val tests = Seq(("a", 0.005), ("b", 0.015), ("c", 0.025),
+      ("d", 0.5), ("e", 0.9)).toDF("t", "p")
+    val out = Stats.bhAdjust(tests, "t", "p")
+      .orderBy("rank").as[(String, Double, Long, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._4)) ==
+      Seq(("a", true), ("b", true), ("c", true), ("d", false), ("e", false)))
+  }
+
   test("emdDriftByGroup: hand-computed gap-weighted CDF integral") {
     // a = {0, 0, 10, 10}, b = {0, 0, 20, 20}; grid units {0, 10, 20}.
     // Group a vs rest: cumdiffs ×(ng·nr=16) are 0 @0, 8 @10 (gap 10),
