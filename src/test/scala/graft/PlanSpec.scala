@@ -540,4 +540,57 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window ["), plan)
     assert(plan.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$plan")
   }
+
+  test("personalized PageRank: no cartesian; heap top-k (q237)") {
+    val plan = q("q237_personalized_pr")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("kappa: margins reduce to 1-row frames that broadcast (q238)") {
+    val plan = q("q238_kappa_agreement")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window ["), plan)
+  }
+
+  test("outlier sweep: one centroid row per component, class stats broadcast (q239)") {
+    val plan = q("q239_label_outliers")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("textrank: word graph joins are hash joins; heap top-k (q240)") {
+    val plan = q("q240_textrank")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("EMD: grid windows partition by group; cum sums + lead share one exchange (q241)") {
+    val plan = q("q241_emd_drift")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"grid windows must partition by group:\n$plan")
+    // the two cumulative sums and the unit lead must resolve in ONE
+    // group-hash window stage — count Window operators
+    assert("Window \\[".r.findAllIn(plan).size <= 1,
+      s"cum sums and lead must share one window stage:\n$plan")
+  }
+
+  test("novelty: keyed shingle join, no window, no pair join (q242)") {
+    val plan = q("q242_novelty")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window ["), plan)
+  }
+
+  test("Welch t: one aggregate pass, no join on raw rows, no window (q244)") {
+    val plan = q("q244_welch_t")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("SortMergeJoin"), s"no raw-row join expected:\n$plan")
+  }
+
+  test("BH FDR: rank window runs over the segments metadata frame only (q245)") {
+    val plan = q("q245_bh_fdr")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
