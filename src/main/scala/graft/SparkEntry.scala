@@ -1403,6 +1403,18 @@ object SparkEntry {
           col("rank"), col("rejected"))
         .orderBy("rank")
     }),
+    "q246_ivfpq_search" -> ((s, dir) => {
+      // the composed production index (FAISS-style IVFx,PQy): IVF cell
+      // pruning bounds the candidate set, then only candidates pay the
+      // m-lookup ADC sum — the ANN capstone over q58's cells and q224's
+      // codes, same exact tenth-basis-point long distances
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+          centroids = emb.filter(col("vec_id") < 16),
+          codebook = emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", m = 4, subDim = 16, k = 5, nprobe = 2)
+        .orderBy("query_id", "rn")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4929,6 +4941,49 @@ object SparkEntry {
         |SELECT g AS event_type, (round(p, 4) + 0.0) AS p, rank,
         |  rank <= k.k AS rejected
         |FROM r, k ORDER BY rank""".stripMargin,
+    "q246_ivfpq_search" ->
+      // q58's cosine cell CTEs (assignment crn = 1, probe crn <= 2) bound
+      // the candidates; q224's LUT/ADC chain scores only those pairs
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |cells AS (SELECT x.vec_id, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cell FROM cells WHERE crn = 1),
+        |qprobe AS (SELECT vec_id AS query_id, cell FROM cells
+        |  WHERE vec_id < 8 AND crn <= 2),
+        |cand AS (SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+        |  FROM qprobe qp JOIN asg a ON a.cell = qp.cell
+        |  WHERE a.vec_id <> qp.query_id),
+        |subs AS (SELECT vec_id, CAST(s.i AS BIGINT) AS sub,
+        |    vv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS xs
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |cb AS (SELECT vec_id AS code, sub, xs AS cs FROM subs WHERE vec_id < 8),
+        |sc AS (SELECT x.vec_id, x.sub, c.code,
+        |  row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+        |    list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), c.code) AS rn
+        |  FROM subs x JOIN cb c USING (sub)),
+        |codes AS (SELECT vec_id, sub, code FROM sc WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub, xs AS qs FROM subs WHERE vec_id < 8),
+        |lut AS (SELECT q.query_id, c.sub, c.code,
+        |    CAST(round(greatest(list_dot_product(q.qs, q.qs)
+        |      - 2 * list_dot_product(q.qs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), 0) * 100000) AS BIGINT) AS d
+        |  FROM q JOIN cb c USING (sub)),
+        |sc2 AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adist_tb
+        |  FROM codes k
+        |  JOIN lut l ON l.sub = k.sub AND l.code = k.code
+        |  JOIN cand cd ON cd.query_id = l.query_id AND cd.neighbor_id = k.vec_id
+        |  WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adist_tb,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist_tb, neighbor_id) AS BIGINT) AS rn FROM sc2)
+        |SELECT query_id, neighbor_id, adist_tb, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

@@ -361,7 +361,8 @@ object Similarity {
     * Output: (query_id, neighbor_id, adist_tb, rn), rank 1..k per query. */
   def pqSearchTopK(corpusCodes: DataFrame, queries: DataFrame,
                    codebook: DataFrame, idCol: String, vecCol: String,
-                   m: Int, subDim: Int, k: Int): DataFrame = {
+                   m: Int, subDim: Int, k: Int,
+                   candidates: Option[DataFrame] = None): DataFrame = {
     def sliced(df: DataFrame, idAs: String, vecAs: String) = df.select(
       col(idCol).as(idAs),
       posexplode(expr(
@@ -378,8 +379,19 @@ object Similarity {
       posexplode(array((0 until m).map(i => col(s"c$i")): _*))
         .as(Seq("sub", "code")))
     // inner join is total: corpus codes come from the same codebook the LUT
-    // enumerates, so every (query, neighbor) pair sums exactly m entries
-    val scored = unpivot.join(broadcast(lut), Seq("sub", "code"))
+    // enumerates, so every (query, neighbor) pair sums exactly m entries.
+    // With a candidate frame (the IVF-restricted path), each neighbor's m
+    // code rows fan out only over ITS candidate queries BEFORE the LUT
+    // join — cost ∝ |candidates|·m instead of |corpus|·|queries|·m, which
+    // is the whole point of cell pruning at 100 TB
+    val paired = candidates match {
+      case Some(cand) => unpivot
+        .join(cand.select(col("query_id"), col("neighbor_id")).distinct(),
+          Seq("neighbor_id"))
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      case None => unpivot.join(broadcast(lut), Seq("sub", "code"))
+    }
+    val scored = paired
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__d_tb")).as("__dist"))
@@ -390,6 +402,32 @@ object Similarity {
     topKPerQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"),
         negate(col("cosine")).cast("long").as("adist_tb"), col("rn"))
+  }
+
+  /** The production ANN index composition — IVF cell pruning THEN PQ/ADC
+    * scoring, i.e. what FAISS-style `IVFx,PQy` does, as relational ops:
+    * candidates come from the probed cells (|corpus|·nprobe/|cells| of the
+    * corpus per query, the recall/cost lever), and only those candidates
+    * pay the m-lookup ADC sum. Completes the ANN story: q45 exact truth,
+    * q54/q55 LSH, q58 IVF+exact, q224 flat ADC, and here the composed
+    * index — with q225/q212-style recall evals closing the loop on each.
+    *
+    * Scale shape: centroids/codebook/LUT broadcast; the cell equi-join
+    * bounds candidate volume; the ADC join fans each neighbor's m code
+    * rows only over its candidate queries. Everything downstream of the
+    * candidate join is |candidates|-sized — never |corpus|·|queries|. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, idCol: String, vecCol: String,
+                m: Int, subDim: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    val cand = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("cell"), col(idCol).as("neighbor_id"))
+      .join(ivfProbe(queries, centroids, idCol, vecCol, nprobe)
+        .select(col("cell"), col(idCol).as("query_id")), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val codes = pqEncode(corpus, codebook, idCol, vecCol, m, subDim)
+    pqSearchTopK(codes, queries, codebook, idCol, vecCol, m, subDim, k,
+      candidates = Some(cand))
   }
 
   /** Per-group embedding centroids in EXACT fixed-point arithmetic: each

@@ -335,6 +335,34 @@ class SimilaritySpec extends SparkSpec {
     assert(a == run(7))
   }
 
+  test("ivfPqTopK with one cell equals the flat ADC search; pruning prunes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val cb = vecs.filter($"vec_id" < 4)
+    // ONE centroid → every vector shares the cell → the composed index
+    // must return exactly the flat ADC ranking
+    val one = Similarity.ivfPqTopK(vecs, queries,
+      centroids = vecs.filter($"vec_id" === 0), codebook = cb,
+      "vec_id", "embedding", m = 2, subDim = 4, k = 5, nprobe = 1)
+      .orderBy("query_id", "rn").collect().toSeq
+    val flat = Similarity.pqSearchTopK(
+      Similarity.pqEncode(vecs, cb, "vec_id", "embedding", m = 2, subDim = 4),
+      queries, cb, "vec_id", "embedding", m = 2, subDim = 4, k = 5)
+      .orderBy("query_id", "rn").collect().toSeq
+    assert(one == flat && one.nonEmpty)
+    // with many cells and nprobe = 1, each query's candidate pool shrinks
+    // to its own cell — results are a (possibly shorter) subset ranking
+    val pruned = Similarity.ivfPqTopK(vecs, queries,
+      centroids = vecs.filter($"vec_id" < 16), codebook = cb,
+      "vec_id", "embedding", m = 2, subDim = 4, k = 5, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val flatSet = flat.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.nonEmpty && pruned.size <= flatSet.size)
+  }
+
   test("centroidOutliers flags only the corrupted vector, partition-invariant") {
     import spark.implicits._
     // 8 clean unit vectors + one ×8-scaled corruption in class 0; the
