@@ -1415,6 +1415,14 @@ object SparkEntry {
           "vec_id", "embedding", m = 4, subDim = 16, k = 5, nprobe = 2)
         .orderBy("query_id", "rn")
     }),
+    "q247_best_threshold" -> ((s, dir) =>
+      // operating-point selection: the doc-length cutoff that best
+      // predicts the majority language — the F1 sweep runs on the score
+      // HISTOGRAM via two descending two-phase prefix sums; exact micro-F1
+      // argmax, ties to the larger threshold
+      Stats.bestF1Threshold(
+        T(s, dir, "documents").select(col("n_chars"), (col("lang") === "en").as("is_en")),
+        "is_en", "n_chars")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4984,6 +4992,23 @@ object SparkEntry {
         |      ORDER BY adist_tb, neighbor_id) AS BIGINT) AS rn FROM sc2)
         |SELECT query_id, neighbor_id, adist_tb, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q247_best_threshold" ->
+      // the same histogram + descending cumulative identity; max micro-F1
+      // then max threshold among ties
+      """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS sc, lang = 'en' AS lab FROM documents),
+        |h AS (SELECT sc, sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+        |    count(*) AS nc FROM s GROUP BY 1),
+        |p AS (SELECT sum(np) AS pos FROM h),
+        |c AS (SELECT sc, sum(np) OVER (ORDER BY sc DESC) AS tp,
+        |    sum(nc) OVER (ORDER BY sc DESC) AS cn FROM h),
+        |f AS (SELECT sc, tp, cn, (2 * tp * 1000000) // (cn + p.pos) AS f1m
+        |  FROM c, p WHERE p.pos > 0),
+        |b AS (SELECT max(f1m) AS mf FROM f),
+        |bt AS (SELECT max(sc) AS ms FROM f, b WHERE f1m = mf)
+        |SELECT f.sc AS threshold, CAST(tp AS BIGINT) AS tp,
+        |  CAST(cn - tp AS BIGINT) AS fp, CAST(p.pos - tp AS BIGINT) AS fn,
+        |  (round(2.0 * tp / (cn + p.pos), 4) + 0.0) AS f1
+        |FROM f, p, bt WHERE f.sc = bt.ms""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

@@ -1224,6 +1224,47 @@ object Stats {
         (abs(col("__t")) > lit(1.96)).as("sig_flag"))
   }
 
+  /** F1-optimal operating point for an integer scorer against a boolean
+    * label — the threshold-selection step between "we trained a scorer"
+    * (q230/q34/q51) and "the curation gate ships": sweep every distinct
+    * score value t (predict positive when score ≥ t), pick the t
+    * maximizing F1. Uses the identity F1(t) = 2·TP(t)/(cum(t) + P) where
+    * cum(t) = TP+FP is the count at-or-above t — so the whole sweep is
+    * two descending prefix sums over the SCORE HISTOGRAM (value-domain
+    * rows, the q65 discipline), not a per-row scan per candidate.
+    *
+    * Exactness: the argmax compares exact MICRO F1 longs
+    * ((2·TP·10⁶) div (cum+P) — fits Long to ~4·10¹² rows) via one
+    * struct-max, ties to the LARGER threshold; precision/recall-style
+    * display is one 4-dp division. No positives ⇒ no row (both engines).
+    *
+    * Scale shape: one histogram aggregate with map-side combine, two
+    * [[TwoPhase.prefixSum]] passes over |distinct scores| rows (no
+    * single-partition window), a 1-row struct-max. */
+  def bestF1Threshold(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val hist = df.groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+        count(lit(1)).as("__nc"))
+      .withColumn("__negs", -col("__s"))
+    val (withTp, totPos) = TwoPhase.prefixSum(
+      hist, col("__negs"), Seq(col("__negs")), col("__np"), "__tp")
+    val (withCn, _) = TwoPhase.prefixSum(
+      withTp, col("__negs"), Seq(col("__negs")), col("__nc"), "__cn")
+    withCn
+      .filter(lit(totPos) > 0)
+      .select(col("__s"), col("__tp"), col("__cn"),
+        expr(s"(2 * __tp * 1000000) div (__cn + $totPos)").as("__f1m"))
+      .agg(max(struct(col("__f1m"), col("__s"), col("__tp"), col("__cn"))).as("__b"))
+      // a global agg over zero rows still emits one (all-null) row — drop it
+      .filter(col("__b").isNotNull)
+      .select(col("__b.__s").cast("long").as("threshold"),
+        col("__b.__tp").cast("long").as("tp"),
+        (col("__b.__cn") - col("__b.__tp")).cast("long").as("fp"),
+        (lit(totPos) - col("__b.__tp")).cast("long").as("fn"),
+        Num.roundz(lit(2.0) * col("__b.__tp") /
+          (col("__b.__cn") + lit(totPos.toDouble)), 4).as("f1"))
+  }
+
   /** Benjamini–Hochberg FDR correction over a FAMILY of per-test
     * p-values — the multiple-testing step every per-segment drift/
     * significance table (q221, q210, q213…) needs before anyone acts on

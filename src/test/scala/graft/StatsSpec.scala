@@ -692,6 +692,18 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("arm must be 0 or 1"))
   }
 
+  test("bestF1Threshold: interior optimum, no-positive input yields no row") {
+    // scores desc: 10:T, 9:T, 8:F, 7:F → P = 2; F1 by threshold:
+    // t=10: 2/3, t=9: 4/4 = 1 (perfect split), t=8: 4/5, t=7: 4/6 → t=9
+    val df = Seq((10L, true), (9L, true), (8L, false), (7L, false))
+      .toDF("score", "lab")
+    val out = Stats.bestF1Threshold(df, "lab", "score")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((9L, 2L, 0L, 0L, 1.0)))
+    assert(Stats.bestF1Threshold(
+      Seq((5L, false)).toDF("score", "lab"), "lab", "score").count() == 0L)
+  }
+
   test("bhAdjust: step-up cutoff rejects exactly the first k* ranks") {
     // m = 5 at 5% FDR → thresholds i/100: p = .005, .015, .025 pass their
     // slots, .5/.9 fail → k* = 3; note .025 is rejected even though it
