@@ -1423,6 +1423,12 @@ object SparkEntry {
       Stats.bestF1Threshold(
         T(s, dir, "documents").select(col("n_chars"), (col("lang") === "en").as("is_en")),
         "is_en", "n_chars")),
+    "q248_stream_trending" -> ((s, dir) =>
+      // per-day trending-item leaderboard from a watermarked append-mode
+      // windowed count; top-3 ranked batch-side over the emitted window
+      // rows (bounded by the item domain, never raw events)
+      Streaming.trendingReplay(s, dir, s"$TMP/q248_src", topK = 3)
+        .orderBy("day_start", "rn")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -5009,6 +5015,16 @@ object SparkEntry {
         |  CAST(cn - tp AS BIGINT) AS fp, CAST(p.pos - tp AS BIGINT) AS fn,
         |  (round(2.0 * tp / (cn + p.pos), 4) + 0.0) AS f1
         |FROM f, p, bt WHERE f.sc = bt.ms""".stripMargin,
+    "q248_stream_trending" ->
+      // the batch twin: daily (day, k) counts, rank by (cnt DESC, k)
+      """WITH e AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+        |c AS (SELECT day_start, k, count(*) AS cnt FROM e
+        |  WHERE k IS NOT NULL GROUP BY 1, 2)
+        |SELECT day_start, k, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(row_number() OVER (PARTITION BY day_start
+        |    ORDER BY cnt DESC, k) AS BIGINT) AS rn
+        |FROM c QUALIFY rn <= 3 ORDER BY day_start, rn""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

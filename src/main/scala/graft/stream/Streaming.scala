@@ -356,6 +356,39 @@ object Streaming {
 
   // ---------------------------------------------------- custom state (q57 twin)
 
+  /** q248: per-day trending items from a WATERMARKED append-mode windowed
+    * aggregation — the "what's hot today" leaderboard as a stream. The
+    * streamed layer is the (window, item) count (state = open windows ×
+    * item domain, evicted on watermark close); the per-window top-k rank
+    * runs BATCH-side on the emitted window rows (≤ |item-domain| rows per
+    * window — a bounded partition, never raw events). A far-future
+    * sentinel (item −1) flushes the tail windows on the finite replay and
+    * is filtered batch-side (the q114 pushdown lesson). */
+  def trendingReplay(spark: SparkSession, dir: String, stageDirBase: String,
+                     topK: Int): DataFrame = {
+    val stageDir = s"$stageDirBase/${stageKey(dir)}"
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      val ev = Tables.events(spark, dir).select(col("ts"), col("props"))
+      val sentinel = spark.createDataFrame(Seq(("2025-01-01 00:00:00", """{"k": -1}""")))
+        .toDF("__ts", "props")
+        .select(col("__ts").cast("timestamp").as("ts"), col("props"))
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(stageDir)
+    }
+    val emitted = runToResult(spark, { s =>
+      s.readStream.schema("ts TIMESTAMP, props STRING").parquet(stageDir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("day_start"), col("k"), col("cnt"))
+    }, "append", statePartitions = Some(4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day_start")).orderBy(col("cnt").desc, col("k"))
+    emitted.filter(col("k") >= 0)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+  }
+
   case class QuotaState(count: Long)
   case class HourQuota(user_id: Long, hour_start: java.sql.Timestamp,
                        n_events: Long, n_accepted: Long, n_dropped: Long)
