@@ -242,4 +242,50 @@ class PropertySpec extends SparkSpec {
       assert(got == (("g", best._1, best._2)), s"seed $seed: $got vs $best")
     }
   }
+
+  test("property: emdDriftByGroup equals the brute-force CDF integral") {
+    import graft.ops.Stats
+    val vGen = Gen.listOfN(60, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 20L)))
+    for (seed <- 1L to 5L) {
+      val vs = sample(vGen, seed)
+      val got = Stats.emdDriftByGroup(vs.toDF("g", "u"), "g", "u")
+        .as[(String, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._4)).toMap
+      val units = vs.map(_._2).distinct.sorted
+      val n = vs.size.toLong
+      vs.map(_._1).distinct.foreach { g =>
+        val ing = vs.filter(_._1 == g).map(_._2)
+        val ng = ing.size.toLong; val nr = n - ng
+        // brute force: walk the sorted unit grid accumulating both CDFs
+        var (cumG, cumR, emd) = (0L, 0L, BigInt(0))
+        units.zipWithIndex.foreach { case (u, i) =>
+          cumG += ing.count(_ == u)
+          cumR += vs.count(r => r._1 != g && r._2 == u)
+          if (i + 1 < units.size)
+            emd += BigInt((cumG * nr - cumR * ng).abs) * (units(i + 1) - u)
+        }
+        assert(BigInt(got(g)) == emd, s"seed $seed group $g: ${got(g)} vs $emd")
+      }
+    }
+  }
+
+  test("property: bestF1Threshold equals the brute-force sweep") {
+    import graft.ops.Stats
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 15L), Gen.oneOf(true, false)))
+    for (seed <- 1L to 5L) {
+      val vs = sample(gen, seed)
+      val pos = vs.count(_._2).toLong
+      if (pos > 0) {
+        val got = Stats.bestF1Threshold(vs.toDF("s", "lab"), "lab", "s")
+          .as[(Long, Long, Long, Long, Double)].collect().head
+        val best = vs.map(_._1).distinct.map { t =>
+          val tp = vs.count(r => r._1 >= t && r._2).toLong
+          val cn = vs.count(_._1 >= t).toLong
+          ((2 * tp * 1000000L) / (cn + pos), t, tp, cn)
+        }.max // (f1 micro, then larger threshold) — the engine's tie rule
+        assert((got._1, got._2, got._3) == ((best._2, best._3, best._4 - best._3)),
+          s"seed $seed: $got vs $best")
+      }
+    }
+  }
 }
