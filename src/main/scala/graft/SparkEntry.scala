@@ -1429,6 +1429,39 @@ object SparkEntry {
       // rows (bounded by the item domain, never raw events)
       Streaming.trendingReplay(s, dir, s"$TMP/q248_src", topK = 3)
         .orderBy("day_start", "rn")),
+    "q249_bpe_curve" -> ((s, dir) => {
+      // the tokenizer-tuning readout: tokens-per-word as merges accumulate
+      // (k = 0/2/4/8) — the curve that decides how many merges a budget
+      // buys. Merges learned ONCE on the full corpus (greedy BPE nests, so
+      // take(k) is exactly the k-merge vocabulary); each k is one encode
+      // pass over a fixed doc slice; counts exact longs
+      val docs = T(s, dir, "documents")
+      val slice = docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
+      val merges = Bpe.learnMerges(docs, "text", k = 8)
+        .map { case (p1, p2, _) => (p1, p2) }
+      val words = slice
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_words"))
+      Seq(0, 2, 4, 8).map { k =>
+        Bpe.encodeRanked(slice, "doc_id", "text", merges.take(k))
+          .agg(sum(size(col("tokens"))).cast("long").as("n_tokens"))
+          .select(lit(k.toLong).as("k"), col("n_tokens"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(words))
+        .select(col("k"), col("n_tokens"), col("n_words").cast("long").as("n_words"),
+          ops.Num.roundz(col("n_tokens").cast("double") / col("n_words"), 4)
+            .as("tokens_per_word"))
+        .orderBy("k")
+    }),
+    "q250_modularity" -> ((s, dir) => {
+      // clustering-health gate for the near-dup graph: modularity of the
+      // connected-component partition — near 1 ⇒ healthy forest of small
+      // clusters, near 0 ⇒ one over-merged blob (the alarm a banding or
+      // threshold change must be gated on)
+      val pairs = Dedup.minHashNearDup(T(s, dir, "documents"), "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+        .select("id_a", "id_b")
+      Graph.modularity(pairs, Dedup.connectedComponents(pairs))
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2710,6 +2743,71 @@ object SparkEntry {
        |FROM wrd w JOIN enc e USING (doc_id)
        |GROUP BY 1 HAVING sum(w.n_words) > 0 ORDER BY 1""".stripMargin
   }
+
+  /** q249's oracle: [[bpeOracleSql]]'s learning chain (b1…b8 on the FULL
+    * corpus), then the doc_id < 400 slice encoded incrementally — doc_k is
+    * doc_{k-1} with merge b_k applied, so the per-k token totals read
+    * straight off the intermediate CTEs (one chain serves every k). */
+  private def bpeCurveOracleSql(ks: Seq[Int]): String = {
+    val learn = bpeOracleSql(8)
+    val withChain = learn.substring(0, learn.lastIndexOf("\nSELECT rank"))
+    val doc0 =
+      """doc0 AS (SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |      t -> length(t) > 0),
+        |    w -> array_to_string(list_transform(regexp_split_to_array(w, ''),
+        |      c -> chr(31) || c || chr(30)), '')), chr(29)) AS ds
+        |  FROM documents WHERE doc_id < 400)""".stripMargin
+    val docSteps = (1 to 8).map { i =>
+      s"""doc$i AS (SELECT doc_id, replace(ds,
+         |    chr(31) || b.p1 || chr(30) || chr(31) || b.p2 || chr(30),
+         |    chr(31) || b.p1 || b.p2 || chr(30)) AS ds
+         |  FROM doc${i - 1}, b$i b)""".stripMargin
+    }
+    val perK = ks.map(k =>
+      s"SELECT CAST($k AS BIGINT) AS k, CAST(sum(length(ds) - " +
+        s"length(replace(ds, chr(31), ''))) AS BIGINT) AS n_tokens FROM doc$k")
+      .mkString("\nUNION ALL ")
+    s"""$withChain,
+       |$doc0,
+       |${docSteps.mkString(",\n")},
+       |nw AS (SELECT CAST(sum(len(list_filter(
+       |    regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+       |    t -> length(t) > 0))) AS BIGINT) AS n_words
+       |  FROM documents WHERE doc_id < 400),
+       |pk AS ($perK)
+       |SELECT k, n_tokens, nw.n_words,
+       |  (round(CAST(n_tokens AS DOUBLE) / nw.n_words, 4) + 0.0) AS tokens_per_word
+       |FROM pk, nw ORDER BY k""".stripMargin
+  }
+
+  /** q250's oracle: the q44 pair list, min-label components via the q77
+    * recursive CTE, then Newman Q with the HUGEINT numerator
+    * Σ(4·e_c·m − d_c²) over the exact 4m². */
+  private val q250Sql: String =
+    s"""WITH RECURSIVE pairs AS ($q44Sql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |conn(a, b) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+       |m AS (SELECT count(*) AS m FROM pairs),
+       |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+       |ec AS (SELECT l.component, count(*) AS e_c
+       |  FROM pairs p JOIN lab l ON l.node = p.id_a GROUP BY 1),
+       |dc AS (SELECT l.component, sum(deg.d) AS d_c
+       |  FROM deg JOIN lab l ON l.node = deg.node GROUP BY 1),
+       |terms AS (SELECT dc.component, coalesce(ec.e_c, 0) AS e_c, dc.d_c
+       |  FROM dc LEFT JOIN ec ON ec.component = dc.component),
+       |agg AS (SELECT count(*) AS nc,
+       |    sum(4 * CAST(e_c AS HUGEINT) * m.m - CAST(d_c AS HUGEINT) * d_c) AS qnum
+       |  FROM terms, m GROUP BY m.m)
+       |SELECT CAST(agg.nc AS BIGINT) AS n_components, CAST(m.m AS BIGINT) AS n_edges,
+       |  (round(CAST(qnum AS DOUBLE) /
+       |    CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DOUBLE), 4) + 0.0) AS modularity
+       |FROM agg, m WHERE m.m > 0""".stripMargin
 
   /** DuckDB twin of [[Dedup.simHash]]: 64 affine-parity bit generators over
     * the token Karp–Rabin fingerprint, fingerprint assembled by adding the
@@ -5025,6 +5123,8 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY day_start
         |    ORDER BY cnt DESC, k) AS BIGINT) AS rn
         |FROM c QUALIFY rn <= 3 ORDER BY day_start, rn""".stripMargin,
+    "q249_bpe_curve" -> bpeCurveOracleSql(Seq(0, 2, 4, 8)),
+    "q250_modularity" -> q250Sql,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

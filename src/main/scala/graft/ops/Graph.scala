@@ -153,6 +153,45 @@ object Graph {
     ranks
   }
 
+  /** Newman modularity Q of a node partition over an undirected pair
+    * list — the health metric for a clustering (here: is the near-dup
+    * graph a healthy forest of small clusters, or one over-merged blob?).
+    * Q = Σ_c [e_c/m − (d_c/2m)²]; for a CONNECTED-COMPONENT partition
+    * there are no cut edges, so Q = 1 − Σ(d_c/2m)² reads directly as
+    * degree-mass concentration: near 1 ⇒ many small clusters, near 0 ⇒
+    * one giant component — the over-merge alarm a banding/threshold
+    * change should be gated on.
+    *
+    * Exactness: the numerator Σ(4·e_c·m − d_c²) rides decimal(38,0)
+    * (d_c² can pass Long on a hub-heavy partition); the surfaced Q is ONE
+    * display division by the exactly-computed 4m². `m` is a driver scalar
+    * from a count (count-sized action, house rule).
+    *
+    * Scale shape: one degree aggregate over the pair list, two
+    * component-keyed aggregates, a |components|-row merge — no window, no
+    * pair-squared anything. */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
+    val m = p.count()
+    val deg = p.select(col("id_a").as("node"))
+      .unionAll(p.select(col("id_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val ec = p.join(labels.select(col("node").as("id_a"), col("component")), "id_a")
+      .groupBy(col("component")).agg(count(lit(1)).as("__ec"))
+    val dc = deg.join(labels, "node")
+      .groupBy(col("component")).agg(sum(col("__d")).as("__dc"))
+    dc.join(ec, Seq("component"), "left")
+      .agg(count(lit(1)).as("__nc"),
+        sum(lit(4L).cast(dec) * coalesce(col("__ec"), lit(0L)) * lit(m) -
+          col("__dc").cast(dec) * col("__dc")).as("__qnum"))
+      .filter(lit(m) > 0)
+      .select(col("__nc").cast("long").as("n_components"),
+        lit(m).as("n_edges"),
+        Num.roundz(col("__qnum").cast("double") /
+          (lit(4L).cast(dec) * lit(m) * lit(m)).cast("double"), 4).as("modularity"))
+  }
+
   /** Auto-broadcast ceiling for [[pageRank]]'s rank frame: 10M (node, rank)
     * rows is low-hundreds-of-MB as a broadcast — comfortably inside the
     * 8 GB hard cap and a normally-sized driver, while any graph big enough

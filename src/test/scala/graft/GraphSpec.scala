@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Graph
+import graft.ops.{Dedup, Graph}
 import org.apache.spark.sql.functions.col
 
 /** Graph ops: co-occurrence edge derivation and the integer-deterministic
@@ -207,6 +207,21 @@ class GraphSpec extends SparkSpec {
     val out = Graph.personalizedPageRank(edges, col("src") === 1, iterations = 3)
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 764125L), (2L, 127500L), (3L, 108375L)))
+  }
+
+  test("modularity: two disjoint triangles score exactly 0.5") {
+    // m = 6, two components, each e_c = 3, d_c = 6:
+    // Q = 2 · (3/6 − (6/12)²) = 0.5; one giant clique instead → Q = 0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 12L), (12L, 13L), (11L, 13L))
+      .toDF("id_a", "id_b")
+    val out = Graph.modularity(tri, Dedup.connectedComponents(tri))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((2L, 6L, 0.5)))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val one = Graph.modularity(k4, Dedup.connectedComponents(k4))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(one == Seq((1L, 6L, 0.0)))
   }
 
   test("personalizedPageRank is bit-identical across partitionings/strategies") {
