@@ -1462,6 +1462,23 @@ object SparkEntry {
         .select("id_a", "id_b")
       Graph.modularity(pairs, Dedup.connectedComponents(pairs))
     }),
+    "q251_fk_audit" -> ((s, dir) =>
+      // post-load referential-integrity contract: the three real TPC-H
+      // FK chains plus the cross-domain probe events.user_id → customer —
+      // the event stream's user space carries NO FK guarantee, so the
+      // audit MEASURES it instead of assuming either way (intact today,
+      // and a generator change that breaks it shows up as orphan counts,
+      // not as silently-wrong joins downstream)
+      Profiling.fkAudit(Seq(
+        ("lineitem.orderkey", T(s, dir, "lineitem"), "l_orderkey",
+          T(s, dir, "orders"), "o_orderkey"),
+        ("orders.custkey", T(s, dir, "orders"), "o_custkey",
+          T(s, dir, "customer"), "c_custkey"),
+        ("customer.nationkey", T(s, dir, "customer"), "c_nationkey",
+          T(s, dir, "nation"), "n_nationkey"),
+        ("events.user_id", T(s, dir, "events"), "user_id",
+          T(s, dir, "customer"), "c_custkey")))
+        .orderBy("relation")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -5125,6 +5142,29 @@ object SparkEntry {
         |FROM c QUALIFY rn <= 3 ORDER BY day_start, rn""".stripMargin,
     "q249_bpe_curve" -> bpeCurveOracleSql(Seq(0, 2, 4, 8)),
     "q250_modularity" -> q250Sql,
+    "q251_fk_audit" ->
+      // the same left-join orphan counts per declared relation
+      """WITH a AS (SELECT 'lineitem.orderkey' AS relation, count(*) AS n_rows,
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON o.o_orderkey = l.l_orderkey WHERE l.l_orderkey IS NOT NULL),
+        |b AS (SELECT 'orders.custkey', count(*),
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON c.c_custkey = r.o_custkey WHERE r.o_custkey IS NOT NULL),
+        |cN AS (SELECT 'customer.nationkey', count(*),
+        |    sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM customer cu LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        |    ON n.n_nationkey = cu.c_nationkey WHERE cu.c_nationkey IS NOT NULL),
+        |d AS (SELECT 'events.user_id', count(*),
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON c.c_custkey = e.user_id WHERE e.user_id IS NOT NULL),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+        |  UNION ALL SELECT * FROM cN UNION ALL SELECT * FROM d)
+        |SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans, n_orphans = 0 AS intact
+        |FROM u ORDER BY relation""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

@@ -149,6 +149,32 @@ object Profiling {
     * Scale shape: one 9-group count aggregate with map-side combine; the
     * global total rides a window over the 9-row result, never a second
     * scan. */
+  /** Cross-table referential-integrity audit: for each declared
+    * (child.fk → parent.pk) relation, the row count and the ORPHAN count
+    * (non-null child keys with no parent) — the warehouse contract check
+    * that runs after every load and before anything joins on trust.
+    * NULL child keys are excluded by contract (a null FK is "no
+    * reference", not a broken one — same convention as SQL's FK
+    * constraints).
+    *
+    * Scale shape: per relation ONE left join of the projected child key
+    * column against the DISTINCT parent key set (broadcast when the
+    * parent key set is dimension-sized, hash join otherwise) and one
+    * count aggregate — the child table never carries more than the key
+    * across the wire. Output: one row per declared relation. */
+  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    relations.map { case (name, child, fkCol, parent, pkCol) =>
+      val p = parent.select(col(pkCol).as("__fk")).distinct()
+        .withColumn("__hit", lit(1))
+      child.select(col(fkCol).as("__fk")).filter(col("__fk").isNotNull)
+        .join(p, Seq("__fk"), "left")
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("__o"))
+        .select(lit(name).as("relation"), col("__n").cast("long").as("n_rows"),
+          col("__o").cast("long").as("n_orphans"),
+          (col("__o") === 0).as("intact"))
+    }.reduce(_ unionByName _)
+
   def benford(df: DataFrame, amountCol: String): DataFrame = {
     val digits = df
       .filter(col(amountCol) > 0)

@@ -102,4 +102,17 @@ class ProfilingSpec extends SparkSpec {
       .where("digit = 1").select("expected_bp").as[Double].collect().head
     assert(exp1 == 3010.3) // round(log10(2)·10000, 4)
   }
+
+  test("fkAudit: counts orphans per relation, NULL FKs excluded by contract") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val clean = Seq(Some(1L), Some(2L), Some(2L), None).toDF("fk")
+    val broken = Seq(Some(1L), Some(9L), Some(9L), Some(7L), None).toDF("fk")
+    val out = Profiling.fkAudit(Seq(
+        ("clean", clean, "fk", parent, "pk"),
+        ("broken", broken, "fk", parent, "pk")))
+      .orderBy("relation").as[(String, Long, Long, Boolean)].collect().toSeq
+    // NULL fks don't count as rows OR orphans; 9 appears twice → 2 orphans
+    // plus the 7 → 3
+    assert(out == Seq(("broken", 4L, 3L, false), ("clean", 3L, 0L, true)))
+  }
 }
