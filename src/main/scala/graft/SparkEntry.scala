@@ -1479,6 +1479,17 @@ object SparkEntry {
         ("events.user_id", T(s, dir, "events"), "user_id",
           T(s, dir, "customer"), "c_custkey")))
         .orderBy("relation")),
+    "q252_seq_monitor" -> ((s, dir) =>
+      // the peeking curve per metric: first day the running two-arm count
+      // difference crosses the 5% bound (exact-integer crossing — the SRM
+      // convention) + the final state; exposes across-time multiple-looks
+      // inflation the way q245 exposes the across-metrics kind
+      Stats.sequentialMonitor(
+        T(s, dir, "events")
+          .withColumn("arm", pmod(col("user_id"), lit(2L)))
+          .withColumn("day", to_date(col("ts"))),
+        "event_type", "arm", "day")
+        .orderBy("event_type")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -5165,6 +5176,33 @@ object SparkEntry {
         |SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(n_orphans AS BIGINT) AS n_orphans, n_orphans = 0 AS intact
         |FROM u ORDER BY relation""".stripMargin,
+    "q252_seq_monitor" ->
+      // identical cumulative frame; the crossing on HUGEINT, final state
+      // via max-by-day
+      """WITH e AS (SELECT event_type AS g, user_id % 2 AS arm,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |daily AS (SELECT g, d,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS b
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (SELECT g, d,
+        |    sum(a) OVER (PARTITION BY g ORDER BY d) AS ca,
+        |    sum(b) OVER (PARTITION BY g ORDER BY d) AS cb
+        |  FROM daily),
+        |fl AS (SELECT g, d, ca - cb AS diff, ca + cb AS n,
+        |    CAST(ca - cb AS HUGEINT) * (ca - cb) * 10000
+        |      > CAST(38416 AS HUGEINT) * (ca + cb) AS sig
+        |  FROM cum),
+        |lastd AS (SELECT g, max(d) AS md FROM fl GROUP BY 1)
+        |SELECT f.g AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  min(CASE WHEN f.sig THEN f.d END) AS first_sig_day,
+        |  CAST(max(CASE WHEN f.d = l.md THEN f.diff END) AS BIGINT) AS final_diff,
+        |  CAST(max(CASE WHEN f.d = l.md THEN f.n END) AS BIGINT) AS final_n,
+        |  (round(CAST(max(CASE WHEN f.d = l.md THEN f.diff END) AS DOUBLE) /
+        |    sqrt(CAST(max(CASE WHEN f.d = l.md THEN f.n END) AS DOUBLE)), 4)
+        |    + 0.0) AS final_z
+        |FROM fl f JOIN lastd l ON l.g = f.g
+        |GROUP BY f.g ORDER BY event_type""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

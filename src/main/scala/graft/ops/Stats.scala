@@ -1224,6 +1224,56 @@ object Stats {
         (abs(col("__t")) > lit(1.96)).as("sig_flag"))
   }
 
+  /** Sequential experiment monitor — the "peeking curve" per metric: the
+    * cumulative two-arm count difference day by day, with the FIRST day
+    * the running two-proportion statistic crosses the 5% bound and the
+    * final state. This is the op behind "when could we have stopped?"
+    * retros and naive-peeking audits (if first_sig_day ≪ the planned
+    * horizon, someone peeking daily at fixed α would have stopped early —
+    * the documented multiple-looks inflation this table makes visible;
+    * q245's BH is the across-metrics correction, this exposes the
+    * across-TIME one).
+    *
+    * Exactness: the crossing decides on EXACT integers —
+    * (nA−nB)²·10⁴ > 38416·(nA+nB) on decimal(38,0) (1.96² = 3.8416, the
+    * ksDrift/srm convention) — so first_sig_day needs no float anywhere;
+    * the final z is 4-dp display from one double chain.
+    *
+    * Scale shape: raw rows collapse to the (group, day, arm) frame ONCE;
+    * cumulative sums and the min-crossing/last-day picks run
+    * group-partitioned over the day-bounded frame (the mannKendall
+    * discipline); ≤ |groups| output rows. */
+  def sequentialMonitor(df: DataFrame, groupCol: String, armCol: String,
+                        dayCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = df
+      .filter(when(col(armCol).isin(0, 1), lit(true)).otherwise(raise_error(
+        lit("sequentialMonitor: arm must be 0 or 1"))))
+      .groupBy(col(groupCol).as("__g"), col(dayCol).as("__d"))
+      .agg(sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("__a"),
+        sum(when(col(armCol) === 1, 1L).otherwise(0L)).as("__b"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("__ca", sum(col("__a")).over(w))
+      .withColumn("__cb", sum(col("__b")).over(w))
+      .withColumn("__diff", col("__ca") - col("__cb"))
+      .withColumn("__n", col("__ca") + col("__cb"))
+      .withColumn("__sig",
+        col("__diff").cast(dec) * col("__diff").cast(dec) * lit(10000L).cast(dec) >
+          lit(38416L).cast(dec) * col("__n").cast(dec))
+    cum.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__days"),
+        min(when(col("__sig"), col("__d"))).as("first_sig_day"),
+        max(struct(col("__d"), col("__diff"), col("__n"))).as("__last"))
+      .select(col("__g").as(groupCol), col("__days").cast("long").as("n_days"),
+        col("first_sig_day"),
+        col("__last.__diff").cast("long").as("final_diff"),
+        col("__last.__n").cast("long").as("final_n"),
+        Num.roundz(col("__last.__diff").cast("double") /
+          sqrt(col("__last.__n").cast("double")), 4).as("final_z"))
+  }
+
   /** F1-optimal operating point for an integer scorer against a boolean
     * label — the threshold-selection step between "we trained a scorer"
     * (q230/q34/q51) and "the curation gate ships": sweep every distinct

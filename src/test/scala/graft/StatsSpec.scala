@@ -672,6 +672,20 @@ class StatsSpec extends SparkSpec {
       ("up", 3L, 3L, 66L, Some(1.5667), false)))
   }
 
+  test("sequentialMonitor: early crossing recorded, final state from last day") {
+    // day 1: 5 vs 0 → diff² ·10⁴ = 25·10⁴ > 38416·5 → SIGNIFICANT on day 1;
+    // day 2 adds 0 vs 5 → the curve returns to 0 by the end (final_z 0.0,
+    // normalized signed zero) — exactly the peeking hazard the op exposes
+    val df = (Seq.fill(5)(("g", 0L, "2024-01-01")) ++
+      Seq.fill(5)(("g", 1L, "2024-01-02")))
+      .toDF("g", "arm", "day").withColumn("day", to_date($"day"))
+    val out = Stats.sequentialMonitor(df, "g", "arm", "day")
+      .as[(String, Long, Option[java.sql.Date], Long, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq(("g", 2L, Some(java.sql.Date.valueOf("2024-01-01")),
+      0L, 10L, 0.0)))
+  }
+
   test("welchTTest: hand-computed t, Welch df, degenerate groups drop") {
     // g: arm0 {0, 2} (mean 1, var 2 → w=1), arm1 {10, 14} (mean 12,
     // var 8 → w=4): t = −11/√5 = −4.9193, df = 25/17 = 1.4706, |t| > 1.96.
