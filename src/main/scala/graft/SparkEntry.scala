@@ -1490,6 +1490,17 @@ object SparkEntry {
           .withColumn("day", to_date(col("ts"))),
         "event_type", "arm", "day")
         .orderBy("event_type")),
+    "q253_cuped" -> ((s, dir) =>
+      // variance-reduced readout: per-user pre-period spend is the
+      // covariate, θ pooled, adjusted diff = raw − θ·(pre-period
+      // imbalance); the pre/post boundary anchors on min(day) + 15 so a
+      // testdata regeneration moves the split with it
+      Stats.cuped(
+        T(s, dir, "events")
+          .withColumn("arm", pmod(col("user_id"), lit(2L)))
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "user_id", "arm", "day", "cents")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -5203,6 +5214,40 @@ object SparkEntry {
         |    + 0.0) AS final_z
         |FROM fl f JOIN lastd l ON l.g = f.g
         |GROUP BY f.g ORDER BY event_type""".stripMargin,
+    "q253_cuped" ->
+      // the identical sufficient-stat aggregate and double chain; the
+      // split anchors on min(day) + 15
+      """WITH e AS (SELECT user_id, user_id % 2 AS arm,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS u FROM events),
+        |a AS (SELECT min(d) AS d0 FROM e),
+        |per AS (SELECT user_id, arm,
+        |    sum(CASE WHEN e.d < a.d0 + 15 THEN u ELSE 0 END) AS x,
+        |    sum(CASE WHEN e.d < a.d0 + 15 THEN 0 ELSE u END) AS y
+        |  FROM e, a GROUP BY 1, 2),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sxa,
+        |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sya,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sxb,
+        |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS syb
+        |  FROM per)
+        |SELECT CAST(n AS BIGINT) AS n_users, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  (round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 4)
+        |    + 0.0) AS theta,
+        |  (round(CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb, 4) + 0.0)
+        |    AS diff_raw,
+        |  (round(CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb -
+        |    (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |     CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+        |    (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb), 4) + 0.0)
+        |    AS diff_adj
+        |FROM s WHERE na > 0 AND nb > 0
+        |  AND CAST(n AS HUGEINT) * sxx <> CAST(sx AS HUGEINT) * sx""".stripMargin,
     "q224_pq_search" ->
       // q116's assignment CTEs verbatim, then the ADC chain: per-query LUT
       // of round(d·1e5) longs (clamped at 0 like q209), exact long sums,

@@ -1224,6 +1224,63 @@ object Stats {
         (abs(col("__t")) > lit(1.96)).as("sig_flag"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    * per-user pre-period activity is the covariate, θ = cov(x,y)/var(x)
+    * pooled, and the adjusted arm difference is
+    * (ȳ_A − ȳ_B) − θ·(x̄_A − x̄_B) — same expectation as the raw diff,
+    * variance shrunk by the covariate's R². The pre/post boundary anchors
+    * on the DATA (min day + `preDays`), not the wall clock, so a testdata
+    * regeneration moves the split with it.
+    *
+    * Exactness: one aggregate produces every sufficient statistic —
+    * per-user cent sums as longs, Σx², Σxy and per-arm sums on
+    * decimal(38,0) — and θ/means/diffs are one double chain over those
+    * exact integers (identical expression tree both engines; the q244
+    * discipline). Degenerate variance (n·Σx² = (Σx)²) drops the row.
+    *
+    * Scale shape: raw rows collapse ONCE to the per-user (x, y) frame
+    * (user-keyed, map-side combined), then ONE global aggregate with
+    * map-side partials; 1 output row. No window, no join. */
+  def cuped(events: DataFrame, userCol: String, armCol: String,
+            dayCol: String, unitsCol: String, preDays: Int = 15): DataFrame = {
+    val dec = "decimal(38,0)"
+    val anchor = events.agg(min(col(dayCol)).as("__d0"))
+    val per = events
+      .filter(when(col(armCol).isin(0, 1), lit(true)).otherwise(raise_error(
+        lit("cuped: arm must be 0 or 1"))))
+      .crossJoin(broadcast(anchor))
+      .withColumn("__pre", col(dayCol) < date_add(col("__d0"), preDays))
+      .groupBy(col(userCol).as("__u"), col(armCol).as("__arm"))
+      .agg(sum(when(col("__pre"), col(unitsCol)).otherwise(0L)).as("__x"),
+        sum(when(!col("__pre"), col(unitsCol)).otherwise(0L)).as("__y"))
+    val s = per.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x").cast(dec) * col("__x")).as("__sxx"),
+      sum(col("__x").cast(dec) * col("__y")).as("__sxy"),
+      sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__arm") === 0, col("__x")).otherwise(0L)).as("__sxa"),
+      sum(when(col("__arm") === 0, col("__y")).otherwise(0L)).as("__sya"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("__nb"),
+      sum(when(col("__arm") === 1, col("__x")).otherwise(0L)).as("__sxb"),
+      sum(when(col("__arm") === 1, col("__y")).otherwise(0L)).as("__syb"))
+    val theta = (col("__n").cast(dec) * col("__sxy") -
+      col("__sx").cast(dec) * col("__sy")).cast("double") /
+      (col("__n").cast(dec) * col("__sxx") -
+        col("__sx").cast(dec) * col("__sx")).cast("double")
+    val rawDiff = col("__sya").cast("double") / col("__na") -
+      col("__syb").cast("double") / col("__nb")
+    val xDiff = col("__sxa").cast("double") / col("__na") -
+      col("__sxb").cast("double") / col("__nb")
+    s.filter(col("__na") > 0 && col("__nb") > 0 &&
+        col("__n").cast(dec) * col("__sxx") =!=
+          col("__sx").cast(dec) * col("__sx"))
+      .select(col("__n").cast("long").as("n_users"),
+        col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+        Num.roundz(theta, 4).as("theta"),
+        Num.roundz(rawDiff, 4).as("diff_raw"),
+        Num.roundz(rawDiff - theta * xDiff, 4).as("diff_adj"))
+  }
+
   /** Sequential experiment monitor — the "peeking curve" per metric: the
     * cumulative two-arm count difference day by day, with the FIRST day
     * the running two-proportion statistic crosses the 5% bound and the

@@ -672,6 +672,22 @@ class StatsSpec extends SparkSpec {
       ("up", 3L, 3L, 66L, Some(1.5667), false)))
   }
 
+  test("cuped: hand-computed theta and the adjusted arm difference") {
+    // per-user (x, y): arm0 {(10,20), (20,30)}, arm1 {(30,35), (40,45)} →
+    // θ = (4·3650 − 100·130)/(4·3000 − 100²) = 0.8; raw diff = 25 − 40 =
+    // −15; adj = −15 − 0.8·(15 − 35) = +1 — the covariate explains the
+    // entire apparent deficit (the arms started imbalanced)
+    val rows = Seq(
+      (1L, 0L, "2024-01-01", 10L), (1L, 0L, "2024-01-20", 20L),
+      (2L, 0L, "2024-01-01", 20L), (2L, 0L, "2024-01-20", 30L),
+      (3L, 1L, "2024-01-01", 30L), (3L, 1L, "2024-01-20", 35L),
+      (4L, 1L, "2024-01-01", 40L), (4L, 1L, "2024-01-20", 45L))
+      .toDF("u", "arm", "day", "cents").withColumn("day", to_date($"day"))
+    val out = Stats.cuped(rows, "u", "arm", "day", "cents")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((4L, 2L, 2L, 0.8, -15.0, 1.0)))
+  }
+
   test("sequentialMonitor: early crossing recorded, final state from last day") {
     // day 1: 5 vs 0 → diff² ·10⁴ = 25·10⁴ > 38416·5 → SIGNIFICANT on day 1;
     // day 2 adds 0 vs 5 → the curve returns to 0 by the end (final_z 0.0,
