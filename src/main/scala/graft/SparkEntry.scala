@@ -1501,6 +1501,50 @@ object SparkEntry {
           .withColumn("day", to_date(col("ts")))
           .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
         "user_id", "arm", "day", "cents")),
+    "q254_lsh_curve" -> ((s, dir) => {
+      // the empirical LSH collision curve: q233's eval with THREE planted
+      // cohorts (half-truncate j≈0.5, three-quarter-keep j≈0.75, one-word
+      // append j≈0.95), recall reported PER exact-Jaccard band — the
+      // measurement that verifies the 1−(1−j²)⁸ S-curve end to end and
+      // prices a banding change before it ships
+      val base = T(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val words = "split(text, '\\\\s+')"
+      val variants = base.select((col("doc_id") + 100000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          expr(s"concat_ws(' ', slice($words, 1, (size($words) + 1) div 2))"))
+          .when(col("doc_id") % 3 === 1,
+            expr(s"concat_ws(' ', slice($words, 1, (3 * size($words) + 3) div 4))"))
+          .otherwise(concat(col("text"), lit(" zzplantdup"))).as("text"))
+      val corp = base.unionByName(variants)
+      val mh = Dedup.minHashNearDup(corp, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+        .select("id_a", "id_b")
+      val sh = Dedup.wordShingles(corp, "doc_id", "text", 2)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val truth = sh.as("x").join(sh.as("y"),
+          col("y.shingle") === col("x.shingle") &&
+            col("y.doc_id") === col("x.doc_id") + 100000L)
+        .filter(col("x.doc_id") < 300)
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .filter(ops.Num.roundz(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 4) >= 0.25)
+        .select(col("id_a"), col("id_b"),
+          least(expr("(4 * shared) div (na + nb - shared)"), lit(3L)).as("band"))
+      val caught = truth.join(mh, Seq("id_a", "id_b"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_caught"))
+      truth.groupBy(col("band")).agg(count(lit(1)).as("n_truth"))
+        .join(caught, Seq("band"), "left")
+        .select(col("band").cast("long").as("band"),
+          col("n_truth").cast("long").as("n_truth"),
+          coalesce(col("n_caught"), lit(0L)).cast("long").as("n_caught"),
+          ops.Num.roundz(coalesce(col("n_caught"), lit(0L)).cast("double") /
+            col("n_truth"), 4).as("recall"))
+        .orderBy("band")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2847,6 +2891,55 @@ object SparkEntry {
        |  (round(CAST(qnum AS DOUBLE) /
        |    CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DOUBLE), 4) + 0.0) AS modularity
        |FROM agg, m WHERE m.m > 0""".stripMargin
+
+  /** q254's oracle: q233's machinery with the three-cohort planted corpus
+    * and recall grouped by the exact-Jaccard band (floor(4j), clamped to
+    * 3) — the empirical LSH collision curve. */
+  private val q254Sql: String = {
+    import graft.functions.HashFamily
+    val sigCols = (0 until 16).map(i => s"min(${HashFamily.affineSql(i, "x")}) AS h$i").mkString(", ")
+    val bandKey = (0 until 8).map(b => s"WHEN $b THEN h${2 * b} || ',' || h${2 * b + 1}").mkString(" ")
+    val bandVals = (0 until 8).map(b => s"($b)").mkString(", ")
+    val agree = (0 until 16).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
+       |  UNION ALL SELECT doc_id + 100000,
+       |    CASE WHEN doc_id % 3 = 0 THEN array_to_string(wv[1:(len(wv) + 1) // 2], ' ')
+       |         WHEN doc_id % 3 = 1 THEN array_to_string(wv[1:(3 * len(wv) + 3) // 4], ' ')
+       |         ELSE text || ' zzplantdup' END
+       |  FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS wv
+       |    FROM documents WHERE doc_id < 300)),
+       |ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM corp),
+       |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+       |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+       |rh AS (SELECT doc_id, ${krSql("shingle")} AS x FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM rh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, t.band, CASE t.band $bandKey END AS bkey
+       |  FROM sig, (VALUES $bandVals) AS t(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |est AS (SELECT id_a, id_b, ($agree) AS agree
+       |  FROM cand JOIN sig a ON a.doc_id = cand.id_a JOIN sig b ON b.doc_id = cand.id_b),
+       |mh AS (SELECT id_a, id_b FROM est
+       |  WHERE (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) >= 0.25),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |tshared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+       |  FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 100000 AND y.shingle = x.shingle
+       |  WHERE x.doc_id < 300 GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b,
+       |    least((4 * shared) // (a.n + b.n - shared), 3) AS jband
+       |  FROM tshared
+       |  JOIN sizes a ON a.doc_id = id_a JOIN sizes b ON b.doc_id = id_b
+       |  WHERE (round(CAST(shared AS DOUBLE) / (a.n + b.n - shared), 4) + 0.0) >= 0.25),
+       |caught AS (SELECT t.jband, count(*) AS n_caught FROM truth t
+       |  JOIN mh ON mh.id_a = t.id_a AND mh.id_b = t.id_b GROUP BY 1),
+       |tt AS (SELECT jband, count(*) AS n_truth FROM truth GROUP BY 1)
+       |SELECT tt.jband AS band, CAST(tt.n_truth AS BIGINT) AS n_truth,
+       |  CAST(coalesce(caught.n_caught, 0) AS BIGINT) AS n_caught,
+       |  (round(CAST(coalesce(caught.n_caught, 0) AS DOUBLE) / tt.n_truth, 4) + 0.0)
+       |    AS recall
+       |FROM tt LEFT JOIN caught ON caught.jband = tt.jband
+       |ORDER BY band""".stripMargin
+  }
 
   /** DuckDB twin of [[Dedup.simHash]]: 64 affine-parity bit generators over
     * the token Karp–Rabin fingerprint, fingerprint assembled by adding the
@@ -5214,6 +5307,7 @@ object SparkEntry {
         |    + 0.0) AS final_z
         |FROM fl f JOIN lastd l ON l.g = f.g
         |GROUP BY f.g ORDER BY event_type""".stripMargin,
+    "q254_lsh_curve" -> q254Sql,
     "q253_cuped" ->
       // the identical sufficient-stat aggregate and double chain; the
       // split anchors on min(day) + 15
