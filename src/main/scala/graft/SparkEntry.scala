@@ -1545,6 +1545,34 @@ object SparkEntry {
             col("n_truth"), 4).as("recall"))
         .orderBy("band")
     }),
+    "q255_dedup_funnel" -> ((s, dir) => {
+      // which gate earns its cost: per-gate survivor counts over the SAME
+      // corpus (raw / exact text / minhash components with one keeper per
+      // component) — the comparison table a dedup-recipe decision reads,
+      // complementing q216's sequential curation funnel. Near-dup
+      // survivors = docs − (pair-graph nodes − components): docs outside
+      // the pair graph survive untouched, count-sized arithmetic only
+      val docs = T(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("docs"))
+      val exact = docs.agg(count_distinct(col("text")).as("survivors"))
+      val pairs = Dedup.minHashNearDup(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+        .select("id_a", "id_b")
+      val nd = Dedup.connectedComponents(pairs)
+        .agg(count(lit(1)).as("nodes"), count_distinct(col("component")).as("comps"))
+      nDocs.select(lit("a_raw").as("gate"), col("docs").as("docs_in"),
+          col("docs").as("survivors"))
+        .unionByName(nDocs.crossJoin(broadcast(exact))
+          .select(lit("b_exact_text").as("gate"), col("docs").as("docs_in"),
+            col("survivors")))
+        .unionByName(nDocs.crossJoin(broadcast(nd))
+          .select(lit("c_minhash_components").as("gate"), col("docs").as("docs_in"),
+            (col("docs") - (col("nodes") - col("comps"))).as("survivors")))
+        .select(col("gate"), col("docs_in").cast("long").as("docs_in"),
+          col("survivors").cast("long").as("survivors"),
+          (col("docs_in") - col("survivors")).cast("long").as("removed"))
+        .orderBy("gate")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2891,6 +2919,31 @@ object SparkEntry {
        |  (round(CAST(qnum AS DOUBLE) /
        |    CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DOUBLE), 4) + 0.0) AS modularity
        |FROM agg, m WHERE m.m > 0""".stripMargin
+
+  /** q255's oracle: per-gate survivor counts over the SAME corpus — raw,
+    * exact text dedup, and minhash near-dup components (keep one doc per
+    * component; docs outside the pair graph survive untouched). */
+  private val q255Sql: String =
+    s"""WITH RECURSIVE pairs AS ($q44Sql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |conn(a, b) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+       |n AS (SELECT count(*) AS docs FROM documents),
+       |ex AS (SELECT count(DISTINCT text) AS survivors FROM documents),
+       |nd AS (SELECT count(*) AS nodes, count(DISTINCT component) AS comps FROM lab),
+       |u AS (
+       |  SELECT 'a_raw' AS gate, n.docs AS docs_in, n.docs AS survivors FROM n
+       |  UNION ALL SELECT 'b_exact_text', n.docs, ex.survivors FROM n, ex
+       |  UNION ALL SELECT 'c_minhash_components', n.docs,
+       |    n.docs - (nd.nodes - nd.comps) FROM n, nd)
+       |SELECT gate, CAST(docs_in AS BIGINT) AS docs_in,
+       |  CAST(survivors AS BIGINT) AS survivors,
+       |  CAST(docs_in - survivors AS BIGINT) AS removed
+       |FROM u ORDER BY gate""".stripMargin
 
   /** q254's oracle: q233's machinery with the three-cohort planted corpus
     * and recall grouped by the exact-Jaccard band (floor(4j), clamped to
@@ -5308,6 +5361,7 @@ object SparkEntry {
         |FROM fl f JOIN lastd l ON l.g = f.g
         |GROUP BY f.g ORDER BY event_type""".stripMargin,
     "q254_lsh_curve" -> q254Sql,
+    "q255_dedup_funnel" -> q255Sql,
     "q253_cuped" ->
       // the identical sufficient-stat aggregate and double chain; the
       // split anchors on min(day) + 15
