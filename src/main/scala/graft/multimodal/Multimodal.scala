@@ -245,7 +245,16 @@ object Multimodal {
           try javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
           catch { case _: Exception => null }
-        if (in == null) (id, -1L, -1L, -1L)
+        // format contract, not just parse success: the PCM loop below reads
+        // 16-bit LE mono signed samples, so a VALID-but-different WAV
+        // (stereo, 8-bit, big-endian, float) must quarantine rather than
+        // yield silently wrong block/segment counts
+        val conforming = in != null && {
+          val f = in.getFormat
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
+        }
+        if (!conforming) (id, -1L, -1L, -1L)
         else {
           val bytes = in.readAllBytes()
           val n = bytes.length / 2

@@ -162,7 +162,10 @@ object Profiling {
     * parent key set is dimension-sized, hash join otherwise) and one
     * count aggregate — the child table never carries more than the key
     * across the wire. Output: one row per declared relation. */
-  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    // reduce over unionByName would throw a bare UnsupportedOperationException
+    // on an empty list — make the contract explicit
+    require(relations.nonEmpty, "fkAudit: at least one relation is required")
     relations.map { case (name, child, fkCol, parent, pkCol) =>
       val p = parent.select(col(pkCol).as("__fk")).distinct()
         .withColumn("__hit", lit(1))
@@ -174,6 +177,7 @@ object Profiling {
           col("__o").cast("long").as("n_orphans"),
           (col("__o") === 0).as("intact"))
     }.reduce(_ unionByName _)
+  }
 
   def benford(df: DataFrame, amountCol: String): DataFrame = {
     val digits = df

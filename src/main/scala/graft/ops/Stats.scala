@@ -1392,6 +1392,12 @@ object Stats {
     // deliberate exception to the two-phase rule (same as q215's rank
     // over the aggregated term frame)
     val ranked = tests
+      // p must be a real p-value: Spark's ORDER BY ranks NULL first while
+      // DuckDB ranks it last, so a NULL would silently take rank 1 and
+      // shift every rejection — fail loudly instead (welchTTest convention)
+      .filter(when(col(pCol).isNotNull && col(pCol) >= 0 && col(pCol) <= 1,
+        lit(true)).otherwise(raise_error(
+        lit("bhAdjust: p-values must be non-null and in [0, 1]"))))
       .withColumn("__rank", row_number().over(w))
       .crossJoin(broadcast(tests.agg(count(lit(1)).as("__m"))))
       .withColumn("__ok",
@@ -1480,6 +1486,12 @@ object Stats {
                          valueCol: String, season: Int = 7): DataFrame = {
     val actual = series.select(col(groupCol).as("__g"), col(dayCol).as("__d"),
       col(valueCol).cast("long").as("__c"))
+      // the MAPE term divides by the actual: a zero/negative bucket would
+      // yield NULL here (silently dropped from the sum) while the DuckDB
+      // oracle's `//` raises — enforce the documented c ≥ 1 precondition
+      // loudly for the general valueCol API (count buckets satisfy it free)
+      .filter(when(col("__c") >= 1, lit(true)).otherwise(raise_error(
+        lit("seasonalNaiveError: bucket values must be >= 1 (MAPE divides by the actual)"))))
     val pred = series.select(col(groupCol).as("__g"),
       date_add(col(dayCol), season).as("__d"), col(valueCol).cast("long").as("__p"))
     actual.join(pred, Seq("__g", "__d"))

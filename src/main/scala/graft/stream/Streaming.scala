@@ -239,7 +239,7 @@ object Streaming {
     if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
       val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
       val flush = ev.select(col("user_id")).distinct()
-        .withColumn("ts", lit("2025-01-01 00:00:00").cast("timestamp"))
+        .withColumn("ts", lit(flushTs(ev)))
       ev.unionByName(flush).write.mode("overwrite").parquet(stageDir)
     }
     runToResult(spark, { s =>
@@ -347,11 +347,27 @@ object Streaming {
     val files =
       if (root.isFile) Array(root)
       else Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
-    val h = files.foldLeft(fold(0xcbf29ce484222325L, dir)) { (acc, f) =>
+    // "v2": the staging FORMAT participates in the key (the flush sentinel
+    // became data-derived) — bump on any format change so an old staged dir
+    // can never satisfy a new stager
+    val h = files.foldLeft(fold(0xcbf29ce484222325L, s"v2:$dir")) { (acc, f) =>
       fold(acc, s"${f.getName}:${f.length}:${f.lastModified}")
     }
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${safe}_${java.lang.Long.toHexString(h)}"
+  }
+
+  /** Flush-sentinel timestamp DERIVED from the staged input: max(ts) + 48 h,
+    * comfortably past every replay's watermark (≤ 1 h) + window/gap (≤ 1 day)
+    * horizon. A hard-coded far-future date silently withholds tail
+    * windows/ledgers the moment regenerated testdata crosses into its
+    * horizon; anchoring on the data moves the sentinel with it (the q253
+    * data-anchored-split convention). One scalar driver action at STAGE time
+    * only — the staged file is reused per input content thereafter. */
+  private def flushTs(ev: DataFrame, tsCol: String = "ts"): java.sql.Timestamp = {
+    val mx = ev.agg(max(col(tsCol))).head.getTimestamp(0)
+    require(mx != null, "flushTs: staged input has no rows / null timestamps")
+    new java.sql.Timestamp(mx.getTime + 48L * 3600 * 1000)
   }
 
   // ---------------------------------------------------- custom state (q57 twin)
@@ -369,9 +385,8 @@ object Streaming {
     val stageDir = s"$stageDirBase/${stageKey(dir)}"
     if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
       val ev = Tables.events(spark, dir).select(col("ts"), col("props"))
-      val sentinel = spark.createDataFrame(Seq(("2025-01-01 00:00:00", """{"k": -1}""")))
-        .toDF("__ts", "props")
-        .select(col("__ts").cast("timestamp").as("ts"), col("props"))
+      val sentinel = spark.createDataFrame(Seq((flushTs(ev), """{"k": -1}""")))
+        .toDF("ts", "props")
       ev.unionByName(sentinel).write.mode("overwrite").parquet(stageDir)
     }
     val emitted = runToResult(spark, { s =>
@@ -446,9 +461,8 @@ object Streaming {
     val stageDir = s"$stageDirBase/${stageKey(dir)}"
     if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
       val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-      val sentinel = spark.createDataFrame(Seq((-1L, "2025-01-01 00:00:00")))
-        .toDF("user_id", "__ts")
-        .select(col("user_id"), col("__ts").cast("timestamp").as("ts"))
+      val sentinel = spark.createDataFrame(Seq((-1L, flushTs(ev))))
+        .toDF("user_id", "ts")
       ev.unionByName(sentinel).write.mode("overwrite").parquet(stageDir)
     }
     runToResult(spark, { s =>

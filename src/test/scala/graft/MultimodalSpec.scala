@@ -108,6 +108,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq((1L, 5L, 2L, 2L), (2L, 6L, 2L, 3L), (3L, -1L, -1L, -1L)))
   }
 
+  test("silenceSegments quarantines valid-but-nonconforming WAVs (stereo)") {
+    // a VALID stereo RIFF container decodes fine, but the PCM loop assumes
+    // 16-bit LE mono — it must quarantine, not yield wrong counts. Patch a
+    // mono synth into a well-formed stereo header (channels@22, byteRate@28,
+    // blockAlign@32; 20 samples = 10 stereo frames).
+    val bytes = Multimodal.synthWavSamples(Array.fill[Short](20)(3000), 8000)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(22, 2.toShort); bb.putInt(28, 8000 * 4); bb.putShort(32, 4.toShort)
+    // sanity: the patched container is genuinely decodable as stereo
+    val fmt = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes)).getFormat
+    assert(fmt.getChannels == 2)
+    val mm = Seq((7L, bytes)).toDF("doc_id", "payload")
+    val out = Multimodal.silenceSegments(mm, "doc_id", blockSamples = 10,
+      threshold = 250).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((7L, -1L, -1L, -1L)))
+  }
+
   test("extractFeatures runs the decoder per partition over every row") {
     val docs = Seq((1L, "abc"), (2L, "xyz"), (3L, "")).toDF("doc_id", "text")
     val mm = Multimodal.asMultimodal(docs, "doc_id", "text")

@@ -115,4 +115,9 @@ class ProfilingSpec extends SparkSpec {
     // plus the 7 → 3
     assert(out == Seq(("broken", 4L, 3L, false), ("clean", 3L, 0L, true)))
   }
+
+  test("fkAudit: empty relation list is a clear contract error") {
+    val e = intercept[IllegalArgumentException](Profiling.fkAudit(Seq.empty))
+    assert(e.getMessage.contains("at least one relation"))
+  }
 }

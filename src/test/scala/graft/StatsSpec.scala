@@ -746,6 +746,17 @@ class StatsSpec extends SparkSpec {
       Seq(("a", true), ("b", true), ("c", true), ("d", false), ("e", false)))
   }
 
+  test("bhAdjust: NULL or out-of-range p fails loudly instead of ranking first") {
+    // Spark ranks NULL first, DuckDB last — a NULL p would silently take
+    // rank 1 and shift every rejection; the guard raises instead
+    val bad = Seq(("a", Some(0.01)), ("b", None)).toDF("t", "p")
+    val e = intercept[Exception](Stats.bhAdjust(bad, "t", "p").collect())
+    assert(e.getMessage.contains("bhAdjust"))
+    val oob = Seq(("a", 0.01), ("b", 1.5)).toDF("t", "p")
+    assert(intercept[Exception](Stats.bhAdjust(oob, "t", "p").collect())
+      .getMessage.contains("bhAdjust"))
+  }
+
   test("emdDriftByGroup: hand-computed gap-weighted CDF integral") {
     // a = {0, 0, 10, 10}, b = {0, 0, 20, 20}; grid units {0, 10, 20}.
     // Group a vs rest: cumdiffs ×(ng·nr=16) are 0 @0, 8 @10 (gap 10),
@@ -776,6 +787,16 @@ class StatsSpec extends SparkSpec {
     // (|9−12|=3, ape 3333 bp) → n=2, sae=5, mae=2.5, mape=(1666+3333) div 2;
     // b has no day with a 7-day predecessor → no row
     assert(out == Seq(("a", 2L, 5L, 2.5, 2499L)))
+  }
+
+  test("seasonalNaiveError: zero bucket value fails loudly (MAPE divides by it)") {
+    // a zero actual would NULL the Spark MAPE term (silently dropped) while
+    // the DuckDB oracle's `//` raises — the c >= 1 precondition is enforced
+    val df = Seq(("a", "2024-01-01", 10L), ("a", "2024-01-08", 0L))
+      .toDF("g", "day", "c").withColumn("day", to_date($"day"))
+    val e = intercept[Exception](
+      Stats.seasonalNaiveError(df, "g", "day", "c", season = 7).collect())
+    assert(e.getMessage.contains("seasonalNaiveError"))
   }
 
   test("pettittChangepoint: hand-computed U_t, break position, and p") {

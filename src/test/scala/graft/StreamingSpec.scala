@@ -384,4 +384,22 @@ class StreamingSpec extends SparkSpec {
       (1L, at(101, 0), 1L, 1L, 0L),
       (2L, at(100, 0), 1L, 1L, 0L)), out.toString)
   }
+
+  test("quotaReplay: flush sentinel is data-anchored, not a fixed date") {
+    // events dated 2026 — PAST the old hard-coded 2025-01-01 sentinel,
+    // which would have silently withheld every tail ledger; the max(ts)+48h
+    // sentinel moves with the data, so all ledgers emit
+    val base = java.nio.file.Files.createTempDirectory("graft_quota_anchor").toString
+    val dir = s"$base/data"; new java.io.File(dir).mkdirs()
+    def at(s: String) = Timestamp.valueOf(s)
+    Seq((1L, at("2026-03-01 10:00:00")), (1L, at("2026-03-01 10:10:00")),
+      (1L, at("2026-03-01 10:20:00")), (2L, at("2026-03-01 11:30:00")))
+      .toDF("user_id", "ts").write.parquet(s"$dir/events.parquet")
+    val out = Streaming.quotaReplay(spark, dir, s"$base/stage", maxPerHour = 2)
+      .orderBy("user_id")
+      .as[(Long, Timestamp, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, at("2026-03-01 10:00:00"), 3L, 2L, 1L),
+      (2L, at("2026-03-01 11:00:00"), 1L, 1L, 0L)), out.toString)
+  }
 }
