@@ -62,6 +62,20 @@ object SparkEntry {
 
   private val TMP = "/root/repo/target/qtmp"
 
+  /** The SHARED near-dup index for the q44-parameter family: pairs +
+    * components materialized once per (input dir, params) per JVM and read
+    * back as parquet by every consumer — q77 (canonicalization), q105
+    * (representatives), q138 (leakage-safe split), q250 (modularity), q255
+    * (funnel) all join this instead of each re-running the full
+    * shingles → signatures → banded-join → components derivation (five
+    * corpus passes at 100 TB; one here). See [[Dedup.componentIndex]]. */
+  private def dedupIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    Dedup.componentIndex(T(s, dir, "documents"), "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25,
+      indexDir = s"$TMP/dedup_index/${safe}_k2_h16_b8_t25")
+  }
+
   /** Morton interleave of the low 16 bits of `x`/`y` as plain SQL bit
     * arithmetic — the oracle-side twin of [[graft.functions.ZOrder]]
     * (generated term-by-term so both engines agree on all 32 placements). */
@@ -1456,11 +1470,10 @@ object SparkEntry {
       // clustering-health gate for the near-dup graph: modularity of the
       // connected-component partition — near 1 ⇒ healthy forest of small
       // clusters, near 0 ⇒ one over-merged blob (the alarm a banding or
-      // threshold change must be gated on)
-      val pairs = Dedup.minHashNearDup(T(s, dir, "documents"), "doc_id", "text",
-        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
-        .select("id_a", "id_b")
-      Graph.modularity(pairs, Dedup.connectedComponents(pairs))
+      // threshold change must be gated on); pairs AND components from the
+      // shared materialized index
+      val (pairs, comp) = dedupIndex(s, dir)
+      Graph.modularity(pairs.select("id_a", "id_b"), comp)
     }),
     "q251_fk_audit" -> ((s, dir) =>
       // post-load referential-integrity contract: the three real TPC-H
@@ -1555,10 +1568,8 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("docs"))
       val exact = docs.agg(count_distinct(col("text")).as("survivors"))
-      val pairs = Dedup.minHashNearDup(docs, "doc_id", "text",
-        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
-        .select("id_a", "id_b")
-      val nd = Dedup.connectedComponents(pairs)
+      val (_, comp) = dedupIndex(s, dir)
+      val nd = comp
         .agg(count(lit(1)).as("nodes"), count_distinct(col("component")).as("comps"))
       nDocs.select(lit("a_raw").as("gate"), col("docs").as("docs_in"),
           col("docs").as("survivors"))
@@ -2042,10 +2053,10 @@ object SparkEntry {
     "q77_neardup_components" -> ((s, dir) => {
       // pairwise near-dup hits -> duplicate CLUSTERS -> one canonical doc per
       // cluster (min id): min-label propagation to the connected-component
-      // fixpoint, against a recursive-CTE oracle
-      val pairs = Dedup.minHashNearDup(T(s, dir, "documents"), "doc_id", "text",
-        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
-      Dedup.connectedComponents(pairs)
+      // fixpoint, against a recursive-CTE oracle; components come from the
+      // SHARED materialized index (one derivation for q77/q105/q138/q250/q255)
+      val (_, comp) = dedupIndex(s, dir)
+      comp
         .withColumn("is_canonical", col("node") === col("component"))
         .select(col("node").as("doc_id"), col("component"), col("is_canonical"))
         .orderBy("doc_id")
@@ -2387,12 +2398,11 @@ object SparkEntry {
       Dedup.prefixDedup(T(s, dir, "documents"), "doc_id", "text", prefixLen = 80)
         .orderBy("doc_id")),
     "q105_cluster_reps" -> ((s, dir) => {
-      // canonical-doc election: near-dup pairs (q44 params) -> components ->
-      // keep the LONGEST member per cluster (tie: min id) — the quality-aware
-      // upgrade of q77's min-id canonicalization
-      val pairs = Dedup.minHashNearDup(T(s, dir, "documents"), "doc_id", "text",
-        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
-      Dedup.clusterRepresentatives(pairs, T(s, dir, "documents"), "doc_id", "n_chars")
+      // canonical-doc election: near-dup components (shared materialized
+      // index, q44 params) -> keep the LONGEST member per cluster (tie: min
+      // id) — the quality-aware upgrade of q77's min-id canonicalization
+      val (_, comp) = dedupIndex(s, dir)
+      Dedup.clusterRepresentativesFrom(comp, T(s, dir, "documents"), "doc_id", "n_chars")
         .orderBy("component", "doc_id")
     }),
     "q106_sequence_assembly" -> ((s, dir) =>
@@ -2632,13 +2642,12 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"), col("toks"), col("cum_tokens"))
         .orderBy("doc_id")),
     "q138_cluster_split" -> ((s, dir) => {
-      // leakage-safe split: assignment hashes the near-dup CLUSTER, so a
-      // training doc's near-copies can never land in the eval split
+      // leakage-safe split: assignment hashes the near-dup CLUSTER (shared
+      // materialized index), so a training doc's near-copies can never land
+      // in the eval split
       val docs = T(s, dir, "documents")
-      val pairs = Dedup.minHashNearDup(docs, "doc_id", "text",
-        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
-      Curation.clusterSafeSplit(docs, "doc_id", "n_chars",
-        Dedup.connectedComponents(pairs))
+      val (_, comp) = dedupIndex(s, dir)
+      Curation.clusterSafeSplit(docs, "doc_id", "n_chars", comp)
         .orderBy("split")
     }),
     "q136_inverted_index" -> ((s, dir) =>

@@ -400,6 +400,48 @@ object Dedup {
         expr("(10000 * n_novel) div n_shingles").cast("long").as("novelty_bp"))
   }
 
+  // ------------------------------------------------------- materialized index
+
+  /** JVM-local registry of dedup index dirs already materialized THIS run.
+    * `computeIfAbsent` makes the first touch per key compute-and-write
+    * atomically (concurrent suites block rather than double-write); every
+    * new JVM recomputes on first touch, so a stale on-disk index from an
+    * earlier run can never be served. */
+  private val materializedIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+
+  /** Write-once near-dup INDEX: the (pairs, components) both derived ONCE
+    * from the corpus and served from parquet to every consumer — the
+    * production dedup shape. Cluster canonicalization (q77), representative
+    * election (q105), leakage-safe splitting (q138), clustering health
+    * (q250), and the gate funnel (q255) all need the same
+    * shingles → signatures → banded self-join → components derivation; at
+    * 100 TB recomputing it per consumer is five full corpus passes, so a
+    * real pipeline materializes the component map once per ingest batch and
+    * every downstream reader joins the (node, component) parquet — exactly
+    * what this does. Components are rebuilt FROM the persisted pair list
+    * (not the live DAG), so the expensive minhash lineage runs exactly once
+    * per JVM per (input, params) key.
+    *
+    * `indexDir` must encode the input identity AND the banding parameters
+    * (the stored index is only reusable under the SAME hash family and band
+    * layout — the probeNearDup contract). Returns (pairs, components) as
+    * plain parquet scans: pairs (id_a, id_b, est_jaccard), components
+    * (node, component). */
+  def componentIndex(docs: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int, numHashes: Int, bands: Int,
+                     threshold: Double, indexDir: String): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    materializedIndexes.computeIfAbsent(indexDir, { _ =>
+      minHashNearDup(docs, idCol, textCol, shingleK, numHashes, bands, threshold)
+        .write.mode("overwrite").parquet(s"$indexDir/pairs")
+      connectedComponents(spark.read.parquet(s"$indexDir/pairs"))
+        .write.mode("overwrite").parquet(s"$indexDir/components")
+    })
+    (spark.read.parquet(s"$indexDir/pairs"),
+      spark.read.parquet(s"$indexDir/components"))
+  }
+
   // ------------------------------------------------------------- components
 
   /** Connected components over a near-dup pair graph, labeled by the minimum
@@ -539,9 +581,15 @@ object Dedup {
     *
     * Output: (component, id, quality, cluster_size, is_rep). */
   def clusterRepresentatives(pairs: DataFrame, docs: DataFrame, idCol: String,
-                             qualityCol: String): DataFrame = {
+                             qualityCol: String): DataFrame =
+    clusterRepresentativesFrom(connectedComponents(pairs), docs, idCol, qualityCol)
+
+  /** [[clusterRepresentatives]] over an ALREADY-RESOLVED component map —
+    * the entry point when the (node, component) table is materialized once
+    * and shared ([[componentIndex]]) instead of re-derived per consumer. */
+  def clusterRepresentativesFrom(comp: DataFrame, docs: DataFrame, idCol: String,
+                                 qualityCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = connectedComponents(pairs)
     val w = Window.partitionBy(col("component"))
     comp.join(docs.select(col(idCol).as("node"), col(qualityCol)), Seq("node"))
       .withColumn("cluster_size", count(lit(1)).over(w))

@@ -265,4 +265,45 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, "a\nb", 2L, 0L), (2L, "", 0L, 0L), (3L, "", 0L, 0L)))
   }
 
+  test("componentIndex equals the direct derivation and writes exactly once per JVM") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // near-dup of 1
+      (3L, "totally different words here now"),
+      (4L, "alpha beta gamma delta epsilon")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString + "/idx"
+    val (pairs, comp) = Dedup.componentIndex(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25, indexDir = dir)
+    val directPairs = Dedup.minHashNearDup(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+    val directComp = Dedup.connectedComponents(directPairs)
+    assert(pairs.as[(Long, Long, Double)].collect().toSet ==
+      directPairs.as[(Long, Long, Double)].collect().toSet)
+    assert(comp.as[(Long, Long)].collect().toSet ==
+      directComp.as[(Long, Long)].collect().toSet)
+    // second touch serves the SAME files — no rewrite (mtimes unchanged)
+    def mtimes = new java.io.File(s"$dir/pairs").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes
+    val (pairs2, _) = Dedup.componentIndex(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25, indexDir = dir)
+    pairs2.count()
+    assert(mtimes == before, "second componentIndex call rewrote the index")
+  }
+
+  test("clusterRepresentativesFrom equals the pair-based clusterRepresentatives") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee", 14L), (2L, "aa bb cc dd ff", 15L),
+      (3L, "zz yy xx ww vv", 14L)).toDF("doc_id", "text", "n_chars")
+    val pairs = Dedup.minHashNearDup(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25)
+    val viaPairs = Dedup.clusterRepresentatives(pairs, docs, "doc_id", "n_chars")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val viaComp = Dedup.clusterRepresentativesFrom(
+      Dedup.connectedComponents(pairs), docs, "doc_id", "n_chars")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(viaPairs == viaComp && viaPairs.nonEmpty)
+  }
+
 }
