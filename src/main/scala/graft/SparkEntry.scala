@@ -1584,6 +1584,92 @@ object SparkEntry {
           (col("docs_in") - col("survivors")).cast("long").as("removed"))
         .orderBy("gate")
     }),
+    "q256_ivfpq_recall" -> ((s, dir) => {
+      // the composed IVF+PQ index measured HONESTLY: centroids and codebook
+      // come from corpus slices DISJOINT from the query set (q246's gate
+      // config trains the codebook on the queries themselves — right for
+      // the equivalence proof, self-referential as a recall number), so
+      // this is the recall@5 an nprobe×m trade-off would actually be tuned
+      // by — q212 (IVF) and q225 (PQ) closed per-path; this closes the
+      // composition
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfPqTopK(emb, queries,
+          centroids = emb.filter(col("vec_id") >= 100 && col("vec_id") < 116),
+          codebook = emb.filter(col("vec_id") >= 200 && col("vec_id") < 208),
+          "vec_id", "embedding", m = 4, subDim = 16, k = 5, nprobe = 2)
+        .select(col("query_id").as("__aq"), col("neighbor_id").as("__an"))
+      truth.join(approx,
+          col("query_id") === col("__aq") && col("neighbor_id") === col("__an"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("__an")).as("hits"))
+        .select(col("query_id"), col("hits").cast("long").as("hits"),
+          ops.Num.roundz(col("hits") / lit(5.0), 4).as("recall"))
+        .orderBy("query_id")
+    }),
+    "q257_ivf_train" -> ((s, dir) => {
+      // the coarse quantizer TRAINED under the gate: 2 Lloyd rounds from
+      // first-4-by-id seeds, entirely in exact micro-long arithmetic
+      // (assignment = long-d2 struct-min, update = floor(sum/n) — the q235
+      // discipline, which is what makes Lloyd oracle-able at all); output
+      // is the per-cell assignment shift — seed occupancy, trained
+      // occupancy, and arrivals (vectors that changed cell), the table
+      // that says whether training moved anything
+      val emb = T(s, dir, "embeddings")
+      val seed = Similarity.microSeedCentroids(emb, "vec_id", "embedding", k = 4)
+      val trained = Similarity.ivfTrainMicro(emb, "vec_id", "embedding",
+        k = 4, iterations = 2)
+      val a0 = Similarity.microAssign(emb, "vec_id", "embedding", seed)
+        .select(col("vec_id"), col("cell").as("__c0"))
+      val aT = Similarity.microAssign(emb, "vec_id", "embedding", trained)
+        .select(col("vec_id"), col("cell").as("__ct"))
+      val moved = a0.join(aT, Seq("vec_id"))
+      moved.groupBy(col("__ct").as("cell"))
+        .agg(count(lit(1)).as("n_trained"),
+          sum(when(col("__c0") =!= col("__ct"), 1L).otherwise(0L)).as("arrivals"))
+        .join(moved.groupBy(col("__c0").as("cell"))
+          .agg(count(lit(1)).as("n_seed")), Seq("cell"), "full")
+        .select(col("cell"),
+          coalesce(col("n_seed"), lit(0L)).cast("long").as("n_seed"),
+          coalesce(col("n_trained"), lit(0L)).cast("long").as("n_trained"),
+          coalesce(col("arrivals"), lit(0L)).cast("long").as("arrivals"))
+        .orderBy("cell")
+    }),
+    "q258_ivf_train_recall" -> ((s, dir) => {
+      // does training the quantizer buy recall? recall@5 of the IVF search
+      // path under the TRAINED centroids vs under the seed (first-K)
+      // centroids, side by side per query against q45's exact truth — both
+      // centroid sets pass through the same micro→double conversion so the
+      // comparison isolates Lloyd, not quantization
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def hits(cent: org.apache.spark.sql.DataFrame, as: String) = {
+        val cvecs = Similarity.microCentroidVectors(cent, "vec_id", "embedding")
+        val approx = Similarity.ivfTopK(emb, queries, cvecs,
+            "vec_id", "embedding", 5, nprobe = 1)
+          .select(col("query_id").as("__aq"), col("neighbor_id").as("__an"))
+        truth.join(approx,
+            col("query_id") === col("__aq") && col("neighbor_id") === col("__an"),
+            "left")
+          .groupBy(col("query_id")).agg(count(col("__an")).cast("long").as(as))
+      }
+      val seedH = hits(
+        Similarity.microSeedCentroids(emb, "vec_id", "embedding", k = 4), "hits_seed")
+      val trainH = hits(
+        Similarity.ivfTrainMicro(emb, "vec_id", "embedding", k = 4, iterations = 2),
+        "hits_trained")
+      seedH.join(trainH, Seq("query_id"))
+        .select(col("query_id"), col("hits_seed"),
+          ops.Num.roundz(col("hits_seed") / lit(5.0), 4).as("recall_seed"),
+          col("hits_trained"),
+          ops.Num.roundz(col("hits_trained") / lit(5.0), 4).as("recall_trained"))
+        .orderBy("query_id")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -2953,6 +3039,111 @@ object SparkEntry {
        |  CAST(survivors AS BIGINT) AS survivors,
        |  CAST(docs_in - survivors AS BIGINT) AS removed
        |FROM u ORDER BY gate""".stripMargin
+
+  /** Shared micro-Lloyd CTE chain (q257/q258): comp = 10⁶-quantized
+    * components (q235's pattern), c0 = first-4-by-id seeds, then two full
+    * assign+update rounds — assignment = exact-long d2 argmin with min-cell
+    * tie-break, update = floor(sum/n) — landing at the trained centroid
+    * table c2. The chained-CTE unrolling is the q223/q237 convention for
+    * fixed-iteration loops. */
+  private val lloydCtes: String =
+    """comp AS (SELECT vec_id, t.d AS dim,
+      |    CAST(round(CAST(embedding[CAST(t.d AS BIGINT)] AS DOUBLE) * 1000000, 0)
+      |      AS BIGINT) AS vm
+      |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d) t),
+      |c0 AS (SELECT vec_id AS cell, dim, vm AS cm FROM comp WHERE vec_id < 4),
+      |dd1 AS (SELECT c.vec_id, ct.cell, sum((c.vm - ct.cm) * (c.vm - ct.cm)) AS d2
+      |  FROM comp c JOIN c0 ct USING (dim) GROUP BY 1, 2),
+      |b1 AS (SELECT vec_id, min(d2) AS md FROM dd1 GROUP BY 1),
+      |a1 AS (SELECT d.vec_id, min(d.cell) AS cell FROM dd1 d
+      |  JOIN b1 b ON b.vec_id = d.vec_id AND d.d2 = b.md GROUP BY 1),
+      |c1 AS (SELECT a.cell, c.dim,
+      |    CAST(floor(CAST(sum(c.vm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+      |  FROM comp c JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      |dd2 AS (SELECT c.vec_id, ct.cell, sum((c.vm - ct.cm) * (c.vm - ct.cm)) AS d2
+      |  FROM comp c JOIN c1 ct USING (dim) GROUP BY 1, 2),
+      |b2 AS (SELECT vec_id, min(d2) AS md FROM dd2 GROUP BY 1),
+      |a2 AS (SELECT d.vec_id, min(d.cell) AS cell FROM dd2 d
+      |  JOIN b2 b ON b.vec_id = d.vec_id AND d.d2 = b.md GROUP BY 1),
+      |c2 AS (SELECT a.cell, c.dim,
+      |    CAST(floor(CAST(sum(c.vm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+      |  FROM comp c JOIN a2 a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  /** q257's oracle: the Lloyd chain + a third assignment pass under the
+    * trained centroids; per-cell seed/trained occupancy and arrivals. */
+  private val q257Sql: String =
+    s"""WITH $lloydCtes,
+       |dd3 AS (SELECT c.vec_id, ct.cell, sum((c.vm - ct.cm) * (c.vm - ct.cm)) AS d2
+       |  FROM comp c JOIN c2 ct USING (dim) GROUP BY 1, 2),
+       |b3 AS (SELECT vec_id, min(d2) AS md FROM dd3 GROUP BY 1),
+       |a3 AS (SELECT d.vec_id, min(d.cell) AS cell FROM dd3 d
+       |  JOIN b3 b ON b.vec_id = d.vec_id AND d.d2 = b.md GROUP BY 1),
+       |m AS (SELECT a1.vec_id, a1.cell AS sc, a3.cell AS tc
+       |  FROM a1 JOIN a3 USING (vec_id)),
+       |tn AS (SELECT tc AS cell, count(*) AS n_trained,
+       |    sum(CASE WHEN sc <> tc THEN 1 ELSE 0 END) AS arrivals FROM m GROUP BY 1),
+       |sn AS (SELECT sc AS cell, count(*) AS n_seed FROM m GROUP BY 1)
+       |SELECT coalesce(tn.cell, sn.cell) AS cell,
+       |  CAST(coalesce(n_seed, 0) AS BIGINT) AS n_seed,
+       |  CAST(coalesce(n_trained, 0) AS BIGINT) AS n_trained,
+       |  CAST(coalesce(arrivals, 0) AS BIGINT) AS arrivals
+       |FROM tn FULL JOIN sn ON sn.cell = tn.cell ORDER BY cell""".stripMargin
+
+  /** q258's oracle: the Lloyd chain, both centroid sets re-assembled as
+    * cm/10⁶ double lists, the q58-shape cosine search (assign crn = 1,
+    * probe crn ≤ 1, cosine over the raw vectors inside matched cells,
+    * top-5) run under each, and per-query recall vs the q45 truth. */
+  private val q258Sql: String =
+    s"""WITH $lloydCtes,
+       |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |cl0 AS (SELECT cell, list(cm / 1000000.0 ORDER BY dim) AS cv FROM c0 GROUP BY 1),
+       |cl2 AS (SELECT cell, list(cm / 1000000.0 ORDER BY dim) AS cv FROM c2 GROUP BY 1),
+       |qv AS (SELECT vec_id AS query_id, vv AS qvv FROM vecs WHERE vec_id < 8),
+       |bs AS (SELECT query_id, vec_id AS neighbor_id,
+       |  list_dot_product(qvv, vv) / (sqrt(list_dot_product(qvv, qvv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+       |  FROM vecs CROSS JOIN qv WHERE vec_id <> query_id),
+       |tr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM bs) WHERE rn <= 5),
+       |cc0 AS (SELECT x.vec_id, c.cell,
+       |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |    c.cell) AS crn
+       |  FROM vecs x CROSS JOIN cl0 c),
+       |sc0 AS (SELECT qp.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    list_dot_product(q.vv, n.vv) / (sqrt(list_dot_product(q.vv, q.vv)) * sqrt(list_dot_product(n.vv, n.vv))) AS cosine
+       |  FROM (SELECT vec_id, cell FROM cc0 WHERE vec_id < 8 AND crn <= 1) qp
+       |  JOIN (SELECT vec_id, cell FROM cc0 WHERE crn = 1) a ON a.cell = qp.cell
+       |  JOIN vecs q ON q.vec_id = qp.vec_id JOIN vecs n ON n.vec_id = a.vec_id
+       |  WHERE a.vec_id <> qp.vec_id),
+       |ap0 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM sc0) WHERE rn <= 5),
+       |h0 AS (SELECT tr.query_id, count(ap0.neighbor_id) AS hits FROM tr
+       |  LEFT JOIN ap0 ON ap0.query_id = tr.query_id AND ap0.neighbor_id = tr.neighbor_id
+       |  GROUP BY 1),
+       |cc2 AS (SELECT x.vec_id, c.cell,
+       |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |    c.cell) AS crn
+       |  FROM vecs x CROSS JOIN cl2 c),
+       |sc2 AS (SELECT qp.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    list_dot_product(q.vv, n.vv) / (sqrt(list_dot_product(q.vv, q.vv)) * sqrt(list_dot_product(n.vv, n.vv))) AS cosine
+       |  FROM (SELECT vec_id, cell FROM cc2 WHERE vec_id < 8 AND crn <= 1) qp
+       |  JOIN (SELECT vec_id, cell FROM cc2 WHERE crn = 1) a ON a.cell = qp.cell
+       |  JOIN vecs q ON q.vec_id = qp.vec_id JOIN vecs n ON n.vec_id = a.vec_id
+       |  WHERE a.vec_id <> qp.vec_id),
+       |ap2 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM sc2) WHERE rn <= 5),
+       |h2 AS (SELECT tr.query_id, count(ap2.neighbor_id) AS hits FROM tr
+       |  LEFT JOIN ap2 ON ap2.query_id = tr.query_id AND ap2.neighbor_id = tr.neighbor_id
+       |  GROUP BY 1)
+       |SELECT h0.query_id, CAST(h0.hits AS BIGINT) AS hits_seed,
+       |  (round(h0.hits / 5.0, 4) + 0.0) AS recall_seed,
+       |  CAST(h2.hits AS BIGINT) AS hits_trained,
+       |  (round(h2.hits / 5.0, 4) + 0.0) AS recall_trained
+       |FROM h0 JOIN h2 USING (query_id) ORDER BY query_id""".stripMargin
 
   /** q254's oracle: q233's machinery with the three-cohort planted corpus
     * and recall grouped by the exact-Jaccard band (floor(4j), clamped to
@@ -5371,6 +5562,62 @@ object SparkEntry {
         |GROUP BY f.g ORDER BY event_type""".stripMargin,
     "q254_lsh_curve" -> q254Sql,
     "q255_dedup_funnel" -> q255Sql,
+    "q256_ivfpq_recall" ->
+      // q246's composed IVF+PQ chain with DISJOINT slices (cent 100-115,
+      // codebook 200-207) + q225's truth/recall join
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, vv AS qvv FROM vecs WHERE vec_id < 8),
+        |bs AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_dot_product(qvv, vv) / (sqrt(list_dot_product(qvv, qvv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+        |  FROM vecs CROSS JOIN qv WHERE vec_id <> query_id),
+        |tr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM bs) WHERE rn <= 5),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs
+        |  WHERE vec_id >= 100 AND vec_id < 116),
+        |cells AS (SELECT x.vec_id, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cell FROM cells WHERE crn = 1),
+        |qprobe AS (SELECT vec_id AS query_id, cell FROM cells
+        |  WHERE vec_id < 8 AND crn <= 2),
+        |cand AS (SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+        |  FROM qprobe qp JOIN asg a ON a.cell = qp.cell
+        |  WHERE a.vec_id <> qp.query_id),
+        |subs AS (SELECT vec_id, CAST(s.i AS BIGINT) AS sub,
+        |    vv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS xs
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |cb AS (SELECT vec_id AS code, sub, xs AS cs FROM subs
+        |  WHERE vec_id >= 200 AND vec_id < 208),
+        |sc AS (SELECT x.vec_id, x.sub, c.code,
+        |  row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+        |    list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), c.code) AS rn
+        |  FROM subs x JOIN cb c USING (sub)),
+        |codes AS (SELECT vec_id, sub, code FROM sc WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub, xs AS qs FROM subs WHERE vec_id < 8),
+        |lut AS (SELECT q.query_id, c.sub, c.code,
+        |    CAST(round(greatest(list_dot_product(q.qs, q.qs)
+        |      - 2 * list_dot_product(q.qs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), 0) * 100000) AS BIGINT) AS d
+        |  FROM q JOIN cb c USING (sub)),
+        |sc2 AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adist_tb
+        |  FROM codes k
+        |  JOIN lut l ON l.sub = k.sub AND l.code = k.code
+        |  JOIN cand cd ON cd.query_id = l.query_id AND cd.neighbor_id = k.vec_id
+        |  WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+        |ap AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist_tb, neighbor_id) AS rn FROM sc2) WHERE rn <= 5)
+        |SELECT tr.query_id, CAST(count(ap.neighbor_id) AS BIGINT) AS hits,
+        |  (round(count(ap.neighbor_id) / 5.0, 4) + 0.0) AS recall
+        |FROM tr LEFT JOIN ap ON ap.query_id = tr.query_id AND ap.neighbor_id = tr.neighbor_id
+        |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
+    "q257_ivf_train" -> q257Sql,
+    "q258_ivf_train_recall" -> q258Sql,
     "q253_cuped" ->
       // the identical sufficient-stat aggregate and double chain; the
       // split anchors on min(day) + 15

@@ -173,6 +173,92 @@ object Similarity {
     centroids
   }
 
+  // ------------------------------------------------- micro-exact Lloyd (IVF)
+
+  /** (id, dim, micro component) per vector — the [[nearestCentroid]]
+    * quantization (`round(v·10⁶)` as long; float→double is exact so both
+    * engines round the same product) applied to an UNLABELED vector table.
+    * Every micro-Lloyd step derives from this one map-side explode. */
+  private def microVec(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("__id"), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      .select(col("__id"), col("__dim").cast("long").as("dim"),
+        round(col("__v").cast("double") * lit(1000000.0), 0).cast("long").as("__vm"))
+
+  /** Micro-quantized seed centroids: the first `k` vectors by id, cell =
+    * the seed's id — [[ivfTrain]]'s deterministic seeding rule carried into
+    * the exact-long domain so seed-vs-trained comparisons share one
+    * quantization. Output: (cell, dim, cm) micro longs. */
+  def microSeedCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                         k: Int): DataFrame =
+    microVec(vectors, idCol, vecCol).filter(col("__id") < k)
+      .select(col("__id").as("cell"), col("dim"), col("__vm").as("cm"))
+
+  /** Exact nearest-centroid assignment over micro components: argmin of the
+    * exact long Σ(vm−cm)² with ties to the SMALLEST cell id via one
+    * struct-min (the q235 discipline — no float comparison anywhere, so the
+    * assignment is bit-stable under any partitioning and DuckDB-replicable).
+    * Centroids are |cells|·d metadata and broadcast; the d2 aggregate
+    * reduces the |cells|-way fan-out with map-side combine. */
+  private def assignMicro(comp: DataFrame, cent: DataFrame): DataFrame =
+    comp.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("__id"), col("cell"))
+      .agg(sum((col("__vm") - col("cm")) * (col("__vm") - col("cm"))).as("__d2"))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("__d2"), col("cell"))).as("__b"))
+      .select(col("__id"), col("__b.cell").as("cell"))
+
+  /** [[assignMicro]] from a raw vector table: (idCol, cell). */
+  def microAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                  cent: DataFrame): DataFrame =
+    assignMicro(microVec(vectors, idCol, vecCol), cent)
+      .select(col("__id").as(idCol), col("cell"))
+
+  /** Lloyd-trained IVF coarse quantizer in EXACT micro-long arithmetic —
+    * [[ivfTrain]]'s float avg update is accumulation-order-dependent (a
+    * different partitioning moves the last ulp, which can flip an argmin),
+    * so the GATED trainer runs the whole loop on the integer grid:
+    * assignment = exact-long squared distance argmin (ties to the smallest
+    * cell), update = floor(Σvm/n) per dimension (the q235 no-flip floor —
+    * the true quotient sits ≥ 1/n from any integer while ulp ≪ 1/n).
+    * Deterministic, mergeable, and DuckDB-replicable as a chained-CTE
+    * oracle (the q223 BPE convention for fixed-iteration loops).
+    *
+    * Scale shape per iteration: one broadcast of the |cells|·d centroid
+    * metadata against the checkpointed (id, dim, vm) component frame, one
+    * map-side-combined d2 aggregate, one struct-min, one (cell, dim) sum
+    * aggregate — never vector-by-vector driver work; `localCheckpoint`
+    * between iterations caps plan growth (the [[ivfTrain]] convention).
+    * A cell that loses every member simply drops out (both engines).
+    *
+    * Output: (cell, dim, cm) micro longs after `iterations` full
+    * assign+update rounds from the first-`k`-by-id seeds. */
+  def ivfTrainMicro(vectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iterations: Int): DataFrame = {
+    val comp = microVec(vectors, idCol, vecCol).localCheckpoint(eager = false)
+    var cent = comp.filter(col("__id") < k)
+      .select(col("__id").as("cell"), col("dim"), col("__vm").as("cm"))
+    for (_ <- 1 to iterations) {
+      val a = assignMicro(comp, cent)
+      cent = comp.join(a, Seq("__id"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("__vm")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("cell"), col("dim"),
+          floor(col("__s").cast("double") / col("__n")).cast("long").as("cm"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Re-assemble a (cell, dim, cm) micro centroid table into per-cell
+    * DOUBLE vectors (cm/10⁶ — exact for micro longs ≪ 2⁵³, so both engines
+    * build the identical doubles) in the (idCol, vecCol) shape the cosine
+    * search paths ([[ivfTopK]] etc.) take centroids in. */
+  def microCentroidVectors(cent: DataFrame, idCol: String, vecCol: String): DataFrame =
+    cent.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cm")))).as("__pm"))
+      .select(col("cell").as(idCol),
+        expr("transform(__pm, x -> CAST(x.cm AS DOUBLE) / 1000000.0)").as(vecCol))
+
   /** Mean within-cell cosine distance (1 - cos to own centroid) — the
     * convergence metric for [[ivfTrain]]. */
   def ivfDistortion(vectors: DataFrame, centroids: DataFrame, idCol: String,

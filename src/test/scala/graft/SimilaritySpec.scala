@@ -386,4 +386,39 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.centroidOutliers(pts.toDF("vec_id", "embedding", "label"),
       "vec_id", "embedding", "label", factor = 1000).count() == 0L)
   }
+
+  test("ivfTrainMicro: exact-long Lloyd reduces total within-cell d2, partition-invariant") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def totalD2(cent: org.apache.spark.sql.DataFrame): Long = {
+      // within-cell d2 under the micro discipline: assign, then sum exact longs
+      val a = Similarity.microAssign(emb, "vec_id", "embedding", cent)
+      val comp = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("vec_id"), col("d").cast("long").as("dim"),
+          round(col("v").cast("double") * 1000000.0, 0).cast("long").as("vm"))
+      comp.join(a, Seq("vec_id"))
+        .join(cent, Seq("cell", "dim"))
+        .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm"))))
+        .head.getLong(0)
+    }
+    val seed = Similarity.microSeedCentroids(emb, "vec_id", "embedding", k = 4)
+    val trained = Similarity.ivfTrainMicro(emb, "vec_id", "embedding", k = 4, iterations = 2)
+    assert(totalD2(trained) < totalD2(seed),
+      "2 Lloyd rounds did not reduce within-cell distortion")
+    // partition invariance: the exact-integer argmin/update can't flip ulps
+    val t9 = Similarity.ivfTrainMicro(emb.repartition(9), "vec_id", "embedding",
+      k = 4, iterations = 2)
+    assert(trained.orderBy("cell", "dim").as[(Long, Long, Long)].collect().toSeq ==
+      t9.orderBy("cell", "dim").as[(Long, Long, Long)].collect().toSeq)
+  }
+
+  test("microCentroidVectors reassembles dims in order as exact cm/1e6 doubles") {
+    import spark.implicits._
+    val cent = Seq((0L, 1L, 500000L), (0L, 0L, -1000000L), (1L, 0L, 250000L),
+      (1L, 1L, 0L)).toDF("cell", "dim", "cm")
+    val out = Similarity.microCentroidVectors(cent, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Array[Double])].collect().toSeq
+    assert(out.map { case (id, v) => (id, v.toSeq) } ==
+      Seq((0L, Seq(-1.0, 0.5)), (1L, Seq(0.25, 0.0))))
+  }
 }
