@@ -1670,6 +1670,31 @@ object SparkEntry {
           ops.Num.roundz(col("hits_trained") / lit(5.0), 4).as("recall_trained"))
         .orderBy("query_id")
     }),
+    "q259_cached_views" -> ((s, dir) => {
+      // the response-cache parity path (reference Youtube_final.py:9-14
+      // memoizes per-keyword API responses in a driver dict; the engine
+      // analog is a SCOPED block-cache pin): the scored table is persisted
+      // for exactly the scope in which two dashboard views consume it,
+      // then released. Both views materialize INSIDE the scope
+      // (localCheckpoint), so the second provably reads the
+      // InMemoryRelation rather than re-running the scoring lineage —
+      // PlanSpec asserts the plan shape, this gate pins the values
+      // (hash-identical to the uncached twin by construction: caching is
+      // never semantic)
+      val scored = Sentiment.scoreByLexiconNative(T(s, dir, "documents"), "text")
+      Pipeline.withCache(scored) { e =>
+        val v1 = e.groupBy(col("sentiment")).agg(count(lit(1)).as("n"))
+          .select(lit("by_sentiment").as("view_name"),
+            col("sentiment").as("k"), col("n"))
+        val v2 = e.filter(col("sentiment") === "positive")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .select(lit("positive_by_lang").as("view_name"),
+            col("lang").as("k"), col("n"))
+        v1.unionByName(v2)
+          .select(col("view_name"), col("k"), col("n").cast("long").as("n"))
+          .orderBy("view_name", "k").localCheckpoint()
+      }
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -5618,6 +5643,24 @@ object SparkEntry {
         |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
     "q257_ivf_train" -> q257Sql,
     "q258_ivf_train_recall" -> q258Sql,
+    "q259_cached_views" ->
+      // q34's lexicon/compound CTEs; both views from one labeled frame
+      // (the cache is never semantic, so the oracle just recomputes)
+      s"""WITH lex(word, tenths) AS (VALUES $lexValues),
+         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word FROM documents),
+         |sc AS (SELECT doc_id, sum(tenths) / 10.0 AS sv FROM tok JOIN lex USING (word) GROUP BY doc_id),
+         |lab AS (SELECT d.doc_id, d.lang,
+         |  CASE WHEN coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0) >= 0.05 THEN 'positive'
+         |       WHEN coalesce(sv, 0.0) / sqrt(coalesce(sv, 0.0) * coalesce(sv, 0.0) + 15.0) <= -0.05 THEN 'negative'
+         |       ELSE 'neutral' END AS sentiment
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |u AS (SELECT 'by_sentiment' AS view_name, sentiment AS k, count(*) AS n
+         |    FROM lab GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'positive_by_lang', lang, count(*) FROM lab
+         |    WHERE sentiment = 'positive' GROUP BY 2)
+         |SELECT view_name, k, CAST(n AS BIGINT) AS n FROM u
+         |ORDER BY view_name, k""".stripMargin,
     "q253_cuped" ->
       // the identical sufficient-stat aggregate and double chain; the
       // split anchors on min(day) + 15

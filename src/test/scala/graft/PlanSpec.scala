@@ -593,4 +593,27 @@ class PlanSpec extends SparkSpec {
     val plan = q("q245_bh_fdr")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("withCache: views read the pinned InMemoryRelation; output equals uncached (q259)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Sentiment
+    def views(e: DataFrame): DataFrame =
+      e.groupBy(col("sentiment")).agg(count(lit(1)).as("n"))
+        .select(lit("by_sentiment").as("view_name"), col("sentiment").as("k"), col("n"))
+        .unionByName(e.filter(col("sentiment") === "positive")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .select(lit("positive_by_lang").as("view_name"), col("lang").as("k"), col("n")))
+        .orderBy("view_name", "k")
+    val scored = Sentiment.scoreByLexiconNative(
+      Tables.documents(spark, dir), "text")
+    val uncached = views(scored).collect().toSeq
+    val (plan, cached) = Pipeline.withCache(scored) { e =>
+      val v = views(e)
+      val rows = v.collect().toSeq // materialize INSIDE the cache scope
+      (v.queryExecution.explainString(ExplainMode.fromString("formatted")), rows)
+    }
+    assert(plan.contains("InMemory") || plan.contains("TableCache"),
+      s"views did not read the cached subtree:\n$plan")
+    assert(cached == uncached, "cached and uncached outputs diverge")
+  }
 }
