@@ -385,6 +385,58 @@ class StreamingSpec extends SparkSpec {
       (2L, at(100, 0), 1L, 1L, 0L)), out.toString)
   }
 
+  test("quotaByHour survives a mid-stream kill: restart resumes counters, exactly-once") {
+    // the sessionizer's kill/restart harness pointed at the quota ledger:
+    // (u1, hour-100)'s counter accumulates across the f1/f2 micro-batches
+    // that COMMIT BEFORE the kill, the flush sentinel arrives only after
+    // the restart, and the emitted ledgers must equal the batch
+    // least(n, quota) twin — lost state would under-count n_events,
+    // sink-metadata failure would duplicate ledgers
+    import Streaming.{HourQuota, SessionEvent}
+    val base = java.nio.file.Files.createTempDirectory("graft_quota_restart").toString
+    val src = s"$base/src"; val out = s"$base/out"; val chk = s"$base/chk"
+    new java.io.File(src).mkdirs()
+    def at(h: Long, m: Long) = new Timestamp((h * 3600L + m * 60L) * 1000L)
+    def addFile(name: String, rows: Seq[(Long, Timestamp)]): Unit = {
+      val stage = s"$base/stage_$name"
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    addFile("f1", Seq((1L, at(100, 0)), (1L, at(100, 10)), (2L, at(100, 30))))
+    addFile("f2", Seq((1L, at(100, 20)), (1L, at(101, 5)))) // u1 h100 spans the kill
+    addFile("f3", Seq((2L, at(101, 10)), (2L, at(101, 20)), (2L, at(101, 40))))
+    def startRun(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src).as[SessionEvent]
+      Streaming.quotaByHour(stream, maxPerHour = 2).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    def commits: Int = Option(new java.io.File(s"$chk/commits").listFiles())
+      .map(_.count(f => f.getName.forall(_.isDigit))).getOrElse(0)
+    val q1 = startRun()
+    while (q1.isActive && commits < 2) Thread.sleep(10)
+    q1.stop(); q1.awaitTermination() // the kill, mid-stream
+    addFile("f4", Seq((-1L, at(5000, 0)))) // watermark flush, post-restart only
+    val q2 = startRun(); q2.awaitTermination()
+    val got = spark.read.parquet(out).as[HourQuota].collect()
+      .filter(_.user_id >= 0)
+      .map(h => (h.user_id, h.hour_start, h.n_events, h.n_accepted, h.n_dropped))
+      .sortBy(r => (r._1, r._2.getTime)).toSeq
+    assert(got == Seq(
+      (1L, at(100, 0), 3L, 2L, 1L),
+      (1L, at(101, 0), 1L, 1L, 0L),
+      (2L, at(100, 0), 1L, 1L, 0L),
+      (2L, at(101, 0), 3L, 2L, 1L)),
+      s"restart lost or duplicated quota ledgers: $got")
+  }
+
   test("quotaReplay: flush sentinel is data-anchored, not a fixed date") {
     // events dated 2026 — PAST the old hard-coded 2025-01-01 sentinel,
     // which would have silently withheld every tail ledger; the max(ts)+48h
