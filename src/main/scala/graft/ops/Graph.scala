@@ -87,8 +87,9 @@ object Graph {
     * would fail at runtime instead of degrading. The default (`None`) is
     * AUTO: the adjacency checkpoint has already materialized the node
     * frame, so counting nodes is a cheap second action over cached blocks,
-    * and the broadcast is taken only when the node count is provably inside
-    * range ([[AutoBroadcastNodes]]). `Some(true|false)` pins the strategy
+    * and the broadcast is taken only when the frame's estimated bytes are
+    * provably inside range ([[AutoBroadcastRankBytes]]). `Some(true|false)`
+    * pins the strategy
     * for callers that know their graph (or whose driver is sized
     * differently). Results are bit-identical either way (GraphSpec asserts
     * it — integer arithmetic, so the join strategy cannot leak into
@@ -96,8 +97,9 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int = 3,
                broadcastRanks: Option[Boolean] = None): DataFrame = {
     val adj = adjacency(edges).localCheckpoint()
-    val bcast = broadcastRanks.getOrElse(adj.count() <= AutoBroadcastNodes)
     var ranks = adj.select(col("src").as("node"), lit(Scale).as("rank"))
+    val bcast = broadcastRanks.getOrElse(
+      fitsRankBroadcast(adj.count(), ranks.schema))
     // the rank frame is |nodes| rows of two longs — for any graph whose
     // adjacency fits memory it broadcasts, making each iteration's join
     // map-side over the (stationary, checkpointed) adjacency frame; the
@@ -131,12 +133,13 @@ object Graph {
                            iterations: Int = 3,
                            broadcastRanks: Option[Boolean] = None): DataFrame = {
     val adj = adjacency(edges).localCheckpoint()
-    val bcast = broadcastRanks.getOrElse(adj.count() <= AutoBroadcastNodes)
     // seedPred is a predicate over the node id column `src` (seeds outside
     // the graph's source set carry no out-edges and no mass — excluded)
     val seeds = adj.where(seedPred).select(col("src").as("__snode"))
       .localCheckpoint(eager = false)
     var ranks = seeds.select(col("__snode").as("node"), lit(Scale).as("rank"))
+    val bcast = broadcastRanks.getOrElse(
+      fitsRankBroadcast(adj.count(), ranks.schema))
     for (_ <- 1 to iterations) {
       val in = adj
         .join(if (bcast) broadcast(ranks) else ranks, adj("src") === ranks("node"))
@@ -192,14 +195,29 @@ object Graph {
           (lit(4L).cast(dec) * lit(m) * lit(m)).cast("double"), 4).as("modularity"))
   }
 
-  /** Auto-broadcast ceiling for [[pageRank]]'s rank frame: 10M (node, rank)
-    * rows is low-hundreds-of-MB as a broadcast — comfortably inside the
-    * 8 GB hard cap and a normally-sized driver, while any graph big enough
-    * to exceed it gets the shuffle-safe join without the caller having to
-    * know. Measured at the 10× probe (SCALE.md): the broadcast path saves
-    * one exchange per iteration and the auto count() adds no measurable
-    * cost over the already-checkpointed adjacency. */
-  val AutoBroadcastNodes: Long = 10000000L
+  /** Auto-broadcast BYTE budget for [[pageRank]]'s per-iteration rank
+    * frame: 320 MB of estimated packed rows — comfortably inside the 8 GB
+    * broadcast hard cap and a normally-sized driver. For today's
+    * (node, rank) long pair (two 8-byte fields + 16 bytes estimated row
+    * overhead = 32 B) this is exactly the previous 10M-row ceiling, but
+    * the guard is byte-based: a future caller that widens the rank frame
+    * (a payload column riding along) shrinks the row ceiling
+    * automatically instead of silently under-estimating bytes behind a
+    * row-count proxy. Measured at the 10× probe (SCALE.md): the broadcast
+    * path saves one exchange per iteration and the auto count() adds no
+    * measurable cost over the already-checkpointed adjacency. */
+  val AutoBroadcastRankBytes: Long = 320L * 1000 * 1000
+
+  /** Estimated-bytes broadcast check for a |rows|-row frame of `schema`:
+    * Σ field defaultSize + 16 B per-row overhead vs the byte budget. A
+    * static estimate (not `plan.stats.sizeInBytes`) on purpose: the rank
+    * frame is mid-iteration lineage whose stats are a join estimate, while
+    * rows × fixed-width schema is exact for the long frames this guards. */
+  private[graft] def fitsRankBroadcast(rows: Long,
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    val rowBytes = schema.fields.map(_.dataType.defaultSize.toLong).sum + 16L
+    rows * rowBytes <= AutoBroadcastRankBytes
+  }
 
   /** Adjacency-list collapse of an edge list: out-neighbors (sorted — the
     * frame itself, not just results, is deterministic across shuffles) and

@@ -108,10 +108,24 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(shuffled == bcast && shuffled.nonEmpty)
     // auto mode (None) must agree too — this tiny graph measures far below
-    // AutoBroadcastNodes, so auto resolves to the broadcast strategy
+    // AutoBroadcastRankBytes, so auto resolves to the broadcast strategy
     val auto = Graph.pageRank(edges, 3)
       .as[(Long, Long)].collect().toSet
     assert(auto == bcast)
+  }
+
+  test("rank-frame broadcast guard is byte-based, not a row-count proxy") {
+    import org.apache.spark.sql.types._
+    val narrow = StructType(Seq(StructField("node", LongType),
+      StructField("rank", LongType))) // 32 B/row estimate
+    // today's 2-long frame keeps the old 10M-row ceiling exactly
+    assert(Graph.fitsRankBroadcast(10000000L, narrow))
+    assert(!Graph.fitsRankBroadcast(10000001L, narrow))
+    // a widened frame (e.g. a 64-float payload riding along) shrinks the
+    // row ceiling automatically — the case a row-count proxy under-estimates
+    val wide = narrow.add(StructField("payload",
+      ArrayType(FloatType))) // defaultSize adds the array estimate
+    assert(!Graph.fitsRankBroadcast(10000000L, wide))
   }
 
   test("associationRules: hand-computed support/confidence/lift, floor applied") {
