@@ -95,8 +95,33 @@ def gen_events(out_dir, shards):
     pq.write_table(pa.concat_tables(tables), f'{out_dir}/events.parquet')
     print(f'wrote {shards * n} events to {out_dir}')
 
+def gen_lineitem(out_dir, shards, src='/root/testdata/sf0.1/lineitem.parquet'):
+    """Nx lineitem slice for the graph-family SCALE probes (q120/q185 read
+    only (l_orderkey, l_partkey)): N disjoint shards, each the sf0.1 pair
+    list with orderkeys/partkeys offset into its own id range. This
+    reproduces sf0.1's exact per-order/per-part degree distribution per
+    shard — the way TPC-H itself scales (order AND part counts grow, lines
+    per order stay fixed), so the probe measures engine scaling on 10x
+    nodes+edges, not a synthetic density blow-up. Deterministic (pure
+    replication, no RNG)."""
+    t = pq.read_table(src, columns=['l_orderkey', 'l_partkey'])
+    ok = t.column('l_orderkey').to_numpy()
+    pk = t.column('l_partkey').to_numpy()
+    o_span = int(ok.max()) + 1
+    p_span = int(pk.max()) + 1
+    tables = [pa.table({
+        'l_orderkey': pa.array(ok + s * o_span, pa.int64()),
+        'l_partkey': pa.array(pk + s * p_span, pa.int64())})
+        for s in range(shards)]
+    pq.write_table(pa.concat_tables(tables), f'{out_dir}/lineitem.parquet')
+    print(f'wrote {shards * len(ok)} lineitem rows to {out_dir}')
+
 if __name__ == '__main__':
     if len(sys.argv) > 3 and sys.argv[3] == 'events':
         gen_events(sys.argv[1], int(sys.argv[2]))
+    elif len(sys.argv) > 3 and sys.argv[3] == 'lineitem':
+        import os
+        os.makedirs(sys.argv[1], exist_ok=True)
+        gen_lineitem(sys.argv[1], int(sys.argv[2]))
     else:
         main()

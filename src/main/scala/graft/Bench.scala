@@ -126,10 +126,14 @@ object Bench {
           .map(_.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
         if (prev.isEmpty) None else Some(prev.max + 1)
       }
-      round.foreach { r =>
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(f"BENCH_LOCAL_r$r%02d.json"), line)
-      }
+      // a SPARK_GRAFT_KEYS-filtered probe run must never stamp the round
+      // record — a 6-key subset masquerading as the round bench would
+      // poison every round-over-round comparison
+      if (sys.env.get("SPARK_GRAFT_KEYS").isEmpty)
+        round.foreach { r =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"BENCH_LOCAL_r$r%02d.json"), line)
+        }
     } catch { case _: Throwable => () } // never fail the bench over provenance
     spark.stop()
   }

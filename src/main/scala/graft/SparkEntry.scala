@@ -1695,6 +1695,23 @@ object SparkEntry {
           .orderBy("view_name", "k").localCheckpoint()
       }
     }),
+    "q260_sequence_pack" -> ((s, dir) =>
+      // the concat-and-chunk packing audit: documents concatenated in id
+      // order into 256-token context windows; straddle_bp IS naive
+      // packing's attention-contamination rate, tail_waste_bp the final
+      // window's padding cost — offsets via the two-phase prefix sum, no
+      // single-partition window
+      Curation.sequencePackStats(T(s, dir, "documents"), "doc_id", "text",
+        capacity = 256)),
+    "q261_mixture_plan" -> ((s, dir) =>
+      // the per-source mixing table behind every published pretraining
+      // mixture: weight-share token targets against available tokens;
+      // epochs_bp > 10^4 flags upsampling (repeat-risk) — one token
+      // aggregate to the |sources|-row metadata frame
+      Curation.mixturePlan(T(s, dir, "documents"), "source", "text",
+        Map("src0" -> 4L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L),
+        totalBudget = 100000L)
+        .orderBy("source")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -5643,6 +5660,36 @@ object SparkEntry {
         |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
     "q257_ivf_train" -> q257Sql,
     "q258_ivf_train_recall" -> q258Sql,
+    "q260_sequence_pack" ->
+      // inclusive prefix sum over doc order; straddle = span crossing a
+      // 256-token boundary; floor-bp ratios; zero-token docs excluded
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk, sum(tk) OVER (ORDER BY doc_id) AS e
+        |  FROM t WHERE tk > 0),
+        |s AS (SELECT count(*) AS n, sum(tk) AS tot,
+        |    sum(CASE WHEN (e - tk) // 256 <> (e - 1) // 256 THEN 1 ELSE 0 END) AS st
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(tot AS BIGINT) AS total_tokens,
+        |  CAST((tot + 255) // 256 AS BIGINT) AS n_chunks,
+        |  CAST(st AS BIGINT) AS n_straddle,
+        |  CAST((10000 * st) // greatest(n, 1) AS BIGINT) AS straddle_bp,
+        |  CAST((10000 * (((tot + 255) // 256) * 256 - tot)) //
+        |    (((tot + 255) // 256) * 256) AS BIGINT) AS tail_waste_bp
+        |FROM s""".stripMargin,
+    "q261_mixture_plan" ->
+      // weight-share targets on exact longs; sources outside the weight
+      // table (or with no tokens) drop out
+      """WITH w(source, wt) AS (VALUES ('src0', 4), ('src1', 3), ('src2', 2), ('src3', 1)),
+        |a AS (SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1)
+        |SELECT a.source, a.avail AS available_tokens,
+        |  CAST((100000 * w.wt) // 10 AS BIGINT) AS target_tokens,
+        |  CAST((10000 * ((100000 * w.wt) // 10)) // a.avail AS BIGINT) AS epochs_bp
+        |FROM a JOIN w USING (source)
+        |WHERE w.wt > 0 AND a.avail > 0 ORDER BY a.source""".stripMargin,
     "q259_cached_views" ->
       // q34's lexicon/compound CTEs; both views from one labeled frame
       // (the cache is never semantic, so the oracle just recomputes)

@@ -332,4 +332,78 @@ object Curation {
         col("n").cast("long").as("n"),
         Num.roundz(col("n").cast("double") / col("s0").cast("double"), 4).as("share"))
   }
+
+  /** Concat-and-chunk sequence-packing audit — the "what does naive packing
+    * cost" readout a pretraining data pipeline reads before choosing a
+    * packing strategy: documents are concatenated in id order and split
+    * into fixed `capacity`-token context windows (the standard packing
+    * shape), and a document whose token span straddles a window boundary
+    * either leaks attention across documents or gets split mid-text —
+    * straddle_bp IS the contamination rate of naive packing; tail_waste_bp
+    * is the padding cost of the final partial window. Zero-token docs
+    * occupy no span and are excluded (both engines).
+    *
+    * Exactness: token counts are exact ints ([[TextAnalysis.tokenCount]],
+    * the codegen'd expression); offsets come from [[TwoPhase.prefixSum]]
+    * (bit-identical to the single-partition window, without one); all
+    * ratios are floor basis points — no float anywhere.
+    *
+    * Scale shape: one token-count scan, the two-phase global prefix sum
+    * (32 parallel bins, per-bin totals are driver metadata), one final
+    * aggregate to a single row. No single-partition window, no join. */
+  def sequencePackStats(docs: DataFrame, idCol: String, textCol: String,
+                        capacity: Long): DataFrame = {
+    require(capacity > 0, "sequencePackStats: capacity must be positive")
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__t"))
+      .filter(col("__t") > 0)
+    val (spans, total) = TwoPhase.prefixSum(
+      toks, col("__id"), Seq(col("__id")), col("__t"), "__end")
+    val nChunks = (total + capacity - 1) / capacity
+    // a fully-empty corpus yields the zero row rather than dividing by zero
+    val waste =
+      if (nChunks == 0) 0L
+      else (10000L * (nChunks * capacity - total)) / (nChunks * capacity)
+    spans
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(expr(s"(__end - __t) div $capacity") =!=
+          expr(s"(__end - 1) div $capacity"), 1L).otherwise(0L)), lit(0L)).as("__s"))
+      .select(col("__n").cast("long").as("n_docs"),
+        lit(total).as("total_tokens"),
+        lit(nChunks).as("n_chunks"),
+        col("__s").cast("long").as("n_straddle"),
+        expr("(10000 * __s) div greatest(__n, 1)").cast("long").as("straddle_bp"),
+        lit(waste).as("tail_waste_bp"))
+  }
+
+  /** Data-mixing epoch plan — the per-source upsampling table behind every
+    * published pretraining mixture (Pile/LLaMA-style "source × weight ×
+    * epochs"): given target mix weights and a total token budget, each
+    * source's target tokens are its weight share of the budget and
+    * epochs_bp says how many times the available data must be repeated
+    * (> 10⁴ ⇒ upsampling, the overfit-risk flag this table exists to
+    * surface). Sources not in `weights` take weight 0 and drop out.
+    *
+    * Exactness: available tokens are exact longs; target = budget·w div
+    * Σw on longs; epochs_bp = 10⁴·target div available. Scale shape: one
+    * token-count aggregate to the |sources|-row metadata frame; the weight
+    * table is a literal CASE — everything after the aggregate is
+    * metadata-sized. */
+  def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
+                  weights: Map[String, Long], totalBudget: Long): DataFrame = {
+    val wSum = weights.values.sum
+    require(wSum > 0, "mixturePlan: weights must sum to a positive value")
+    docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__avail"))
+      .withColumn("__w", weights.foldLeft(lit(0L): Column) { case (acc, (s, wt)) =>
+        when(col("source") === s, lit(wt)).otherwise(acc)
+      })
+      .filter(col("__w") > 0 && col("__avail") > 0)
+      .select(col("source"),
+        col("__avail").cast("long").as("available_tokens"),
+        expr(s"($totalBudget * __w) div $wSum").cast("long").as("target_tokens"),
+        expr(s"(10000 * (($totalBudget * __w) div $wSum)) div __avail")
+          .cast("long").as("epochs_bp"))
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.Curation
 
 class CurationSpec extends SparkSpec {
@@ -239,5 +241,46 @@ class CurationSpec extends SparkSpec {
       (0L, "total", 4L, 1.0), (1L, "length", 3L, 0.75),
       (2L, "lang", 2L, 0.5), (3L, "tokens", 1L, 0.25),
       (4L, "alpha", 1L, 0.25)))
+  }
+
+  test("sequencePackStats: hand-computed straddles and tail waste, capacity 10") {
+    // spans (id order): [0,6) [6,14) [14,20) [20,21); capacity 10 →
+    // doc 2 straddles (6→14 crosses 10), doc 3 ends AT 20 (no straddle:
+    // last token index 19 is in chunk 1), doc 4 starts chunk 2.
+    // 21 tokens → 3 chunks; waste = (30−21)/30 = 3000 bp; empty doc drops
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val df = Seq((1L, words(6)), (2L, words(8)), (3L, words(6)),
+      (4L, words(1)), (5L, "")).toDF("doc_id", "text")
+    val out = Curation.sequencePackStats(df, "doc_id", "text", capacity = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((4L, 21L, 3L, 1L, 2500L, 3000L)))
+  }
+
+  test("sequencePackStats equals the single-window oracle on a larger frame") {
+    // two-phase prefix sum vs the naive global window, straddle-for-straddle
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, (1 to (i % 37 + 1).toInt).map(_ => "t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.sequencePackStats(df, "doc_id", "text", capacity = 64)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val naive = df.select(col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("tk"))
+      .withColumn("e", sum("tk").over(Window.orderBy("doc_id")))
+      .agg(count(lit(1)), sum("tk"),
+        sum(when(expr("(e - tk) div 64") =!= expr("(e - 1) div 64"), 1L).otherwise(0L)))
+      .as[(Long, Long, Long)].head()
+    assert((got._1, got._2, got._4) == naive)
+  }
+
+  test("mixturePlan: weight-share targets and upsampling flag on exact longs") {
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val df = Seq(("a", words(100)), ("a", words(100)), ("b", words(10)),
+      ("c", words(50))).toDF("source", "text")
+    // budget 300, weights a:2 b:1 (c unweighted → drops); Σw=3 →
+    // a target 200 over 200 avail = 10000 bp; b target 100 over 10 → 100000 bp
+    val out = Curation.mixturePlan(df, "source", "text",
+      Map("a" -> 2L, "b" -> 1L), totalBudget = 300L)
+      .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 200L, 200L, 10000L), ("b", 10L, 100L, 100000L)))
   }
 }
