@@ -1712,6 +1712,13 @@ object SparkEntry {
         Map("src0" -> 4L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L),
         totalBudget = 100000L)
         .orderBy("source")),
+    "q262_dup_spans" -> ((s, dir) =>
+      // exact repeated-span audit (Lee et al. substring dedup at 3-token
+      // granularity): per-doc share of spans whose exact text recurs
+      // ANYWHERE in the corpus — catches boilerplate/template bodies that
+      // survive every document-level gate; 8-byte Karp-Rabin exchange key
+      Dedup.dupSpanStats(T(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -5690,6 +5697,22 @@ object SparkEntry {
         |  CAST((10000 * ((100000 * w.wt) // 10)) // a.avail AS BIGINT) AS epochs_bp
         |FROM a JOIN w USING (source)
         |WHERE w.wt > 0 AND a.avail > 0 ORDER BY a.source""".stripMargin,
+    "q262_dup_spans" ->
+      // positional 3-token windows, occurrence counts on the same
+      // Karp-Rabin fingerprint the Spark exchange keys on (q53/q254
+      // convention), verdict join + per-doc floor-bp aggregate
+      s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |    w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] || ' ' ||
+         |      w[CAST(i AS BIGINT) + 2] AS shingle
+         |  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t),
+         |h AS (SELECT doc_id, ${krSql("shingle")} AS hv FROM sh),
+         |f AS (SELECT hv, count(*) AS cf FROM h GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST((10000 * sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END)) // count(*)
+         |    AS BIGINT) AS dup_bp
+         |FROM h JOIN f USING (hv) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q259_cached_views" ->
       // q34's lexicon/compound CTEs; both views from one labeled frame
       // (the cache is never semantic, so the oracle just recomputes)

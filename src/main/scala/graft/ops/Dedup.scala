@@ -134,6 +134,52 @@ object Dedup {
       .withColumn("contaminated", col("hits") >= minHits)
   }
 
+  /** POSITIONAL word k-shingles — [[wordShingles]] keeping every occurrence
+    * with its token offset instead of the per-doc distinct set. The input
+    * frame for span-level (not document-level) duplication analysis. */
+  def positionalShingles(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame =
+    docs.select(col(idCol), split(lower(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol), posexplode(expr(
+        s"filter(transform(__w, (x, i) -> concat_ws(' ', slice(__w, i + 1, $k)))," +
+          s" s -> size(split(s, ' ')) = $k)")).as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("shingle"))
+
+  /** Exact repeated-span audit — the k-token-granular relational form of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): a span is DUPLICATED when its exact text
+    * occurs more than once in the corpus (any document, any position —
+    * within-doc repeats count, they are the same memorization risk).
+    * dup_span_bp per document is the repeated-content rate the substring-
+    * dedup decision reads — high-bp docs are boilerplate/template bodies
+    * that survive document-level gates (q43/q44) because no WHOLE document
+    * matches.
+    *
+    * Scale shape: one positional-shingle pass (checkpointed — the
+    * frequency aggregate and the verdict join both read it, the
+    * commonLineRemoval diamond); occurrence counts group on the Karp–Rabin
+    * span fingerprint ([[graft.functions.RollingHash]] — an 8-byte,
+    * DuckDB-replicable exchange key, never span text); one equi-join back
+    * on the fingerprint and one per-doc aggregate. Linear in token volume,
+    * no window, no pair join. Docs with < k tokens emit no row (both
+    * engines).
+    *
+    * Output: (id, n_spans, n_dup, dup_bp floor basis points). */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val sh = positionalShingles(docs, idCol, textCol, k)
+      .withColumn("__h", graft.functions.RollingHash(col("shingle")))
+      .localCheckpoint(eager = false)
+    val freq = sh.groupBy(col("__h")).agg(count(lit(1)).as("__f"))
+    sh.join(freq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__f") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col(idCol), col("n_spans").cast("long").as("n_spans"),
+        col("n_dup").cast("long").as("n_dup"),
+        expr("(10000 * n_dup) div n_spans").cast("long").as("dup_bp"))
+  }
+
   /** MinHash signatures: for each of `numHashes` seeded permutations keep the
     * min over the doc's shingle hashes. One explode + one groupBy — the
     * signature matrix is |docs| × numHashes longs.

@@ -265,6 +265,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, "a\nb", 2L, 0L), (2L, "", 0L, 0L), (3L, "", 0L, 0L)))
   }
 
+  test("dupSpanStats: within-doc and cross-doc repeats both count; short docs drop") {
+    // doc 1: "a b c a b c" → 4 tri-spans [abc, bca, cab, abc]: 'a b c' ×2
+    //   (within-doc repeat) → n_dup 2, bp 5000
+    // doc 2: "x y z w" → 2 spans [xyz, yzw], 'x y z' also in doc 3 → n_dup 1
+    // doc 3: "x y z" → 1 span, duplicated (cross-doc) → bp 10000
+    // doc 4: "p q" → no 3-token span → no row
+    val docs = Seq((1L, "a b c a b c"), (2L, "x y z w"), (3L, "x y z"),
+      (4L, "p q")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 2L, 5000L), (2L, 2L, 1L, 5000L),
+      (3L, 1L, 1L, 10000L)))
+  }
+
   test("componentIndex equals the direct derivation and writes exactly once per JVM") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

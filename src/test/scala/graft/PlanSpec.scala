@@ -594,6 +594,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sequence packing: prefix sum is two-phase — no single-partition window (q260)") {
+    val plan = q("q260_sequence_pack")
+    // the global token prefix sum must run per-bin, never one task
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"global-window prefix sum detected:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("withCache: views read the pinned InMemoryRelation; output equals uncached (q259)") {
     import org.apache.spark.sql.functions._
     import graft.ops.Sentiment
