@@ -1719,6 +1719,16 @@ object SparkEntry {
       // survive every document-level gate; 8-byte Karp-Rabin exchange key
       Dedup.dupSpanStats(T(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id")),
+    "q264_hard_negatives" -> ((s, dir) => {
+      // contrastive-training pair mining: per anchor (vec_id < 8), the 3
+      // nearest corpus vectors with a DIFFERENT label — the triplet-loss
+      // negative selection step; broadcast anchors, one corpus scan,
+      // two-phase ranking
+      val emb = T(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy("query_id", "rn")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -5713,6 +5723,19 @@ object SparkEntry {
          |  CAST((10000 * sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END)) // count(*)
          |    AS BIGINT) AS dup_bp
          |FROM h JOIN f USING (hv) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q264_hard_negatives" ->
+      // q45's brute-force chain with the different-label filter
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label AS ql FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    label AS cl FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id AND cl <> ql),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+        |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn
+        |FROM r WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
     "q259_cached_views" ->
       // q34's lexicon/compound CTEs; both views from one labeled frame
       // (the cache is never semantic, so the oracle just recomputes)

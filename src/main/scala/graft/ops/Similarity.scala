@@ -100,6 +100,28 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training — per anchor, the k
+    * nearest corpus vectors carrying a DIFFERENT label: the highest-value
+    * negatives (closest in embedding space while semantically distinct),
+    * the pair-construction step behind every contrastive/triplet-loss
+    * dataset. Same broadcast-queries/one-corpus-scan shape as
+    * [[cosineTopK]] (the label inequality is a map-side filter on the
+    * scored frame) and the same two-phase [[topKPerQuery]] ranking.
+    *
+    * Output: (query_id, neighbor_id, cosine 4dp, rn 1..k). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("__cl"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") && col("__cl") =!= col("__ql"))
+      .withColumn("cosine", dot("qv", "cv") / (norm("qv") * norm("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, cosine ≥
     * threshold. Brute-force all-pairs — O(N²) compute and shuffle, so this is
     * NOT a registered query path; it survives as the exact recall yardstick

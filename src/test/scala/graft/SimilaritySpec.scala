@@ -412,6 +412,21 @@ class SimilaritySpec extends SparkSpec {
       t9.orderBy("cell", "dim").as[(Long, Long, Long)].collect().toSeq)
   }
 
+  test("hardNegatives returns only different-label neighbors, nearest first") {
+    import spark.implicits._
+    // anchor (1,0) label 0: same-label (0.9,0.1) must be skipped; the
+    // different-label neighbors rank (0.8,0.2) [closest] then (0,1)
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.8f, 0.2f), 1), (3L, Array(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rn").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(2L, 3L), out.toString)
+    assert(out.head._3 > out(1)._3)
+  }
+
   test("microCentroidVectors reassembles dims in order as exact cm/1e6 doubles") {
     import spark.implicits._
     val cent = Seq((0L, 1L, 500000L), (0L, 0L, -1000000L), (1L, 0L, 250000L),
