@@ -114,6 +114,20 @@ class GraphSpec extends SparkSpec {
     assert(auto == bcast)
   }
 
+  test("coOccurrenceEdgeIndex equals the direct derivation and writes once per JVM") {
+    val rel = (1L to 300L).map(i => (i % 23, i % 7)).toDF("c", "e")
+    val dir = java.nio.file.Files.createTempDirectory("graft_eidx").toString + "/idx"
+    val idx = Graph.coOccurrenceEdgeIndex(rel, "e", "c", dir)
+    val direct = Graph.coOccurrenceEdges(rel, "e", "c")
+    assert(idx.as[(Long, Long)].collect().toSet ==
+      direct.as[(Long, Long)].collect().toSet)
+    def mtimes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes
+    Graph.coOccurrenceEdgeIndex(rel, "e", "c", dir).count()
+    assert(mtimes == before, "second touch rewrote the edge index")
+  }
+
   test("rank-frame broadcast guard is byte-based, not a row-count proxy") {
     import org.apache.spark.sql.types._
     val narrow = StructType(Seq(StructField("node", LongType),
