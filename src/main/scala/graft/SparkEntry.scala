@@ -1741,6 +1741,36 @@ object SparkEntry {
           "vec_id", "embedding", "label", k = 3)
         .orderBy("query_id", "rn")
     }),
+    "q265_incremental_components" -> ((s, dir) => {
+      // incremental dedup-index maintenance PROVEN ≡ batch: components of
+      // the historical slice (doc_id < 350) absorb a new batch (≥ 350) via
+      // the resolved-star merge — old×new pairs from the band-index probe,
+      // new×new from the batch alone, each side banded exactly once; the
+      // oracle recomputes components over the WHOLE corpus from scratch,
+      // so the gate row IS the incremental ≡ full-recompute proof
+      val docs = T(s, dir, "documents")
+      val oldBanded = Dedup.bandedSignatures(docs.filter(col("doc_id") < 350),
+        "doc_id", "text", shingleK = 2, numHashes = 16, bands = 8)
+      val freshBanded = Dedup.bandedSignatures(docs.filter(col("doc_id") >= 350),
+        "doc_id", "text", shingleK = 2, numHashes = 16, bands = 8)
+      val existing = Dedup.connectedComponents(
+        Dedup.nearDupPairsBanded(oldBanded, "doc_id", 16, 0.25))
+      val cross = Dedup.probeNearDupBanded(oldBanded, freshBanded, "doc_id", 16, 0.25)
+        .select(col("existing_id").as("id_a"), col("new_id").as("id_b"))
+      val inner = Dedup.nearDupPairsBanded(freshBanded, "doc_id", 16, 0.25)
+        .select(col("id_a"), col("id_b"))
+      Dedup.mergeComponents(existing, cross.unionByName(inner))
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+    "q266_stream_neardup" -> ((s, dir) =>
+      // the streaming near-dup ingest gate: ascending-id micro-batches,
+      // each banded once, probed against the accumulated parquet signature
+      // index, deduped within-batch, survivors appended — the survivor set
+      // is batching-invariant and equals "docs that are id_b of no
+      // whole-corpus pair", which is exactly what the oracle computes
+      Streaming.nearDupGateReplay(s, dir, s"$TMP/q266_src")
+        .orderBy("doc_id")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -6459,6 +6489,27 @@ object SparkEntry {
     "q44_minhash_neardup" -> q44Sql,
     // components over the SAME pair pipeline as q44, closed transitively by a
     // recursive CTE, labeled by the component minimum
+    "q265_incremental_components" ->
+      // the full-recompute twin: q77's recursive closure over the WHOLE
+      // corpus — equality here proves the incremental star-merge path
+      s"""WITH RECURSIVE pairs AS ($q44Sql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |conn(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+         |lab AS (SELECT a, least(a, min(b)) AS component FROM conn GROUP BY a)
+         |SELECT a AS doc_id, component FROM lab ORDER BY doc_id""".stripMargin,
+    "q266_stream_neardup" ->
+      // survivors = docs that are id_b of NO pair; batch_id from the
+      // ascending-id span the stager uses (ceil((max+1)/4))
+      s"""WITH pairs AS ($q44Sql),
+         |m AS (SELECT max(doc_id) AS mx FROM documents),
+         |s AS (SELECT doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs))
+         |SELECT doc_id, CAST(doc_id // ((mx + 4) // 4) AS BIGINT) AS batch_id
+         |FROM s, m ORDER BY doc_id""".stripMargin,
     "q77_neardup_components" ->
       s"""WITH RECURSIVE pairs AS ($q44Sql),
          |e AS (SELECT id_a AS src, id_b AS dst FROM pairs

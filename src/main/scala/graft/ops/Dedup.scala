@@ -217,8 +217,17 @@ object Dedup {
     */
   def minHashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                     threshold: Double = 0.5): DataFrame = {
-    val banded = bandedSignatures(docs, idCol, textCol, shingleK, numHashes, bands)
+                     threshold: Double = 0.5): DataFrame =
+    nearDupPairsBanded(
+      bandedSignatures(docs, idCol, textCol, shingleK, numHashes, bands),
+      idCol, numHashes, threshold)
+
+  /** Within-set near-dup pairs from an ALREADY-BANDED signature frame —
+    * the [[minHashNearDup]] join exposed for callers that band once and
+    * reuse the frame (the streaming ingest gate bands each batch exactly
+    * once for the inner pairs, the index probe, AND the index append). */
+  def nearDupPairsBanded(banded: DataFrame, idCol: String, numHashes: Int,
+                         threshold: Double): DataFrame = {
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
     val agree = expr(
@@ -279,10 +288,19 @@ object Dedup {
     * Output: (existing_id, new_id, est_jaccard ≥ threshold), distinct. */
   def probeNearDup(index: DataFrame, fresh: DataFrame, idCol: String,
                    textCol: String, shingleK: Int, numHashes: Int, bands: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double): DataFrame =
+    probeNearDupBanded(index,
+      bandedSignatures(fresh, idCol, textCol, shingleK, numHashes, bands),
+      idCol, numHashes, threshold)
+
+  /** [[probeNearDup]] with the fresh side ALREADY banded (same hash family
+    * and band layout as the index — the stored-index contract). */
+  def probeNearDupBanded(index: DataFrame, freshBanded: DataFrame,
+                         idCol: String, numHashes: Int,
+                         threshold: Double): DataFrame = {
     val e = index.select(col(idCol).as("existing_id"), col("sig").as("sig_a"),
       col("band"), col("band_hash"))
-    val f = bandedSignatures(fresh, idCol, textCol, shingleK, numHashes, bands)
+    val f = freshBanded
       .select(col(idCol).as("new_id"), col("sig").as("sig_b"),
         col("band"), col("band_hash"))
     val agree = expr(
@@ -555,6 +573,31 @@ object Dedup {
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** INCREMENTAL component maintenance: fold a batch of NEW near-dup pairs
+    * into an ALREADY-RESOLVED (node, component) map without re-deriving
+    * history — the production shape for a persisted dedup index absorbing
+    * each crawl batch (re-running components over all historical pairs per
+    * batch is quadratic in ingest history; this pays only for the new
+    * pairs plus the touched clusters).
+    *
+    * Correctness: the existing map re-enters the edge set as
+    * (node, component) edges. Each resolved cluster is a STAR around its
+    * minimum label, so the union graph connects exactly the same node sets
+    * as (old pairs ∪ new pairs) — the fixpoint labels are IDENTICAL to a
+    * full recompute (DedupSpec asserts equality against the from-scratch
+    * result on random graphs), and stars have diameter ≤ 2, so propagation
+    * converges in a couple of rounds no matter how deep the original
+    * clusters were. New pairs may introduce brand-new nodes, bridge
+    * existing clusters, or both.
+    *
+    * Output: (node, component) for every node in the map or the batch. */
+  def mergeComponents(existing: DataFrame, newPairs: DataFrame,
+                      idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    connectedComponents(
+      existing.select(col("node").as(idA), col("component").as(idB))
+        .unionByName(newPairs.select(col(idA), col(idB))),
+      idA, idB)
 
   /** Large-star/small-star connected components — the EXTREME-graph-scale
     * alternative to [[connectedComponents]]' min-label propagation.

@@ -340,10 +340,10 @@ object Streaming {
     * sanitized path plus every file's (relative name, size, mtime) under the
     * events table dir, hex-encoded. Changing any input byte's file metadata
     * changes the key, so stale stages are never replayed. */
-  private[graft] def stageKey(dir: String): String = {
+  private[graft] def stageKey(dir: String, table: String = "events"): String = {
     def fold(h: Long, s: String): Long =
       s.foldLeft(h)((acc, c) => (acc ^ c.toLong) * 0x100000001b3L)
-    val root = new java.io.File(dir, "events.parquet")
+    val root = new java.io.File(dir, s"$table.parquet")
     val files =
       if (root.isFile) Array(root)
       else Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
@@ -472,6 +472,93 @@ object Streaming {
       quotaByHour(stream, maxPerHour).toDF()
     }, "append", statePartitions = Some(4))
       .filter(col("user_id") >= 0)
+  }
+
+  /** STREAMING near-dup ingest gate — the production crawler composition:
+    * each arriving micro-batch is banded ONCE ([[graft.ops.Dedup
+    * .bandedSignatures]]), probed against the accumulated signature index
+    * of everything seen so far (kept AND removed — a removed doc's
+    * near-dups must still be caught), deduped within the batch, and only
+    * survivors land; the batch's signatures then extend the index.
+    * Because the staged batches arrive in ascending-id order, the
+    * survivor set provably equals the batch twin "docs that are id_b of
+    * NO whole-corpus near-dup pair" (any partner with a smaller id is
+    * either already in the index or in the same batch) — and it is
+    * batching-INVARIANT: merging adjacent batches only moves pairs
+    * between the probe join and the within-batch join, never changes the
+    * verdict, so the oracle needs no batch-boundary knowledge.
+    *
+    * Scale shape: per batch one banding pass, one (band, band_hash)-keyed
+    * probe join against the parquet index, one within-batch banded
+    * self-join, one anti-join — history is only ever touched through the
+    * band-key equi-join, and the index holds (id, sig, band, band_hash)
+    * rows, never document text. Index + survivors live in PARQUET
+    * (restart-safe), not executor memory.
+    *
+    * Output: (doc_id, batch_id = id div span) for survivors. */
+  def nearDupGateReplay(spark: SparkSession, dir: String, stageDirBase: String,
+                        batches: Int = 4, shingleK: Int = 2,
+                        numHashes: Int = 16, bands: Int = 8,
+                        threshold: Double = 0.25): DataFrame = {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val span = (maxId + batches) / batches // ceil((maxId+1)/batches)
+    // stage once per input content: `batches` single-file slices in
+    // ascending-id order (ascending names AND mtimes — the file source
+    // discovers them in order)
+    val stageDir = s"$stageDirBase/${stageKey(dir, "documents")}"
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      new java.io.File(stageDir).mkdirs()
+      (0 until batches).foreach { i =>
+        val tmp = s"$stageDir/__stage$i"
+        docs.filter(col("doc_id") >= i * span && col("doc_id") < (i + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stageDir, f"b$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+        deleteRecursively(new java.io.File(tmp))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stageDir, "_SUCCESS"), "")
+    }
+    // fresh work area per run: the index/survivor accumulation is the
+    // query's STATE and must start empty
+    val work = java.nio.file.Files.createTempDirectory("graft_neardup_gate").toString
+    val idxDir = s"$work/index"; val outDir = s"$work/survivors"
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = session.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val banded = Dedup.bandedSignatures(batch, "doc_id", "text",
+          shingleK, numHashes, bands)
+        val inner = Dedup.nearDupPairsBanded(banded, "doc_id", numHashes, threshold)
+          .select(col("id_b").as("doc_id"))
+        val cross =
+          if (new java.io.File(idxDir).exists())
+            Dedup.probeNearDupBanded(session.read.parquet(idxDir), banded,
+              "doc_id", numHashes, threshold)
+              .select(col("new_id").as("doc_id"))
+          else session.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        val removed = inner.unionByName(cross).distinct()
+        batch.select(col("doc_id"))
+          .join(removed, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outDir)
+        banded.write.mode("append").parquet(idxDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/chk")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), expr(s"doc_id div $span").cast("long").as("batch_id"))
   }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

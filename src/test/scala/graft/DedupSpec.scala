@@ -279,6 +279,33 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 1L, 10000L)))
   }
 
+  test("mergeComponents equals full recompute: bridges, new nodes, deep clusters") {
+    // existing: a resolved DEEP chain {1..4} plus {10,11}; the star form of
+    // the map must let a bridge (4,10) merge both in O(1) rounds, a
+    // brand-new pair (20,21) enter, and untouched clusters stay put
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val newPairs = Seq((4L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val existing = Dedup.connectedComponents(oldPairs)
+    val merged = Dedup.mergeComponents(existing, newPairs)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toSet
+    assert(merged == full && merged.contains((11L, 1L)) && merged.contains((21L, 20L)))
+  }
+
+  test("mergeComponents equals full recompute on a random pair stream") {
+    val rng = new scala.util.Random(7)
+    val all = Seq.fill(60)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val (oldP, newP) = all.splitAt(all.size / 2)
+    val existing = Dedup.connectedComponents(oldP.toDF("id_a", "id_b"))
+    val merged = Dedup.mergeComponents(existing, newP.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(all.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(merged == full)
+  }
+
   test("componentIndex equals the direct derivation and writes exactly once per JVM") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -437,6 +437,21 @@ class StreamingSpec extends SparkSpec {
       s"restart lost or duplicated quota ledgers: $got")
   }
 
+  test("nearDupGateReplay: dups caught across AND within batches; survivors exact") {
+    // maxId 7 → span 2 → batches [0,2) [2,4) [4,6) [6,8).
+    // 3 dups 0 (cross-batch, via the index probe), 4 dups 1 (cross),
+    // 5 dups 2 (cross), 7 dups 6 (WITHIN batch 3) → survivors 0,1,2,6
+    val base = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val dir = s"$base/data"; new java.io.File(dir).mkdirs()
+    Seq((0L, "a b c d e"), (1L, "p q r s t"), (2L, "x y z w v"),
+      (3L, "a b c d e"), (4L, "p q r s t"), (5L, "x y z w v"),
+      (6L, "m n o k l"), (7L, "m n o k l"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Streaming.nearDupGateReplay(spark, dir, s"$base/stage", batches = 4)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L), (1L, 0L), (2L, 1L), (6L, 3L)), out.toString)
+  }
+
   test("quotaReplay: flush sentinel is data-anchored, not a fixed date") {
     // events dated 2026 — PAST the old hard-coded 2025-01-01 sentinel,
     // which would have silently withheld every tail ledger; the max(ts)+48h
