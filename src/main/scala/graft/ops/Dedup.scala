@@ -100,16 +100,16 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Distinct word k-shingles per doc: (id, shingle) pairs. The token array
-    * is bound to a named column so the window slices reference ONE
-    * materialized split (a Column-API lambda form re-evaluated the split per
-    * element — measured 2× slower end-to-end). */
+  /** Distinct word k-shingles per doc: (id, shingle) pairs, via the native
+    * codegen'd [[graft.functions.WordShingles]] expression — one fused loop
+    * replacing the interpreted transform/slice/filter/array_distinct lambda
+    * chain (bit-identical output, PropertySpec-asserted; the lambda chain's
+    * history: a Column-API form re-evaluated the split per element and was
+    * 2× slower, the named-column form that replaced it still ran its
+    * lambdas interpreted). */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol), split(lower(col(textCol)), "\\s+").as("__w"))
-      .select(col(idCol), explode(array_distinct(expr(
-        // sliding window over the token array; drop short tail windows
-        s"filter(transform(__w, (x, i) -> concat_ws(' ', slice(__w, i + 1, $k)))," +
-          s" s -> size(split(s, ' ')) = $k)"))).as("shingle"))
+    docs.select(col(idCol),
+      explode(graft.functions.WordShingles(col(textCol), k)).as("shingle"))
 
   /** Benchmark decontamination check (the training-data hygiene pass every
     * LLM corpus needs): flag documents sharing ≥ `minHits` distinct word
@@ -135,14 +135,15 @@ object Dedup {
   }
 
   /** POSITIONAL word k-shingles — [[wordShingles]] keeping every occurrence
-    * with its token offset instead of the per-doc distinct set. The input
-    * frame for span-level (not document-level) duplication analysis. */
+    * with its token offset instead of the per-doc distinct set (full
+    * windows are the contiguous prefix i = 0..n−k, so the array index IS
+    * the token offset). The input frame for span-level (not
+    * document-level) duplication analysis. */
   def positionalShingles(docs: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame =
-    docs.select(col(idCol), split(lower(col(textCol)), "\\s+").as("__w"))
-      .select(col(idCol), posexplode(expr(
-        s"filter(transform(__w, (x, i) -> concat_ws(' ', slice(__w, i + 1, $k)))," +
-          s" s -> size(split(s, ' ')) = $k)")).as(Seq("pos", "shingle")))
+    docs.select(col(idCol),
+      posexplode(graft.functions.WordShingles(col(textCol), k, distinct = false))
+        .as(Seq("pos", "shingle")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("shingle"))
 
   /** Exact repeated-span audit — the k-token-granular relational form of

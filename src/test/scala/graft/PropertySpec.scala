@@ -17,6 +17,49 @@ class PropertySpec extends SparkSpec {
 
   private val idGen = Gen.listOfN(30, Gen.chooseNum(1L, 12L))
 
+  test("property: WordShingles expression ≡ the declarative lambda chain, bit for bit") {
+    // the native fused loop must reproduce every quirk of
+    // split(lower(t), \s+) → windows → concat_ws → size-filter →
+    // array_distinct, including leading/trailing whitespace (empty edge
+    // tokens), unicode, tabs/newlines, and sub-k-token texts
+    val tokenGen = Gen.oneOf("alpha", "Beta", "GAMMA", "δeλta", "x", "", "émile")
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(n + 1, sepGen)
+      lead <- Gen.oneOf("", " ", "\t")
+      trail <- Gen.oneOf("", " ", "\n")
+    } yield lead + toks.zip(seps).map { case (t, s) => t + s }.mkString + trail
+    val texts = (1L to 40L).map(s => sample(textGen, s)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    Seq(1, 2, 3).foreach { k =>
+      val df = texts.toDF("doc_id", "text")
+      val declarative = df
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("__w"))
+        .select(col("doc_id"), expr(
+          s"array_distinct(filter(transform(__w, (x, i) -> concat_ws(' ', slice(__w, i + 1, $k)))," +
+            s" s -> size(split(s, ' ')) = $k))").as("sh"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      val native = df
+        .select(col("doc_id"), graft.functions.WordShingles(col("text"), k).as("sh"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      assert(native == declarative, s"k=$k diverged")
+      // positional form: index = token offset of each full window, in order
+      val declPos = df
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("__w"))
+        .select(col("doc_id"), expr(
+          s"filter(transform(__w, (x, i) -> concat_ws(' ', slice(__w, i + 1, $k)))," +
+            s" s -> size(split(s, ' ')) = $k)").as("sh"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      val nativePos = df
+        .select(col("doc_id"),
+          graft.functions.WordShingles(col("text"), k, distinct = false).as("sh"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      assert(nativePos == declPos, s"k=$k positional diverged")
+    }
+  }
+
   test("property: HashFamily constants respect the overflow-safety bounds") {
     import graft.functions.HashFamily
     // a_i odd in [1, 2^31), b_i in [0, P): a_i * x + b_i can never overflow a
