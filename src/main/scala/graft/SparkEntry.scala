@@ -1771,6 +1771,13 @@ object SparkEntry {
       // whole-corpus pair", which is exactly what the oracle computes
       Streaming.nearDupGateReplay(s, dir, s"$TMP/q266_src")
         .orderBy("doc_id")),
+    "q267_stream_psi" -> ((s, dir) =>
+      // the drift monitor as a STREAM: each arriving batch's value
+      // histogram scored against the pinned first-batch reference via
+      // q158's exact PSI machinery; batch boundaries derive from the id
+      // span, so the oracle reproduces them with no stream knowledge
+      Streaming.psiReplay(s, dir, s"$TMP/q267_src")
+        .orderBy("batch_id")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -6489,6 +6496,32 @@ object SparkEntry {
     "q44_minhash_neardup" -> q44Sql,
     // components over the SAME pair pipeline as q44, closed transitively by a
     // recursive CTE, labeled by the component minimum
+    "q267_stream_psi" ->
+      // q158's smoothed-term/bin-fold machinery; reference = batch 0 of
+      // the arithmetic id-span batching, one PSI row per later batch
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |e AS (SELECT event_id // ((mx + 4) // 4) AS b,
+        |    least(CAST(round(value * 100, 0) AS BIGINT) // 5000, 9) AS bin
+        |  FROM events, m),
+        |c AS (SELECT b, bin, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT bin, n FROM c WHERE b = 0),
+        |na AS (SELECT sum(n) AS na FROM r),
+        |tb AS (SELECT b, sum(n) AS nb FROM c WHERE b > 0 GROUP BY 1),
+        |spine AS (SELECT b, unnest(range(10)) AS bin
+        |  FROM (SELECT DISTINCT b FROM c WHERE b > 0)),
+        |terms AS (SELECT s.b, s.bin, na.na, tb.nb,
+        |  (CAST(coalesce(r.n, 0) + 1 AS DOUBLE) / (na.na + 10) -
+        |   CAST(coalesce(cb.n, 0) + 1 AS DOUBLE) / (tb.nb + 10)) *
+        |  ln((CAST(coalesce(r.n, 0) + 1 AS DOUBLE) / (na.na + 10)) /
+        |     (CAST(coalesce(cb.n, 0) + 1 AS DOUBLE) / (tb.nb + 10))) AS term
+        |  FROM spine s LEFT JOIN r ON r.bin = s.bin
+        |  LEFT JOIN c cb ON cb.b = s.b AND cb.bin = s.bin
+        |  CROSS JOIN na JOIN tb ON tb.b = s.b)
+        |SELECT b AS batch_id, CAST(any_value(na) AS BIGINT) AS n_a,
+        |  CAST(any_value(nb) AS BIGINT) AS n_b,
+        |  (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bin)),
+        |    (a, b) -> a + b), 4) + 0.0) AS psi
+        |FROM terms GROUP BY b ORDER BY batch_id""".stripMargin,
     "q265_incremental_components" ->
       // the full-recompute twin: q77's recursive closure over the WHOLE
       // corpus — equality here proves the incremental star-merge path

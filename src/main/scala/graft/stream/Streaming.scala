@@ -561,6 +561,77 @@ object Streaming {
       .select(col("doc_id"), expr(s"doc_id div $span").cast("long").as("batch_id"))
   }
 
+  /** STREAMING drift monitor — q158's PSI freshness gate run as a monitor
+    * over ARRIVING data (the ML-ops shape: every ingest batch is scored
+    * against a pinned reference before it may join the training corpus):
+    * micro-batches arrive in ascending-event_id order, the FIRST batch's
+    * value histogram is persisted as the reference snapshot, and every
+    * later batch emits one (batch_id, n_ref, n_batch, psi) row through
+    * [[graft.ops.Stats.psiDrift]] — the identical smoothed-term formula
+    * and bin-ordered fold the batch gate uses, so the replay is
+    * bit-comparable to a pure-SQL oracle. batch_id derives from the id
+    * span (id div ceil((max+1)/batches)), so the oracle reproduces batch
+    * boundaries arithmetically, with no knowledge of the stream.
+    *
+    * Scale shape: per batch ONE histogram aggregate (map-side combined)
+    * joined against the bins-sized reference metadata — the monitor costs
+    * O(batch) regardless of history; reference + emitted rows live in
+    * parquet, never executor memory. */
+  def psiReplay(spark: SparkSession, dir: String, stageDirBase: String,
+                batches: Int = 4): DataFrame = {
+    import graft.ops.Stats
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("value"))
+    val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+    val span = (maxId + batches) / batches
+    val stageDir = s"$stageDirBase/${stageKey(dir)}"
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      new java.io.File(stageDir).mkdirs()
+      (0 until batches).foreach { i =>
+        val tmp = s"$stageDir/__stage$i"
+        ev.filter(col("event_id") >= i * span && col("event_id") < (i + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stageDir, f"b$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+        deleteRecursively(new java.io.File(tmp))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stageDir, "_SUCCESS"), "")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_psi_monitor").toString
+    val refDir = s"$work/reference"; val outDir = s"$work/out"
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = session.readStream
+      .schema("event_id BIGINT, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cents = batch.select(col("event_id"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+        if (!new java.io.File(refDir).exists()) {
+          cents.select(col("cents")).write.parquet(refDir)
+        } else {
+          val bId = cents.agg(min(expr(s"event_id div $span"))).head.getLong(0)
+          val ref = session.read.parquet(refDir).withColumn("__p", lit("a"))
+          val cur = cents.select(col("cents")).withColumn("__p", lit("b"))
+          Stats.psiDrift(ref.unionByName(cur).withColumn("__g", lit(0L)),
+              "__g", "cents", "__p")
+            .select(lit(bId).as("batch_id"), col("n_a"), col("n_b"), col("psi"))
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/chk")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(startMicros: Long, endMicros: Long, events: Long)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -452,6 +452,28 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((0L, 0L), (1L, 0L), (2L, 1L), (6L, 3L)), out.toString)
   }
 
+  test("psiReplay: planted drift in the last batch scores far above the clean ones") {
+    // ids 0..39 → span 10; batches 0-2 draw the same value pattern,
+    // batch 3 is shifted two bins up — its PSI row must dominate
+    val base = java.nio.file.Files.createTempDirectory("graft_psi").toString
+    val dir = s"$base/data"; new java.io.File(dir).mkdirs()
+    def at(i: Long) = new Timestamp(1700000000000L + i * 60000L)
+    val rows = (0L until 40L).map { i =>
+      val v = if (i < 30) (i % 10) * 50.0 else (i % 10) * 50.0 + 250.0
+      (i, at(i), i % 5, "view", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Streaming.psiReplay(spark, dir, s"$base/stage", batches = 4)
+      .orderBy("batch_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L), out.toString)
+    assert(out.forall(r => r._2 == 10L && r._3 == 10L))
+    val psi = out.map(r => r._1 -> r._4).toMap
+    assert(psi(1L) == psi(2L), "identical batches must score identically")
+    assert(psi(3L) > psi(1L) * 3, s"planted drift not detected: $psi")
+  }
+
   test("quotaReplay: flush sentinel is data-anchored, not a fixed date") {
     // events dated 2026 — PAST the old hard-coded 2025-01-01 sentinel,
     // which would have silently withheld every tail ledger; the max(ts)+48h
