@@ -1778,6 +1778,30 @@ object SparkEntry {
       // span, so the oracle reproduces them with no stream knowledge
       Streaming.psiReplay(s, dir, s"$TMP/q267_src")
         .orderBy("batch_id")),
+    "q268_ivfpq_curve" -> ((s, dir) => {
+      // the nprobe trade-off curve q256's single point implies: composed
+      // IVF+PQ recall@5 (disjoint centroids/codebook) at nprobe 1/2/4/8 —
+      // rising recall prices the cost lever (nprobe/|cells| of the corpus
+      // scanned per query); a plateau below 1.0 says the 8-entry codebook,
+      // not cell pruning, is the bottleneck
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      Seq(1, 2, 4, 8).map { np =>
+        val approx = Similarity.ivfPqTopK(emb, queries,
+            centroids = emb.filter(col("vec_id") >= 100 && col("vec_id") < 116),
+            codebook = emb.filter(col("vec_id") >= 200 && col("vec_id") < 208),
+            "vec_id", "embedding", m = 4, subDim = 16, k = 5, nprobe = np)
+          .select(col("query_id").as("__aq"), col("neighbor_id").as("__an"))
+        truth.join(approx,
+            col("query_id") === col("__aq") && col("neighbor_id") === col("__an"),
+            "left")
+          .agg(count(col("__an")).as("hits"))
+          .select(lit(np.toLong).as("nprobe"), col("hits").cast("long").as("hits"),
+            ops.Num.roundz(col("hits") / lit(40.0), 4).as("recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3252,6 +3276,70 @@ object SparkEntry {
        |  CAST(h2.hits AS BIGINT) AS hits_trained,
        |  (round(h2.hits / 5.0, 4) + 0.0) AS recall_trained
        |FROM h0 JOIN h2 USING (query_id) ORDER BY query_id""".stripMargin
+
+  /** q268's oracle: q256's shared IVF+PQ chain (disjoint cent/codebook),
+    * the probe/candidate/ADC/rank CTEs instantiated per nprobe, recall
+    * summed over the query set — generated so each nprobe leg is
+    * textually identical machinery. */
+  private val q268Sql: String = {
+    val shared =
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, vv AS qvv FROM vecs WHERE vec_id < 8),
+        |bs AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_dot_product(qvv, vv) / (sqrt(list_dot_product(qvv, qvv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+        |  FROM vecs CROSS JOIN qv WHERE vec_id <> query_id),
+        |tr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM bs) WHERE rn <= 5),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs
+        |  WHERE vec_id >= 100 AND vec_id < 116),
+        |cells AS (SELECT x.vec_id, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cell FROM cells WHERE crn = 1),
+        |subs AS (SELECT vec_id, CAST(s.i AS BIGINT) AS sub,
+        |    vv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS xs
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |cb AS (SELECT vec_id AS code, sub, xs AS cs FROM subs
+        |  WHERE vec_id >= 200 AND vec_id < 208),
+        |sc AS (SELECT x.vec_id, x.sub, c.code,
+        |  row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+        |    list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), c.code) AS rn
+        |  FROM subs x JOIN cb c USING (sub)),
+        |codes AS (SELECT vec_id, sub, code FROM sc WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub, xs AS qs FROM subs WHERE vec_id < 8),
+        |lut AS (SELECT q.query_id, c.sub, c.code,
+        |    CAST(round(greatest(list_dot_product(q.qs, q.qs)
+        |      - 2 * list_dot_product(q.qs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), 0) * 100000) AS BIGINT) AS d
+        |  FROM q JOIN cb c USING (sub))""".stripMargin
+    val legs = Seq(1, 2, 4, 8).map { np =>
+      s"""qp$np AS (SELECT vec_id AS query_id, cell FROM cells
+         |  WHERE vec_id < 8 AND crn <= $np),
+         |cand$np AS (SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+         |  FROM qp$np qp JOIN asg a ON a.cell = qp.cell
+         |  WHERE a.vec_id <> qp.query_id),
+         |sc2_$np AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+         |    CAST(sum(l.d) AS BIGINT) AS adist_tb
+         |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+         |  JOIN cand$np cd ON cd.query_id = l.query_id AND cd.neighbor_id = k.vec_id
+         |  WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+         |ap$np AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist_tb, neighbor_id) AS rn FROM sc2_$np) WHERE rn <= 5),
+         |h$np AS (SELECT count(ap$np.neighbor_id) AS hits FROM tr
+         |  LEFT JOIN ap$np ON ap$np.query_id = tr.query_id
+         |    AND ap$np.neighbor_id = tr.neighbor_id)""".stripMargin
+    }.mkString(",\n")
+    val sel = Seq(1, 2, 4, 8).map(np =>
+      s"SELECT CAST($np AS BIGINT) AS nprobe, CAST(hits AS BIGINT) AS hits, " +
+        s"(round(hits / 40.0, 4) + 0.0) AS recall FROM h$np")
+      .mkString("\nUNION ALL\n")
+    s"$shared,\n$legs\n$sel\nORDER BY nprobe"
+  }
 
   /** q254's oracle: q233's machinery with the three-cohort planted corpus
     * and recall grouped by the exact-Jaccard band (floor(4j), clamped to
@@ -5726,6 +5814,7 @@ object SparkEntry {
         |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
     "q257_ivf_train" -> q257Sql,
     "q258_ivf_train_recall" -> q258Sql,
+    "q268_ivfpq_curve" -> q268Sql,
     "q260_sequence_pack" ->
       // inclusive prefix sum over doc order; straddle = span crossing a
       // 256-token boundary; floor-bp ratios; zero-token docs excluded
