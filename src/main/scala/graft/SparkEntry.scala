@@ -1802,6 +1802,32 @@ object SparkEntry {
             ops.Num.roundz(col("hits") / lit(40.0), 4).as("recall"))
       }.reduce(_ unionByName _).orderBy("nprobe")
     }),
+    "q269_pq_codebook_curve" -> ((s, dir) => {
+      // q268's verdict was "the codebook, not cell pruning, caps recall" —
+      // this curve proves the other lever works: FLAT ADC recall@5 (no IVF
+      // confound) as the per-subspace codebook grows K = 4/8/16/32, all
+      // slices disjoint from the query set; memory cost is log2(K) bits
+      // per code, so the pair (q268, q269) prices the m/K-vs-nprobe budget
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      Seq(4, 8, 16, 32).map { kk =>
+        val cb = emb.filter(col("vec_id") >= 200 && col("vec_id") < 200 + kk)
+        val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+          m = 4, subDim = 16)
+        val approx = Similarity.pqSearchTopK(codes, queries, cb,
+            "vec_id", "embedding", m = 4, subDim = 16, k = 5)
+          .select(col("query_id").as("__aq"), col("neighbor_id").as("__an"))
+        truth.join(approx,
+            col("query_id") === col("__aq") && col("neighbor_id") === col("__an"),
+            "left")
+          .agg(count(col("__an")).as("hits"))
+          .select(lit(kk.toLong).as("codebook_k"),
+            col("hits").cast("long").as("hits"),
+            ops.Num.roundz(col("hits") / lit(40.0), 4).as("recall"))
+      }.reduce(_ unionByName _).orderBy("codebook_k")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3339,6 +3365,54 @@ object SparkEntry {
         s"(round(hits / 40.0, 4) + 0.0) AS recall FROM h$np")
       .mkString("\nUNION ALL\n")
     s"$shared,\n$legs\n$sel\nORDER BY nprobe"
+  }
+
+  /** q269's oracle: q225's flat-ADC chain instantiated per codebook size
+    * (disjoint slice 200..200+K), recall summed over the query set. */
+  private val q269Sql: String = {
+    val shared =
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, vv AS qvv FROM vecs WHERE vec_id < 8),
+        |bs AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_dot_product(qvv, vv) / (sqrt(list_dot_product(qvv, qvv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+        |  FROM vecs CROSS JOIN qv WHERE vec_id <> query_id),
+        |tr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM bs) WHERE rn <= 5),
+        |subs AS (SELECT vec_id, CAST(s.i AS BIGINT) AS sub,
+        |    vv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS xs
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |q AS (SELECT vec_id AS query_id, sub, xs AS qs FROM subs WHERE vec_id < 8)""".stripMargin
+    val legs = Seq(4, 8, 16, 32).map { kk =>
+      s"""cb$kk AS (SELECT vec_id AS code, sub, xs AS cs FROM subs
+         |  WHERE vec_id >= 200 AND vec_id < ${200 + kk}),
+         |sc$kk AS (SELECT x.vec_id, x.sub, c.code,
+         |  row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+         |    list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, c.cs)
+         |      + list_dot_product(c.cs, c.cs), c.code) AS rn
+         |  FROM subs x JOIN cb$kk c USING (sub)),
+         |codes$kk AS (SELECT vec_id, sub, code FROM sc$kk WHERE rn = 1),
+         |lut$kk AS (SELECT q.query_id, c.sub, c.code,
+         |    CAST(round(greatest(list_dot_product(q.qs, q.qs)
+         |      - 2 * list_dot_product(q.qs, c.cs)
+         |      + list_dot_product(c.cs, c.cs), 0) * 100000) AS BIGINT) AS d
+         |  FROM q JOIN cb$kk c USING (sub)),
+         |sc2_$kk AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+         |    CAST(sum(l.d) AS BIGINT) AS adist_tb
+         |  FROM codes$kk k JOIN lut$kk l ON l.sub = k.sub AND l.code = k.code
+         |  WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+         |ap$kk AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist_tb, neighbor_id) AS rn FROM sc2_$kk) WHERE rn <= 5),
+         |h$kk AS (SELECT count(ap$kk.neighbor_id) AS hits FROM tr
+         |  LEFT JOIN ap$kk ON ap$kk.query_id = tr.query_id
+         |    AND ap$kk.neighbor_id = tr.neighbor_id)""".stripMargin
+    }.mkString(",\n")
+    val sel = Seq(4, 8, 16, 32).map(kk =>
+      s"SELECT CAST($kk AS BIGINT) AS codebook_k, CAST(hits AS BIGINT) AS hits, " +
+        s"(round(hits / 40.0, 4) + 0.0) AS recall FROM h$kk")
+      .mkString("\nUNION ALL\n")
+    s"$shared,\n$legs\n$sel\nORDER BY codebook_k"
   }
 
   /** q254's oracle: q233's machinery with the three-cohort planted corpus
@@ -5815,6 +5889,7 @@ object SparkEntry {
     "q257_ivf_train" -> q257Sql,
     "q258_ivf_train_recall" -> q258Sql,
     "q268_ivfpq_curve" -> q268Sql,
+    "q269_pq_codebook_curve" -> q269Sql,
     "q260_sequence_pack" ->
       // inclusive prefix sum over doc order; straddle = span crossing a
       // 256-token boundary; floor-bp ratios; zero-token docs excluded
