@@ -1828,6 +1828,20 @@ object SparkEntry {
             ops.Num.roundz(col("hits") / lit(40.0), 4).as("recall"))
       }.reduce(_ unionByName _).orderBy("codebook_k")
     }),
+    "q270_cluster_sizes" -> ((s, dir) => {
+      // near-dup cluster-size distribution over the materialized component
+      // index: pairs vs blobs decides the rep-picking strategy (q105's
+      // window is safe only while clusters stay small — this is the table
+      // that watches that assumption), and a fattening tail is the same
+      // over-merge alarm q250 scores as one number
+      val (_, comp) = dedupIndex(s, dir)
+      comp.groupBy(col("component")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size").cast("long").as("cluster_size"),
+          col("n_clusters").cast("long").as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -6686,6 +6700,19 @@ object SparkEntry {
         |  (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bin)),
         |    (a, b) -> a + b), 4) + 0.0) AS psi
         |FROM terms GROUP BY b ORDER BY batch_id""".stripMargin,
+    "q270_cluster_sizes" ->
+      // q77's recursive closure, then size-of-cluster → count-of-size
+      s"""WITH RECURSIVE pairs AS ($q44Sql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |conn(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+         |lab AS (SELECT a, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |sz AS (SELECT component, count(*) AS s FROM lab GROUP BY 1)
+         |SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY s ORDER BY cluster_size""".stripMargin,
     "q265_incremental_components" ->
       // the full-recompute twin: q77's recursive closure over the WHOLE
       // corpus — equality here proves the incremental star-merge path
