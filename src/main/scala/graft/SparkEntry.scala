@@ -74,6 +74,14 @@ object SparkEntry {
       indexDir = s"$TMP/edge_index/${safe}_lineitem_part_order")
   }
 
+  /** The SHARED bigram-LM score table (q204 reads, q218 buckets): the
+    * CCNet score-once shape — see [[TextAnalysis.bigramLogProbIndex]]. */
+  private def lmScores(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    TextAnalysis.bigramLogProbIndex(T(s, dir, "documents"), "doc_id", "text",
+      indexDir = s"$TMP/lm_scores/${safe}_bigram_l7000")
+  }
+
   /** The SHARED near-dup index for the q44-parameter family: pairs +
     * components materialized once per (input dir, params) per JVM and read
     * back as parquet by every consumer — q77 (canonicalization), q105
@@ -873,9 +881,10 @@ object SparkEntry {
     }),
     "q204_bigram_lm" -> ((s, dir) =>
       // context-aware fluency score: Jelinek-Mercer interpolated bigram
-      // NLL per document, unseen bigrams backed off to the unigram floor
-      TextAnalysis.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
+      // NLL per document, unseen bigrams backed off to the unigram floor;
+      // served from the SHARED materialized score table (q218 buckets the
+      // same scores - the CCNet score-once shape)
+      lmScores(s, dir).orderBy("doc_id")),
     "q205_srm" -> ((s, dir) =>
       // experiment-health gate per event type: deterministic user_id % 2
       // arms; the 5% flag decides on exact integers, chi2 is display-only
@@ -994,8 +1003,7 @@ object SparkEntry {
       // CCNet-style corpus split: exact terciles of the q204 bigram-LM
       // score (head = fluent, tail = noisy), two-phase rank — no global
       // window; mean rides exact scaled ints
-      val scores = TextAnalysis.bigramLogProb(T(s, dir, "documents"),
-        "doc_id", "text")
+      val scores = lmScores(s, dir)
       val (ranked, n) = graft.ops.TwoPhase.globalRank(scores, col("avg_nll"),
         Seq(col("avg_nll"), col("doc_id")), "__rank")
       ranked

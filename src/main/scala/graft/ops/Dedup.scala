@@ -467,14 +467,6 @@ object Dedup {
 
   // ------------------------------------------------------- materialized index
 
-  /** JVM-local registry of dedup index dirs already materialized THIS run.
-    * `computeIfAbsent` makes the first touch per key compute-and-write
-    * atomically (concurrent suites block rather than double-write); every
-    * new JVM recomputes on first touch, so a stale on-disk index from an
-    * earlier run can never be served. */
-  private val materializedIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
-
   /** Write-once near-dup INDEX: the (pairs, components) both derived ONCE
     * from the corpus and served from parquet to every consumer — the
     * production dedup shape. Cluster canonicalization (q77), representative
@@ -497,12 +489,12 @@ object Dedup {
                      shingleK: Int, numHashes: Int, bands: Int,
                      threshold: Double, indexDir: String): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    materializedIndexes.computeIfAbsent(indexDir, { _ =>
+    graft.storage.Materialize.once(indexDir) {
       minHashNearDup(docs, idCol, textCol, shingleK, numHashes, bands, threshold)
         .write.mode("overwrite").parquet(s"$indexDir/pairs")
       connectedComponents(spark.read.parquet(s"$indexDir/pairs"))
         .write.mode("overwrite").parquet(s"$indexDir/components")
-    })
+    }
     (spark.read.parquet(s"$indexDir/pairs"),
       spark.read.parquet(s"$indexDir/components"))
   }

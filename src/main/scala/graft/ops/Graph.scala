@@ -57,13 +57,6 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
-  /** JVM-local registry of edge index dirs materialized this run — the
-    * [[graft.ops.Dedup.componentIndex]] discipline: first touch per key
-    * computes-and-writes atomically, every new JVM recomputes, so a stale
-    * on-disk index is never served. */
-  private val materializedEdges =
-    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
-
   /** Write-once co-occurrence edge table: [[coOccurrenceEdges]] persisted
     * to parquet once per (input, derivation) per JVM and served as a plain
     * scan to every graph consumer. PageRank, triangles, clustering
@@ -77,10 +70,10 @@ object Graph {
   def coOccurrenceEdgeIndex(rel: DataFrame, entityCol: String,
                             containerCol: String, indexDir: String): DataFrame = {
     val spark = rel.sparkSession
-    materializedEdges.computeIfAbsent(indexDir, { _ =>
+    graft.storage.Materialize.once(indexDir) {
       coOccurrenceEdges(rel, entityCol, containerCol)
         .write.mode("overwrite").parquet(indexDir)
-    })
+    }
     spark.read.parquet(indexDir)
   }
 

@@ -425,6 +425,23 @@ object TextAnalysis {
     * hash (too big to assume broadcastable — AQE may still choose to);
     * unigram margins and the corpus total re-join as broadcasts; the
     * per-doc fold runs over that doc's DISTINCT bigrams. */
+  /** Write-once LM score table: [[bigramLogProb]] persisted once per
+    * (input, params) per JVM and served as a parquet scan to every
+    * consumer — the CCNet shape (quality/LM scores are materialized once
+    * per corpus snapshot; the ranker, the bucket split, and every ad-hoc
+    * analysis read the SAME scored table instead of re-running the LM).
+    * q204 reads the scores, q218 ranks them into buckets; re-deriving per
+    * consumer is one full token pass each. Same guard discipline as
+    * [[graft.ops.Dedup.componentIndex]] ([[graft.storage.Materialize]]). */
+  def bigramLogProbIndex(docs: DataFrame, idCol: String, textCol: String,
+                         indexDir: String, lambdaBp: Int = 7000): DataFrame = {
+    graft.storage.Materialize.once(indexDir) {
+      bigramLogProb(docs, idCol, textCol, lambdaBp)
+        .write.mode("overwrite").parquet(indexDir)
+    }
+    docs.sparkSession.read.parquet(indexDir)
+  }
+
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     lambdaBp: Int = 7000): DataFrame = {
     require(lambdaBp > 0 && lambdaBp < 10000, s"lambdaBp out of (0,10000): $lambdaBp")
