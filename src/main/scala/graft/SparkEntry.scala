@@ -1850,6 +1850,25 @@ object SparkEntry {
           col("n_clusters").cast("long").as("n_clusters"))
         .orderBy("cluster_size")
     }),
+    "q271_source_dup_matrix" -> ((s, dir) => {
+      // WHO copies from WHOM: near-dup pairs from the materialized index
+      // grouped by unordered source pair — the provenance matrix that
+      // decides which feeds are mirrors of each other (drop one) vs
+      // independently noisy (dedup both); two narrow joins of the pair
+      // list against the (id, source) projection, never text
+      val docs = T(s, dir, "documents")
+      val (pairs, _) = dedupIndex(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("source_lo"),
+          greatest(col("__sa"), col("__sb")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("source_lo"), col("source_hi"),
+          col("n_pairs").cast("long").as("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -6708,6 +6727,16 @@ object SparkEntry {
         |  (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bin)),
         |    (a, b) -> a + b), 4) + 0.0) AS psi
         |FROM terms GROUP BY b ORDER BY batch_id""".stripMargin,
+    "q271_source_dup_matrix" ->
+      // the q44 pair list joined to sources, grouped by the unordered pair
+      s"""WITH pairs AS ($q44Sql),
+         |j AS (SELECT least(a.source, b.source) AS source_lo,
+         |    greatest(a.source, b.source) AS source_hi
+         |  FROM pairs p
+         |  JOIN documents a ON a.doc_id = p.id_a
+         |  JOIN documents b ON b.doc_id = p.id_b)
+         |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q270_cluster_sizes" ->
       // q77's recursive closure, then size-of-cluster → count-of-size
       s"""WITH RECURSIVE pairs AS ($q44Sql),
