@@ -116,8 +116,44 @@ def gen_lineitem(out_dir, shards, src='/root/testdata/sf0.1/lineitem.parquet'):
     pq.write_table(pa.concat_tables(tables), f'{out_dir}/lineitem.parquet')
     print(f'wrote {shards * len(ok)} lineitem rows to {out_dir}')
 
+def gen_clustered(out_dir, shards, k=32, sigma=0.05, seed=7):
+    """CLUSTERED embeddings fixture for the ANN recall probes (q256/q268/
+    q269): the driver's synthetic embeddings are i.i.d. uniform on the
+    sphere, so every composed-index recall curve is an honest negative —
+    there is no cluster structure for IVF cell pruning or a PQ codebook to
+    exploit, and the harness can only prove the levers DON'T work. This
+    fixture plants k Gaussian clusters on the unit sphere (centers uniform,
+    per-point noise sigma before re-normalization), the regime real text /
+    image embeddings live in (semantic neighborhoods = local clusters), so
+    the same probes can show recall RISING with nprobe and codebook size.
+    Same schema/row-count model as the uniform table (shards x 2000 x
+    float32[64], unit-norm, label = cluster mod 10); deterministic seed.
+
+    sigma is PER-COORDINATE, so the noise vector's norm is sigma*sqrt(64):
+    at sigma=0.05 that is 0.4 against a unit center, giving within-cluster
+    cosine ~= 1/(1+0.4^2) ~= 0.86 and cross-cluster cosine ~= 0.1 — the
+    true top-k of a query is inside its own cluster with overwhelming
+    probability, which is exactly the structure IVF assumes."""
+    rng = np.random.default_rng(seed)
+    n = shards * VECS_PER_SHARD
+    centers = rng.standard_normal((k, DIM)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, k, n)
+    M = centers[assign] + sigma * rng.standard_normal((n, DIM)).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    pq.write_table(pa.table({
+        'vec_id': pa.array(range(n), pa.int64()),
+        'embedding': pa.array([v.tolist() for v in M], pa.list_(pa.float32())),
+        'label': pa.array((assign % 10).astype(np.int32))}),
+        f'{out_dir}/embeddings.parquet')
+    print(f'wrote {n} clustered vecs (k={k}, sigma={sigma}) to {out_dir}')
+
 if __name__ == '__main__':
-    if len(sys.argv) > 3 and sys.argv[3] == 'events':
+    if len(sys.argv) > 3 and sys.argv[3] == 'clustered':
+        import os
+        os.makedirs(sys.argv[1], exist_ok=True)
+        gen_clustered(sys.argv[1], int(sys.argv[2]))
+    elif len(sys.argv) > 3 and sys.argv[3] == 'events':
         gen_events(sys.argv[1], int(sys.argv[2]))
     elif len(sys.argv) > 3 and sys.argv[3] == 'lineitem':
         import os

@@ -96,6 +96,16 @@ object SparkEntry {
       indexDir = s"$TMP/dedup_index/${safe}_k2_h16_b8_t25")
   }
 
+  /** The persisted banded-signature side of [[dedupIndex]] (same artifact,
+    * same write): what incremental maintenance probes (q265) instead of
+    * re-banding the historical corpus. */
+  private def dedupIndexBands(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    Dedup.componentIndexBands(T(s, dir, "documents"), "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25,
+      indexDir = s"$TMP/dedup_index/${safe}_k2_h16_b8_t25")
+  }
+
   /** Morton interleave of the low 16 bits of `x`/`y` as plain SQL bit
     * arithmetic — the oracle-side twin of [[graft.functions.ZOrder]]
     * (generated term-by-term so both engines agree on all 32 placements). */
@@ -1752,18 +1762,24 @@ object SparkEntry {
     "q265_incremental_components" -> ((s, dir) => {
       // incremental dedup-index maintenance PROVEN ≡ batch: components of
       // the historical slice (doc_id < 350) absorb a new batch (≥ 350) via
-      // the resolved-star merge — old×new pairs from the band-index probe,
-      // new×new from the batch alone, each side banded exactly once; the
-      // oracle recomputes components over the WHOLE corpus from scratch,
-      // so the gate row IS the incremental ≡ full-recompute proof
+      // the resolved-star merge — old×new pairs from the STORED band index
+      // (the shared materialized artifact: filtered to the historical ids
+      // with a pushed parquet predicate, never re-banded — at 100 TB
+      // re-banding history is the second corpus pass the production path
+      // doesn't pay), new×new from banding the batch alone; historical
+      // components likewise from the stored pair list restricted to
+      // old×old edges (banding is per-doc and the threshold per-pair, so
+      // the restriction IS the slice's pair set). The oracle recomputes
+      // components over the WHOLE corpus from scratch, so the gate row IS
+      // the incremental ≡ full-recompute proof.
       val docs = T(s, dir, "documents")
-      val oldBanded = Dedup.bandedSignatures(docs.filter(col("doc_id") < 350),
-        "doc_id", "text", shingleK = 2, numHashes = 16, bands = 8)
+      val (pairs, _) = dedupIndex(s, dir)
+      val oldBands = dedupIndexBands(s, dir).filter(col("doc_id") < 350)
       val freshBanded = Dedup.bandedSignatures(docs.filter(col("doc_id") >= 350),
         "doc_id", "text", shingleK = 2, numHashes = 16, bands = 8)
       val existing = Dedup.connectedComponents(
-        Dedup.nearDupPairsBanded(oldBanded, "doc_id", 16, 0.25))
-      val cross = Dedup.probeNearDupBanded(oldBanded, freshBanded, "doc_id", 16, 0.25)
+        pairs.filter(col("id_a") < 350 && col("id_b") < 350))
+      val cross = Dedup.probeNearDupBanded(oldBands, freshBanded, "doc_id", 16, 0.25)
         .select(col("existing_id").as("id_a"), col("new_id").as("id_b"))
       val inner = Dedup.nearDupPairsBanded(freshBanded, "doc_id", 16, 0.25)
         .select(col("id_a"), col("id_b"))

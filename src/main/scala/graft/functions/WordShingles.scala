@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `concat_ws` does, and the tail windows shorter than k are dropped, which
   * is precisely what the `size(split(s, ' ')) = k` filter keeps (tokens
   * contain no whitespace, so window-length k ⟺ the re-split size test; the
-  * only empty token is a leading one, and `concat_ws` preserves it).
+  * only empty tokens are a leading one from leading whitespace and a
+  * trailing one from trailing whitespace — `split(regex, -1)` keeps both —
+  * and `concat_ws` preserves them, so the re-split size test still holds).
   * PropertySpec asserts bit-equality against the declarative form on random
   * unicode/whitespace inputs.
   *

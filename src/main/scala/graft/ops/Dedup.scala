@@ -165,6 +165,15 @@ object Dedup {
     * no window, no pair join. Docs with < k tokens emit no row (both
     * engines).
     *
+    * Collision caveat (same class of estimate as q44's MinHash): duplication
+    * is decided on the 64-bit fingerprint, not the span text, so two
+    * DISTINCT spans that collide mod the Karp–Rabin prime are counted as
+    * duplicates. At 2^-61-per-pair odds this biases dup_bp upward by well
+    * under a basis point at corpus scale; a build that needs exactness can
+    * confirm colliding groups with one equality pass over span text
+    * (shuffling the text — the cost this shape exists to avoid). The DuckDB
+    * oracle computes the same fingerprint, so parity is unaffected.
+    *
     * Output: (id, n_spans, n_dup, dup_bp floor basis points). */
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
                    k: Int): DataFrame = {
@@ -484,19 +493,42 @@ object Dedup {
     * (the stored index is only reusable under the SAME hash family and band
     * layout — the probeNearDup contract). Returns (pairs, components) as
     * plain parquet scans: pairs (id_a, id_b, est_jaccard), components
-    * (node, component). */
+    * (node, component). The BANDED SIGNATURES are persisted alongside
+    * (`bands/`: id, sig, band, band_hash — the [[probeNearDupBanded]]
+    * index shape) so incremental maintenance (q265) and any future ingest
+    * batch can probe the stored index instead of re-banding the historical
+    * corpus — read them via [[componentIndexBands]]. The parquet round-trip
+    * of the banded frame doubles as the lineage barrier the
+    * localCheckpoint previously provided: pairs derive from the stored
+    * scan, so the expensive shingle → 16-min-agg lineage runs exactly once
+    * per JVM per (input content, params) key. */
   def componentIndex(docs: DataFrame, idCol: String, textCol: String,
                      shingleK: Int, numHashes: Int, bands: Int,
                      threshold: Double, indexDir: String): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    graft.storage.Materialize.once(indexDir) {
-      minHashNearDup(docs, idCol, textCol, shingleK, numHashes, bands, threshold)
+    graft.storage.Materialize.once(graft.storage.Materialize.key(indexDir, docs)) {
+      bandedSignatures(docs, idCol, textCol, shingleK, numHashes, bands)
+        .write.mode("overwrite").parquet(s"$indexDir/bands")
+      nearDupPairsBanded(spark.read.parquet(s"$indexDir/bands"), idCol,
+          numHashes, threshold)
         .write.mode("overwrite").parquet(s"$indexDir/pairs")
       connectedComponents(spark.read.parquet(s"$indexDir/pairs"))
         .write.mode("overwrite").parquet(s"$indexDir/components")
     }
     (spark.read.parquet(s"$indexDir/pairs"),
       spark.read.parquet(s"$indexDir/components"))
+  }
+
+  /** The persisted band index of [[componentIndex]] (same once-guarded
+    * write): one row per (doc, band) with the full signature — what an
+    * ingest batch probes ([[probeNearDupBanded]]) so the historical corpus
+    * is never re-banded. */
+  def componentIndexBands(docs: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int, numHashes: Int, bands: Int,
+                          threshold: Double, indexDir: String): DataFrame = {
+    componentIndex(docs, idCol, textCol, shingleK, numHashes, bands,
+      threshold, indexDir)
+    docs.sparkSession.read.parquet(s"$indexDir/bands")
   }
 
   // ------------------------------------------------------------- components

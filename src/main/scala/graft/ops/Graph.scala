@@ -70,7 +70,7 @@ object Graph {
   def coOccurrenceEdgeIndex(rel: DataFrame, entityCol: String,
                             containerCol: String, indexDir: String): DataFrame = {
     val spark = rel.sparkSession
-    graft.storage.Materialize.once(indexDir) {
+    graft.storage.Materialize.once(graft.storage.Materialize.key(indexDir, rel)) {
       coOccurrenceEdges(rel, entityCol, containerCol)
         .write.mode("overwrite").parquet(indexDir)
     }

@@ -536,28 +536,44 @@ object Streaming {
       .parquet(stageDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val banded = Dedup.bandedSignatures(batch, "doc_id", "text",
-          shingleK, numHashes, bands)
-        val inner = Dedup.nearDupPairsBanded(banded, "doc_id", numHashes, threshold)
-          .select(col("id_b").as("doc_id"))
-        val cross =
-          if (new java.io.File(idxDir).exists())
-            Dedup.probeNearDupBanded(session.read.parquet(idxDir), banded,
-              "doc_id", numHashes, threshold)
-              .select(col("new_id").as("doc_id"))
-          else session.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-        val removed = inner.unionByName(cross).distinct()
-        batch.select(col("doc_id"))
-          .join(removed, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(outDir)
-        banded.write.mode("append").parquet(idxDir)
+        // IDEMPOTENT writes under at-least-once foreachBatch: every output
+        // lands in a batch-keyed subdirectory with overwrite semantics, so
+        // a micro-batch replayed after a partial write REWRITES its own
+        // slice instead of appending duplicate survivor/index rows. The
+        // key derives from the DATA (min id div span), not Spark's batchId,
+        // so it is stable across checkpoint resets too.
+        if (!batch.isEmpty) {
+          val bid = batch.agg(min(expr(s"doc_id div $span"))).head.getLong(0)
+          val tag = f"b$bid%03d"
+          val banded = Dedup.bandedSignatures(batch, "doc_id", "text",
+            shingleK, numHashes, bands)
+          val inner = Dedup.nearDupPairsBanded(banded, "doc_id", numHashes, threshold)
+            .select(col("id_b").as("doc_id"))
+          // probe ONLY strictly-earlier batches' index slices: a replayed
+          // batch whose own index write survived the crash must not probe
+          // against itself (every doc would self-match and be dropped)
+          val prior = Option(new java.io.File(idxDir).listFiles()).toSeq.flatten
+            .filter(f => f.isDirectory && f.getName < tag)
+            .map(_.getPath).sorted
+          val cross =
+            if (prior.nonEmpty)
+              Dedup.probeNearDupBanded(session.read.parquet(prior: _*), banded,
+                "doc_id", numHashes, threshold)
+                .select(col("new_id").as("doc_id"))
+            else session.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+          val removed = inner.unionByName(cross).distinct()
+          batch.select(col("doc_id"))
+            .join(removed, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outDir/$tag")
+          banded.write.mode("overwrite").parquet(s"$idxDir/$tag")
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/chk")
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(s"$outDir/b*")
       .select(col("doc_id"), expr(s"doc_id div $span").cast("long").as("batch_id"))
   }
 
@@ -610,18 +626,27 @@ object Streaming {
       .parquet(stageDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cents = batch.select(col("event_id"),
-          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
-        if (!new java.io.File(refDir).exists()) {
-          cents.select(col("cents")).write.parquet(refDir)
-        } else {
+        // IDEMPOTENT under at-least-once foreachBatch: the batch's role
+        // (reference snapshot vs monitored batch) is decided on the DATA
+        // (min id div span), not on refDir existence — a replayed first
+        // batch with a partial reference on disk must rewrite it, not be
+        // misread as batch 1 and scored against its own partial self. All
+        // writes are overwrite into batch-keyed targets, so a replay
+        // rewrites its own slice instead of appending a duplicate PSI row.
+        if (!batch.isEmpty) {
+          val cents = batch.select(col("event_id"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
           val bId = cents.agg(min(expr(s"event_id div $span"))).head.getLong(0)
-          val ref = session.read.parquet(refDir).withColumn("__p", lit("a"))
-          val cur = cents.select(col("cents")).withColumn("__p", lit("b"))
-          Stats.psiDrift(ref.unionByName(cur).withColumn("__g", lit(0L)),
-              "__g", "cents", "__p")
-            .select(lit(bId).as("batch_id"), col("n_a"), col("n_b"), col("psi"))
-            .write.mode("append").parquet(outDir)
+          if (bId == 0L) {
+            cents.select(col("cents")).write.mode("overwrite").parquet(refDir)
+          } else {
+            val ref = session.read.parquet(refDir).withColumn("__p", lit("a"))
+            val cur = cents.select(col("cents")).withColumn("__p", lit("b"))
+            Stats.psiDrift(ref.unionByName(cur).withColumn("__g", lit(0L)),
+                "__g", "cents", "__p")
+              .select(lit(bId).as("batch_id"), col("n_a"), col("n_b"), col("psi"))
+              .write.mode("overwrite").parquet(f"$outDir/b$bId%03d")
+          }
         }
         ()
       }
@@ -629,7 +654,7 @@ object Streaming {
       .option("checkpointLocation", s"$work/chk")
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(s"$outDir/b*")
   }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -416,10 +416,25 @@ class PlanSpec extends SparkSpec {
       s"fuzzy matching must stay blocked:\n$plan")
   }
 
-  test("bigram LM: margins broadcast; no positional self-join (q204)") {
-    val plan = q("q204_bigram_lm")
+  test("bigram LM derivation: margins broadcast; no positional self-join (q204)") {
+    // q204's consumer reads the SHARED materialized score table, so the
+    // scale-bearing plan is the DERIVATION (captured here BEFORE
+    // Materialize.once persists it): unigram margins and the 1-row corpus
+    // total must broadcast back onto the bigram cells, never a shuffled
+    // cartesian or positional self-join.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = finalPlan(
+      ops.TextAnalysis.bigramLogProb(docs, "doc_id", "text", lambdaBp = 7000))
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bigram LM consumer: reads the materialized score table, no recompute (q204)") {
+    val plan = q("q204_bigram_lm")
+    assert(plan.contains("lm_scores"),
+      s"consumer must scan the shared materialized LM score table:\n$plan")
+    assert(!plan.contains("Join"),
+      s"consumer must not re-derive (score-once, scan-many):\n$plan")
   }
 
   test("KS drift: prefix sums stay two-phase — no single-partition window (q207)") {
