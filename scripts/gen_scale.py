@@ -152,7 +152,9 @@ if __name__ == '__main__':
     if len(sys.argv) > 3 and sys.argv[3] == 'clustered':
         import os
         os.makedirs(sys.argv[1], exist_ok=True)
-        gen_clustered(sys.argv[1], int(sys.argv[2]))
+        sig = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
+        kk = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+        gen_clustered(sys.argv[1], int(sys.argv[2]), k=kk, sigma=sig)
     elif len(sys.argv) > 3 and sys.argv[3] == 'events':
         gen_events(sys.argv[1], int(sys.argv[2]))
     elif len(sys.argv) > 3 and sys.argv[3] == 'lineitem':
