@@ -1885,6 +1885,34 @@ object SparkEntry {
           col("n_pairs").cast("long").as("n_pairs"))
         .orderBy("source_lo", "source_hi")
     }),
+    "q272_pq_rerank" -> ((s, dir) => {
+      // the production ANN SERVING shape (FAISS-style search-then-refine,
+      // and what the round-12 lever probes showed actually moves recall:
+      // ADC alone saturates at code resolution because co-coded vectors
+      // are indistinguishable): a cheap ADC shortlist of 20 candidates per
+      // query — exact long arithmetic, q224's chain — then an exact-cosine
+      // re-rank of ONLY the shortlist. Scale shape: the expensive exact
+      // scoring touches |queries|·20 rows instead of |corpus|·|queries|
+      // (q45's brute force); queries broadcast onto the shortlist, and the
+      // corpus is touched once by the narrow id-keyed gather join.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val cb = emb.filter(col("vec_id") < 8) // q224's codebook config
+      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val shortlist = Similarity.pqSearchTopK(codes, queries, cb,
+          "vec_id", "embedding", m = 4, subDim = 16, k = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val scored = shortlist
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), Seq("query_id"))
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (Similarity.dot("qv", "cv") /
+            (Similarity.norm("qv") * Similarity.norm("cv"))).as("cosine"))
+      Similarity.topKPerQuery(scored, 5).orderBy("query_id", "rn")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -6753,6 +6781,43 @@ object SparkEntry {
          |  JOIN documents b ON b.doc_id = p.id_b)
          |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
          |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q272_pq_rerank" ->
+      // q224's ADC chain with a 20-deep shortlist, then q45's exact-cosine
+      // scoring applied to shortlist rows only, re-ranked
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |subs AS (SELECT vec_id, CAST(s.i AS BIGINT) AS sub,
+        |    vv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS xs
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |cb AS (SELECT vec_id AS code, sub, xs AS cs FROM subs WHERE vec_id < 8),
+        |sc AS (SELECT x.vec_id, x.sub, c.code,
+        |  row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+        |    list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), c.code) AS rn
+        |  FROM subs x JOIN cb c USING (sub)),
+        |codes AS (SELECT vec_id, sub, code FROM sc WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, sub, xs AS qs FROM subs WHERE vec_id < 8),
+        |lut AS (SELECT q.query_id, c.sub, c.code,
+        |    CAST(round(greatest(list_dot_product(q.qs, q.qs)
+        |      - 2 * list_dot_product(q.qs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), 0) * 100000) AS BIGINT) AS d
+        |  FROM q JOIN cb c USING (sub)),
+        |sc2 AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adist_tb
+        |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+        |  WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+        |sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist_tb, neighbor_id) AS rn FROM sc2) WHERE rn <= 20),
+        |rr AS (SELECT s.query_id, s.neighbor_id,
+        |    list_dot_product(qv.vv, nv.vv) /
+        |      (sqrt(list_dot_product(qv.vv, qv.vv)) * sqrt(list_dot_product(nv.vv, nv.vv))) AS cosine
+        |  FROM sl s JOIN vecs qv ON qv.vec_id = s.query_id
+        |  JOIN vecs nv ON nv.vec_id = s.neighbor_id),
+        |f AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM rr)
+        |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn
+        |FROM f WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "q270_cluster_sizes" ->
       // q77's recursive closure, then size-of-cluster → count-of-size
       s"""WITH RECURSIVE pairs AS ($q44Sql),
