@@ -1913,6 +1913,61 @@ object SparkEntry {
             (Similarity.norm("qv") * Similarity.norm("cv"))).as("cosine"))
       Similarity.topKPerQuery(scored, 5).orderBy("query_id", "rn")
     }),
+    "q273_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+      // web-scale through semantic deduplication"): embedding-space near-
+      // dups pruned WITHIN k-means cells only — the cells bound the
+      // quadratic (sum n_c^2, never n^2; at 100 TB k grows so cell size
+      // stays fixed, and each cell's pair join is an independent
+      // partition-local task). Cells from the q257 exact-micro Lloyd
+      // trainer (deterministic, oracle-replicable); within a cell a vector
+      // is dropped iff some LOWER-id member has cosine > 0.4 with it (the
+      // q43 min-id-keeps discipline). Output: every vector with its cell
+      // and kept flag — the curation verdict a downstream sampler joins.
+      val emb = T(s, dir, "embeddings")
+      val trained = Similarity.ivfTrainMicro(emb, "vec_id", "embedding",
+        k = 4, iterations = 2)
+      val assigned = Similarity.microAssign(emb, "vec_id", "embedding", trained)
+      val withVec = assigned.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      val hi = withVec.select(col("cell"), col("vec_id").as("__ih"), col("embedding").as("vh"))
+      val lo = withVec.select(col("cell"), col("vec_id").as("__il"), col("embedding").as("vl"))
+      val dropped = hi.join(lo, Seq("cell"))
+        .filter(col("__il") < col("__ih"))
+        .filter((Similarity.dot("vh", "vl") /
+          (Similarity.norm("vh") * Similarity.norm("vl"))) > 0.4)
+        .select(col("__ih").as("vec_id")).distinct()
+        .withColumn("__d", lit(1))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("__d").isNull, 1L).otherwise(0L).as("kept"))
+        .orderBy("vec_id")
+    }),
+    "q274_knn_label" -> ((s, dir) => {
+      // kNN majority-vote label propagation (the weak-labeling /
+      // auto-labeling primitive): each query's label predicted from its 5
+      // exact nearest neighbors' labels, majority with ties to the
+      // smallest label. Composes q45's two-phase exact top-k (queries
+      // broadcast, corpus scanned once) with a label gather; the vote
+      // window runs on the |queries|x5 frame — metadata-sized, never the
+      // corpus.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val nn = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val votes = nn
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      import org.apache.spark.sql.expressions.Window
+      votes
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("votes").desc, col("label"))))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("label").cast("long").as("pred_label"),
+          col("votes").cast("long").as("votes"))
+        .orderBy("query_id")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -6818,6 +6873,41 @@ object SparkEntry {
         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM rr)
         |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn
         |FROM f WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q273_semdedup" ->
+      // the Lloyd chain + q257's trained-assignment pass, then the
+      // within-cell lower-id cosine prune
+      s"""WITH $lloydCtes,
+         |dd3 AS (SELECT c.vec_id, ct.cell, sum((c.vm - ct.cm) * (c.vm - ct.cm)) AS d2
+         |  FROM comp c JOIN c2 ct USING (dim) GROUP BY 1, 2),
+         |b3 AS (SELECT vec_id, min(d2) AS md FROM dd3 GROUP BY 1),
+         |a3 AS (SELECT d.vec_id, min(d.cell) AS cell FROM dd3 d
+         |  JOIN b3 b ON b.vec_id = d.vec_id AND d.d2 = b.md GROUP BY 1),
+         |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+         |wv AS (SELECT a.vec_id, a.cell, v.vv FROM a3 a JOIN vecs v ON v.vec_id = a.vec_id),
+         |dr AS (SELECT DISTINCT h.vec_id
+         |  FROM wv h JOIN wv l ON l.cell = h.cell AND l.vec_id < h.vec_id
+         |  WHERE list_dot_product(h.vv, l.vv) /
+         |    (sqrt(list_dot_product(h.vv, h.vv)) * sqrt(list_dot_product(l.vv, l.vv))) > 0.4)
+         |SELECT a.vec_id, a.cell,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM a3 a LEFT JOIN dr d ON d.vec_id = a.vec_id ORDER BY a.vec_id""".stripMargin,
+    "q274_knn_label" ->
+      // q45's exact top-5 chain, neighbors' labels gathered, majority with
+      // ties to the smallest label
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s),
+        |nn AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+        |v AS (SELECT nn.query_id, e.label, count(*) AS votes
+        |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2),
+        |p AS (SELECT query_id, label, votes,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn2 FROM v)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM p WHERE rn2 = 1 ORDER BY query_id""".stripMargin,
     "q270_cluster_sizes" ->
       // q77's recursive closure, then size-of-cluster → count-of-size
       s"""WITH RECURSIVE pairs AS ($q44Sql),
