@@ -1968,6 +1968,65 @@ object SparkEntry {
           col("votes").cast("long").as("votes"))
         .orderBy("query_id")
     }),
+    "q275_dsir" -> ((s, dir) => {
+      // DSIR (Xie et al. 2023, "Data Selection for Language Models via
+      // Importance Resampling"): per-doc importance weight = sum over
+      // tokens of the hashed-bucket log-likelihood ratio between a TARGET
+      // domain (source='src0' — the high-quality-domain proxy) and the raw
+      // corpus, Laplace-smoothed over B=64 buckets. Per-bucket log-ratios
+      // are computed once on the 64-row margin frame, quantized to exact
+      // micro-nat longs (the order-free float discipline), broadcast back,
+      // and per-doc weights are exact long sums — two token-frame
+      // aggregates plus one broadcast join, linear in token volume.
+      val docs = T(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), col("source"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")).as("w"))
+        .withColumn("b", pmod(graft.functions.RollingHash(col("w")), lit(64L)))
+        .localCheckpoint(eager = false)
+      val tgt = tok.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      val totals = tok.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      val lam = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          ops.Num.roundz((
+            log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+              (col("nt") + lit(64L)).cast("double")) -
+            log((col("rc") + lit(1L)).cast("double") /
+              (col("nr") + lit(64L)).cast("double"))) * lit(1000000d), 0)
+            .cast("long").as("lam_unats"))
+      tok.join(broadcast(lam), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lam_unats")).as("w_unats"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("w_unats").cast("long").as("w_unats"))
+        .orderBy("doc_id")
+    }),
+    "q276_editdist_confirm" -> ((s, dir) => {
+      // the CONFIRM stage of a production near-dup pipeline: exact
+      // Levenshtein run ONLY on the banded candidate pairs from the
+      // materialized index (MinHash estimates admit false positives; edit
+      // distance is the arbiter) — cost ∝ |candidate pairs| · len², never
+      // corpus². Similarity in floor basis points of the longer text;
+      // codegen'd levenshtein on both engines.
+      val docs = T(s, dir, "documents")
+      val (pairs, _) = dedupIndex(s, dir)
+      val t = docs.select(col("doc_id"), col("text"))
+      pairs
+        .join(t.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+        .join(t.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("est_jaccard"),
+          levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+          (lit(10000L) - expr(
+            "(10000 * levenshtein(__ta, __tb)) div greatest(length(__ta), length(__tb), 1)"))
+            .cast("long").as("sim_bp"))
+        .withColumn("confirmed",
+          when(col("sim_bp") >= 5000L, 1L).otherwise(0L))
+        .orderBy("id_a", "id_b")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -6908,6 +6967,40 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn2 FROM v)
         |SELECT query_id, CAST(label AS BIGINT) AS pred_label, CAST(votes AS BIGINT) AS votes
         |FROM p WHERE rn2 = 1 ORDER BY query_id""".stripMargin,
+    "q275_dsir" ->
+      // token -> KR bucket, target/raw bucket margins, smoothed log-ratio
+      // quantized to micro-nat longs, per-doc exact long sum
+      s"""WITH tok AS (SELECT doc_id, source, w
+         |  FROM (SELECT doc_id, source,
+         |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |    FROM documents) WHERE length(w) > 0),
+         |bk AS (SELECT doc_id, source, ${krSql("w")} % 64 AS b FROM tok),
+         |tgt AS (SELECT b, count(*) AS tc FROM bk WHERE source = 'src0' GROUP BY 1),
+         |raw AS (SELECT b, count(*) AS rc FROM bk GROUP BY 1),
+         |tot AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt,
+         |    count(*) AS nr FROM bk),
+         |lam AS (SELECT r.b,
+         |    CAST(round((ln(CAST(coalesce(t.tc, 0) + 1 AS DOUBLE) / (tot.nt + 64))
+         |      - ln(CAST(r.rc + 1 AS DOUBLE) / (tot.nr + 64))) * 1000000, 0) AS BIGINT) AS lam_unats
+         |  FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot)
+         |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(lam.lam_unats) AS BIGINT) AS w_unats
+         |FROM bk JOIN lam ON lam.b = bk.b
+         |GROUP BY 1 ORDER BY bk.doc_id""".stripMargin,
+    "q276_editdist_confirm" ->
+      // the q44 candidate pairs joined to texts; exact levenshtein and
+      // floor-bp similarity of the longer side
+      s"""WITH pairs AS ($q44Sql),
+         |j AS (SELECT p.id_a, p.id_b, p.est_jaccard,
+         |    levenshtein(a.text, b.text) AS lev,
+         |    greatest(length(a.text), length(b.text), 1) AS ml
+         |  FROM pairs p
+         |  JOIN documents a ON a.doc_id = p.id_a
+         |  JOIN documents b ON b.doc_id = p.id_b)
+         |SELECT id_a, id_b, est_jaccard, CAST(lev AS BIGINT) AS lev,
+         |  CAST(10000 - ((10000 * lev) // ml) AS BIGINT) AS sim_bp,
+         |  CAST(CASE WHEN 10000 - ((10000 * lev) // ml) >= 5000 THEN 1 ELSE 0 END AS BIGINT) AS confirmed
+         |FROM j ORDER BY id_a, id_b""".stripMargin,
     "q270_cluster_sizes" ->
       // q77's recursive closure, then size-of-cluster → count-of-size
       s"""WITH RECURSIVE pairs AS ($q44Sql),

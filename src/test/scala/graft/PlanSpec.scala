@@ -639,4 +639,82 @@ class PlanSpec extends SparkSpec {
       s"views did not read the cached subtree:\n$plan")
     assert(cached == uncached, "cached and uncached outputs diverge")
   }
+
+  test("incremental components: history is a stored-index scan, probe is equi-join (q265 shape)") {
+    // q265's final plan is checkpoint-truncated (the component merge
+    // checkpoints between label rounds), so assert the load-bearing PROBE
+    // stage directly: the historical side must be a parquet scan of the
+    // materialized band index — never a second shingle→minhash banding
+    // pass over old documents — and the probe must stay a band-keyed
+    // equi-join.
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_q265_plan").toString + "/idx"
+    val bands = Dedup.componentIndexBands(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25, indexDir = idx)
+    val fresh = Dedup.bandedSignatures(docs.filter(col("doc_id") >= 350),
+      "doc_id", "text", shingleK = 2, numHashes = 16, bands = 8)
+    val plan = finalPlan(Dedup.probeNearDupBanded(
+      bands.filter(col("doc_id") < 350), fresh, "doc_id", 16, 0.25))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"probe must stay a band-keyed equi-join:\n$plan")
+    assert(plan.contains(idx),
+      s"old side must read the stored band index:\n$plan")
+    // the pushed-down id filter proves the "as-of previous ingest" read is
+    // a narrow pruned scan, not a recompute
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,350)]") ||
+      plan.contains("LessThan(doc_id,350)"),
+      s"historical-id predicate must reach the index scan:\n$plan")
+  }
+
+  test("streaming gate probe join: batch side broadcasts, index never reshuffles (q266 shape)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_probe_plan").toString + "/bands"
+    Dedup.bandedSignatures(docs.filter(col("doc_id") < 300), "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8).write.parquet(idx)
+    val fresh = Dedup.bandedSignatures(docs.filter(col("doc_id") >= 300), "doc_id", "text",
+      shingleK = 2, numHashes = 16, bands = 8)
+    val plan = finalPlan(Dedup.probeNearDupBanded(
+      spark.read.parquet(idx), fresh, "doc_id", 16, 0.25))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the small fresh-batch side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ANN curves: every per-leg join broadcasts the metadata side; no cartesian (q268/q269)") {
+    Seq("q268_ivfpq_curve", "q269_pq_codebook_curve").foreach { k =>
+      val plan = q(k)
+      assert(plan.contains("BroadcastHashJoin"), s"$k:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$k:\n$plan")
+    }
+  }
+
+  test("PQ rerank: shortlist-bounded exact scoring, all joins broadcast (q272)") {
+    val plan = q("q272_pq_rerank")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("semdedup: pair join is cell-keyed, never a corpus cross join (q273)") {
+    val plan = q("q273_semdedup")
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cell prune must stay cell-bounded:\n$plan")
+  }
+
+  test("DSIR: bucket log-ratios broadcast back onto the token frame (q275)") {
+    val plan = q("q275_dsir")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("edit-distance confirm: candidates from the stored pair list, id-keyed gathers (q276)") {
+    val plan = q("q276_editdist_confirm")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"exact confirm must never leave the candidate list:\n$plan")
+    assert(plan.contains("dedup_index"),
+      s"candidates must come from the materialized index:\n$plan")
+  }
 }
