@@ -542,8 +542,11 @@ object Streaming {
         // slice instead of appending duplicate survivor/index rows. The
         // key derives from the DATA (min id div span), not Spark's batchId,
         // so it is stable across checkpoint resets too.
-        if (!batch.isEmpty) {
-          val bid = batch.agg(min(expr(s"doc_id div $span"))).head.getLong(0)
+        // one action decides both emptiness and the batch key: min is NULL
+        // iff the batch is empty
+        val __m = batch.agg(min(expr(s"doc_id div $span"))).head
+        if (!__m.isNullAt(0)) {
+          val bid = __m.getLong(0)
           val tag = f"b$bid%03d"
           val banded = Dedup.bandedSignatures(batch, "doc_id", "text",
             shingleK, numHashes, bands)
@@ -633,10 +636,11 @@ object Streaming {
         // misread as batch 1 and scored against its own partial self. All
         // writes are overwrite into batch-keyed targets, so a replay
         // rewrites its own slice instead of appending a duplicate PSI row.
-        if (!batch.isEmpty) {
+        val __m = batch.agg(min(expr(s"event_id div $span"))).head
+        if (!__m.isNullAt(0)) {
           val cents = batch.select(col("event_id"),
             expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
-          val bId = cents.agg(min(expr(s"event_id div $span"))).head.getLong(0)
+          val bId = __m.getLong(0)
           if (bId == 0L) {
             cents.select(col("cents")).write.mode("overwrite").parquet(refDir)
           } else {
