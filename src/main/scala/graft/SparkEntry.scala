@@ -2027,6 +2027,67 @@ object SparkEntry {
           when(col("sim_bp") >= 5000L, 1L).otherwise(0L))
         .orderBy("id_a", "id_b")
     }),
+    "q277_ndcg" -> ((s, dir) => {
+      // nDCG@5 of the exact retrieval path with label-match relevance —
+      // the graded eval metric next to q212's recall@k: DCG discounts in
+      // exact micro units (round(1e6/log2(rn+1)) — integer constants both
+      // engines compute identically), IDCG = the same weights over the
+      // first n_rel positions, ratio rounded 4dp. All on the |queries|x5
+      // metadata frame.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val nn = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rn"))
+      val wt = ops.Num.roundz(lit(1000000d) /
+        (log(col("rn").cast("double") + lit(1.0)) / log(lit(2.0))), 0).cast("long")
+      val scoredRel = nn
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("__nl")), "neighbor_id")
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("label").as("__ql"))), "query_id")
+        .select(col("query_id"), col("rn"),
+          when(col("__nl") === col("__ql"), 1L).otherwise(0L).as("rel"),
+          wt.as("w"))
+        .localCheckpoint()
+      val perQ = scoredRel.groupBy(col("query_id"))
+        .agg(sum(col("rel")).as("n_rel"), sum(col("rel") * col("w")).as("dcg_u"))
+      val idcg = scoredRel
+        .join(perQ.select(col("query_id"), col("n_rel").as("__nr")), "query_id")
+        .filter(col("rn") <= col("__nr"))
+        .groupBy(col("query_id")).agg(sum(col("w")).as("idcg_u"))
+      perQ.join(idcg, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_rel").cast("long").as("n_rel"),
+          col("dcg_u").cast("long").as("dcg_u"),
+          coalesce(col("idcg_u"), lit(0L)).cast("long").as("idcg_u"),
+          when(coalesce(col("idcg_u"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(ops.Num.roundz(
+              col("dcg_u").cast("double") / col("idcg_u").cast("double"), 4))
+            .as("ndcg"))
+        .orderBy("query_id")
+    }),
+    "q278_lsh_precision" -> ((s, dir) => {
+      // the PRECISION curve of the banded MinHash candidates, bucketed by
+      // estimated Jaccard, with q276's exact edit-distance arbiter as
+      // truth — q233 closed recall (planted pairs found), this closes
+      // precision (found pairs real). est_jaccard values are k/16 (exact
+      // binary doubles), so the decile floor is engine-safe; the exact
+      // confirm runs only on the candidate list.
+      val docs = T(s, dir, "documents")
+      val (pairs, _) = dedupIndex(s, dir)
+      val t = docs.select(col("doc_id"), col("text"))
+      pairs
+        .join(t.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+        .join(t.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+        .select(floor(col("est_jaccard") * 10).cast("long").as("jacc_decile"),
+          when(lit(10000L) - expr(
+            "(10000 * levenshtein(__ta, __tb)) div greatest(length(__ta), length(__tb), 1)")
+            >= 5000L, 1L).otherwise(0L).as("__c"))
+        .groupBy(col("jacc_decile"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("__c")).as("n_confirmed"))
+        .select(col("jacc_decile"), col("n_pairs").cast("long").as("n_pairs"),
+          col("n_confirmed").cast("long").as("n_confirmed"),
+          expr("(10000 * n_confirmed) div n_pairs").cast("long").as("precision_bp"))
+        .orderBy("jacc_decile")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -7001,6 +7062,44 @@ object SparkEntry {
          |  CAST(10000 - ((10000 * lev) // ml) AS BIGINT) AS sim_bp,
          |  CAST(CASE WHEN 10000 - ((10000 * lev) // ml) >= 5000 THEN 1 ELSE 0 END AS BIGINT) AS confirmed
          |FROM j ORDER BY id_a, id_b""".stripMargin,
+    "q277_ndcg" ->
+      // q45's exact top-5, label-match relevance, micro-unit DCG weights,
+      // IDCG over the first n_rel positions
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nl FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, ql, nl,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, ql, nl,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s),
+        |g AS (SELECT query_id, rn,
+        |    CASE WHEN nl = ql THEN 1 ELSE 0 END AS rel,
+        |    CAST(round(1000000 / (ln(rn + 1.0) / ln(2.0)), 0) AS BIGINT) AS w
+        |  FROM r WHERE rn <= 5),
+        |pq AS (SELECT query_id, sum(rel) AS n_rel, sum(rel * w) AS dcg_u FROM g GROUP BY 1),
+        |ic AS (SELECT g.query_id, sum(g.w) AS idcg_u
+        |  FROM g JOIN pq ON pq.query_id = g.query_id WHERE g.rn <= pq.n_rel GROUP BY 1)
+        |SELECT pq.query_id, CAST(pq.n_rel AS BIGINT) AS n_rel,
+        |  CAST(pq.dcg_u AS BIGINT) AS dcg_u,
+        |  CAST(coalesce(ic.idcg_u, 0) AS BIGINT) AS idcg_u,
+        |  (CASE WHEN coalesce(ic.idcg_u, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(pq.dcg_u AS DOUBLE) / ic.idcg_u, 4) END + 0.0) AS ndcg
+        |FROM pq LEFT JOIN ic ON ic.query_id = pq.query_id ORDER BY pq.query_id""".stripMargin,
+    "q278_lsh_precision" ->
+      // q44 candidates bucketed by estimated-Jaccard decile; confirmed =
+      // q276's floor-bp similarity >= 5000
+      s"""WITH pairs AS ($q44Sql),
+         |j AS (SELECT CAST(floor(p.est_jaccard * 10) AS BIGINT) AS jacc_decile,
+         |    CASE WHEN 10000 - ((10000 * levenshtein(a.text, b.text))
+         |      // greatest(length(a.text), length(b.text), 1)) >= 5000
+         |      THEN 1 ELSE 0 END AS c
+         |  FROM pairs p
+         |  JOIN documents a ON a.doc_id = p.id_a
+         |  JOIN documents b ON b.doc_id = p.id_b)
+         |SELECT jacc_decile, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(c) AS BIGINT) AS n_confirmed,
+         |  CAST((10000 * sum(c)) // count(*) AS BIGINT) AS precision_bp
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q270_cluster_sizes" ->
       // q77's recursive closure, then size-of-cluster → count-of-size
       s"""WITH RECURSIVE pairs AS ($q44Sql),
