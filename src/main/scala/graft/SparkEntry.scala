@@ -2088,6 +2088,43 @@ object SparkEntry {
           expr("(10000 * n_confirmed) div n_pairs").cast("long").as("precision_bp"))
         .orderBy("jacc_decile")
     }),
+    "q279_langid_confusion" -> ((s, dir) =>
+      // the language-ID confusion matrix against the corpus's lang column
+      // — the eval that prices q50 before it gates anything: one
+      // expression-native pass, one |langs|^2-bounded aggregate
+      T(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("lang_pred"), col("n_docs").cast("long").as("n_docs"))
+        .orderBy("lang", "lang_pred")),
+    "q280_curation_matrix" -> ((s, dir) => {
+      // the curation DECISION table: LM-quality tercile × near-dup status,
+      // with doc and token mass per cell — what a mixture planner reads to
+      // decide "drop dup tail, upsample clean head". Reuses BOTH shared
+      // materialized derivations (the LM score table and the dedup
+      // component index); the only new work is one token-count pass and
+      // two id-keyed joins.
+      val scores = lmScores(s, dir)
+      val (ranked, n) = graft.ops.TwoPhase.globalRank(scores, col("avg_nll"),
+        Seq(col("avg_nll"), col("doc_id")), "__rank")
+      val buck = ranked.withColumn("bucket",
+        graft.ops.TwoPhase.ntileFromRank("__rank", n, 3).cast("long"))
+        .select(col("doc_id"), col("bucket"))
+      val (_, comp) = dedupIndex(s, dir)
+      val dup = comp.select(col("node").as("doc_id")).withColumn("__d", lit(1L))
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("__nt"))
+      buck.join(dup, Seq("doc_id"), "left")
+        .join(toks, Seq("doc_id"))
+        .groupBy(col("bucket"),
+          when(col("__d").isNull, 0L).otherwise(1L).as("is_dup"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+        .select(col("bucket"), col("is_dup"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("total_tokens").cast("long").as("total_tokens"))
+        .orderBy("bucket", "is_dup")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -7100,6 +7137,33 @@ object SparkEntry {
          |  CAST(sum(c) AS BIGINT) AS n_confirmed,
          |  CAST((10000 * sum(c)) // count(*) AS BIGINT) AS precision_bp
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q279_langid_confusion" ->
+      s"""SELECT lang, $langCase AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q280_curation_matrix" ->
+      // q204's scores terciled + q77's closure as the dup flag + token mass
+      s"""WITH RECURSIVE scores AS ($q204Sql),
+         |b AS (SELECT doc_id,
+         |    CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
+         |  FROM scores),
+         |pairs AS ($q44Sql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |conn(a, bb) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.bb = e.src),
+         |lab AS (SELECT a FROM conn GROUP BY a),
+         |tk AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt
+         |  FROM documents)
+         |SELECT b.bucket,
+         |  CAST(CASE WHEN lab.a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tk.nt) AS BIGINT) AS total_tokens
+         |FROM b LEFT JOIN lab ON lab.a = b.doc_id
+         |JOIN tk ON tk.doc_id = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q270_cluster_sizes" ->
       // q77's recursive closure, then size-of-cluster → count-of-size
       s"""WITH RECURSIVE pairs AS ($q44Sql),
