@@ -2125,6 +2125,34 @@ object SparkEntry {
           col("total_tokens").cast("long").as("total_tokens"))
         .orderBy("bucket", "is_dup")
     }),
+    "q281_gopher_repetition" -> ((s, dir) => {
+      // Gopher's repetition rule (Rae et al. 2021, "Scaling Language
+      // Models" §A1.1: drop docs whose most frequent n-gram covers too
+      // much of the text — boilerplate/spam that per-line dedup misses):
+      // per-doc top-bigram share in floor basis points, flagged at the
+      // paper's 20% threshold for 2-grams. One bigram explode + two
+      // map-side-combined aggregates, linear in token volume; docs with
+      // < 2 tokens emit no row (no bigrams — both engines).
+      val docs = T(s, dir, "documents")
+      val withArr = docs.select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)").as("__tk"))
+      val bi = withArr
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(__tk) >= 2 THEN " +
+            "transform(sequence(0, size(__tk) - 2), i -> struct(__tk[i] AS a, __tk[i + 1] AS b)) " +
+            "ELSE array() END")).as("__bg"))
+        .select(col("doc_id"), col("__bg.a").as("a"), col("__bg.b").as("b"))
+      bi.groupBy(col("doc_id"), col("a"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_n"))
+        .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+          col("top_n").cast("long").as("top_n"),
+          expr("(10000 * top_n) div n_bigrams").cast("long").as("top_share_bp"))
+        .withColumn("flagged",
+          when(col("top_share_bp") > 2000L, 1L).otherwise(0L))
+        .orderBy("doc_id")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -7140,6 +7168,18 @@ object SparkEntry {
     "q279_langid_confusion" ->
       s"""SELECT lang, $langCase AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q281_gopher_repetition" ->
+      // q204's bigram CTEs, then per-doc total vs max bigram count
+      """WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS arr FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+        |    i -> {'a': arr[i], 'b': arr[i + 1]})) AS g FROM raw),
+        |dbc AS (SELECT doc_id, g.a AS a, g.b AS b, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |agg AS (SELECT doc_id, sum(c) AS nb, max(c) AS tn FROM dbc GROUP BY 1)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams, CAST(tn AS BIGINT) AS top_n,
+        |  CAST((10000 * tn) // nb AS BIGINT) AS top_share_bp,
+        |  CAST(CASE WHEN (10000 * tn) // nb > 2000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q280_curation_matrix" ->
       // q204's scores terciled + q77's closure as the dup flag + token mass
       s"""WITH RECURSIVE scores AS ($q204Sql),
