@@ -7148,7 +7148,7 @@ object SparkEntry {
         |  CAST(pq.dcg_u AS BIGINT) AS dcg_u,
         |  CAST(coalesce(ic.idcg_u, 0) AS BIGINT) AS idcg_u,
         |  (CASE WHEN coalesce(ic.idcg_u, 0) = 0 THEN 0.0
-        |    ELSE round(CAST(pq.dcg_u AS DOUBLE) / ic.idcg_u, 4) END + 0.0) AS ndcg
+        |    ELSE (round(CAST(pq.dcg_u AS DOUBLE) / ic.idcg_u, 4) + 0.0) END) AS ndcg
         |FROM pq LEFT JOIN ic ON ic.query_id = pq.query_id ORDER BY pq.query_id""".stripMargin,
     "q278_lsh_precision" ->
       // q44 candidates bucketed by estimated-Jaccard decile; confirmed =
