@@ -2018,10 +2018,15 @@ object SparkEntry {
       pairs
         .join(t.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
         .join(t.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
-        .select(col("id_a"), col("id_b"), col("est_jaccard"),
-          levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        // the pair frame is BYTE-small but COMPUTE-heavy (len^2 DP per
+        // row), so AQE's byte-based coalescing would serialize the DP onto
+        // a couple of tasks; spread it explicitly — the general rule for
+        // expensive-per-row stages over narrow frames
+        .repartition(64, col("id_a"))
+        .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+        .select(col("id_a"), col("id_b"), col("est_jaccard"), col("lev"),
           (lit(10000L) - expr(
-            "(10000 * levenshtein(__ta, __tb)) div greatest(length(__ta), length(__tb), 1)"))
+            "(10000 * lev) div greatest(length(__ta), length(__tb), 1)"))
             .cast("long").as("sim_bp"))
         .withColumn("confirmed",
           when(col("sim_bp") >= 5000L, 1L).otherwise(0L))
@@ -2077,6 +2082,8 @@ object SparkEntry {
       pairs
         .join(t.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
         .join(t.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+        // spread the len^2 DP — see q276
+        .repartition(64, col("id_a"))
         .select(floor(col("est_jaccard") * 10).cast("long").as("jacc_decile"),
           when(lit(10000L) - expr(
             "(10000 * levenshtein(__ta, __tb)) div greatest(length(__ta), length(__tb), 1)")
