@@ -2160,6 +2160,48 @@ object SparkEntry {
           when(col("top_share_bp") > 2000L, 1L).otherwise(0L))
         .orderBy("doc_id")
     }),
+    "q282_residual_pq" -> ((s, dir) => {
+      // RESIDUAL-coded IVFPQ search (the production FAISS IVFx,PQy layout):
+      // q246 composes IVF pruning with PQ codes of the RAW vectors; here the
+      // codes quantize v − centroid(cell(v)), the fix for raw ADC's
+      // within-cluster ranking ceiling measured in SCALE.md's round-12 ANN
+      // probe. Per-(query, probed-cell) distance tables — the query residual
+      // depends on the cell it's re-expressed against; same exact tenth-bp
+      // long distances, same corpus-slice quantizers the oracle replicates
+      // (centroids = first 16 by id; codebook = the RESIDUALS of the first 8)
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+      val res = Similarity.residuals(emb, cent, "vec_id", "embedding")
+      val cb = res.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("rvec"))
+      val qres = Similarity.residuals(
+        emb.filter(col("vec_id") < 8), cent, "vec_id", "embedding", nprobe = 2)
+      Similarity.pqResidualSearchTopK(res, qres, cb, "vec_id",
+          m = 4, subDim = 16, k = 5)
+        .orderBy("query_id", "rn")
+    }),
+    "q283_ivf_balance" -> ((s, dir) => {
+      // IVF index-health audit: the cell-occupancy table the nprobe cost
+      // model stands on — per-query scan cost is sum of PROBED cell sizes,
+      // so a skewed assignment (hot cell ≫ mean) silently turns "probe 2 of
+      // 16 cells" into a near-full scan. Share in floor bp plus the per-cell
+      // imbalance ratio vs the ideal |corpus|/|cells| (milli-units); the
+      // monitor a production index rebuilds on. One assignment pass
+      // (broadcast centroids), one |cells|-sized aggregate.
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+      val asg = Similarity.ivfAssign(emb, cent, "vec_id", "embedding")
+      val total = asg.agg(count(lit(1)).as("__n"))
+      asg.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(total))
+        .select(col("cell").cast("long").as("cell"),
+          col("n_vecs").cast("long").as("n_vecs"),
+          expr("(10000 * n_vecs) div __n").cast("long").as("share_bp"),
+          // occupancy vs the balanced ideal, milli-units: 1000 = ideal
+          expr("(1000 * n_vecs * 16) div __n").cast("long").as("load_milli"))
+        .orderBy("cell")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -7187,6 +7229,72 @@ object SparkEntry {
         |  CAST((10000 * tn) // nb AS BIGINT) AS top_share_bp,
         |  CAST(CASE WHEN (10000 * tn) // nb > 2000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q282_residual_pq" ->
+      // q246's cell CTEs carrying (vv, cv) through, residuals as one
+      // element-wise double subtraction, then the same LUT/ADC chain in
+      // residual space with the table keyed per (query, probed cell)
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |cells AS (SELECT x.vec_id, x.vv, c.cell, c.cv,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |res AS (SELECT vec_id, cell,
+        |    list_transform(range(1, 65), i -> vv[i] - cv[i]) AS rv
+        |  FROM cells WHERE crn = 1),
+        |qres AS (SELECT vec_id AS query_id, cell,
+        |    list_transform(range(1, 65), i -> vv[i] - cv[i]) AS rv
+        |  FROM cells WHERE vec_id < 8 AND crn <= 2),
+        |rsubs AS (SELECT vec_id, CAST(s.i AS BIGINT) AS sub,
+        |    rv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS xs
+        |  FROM res, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |cb AS (SELECT vec_id AS code, sub, xs AS cs FROM rsubs WHERE vec_id < 8),
+        |sc AS (SELECT x.vec_id, x.sub, c.code,
+        |  row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+        |    list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), c.code) AS rn
+        |  FROM rsubs x JOIN cb c USING (sub)),
+        |codes AS (SELECT vec_id, sub, code FROM sc WHERE rn = 1),
+        |qsubs AS (SELECT query_id, cell, CAST(s.i AS BIGINT) AS sub,
+        |    rv[CAST(s.i * 16 + 1 AS INT) : CAST(s.i * 16 + 16 AS INT)] AS qs
+        |  FROM qres, LATERAL (SELECT unnest(range(0, 4)) AS i) s),
+        |lut AS (SELECT q.query_id, q.cell, c.sub, c.code,
+        |    CAST(round(greatest(list_dot_product(q.qs, q.qs)
+        |      - 2 * list_dot_product(q.qs, c.cs)
+        |      + list_dot_product(c.cs, c.cs), 0) * 100000) AS BIGINT) AS d
+        |  FROM qsubs q JOIN cb c USING (sub)),
+        |cand AS (SELECT q.query_id, r.vec_id AS neighbor_id, q.cell
+        |  FROM qres q JOIN res r ON r.cell = q.cell
+        |  WHERE r.vec_id <> q.query_id),
+        |sc2 AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adist_tb
+        |  FROM codes k
+        |  JOIN cand cd ON cd.neighbor_id = k.vec_id
+        |  JOIN lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+        |    AND l.sub = k.sub AND l.code = k.code
+        |  GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, neighbor_id, adist_tb,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist_tb, neighbor_id) AS BIGINT) AS rn FROM sc2)
+        |SELECT query_id, neighbor_id, adist_tb, rn FROM r2 WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+    "q283_ivf_balance" ->
+      // q58's assignment CTE (crn = 1), then the occupancy table
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |cells AS (SELECT x.vec_id, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cell FROM cells WHERE crn = 1),
+        |t AS (SELECT count(*) AS n FROM asg)
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST((10000 * count(*)) // t.n AS BIGINT) AS share_bp,
+        |  CAST((1000 * count(*) * 16) // t.n AS BIGINT) AS load_milli
+        |FROM asg, t GROUP BY cell, t.n ORDER BY cell""".stripMargin,
     "q280_curation_matrix" ->
       // q204's scores terciled + q77's closure as the dup flag + token mass
       s"""WITH RECURSIVE scores AS ($q204Sql),

@@ -99,6 +99,59 @@ object ProbeAnnClustered {
       println(f"[annprobe] $label pq_trained K=$kk%2d adc_recall@5=$rAdc%.3f shortlist50_rerank_recall@5=$rRerank%.3f")
     }
 
+    // 2c. PRODUCT-trained codebook (pqTrainMicro: an independent Lloyd per
+    // subspace — K^m effective cells from m·K codewords) on the RAW
+    // vectors: separates the "codebook is a sliced full-dim frame" cap
+    // from the "raw vectors quantize cluster-coarse" cap.
+    Seq(4, 8, 16, 32).foreach { kk =>
+      val cb = Similarity.pqTrainMicro(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, k = kk, iterations = 3).localCheckpoint()
+      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 4, subDim = 16)
+      val r = recall(Similarity.pqSearchTopK(codes, queries, cb,
+        "vec_id", "embedding", m = 4, subDim = 16, k = 5))
+      println(f"[annprobe] $label pq_product_trained K=$kk%2d adc_recall@5=$r%.3f")
+    }
+
+    // 2b. RESIDUAL-coded IVFPQ (q282's shape, trained quantizers): codes
+    // quantize v − centroid(cell(v)) instead of v, recentering every cell
+    // at the origin so the codebook spends its codewords on the
+    // within-cell offsets — the fix for raw ADC's within-cluster ranking
+    // ceiling read out in section 2. Same ADC path, no exact re-rank;
+    // codebook = product-trained per-subspace Lloyd on the residuals.
+    val res = Similarity.residuals(emb, trained16, "vec_id", "embedding")
+      .localCheckpoint()
+    val qres = Similarity.residuals(queries, trained16, "vec_id", "embedding",
+      nprobe = 4)
+    Seq(4, 8, 16, 32).foreach { kk =>
+      val rcb = Similarity.pqTrainMicro(res, "vec_id", "rvec",
+        m = 4, subDim = 16, k = kk, iterations = 3).localCheckpoint()
+      val r = recall(Similarity.pqResidualSearchTopK(res, qres, rcb,
+        "vec_id", m = 4, subDim = 16, k = 5))
+      println(f"[annprobe] $label residual_pq_trained K=$kk%2d nprobe=4 adc_recall@5=$r%.3f")
+    }
+    // production code-budget point: m=8 subspaces × K=64 codewords = 48
+    // bits/vector (the m=4, K≤32 grid above tops out at 20 bits — below
+    // the within-cluster ranking resolution on isotropic offsets no matter
+    // how the codebook is trained)
+    locally {
+      val rcb = Similarity.pqTrainMicro(res, "vec_id", "rvec",
+        m = 8, subDim = 8, k = 64, iterations = 3).localCheckpoint()
+      val r = recall(Similarity.pqResidualSearchTopK(res, qres, rcb,
+        "vec_id", m = 8, subDim = 8, k = 5))
+      // and the full production composition (q272's shape on the residual
+      // index): residual-ADC shortlist(50) → exact cosine re-rank → top-5
+      val shortlist = Similarity.pqResidualSearchTopK(res, qres, rcb,
+          "vec_id", m = 8, subDim = 8, k = 50)
+        .select(col("query_id").as("__sq"), col("neighbor_id").as("__sn"))
+      val rescored = shortlist
+        .join(broadcast(queries.select(col("vec_id").as("__sq"), col("embedding").as("qv"))), Seq("__sq"))
+        .join(emb.select(col("vec_id").as("__sn"), col("embedding").as("cv")), Seq("__sn"))
+        .select(col("__sq").as("query_id"), col("__sn").as("neighbor_id"),
+          (Similarity.dot("qv", "cv") / (Similarity.norm("qv") * Similarity.norm("cv"))).as("cosine"))
+      val rr = recall(Similarity.topKPerQuery(rescored, 5))
+      println(f"[annprobe] $label residual_pq_trained m=8 K=64 nprobe=4 adc_recall@5=$r%.3f shortlist50_rerank_recall@5=$rr%.3f")
+    }
+
     // 3. the registry's untrained corpus-slice configs, for contrast
     Seq(1, 2, 4, 8).foreach { np =>
       val r = recall(Similarity.ivfPqTopK(emb, queries,

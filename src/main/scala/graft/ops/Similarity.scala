@@ -445,6 +445,47 @@ object Similarity {
       .agg(codes.head, codes.tail: _*)
   }
 
+  /** TRUE product-quantizer training: an INDEPENDENT Lloyd run per subspace
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 — the codebook is the cartesian PRODUCT of m per-subspace
+    * codebooks, K^m effective cells from m·K codewords). Slicing one
+    * full-dim centroid frame — the registry gates' deterministic
+    * convention — ties codeword j's subspace slices together, collapsing
+    * the product structure to K cells; this trainer is what production
+    * uses. Runs on the exact micro-long grid ([[ivfTrainMicro]] per
+    * subspace), so it is deterministic and oracle-replicable like every
+    * other trained quantizer here.
+    *
+    * Output rows re-assemble codeword j as concat_s(codeword(s, j)) in the
+    * (idCol, vecCol) shape [[pqEncode]]/[[pqSearchTopK]] slice back apart —
+    * subspace s of row j IS per-subspace codeword (s, j). Rows = min over
+    * subspaces of surviving-cell count (an empty Lloyd cell drops the
+    * codeword id everywhere, keeping the frame rectangular).
+    *
+    * Scale shape: the m subspace frames come off ONE map-side explode of
+    * the corpus; each Lloyd run is [[ivfTrainMicro]]'s broadcast+aggregate
+    * loop on a |corpus|·subDim component frame; the reassembly is a
+    * K·m-row metadata aggregate. */
+  def pqTrainMicro(vectors: DataFrame, idCol: String, vecCol: String,
+                   m: Int, subDim: Int, k: Int, iterations: Int): DataFrame = {
+    val subs = vectors.select(col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice($vecCol, i * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "__xs"))).localCheckpoint(eager = false)
+    val perSub = (0 until m).map { s =>
+      microCentroidVectors(
+        ivfTrainMicro(subs.filter(col("sub") === s).select(col(idCol), col("__xs")),
+          idCol, "__xs", k, iterations), idCol, "__xs")
+        .select(col(idCol), lit(s).as("sub"), col("__xs"))
+    }.reduce(_ unionByName _)
+    perSub
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        array_sort(collect_list(struct(col("sub"), col("__xs")))).as("__p"))
+      .filter(col("__n") === m) // keep the frame rectangular across subspaces
+      .select(col(idCol), flatten(expr("transform(__p, x -> x.__xs)")).as(vecCol))
+  }
+
   /** Asymmetric-distance (ADC) top-k search over a PQ-ENCODED corpus — the
     * query path that makes [[pqEncode]] a complete ANN index (LSH probes
     * buckets, IVF probes cells, PQ scans CODES): the corpus is never
@@ -536,6 +577,92 @@ object Similarity {
     val codes = pqEncode(corpus, codebook, idCol, vecCol, m, subDim)
     pqSearchTopK(codes, queries, codebook, idCol, vecCol, m, subDim, k,
       candidates = Some(cand))
+  }
+
+  /** Coarse-quantization residuals r = v − centroid(cell(v)) — the input
+    * frame of RESIDUAL-coded IVFPQ (the production FAISS `IVFx,PQy` layout).
+    * Why residuals: raw-vector PQ quantizes every member of a dense cluster
+    * to the same codes, so ADC separates clusters but cannot rank WITHIN
+    * one — exactly where the true neighbors are (measured in SCALE.md's
+    * round-12 ANN probe: raw ADC recall@5 ≈ 0.05 on clustered data at every
+    * codebook size). Subtracting the cell centroid recenters every cell at
+    * the origin, so the codebook spends its codewords on the within-cell
+    * offsets that actually rank neighbors.
+    *
+    * Determinism: components are double differences of float-exact doubles —
+    * one IEEE op both engines round identically (oracle: `vv[i] - cv[i]` on
+    * the double-cast lists). `nprobe = 1` is storage-side assignment
+    * residuals; `nprobe > 1` emits one residual per PROBED cell — the
+    * query-side frame, where the query must be re-expressed relative to
+    * EACH probed cell's centroid before its ADC table is valid.
+    *
+    * Scale shape: centroids broadcast twice (the [[ivfProbe]] scoring pass
+    * and the centroid-vector join-back); the corpus never shuffles — the
+    * residual is a map-side `zip_with`. Output: (idCol, cell, rvec). */
+  def residuals(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String, nprobe: Int = 1): DataFrame =
+    ivfProbe(vectors, centroids, idCol, vecCol, nprobe)
+      .join(broadcast(centroids.select(col(idCol).as("cell"),
+        col(vecCol).cast("array<double>").as("__cv"))), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol).cast("array<double>"), col("__cv"),
+          (a, b) => a - b).as("rvec"))
+
+  /** ADC top-k over a RESIDUAL-coded corpus — [[pqSearchTopK]]'s query path
+    * with the residual twist: distance tables are per (query, PROBED CELL),
+    * because the query's residual — and therefore every subvector LUT
+    * entry — depends on which cell's centroid it was re-expressed against.
+    * A candidate is scored against exactly the table of ITS cell, summing
+    * exactly `m` integer lookups (same tenth-bp quantization-before-sum as
+    * the flat path, so the ranking is an order-free exact long total both
+    * engines resolve identically).
+    *
+    * Inputs: `corpusRes`/`queryRes` from [[residuals]] (nprobe 1 / n), and a
+    * RESIDUAL-space codebook (idCol, rvec). Candidate volume is bounded by
+    * the cell equi-join (|corpus|·nprobe/|cells| per query); the LUT is
+    * |queries|·nprobe·m·K metadata rows and broadcasts; the encoded corpus
+    * fans out m-way and reduces straight back through one map-side-combined
+    * sum — never |corpus|·|queries|. Ranking is the two-phase
+    * [[topKPerQuery]] k-heap.
+    *
+    * Output: (query_id, neighbor_id, adist_tb, rn), rank 1..k per query. */
+  def pqResidualSearchTopK(corpusRes: DataFrame, queryRes: DataFrame,
+                           codebook: DataFrame, idCol: String,
+                           m: Int, subDim: Int, k: Int): DataFrame = {
+    def sliced(df: DataFrame, keep: Seq[Column], vecAs: String) = df.select(
+      keep :+ posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice(rvec, i * $subDim + 1, $subDim))"))
+        .as(Seq("sub", vecAs)): _*)
+    val qs = sliced(queryRes,
+      Seq(col(idCol).as("query_id"), col("cell")), "qs")
+    val cb = sliced(codebook, Seq(col(idCol).as("code")), "cs")
+    val lut = qs.join(cb, Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        Num.roundz(greatest(lit(0.0),
+          dot("qs", "qs") - lit(2.0) * dot("qs", "cs") + dot("cs", "cs")) *
+          lit(100000d)).cast("long").as("__d_tb"))
+    // a corpus vector lives in exactly one cell, so (query, neighbor) pairs
+    // are unique across probed cells — no dedup needed, and each pair's sum
+    // draws from the single (query, cell) table that matches its neighbor
+    val cand = queryRes.select(col(idCol).as("query_id"), col("cell"))
+      .join(corpusRes.select(col(idCol).as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val codes = pqEncode(corpusRes, codebook, idCol, "rvec", m, subDim)
+    val scored = codes
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(array((0 until m).map(i => col(s"c$i")): _*))
+          .as(Seq("sub", "code")))
+      .join(cand, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "cell", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__d_tb")).as("__dist"))
+      // negate into topKPerQuery's (cosine desc) order: exact — the longs
+      // are far below 2^53, so the double round-trips bit-perfectly
+      .select(col("query_id"), col("neighbor_id"),
+        negate(col("__dist").cast("double")).as("cosine"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        negate(col("cosine")).cast("long").as("adist_tb"), col("rn"))
   }
 
   /** Per-group embedding centroids in EXACT fixed-point arithmetic: each

@@ -717,4 +717,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("dedup_index"),
       s"candidates must come from the materialized index:\n$plan")
   }
+
+  test("residual PQ: per-(query,cell) LUT broadcasts; candidates cell-keyed; no cartesian (q282)") {
+    val plan = q("q282_residual_pq")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the metadata-sized LUT/centroid frames must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate volume must stay bounded by the cell equi-join:\n$plan")
+  }
+
+  test("IVF balance: one assignment pass; the 1-row total joins back broadcast (q283)") {
+    val plan = q("q283_ivf_balance")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the count(*) total is 1 row and must broadcast, never shuffle:\n$plan")
+  }
 }
