@@ -2202,6 +2202,115 @@ object SparkEntry {
           expr("(1000 * n_vecs * 16) div __n").cast("long").as("load_milli"))
         .orderBy("cell")
     }),
+    "q284_sq8_search" -> ((s, dir) => {
+      // scalar-quantized (SQ8) flat search: every dim affinely coded onto
+      // 0..255 by its corpus [min,max] — the memory lever orthogonal to
+      // PQ's (8 bits/DIM ≈ near-exact ranking at 4× compression vs
+      // log2(K)/SUBSPACE at 10-100×); symmetric integer-L2 over codes,
+      // exact long sums. Stats frame is 64 rows (broadcast); one encode
+      // pass; the flat scan broadcasts the 8 coded queries
+      val emb = T(s, dir, "embeddings")
+      val codes = Similarity.sq8Encode(emb, "vec_id", "embedding")
+      Similarity.sq8SearchTopK(codes, codes.filter(col("vec_id") < 8),
+          "vec_id", k = 5)
+        .orderBy("query_id", "rn")
+    }),
+    "q285_shard_merge" -> ((s, dir) => {
+      // IVF index-shard MERGE — the maintenance op behind batched ingest
+      // (build a per-batch index shard, merge into the serving index):
+      // because assignment is per-vector against a SHARED coarse
+      // quantizer, merging is a union of cell→vector assignments with no
+      // re-clustering and no cross-shard work, and searching the merged
+      // index is EXACTLY searching a monolithic one — which is the proof
+      // this gate row encodes: the Spark side searches the union of two
+      // parity shards, the oracle computes the monolithic nprobe=2 path.
+      // At 100 TB: shards merge as parquet appends (cell is the partition
+      // key); the merge itself moves no vector data
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+      val shard = (p: Int) => Similarity.ivfAssign(
+        emb.filter(pmod(col("vec_id"), lit(2)) === p), cent, "vec_id", "embedding")
+      val merged = shard(0).unionByName(shard(1))
+        .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val queryCells = Similarity.ivfProbe(emb.filter(col("vec_id") < 8),
+          cent, "vec_id", "embedding", nprobe = 2)
+        .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = merged.join(queryCells, "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine",
+          Similarity.dot("qv", "cv") / (Similarity.norm("qv") * Similarity.norm("cv")))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      Similarity.topKPerQuery(scored, 5).orderBy("query_id", "rn")
+    }),
+    "q286_mrr" -> ((s, dir) => {
+      // MRR@5 of the exact retrieval path with label-match relevance — the
+      // first-hit eval next to q212's recall@k and q277's nDCG. Reciprocal
+      // ranks in exact micro-units via integer division (1000000 div rn —
+      // both engines' integer div agree; the 1/3 case never touches
+      // floats), summed order-free; the one float op is the final 4-dp
+      // mean. All ranking work is the |queries|×5 metadata frame
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val nn = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rn"))
+      val firstRel = nn
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("__nl")), "neighbor_id")
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("label").as("__ql"))), "query_id")
+        .filter(col("__nl") === col("__ql"))
+        .groupBy(col("query_id")).agg(min(col("rn")).as("first_rel_rn"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(firstRel, Seq("query_id"), "left")
+        .select(coalesce(col("first_rel_rn"), lit(0L)).as("fr"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          sum(when(col("fr") === 0L, 0L)
+            .otherwise(expr("CAST(1000000 AS BIGINT) div fr"))).cast("long")
+            .as("rr_micro_sum"))
+        .select(col("n_queries"), col("rr_micro_sum"),
+          ops.Num.roundz(col("rr_micro_sum").cast("double") /
+            (col("n_queries").cast("double") * lit(1000000.0)), 4).as("mrr"))
+    }),
+    "q287_scene_cuts" -> ((s, dir) => {
+      // VIDEO shot-boundary detection under the gate — the keyframe
+      // selector a vision-language curation pipeline runs before sampling
+      // frames: per doc an animated GIF is synthesized whose channel means
+      // drift smoothly (+4/+3/+5 per frame) except at every 3rd frame,
+      // where a planted +60 red jump marks a cut; REAL ImageIO container
+      // walk decodes EVERY frame (step=1), then consecutive-frame absolute
+      // channel-mean deltas flag cuts at threshold 40 (smooth Δ=12,
+      // cut Δ=72 — clean margins). The lag window runs per doc over ≤9
+      // frames; decode fans out map-side before any shuffle. The oracle
+      // predicts every mean arithmetically (solid indexed-palette frames
+      // are lossless)
+      import s.implicits._
+      val vids = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
+          val nf = (nc % 6 + 4).toInt
+          val baseR = (id % 100).toInt
+          val baseG = ((id * 7) % 200).toInt
+          val colors = (0 until nf).map { i =>
+            val r = baseR + 4 * i + 60 * (i / 3)
+            val g = baseG + 3 * i
+            val b = 10 + 5 * i
+            (r << 16) | (g << 8) | b
+          }
+          (id, Multimodal.synthGif((id % 8 + 1).toInt, 3, colors))
+        }).toDF("doc_id", "payload")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val delta = abs(col("mean_r") - lag(col("mean_r"), 1).over(w)) +
+        abs(col("mean_g") - lag(col("mean_g"), 1).over(w)) +
+        abs(col("mean_b") - lag(col("mean_b"), 1).over(w))
+      Multimodal.sampleGifFrames(vids, "doc_id", step = 1)
+        .select(col("doc_id"), col("frame_idx"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .withColumn("delta_sum", delta)
+        .filter(col("delta_sum").isNotNull)
+        .select(col("doc_id"), col("frame_idx"),
+          col("delta_sum").cast("long").as("delta_sum"),
+          when(col("delta_sum") > 40, 1L).otherwise(0L).as("is_cut"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -7295,6 +7404,80 @@ object SparkEntry {
         |  CAST((10000 * count(*)) // t.n AS BIGINT) AS share_bp,
         |  CAST((1000 * count(*) * 16) // t.n AS BIGINT) AS load_milli
         |FROM asg, t GROUP BY cell, t.n ORDER BY cell""".stripMargin,
+    "q284_sq8_search" ->
+      // per-dim [min,max] → affine 0..255 codes (floor of three IEEE ops
+      // both engines round identically), symmetric integer L2 over codes
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |d AS (SELECT vec_id, CAST(s.i AS BIGINT) AS pos, vv[CAST(s.i + 1 AS INT)] AS v
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 64)) AS i) s),
+        |st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM d GROUP BY 1),
+        |c AS (SELECT vec_id, pos,
+        |    CASE WHEN mx = mn THEN 0
+        |      ELSE least(255, greatest(0, CAST(floor((v - mn) * 255 / (mx - mn)) AS BIGINT)))
+        |    END AS code
+        |  FROM d JOIN st USING (pos)),
+        |q AS (SELECT vec_id AS query_id, pos, code AS qc FROM c WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum((q.qc - c.code) * (q.qc - c.code)) AS BIGINT) AS sqdist
+        |  FROM q JOIN c ON q.pos = c.pos AND c.vec_id <> q.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, sqdist,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sqdist, neighbor_id) AS BIGINT) AS rn FROM sc)
+        |SELECT query_id, neighbor_id, sqdist, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+    "q285_shard_merge" ->
+      // the MONOLITHIC nprobe=2 IVF search — equality with the Spark
+      // side's merged-two-shard search IS the gate's merge-correctness
+      // proof (shared quantizer ⇒ assignment is per-vector ⇒ union ≡ whole)
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |scored AS (SELECT x.vec_id, x.vv, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, vv, cell FROM scored WHERE crn = 1),
+        |q AS (SELECT vec_id AS query_id, vv AS qv, cell FROM scored WHERE vec_id < 8 AND crn <= 2),
+        |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+        |  list_dot_product(q.qv, a.vv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.vv, a.vv))) AS cosine
+        |  FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+        |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+    "q286_mrr" ->
+      // q277's exact top-5 chain, first label match per query, reciprocal
+      // ranks as exact micro-unit integer divisions summed order-free
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vv AS qv, label AS ql FROM vecs WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, q.ql, x.vec_id AS neighbor_id, x.label AS nl,
+        |  list_dot_product(q.qv, x.vv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.vv, x.vv))) AS cosine
+        |  FROM q JOIN vecs x ON x.vec_id <> q.query_id),
+        |r AS (SELECT query_id, ql, nl,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s),
+        |fr AS (SELECT query_id, min(rn) AS first_rel_rn FROM r
+        |  WHERE rn <= 5 AND nl = ql GROUP BY 1),
+        |pq AS (SELECT q.query_id, coalesce(fr.first_rel_rn, 0) AS f
+        |  FROM q LEFT JOIN fr USING (query_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN f = 0 THEN 0 ELSE 1000000 // f END) AS BIGINT) AS rr_micro_sum,
+        |  (round(CAST(sum(CASE WHEN f = 0 THEN 0 ELSE 1000000 // f END) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) + 0.0) AS mrr
+        |FROM pq""".stripMargin,
+    "q287_scene_cuts" ->
+      // frame channel means predicted arithmetically (solid-color
+      // indexed-palette GIF frames decode losslessly), then the same lag
+      // deltas + threshold
+      """WITH v AS (SELECT doc_id, n_chars % 6 + 4 AS nf, doc_id % 100 AS br,
+        |    (doc_id * 7) % 200 AS bg FROM documents),
+        |f AS (SELECT doc_id, br, bg, unnest(range(0, nf)) AS i FROM v),
+        |c AS (SELECT doc_id, i, br + 4 * i + 60 * (i // 3) AS r,
+        |    bg + 3 * i AS g, 10 + 5 * i AS b FROM f),
+        |d AS (SELECT doc_id, i,
+        |    abs(r - lag(r) OVER w) + abs(g - lag(g) OVER w) + abs(b - lag(b) OVER w) AS ds
+        |  FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(ds AS BIGINT) AS delta_sum,
+        |  CAST(CASE WHEN ds > 40 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+        |FROM d WHERE ds IS NOT NULL ORDER BY doc_id, frame_idx""".stripMargin,
     "q280_curation_matrix" ->
       // q204's scores terciled + q77's closure as the dup flag + token mass
       s"""WITH RECURSIVE scores AS ($q204Sql),

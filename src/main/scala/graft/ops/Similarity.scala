@@ -665,6 +665,65 @@ object Similarity {
         negate(col("cosine")).cast("long").as("adist_tb"), col("rn"))
   }
 
+  /** Scalar quantization (SQ8): each dimension affinely mapped onto 0..255
+    * by its corpus-wide [min, max] — 4× compression at far higher code
+    * resolution than PQ (8 bits PER DIMENSION vs log₂K per SUBSPACE), the
+    * standard FAISS `SQ8` index and the cheapest lever when memory, not
+    * compute, is the binding constraint (a 100 TB float corpus becomes
+    * 25 TB of codes with near-exact ranking; PQ's 10-100× compression costs
+    * the within-cluster resolution measured in SCALE.md's round-12 probe).
+    *
+    * Determinism: mn/mx are exact selections of float-exact doubles;
+    * `(v−mn)·255/(mx−mn)` is three IEEE ops both engines round identically,
+    * and `floor` of identical doubles is identical — codes are exact longs.
+    * Constant dimensions (mx = mn) code to 0.
+    *
+    * Scale shape: the stats frame is dim-sized (64 rows) and broadcasts
+    * back onto the exploded corpus; encode is one explode + one broadcast
+    * join + one re-assembly aggregate keyed on the vector id — linear, no
+    * corpus self-join. Output: (idCol, codes array<long>). */
+  def sq8Encode(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val d = vectors.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+    val stats = d.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    d.join(broadcast(stats), Seq("pos"))
+      .select(col(idCol), col("pos"),
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+              .cast("long")))).as("code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("code")))).as("__p"))
+      .select(col(idCol), expr("transform(__p, x -> x.code)").as("codes"))
+  }
+
+  /** Symmetric top-k over an SQ8-coded corpus: integer L2 between code
+    * vectors (`Σ(qc−cc)²`, an exact long ≤ 255²·dim ≪ 2⁵³ — order-free and
+    * engine-identical). The flat-scan shape of [[cosineTopK]] — coded
+    * queries broadcast, coded corpus scanned once, two-phase k-heap
+    * ranking — at a quarter of the scan bytes; compose with [[ivfAssign]]
+    * cells to prune the scan the way [[ivfTopK]] does.
+    *
+    * Output: (query_id, neighbor_id, sqdist, rn), rank 1..k per query by
+    * ascending code distance, neighbor-id tie-break. */
+  def sq8SearchTopK(codes: DataFrame, queryCodes: DataFrame, idCol: String,
+                    k: Int): DataFrame = {
+    val q = queryCodes.select(col(idCol).as("query_id"), col("codes").as("qcodes"))
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("codes").as("ccodes"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // negate into topKPerQuery's (cosine desc) order: exact — the longs
+        // are far below 2^53, so the double round-trips bit-perfectly
+        negate(expr(
+          "aggregate(zip_with(qcodes, ccodes, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .cast("double")).as("cosine"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        negate(col("cosine")).cast("long").as("sqdist"), col("rn"))
+  }
+
   /** Per-group embedding centroids in EXACT fixed-point arithmetic: each
     * component is scaled to micro-units (`round(v · 10⁶)` — float→double cast
     * and the product are IEEE-exact, so every engine lands on the same

@@ -732,4 +732,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"the count(*) total is 1 row and must broadcast, never shuffle:\n$plan")
   }
+
+  test("SQ8: dim-sized stats broadcast onto the encode pass; no cartesian (q284)") {
+    val plan = q("q284_sq8_search")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 64-row per-dim stats frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("shard merge: merged search is the cell equi-join, never all-pairs (q285)") {
+    val plan = q("q285_shard_merge")
+    assert(!plan.contains("CartesianProduct"),
+      s"the merged-index search must stay cell-bounded:\n$plan")
+  }
+
+  test("MRR: label gathers are id-keyed; queries broadcast (q286)") {
+    val plan = q("q286_mrr")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("scene cuts: decode fans out map-side; the lag window partitions by doc (q287)") {
+    val plan = q("q287_scene_cuts")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"the frame window must never collapse to one partition:\n$plan")
+  }
 }
