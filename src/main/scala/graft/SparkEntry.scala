@@ -2311,6 +2311,63 @@ object SparkEntry {
           when(col("delta_sum") > 40, 1L).otherwise(0L).as("is_cut"))
         .orderBy("doc_id", "frame_idx")
     }),
+    "q288_embed_covariance" -> ((s, dir) => {
+      // EXACT covariance moments of a strided 16-dim embedding projection —
+      // the PCA/whitening input (SemDeDup whitens before clustering; drift
+      // monitors eigen-decompose this): per pair (i ≤ j) the (n, Σxᵢ, Σxⱼ,
+      // Σxᵢxⱼ) moment table in exact micro/micro² longs, so shard results
+      // MERGE BY ADDITION — the distributed-covariance contract a 100 TB
+      // corpus needs (no order-dependent float accumulation anywhere; the
+      // 4-dp cov display is derived per-row from the exact sums in one
+      // fixed op order). Shape: the outer product fans out map-side
+      // (N·136 rows — two chained posexplodes, zero joins), one hash
+      // aggregate with map-side combine reduces to the 136-row table
+      val emb = T(s, dir, "embeddings")
+      val proj = emb.select(expr(
+        "transform(sequence(0, 15), k -> CAST(round(CAST(element_at(embedding, k * 4 + 1) AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("p"))
+      val withI = proj.select(col("p"), posexplode(col("p")).as(Seq("i", "mi")))
+      withI.select(col("i"), col("mi"), posexplode(col("p")).as(Seq("j", "mj")))
+        .filter(col("i") <= col("j"))
+        .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("mi")).as("sum_i"),
+          sum(col("mj")).as("sum_j"), sum(col("mi") * col("mj")).as("sum_ij"))
+        .select(col("i"), col("j"), col("n"),
+          col("sum_i"), col("sum_j"), col("sum_ij"),
+          ops.Num.roundz(
+            col("sum_ij").cast("double") / col("n").cast("double") -
+              (col("sum_i").cast("double") / col("n").cast("double")) *
+              (col("sum_j").cast("double") / col("n").cast("double")), 4)
+            .as("cov_micro2"))
+        .orderBy("i", "j")
+    }),
+    "q289_index_delete" -> ((s, dir) => {
+      // tombstone DELETE from the serving IVF index — q285's merge adds
+      // shards, this removes vectors (the GDPR / right-to-be-forgotten
+      // path of a vector store): the coded index is immutable parquet, so
+      // a delete is a tombstone id-set applied as a broadcast ANTI join at
+      // read time until the next compaction rewrites the cell files. The
+      // gate row proves search-after-delete ≡ monolithic search over the
+      // filtered corpus (the oracle's path); the coarse quantizer is a
+      // PARAMETER table and correctly survives member deletion unchanged
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+      val index = Similarity.ivfAssign(emb, cent, "vec_id", "embedding")
+      val tombstones = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id"))
+      val live = index.join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+        .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val queryCells = Similarity.ivfProbe(
+          emb.filter(col("vec_id") < 8 && pmod(col("vec_id"), lit(7)) =!= 3),
+          cent, "vec_id", "embedding", nprobe = 2)
+        .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = live.join(queryCells, "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine",
+          Similarity.dot("qv", "cv") / (Similarity.norm("qv") * Similarity.norm("cv")))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      Similarity.topKPerQuery(scored, 5).orderBy("query_id", "rn")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -7478,6 +7535,45 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(ds AS BIGINT) AS delta_sum,
         |  CAST(CASE WHEN ds > 40 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
         |FROM d WHERE ds IS NOT NULL ORDER BY doc_id, frame_idx""".stripMargin,
+    "q288_embed_covariance" ->
+      // the same exact micro-scaled moments; sum() returns HUGEINT so the
+      // casts pin BIGINT; the cov display repeats the identical op order
+      """WITH vecs AS (SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |m AS (SELECT list_transform(range(0, 16),
+        |    k -> CAST(round(vv[CAST(k * 4 + 1 AS INT)] * 1000000) AS BIGINT)) AS p FROM vecs),
+        |pr AS (SELECT CAST(i.k AS BIGINT) AS i, CAST(j.k AS BIGINT) AS j,
+        |    p[CAST(i.k + 1 AS INT)] AS mi, p[CAST(j.k + 1 AS INT)] AS mj
+        |  FROM m, LATERAL (SELECT unnest(range(0, 16)) AS k) i,
+        |    LATERAL (SELECT unnest(range(0, 16)) AS k) j
+        |  WHERE i.k <= j.k)
+        |SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(mi) AS BIGINT) AS sum_i, CAST(sum(mj) AS BIGINT) AS sum_j,
+        |  CAST(sum(mi * mj) AS BIGINT) AS sum_ij,
+        |  (round(CAST(sum(mi * mj) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    - (CAST(sum(mi) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      * (CAST(sum(mj) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 4) + 0.0) AS cov_micro2
+        |FROM pr GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q289_index_delete" ->
+      // the monolithic nprobe=2 search over the TOMBSTONE-FILTERED corpus;
+      // centroids stay the full parameter table (member deletion does not
+      // retrain the quantizer)
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |scored AS (SELECT x.vec_id, x.vv, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, vv, cell FROM scored WHERE crn = 1 AND vec_id % 7 <> 3),
+        |q AS (SELECT vec_id AS query_id, vv AS qv, cell FROM scored
+        |  WHERE vec_id < 8 AND vec_id % 7 <> 3 AND crn <= 2),
+        |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+        |  list_dot_product(q.qv, a.vv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.vv, a.vv))) AS cosine
+        |  FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+        |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
     "q280_curation_matrix" ->
       // q204's scores terciled + q77's closure as the dup flag + token mass
       s"""WITH RECURSIVE scores AS ($q204Sql),

@@ -758,4 +758,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"the frame window must never collapse to one partition:\n$plan")
   }
+
+  test("covariance moments: map-side outer product, zero joins (q288)") {
+    val plan = q("q288_embed_covariance")
+    assert(!plan.contains("Join"),
+      s"the outer product must fan out via chained generators, never a self-join:\n$plan")
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("index delete: tombstones apply as a broadcast anti join (q289)") {
+    val plan = q("q289_index_delete")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the tombstone set must broadcast and anti-join, never shuffle the index:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
