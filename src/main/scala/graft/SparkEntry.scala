@@ -2368,6 +2368,54 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
       Similarity.topKPerQuery(scored, 5).orderBy("query_id", "rn")
     }),
+    "q290_image_resize" -> ((s, dir) => {
+      // REAL box-filter image resize under the gate — the step before
+      // patch embedding in a VLM pipeline: per doc an 8×6 tri-channel
+      // gradient PNG (each channel a distinct linear ramp in x, y, and
+      // doc_id — lossless), genuine ImageIO decode, 2×2 box downsample to
+      // 4×3 with exact integer channel means (sum div 4 — nothing float).
+      // Decode + fan-out are map-side (1 row in, 12 out) before the only
+      // shuffle (the output sort); the oracle predicts every target pixel
+      // arithmetically
+      import s.implicits._
+      val imgs = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.synthPngPixels(8, 6, (x, y) => {
+            val r = ((id + 3 * x + 5 * y) % 256).toInt
+            val g = ((id * 7 + 2 * x + 7 * y) % 256).toInt
+            val b = ((id * 3 + 4 * x + y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }))
+        }).toDF("doc_id", "payload")
+      Multimodal.resizeBox(imgs, "doc_id", 4, 3)
+        .orderBy("doc_id", "oy", "ox")
+    }),
+    "q291_temperature_mix" -> ((s, dir) => {
+      // temperature-based source balancing (the mT5/XLM-R α-sampling rule,
+      // α = 0.5): sampling weight p_s ∝ n_s^α flattens the source
+      // distribution so head sources stop drowning tail ones — the
+      // multilingual/multi-domain counterpart of q261's explicit-weight
+      // plan. One map-side token-count aggregate to the |sources|-row
+      // frame (size(filter(split)) per doc — the token explode never
+      // happens); √n on an exact long is one IEEE op both engines round
+      // identically, quantized to micro units; shares, allocations, and
+      // the epochs_bp upsampling flag are exact integer division
+      val docs = T(s, dir, "documents")
+      val perSource = docs.select(col("source"),
+          expr("size(filter(split(lower(text), '\\\\s+'), t -> length(t) > 0))")
+            .cast("long").as("__tok"))
+        .groupBy(col("source")).agg(sum(col("__tok")).as("n_tokens"))
+        .withColumn("w_micro",
+          expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
+      val tot = perSource.agg(sum(col("w_micro")).as("__wt"))
+      perSource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("w_micro"),
+          expr("(10000 * w_micro) div __wt").cast("long").as("share_bp"),
+          expr("(100000 * w_micro) div __wt").cast("long").as("alloc_tokens"),
+          expr("(((100000 * w_micro) div __wt) * 10000) div n_tokens")
+            .cast("long").as("epochs_bp"))
+        .orderBy("source")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -7574,6 +7622,34 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q290_image_resize" ->
+      // every source pixel predicted from the synthesis ramps, then the
+      // same 2×2 integer box mean (sum // 4)
+      """WITH px AS (SELECT doc_id, x, y,
+        |    (doc_id + 3 * x + 5 * y) % 256 AS r,
+        |    (doc_id * 7 + 2 * x + 7 * y) % 256 AS g,
+        |    (doc_id * 3 + 4 * x + y) % 256 AS b
+        |  FROM documents, LATERAL (SELECT unnest(range(0, 8)) AS x) xs,
+        |    LATERAL (SELECT unnest(range(0, 6)) AS y) ys)
+        |SELECT doc_id, CAST(x // 2 AS BIGINT) AS ox, CAST(y // 2 AS BIGINT) AS oy,
+        |  CAST(sum(r) // 4 AS BIGINT) AS pr, CAST(sum(g) // 4 AS BIGINT) AS pg,
+        |  CAST(sum(b) // 4 AS BIGINT) AS pb
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, oy, ox""".stripMargin,
+    "q291_temperature_mix" ->
+      // same map-side token count, same micro-quantized sqrt, same exact
+      // integer shares
+      """WITH d AS (SELECT source,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> length(t) > 0)) AS tok
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro FROM ps),
+        |t AS (SELECT sum(w_micro) AS wt FROM w)
+        |SELECT source, n_tokens, w_micro,
+        |  CAST((10000 * w_micro) // t.wt AS BIGINT) AS share_bp,
+        |  CAST((100000 * w_micro) // t.wt AS BIGINT) AS alloc_tokens,
+        |  CAST((((100000 * w_micro) // t.wt) * 10000) // n_tokens AS BIGINT) AS epochs_bp
+        |FROM w, t ORDER BY source""".stripMargin,
     "q280_curation_matrix" ->
       // q204's scores terciled + q77's closure as the dup flag + token mass
       s"""WITH RECURSIVE scores AS ($q204Sql),

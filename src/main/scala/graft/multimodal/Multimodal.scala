@@ -295,11 +295,69 @@ object Multimodal {
   /** Image resize stub: real codecs are unavailable in this container, so the
     * transform records the target geometry in metadata and passes payload
     * bytes through — the Spark-side plumbing (schema evolution, partition
-    * parallelism) is real; swap the identity for a codec call in production. */
+    * parallelism) is real; swap the identity for a codec call in production.
+    * (For formats the JDK DOES decode — PNG/GIF/BMP — [[resizeBox]] below is
+    * the real thing and supersedes this seam.) */
   def resizeStub(mm: DataFrame, width: Int, height: Int): DataFrame =
     mm.withColumn("meta",
       struct(col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"),
         lit(width).as("target_w"), lit(height).as("target_h")))
+
+  /** REAL box-filter image downsample — the resize step a vision-language
+    * pipeline runs before patch embedding: genuine ImageIO decode per row,
+    * then each target pixel is the floor-divided EXACT integer mean of its
+    * fx×fy source box per channel (integer sums + one integer division —
+    * nothing float, so any engine agrees bit-for-bit; the classic float
+    * bilinear resample is neither exact nor portable). Source dims must be
+    * integer multiples of the target — non-conforming or undecodable
+    * payloads quarantine as a single all-(-1) row (the q112/WAV format-
+    * contract pattern) instead of silently vanishing.
+    *
+    * Scale shape: decode + downsample fan out per-partition before any
+    * shuffle (one row in, outW·outH rows out — map-side); the operator
+    * never shuffles pixels. Output: (idCol, ox, oy, pr, pg, pb). */
+  def resizeBox(mm: DataFrame, idCol: String, outW: Int, outH: Int): DataFrame = {
+    val spark = mm.sparkSession
+    val idIdx = mm.schema.fieldIndex(idCol)
+    val payloadIdx = mm.schema.fieldIndex("payload")
+    val idType = mm.schema(idIdx).dataType
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("ox", LongType), StructField("oy", LongType),
+      StructField("pr", LongType), StructField("pg", LongType),
+      StructField("pb", LongType)))
+    val rdd = mm.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        if (img == null || outW <= 0 || outH <= 0 ||
+            img.getWidth % outW != 0 || img.getHeight % outH != 0)
+          Iterator.single(Row(r.get(idIdx), -1L, -1L, -1L, -1L, -1L))
+        else {
+          val fx = img.getWidth / outW
+          val fy = img.getHeight / outH
+          val box = fx.toLong * fy.toLong
+          (for (oy <- 0 until outH; ox <- 0 until outW) yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = oy * fy
+            while (y < (oy + 1) * fy) {
+              var x = ox * fx
+              while (x < (ox + 1) * fx) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.get(idIdx), ox.toLong, oy.toLong, sr / box, sg / box, sb / box)
+          }).iterator
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 
   /** Deterministic animated-GIF synthesis: one solid-color frame per entry
     * in `colors`, stored TYPE_BYTE_INDEXED with a 2-entry palette whose

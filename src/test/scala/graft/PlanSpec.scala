@@ -772,4 +772,16 @@ class PlanSpec extends SparkSpec {
       s"the tombstone set must broadcast and anti-join, never shuffle the index:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("image resize: decode fan-out map-side, pixels never shuffle (q290)") {
+    val plan = q("q290_image_resize")
+    assert(!plan.contains("Join"), s"resize must not join anything:\n$plan")
+  }
+
+  test("temperature mix: one token aggregate; the 1-row total broadcasts (q291)") {
+    val plan = q("q291_temperature_mix")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Generate"),
+      s"the token count must be size(filter(split)) per doc — no token explode:\n$plan")
+  }
 }
