@@ -2416,6 +2416,15 @@ object SparkEntry {
             .cast("long").as("epochs_bp"))
         .orderBy("source")
     }),
+    "q292_stream_vector_ingest" -> ((s, dir) =>
+      // the vector-store WRITE path as a stream: ascending-id micro-batches
+      // of embeddings, each assigned to its cell against the pinned
+      // broadcast quantizer and appended as an idempotent batch-keyed index
+      // slice; the occupancy audit of the accumulated index must equal the
+      // batch assignment of the whole corpus (the oracle IS q283's SQL) —
+      // the exactly-once statement for streaming index ingest
+      Streaming.vectorIngestReplay(s, dir, s"$TMP/q292_src")
+        .orderBy("cell")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4235,6 +4244,26 @@ object SparkEntry {
   /** q204 oracle (shared: q218 ranks these scores into terciles). Same
     * map-side positional bigrams, same mixture text; the per-doc fold
     * orders by the distinct bigram. */
+  /** The IVF occupancy-audit SQL — shared verbatim by q283 (batch index
+    * health) and q292 (streaming ingest): the streaming gate's proof is
+    * that the accumulated per-batch index reproduces EXACTLY this
+    * batch-assignment table. */
+  private val q283Sql: String =
+    """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+      |cells AS (SELECT x.vec_id, c.cell,
+      |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+      |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |    c.cell) AS crn
+      |  FROM vecs x CROSS JOIN cent c),
+      |asg AS (SELECT vec_id, cell FROM cells WHERE crn = 1),
+      |t AS (SELECT count(*) AS n FROM asg)
+      |SELECT CAST(cell AS BIGINT) AS cell,
+      |  CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST((10000 * count(*)) // t.n AS BIGINT) AS share_bp,
+      |  CAST((1000 * count(*) * 16) // t.n AS BIGINT) AS load_milli
+      |FROM asg, t GROUP BY cell, t.n ORDER BY cell""".stripMargin
+
   private val q204Sql: String =
     """WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
         |    t -> length(t) > 0) AS arr FROM documents),
@@ -7493,22 +7522,10 @@ object SparkEntry {
         |      ORDER BY adist_tb, neighbor_id) AS BIGINT) AS rn FROM sc2)
         |SELECT query_id, neighbor_id, adist_tb, rn FROM r2 WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
-    "q283_ivf_balance" ->
-      // q58's assignment CTE (crn = 1), then the occupancy table
-      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
-        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
-        |cells AS (SELECT x.vec_id, c.cell,
-        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
-        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |    c.cell) AS crn
-        |  FROM vecs x CROSS JOIN cent c),
-        |asg AS (SELECT vec_id, cell FROM cells WHERE crn = 1),
-        |t AS (SELECT count(*) AS n FROM asg)
-        |SELECT CAST(cell AS BIGINT) AS cell,
-        |  CAST(count(*) AS BIGINT) AS n_vecs,
-        |  CAST((10000 * count(*)) // t.n AS BIGINT) AS share_bp,
-        |  CAST((1000 * count(*) * 16) // t.n AS BIGINT) AS load_milli
-        |FROM asg, t GROUP BY cell, t.n ORDER BY cell""".stripMargin,
+    // q58's assignment CTE (crn = 1), then the occupancy table
+    "q283_ivf_balance" -> q283Sql,
+    // the SAME table: streaming-accumulated index ≡ batch assignment
+    "q292_stream_vector_ingest" -> q283Sql,
     "q284_sq8_search" ->
       // per-dim [min,max] → affine 0..255 codes (floor of three IEEE ops
       // both engines round identically), symmetric integer L2 over codes

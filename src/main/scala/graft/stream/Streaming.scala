@@ -580,6 +580,82 @@ object Streaming {
       .select(col("doc_id"), expr(s"doc_id div $span").cast("long").as("batch_id"))
   }
 
+  /** STREAMING vector-store ingest — the IVF index write path run over
+    * ARRIVING embeddings: micro-batches of vectors arrive in ascending-id
+    * order, each batch is assigned to its coarse cell against the PINNED
+    * quantizer (a broadcast parameter table — ingest never retrains), and
+    * the assignments append to the cell-keyed index as idempotent
+    * batch-keyed parquet slices ([[nearDupGateReplay]]'s discipline: the
+    * slice key derives from the DATA — min id div span — so an
+    * at-least-once replay rewrites its own slice; overwrite semantics).
+    * Returns the occupancy audit of the ACCUMULATED index (q283's table),
+    * which the gate proves ≡ the batch assignment of the whole corpus —
+    * the exactly-once statement for streaming index ingest.
+    *
+    * Scale shape: per batch ONE broadcast-centroid scoring pass — O(batch)
+    * regardless of accumulated index size (ingest never reads the index,
+    * unlike the near-dup probe); the index lives in parquet, never
+    * executor memory, and compaction is [[graft.storage.Storage]]'s story. */
+  def vectorIngestReplay(spark: SparkSession, dir: String, stageDirBase: String,
+                         batches: Int = 4): DataFrame = {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val span = (maxId + batches) / batches // ceil((maxId+1)/batches)
+    val stageDir = s"$stageDirBase/${stageKey(dir, "embeddings")}"
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      new java.io.File(stageDir).mkdirs()
+      (0 until batches).foreach { i =>
+        val tmp = s"$stageDir/__stage$i"
+        emb.filter(col("vec_id") >= i * span && col("vec_id") < (i + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stageDir, f"b$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+        deleteRecursively(new java.io.File(tmp))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stageDir, "_SUCCESS"), "")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_vec_ingest").toString
+    val idxDir = s"$work/index"
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val cent = Tables.embeddings(session, dir)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 16)
+    val q = session.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one action decides both emptiness and the data-derived batch key
+        val __m = batch.agg(min(expr(s"vec_id div $span"))).head
+        if (!__m.isNullAt(0)) {
+          val tag = f"b${__m.getLong(0)}%03d"
+          Similarity.ivfAssign(batch, cent, "vec_id", "embedding")
+            .select(col("cell"), col("vec_id"))
+            .write.mode("overwrite").parquet(s"$idxDir/$tag")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/chk")
+      .start()
+    q.awaitTermination()
+    val asg = spark.read.parquet(s"$idxDir/b*")
+    val total = asg.agg(count(lit(1)).as("__n"))
+    asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(total))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        expr("(10000 * n_vecs) div __n").cast("long").as("share_bp"),
+        expr("(1000 * n_vecs * 16) div __n").cast("long").as("load_milli"))
+  }
+
   /** STREAMING drift monitor — q158's PSI freshness gate run as a monitor
     * over ARRIVING data (the ML-ops shape: every ingest batch is scored
     * against a pinned reference before it may join the training corpus):

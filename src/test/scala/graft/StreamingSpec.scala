@@ -452,6 +452,27 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((0L, 0L), (1L, 0L), (2L, 1L), (6L, 3L)), out.toString)
   }
 
+  test("vectorIngestReplay: accumulated streaming index equals the batch assignment") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vi").toString
+    val dir = s"$base/data"; new java.io.File(dir).mkdirs()
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i % 7) + d * 0.25f + (i % 3) * 0.1f)))
+    }
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val streamed = Streaming.vectorIngestReplay(spark, dir, s"$base/stage", batches = 4)
+      .orderBy("cell").as[(Long, Long, Long, Long)].collect().toSeq
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val asg = graft.ops.Similarity.ivfAssign(
+      emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding")
+    val total = asg.count()
+    val batch = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .select(col("cell").cast("long"), col("n_vecs").cast("long"),
+        expr(s"(10000 * n_vecs) div $total").cast("long"),
+        expr(s"(1000 * n_vecs * 16) div $total").cast("long"))
+      .orderBy("cell").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("psiReplay: planted drift in the last batch scores far above the clean ones") {
     // ids 0..39 → span 10; batches 0-2 draw the same value pattern,
     // batch 3 is shifted two bins up — its PSI row must dominate
