@@ -2425,6 +2425,72 @@ object SparkEntry {
       // the exactly-once statement for streaming index ingest
       Streaming.vectorIngestReplay(s, dir, s"$TMP/q292_src")
         .orderBy("cell")),
+    "q293_source_sketch" -> ((s, dir) => {
+      // DATASET-level overlap estimation from MERGEABLE MinHash sketches —
+      // the dump-vs-dump comparison (is this crawl mostly a re-crawl?)
+      // that decides whether a new source is worth ingesting BEFORE any
+      // pair-level dedup runs: per source one k=16 signature of its
+      // shingle SET. min() merges across docs, shards, and dumps by
+      // construction, so at 100 TB each shard sketches independently and
+      // the combiner folds 16 longs per source; the pairwise comparison
+      // runs on the |sources|² metadata frame. Same hash family as q44, so
+      // the estimates are comparable across the whole dedup stack
+      val docs = T(s, dir, "documents")
+      val sigs = Dedup.minHashSignatures(
+        Dedup.wordShingles(docs.select(col("source"), col("text")),
+          "source", "text", 2), "source", 16)
+      val a = sigs.select(col("source").as("src_a"), col("sig").as("sa"))
+      val b = sigs.select(col("source").as("src_b"), col("sig").as("sb"))
+      a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          expr("aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)")
+            .as("agree"))
+        .select(col("src_a"), col("src_b"), col("agree").cast("long").as("agree"),
+          ops.Num.roundz(col("agree").cast("double") / lit(16.0), 4).as("est_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+    "q294_tfidf_pairs" -> ((s, dir) => {
+      // weighted all-pairs similarity (Bayardo et al., WWW'07 shape):
+      // rare-token tf-idf cosine over the df-capped vocabulary — the
+      // WEIGHTED complement of MinHash set overlap (two docs sharing one
+      // distinctive term rank above two sharing ten stopwords). The df cap
+      // (≤ 20) is the scale contract: candidate generation is a token
+      // equi-join whose per-token fan-in is ≤ cap docs (≤ cap² pairs), so
+      // pair volume is Σ_t df_t² over rare tokens — never corpus²; common
+      // tokens carry no discriminative signal and are EXCLUDED from the
+      // similarity space entirely (dot AND norms — self-consistent
+      // semantics the oracle mirrors). Weights are exact milli-nat longs
+      // (tf · round(ln(N/df)·1000)); dot/norms are exact long sums; the
+      // one float op chain is the final cosine, fixed order, 4 dp
+      val docs = T(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = false)
+      val nDocs = docs.agg(countDistinct(col("doc_id")).as("__n"))
+      val dfT = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 20)
+      val wts = tok.join(dfT, Seq("w"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("w"),
+          (col("tf") * expr("CAST(round(ln(CAST(__n AS DOUBLE) / CAST(df AS DOUBLE)) * 1000) AS BIGINT)"))
+            .as("wt"))
+        .localCheckpoint(eager = false)
+      val norms = wts.groupBy(col("doc_id")).agg(sum(col("wt") * col("wt")).as("n2"))
+      val dots = wts.select(col("doc_id").as("id_a"), col("w"), col("wt").as("wa"))
+        .join(wts.select(col("doc_id").as("id_b"), col("w"), col("wt").as("wb")), Seq("w"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na2")), Seq("id_a"))
+        .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          ops.Num.roundz(col("dot").cast("double") /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")), 4)
+            .as("cosine"))
+        .filter(col("cosine") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3551,6 +3617,24 @@ object SparkEntry {
        |  FROM cand JOIN sig a ON a.doc_id = cand.id_a JOIN sig b ON b.doc_id = cand.id_b)
        |SELECT id_a, id_b, (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) AS est_jaccard FROM est
        |WHERE (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) >= 0.25 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Per-SOURCE sketch comparison (q293): q44's signature CTEs grouped by
+    * source instead of doc, pairwise agreement on the sources frame. */
+  private val q293Sql: String = {
+    import graft.functions.HashFamily
+    val sigCols = (0 until 16).map(i => s"min(${HashFamily.affineSql(i, "x")}) AS h$i").mkString(", ")
+    val agree = (0 until 16).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ws AS (SELECT source, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT DISTINCT source, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+       |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+       |rh AS (SELECT source, ${krSql("shingle")} AS x FROM sh),
+       |sig AS (SELECT source, $sigCols FROM rh GROUP BY source),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b, ($agree) AS agree
+       |  FROM sig a JOIN sig b ON a.source < b.source)
+       |SELECT src_a, src_b, CAST(agree AS BIGINT) AS agree,
+       |  (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) AS est_jaccard
+       |FROM p ORDER BY src_a, src_b""".stripMargin
   }
 
   /** q141 twin: the q44 signature pipeline with candidates restricted to
@@ -7526,6 +7610,30 @@ object SparkEntry {
     "q283_ivf_balance" -> q283Sql,
     // the SAME table: streaming-accumulated index ≡ batch assignment
     "q292_stream_vector_ingest" -> q283Sql,
+    "q293_source_sketch" -> q293Sql,
+    "q294_tfidf_pairs" ->
+      // same df-capped vocabulary, same exact milli-nat weights, same
+      // long-sum dots/norms, same fixed-order final cosine
+      """WITH tokr AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> length(t) > 0)) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, w, count(*) AS tf FROM tokr GROUP BY 1, 2),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |dft AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) <= 20),
+        |wts AS (SELECT t.doc_id, t.w,
+        |    t.tf * CAST(round(ln(CAST(nd.n AS DOUBLE) / CAST(d.df AS DOUBLE)) * 1000) AS BIGINT) AS wt
+        |  FROM tok t JOIN dft d USING (w), nd),
+        |norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2 FROM wts GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+        |  FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |c AS (SELECT id_a, id_b,
+        |    (round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) + 0.0) AS cosine
+        |  FROM dots JOIN norms na ON na.doc_id = dots.id_a
+        |    JOIN norms nb ON nb.doc_id = dots.id_b)
+        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q284_sq8_search" ->
       // per-dim [min,max] → affine 0..255 codes (floor of three IEEE ops
       // both engines round identically), symmetric integer L2 over codes

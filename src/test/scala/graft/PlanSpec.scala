@@ -784,4 +784,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"),
       s"the token count must be size(filter(split)) per doc — no token explode:\n$plan")
   }
+
+  test("source sketch: one shingle pass, sources-frame pairing only (q293)") {
+    val plan = q("q293_source_sketch")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the |sources|-row sketch pairing must broadcast, never shuffle-join:\n$plan")
+  }
+
+  test("tf-idf pairs: candidates from the df-capped token equi-join, no all-pairs (q294)") {
+    val plan = q("q294_tfidf_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay token-keyed:\n$plan")
+  }
 }
