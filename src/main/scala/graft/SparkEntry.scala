@@ -2491,6 +2491,61 @@ object SparkEntry {
         .filter(col("cosine") >= 0.5)
         .orderBy("id_a", "id_b")
     }),
+    "q295_power_iteration" -> ((s, dir) => {
+      // distributed PCA, extraction stage: the top principal direction of
+      // the strided 16-dim projection by POWER ITERATION on the
+      // correlation matrix. The 100 TB division of labor is the point —
+      // the only corpus-sized work is q288's one-pass moment accumulation;
+      // extraction runs on the 16×16 metadata frame, and it runs in EXACT
+      // integer arithmetic so every engine lands on the same vector:
+      // correlation quantized to 1e-5 units (from exact moments, fixed op
+      // order), matvec = long sums (≤16·10⁵·10⁶ ≪ 2⁶³), renormalize =
+      // sign·(|w|·10⁶ div max|w|) — abs keeps the integer division
+      // non-negative, where Spark's `div` (trunc) and DuckDB's `//`
+      // (floor) agree. 8 fixed iterations (no float convergence test to
+      // disagree on); sign pinned by the all-ones start
+      val emb = T(s, dir, "embeddings")
+      val proj = emb.select(expr(
+        "transform(sequence(0, 15), k -> CAST(round(CAST(element_at(embedding, k * 4 + 1) AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("p"))
+      val withI = proj.select(col("p"), posexplode(col("p")).as(Seq("i", "mi")))
+      val mom = withI
+        .select(col("i"), col("mi"), posexplode(col("p")).as(Seq("j", "mj")))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("mi")).as("si"),
+          sum(col("mj")).as("sj"), sum(col("mi") * col("mj")).as("sij"))
+      val covDf = mom.select(col("i"), col("j"),
+        (col("sij").cast("double") / col("n").cast("double") -
+          (col("si").cast("double") / col("n").cast("double")) *
+          (col("sj").cast("double") / col("n").cast("double"))).as("c"))
+        .localCheckpoint()
+      val varDf = covDf.filter(col("i") === col("j"))
+        .select(col("i").as("__vi"), col("c").as("__v"))
+      val corr = covDf
+        .join(broadcast(varDf.select(col("__vi").as("i"), col("__v").as("va"))), "i")
+        .join(broadcast(varDf.select(col("__vi").as("j"), col("__v").as("vb"))), "j")
+        .select(col("i"), col("j"),
+          expr("CAST(round(c / sqrt(va * vb) * 100000) AS BIGINT)").as("r"))
+        .localCheckpoint()
+      var v = s.range(0, 16).select(col("id").cast("int").as("j"),
+        lit(1000000L).as("v"))
+      var lastM: DataFrame = null
+      (1 to 8).foreach { _ =>
+        val w = corr.join(broadcast(v), "j")
+          .groupBy(col("i")).agg(sum(col("r") * col("v")).as("w"))
+          .localCheckpoint()
+        lastM = w.agg(max(abs(col("w"))).as("m")).localCheckpoint()
+        v = w.crossJoin(broadcast(lastM))
+          .select(col("i").as("j"),
+            (when(col("w") < 0, -1L).otherwise(1L) *
+              expr("(abs(w) * 1000000) div m")).cast("long").as("v"))
+          .localCheckpoint()
+      }
+      v.crossJoin(broadcast(lastM))
+        .select(col("j").cast("long").as("pos"), col("v").as("v_micro"),
+          col("m").cast("long").as("growth"))
+        .orderBy("pos")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3635,6 +3690,43 @@ object SparkEntry {
        |SELECT src_a, src_b, CAST(agree AS BIGINT) AS agree,
        |  (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) AS est_jaccard
        |FROM p ORDER BY src_a, src_b""".stripMargin
+  }
+
+  /** q295's oracle: the q288 moment CTEs (both triangle halves), the same
+    * 1e-5-unit correlation quantization, and 8 UNROLLED power-iteration
+    * steps generated by the same loop bounds the Spark side runs — every
+    * step is integer arithmetic (the `//` on non-negative abs matches
+    * Spark's `div`), so the final vector matches bit-for-bit. */
+  private val q295Sql: String = {
+    val iters = (1 to 8).map { t =>
+      val pv = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS (SELECT corr.i, CAST(sum(corr.r * $pv.v) AS BIGINT) AS w
+         |  FROM corr JOIN $pv ON $pv.j = corr.j GROUP BY 1),
+         |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+         |v$t AS (SELECT w$t.i AS j,
+         |  CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) * ((abs(w) * 1000000) // m$t.m) AS BIGINT) AS v
+         |  FROM w$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vecs AS (SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |m AS (SELECT list_transform(range(0, 16),
+       |    k -> CAST(round(vv[CAST(k * 4 + 1 AS INT)] * 1000000) AS BIGINT)) AS p FROM vecs),
+       |pr AS (SELECT CAST(i.k AS BIGINT) AS i, CAST(j.k AS BIGINT) AS j,
+       |    p[CAST(i.k + 1 AS INT)] AS mi, p[CAST(j.k + 1 AS INT)] AS mj
+       |  FROM m, LATERAL (SELECT unnest(range(0, 16)) AS k) i,
+       |    LATERAL (SELECT unnest(range(0, 16)) AS k) j),
+       |c AS (SELECT i, j,
+       |    CAST(sum(mi * mj) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      - (CAST(sum(mi) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |        * (CAST(sum(mj) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS c
+       |  FROM pr GROUP BY 1, 2),
+       |vd AS (SELECT i, c AS vc FROM c WHERE i = j),
+       |corr AS (SELECT c.i, c.j,
+       |    CAST(round(c.c / sqrt(va.vc * vb.vc) * 100000) AS BIGINT) AS r
+       |  FROM c JOIN vd va ON va.i = c.i JOIN vd vb ON vb.i = c.j),
+       |v0 AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS j, CAST(1000000 AS BIGINT) AS v),
+       |$iters
+       |SELECT CAST(v8.j AS BIGINT) AS pos, v8.v AS v_micro, CAST(m8.m AS BIGINT) AS growth
+       |FROM v8, m8 ORDER BY pos""".stripMargin
   }
 
   /** q141 twin: the q44 signature pipeline with candidates restricted to
@@ -7611,6 +7703,7 @@ object SparkEntry {
     // the SAME table: streaming-accumulated index ≡ batch assignment
     "q292_stream_vector_ingest" -> q283Sql,
     "q293_source_sketch" -> q293Sql,
+    "q295_power_iteration" -> q295Sql,
     "q294_tfidf_pairs" ->
       // same df-capped vocabulary, same exact milli-nat weights, same
       // long-sum dots/norms, same fixed-order final cosine

@@ -796,4 +796,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay token-keyed:\n$plan")
   }
+
+  test("power iteration: corpus-sized work is one moment pass; iterations on checkpointed metadata (q295)") {
+    val plan = q("q295_power_iteration")
+    // the final plan reads the checkpointed 16-row vector frame — the
+    // N-row scan happened exactly once, upstream of the first checkpoint
+    assert(!plan.contains("parquet"),
+      s"iterations must run on metadata frames, not rescan the corpus:\n$plan")
+  }
 }
