@@ -2546,6 +2546,56 @@ object SparkEntry {
           col("m").cast("long").as("growth"))
         .orderBy("pos")
     }),
+    "q296_lpa_communities" -> ((s, dir) => {
+      // community detection by SYNCHRONOUS label propagation (Raghavan et
+      // al. 2007) over the materialized co-purchase edge table: 4 fixed
+      // rounds, each node adopts its neighbors' most frequent label with
+      // ties to the smallest — the async/random-order variants converge
+      // faster but are irreproducible, and a data pipeline needs the same
+      // communities on every run. Per round: one node-keyed join against
+      // the label frame, one (node, label) count, one degree-bounded
+      // window — 4·O(m) total, on the shared edge artifact (derived once)
+      import org.apache.spark.sql.expressions.Window
+      val e = copurchaseEdges(s, dir) // (src, dst), both directions
+      var lab = e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      (1 to 4).foreach { _ =>
+        val gathered = e
+          .join(lab.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("label"))
+        lab = gathered.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("src").as("node"), col("label"))
+          .localCheckpoint()
+      }
+      lab.select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"))
+        .orderBy("node")
+    }),
+    "q297_assortativity" -> ((s, dir) => {
+      // degree assortativity (Newman 2002): Pearson r of endpoint degrees
+      // over the co-purchase edges — the one-number graph-health summary
+      // (hub-to-hub wiring r>0 vs hub-to-leaf r<0) that decides whether
+      // degree-keyed partitioning will skew. Exact long moment sums over
+      // one degree pass + two id-keyed joins; the correlation combines the
+      // six exact sums in one fixed double op order, 4 dp
+      val e = copurchaseEdges(s, dir)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val xy = e
+        .join(deg.select(col("src"), col("d").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+        .select(col("dx"), col("dy"))
+      xy.agg(count(lit(1)).as("n_edges"), sum(col("dx")).as("sx"),
+          sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sx2"), sum(col("dy") * col("dy")).as("sy2"))
+        .select(col("n_edges").cast("long").as("n_edges"),
+          ops.Num.roundz(expr(
+            """(CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              | / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |    * sqrt(CAST(n_edges AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin), 4)
+            .as("assortativity"))
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -3727,6 +3777,27 @@ object SparkEntry {
        |$iters
        |SELECT CAST(v8.j AS BIGINT) AS pos, v8.v AS v_micro, CAST(m8.m AS BIGINT) AS growth
        |FROM v8, m8 ORDER BY pos""".stripMargin
+  }
+
+  /** q296's oracle: 4 unrolled synchronous LPA rounds over the co-purchase
+    * edges (both directions via `<>`), most-frequent neighbor label with
+    * smallest-label ties — generated by the same loop bounds the Spark
+    * side runs. */
+  private val q296Sql: String = {
+    val rounds = (1 to 4).map { t =>
+      val pl = s"l${t - 1}"
+      s"""g$t AS (SELECT e.u, l.label, count(*) AS c FROM e JOIN $pl l ON l.node = e.v GROUP BY 1, 2),
+         |l$t AS (SELECT u AS node, label FROM (
+         |    SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn FROM g$t)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+       |FROM l4 ORDER BY node""".stripMargin
   }
 
   /** q141 twin: the q44 signature pipeline with candidates restricted to
@@ -7704,6 +7775,24 @@ object SparkEntry {
     "q292_stream_vector_ingest" -> q283Sql,
     "q293_source_sketch" -> q293Sql,
     "q295_power_iteration" -> q295Sql,
+    "q296_lpa_communities" -> q296Sql,
+    "q297_assortativity" ->
+      // same degree pass, same six exact sums, same fixed-order combine
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+        |xy AS (SELECT a.d AS dx, b.d AS dy FROM e
+        |  JOIN deg a ON a.u = e.u JOIN deg b ON b.u = e.v),
+        |s AS (SELECT count(*) AS n, CAST(sum(dx) AS BIGINT) AS sx,
+        |    CAST(sum(dy) AS BIGINT) AS sy, CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sx2, CAST(sum(dy * dy) AS BIGINT) AS sy2
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_edges,
+        |  (round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0.0) AS assortativity
+        |FROM s""".stripMargin,
     "q294_tfidf_pairs" ->
       // same df-capped vocabulary, same exact milli-nat weights, same
       // long-sum dots/norms, same fixed-order final cosine
