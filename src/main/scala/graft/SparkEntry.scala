@@ -106,6 +106,60 @@ object SparkEntry {
       indexDir = s"$TMP/dedup_index/${safe}_k2_h16_b8_t25")
   }
 
+  /** The top principal direction of the strided 16-dim embedding
+    * projection by POWER ITERATION on the correlation matrix — q295's
+    * extraction stage, shared with q299 (which projects the corpus back
+    * onto the vector). The 100 TB division of labor is the point: the only
+    * corpus-sized work is the one-pass moment accumulation (q288's shape);
+    * extraction runs on the 16×16 metadata frame, in EXACT integer
+    * arithmetic so every engine lands on the same vector — correlation
+    * quantized to 1e-5 units (from exact moments, fixed op order), matvec
+    * = long sums (≤16·10⁵·10⁶ ≪ 2⁶³), renormalize = sign·(|w|·10⁶ div
+    * max|w|), where abs keeps the integer division non-negative so Spark's
+    * `div` (trunc) and DuckDB's `//` (floor) agree. 8 fixed iterations (no
+    * float convergence test to disagree on); sign pinned by the all-ones
+    * start. Output: 16 rows (j int, v long micro-units, m long growth). */
+  private def topPrincipalDirection(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val proj = emb.select(expr(
+      "transform(sequence(0, 15), k -> CAST(round(CAST(element_at(embedding, k * 4 + 1) AS DOUBLE) * 1000000) AS BIGINT))")
+      .as("p"))
+    val withI = proj.select(col("p"), posexplode(col("p")).as(Seq("i", "mi")))
+    val mom = withI
+      .select(col("i"), col("mi"), posexplode(col("p")).as(Seq("j", "mj")))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("mi")).as("si"),
+        sum(col("mj")).as("sj"), sum(col("mi") * col("mj")).as("sij"))
+    val covDf = mom.select(col("i"), col("j"),
+      (col("sij").cast("double") / col("n").cast("double") -
+        (col("si").cast("double") / col("n").cast("double")) *
+        (col("sj").cast("double") / col("n").cast("double"))).as("c"))
+      .localCheckpoint()
+    val varDf = covDf.filter(col("i") === col("j"))
+      .select(col("i").as("__vi"), col("c").as("__v"))
+    val corr = covDf
+      .join(broadcast(varDf.select(col("__vi").as("i"), col("__v").as("va"))), "i")
+      .join(broadcast(varDf.select(col("__vi").as("j"), col("__v").as("vb"))), "j")
+      .select(col("i"), col("j"),
+        expr("CAST(round(c / sqrt(va * vb) * 100000) AS BIGINT)").as("r"))
+      .localCheckpoint()
+    var v = s.range(0, 16).select(col("id").cast("int").as("j"),
+      lit(1000000L).as("v"))
+    var lastM: DataFrame = null
+    (1 to 8).foreach { _ =>
+      val w = corr.join(broadcast(v), "j")
+        .groupBy(col("i")).agg(sum(col("r") * col("v")).as("w"))
+        .localCheckpoint()
+      lastM = w.agg(max(abs(col("w"))).as("m")).localCheckpoint()
+      v = w.crossJoin(broadcast(lastM))
+        .select(col("i").as("j"),
+          (when(col("w") < 0, -1L).otherwise(1L) *
+            expr("(abs(w) * 1000000) div m")).cast("long").as("v"))
+        .localCheckpoint()
+    }
+    v.crossJoin(broadcast(lastM)).select(col("j"), col("v"), col("m"))
+  }
+
   /** Morton interleave of the low 16 bits of `x`/`y` as plain SQL bit
     * arithmetic — the oracle-side twin of [[graft.functions.ZOrder]]
     * (generated term-by-term so both engines agree on all 32 placements). */
@@ -2491,61 +2545,15 @@ object SparkEntry {
         .filter(col("cosine") >= 0.5)
         .orderBy("id_a", "id_b")
     }),
-    "q295_power_iteration" -> ((s, dir) => {
+    "q295_power_iteration" -> ((s, dir) =>
       // distributed PCA, extraction stage: the top principal direction of
       // the strided 16-dim projection by POWER ITERATION on the
-      // correlation matrix. The 100 TB division of labor is the point —
-      // the only corpus-sized work is q288's one-pass moment accumulation;
-      // extraction runs on the 16×16 metadata frame, and it runs in EXACT
-      // integer arithmetic so every engine lands on the same vector:
-      // correlation quantized to 1e-5 units (from exact moments, fixed op
-      // order), matvec = long sums (≤16·10⁵·10⁶ ≪ 2⁶³), renormalize =
-      // sign·(|w|·10⁶ div max|w|) — abs keeps the integer division
-      // non-negative, where Spark's `div` (trunc) and DuckDB's `//`
-      // (floor) agree. 8 fixed iterations (no float convergence test to
-      // disagree on); sign pinned by the all-ones start
-      val emb = T(s, dir, "embeddings")
-      val proj = emb.select(expr(
-        "transform(sequence(0, 15), k -> CAST(round(CAST(element_at(embedding, k * 4 + 1) AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("p"))
-      val withI = proj.select(col("p"), posexplode(col("p")).as(Seq("i", "mi")))
-      val mom = withI
-        .select(col("i"), col("mi"), posexplode(col("p")).as(Seq("j", "mj")))
-        .groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n"), sum(col("mi")).as("si"),
-          sum(col("mj")).as("sj"), sum(col("mi") * col("mj")).as("sij"))
-      val covDf = mom.select(col("i"), col("j"),
-        (col("sij").cast("double") / col("n").cast("double") -
-          (col("si").cast("double") / col("n").cast("double")) *
-          (col("sj").cast("double") / col("n").cast("double"))).as("c"))
-        .localCheckpoint()
-      val varDf = covDf.filter(col("i") === col("j"))
-        .select(col("i").as("__vi"), col("c").as("__v"))
-      val corr = covDf
-        .join(broadcast(varDf.select(col("__vi").as("i"), col("__v").as("va"))), "i")
-        .join(broadcast(varDf.select(col("__vi").as("j"), col("__v").as("vb"))), "j")
-        .select(col("i"), col("j"),
-          expr("CAST(round(c / sqrt(va * vb) * 100000) AS BIGINT)").as("r"))
-        .localCheckpoint()
-      var v = s.range(0, 16).select(col("id").cast("int").as("j"),
-        lit(1000000L).as("v"))
-      var lastM: DataFrame = null
-      (1 to 8).foreach { _ =>
-        val w = corr.join(broadcast(v), "j")
-          .groupBy(col("i")).agg(sum(col("r") * col("v")).as("w"))
-          .localCheckpoint()
-        lastM = w.agg(max(abs(col("w"))).as("m")).localCheckpoint()
-        v = w.crossJoin(broadcast(lastM))
-          .select(col("i").as("j"),
-            (when(col("w") < 0, -1L).otherwise(1L) *
-              expr("(abs(w) * 1000000) div m")).cast("long").as("v"))
-          .localCheckpoint()
-      }
-      v.crossJoin(broadcast(lastM))
+      // correlation matrix — see [[topPrincipalDirection]] (shared with
+      // q299, which projects the corpus onto this vector)
+      topPrincipalDirection(s, dir)
         .select(col("j").cast("long").as("pos"), col("v").as("v_micro"),
           col("m").cast("long").as("growth"))
-        .orderBy("pos")
-    }),
+        .orderBy("pos")),
     "q296_lpa_communities" -> ((s, dir) => {
       // community detection by SYNCHRONOUS label propagation (Raghavan et
       // al. 2007) over the materialized co-purchase edge table: 4 fixed
@@ -2595,6 +2603,147 @@ object SparkEntry {
               | / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               |    * sqrt(CAST(n_edges AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin), 4)
             .as("assortativity"))
+    }),
+    "q298_average_precision" -> ((s, dir) => {
+      // AP@5 of the exact retrieval path with label-match relevance — the
+      // order-sensitive cousin of q212's recall@k and q277's nDCG (a hit
+      // at rank 1 outweighs one at rank 5; standard MAP headline).
+      // precision@r quantized to exact micro-units ((cum·1e6) div r —
+      // non-negative, so Spark trunc-div and DuckDB floor-div agree),
+      // summed at hit ranks only, normalized by min(R, 5) where R counts
+      // the query's label mates in the corpus (one |labels|-sized
+      // aggregate, broadcast back). All ranking work on the |queries|×5
+      // metadata frame.
+      import org.apache.spark.sql.expressions.Window
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val nn = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rn"))
+      val rel = nn
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("__nl")), "neighbor_id")
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("label").as("__ql"))), "query_id")
+        .select(col("query_id"), col("rn"),
+          when(col("__nl") === col("__ql"), 1L).otherwise(0L).as("rel"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rn"))
+      val perQ = rel.withColumn("cum", sum(col("rel")).over(w))
+        .withColumn("pu", expr("(cum * 1000000) div rn"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("rel")).as("n_rel"), sum(col("rel") * col("pu")).as("sum_pu"))
+      val mates = emb.groupBy(col("label")).agg(count(lit(1)).as("__cl"))
+      val denom = queries.select(col("vec_id").as("query_id"), col("label"))
+        .join(broadcast(mates), "label")
+        .select(col("query_id"), least(col("__cl") - 1, lit(5L)).as("denom"))
+      perQ.join(broadcast(denom), "query_id")
+        .select(col("query_id"), col("n_rel").cast("long").as("n_rel"),
+          col("sum_pu").cast("long").as("sum_pu"),
+          col("denom").cast("long").as("denom"),
+          when(col("denom") === 0L, lit(0.0)).otherwise(ops.Num.roundz(
+            col("sum_pu").cast("double") / (col("denom").cast("double") * 1000000d), 4))
+            .as("ap"))
+        .orderBy("query_id")
+    }),
+    "q299_abtt_outliers" -> ((s, dir) => {
+      // All-But-The-Top (Mu & Viswanath, ICLR 2018) applied as an audit:
+      // the 20 vectors with the largest |projection| onto the corpus's top
+      // principal direction — the anisotropy hubs an ABTT correction
+      // subtracts before cosine retrieval (a large common component makes
+      // everything look similar to everything). Chains the PCA pipeline
+      // end-to-end: q288's one-pass moments → q295's integer power
+      // iteration → THIS corpus projection pass. Exactness: the centered
+      // projection is n·⟨x,u⟩ − ⟨Σx,u⟩ in exact longs (no mean division,
+      // so no trunc-vs-floor hazard on negatives; |terms| ≤ n·6e6·1e6·16
+      // ≪ 2⁶³ at bench SFs — re-quantize u before n reaches ~1e5). One
+      // corpus scan; the direction and the 16 dim-sums ride as broadcasts;
+      // top-20 via TakeOrdered, never a global sort.
+      import org.apache.spark.sql.expressions.Window
+      val vdir = topPrincipalDirection(s, dir)
+      val emb = T(s, dir, "embeddings")
+      val ex = emb.select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 15), k -> CAST(round(CAST(element_at(embedding, k * 4 + 1) AS DOUBLE) * 1000000) AS BIGINT))"))
+        .as(Seq("i", "mi")))
+      val st = ex.groupBy(col("i")).agg(count(lit(1)).as("n"), sum(col("mi")).as("si"))
+      val tv = ex
+        .join(broadcast(st), "i")
+        .join(broadcast(vdir.select(col("j").as("i"), col("v"))), "i")
+        .groupBy(col("vec_id"))
+        .agg(sum((col("n") * col("mi") - col("si")) * col("v")).as("tn"))
+      tv.orderBy(abs(col("tn")).desc, col("vec_id")).limit(20)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(abs(col("tn")).desc, col("vec_id"))))
+        .select(col("rk").cast("long").as("rk"),
+          col("vec_id").cast("long").as("vec_id"), col("tn").cast("long").as("tn"))
+        .orderBy("rk")
+    }),
+    "q300_matryoshka_curve" -> ((s, dir) => {
+      // Matryoshka serving lever (MRL, Kusupati et al. 2022): recall@5 of
+      // prefix-dimension cosine ranking against the full-64-dim exact
+      // top-5 — the dims-vs-quality curve that prices truncated-embedding
+      // retrieval (a d-dim prefix scan moves d/64 of the bytes and FLOPs
+      // of the full scan; MRL-trained encoders front-load information so
+      // short prefixes stay usable). Each leg is one broadcast-queries
+      // corpus scan at the sliced width (q45's shape — corpus never
+      // shuffles); intersection and the recall ratio run on |queries|×5
+      // metadata frames.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      def top5(d: Int): DataFrame = {
+        val q = queries.select(col("vec_id").as("query_id"),
+          slice(col("embedding"), 1, d).as("qv"))
+        val c = emb.select(col("vec_id").as("neighbor_id"),
+          slice(col("embedding"), 1, d).as("cv"))
+        val scored = c.crossJoin(broadcast(q))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cosine",
+            Similarity.dot("qv", "cv") / (Similarity.norm("qv") * Similarity.norm("cv")))
+          .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        Similarity.topKPerQuery(scored, 5).select(col("query_id"), col("neighbor_id"))
+      }
+      val full = top5(64).localCheckpoint()
+      val nq = queries.agg(count(lit(1)).as("n_queries"))
+      Seq(8, 16, 32).map { d =>
+        top5(d).join(broadcast(full), Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("matched"))
+          .select(lit(d.toLong).as("dims"), col("matched"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nq))
+        .select(col("dims"), col("n_queries").cast("long").as("n_queries"),
+          col("matched").cast("long").as("matched"),
+          ops.Num.roundz(col("matched").cast("double") /
+            (col("n_queries").cast("double") * 5d), 4).as("recall"))
+        .orderBy("dims")
+    }),
+    "q301_spearman" -> ((s, dir) => {
+      // Spearman rank correlation between per-user activity (event count)
+      // and spend (exact cents total) — the monotone-association check
+      // behind "do heavy users spend more?", robust to the value
+      // distribution's tail where q159's Pearson is not. Ranks are
+      // row_number under a total order (metric, then user_id — the
+      // deterministic tie policy both engines replay), assigned by the
+      // two-phase global rank (q173's shape: 32 bin totals to the driver,
+      // never a single-partition window); the correlation combines six
+      // exact long rank-moments in one fixed double op order. Rank
+      // products stay ≪ 2⁶³ up to ~2M users; shard-and-requantize past
+      // that.
+      val per = T(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(ops.Num.roundz(col("value") * 100, 0).cast("long")).as("cents"))
+        .localCheckpoint()
+      val (ra, _) = graft.ops.TwoPhase.globalRank(per, col("n_ev"),
+        Seq(col("n_ev"), col("user_id")), "ra")
+      val (rb, _) = graft.ops.TwoPhase.globalRank(per, col("cents"),
+        Seq(col("cents"), col("user_id")), "rb")
+      ra.select(col("user_id"), col("ra"))
+        .join(rb.select(col("user_id"), col("rb")), "user_id")
+        .agg(count(lit(1)).as("n_users"), sum(col("ra")).as("sa"),
+          sum(col("rb")).as("sb"), sum(col("ra") * col("rb")).as("sab"),
+          sum(col("ra") * col("ra")).as("sa2"), sum(col("rb") * col("rb")).as("sb2"))
+        .select(col("n_users").cast("long").as("n_users"),
+          ops.Num.roundz(expr(
+            """(CAST(n_users AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+              | / (sqrt(CAST(n_users AS DOUBLE) * CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              |    * sqrt(CAST(n_users AS DOUBLE) * CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))""".stripMargin), 4)
+            .as("spearman"))
     }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
@@ -3747,7 +3896,12 @@ object SparkEntry {
     * steps generated by the same loop bounds the Spark side runs — every
     * step is integer arithmetic (the `//` on non-negative abs matches
     * Spark's `div`), so the final vector matches bit-for-bit. */
-  private val q295Sql: String = {
+  /** The shared power-iteration CTE chain ([[topPrincipalDirection]]'s
+    * oracle twin): moments → 1e-5-unit correlation → 8 unrolled exact
+    * integer iterations, ending at `v8` (the direction) and `m8` (the
+    * growth factor). q295 reads it directly; q299 projects the corpus
+    * onto `v8`. */
+  private val powerIterCte: String = {
     val iters = (1 to 8).map { t =>
       val pv = if (t == 1) "v0" else s"v${t - 1}"
       s"""w$t AS (SELECT corr.i, CAST(sum(corr.r * $pv.v) AS BIGINT) AS w
@@ -3757,7 +3911,7 @@ object SparkEntry {
          |  CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) * ((abs(w) * 1000000) // m$t.m) AS BIGINT) AS v
          |  FROM w$t, m$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH vecs AS (SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    s"""vecs AS (SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
        |m AS (SELECT list_transform(range(0, 16),
        |    k -> CAST(round(vv[CAST(k * 4 + 1 AS INT)] * 1000000) AS BIGINT)) AS p FROM vecs),
        |pr AS (SELECT CAST(i.k AS BIGINT) AS i, CAST(j.k AS BIGINT) AS j,
@@ -3774,9 +3928,64 @@ object SparkEntry {
        |    CAST(round(c.c / sqrt(va.vc * vb.vc) * 100000) AS BIGINT) AS r
        |  FROM c JOIN vd va ON va.i = c.i JOIN vd vb ON vb.i = c.j),
        |v0 AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS j, CAST(1000000 AS BIGINT) AS v),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private val q295Sql: String =
+    s"""WITH $powerIterCte
        |SELECT CAST(v8.j AS BIGINT) AS pos, v8.v AS v_micro, CAST(m8.m AS BIGINT) AS growth
        |FROM v8, m8 ORDER BY pos""".stripMargin
+
+  /** q299's oracle: the same power-iteration direction, then the corpus
+    * projection n·⟨x,u⟩ − ⟨Σx,u⟩ in exact longs (no mean division —
+    * centered via the sum so there is no negative-division rounding to
+    * disagree on), top 20 by |projection|. */
+  private val q299Sql: String =
+    s"""WITH $powerIterCte,
+       |mm AS (SELECT vec_id, list_transform(range(0, 16),
+       |    k -> CAST(round(vv[CAST(k * 4 + 1 AS INT)] * 1000000) AS BIGINT)) AS p
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)),
+       |ex AS (SELECT vec_id, CAST(i.k AS BIGINT) AS i, p[CAST(i.k + 1 AS INT)] AS mi
+       |  FROM mm, LATERAL (SELECT unnest(range(0, 16)) AS k) i),
+       |st AS (SELECT i, count(*) AS n, CAST(sum(mi) AS BIGINT) AS si FROM ex GROUP BY 1),
+       |tv AS (SELECT ex.vec_id,
+       |    CAST(sum((CAST(st.n AS BIGINT) * ex.mi - st.si) * v8.v) AS BIGINT) AS tn
+       |  FROM ex JOIN st ON st.i = ex.i JOIN v8 ON v8.j = ex.i GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY abs(tn) DESC, vec_id) AS BIGINT) AS rk,
+       |  CAST(vec_id AS BIGINT) AS vec_id, tn
+       |FROM tv ORDER BY abs(tn) DESC, vec_id LIMIT 20""".stripMargin
+
+  /** q300's oracle: per prefix width d, the same double-cosine ranking on
+    * the sliced vectors (DuckDB `vv[1:d]` ≡ Spark `slice(v, 1, d)`; the
+    * float→double element casts agree), intersected with the full-width
+    * top-5 — generated per leg by the same loop bounds the Spark side
+    * runs. */
+  private val q300Sql: String = {
+    val dims = Seq(8, 16, 32)
+    val legs = dims.map { d =>
+      s"""p$d AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY list_dot_product(qv[1:$d], cv[1:$d]) /
+         |      (sqrt(list_dot_product(qv[1:$d], qv[1:$d])) * sqrt(list_dot_product(cv[1:$d], cv[1:$d]))) DESC,
+         |    neighbor_id) AS rn FROM s),
+         |mt$d AS (SELECT $d AS dims, count(*) AS matched FROM p$d
+         |  JOIN f ON f.query_id = p$d.query_id AND f.neighbor_id = p$d.neighbor_id
+         |  WHERE p$d.rn <= 5)""".stripMargin
+    }.mkString(",\n")
+    val union = dims.map(d => s"SELECT * FROM mt$d").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id, qv, cv FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+       |fr AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+       |    neighbor_id) AS rn FROM s),
+       |f AS (SELECT query_id, neighbor_id FROM fr WHERE rn <= 5),
+       |nq AS (SELECT count(*) AS n FROM q),
+       |$legs,
+       |u AS ($union)
+       |SELECT CAST(dims AS BIGINT) AS dims, CAST(nq.n AS BIGINT) AS n_queries,
+       |  CAST(matched AS BIGINT) AS matched,
+       |  (round(CAST(matched AS DOUBLE) / (CAST(nq.n AS DOUBLE) * 5), 4) + 0.0) AS recall
+       |FROM u, nq ORDER BY dims""".stripMargin
   }
 
   /** q296's oracle: 4 unrolled synchronous LPA rounds over the co-purchase
@@ -7776,6 +7985,47 @@ object SparkEntry {
     "q293_source_sketch" -> q293Sql,
     "q295_power_iteration" -> q295Sql,
     "q296_lpa_communities" -> q296Sql,
+    "q298_average_precision" ->
+      // q45's exact top-5, label-match relevance, micro-unit precision@r
+      // via non-negative integer division, min(R,5) normalization
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nl FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, ql, nl,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, ql, nl,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s),
+        |g AS (SELECT query_id, rn, CASE WHEN nl = ql THEN 1 ELSE 0 END AS rel FROM r WHERE rn <= 5),
+        |p AS (SELECT query_id, rn, rel,
+        |    (sum(rel) OVER (PARTITION BY query_id ORDER BY rn) * 1000000) // rn AS pu FROM g),
+        |pq AS (SELECT query_id, sum(rel) AS n_rel, sum(rel * pu) AS sum_pu FROM p GROUP BY 1),
+        |mt AS (SELECT label, count(*) AS cl FROM embeddings GROUP BY 1),
+        |d AS (SELECT e.vec_id AS query_id, least(mt.cl - 1, 5) AS denom
+        |  FROM embeddings e JOIN mt ON mt.label = e.label WHERE e.vec_id < 8)
+        |SELECT pq.query_id, CAST(pq.n_rel AS BIGINT) AS n_rel,
+        |  CAST(pq.sum_pu AS BIGINT) AS sum_pu, CAST(d.denom AS BIGINT) AS denom,
+        |  (CASE WHEN d.denom = 0 THEN 0.0
+        |    ELSE (round(CAST(pq.sum_pu AS DOUBLE) / (CAST(d.denom AS DOUBLE) * 1000000), 4) + 0.0) END) AS ap
+        |FROM pq JOIN d ON d.query_id = pq.query_id ORDER BY pq.query_id""".stripMargin,
+    "q299_abtt_outliers" -> q299Sql,
+    "q300_matryoshka_curve" -> q300Sql,
+    "q301_spearman" ->
+      // same per-user frame, same row_number total order (metric, user_id),
+      // same six exact rank-moments, same fixed-order combine
+      """WITH per AS (SELECT user_id, count(*) AS n_ev,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id,
+        |    CAST(row_number() OVER (ORDER BY n_ev, user_id) AS BIGINT) AS ra,
+        |    CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rb FROM per),
+        |s AS (SELECT count(*) AS n, CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+        |    CAST(sum(ra * rb) AS BIGINT) AS sab, CAST(sum(ra * ra) AS BIGINT) AS sa2,
+        |    CAST(sum(rb * rb) AS BIGINT) AS sb2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  (round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 4) + 0.0) AS spearman
+        |FROM s""".stripMargin,
     "q297_assortativity" ->
       // same degree pass, same six exact sums, same fixed-order combine
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -804,4 +804,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("parquet"),
       s"iterations must run on metadata frames, not rescan the corpus:\n$plan")
   }
+
+  test("assortativity: degree joins stay node-keyed; no pair blow-up (q297)") {
+    val plan = q("q297_assortativity")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"endpoint-degree gathers must be id-keyed equi-joins on the edge list:\n$plan")
+  }
+
+  test("average precision: label-mate counts broadcast back; ranking on the top-5 frame (q298)") {
+    val plan = q("q298_average_precision")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ABTT: direction and dim-sums broadcast onto one corpus scan; top-20 is TakeOrdered (q299)") {
+    val plan = q("q299_abtt_outliers")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-|projection| pick must never be a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 16-row direction/stats frames must broadcast, never shuffle the corpus:\n$plan")
+  }
+
+  test("matryoshka curve: every prefix leg broadcasts the query set; corpus never shuffles (q300)") {
+    val plan = q("q300_matryoshka_curve")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix scoring must be a broadcast-queries corpus scan (q45's shape):\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("spearman: ranks via the two-phase rewrite — no single-partition window over users (q301)") {
+    val plan = q("q301_spearman")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"global ranks must come from the binned two-phase prefix sum:\n$plan")
+  }
 }
