@@ -2745,6 +2745,55 @@ object SparkEntry {
               |    * sqrt(CAST(n_users AS DOUBLE) * CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))""".stripMargin), 4)
             .as("spearman"))
     }),
+    "q302_filtered_ann" -> ((s, dir) => {
+      // FILTERED vector search: top-5 under a metadata predicate
+      // (label = 2) — the production RAG-serving path (tenant/ACL/
+      // recency filters). PRE-filtering applies the predicate to the
+      // cell scan BEFORE scoring (cell assignment is per-vector, so the
+      // filtered index ≡ filtered assignments; cost ∝ selectivity and
+      // exactness within probed cells is preserved); the row also
+      // carries post_kept = predicate survivors in the UNFILTERED top-5
+      // — the recall loss that makes naive filter-after-search wrong
+      // (post_kept < 5 while the pre-filtered side still returns 5).
+      // Same broadcast-centroid probes and two-phase ranking as q58,
+      // nprobe = 2.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val cents = emb.filter(col("vec_id") < 16)
+      val pre = Similarity.ivfTopK(emb.filter(col("label") === 2), queries,
+        cents, "vec_id", "embedding", 5, nprobe = 2)
+      val post = Similarity.ivfTopK(emb, queries, cents, "vec_id", "embedding", 5, nprobe = 2)
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+        .filter(col("label") === 2)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("post_kept"))
+      pre.join(broadcast(post), Seq("query_id"), "left")
+        .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"),
+          coalesce(col("post_kept"), lit(0L)).cast("long").as("post_kept"))
+        .orderBy("query_id", "rn")
+    }),
+    "q303_freshness_decay" -> ((s, dir) => {
+      // time-decayed engagement ranking: per-user sum of spend halved
+      // every week of age (feed-ranking freshness), top 20. Exactness by
+      // DYADIC arithmetic: age buckets k = days div 7 capped at 16, each
+      // cents amount scaled by 2^(16−k) — a LONG shift, so the per-user
+      // sum is an exact integer both engines agree on regardless of
+      // add order (a float exp(−λ·age) sum would be order-sensitive).
+      // The "now" anchor is data-derived (max ts, q09's rule); one
+      // groupBy(user) with map-side combine; top-20 via TakeOrdered.
+      val ev = T(s, dir, "events")
+      val anchor = ev.agg(max(to_date(col("ts"))).as("__today"))
+      val scored = ev.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          ops.Num.roundz(col("value") * 100, 0).cast("long").as("cents"),
+          least(expr("datediff(__today, to_date(ts)) div 7"), lit(16L)).as("k"))
+        .select(col("user_id"),
+          expr("cents * shiftleft(1L, CAST(16 - k AS INT))").as("scaled"))
+      scored.groupBy(col("user_id"))
+        .agg(sum(col("scaled")).as("scaled"))
+        .select(col("user_id"), col("scaled").cast("long").as("scaled"),
+          ops.Num.roundz(col("scaled").cast("double") / 65536d, 4).as("score"))
+        .orderBy(col("scaled").desc, col("user_id")).limit(20)
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -8009,6 +8058,47 @@ object SparkEntry {
         |FROM pq JOIN d ON d.query_id = pq.query_id ORDER BY pq.query_id""".stripMargin,
     "q299_abtt_outliers" -> q299Sql,
     "q300_matryoshka_curve" -> q300Sql,
+    "q302_filtered_ann" ->
+      // q58's IVF structure at nprobe=2: corpus assignment = rank-1 cell,
+      // query probes = rank ≤ 2; the pre-filter is a WHERE on the
+      // assignment side, the post-filter counts survivors of the
+      // unfiltered top-5
+      """WITH vecs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |scored AS (SELECT x.vec_id, x.label, x.vv, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, label, vv, cell FROM scored WHERE crn = 1),
+        |q AS (SELECT vec_id AS query_id, vv AS qv, cell FROM scored WHERE vec_id < 8 AND crn <= 2),
+        |sf AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+        |  list_dot_product(q.qv, a.vv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.vv, a.vv))) AS cosine
+        |  FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.query_id WHERE a.label = 2),
+        |rf AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM sf),
+        |su AS (SELECT q.query_id, a.vec_id AS neighbor_id, a.label,
+        |  list_dot_product(q.qv, a.vv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.vv, a.vv))) AS cosine
+        |  FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.query_id),
+        |ru AS (SELECT query_id, label,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM su),
+        |post AS (SELECT query_id, count(*) AS post_kept FROM ru WHERE rn <= 5 AND label = 2 GROUP BY 1)
+        |SELECT rf.query_id, rf.rn, rf.neighbor_id, (round(rf.cosine, 4) + 0.0) AS cosine,
+        |  CAST(coalesce(post.post_kept, 0) AS BIGINT) AS post_kept
+        |FROM rf LEFT JOIN post ON post.query_id = rf.query_id
+        |WHERE rf.rn <= 5 ORDER BY rf.query_id, rf.rn""".stripMargin,
+    "q303_freshness_decay" ->
+      // same data-derived anchor, same capped weekly buckets, same exact
+      // dyadic scaling (cents << (16 − k)), same top-20 order
+      """WITH a AS (SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS today FROM events),
+        |e AS (SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    least(date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE), a.today) // 7, 16) AS k
+        |  FROM events, a),
+        |g AS (SELECT user_id,
+        |    CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(16 - k AS INT))) AS BIGINT) AS scaled
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, scaled, (round(CAST(scaled AS DOUBLE) / 65536, 4) + 0.0) AS score
+        |FROM g ORDER BY scaled DESC, user_id LIMIT 20""".stripMargin,
     "q301_spearman" ->
       // same per-user frame, same row_number total order (metric, user_id),
       // same six exact rank-moments, same fixed-order combine

@@ -833,6 +833,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("filtered ANN: predicate pushed to the corpus scan; candidates stay cell-keyed (q302)") {
+    val plan = q("q302_filtered_ann")
+    assert(plan.contains("EqualTo(label,2)"),
+      s"the metadata filter must reach the parquet scan, not run post-score:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("freshness decay: one user aggregate; top-20 is TakeOrdered, never a global sort (q303)") {
+    val plan = q("q303_freshness_decay")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      s"only the 1-row anchor may cross-join, as a broadcast:\n$plan")
+  }
+
   test("spearman: ranks via the two-phase rewrite — no single-partition window over users (q301)") {
     val plan = q("q301_spearman")
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
