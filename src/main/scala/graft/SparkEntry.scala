@@ -2794,6 +2794,70 @@ object SparkEntry {
           ops.Num.roundz(col("scaled").cast("double") / 65536d, 4).as("score"))
         .orderBy(col("scaled").desc, col("user_id")).limit(20)
     }),
+    "q304_colbert_maxsim" -> ((s, dir) => {
+      // late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia
+      // SIGIR 2020): each vector is read as 4 16-dim "token" subvectors
+      // (contiguous slices); score(q, d) = Σ_i max_j cos(q_i, d_j) — the
+      // retrieval family between single-vector cosine (q45) and full
+      // cross-attention, ranking by best per-token alignment. Shape: the
+      // whole interaction is MAP-SIDE — subvectors are normalized once
+      // per row, the 8 prepared queries broadcast, and each corpus row
+      // computes all 16 dots and the fixed-order fold (((m0+m1)+m2)+m3
+      // — no float-sum order hazard) in one scan with ZERO shuffle
+      // before the two-phase k-heap (an explode-and-regroup formulation
+      // would shuffle 4·|corpus|·|queries| rows back together).
+      val emb = T(s, dir, "embeddings")
+      val prep = (idAs: String, out: String) => (df: DataFrame) => df
+        .select(col("vec_id").as(idAs),
+          expr("transform(sequence(0, 3), i -> slice(embedding, i * 16 + 1, 16))").as("__subs"))
+        .withColumn("__norms", expr(
+          "transform(__subs, sv -> sqrt(aggregate(zip_with(sv, sv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)))"))
+        .select(col(idAs), expr(
+          "zip_with(__subs, __norms, (sv, nm) -> transform(sv, x -> CAST(x AS DOUBLE) / nm))")
+          .as(out))
+      val q8 = prep("query_id", "qn")(emb.filter(col("vec_id") < 8))
+      val cs = prep("neighbor_id", "cn")(emb)
+      val dotIJ = (i: Int, j: Int) =>
+        s"aggregate(zip_with(element_at(qn, $i), element_at(cn, $j), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+      val g = (i: Int) => s"greatest(${(1 to 4).map(j => dotIJ(i, j)).mkString(", ")})"
+      val ms = cs.crossJoin(broadcast(q8))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr(s"(((${g(1)} + ${g(2)}) + ${g(3)}) + ${g(4)})").as("cosine"))
+      Similarity.topKPerQuery(ms, 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("maxsim"), col("rn"))
+        .orderBy("query_id", "rn")
+    }),
+    "q305_vocab_coverage" -> ((s, dir) => {
+      // tokenizer vocabulary sizing: corpus token coverage at vocab
+      // cutoffs V ∈ {5, 10, 20} (sized to the synthetic 31-token vocabulary so the
+      // curve is informative) — the OOV-rate curve read before BPE
+      // training (q223/q249 learn the merges; this prices the budget).
+      // One token pass to the vocab frame; head ranks via the two-phase
+      // global rank (the vocabulary is corpus-sized at 100 TB — never a
+      // single-partition window over it); coverage in exact integer
+      // basis points.
+      val counts = T(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .withColumn("nc", negate(col("cnt")))
+        .localCheckpoint()
+      val (ranked, _) = graft.ops.TwoPhase.globalRank(counts, col("nc"),
+        Seq(col("nc"), col("token")), "rank")
+      val tot = counts.agg(sum(col("cnt")).as("total_tokens"))
+      Seq(5, 10, 20).map { v =>
+        ranked.filter(col("rank") <= v)
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered_tokens"))
+          .select(lit(v.toLong).as("vocab_size"), col("covered_tokens"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(tot))
+        .select(col("vocab_size"),
+          col("covered_tokens").cast("long").as("covered_tokens"),
+          col("total_tokens").cast("long").as("total_tokens"),
+          expr("(covered_tokens * 10000) div total_tokens").as("coverage_bp"))
+        .orderBy("vocab_size")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4003,6 +4067,30 @@ object SparkEntry {
        |SELECT CAST(row_number() OVER (ORDER BY abs(tn) DESC, vec_id) AS BIGINT) AS rk,
        |  CAST(vec_id AS BIGINT) AS vec_id, tn
        |FROM tv ORDER BY abs(tn) DESC, vec_id LIMIT 20""".stripMargin
+
+  /** q304's oracle: the same normalize-once subvector preparation (so the
+    * float op sequence — per-element cast, divide-by-norm, then a plain
+    * dot — is identical on both engines), the same 16 dots, the same
+    * fixed-order (((m1+m2)+m3)+m4 fold, generated by the same loop
+    * bounds. */
+  private val q304Sql: String = {
+    val gi = (i: Int) =>
+      (1 to 4).map(j => s"list_dot_product(q.qn[$i], c.cn[$j])")
+        .mkString("greatest(", ", ", ")")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |sub AS (SELECT vec_id, [vv[1:16], vv[17:32], vv[33:48], vv[49:64]] AS ss FROM v),
+       |nrm AS (SELECT vec_id, list_transform(ss,
+       |    sv -> list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv)))) AS nn FROM sub),
+       |q AS (SELECT vec_id AS query_id, nn AS qn FROM nrm WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, nn AS cn FROM nrm),
+       |sc AS (SELECT query_id, neighbor_id,
+       |    (((${gi(1)} + ${gi(2)}) + ${gi(3)}) + ${gi(4)}) AS score
+       |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rn FROM sc)
+       |SELECT query_id, neighbor_id, (round(score, 4) + 0.0) AS maxsim, rn
+       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
 
   /** q300's oracle: per prefix width d, the same double-cosine ranking on
     * the sliced vectors (DuckDB `vv[1:d]` ≡ Spark `slice(v, 1, d)`; the
@@ -8087,6 +8175,20 @@ object SparkEntry {
         |  CAST(coalesce(post.post_kept, 0) AS BIGINT) AS post_kept
         |FROM rf LEFT JOIN post ON post.query_id = rf.query_id
         |WHERE rf.rn <= 5 ORDER BY rf.query_id, rf.rn""".stripMargin,
+    "q304_colbert_maxsim" -> q304Sql,
+    "q305_vocab_coverage" ->
+      // same tokenization as q103, same (freq desc, token) total order —
+      // the oracle's global window IS what the two-phase rank replaces
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok WHERE len(token) > 0 GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+        |vs AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS vocab_size),
+        |cov AS (SELECT vs.vocab_size, CAST(coalesce(sum(r.cnt), 0) AS BIGINT) AS covered_tokens
+        |  FROM vs LEFT JOIN r ON r.rank <= vs.vocab_size GROUP BY 1)
+        |SELECT cov.vocab_size, cov.covered_tokens, t.total_tokens,
+        |  CAST((cov.covered_tokens * 10000) // t.total_tokens AS BIGINT) AS coverage_bp
+        |FROM cov, t ORDER BY cov.vocab_size""".stripMargin,
     "q303_freshness_decay" ->
       // same data-derived anchor, same capped weekly buckets, same exact
       // dyadic scaling (cents << (16 − k)), same top-20 order

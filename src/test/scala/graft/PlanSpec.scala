@@ -847,6 +847,28 @@ class PlanSpec extends SparkSpec {
       s"only the 1-row anchor may cross-join, as a broadcast:\n$plan")
   }
 
+  test("MaxSim: the whole interaction is map-side — zero shuffles upstream of the k-heap (q304)") {
+    val plan = q("q304_colbert_maxsim")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // in the final-plan tree, everything upstream of the per-partition
+    // k-heap (scan → normalize → broadcast join → 16-dot fold) must carry
+    // no shuffle Exchange — only the build side's BroadcastExchange (an
+    // explode-and-regroup formulation would shuffle 4·N·|q| scored rows)
+    val fin = plan.substring(plan.indexOf("== Final Plan =="),
+      math.max(plan.indexOf("== Initial Plan =="), plan.indexOf("== Final Plan ==") + 16))
+    val mp = fin.indexOf("MapPartitions")
+    assert(mp >= 0, fin)
+    assert(!fin.substring(mp).contains("- Exchange ("),
+      s"scoring must reach the k-heap without shuffling:\n$fin")
+  }
+
+  test("vocab coverage: head ranks are two-phase — no single-partition window over the vocabulary (q305)") {
+    val plan = q("q305_vocab_coverage")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"the frequency rank must ride the binned two-phase rewrite:\n$plan")
+  }
+
   test("spearman: ranks via the two-phase rewrite — no single-partition window over users (q301)") {
     val plan = q("q301_spearman")
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
