@@ -2858,6 +2858,76 @@ object SparkEntry {
           expr("(covered_tokens * 10000) div total_tokens").as("coverage_bp"))
         .orderBy("vocab_size")
     }),
+    "q306_vacuum_retention" -> ((s, dir) => {
+      // lakehouse VACUUM under a retention horizon — the 100 TB analogue
+      // of the reference's cadenced Postgres VACUUM task (Data
+      // Collection/Airflow.py:85-90). Lifecycle staged the way the public
+      // formats do it: v1 commits half the days, v2 appends the rest, v3
+      // is an OPTIMIZE REWRITE (new compacted files APPENDED — writers
+      // never delete; v2's generation stays readable for time travel),
+      // then vacuum(retain ≥ 3) reclaims every file no retained snapshot
+      // references. The gate reads the post-vacuum v3 snapshot — row
+      // fidelity through commit→rewrite→reclaim is the contract
+      // ("never delete a file a retained snapshot can read");
+      // StorageSpec asserts the file accounting (old generation gone,
+      // naive dir read ≡ v3 afterwards).
+      import graft.storage.Storage
+      val tmp = s"$TMP/q306_vac"; val log = s"$TMP/q306_vac_log"
+      val ev = T(s, dir, "events")
+        .withColumn("day", TextFunctions.dayString(col("ts")))
+      ev.filter(col("day") < "2024-01-16")
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      Storage.commitSnapshot(s, tmp, log, 1L, reset = true)
+      ev.filter(col("day") >= "2024-01-16")
+        .write.mode("append").partitionBy("day").parquet(tmp)
+      Storage.commitSnapshot(s, tmp, log, 2L)
+      Storage.readSnapshot(s, tmp, log, 2L)
+        .repartition(col("day"))
+        .write.mode("append").partitionBy("day").parquet(tmp)
+      Storage.commitRewrite(s, tmp, log, 3L, replacing = 2L)
+      Storage.vacuum(s, log, retainMinVersion = 3L)
+      Storage.readSnapshot(s, tmp, log, 3L)
+        // partition-dir read-back infers `day` as DATE; the contract (and
+        // the oracle) speak strings
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("day"), col("cnt").cast("long").as("cnt"))
+        .orderBy("day")
+    }),
+    "q307_filtered_recall" -> ((s, dir) => {
+      // the EVAL for q302: recall@5 of pre-filtered IVF (nprobe = 2)
+      // against the exact filtered top-5, across predicate selectivities
+      // (all / half / quarter of the corpus) — filtered-search recall is
+      // the hard production question (a selective filter empties probed
+      // cells, so recall vs selectivity is the curve that sets nprobe for
+      // filtered traffic). Truth via the broadcast-queries brute-force
+      // scan on the SAME filtered corpus; hits and ratios on |queries|×5
+      // frames.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val cents = emb.filter(col("vec_id") < 16)
+      val legs = Seq(
+        ("all", lit(true)),
+        ("half", col("label") <= 1),
+        ("quarter", col("label") === 2))
+      legs.map { case (name, pred) =>
+        val corpus = emb.filter(pred)
+        val approx = Similarity.ivfTopK(corpus, queries, cents,
+          "vec_id", "embedding", 5, nprobe = 2)
+          .select(col("query_id"), col("neighbor_id"))
+        val truth = Similarity.cosineTopK(corpus, queries, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        approx.join(broadcast(truth), Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("leg"), col("hits"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_queries"))))
+        .select(col("leg"), col("n_queries").cast("long").as("n_queries"),
+          col("hits").cast("long").as("hits"),
+          ops.Num.roundz(col("hits").cast("double") /
+            (col("n_queries").cast("double") * 5d), 4).as("recall"))
+        .orderBy("leg")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4090,6 +4160,50 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rn FROM sc)
        |SELECT query_id, neighbor_id, (round(score, 4) + 0.0) AS maxsim, rn
        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** q307's oracle: q302's IVF structure (assignment crn = 1, probes
+    * crn ≤ 2) and the brute-force truth, each repeated per selectivity
+    * leg with the predicate applied to the SAME side the engine applies
+    * it (the filtered corpus) — generated by the same leg list the Spark
+    * side runs. */
+  private val q307Sql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val legs = Seq[(String, String => String)](
+      ("all", _ => "1 = 1"),
+      ("half", a => s"$a.label <= 1"),
+      ("quarter", a => s"$a.label = 2"))
+    val legCtes = legs.map { case (name, pred) =>
+      s"""iv_$name AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, a.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "a.vv")} DESC, a.vec_id) AS rn
+         |    FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.query_id WHERE ${pred("a")})
+         |  WHERE rn <= 5),
+         |tr_$name AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT qq.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY ${cos("qq.vv", "n.vv")} DESC, n.vec_id) AS rn
+         |    FROM vecs qq CROSS JOIN vecs n
+         |    WHERE qq.vec_id < 8 AND n.vec_id <> qq.vec_id AND ${pred("n")})
+         |  WHERE rn <= 5),
+         |h_$name AS (SELECT '$name' AS leg, count(*) AS hits FROM iv_$name i
+         |  JOIN tr_$name t ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id)""".stripMargin
+    }.mkString(",\n")
+    val union = legs.map { case (name, _) => s"SELECT * FROM h_$name" }.mkString(" UNION ALL ")
+    s"""WITH vecs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+       |scored AS (SELECT x.vec_id, x.vv, c.cell,
+       |  row_number() OVER (PARTITION BY x.vec_id ORDER BY ${cos("x.vv", "c.cv")} DESC, c.cell) AS crn
+       |  FROM vecs x CROSS JOIN cent c),
+       |asg AS (SELECT s0.vec_id, v0.label, s0.vv, s0.cell FROM scored s0
+       |  JOIN vecs v0 ON v0.vec_id = s0.vec_id WHERE s0.crn = 1),
+       |q AS (SELECT vec_id AS query_id, vv AS qv, cell FROM scored WHERE vec_id < 8 AND crn <= 2),
+       |$legCtes,
+       |u AS ($union),
+       |nq AS (SELECT count(*) AS n FROM vecs WHERE vec_id < 8)
+       |SELECT u.leg, CAST(nq.n AS BIGINT) AS n_queries, CAST(u.hits AS BIGINT) AS hits,
+       |  (round(CAST(u.hits AS DOUBLE) / (CAST(nq.n AS DOUBLE) * 5), 4) + 0.0) AS recall
+       |FROM u, nq ORDER BY u.leg""".stripMargin
   }
 
   /** q300's oracle: per prefix width d, the same double-cosine ranking on
@@ -8176,6 +8290,13 @@ object SparkEntry {
         |FROM rf LEFT JOIN post ON post.query_id = rf.query_id
         |WHERE rf.rn <= 5 ORDER BY rf.query_id, rf.rn""".stripMargin,
     "q304_colbert_maxsim" -> q304Sql,
+    "q306_vacuum_retention" ->
+      // the post-vacuum retained snapshot must read as the full table —
+      // commit → append → rewrite → reclaim is row-invisible
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q307_filtered_recall" -> q307Sql,
     "q305_vocab_coverage" ->
       // same tokenization as q103, same (freq desc, token) total order —
       // the oracle's global window IS what the two-phase rank replaces

@@ -189,6 +189,57 @@ object Storage {
     else spark.read.option("basePath", tablePath).parquet(files.toIndexedSeq: _*)
   }
 
+  /** Commit a REWRITE: version `version` = the table's current on-disk
+    * file set MINUS everything versions ≤ `replacing` referenced — the
+    * OPTIMIZE/compaction commit shape of the public lakehouse formats
+    * (writers only ADD files; the replaced generation stays on disk, still
+    * readable by time travel, until [[vacuum]] reclaims it). Log-metadata
+    * arithmetic only. */
+  def commitRewrite(spark: SparkSession, tablePath: String, logPath: String,
+                    version: Long, replacing: Long): Unit = {
+    val current = spark.read.parquet(tablePath)
+      .select(col("_metadata.file_path").as("file")).distinct()
+    val old = spark.read.parquet(logPath)
+      .filter(col("version") <= replacing).select("file").distinct()
+    current.join(old, Seq("file"), "left_anti")
+      .withColumn("version", lit(version))
+      .write.mode(SaveMode.Append).parquet(logPath)
+  }
+
+  /** Files reclaimable under a retention horizon: everything the snapshot
+    * log has EVER referenced that no version ≥ `retainMinVersion` still
+    * references. The lakehouse VACUUM planning step — the reference runs a
+    * Postgres VACUUM on a cadence (Data Collection/Airflow.py:85-90); the
+    * 100 TB analogue is physical file reclaim, whose correctness contract
+    * is "never delete a file a retained snapshot can still read", which is
+    * exactly the anti join below (a file listed by BOTH an expired and a
+    * retained version survives). Log metadata only — KBs per commit. */
+  def vacuumPlan(spark: SparkSession, logPath: String,
+                 retainMinVersion: Long): DataFrame = {
+    val log = spark.read.parquet(logPath)
+    log.filter(col("version") < retainMinVersion).select("file").distinct()
+      .join(log.filter(col("version") >= retainMinVersion).select("file").distinct(),
+        Seq("file"), "left_anti")
+  }
+
+  /** Execute [[vacuumPlan]]: delete the expired files. The driver loop is
+    * over FILE PATHS (log metadata, the same scale as every commit/read
+    * planning step here — not data); deletes are idempotent (a missing
+    * file counts as already reclaimed). Returns the number of files
+    * removed. */
+  def vacuum(spark: SparkSession, logPath: String,
+             retainMinVersion: Long): Long = {
+    val files = vacuumPlan(spark, logPath, retainMinVersion)
+      .collect().map(_.getString(0))
+    val conf = spark.sparkContext.hadoopConfiguration
+    var n = 0L
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath)
+      if (p.getFileSystem(conf).delete(p, false)) n += 1
+    }
+    n
+  }
+
   /** Incremental snapshot diff: ONLY the files added between `fromV` and
     * `toV` — the change-feed consumption shape for append-mostly tables (a
     * downstream job processes what landed since its last run without ever

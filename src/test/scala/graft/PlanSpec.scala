@@ -869,6 +869,18 @@ class PlanSpec extends SparkSpec {
       s"the frequency rank must ride the binned two-phase rewrite:\n$plan")
   }
 
+  test("filtered recall: every leg's truth/approx intersect via broadcast; candidates cell-keyed (q307)") {
+    val plan = q("q307_filtered_recall")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the probed-cell joins start as SMJ in the initial plan and AQE
+    // re-plans them as broadcasts once the 16-row query side is measured —
+    // assert the EXECUTED plan only
+    val cut = plan.indexOf("== Initial Plan ==")
+    val fin = if (cut >= 0) plan.substring(0, cut) else plan
+    assert(!fin.contains("SortMergeJoin"),
+      s"the executed intersections must broadcast, never shuffle:\n$fin")
+  }
+
   test("spearman: ranks via the two-phase rewrite — no single-partition window over users (q301)") {
     val plan = q("q301_spearman")
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),

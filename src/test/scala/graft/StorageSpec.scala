@@ -268,4 +268,33 @@ class StorageSpec extends SparkSpec {
     assert(diff.toSeq == (40L until 60L))
     assert(Storage.readSnapshotDiff(spark, path, log, 1L, 1L).count() == 0)
   }
+
+  test("vacuum reclaims exactly the unreferenced generation; retained snapshots read intact") {
+    val path = "/root/repo/target/test_vacuum"
+    val log = "/root/repo/target/test_vacuum_log"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    (0L until 40L).toDF("v").coalesce(2).write.mode("overwrite").parquet(path)
+    Storage.commitSnapshot(spark, path, log, 1L, reset = true)
+    (40L until 60L).toDF("v").coalesce(1).write.mode("append").parquet(path)
+    Storage.commitSnapshot(spark, path, log, 2L)
+    // OPTIMIZE rewrite: new compacted files APPEND; v2's files stay on disk
+    Storage.readSnapshot(spark, path, log, 2L)
+      .coalesce(1).write.mode("append").parquet(path)
+    Storage.commitRewrite(spark, path, log, 3L, replacing = 2L)
+    // before vacuum: a naive dir read double-counts (old + rewritten)
+    assert(spark.read.parquet(path).count() == 120L)
+    // retention at v2 deletes nothing: v1's files are all referenced by v2
+    assert(Storage.vacuumPlan(spark, log, 2L).count() == 0)
+    // retention at v3 reclaims exactly the pre-rewrite generation (3 files)
+    val deleted = Storage.vacuum(spark, log, 3L)
+    assert(deleted == 3L, s"expected the 3 v1/v2 data files reclaimed, got $deleted")
+    // the retained snapshot is untouched; the dir now reads as v3 alone
+    val v3 = Storage.readSnapshot(spark, path, log, 3L).as[Long].collect().sorted
+    assert(v3.toSeq == (0L until 60L))
+    assert(spark.read.parquet(path).count() == 60L)
+    // idempotent: a second vacuum finds nothing left to delete
+    assert(Storage.vacuum(spark, log, 3L) == 0L)
+  }
 }
