@@ -2928,6 +2928,282 @@ object SparkEntry {
             (col("n_queries").cast("double") * 5d), 4).as("recall"))
         .orderBy("leg")
     }),
+    "q308_k_anonymity" -> ((s, dir) => {
+      // privacy-release audit (Sweeney 2002 k-anonymity): how much of the
+      // table survives if every quasi-identifier group smaller than k is
+      // suppressed, swept over k ∈ {2, 5, 10}. The governance gate a
+      // training-data release runs BEFORE shipping user-derived rows — the
+      // reference stores raw author/user rows in Postgres with no such
+      // audit. The only corpus-sized work is ONE map-side-combined groupBy
+      // to the |QI-combinations| frame (nation × segment ≤ 125 rows;
+      // bounded by the QI domain, not the row count, at 100 TB); the
+      // k-sweep is a 3×|QI| metadata cross join. Suppression share in
+      // exact integer basis points (non-negative ⇒ trunc ≡ floor).
+      val g = T(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+      import s.implicits._
+      val ks = Seq(2L, 5L, 10L).toDF("k")
+      g.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("groups_total"),
+          sum(when(col("cnt") < col("k"), 1L).otherwise(0L)).as("groups_below"),
+          sum(when(col("cnt") < col("k"), col("cnt")).otherwise(0L)).as("rows_suppressed"),
+          sum(col("cnt")).as("rows_total"))
+        .select(col("k"), col("groups_total"), col("groups_below"),
+          col("rows_suppressed"),
+          expr("rows_suppressed * 10000 div rows_total").as("suppression_bp"))
+        .orderBy("k")
+    }),
+    "q309_bloom_dedup" -> ((s, dir) => {
+      // CROSS-DUMP dedup with a bloom prefilter (the new-crawl-vs-corpus
+      // membership question, e.g. CCNet/RefinedWeb dump-over-dump): the
+      // retained corpus' dedup keys (prefix-32 fingerprints, q104's key)
+      // ride to every executor as a bloom sketch (~1.2 MB per 10⁶ keys at
+      // 1% fpp), the incoming dump is filtered MAP-SIDE before any
+      // exchange — at real dup rates that kills the shuffle of ~the whole
+      // dump — and the survivors' exact confirm join removes the false
+      // positives, so the result is EXACTLY the semi-join-with-counts the
+      // oracle computes. Keys are hashed to longs with xxhash64 on BOTH
+      // the build and the probe side (same function, same seed ⇒ no
+      // false negatives, which is the correctness contract here).
+      val docs = T(s, dir, "documents")
+        .withColumn("p", substring(col("text"), 1, 32))
+        .withColumn("src_n", expr("CAST(substring(source, 4) AS INT)"))
+      val old = docs.filter(col("src_n") < 10).select(col("p"))
+        .withColumn("h", xxhash64(col("p")))
+      val fresh = docs.filter(col("src_n") >= 10)
+        .select(col("doc_id"), col("source"), col("p"),
+          xxhash64(col("p")).as("h"))
+      val bf = old.stat.bloomFilter("h", 100000L, 0.01)
+      val pruned = fresh.filter(graft.functions.BloomMightContain(col("h"),
+        graft.functions.BloomMightContain.serialize(bf)))
+      pruned.join(old.groupBy(col("p")).agg(count(lit(1)).as("n_old_matches")), Seq("p"))
+        .select(col("doc_id"), col("source"), col("n_old_matches"))
+        .orderBy("doc_id")
+    }),
+    "q310_pit_features" -> ((s, dir) => {
+      // POINT-IN-TIME-correct training-set assembly (the feature-store
+      // contract): for every label event (a purchase) the features are
+      // computed over the SAME user's strictly-earlier events only — the
+      // leakage rule every offline training table must prove. The oracle
+      // states the semantics as the quadratic-per-user inequality join
+      // (e.ts < l.ts); the engine computes it in ONE pass: one exchange
+      // on user_id, one per-user sort, and a single window frame shared
+      // by all three features — `rangeBetween(…, -1)` over the micro
+      // timestamp is STRICTLY-earlier by value, so equal-timestamp rows
+      // never leak in regardless of sort tie-breaks. O(n log n) per
+      // partition vs the oracle's O(n²) per user; no user's history ever
+      // crosses an executor. Value sums in exact floor-micros longs.
+      val ev = T(s, dir, "events")
+        .withColumn("tsm", unix_micros(col("ts")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tsm"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+          count(lit(1)).over(w).as("prior_events"),
+          coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w),
+            lit(0L)).as("prior_clicks"),
+          coalesce(sum(floor(col("value") * 1e6).cast("long")).over(w),
+            lit(0L)).as("prior_value_micros"))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("prior_events"),
+          col("prior_clicks"), col("prior_value_micros"))
+        .orderBy("event_id")
+    }),
+    "q311_url_canonical" -> ((s, dir) => {
+      // crawl-frontier URL canonicalization (the dedup key of a web-scale
+      // crawl BEFORE any content fetch): lowercase scheme+host, strip
+      // `www.` and the default port, drop the fragment, drop tracking
+      // params (utm_*, ref), sort the survivors — so syntactic variants
+      // collapse to one frontier entry. Raw URLs are synthesized per doc
+      // (host/path/id from doc_id residues, tracking params from doc_id
+      // itself), so every raw URL is unique but canonicalization
+      // collapses them 25:1 — the oracle predicts each canonical form
+      // arithmetically. Entirely map-side string work (codegen'd regex +
+      // higher-order array functions, zero UDFs) followed by one
+      // map-side-combined groupBy on the canonical key: at 100 TB the
+      // frontier dedup IS that exchange, and nothing else.
+      val raw = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+          lit(".COM:443/Path"), (col("doc_id") % 20).cast("string"),
+          lit("/item?utm_source=s"), col("doc_id").cast("string"),
+          lit("&id="), (col("doc_id") % 10).cast("string"),
+          lit("&ref=r"), (col("doc_id") % 3).cast("string"),
+          lit("#frag")).as("url"))
+      val canon = raw
+        .withColumn("host", regexp_replace(
+          lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1)),
+          "^www\\.", ""))
+        .withColumn("path", regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+        .withColumn("params", expr(
+          "array_join(array_sort(filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), " +
+            "p -> NOT startswith(p, 'utm_') AND NOT startswith(p, 'ref='))), '&')"))
+        .select(col("doc_id"),
+          concat(lit("https://"), col("host"), col("path"),
+            when(col("params") === "", lit("")).otherwise(concat(lit("?"), col("params"))))
+            .as("canon_url"))
+      canon.groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
+        .orderBy("canon_url")
+    }),
+    "q312_diverse_topk" -> ((s, dir) => {
+      // diversity-constrained retrieval (the RAG context-assembly rule,
+      // MMR's tractable cousin): from each query's top-10 keep at most 2
+      // hits per label group (rank order), then serve the best 5
+      // survivors — so one over-represented cluster can't monopolize the
+      // context window. The top-10 shortlist comes from the broadcast-
+      // queries corpus scan + two-phase k-heap (q45's shape); everything
+      // after — the label join-back, both rank windows — runs on the
+      // |queries|×10 frame, which BROADCASTS against the corpus for its
+      // label lookup. At 100 TB the corpus is scanned once and shuffles
+      // never.
+      val emb = T(s, dir, "embeddings")
+      val top10 = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 10)
+      val labeled = broadcast(top10)
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), Seq("neighbor_id"))
+      val wLab = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), col("label")).orderBy(col("rn"))
+      val wSel = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rn"))
+      labeled
+        .withColumn("label_rank", row_number().over(wLab))
+        .filter(col("label_rank") <= 2)
+        .withColumn("sel_rn", row_number().over(wSel).cast("long"))
+        .filter(col("sel_rn") <= 5)
+        .select(col("query_id"), col("sel_rn"), col("neighbor_id"),
+          col("label"), col("cosine"))
+        .orderBy("query_id", "sel_rn")
+    }),
+    "q313_image_neardup" -> ((s, dir) => {
+      // image NEAR-dup under a hamming tolerance (q228 finds exact dHash
+      // collisions; real re-encodes/crops flip a few bits): per doc a 9×7
+      // gradient PNG with a per-variant row perturbation is synthesized
+      // and REALLY decoded (ImageIO, per partition), its 56-bit dHash
+      // split into 7 row-bands, candidates from the (band_idx, band_byte)
+      // equi-join — two hashes within hamming ≤ 16 concentrated in ≤ 2
+      // rows share ≥ 5 of 7 bands, so banding has 100% recall on the
+      // planted variants BY CONSTRUCTION — then the exact
+      // bit_count(xor) ≤ 16 verify removes band coincidences. Never
+      // pairwise pixels, never all-pairs hashes: candidate volume is
+      // Σ bucket² over band buckets, the same contract as q44's LSH.
+      import s.implicits._
+      val imgs = T(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+        .as[Long].mapPartitions(_.map { id =>
+          val g = id % 50; val v = id / 50
+          (id, Multimodal.synthPngPixels(9, 7, (x, y) => {
+            val tweak = if (y == (v % 7)) 7 * x else 0
+            val p = ((g * 13 + x * (y + 3) + tweak) % 256).toInt
+            (p << 16) | (p << 8) | p
+          }))
+        }).toDF("doc_id", "payload")
+      val hashed = Multimodal.dHash56(imgs, "doc_id").localCheckpoint(eager = false)
+      val bands = hashed.select(col("doc_id"), col("dhash"),
+        posexplode(expr("transform(sequence(0, 6), b -> shiftright(dhash, b * 8) & 255)"))
+          .as(Seq("band_idx", "band_byte")))
+      val a = bands.select(col("band_idx"), col("band_byte"),
+        col("doc_id").as("id_a"), col("dhash").as("h_a"))
+      val b = bands.select(col("band_idx"), col("band_byte"),
+        col("doc_id").as("id_b"), col("dhash").as("h_b"))
+      a.join(b, Seq("band_idx", "band_byte"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+        .withColumn("hamming", expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)"))
+        .filter(col("hamming") <= 16)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q314_rouge_overlap" -> ((s, dir) => {
+      // ROUGE-1 with clipped counts (Lin 2004) between paired docs — the
+      // n-gram overlap eval behind summarization/distillation QA, and the
+      // contamination yardstick between candidate generations and
+      // references. Pairs are (even doc, its successor); the clipped
+      // overlap Σ_w min(tf_cand, tf_ref) comes from ONE token-keyed
+      // equi-join of the two per-pair term-frequency frames (tokens only
+      // meet inside their pair — the join key is (pair, token), so fan-in
+      // is bounded by per-doc vocabulary, never corpus²); recall/precision
+      // in exact integer basis points.
+      val docs = T(s, dir, "documents")
+      def tf(df: DataFrame, pair: Column) = df
+        .select(pair.as("pair_id"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")).as("w"))
+        .groupBy(col("pair_id"), col("w")).agg(count(lit(1)).as("c"))
+      val cand = tf(docs.filter(col("doc_id") % 2 === 0), col("doc_id"))
+      val ref = tf(docs.filter(col("doc_id") % 2 === 1), col("doc_id") - 1)
+      val overlap = cand.select(col("pair_id"), col("w"), col("c").as("c1"))
+        .join(ref.select(col("pair_id"), col("w"), col("c").as("c2")), Seq("pair_id", "w"))
+        .groupBy(col("pair_id"))
+        .agg(sum(least(col("c1"), col("c2"))).as("overlap"))
+      val candTot = cand.groupBy(col("pair_id")).agg(sum(col("c")).as("cand_tokens"))
+      val refTot = ref.groupBy(col("pair_id")).agg(sum(col("c")).as("ref_tokens"))
+      candTot.join(refTot, Seq("pair_id"))
+        .join(overlap, Seq("pair_id"), "left")
+        .select(col("pair_id"), col("cand_tokens"), col("ref_tokens"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"))
+        .withColumn("rouge1_recall_bp", expr("overlap * 10000 div ref_tokens"))
+        .withColumn("rouge1_precision_bp", expr("overlap * 10000 div cand_tokens"))
+        .orderBy("pair_id")
+    }),
+    "q315_span_corruption" -> ((s, dir) =>
+      // T5-style span corruption (Raffel et al. 2020, §3.1.4 objective):
+      // every 5th token is replaced by an ordinal sentinel in the input
+      // and emitted as "<X_k> token" in the target — the
+      // denoising-objective pair generator of a pre-training pipeline.
+      // ENTIRELY map-side: tokenize, mask, and re-join are higher-order
+      // array ops per row (codegen'd, zero UDFs, zero shuffles — the only
+      // exchange in the plan is the output sort), so at 100 TB this is a
+      // pure scan-transform-write pass that scales with input bytes.
+      // Spark lambda indices are 0-based; the oracle's list lambdas are
+      // 1-based and shift by one.
+      T(s, dir, "documents")
+        .withColumn("tok", expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"))
+        .withColumn("masked", expr("filter(tok, (t, i) -> i % 5 = 0)"))
+        .select(col("doc_id"),
+          expr("array_join(transform(tok, (t, i) -> IF(i % 5 = 0, " +
+            "concat('<X_', CAST(i div 5 AS STRING), '>'), t)), ' ')").as("corrupted"),
+          expr("array_join(transform(masked, (t, j) -> " +
+            "concat('<X_', CAST(j AS STRING), '> ', t)), ' ')").as("targets"),
+          expr("CAST(size(masked) AS BIGINT)").as("n_masked"))
+        .orderBy("doc_id")),
+    "q316_binary_embedding" -> ((s, dir) => {
+      // 1-bit embedding serving (sign LSH / binary passage retrieval —
+      // the 32× compression tier below SQ8 and PQ): each 64-dim vector
+      // collapses to two 32-bit sign words, ranking is integer hamming
+      // (bit_count over xor — NO float anywhere in the scoring path, so
+      // determinism is free), and the gate row carries `hit`, membership
+      // in the exact float top-5 — the recall readout that prices the
+      // tier. Same broadcast-queries one-corpus-scan + two-phase k-heap
+      // shape as q45; two words per vector is what rides the wire.
+      val emb = T(s, dir, "embeddings")
+      def words(df: DataFrame) = df.select(col("vec_id"),
+        expr("aggregate(transform(sequence(0, 31), i -> IF(element_at(embedding, i + 1) > 0, " +
+          "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("w_lo"),
+        expr("aggregate(transform(sequence(32, 63), i -> IF(element_at(embedding, i + 1) > 0, " +
+          "shiftleft(CAST(1 AS BIGINT), i - 32), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("w_hi"))
+      val q = words(emb.filter(col("vec_id") < 8))
+        .select(col("vec_id").as("query_id"), col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
+      val c = words(emb)
+        .select(col("vec_id").as("neighbor_id"), col("w_lo").as("c_lo"), col("w_hi").as("c_hi"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine",
+          -(expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)").cast("double")))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      val top5 = Similarity.topKPerQuery(scored, 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (-col("cosine")).cast("long").as("hamming"), col("rn"))
+      val truth = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      top5.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rn"), col("neighbor_id"), col("hamming"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+        .orderBy("query_id", "rn")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -8297,6 +8573,160 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q307_filtered_recall" -> q307Sql,
+    "q308_k_anonymity" ->
+      // the k-sweep is pure arithmetic over the QI-group counts; basis
+      // points via non-negative integer division (trunc ≡ floor)
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |ks AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k)
+        |SELECT ks.k,
+        |  CAST(count(*) AS BIGINT) AS groups_total,
+        |  CAST(sum(CASE WHEN g.cnt < ks.k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below,
+        |  CAST(sum(CASE WHEN g.cnt < ks.k THEN g.cnt ELSE 0 END) AS BIGINT) AS rows_suppressed,
+        |  CAST(sum(CASE WHEN g.cnt < ks.k THEN g.cnt ELSE 0 END) * 10000
+        |    // sum(g.cnt) AS BIGINT) AS suppression_bp
+        |FROM g CROSS JOIN ks GROUP BY ks.k ORDER BY ks.k""".stripMargin,
+    "q309_bloom_dedup" ->
+      // the bloom is a performance lever only: prefilter + exact confirm
+      // ≡ the plain inner join on the dedup key (no false negatives)
+      """WITH k AS (SELECT doc_id, source, substr(text, 1, 32) AS p,
+        |    CAST(substr(source, 4) AS INT) AS src_n FROM documents),
+        |old AS (SELECT p, count(*) AS n_old_matches FROM k WHERE src_n < 10 GROUP BY 1)
+        |SELECT k.doc_id, k.source, CAST(old.n_old_matches AS BIGINT) AS n_old_matches
+        |FROM k JOIN old USING (p) WHERE k.src_n >= 10 ORDER BY k.doc_id""".stripMargin,
+    "q312_diverse_topk" ->
+      // q45's scoring with k = 10, then the same two rank windows the
+      // engine runs — at-most-2-per-label in rank order, best 5 survivors
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, label,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, label, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s),
+        |t AS (SELECT * FROM r WHERE rn <= 10),
+        |lr AS (SELECT *, row_number() OVER (PARTITION BY query_id, label ORDER BY rn) AS label_rank FROM t),
+        |kept AS (SELECT * FROM lr WHERE label_rank <= 2),
+        |sel AS (SELECT query_id, neighbor_id, label, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rn) AS BIGINT) AS sel_rn FROM kept)
+        |SELECT query_id, sel_rn, neighbor_id, label, (round(cosine, 4) + 0.0) AS cosine
+        |FROM sel WHERE sel_rn <= 5 ORDER BY query_id, sel_rn""".stripMargin,
+    "q313_image_neardup" ->
+      // every gradient + per-variant-row bit predicted arithmetically
+      // (pixel = (13g + x(y+3) + [y = v%7]·7x) mod 256, bit = right
+      // neighbor brighter); same 7-row banding, same hamming verify
+      """WITH d AS (SELECT doc_id, doc_id % 50 AS g, (doc_id // 50) % 7 AS vr
+        |  FROM documents WHERE doc_id < 300),
+        |bits AS (SELECT d.doc_id,
+        |    CASE WHEN (d.g * 13 + (x.x + 1) * (y.y + 3) + CASE WHEN y.y = d.vr THEN 7 * (x.x + 1) ELSE 0 END) % 256
+        |            > (d.g * 13 + x.x * (y.y + 3) + CASE WHEN y.y = d.vr THEN 7 * x.x ELSE 0 END) % 256
+        |      THEN CAST(1 AS BIGINT) << CAST(y.y * 8 + x.x AS INT) ELSE 0 END AS b
+        |  FROM d, (SELECT unnest(range(0, 8)) AS x) x, (SELECT unnest(range(0, 7)) AS y) y),
+        |h AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS dhash FROM bits GROUP BY 1),
+        |bd AS (SELECT doc_id, dhash, bb.b AS band_idx,
+        |    (dhash >> CAST(bb.b * 8 AS INT)) & 255 AS band_byte
+        |  FROM h, (SELECT unnest(range(0, 7)) AS b) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, z.doc_id AS id_b, a.dhash AS h_a, z.dhash AS h_b
+        |  FROM bd a JOIN bd z ON a.band_idx = z.band_idx AND a.band_byte = z.band_byte
+        |    AND a.doc_id < z.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 16 ORDER BY id_a, id_b""".stripMargin,
+    "q314_rouge_overlap" ->
+      // same tokenization, same clipped Σ min(tf, tf), same integer bp
+      """WITH tokc AS (SELECT doc_id AS pair_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> length(t) > 0)) AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tokr AS (SELECT doc_id - 1 AS pair_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> length(t) > 0)) AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |c1 AS (SELECT pair_id, w, count(*) AS c FROM tokc GROUP BY 1, 2),
+        |c2 AS (SELECT pair_id, w, count(*) AS c FROM tokr GROUP BY 1, 2),
+        |ov AS (SELECT c1.pair_id, sum(least(c1.c, c2.c)) AS overlap
+        |  FROM c1 JOIN c2 ON c1.pair_id = c2.pair_id AND c1.w = c2.w GROUP BY 1),
+        |ct AS (SELECT pair_id, sum(c) AS cand_tokens FROM c1 GROUP BY 1),
+        |rt AS (SELECT pair_id, sum(c) AS ref_tokens FROM c2 GROUP BY 1)
+        |SELECT ct.pair_id, CAST(ct.cand_tokens AS BIGINT) AS cand_tokens,
+        |  CAST(rt.ref_tokens AS BIGINT) AS ref_tokens,
+        |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+        |  CAST(coalesce(ov.overlap, 0) * 10000 // rt.ref_tokens AS BIGINT) AS rouge1_recall_bp,
+        |  CAST(coalesce(ov.overlap, 0) * 10000 // ct.cand_tokens AS BIGINT) AS rouge1_precision_bp
+        |FROM ct JOIN rt USING (pair_id) LEFT JOIN ov USING (pair_id)
+        |ORDER BY ct.pair_id""".stripMargin,
+    "q315_span_corruption" ->
+      // DuckDB list lambdas are 1-based — (i − 1) mirrors Spark's 0-based
+      // transform index exactly
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> length(t) > 0) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(tok, (t, i) -> CASE WHEN (i - 1) % 5 = 0
+        |    THEN '<X_' || CAST((i - 1) // 5 AS VARCHAR) || '>' ELSE t END), ' ') AS corrupted,
+        |  array_to_string(list_transform(list_filter(tok, (t, i) -> (i - 1) % 5 = 0),
+        |    (t, j) -> '<X_' || CAST(j - 1 AS VARCHAR) || '> ' || t), ' ') AS targets,
+        |  CAST(len(list_filter(tok, (t, i) -> (i - 1) % 5 = 0)) AS BIGINT) AS n_masked
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q316_binary_embedding" ->
+      // same two 32-bit sign words, same integer hamming ranking, and the
+      // float truth is q45's scoring verbatim
+      """WITH b AS (SELECT vec_id, i.i AS i,
+        |    CASE WHEN embedding[i.i + 1] > 0
+        |      THEN CAST(1 AS BIGINT) << CAST(i.i % 32 AS INT) ELSE 0 END AS v
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i),
+        |w AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN i < 32 THEN v ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN i >= 32 THEN v ELSE 0 END) AS BIGINT) AS hi
+        |  FROM b GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, lo AS q_lo, hi AS q_hi FROM w WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, w.vec_id AS neighbor_id,
+        |    bit_count(xor(w.lo, q.q_lo)) + bit_count(xor(w.hi, q.q_hi)) AS hamming
+        |  FROM w CROSS JOIN q WHERE w.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rn FROM s),
+        |fq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        |fc AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |fs AS (SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM fc CROSS JOIN fq WHERE neighbor_id <> query_id),
+        |fr AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM fs),
+        |truth AS (SELECT query_id, neighbor_id FROM fr WHERE rn <= 5)
+        |SELECT r.query_id, r.rn, r.neighbor_id, CAST(r.hamming AS BIGINT) AS hamming,
+        |  CAST(CASE WHEN truth.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+        |FROM r LEFT JOIN truth ON truth.query_id = r.query_id AND truth.neighbor_id = r.neighbor_id
+        |WHERE r.rn <= 5 ORDER BY r.query_id, r.rn""".stripMargin,
+    "q310_pit_features" ->
+      // the SEMANTICS as SQL: per label, aggregate the same user's
+      // strictly-earlier events (a quadratic-per-user inequality join —
+      // exactly what the engine's single-pass window replaces)
+      """WITH lab AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id,
+        |  CAST(count(e.event_id) AS BIGINT) AS prior_events,
+        |  CAST(coalesce(sum(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END), 0) AS BIGINT) AS prior_clicks,
+        |  CAST(coalesce(sum(CAST(floor(e.value * 1000000) AS BIGINT)), 0) AS BIGINT) AS prior_value_micros
+        |FROM lab l LEFT JOIN events e ON e.user_id = l.user_id AND e.ts < l.ts
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q311_url_canonical" ->
+      // every canonicalization step predicted arithmetically from the
+      // doc_id residues that built the raw URL; same higher-order list
+      // ops on the DuckDB side (list_filter / list_sort)
+      """WITH raw AS (SELECT doc_id,
+        |    'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.COM:443/Path' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '/item?utm_source=s' || CAST(doc_id AS VARCHAR) ||
+        |    '&id=' || CAST(doc_id % 10 AS VARCHAR) ||
+        |    '&ref=r' || CAST(doc_id % 3 AS VARCHAR) || '#frag' AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      p -> NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'ref='))), '&') AS params
+        |  FROM raw),
+        |canon AS (SELECT doc_id, 'https://' || host || path ||
+        |    CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon_url FROM c)
+        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
     "q305_vocab_coverage" ->
       // same tokenization as q103, same (freq desc, token) total order —
       // the oracle's global window IS what the two-phase rank replaces

@@ -886,4 +886,68 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
       s"global ranks must come from the binned two-phase prefix sum:\n$plan")
   }
+
+  test("k-anonymity: one corpus aggregate; the k-sweep is a broadcast metadata cross (q308)") {
+    val plan = q("q308_k_anonymity")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 3-row k frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no shuffled cartesian anywhere:\n$plan")
+  }
+
+  test("bloom cross-dump dedup: the sketch filter runs before the new side's exchange (q309)") {
+    val plan = q("q309_bloom_dedup")
+    assert(plan.contains("bloom_might_contain"),
+      s"the bloom prefilter must be in the plan (map-side, pre-shuffle):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("point-in-time features: one user exchange, one shared window frame — never per-label joins (q310)") {
+    val plan = q("q310_pit_features")
+    // strictly-earlier semantics ride a single range window inside the
+    // user partition; the quadratic inequality join exists only in the oracle
+    assert(plan.contains("Window ("), plan)
+    assert(!plan.contains("SinglePartition"), s"window must partition by user:\n$plan")
+    assert(!plan.contains("Join"), s"no join anywhere — one pass:\n$plan")
+  }
+
+  test("url canonicalization: map-side string work + one groupBy on the canonical key (q311)") {
+    val plan = q("q311_url_canonical")
+    assert(!plan.contains("Join"), s"frontier dedup is one aggregate, no joins:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("diverse top-k: label lookup broadcasts the shortlist; rank windows partition by query (q312)") {
+    val plan = q("q312_diverse_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |q|×10 shortlist must broadcast for its label join-back:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"rank windows must partition by query, never globally:\n$plan")
+  }
+
+  test("image near-dup: candidates from the band equi-join, never a pixel/hash cartesian (q313)") {
+    val plan = q("q313_image_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banding must bound the candidate join:\n$plan")
+  }
+
+  test("rouge overlap: clipped counts meet on the (pair, token) equi-join — no cartesian (q314)") {
+    val plan = q("q314_rouge_overlap")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"tokens must only meet inside their pair:\n$plan")
+  }
+
+  test("span corruption: pure map-side transform — the only exchange is the output sort (q315)") {
+    val plan = q("q315_span_corruption")
+    assert(!plan.contains("Join"), s"no join anywhere:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"no aggregate anywhere:\n$plan")
+    assert(!plan.contains("Generate"), s"masking is array ops per row, never explode:\n$plan")
+  }
+
+  test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
+    val plan = q("q316_binary_embedding")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the 8-query frame and the truth set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
