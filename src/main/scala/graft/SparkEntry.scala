@@ -3204,6 +3204,69 @@ object SparkEntry {
           coalesce(col("hit"), lit(0L)).as("hit"))
         .orderBy("query_id", "rn")
     }),
+    "q317_cdc_apply" -> ((s, dir) => {
+      // ordered-changelog APPLY (the consumer of q123's diff stream, and
+      // the missing half of q95's upsert: DELETES and re-inserts): replay
+      // an I/U/D log onto a base snapshot with latest-op-wins per key.
+      // The planted log exercises every ordering hazard — update@1,
+      // delete@2, re-insert@3 on overlapping key sets, so %20 keys are
+      // deleted THEN re-born. The engine applies the whole log in ONE
+      // key-hash aggregate: max(struct(seq, …)) picks each key's final
+      // op (no window, no per-op sequential passes — at 100 TB the apply
+      // is one exchange), then a map-side filter drops keys whose final
+      // op is D.
+      val base = T(s, dir, "customer").select(col("c_custkey"),
+        ops.Num.roundz(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+        col("c_mktsegment").as("segment"))
+      val log = base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit(1L).as("seq"), lit("U").as("op"),
+          (col("cents") + 1000L).as("cents"), col("segment"))
+        .unionByName(base.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit(2L).as("seq"), lit("D").as("op"),
+            col("cents"), col("segment")))
+        .unionByName(base.filter(col("c_custkey") % 20 === 0)
+          .select(col("c_custkey"), lit(3L).as("seq"), lit("I").as("op"),
+            lit(555L).as("cents"), lit("WINBACK").as("segment")))
+      base.select(col("c_custkey"), lit(0L).as("seq"), lit("I").as("op"),
+          col("cents"), col("segment"))
+        .unionByName(log)
+        .groupBy(col("c_custkey"))
+        .agg(max(struct(col("seq"), col("op"), col("cents"), col("segment"))).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("c_custkey"), col("last.cents").as("cents"),
+          col("last.segment").as("segment"))
+        .orderBy("c_custkey")
+    }),
+    "q318_hits" -> ((s, dir) =>
+      // two-sided importance on the DIRECTED customer→part purchase
+      // relation: see [[Graph.hits]] — 2 exact-integer iterations, so
+      // buyers of widely-bought parts and parts bought by broad buyers
+      // reinforce, the signal a single PageRank score conflates
+      Graph.hits(
+        T(s, dir, "orders")
+          .join(T(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_partkey")),
+        "o_custkey", "l_partkey", iterations = 2)
+        .orderBy("side", "node")),
+    "q319_audio_downsample" -> ((s, dir) => {
+      // REAL audio decimation under the gate: per doc a deterministic
+      // 16-bit PCM ramp is synthesized into a genuine RIFF container,
+      // REALLY parsed back (javax.sound, per partition), and decimated
+      // 4:1 by block floor-means — see [[Multimodal.downsampleBox]]. The
+      // oracle predicts every block mean arithmetically from the ramp
+      // formula; sample counts vary per doc (80/84/88) so the full-block
+      // contract (remainder dropped) is exercised at n % 4 = 0 only by
+      // construction, and min/max/sum summarize the decimated signal
+      // exactly.
+      import s.implicits._
+      val wavs = T(s, dir, "documents").select(col("doc_id"))
+        .as[Long].mapPartitions(_.map { id =>
+          val n = 80 + (id % 3).toInt * 4
+          val samples = Array.tabulate[Short](n)(i => ((id * 31 + i * 7) % 401).toShort)
+          (id, Multimodal.synthWavSamples(samples, 8000))
+        }).toDF("doc_id", "payload")
+      Multimodal.downsampleBox(wavs, "doc_id", 4).orderBy("doc_id")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -8694,6 +8757,50 @@ object SparkEntry {
         |  CAST(CASE WHEN truth.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
         |FROM r LEFT JOIN truth ON truth.query_id = r.query_id AND truth.neighbor_id = r.neighbor_id
         |WHERE r.rn <= 5 ORDER BY r.query_id, r.rn""".stripMargin,
+    "q317_cdc_apply" ->
+      // same planted log, latest-op-wins stated as the rank window the
+      // engine's one-aggregate max(struct) replaces
+      """WITH base AS (SELECT c_custkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+        |    c_mktsegment AS segment FROM customer),
+        |log AS (
+        |  SELECT c_custkey, 0 AS seq, 'I' AS op, cents, segment FROM base
+        |  UNION ALL SELECT c_custkey, 1, 'U', cents + 1000, segment FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT c_custkey, 2, 'D', cents, segment FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, 3, 'I', 555, 'WINBACK' FROM base WHERE c_custkey % 20 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM log)
+        |SELECT c_custkey, CAST(cents AS BIGINT) AS cents, segment
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey""".stripMargin,
+    "q318_hits" ->
+      // 2 unrolled HITS iterations in the same scaled-long arithmetic:
+      // sum, then score·10⁶ div max, alternating sides
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS h, l.l_partkey AS a
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h0 AS (SELECT DISTINCT h AS node, CAST(1000000 AS BIGINT) AS score FROM e),
+        |a1r AS (SELECT e.a AS node, sum(h0.score) AS raw FROM e JOIN h0 ON h0.node = e.h GROUP BY 1),
+        |a1 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM a1r) AS BIGINT) AS score FROM a1r),
+        |h1r AS (SELECT e.h AS node, sum(a1.score) AS raw FROM e JOIN a1 ON a1.node = e.a GROUP BY 1),
+        |h1 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM h1r) AS BIGINT) AS score FROM h1r),
+        |a2r AS (SELECT e.a AS node, sum(h1.score) AS raw FROM e JOIN h1 ON h1.node = e.h GROUP BY 1),
+        |a2 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM a2r) AS BIGINT) AS score FROM a2r),
+        |h2r AS (SELECT e.h AS node, sum(a2.score) AS raw FROM e JOIN a2 ON a2.node = e.a GROUP BY 1),
+        |h2 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM h2r) AS BIGINT) AS score FROM h2r)
+        |SELECT 'auth' AS side, node, score FROM a2
+        |UNION ALL SELECT 'hub', node, score FROM h2
+        |ORDER BY side, node""".stripMargin,
+    "q319_audio_downsample" ->
+      // every block floor-mean predicted from the ramp formula
+      // (sample i = (doc_id·31 + i·7) mod 401, blocks of 4, // floors
+      // exactly like the engine's Math.floorDiv)
+      """WITH d AS (SELECT doc_id, 80 + (doc_id % 3) * 4 AS n FROM documents),
+        |m AS (SELECT d.doc_id, bb.b,
+        |    CAST(sum((d.doc_id * 31 + (bb.b * 4 + ii.i) * 7) % 401) // 4 AS BIGINT) AS m
+        |  FROM d, (SELECT unnest(range(0, 22)) AS b) bb, (SELECT unnest(range(0, 4)) AS i) ii
+        |  WHERE bb.b < d.n // 4 GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_in, CAST(d.n // 4 AS BIGINT) AS n_out,
+        |  CAST(sum(m.m) AS BIGINT) AS sum_out, CAST(min(m.m) AS BIGINT) AS min_out,
+        |  CAST(max(m.m) AS BIGINT) AS max_out
+        |FROM d JOIN m ON m.doc_id = d.doc_id GROUP BY 1, 2, 3 ORDER BY d.doc_id""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

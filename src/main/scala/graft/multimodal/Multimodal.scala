@@ -281,6 +281,62 @@ object Multimodal {
       }).toDF(idCol, "n_blocks", "n_silent", "n_segments")
   }
 
+  /** REAL audio downsample (decimate-by-k box filter): genuine WAV parse
+    * (same 16-bit LE mono PCM format contract as [[silenceSegments]] —
+    * non-conforming payloads quarantine as all-(-1)), then each k-sample
+    * block collapses to its floor-mean (`Math.floorDiv`, so negative
+    * sums floor exactly like SQL `//`). Only FULL blocks emit — the
+    * remainder tail is dropped, the usual decimator contract. The gate row
+    * is the per-doc summary (n_in, n_out, sum/min/max of the decimated
+    * signal) rather than the sample vector, so rows stay metadata-sized
+    * while the decode + decimation are genuinely exercised. Decode and
+    * decimation run per partition before any shuffle — at 100 TB this is
+    * a pure map pass over audio bytes.
+    */
+  def downsampleBox(mm: DataFrame, idCol: String, k: Int): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        val conforming = in != null && {
+          val f = in.getFormat
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
+        }
+        if (!conforming) (id, -1L, -1L, -1L, -1L, -1L)
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val nOut = n / k
+          var sumOut = 0L
+          var minOut = Long.MaxValue
+          var maxOut = Long.MinValue
+          var b = 0
+          while (b < nOut) {
+            var blockSum = 0L
+            var i = b * k
+            val end = i + k
+            while (i < end) {
+              blockSum += ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+              i += 1
+            }
+            val m = Math.floorDiv(blockSum, k.toLong)
+            sumOut += m
+            if (m < minOut) minOut = m
+            if (m > maxOut) maxOut = m
+            b += 1
+          }
+          if (nOut == 0) (id, n.toLong, 0L, 0L, 0L, 0L)
+          else (id, n.toLong, nOut.toLong, sumOut, minOut, maxOut)
+        }
+      }).toDF(idCol, "n_in", "n_out", "sum_out", "min_out", "max_out")
+  }
+
   /** Wrap a text corpus as a multimodal table: payload (binary) + metadata
     * struct. Testdata carries no real media, so payload bytes are the UTF-8
     * text — the schema/partitioning plumbing is what's under test. */

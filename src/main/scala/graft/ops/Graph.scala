@@ -464,6 +464,56 @@ object Graph {
     * broadcasts. `minPairs` floors the pair table BEFORE the joins, so the
     * broadcast probe side is already support-pruned. lift evaluates as
     * (c_xy·n)/(c_x·c_y) on doubles cast from exact longs, rounded 4 dp. */
+  /** HITS (Kleinberg, JACM 1999) on a BIPARTITE relation (hub side →
+    * authority side): hubs score by the authorities they point at,
+    * authorities by the hubs pointing at them — on a purchase graph,
+    * hub = broad buyer, authority = widely-bought item, the two-sided
+    * importance a single PageRank score conflates. It runs on the
+    * DIRECTED bipartite relation because on an undirected co-purchase
+    * graph the two HITS vectors degenerate into one.
+    *
+    * Exact scaled-long arithmetic for cross-engine determinism: each
+    * half-step is one node-keyed join + one node-keyed sum, then
+    * renormalizes score·Scale div max(score) — the max comes from a 1-row
+    * aggregate that joins back as a broadcast, and every op is integer,
+    * so results are bit-identical under any partitioning. No overflow:
+    * raw ≤ |hubs|·Scale and the renormalize multiplies by Scale before
+    * dividing, bounded by |hubs|·Scale² ≪ 2⁶³ for |hubs| ≤ ~9·10⁶ per
+    * connected normalization (beyond that, renormalize in two divisions).
+    *
+    * Scale shape: the edge list is checkpointed once; per full iteration
+    * two key-hash joins + two key-hash sums + two broadcast max
+    * normalizations — O(m) per round, bounded rounds, never materializing
+    * anything wider than the |nodes|-row score frames.
+    */
+  def hits(edges: DataFrame, hubCol: String, authCol: String,
+           iterations: Int = 2): DataFrame = {
+    val e = edges.select(col(hubCol).as("h"), col(authCol).as("a"))
+      .distinct().localCheckpoint()
+    var hub = e.select(col("h").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("score"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = hitsHalfStep(e, hub, "h", "a").localCheckpoint(eager = false)
+      hub = hitsHalfStep(e, auth, "a", "h").localCheckpoint(eager = false)
+    }
+    auth.select(lit("auth").as("side"), col("node"), col("score"))
+      .unionByName(hub.select(lit("hub").as("side"), col("node"), col("score")))
+  }
+
+  /** One HITS half-step: gather `scores` along `joinKey`, sum per
+    * `groupKey`, renormalize by the broadcast 1-row max. Package-private so
+    * PlanSpec can assert the iteration's shape (the checkpoints in [[hits]]
+    * hide it from the final key plan, as with [[pageRankStep]]). */
+  private[graft] def hitsHalfStep(e: DataFrame, scores: DataFrame,
+                                  joinKey: String, groupKey: String): DataFrame = {
+    val raw = e.join(scores, e(joinKey) === scores("node"))
+      .groupBy(e(groupKey)).agg(sum(col("score")).as("raw"))
+      .select(e(groupKey).as("node"), col("raw"))
+    raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("__mx"))))
+      .select(col("node"), expr(s"(raw * $Scale) div __mx").as("score"))
+  }
+
   def associationRules(rel: DataFrame, entityCol: String, containerCol: String,
                        minPairs: Long = 2L): DataFrame = {
     require(minPairs >= 1, s"minPairs must be >= 1, got $minPairs")

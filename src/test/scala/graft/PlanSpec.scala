@@ -944,6 +944,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"masking is array ops per row, never explode:\n$plan")
   }
 
+  test("cdc apply: the whole log lands in ONE aggregate — no window, no per-op joins (q317)") {
+    val plan = q("q317_cdc_apply")
+    assert(!plan.contains("Window ("), s"latest-op-wins is max(struct), never a rank window:\n$plan")
+    assert(!plan.contains("Join"), s"union + one aggregate, no joins:\n$plan")
+    // max(struct) plans as SortAggregate (struct max isn't hash-aggregable);
+    // the partial/final pair around one exchange is the one-pass contract
+    assert(plan.contains("SortAggregate") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("hits half-step: score gather joins on the node key; the 1-row max broadcasts (q318 shape)") {
+    import graft.ops.Graph
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("h"), col("l_partkey").as("a")).distinct()
+      .localCheckpoint()
+    val hub = e.select(col("h").as("node")).distinct()
+      .select(col("node"), lit(Graph.Scale).as("score"))
+    val plan = finalPlan(Graph.hitsHalfStep(e, hub, "h", "a"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row max must join back as a broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("audio downsample: decode + decimation fan map-side; samples never shuffle (q319)") {
+    val plan = q("q319_audio_downsample")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"a pure per-partition map pass + output sort:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
