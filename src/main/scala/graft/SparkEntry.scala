@@ -3267,6 +3267,100 @@ object SparkEntry {
         }).toDF("doc_id", "payload")
       Multimodal.downsampleBox(wavs, "doc_id", 4).orderBy("doc_id")
     }),
+    "q320_fixed_width" -> ((s, dir) => {
+      // fixed-width (copybook-style) text interchange: rows render to a
+      // 32-char fixed layout (custkey 10 zero-padded, segment 10
+      // space-padded, signed cents 12 zero-padded), land in a REAL text
+      // file, and the reader projects fields back out BY OFFSET — the
+      // schema-on-read contract of mainframe/legacy feeds the reference's
+      // CSV path can't express. All parse work is map-side codegen'd
+      // substrings/casts; the gate aggregates per segment so the oracle
+      // (which aggregates the source table directly) proves the roundtrip
+      // lossless, sign and padding included.
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"$TMP/fixed_width/$safe"
+      T(s, dir, "customer").select(
+          format_string("%010d%-10s%012d", col("c_custkey"), col("c_mktsegment"),
+            ops.Num.roundz(col("c_acctbal") * 100, 0).cast("long")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(
+          expr("CAST(substring(value, 1, 10) AS BIGINT)").as("c_custkey"),
+          expr("trim(substring(value, 11, 10))").as("segment"),
+          expr("CAST(substring(value, 21, 12) AS BIGINT)").as("cents"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .orderBy("segment")
+    }),
+    "q321_corrupt_quarantine" -> ((s, dir) => {
+      // malformed-record quarantine at the ingest boundary: a JSONL feed
+      // with planted corrupt lines (doc_id ≡ 7 mod 10) read back in
+      // PERMISSIVE mode with an explicit corrupt-record column — bad
+      // lines surface as rows (NULL fields + the raw line) instead of
+      // failing the job (FAILFAST) or vanishing (DROPMALFORMED): the
+      // production triage contract, since a silently-dropped record is
+      // the one you needed. The gate row is the full-feed accounting
+      // identity predicted from the planting rule; parse + quarantine
+      // classification are entirely map-side.
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"$TMP/jsonl_corrupt/$safe"
+      T(s, dir, "documents").select(
+          when(col("doc_id") % 10 === 7,
+            concat(lit("{oops "), col("doc_id").cast("string")))
+            .otherwise(format_string("{\"id\":%d,\"v\":%d}",
+              col("doc_id"), col("doc_id") * 3 % 100)).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema("id LONG, v LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+          coalesce(sum(col("v")), lit(0L)).as("sum_v"))
+    }),
+    "q322_decimal_agg" -> ((s, dir) =>
+      // exact DECIMAL money aggregation: sums run in Spark's Decimal128
+      // (map-side combined, no float drift, no add-order sensitivity) —
+      // the ledger-grade alternative to double sums whose last bits
+      // depend on partitioning. Totals surface as canonical strings so
+      // the two engines' different result-precision widenings
+      // (decimal(28,2) vs decimal(38,2)) compare on VALUE.
+      T(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("__bal"),
+          count(lit(1)).as("n"))
+        .select(col("segment"), col("__bal").cast("string").as("total_bal"), col("n"))
+        .orderBy("segment")),
+    "q323_nucleus_mass" -> ((s, dir) => {
+      // nucleus (top-p) vocabulary statistics PER LANGUAGE: the smallest
+      // frequency-ranked head covering 90% of token mass — the
+      // per-language truncation budget (q305's global OOV curve, keyed).
+      // The running mass comes from [[TwoPhase.prefixSumKeyed]]: a
+      // per-language vocabulary is corpus-sized at 100 TB, so
+      // partitionBy(lang) alone would serialize each language onto one
+      // task — the keyed two-phase rewrite bins globally, windows per
+      // (lang, bin), and broadcasts the |langs|·bins offset table back.
+      // Membership is integer-exact: a token is in the nucleus iff the
+      // mass strictly before it is < 90% of its language's total.
+      val tok = T(s, dir, "documents").select(col("lang"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false)
+      val cum = TwoPhase.prefixSumKeyed(tok, "lang", -col("cnt"),
+        Seq(col("cnt").desc, col("w")), col("cnt"), "cum")
+      val totals = tok.groupBy(col("lang")).agg(sum(col("cnt")).as("total_tokens"),
+        count(lit(1)).as("vocab"))
+      cum.join(broadcast(totals), Seq("lang"))
+        .groupBy(col("lang"), col("total_tokens"), col("vocab"))
+        .agg(sum(when((col("cum") - col("cnt")) * 10 < col("total_tokens") * 9, 1L)
+          .otherwise(0L)).as("nucleus_size"))
+        .select(col("lang"), col("total_tokens"), col("vocab"), col("nucleus_size"),
+          expr("nucleus_size * 10000 div vocab").as("nucleus_bp"))
+        .orderBy("lang")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -8801,6 +8895,47 @@ object SparkEntry {
         |  CAST(sum(m.m) AS BIGINT) AS sum_out, CAST(min(m.m) AS BIGINT) AS min_out,
         |  CAST(max(m.m) AS BIGINT) AS max_out
         |FROM d JOIN m ON m.doc_id = d.doc_id GROUP BY 1, 2, 3 ORDER BY d.doc_id""".stripMargin,
+    "q320_fixed_width" ->
+      // the oracle aggregates the SOURCE table directly — matching the
+      // Spark side's render→write→read→parse path proves the fixed-width
+      // roundtrip lossless, sign and padding included
+      """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(c_custkey) AS BIGINT) AS min_key,
+        |  CAST(max(c_custkey) AS BIGINT) AS max_key
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q321_corrupt_quarantine" ->
+      // the planting rule predicts the quarantine accounting exactly
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 7 THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 7 THEN 0 ELSE doc_id * 3 % 100 END) AS BIGINT) AS sum_v
+        |FROM documents""".stripMargin,
+    "q322_decimal_agg" ->
+      // exact decimal sums compared on canonical string VALUE (result
+      // precisions widen differently per engine)
+      """SELECT c_mktsegment AS segment,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18, 2))) AS VARCHAR) AS total_bal,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q323_nucleus_mass" ->
+      // the per-lang window IS what prefixSumKeyed replaces; membership
+      // by the same strict-before-mass integer inequality
+      """WITH tok AS (SELECT lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> length(t) > 0)) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |cum AS (SELECT lang, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c),
+        |t AS (SELECT lang, sum(cnt) AS total_tokens, count(*) AS vocab FROM c GROUP BY 1)
+        |SELECT cum.lang, CAST(t.total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(t.vocab AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN (cum.cum - cum.cnt) * 10 < t.total_tokens * 9 THEN 1 ELSE 0 END) AS BIGINT) AS nucleus_size,
+        |  CAST(sum(CASE WHEN (cum.cum - cum.cnt) * 10 < t.total_tokens * 9 THEN 1 ELSE 0 END) * 10000
+        |    // t.vocab AS BIGINT) AS nucleus_bp
+        |FROM cum JOIN t USING (lang) GROUP BY cum.lang, t.total_tokens, t.vocab
+        |ORDER BY 1""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

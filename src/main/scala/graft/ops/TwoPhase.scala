@@ -99,6 +99,63 @@ object TwoPhase {
                  out: String, bins: Int = 32): (DataFrame, Long) =
     prefixSum(df, binKey, order, lit(1L), out, bins)
 
+  /** PER-KEY inclusive running `sum(value)` over the within-key total order
+    * `order` — the distributed twin of
+    * `sum(v).over(Window.partitionBy(key).orderBy(order))` for the case
+    * where a single key's partition is itself corpus-sized (a per-language
+    * vocabulary, a per-tenant ledger): `partitionBy(key)` alone would put
+    * one language's 10⁸-row vocabulary on one task.
+    *
+    * Same three steps as [[prefixSum]], generalized: bin cutpoints are
+    * GLOBAL (one approx sketch — they only shape balance), the local window
+    * partitions by (key, bin) so every task holds one key-slice of one bin,
+    * and the offset table is the (key, bin) totals — |keys|·bins rows of
+    * metadata, prefix-scanned per key on the driver and broadcast back.
+    * Precondition: |keys|·bins is metadata-sized (a bounded key domain —
+    * languages, tenants, sources), `keyCol` is a string column, and the
+    * [[prefixSum]] preconditions on `binKey`/`order`/`value` hold per key.
+    */
+  def prefixSumKeyed(df: DataFrame, keyCol: String, binKey: Column,
+                     order: Seq[Column], value: Column, out: String,
+                     bins: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    Seq("__bin", "__off").foreach { tmp =>
+      require(!df.columns.contains(tmp),
+        s"prefixSumKeyed: input already has a column named '$tmp' (reserved)")
+    }
+    val fracs = (1 until bins).map(_.toDouble / bins)
+    val cutsRow = df
+      .agg(percentile_approx(binKey, array(fracs.map(lit): _*), lit(10000)).as("c"))
+      .first()
+    val cuts: Seq[Any] =
+      if (cutsRow.isNullAt(0)) Nil else cutsRow.getSeq[Any](0).distinct
+    val binCol = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(binKey >= lit(c), 1).otherwise(0)
+    }
+    val binned = df.withColumn("__bin", binCol)
+    val totals = binned.groupBy(col(keyCol), col("__bin"))
+      .agg(sum(value).cast("long").as("__tot"))
+      .collect()
+    totals.foreach { r =>
+      require(!r.isNullAt(2),
+        s"prefixSumKeyed: key ${r.get(0)} bin ${r.getInt(1)} has a NULL sum — " +
+          "the `value` column must be non-null (coalesce it before calling)")
+    }
+    import spark.implicits._
+    val offDf = totals.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).iterator.flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (bin, off) => (k, bin, off) }
+      }.toSeq.toDF(keyCol, "__bin", "__off")
+    val localW = Window.partitionBy(col(keyCol), col("__bin")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .join(broadcast(offDf), Seq(keyCol, "__bin"))
+      .withColumn(out, col("__off") + sum(value.cast("long")).over(localW))
+      .drop("__bin", "__off")
+  }
+
   /** Exact `ntile(k)` bucket for a 1-based `rank` column over `n` total rows
     * — the SQL-standard allocation (first `n mod k` buckets get one extra
     * row), computed map-side from the rank. With `globalRank` this replaces

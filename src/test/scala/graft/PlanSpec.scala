@@ -975,6 +975,25 @@ class PlanSpec extends SparkSpec {
       s"a pure per-partition map pass + output sort:\n$plan")
   }
 
+  test("fixed width: offset parse is map-side; one segment aggregate (q320)") {
+    val plan = q("q320_fixed_width")
+    assert(!plan.contains("Join"), s"parse + one groupBy, no joins:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("corrupt quarantine: classification rides the scan — no join, one global agg (q321)") {
+    val plan = q("q321_corrupt_quarantine")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("nucleus mass: per-lang running sums window by (lang, bin), never by lang alone (q323)") {
+    val plan = q("q323_nucleus_mass")
+    assert(!plan.contains("SinglePartition") || !plan.contains("Window ("),
+      s"no global window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the offset and totals frames must broadcast:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),

@@ -70,6 +70,38 @@ class TwoPhaseSpec extends SparkSpec {
     }
   }
 
+  test("prefixSumKeyed matches the per-key cumulative window bit-for-bit, ties and skew included") {
+    // 3 keys with very different sizes (the skew prefixSumKeyed exists for)
+    // and heavy value ties so cross-bin tie handling is exercised per key
+    val df = (1L to 900L).map { i =>
+      val k = if (i % 10 < 6) "a" else if (i % 10 < 9) "b" else "c"
+      (k, i, (i * 13 % 7) + 1)
+    }.toDF("k", "id", "v")
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("k", "id").select("k", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = TwoPhase.prefixSumKeyed(df, "k", -col("v"),
+        Seq(col("v").desc, col("id")), col("v"), "cum")
+      .orderBy("k", "id").select("k", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("prefixSumKeyed plans no single-key-partition window (every window partitions by (key, bin))") {
+    val df = (1L to 300L).map(i => (if (i % 2 == 0) "x" else "y", i, i % 5 + 1))
+      .toDF("k", "id", "v")
+    val got = TwoPhase.prefixSumKeyed(df, "k", col("id"), Seq(col("id")), col("v"), "cum")
+    got.collect()
+    val oneColWindows = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.size < 2 => w
+    }.size
+    assert(oneColWindows == 0,
+      "a window partitioned by fewer than (key, bin) serializes a whole key onto one task")
+  }
+
   test("prefixSum survives the degenerate bin key: every row the same value") {
     // worst-case tie tier — all rows share one bin; parity must still hold
     // (the plan degrades to one busy window task, the documented bound)
