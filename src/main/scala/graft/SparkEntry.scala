@@ -3361,6 +3361,78 @@ object SparkEntry {
           expr("nucleus_size * 10000 div vocab").as("nucleus_bp"))
         .orderBy("lang")
     }),
+    "q324_two_hop_reach" -> ((s, dir) => {
+      // 2-hop neighborhood size (friend-of-friend reach, the classic link
+      // feature) with the standard heavy-hitter guard: expansion goes
+      // through intermediates of degree ≤ 60% of max only, so the path
+      // join's fan-out is bounded away from the hub-squared blow-up that
+      // kills naive 2-hop at 100 TB (a hub of degree d contributes d²
+      // pairs; excluding the hub tier caps the per-intermediate
+      // contribution while keeping the typical node's reach intact — the
+      // cap is RELATIVE so the same rule holds at any scale). Edges come
+      // from the shared materialized co-purchase index; the cap is a
+      // 1-row broadcast; reach counts DISTINCT destinations, self
+      // excluded.
+      val e = copurchaseEdges(s, dir)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = false)
+      val cap = deg.agg(max(col("deg")).as("__mx"))
+      val low = deg.crossJoin(broadcast(cap))
+        .filter(col("deg") * 10 <= col("__mx") * 6).select(col("src").as("mid"))
+      val hop2 = e.select(col("src").as("v"), col("dst").as("mid"))
+        .join(low, Seq("mid"))
+        .join(e.select(col("src").as("mid"), col("dst").as("w")), Seq("mid"))
+        .filter(col("w") =!= col("v"))
+        .select(col("v"), col("w")).distinct()
+        .groupBy(col("v")).agg(count(lit(1)).as("reach2"))
+      deg.select(col("src").as("node"), col("deg").as("n_1hop"))
+        .join(hop2, col("node") === hop2("v"), "left")
+        .select(col("node"), col("n_1hop"),
+          coalesce(col("reach2"), lit(0L)).as("reach2"))
+        .orderBy("node")
+    }),
+    "q325_burstiness" -> ((s, dir) => {
+      // term burstiness (index of dispersion Var/mean of per-doc counts,
+      // zeros included): the corpus-linguistics signal separating bursty
+      // content words from uniformly-sprinkled function words — a
+      // keyword/boilerplate discriminator df alone can't see. One token
+      // pass to the vocabulary frame carrying (df, Σc, Σc²); dispersion
+      // is EXACT integer arithmetic over those moments and the 1-row doc
+      // count (D·1000 = (N·Σc² − T²)·1000 div (N·T) — Var/mean needs no
+      // float), so zeros never materialize. Top-20 by (df desc, token)
+      // via the ordered limit (TakeOrdered — never a full global sort).
+      val docs = T(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      docs.select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("__sq"))
+        .crossJoin(broadcast(n))
+        .select(col("w").as("token"), col("df"), col("total"),
+          expr("(__n * __sq - total * total) * 1000 div (__n * total)").as("disp_milli"))
+        .orderBy(col("df").desc, col("token")).limit(20)
+    }),
+    "q326_equidepth_hist" -> ((s, dir) => {
+      // ANALYZE-style equi-depth histogram (32 buckets over order value):
+      // the optimizer-statistics primitive behind selectivity estimation
+      // — bucket boundaries carry equal row mass, so a range predicate's
+      // selectivity reads off bucket counts. Exact bucket assignment via
+      // the two-phase global rank + closed-form ntile (q96's machinery:
+      // never a single-partition window over the fact table); per-bucket
+      // lo/hi/count in exact cents.
+      val o = T(s, dir, "orders").select(col("o_orderkey"),
+        ops.Num.roundz(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val (ranked, nTot) = TwoPhase.globalRank(o, col("cents"),
+        Seq(col("cents"), col("o_orderkey")), "rank")
+      ranked
+        .withColumn("bucket", TwoPhase.ntileFromRank("rank", nTot, 32).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"))
+        .orderBy("bucket")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -8936,6 +9008,44 @@ object SparkEntry {
         |    // t.vocab AS BIGINT) AS nucleus_bp
         |FROM cum JOIN t USING (lang) GROUP BY cum.lang, t.total_tokens, t.vocab
         |ORDER BY 1""".stripMargin,
+    "q324_two_hop_reach" ->
+      // same relative cap (deg·10 ≤ max·6), same distinct-destination
+      // count through allowed intermediates
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |mx AS (SELECT max(deg) AS m FROM deg),
+        |low AS (SELECT deg.src AS mid FROM deg, mx WHERE deg.deg * 10 <= mx.m * 6),
+        |h2 AS (SELECT DISTINCT e1.src AS v, e2.dst AS w
+        |  FROM e e1 JOIN low ON low.mid = e1.dst JOIN e e2 ON e2.src = e1.dst
+        |  WHERE e2.dst <> e1.src),
+        |r AS (SELECT v, count(*) AS reach2 FROM h2 GROUP BY 1)
+        |SELECT deg.src AS node, CAST(deg.deg AS BIGINT) AS n_1hop,
+        |  CAST(coalesce(r.reach2, 0) AS BIGINT) AS reach2
+        |FROM deg LEFT JOIN r ON r.v = deg.src ORDER BY node""".stripMargin,
+    "q325_burstiness" ->
+      // same exact moment arithmetic; the numerator N·Σc² − T² is a
+      // variance (≥ 0), so the integer division needs no floor caveat
+      """WITH tokr AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> length(t) > 0)) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM tokr GROUP BY 1, 2),
+        |st AS (SELECT w AS token, count(*) AS df, sum(c) AS total, sum(c * c) AS sq FROM c GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT token, CAST(df AS BIGINT) AS df, CAST(total AS BIGINT) AS total,
+        |  CAST((n.n * st.sq - st.total * st.total) * 1000 // (n.n * st.total) AS BIGINT) AS disp_milli
+        |FROM st, n ORDER BY df DESC, token LIMIT 20""".stripMargin,
+    "q326_equidepth_hist" ->
+      // DuckDB's ntile implements the same SQL-standard allocation as
+      // ntileFromRank (first n mod k buckets take one extra row)
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT cents,
+        |    CAST(ntile(32) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS bucket FROM o)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(cents) AS BIGINT) AS lo_cents, CAST(max(cents) AS BIGINT) AS hi_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

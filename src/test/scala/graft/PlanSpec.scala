@@ -994,6 +994,25 @@ class PlanSpec extends SparkSpec {
       s"the offset and totals frames must broadcast:\n$plan")
   }
 
+  test("two-hop reach: path join is node-keyed through capped intermediates — no cartesian (q324)") {
+    val plan = q("q324_two_hop_reach")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row degree cap must broadcast:\n$plan")
+  }
+
+  test("burstiness: one token pass to vocabulary moments; top-20 is TakeOrdered (q325)") {
+    val plan = q("q325_burstiness")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ordered limit must plan as TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("equi-depth histogram: rank is two-phase — no single-partition window over orders (q326)") {
+    val plan = q("q326_equidepth_hist")
+    assert(!plan.contains("Window (") || !plan.contains("SinglePartition"),
+      s"bucket assignment must ride the binned two-phase rank:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
