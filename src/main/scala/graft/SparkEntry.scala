@@ -3433,6 +3433,84 @@ object SparkEntry {
           max(col("cents")).as("hi_cents"))
         .orderBy("bucket")
     }),
+    "q327_strip_accents" -> ((s, dir) => {
+      // diacritic folding for multilingual dedup keys: accented variants
+      // (planted by translating vowels on even docs — the fixture corpus
+      // is pure ASCII, so the accents are synthesized deterministically)
+      // fold back to their base letters via the codegen'd
+      // [[graft.functions.StripAccents]] expression (NFD + drop combining
+      // marks — what NFC normalization alone can't do). Entirely
+      // map-side; the gate compares every folded string char-for-char
+      // against DuckDB's independent strip_accents implementation, which
+      // is the cross-engine semantics proof.
+      val accented = when(col("doc_id") % 2 === 0,
+        translate(substring(col("text"), 1, 24), "aeiou", "áéíóü"))
+        .otherwise(substring(col("text"), 1, 24))
+      T(s, dir, "documents")
+        .select(col("doc_id"), accented.as("accented"),
+          graft.functions.StripAccents(accented).as("folded"))
+        .orderBy("doc_id")
+    }),
+    "q328_robots_filter" -> ((s, dir) => {
+      // crawl-policy domain filtering: each doc's host reduces to its
+      // REGISTERED domain (last two labels — extracted from the string,
+      // never trusted from metadata) and joins a broadcast blocklist, so
+      // sub.dom0.com is blocked by the dom0.com entry — suffix-match
+      // semantics a naive host equality misses. The blocklist is
+      // metadata-sized (it broadcasts; the corpus never shuffles for it);
+      // extraction is map-side array ops. Output is the per-domain
+      // admission ledger.
+      import s.implicits._
+      val hosts = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("sub"), (col("doc_id") % 4).cast("string"),
+          lit(".dom"), (col("doc_id") % 7).cast("string"), lit(".com")).as("host"))
+      val withReg = hosts.withColumn("reg_domain",
+        expr("array_join(slice(split(host, '\\\\.'), -2, 2), '.')"))
+      val block = Seq("dom0.com", "dom3.com").toDF("reg_domain")
+        .withColumn("blocked", lit(1L))
+      withReg.join(broadcast(block), Seq("reg_domain"), "left")
+        .groupBy(col("reg_domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(coalesce(col("blocked"), lit(0L))).as("blocked"))
+        .orderBy("reg_domain")
+    }),
+    "q329_vector_norm_audit" -> ((s, dir) => {
+      // embedding-store hygiene: flag vectors whose norm² deviates from
+      // the corpus median by > 10·MAD — the corrupt-vector detector
+      // (zeroed rows, double-scaled rows) that runs BEFORE an index
+      // build, with two planted corruptions proving both tails. All
+      // arithmetic exact: norm² in micro² longs (map-side array fold),
+      // median and MAD as lower medians selected BY RANK via the
+      // two-phase global rank (never a single-partition window), each
+      // 1-row statistic joining back as a broadcast.
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .unionByName(T(s, dir, "embeddings").filter(col("vec_id") < 2)
+          .select((col("vec_id") + 9000001L).as("vec_id"),
+            expr("transform(embedding, x -> CAST(20.0 AS FLOAT))").as("embedding")))
+        .unionByName(T(s, dir, "embeddings").filter(col("vec_id") < 2)
+          .select((col("vec_id") + 9000003L).as("vec_id"),
+            expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").as("embedding")))
+      val nsq = emb.select(col("vec_id"),
+        expr("aggregate(transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) * " +
+          "CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (a, y) -> a + y)")
+          .as("norm_sq")).localCheckpoint(eager = false)
+      def lowerMedian(df: DataFrame, v: String): DataFrame = {
+        val (ranked, n) = TwoPhase.globalRank(df, col(v), Seq(col(v), col("vec_id")), "__r")
+        ranked.filter(col("__r") === lit((n + 1) / 2)).select(col(v).as("__med"))
+      }
+      val med = lowerMedian(nsq, "norm_sq")
+      val dev = nsq.crossJoin(broadcast(med))
+        .select(col("vec_id"), col("norm_sq"), abs(col("norm_sq") - col("__med")).as("abs_dev"))
+        .localCheckpoint(eager = false)
+      val mad = lowerMedian(dev.select(col("vec_id"), col("abs_dev")), "abs_dev")
+        .select(col("__med").as("__mad"))
+      dev.crossJoin(broadcast(mad))
+        .filter(col("abs_dev") > col("__mad") * 10)
+        .select(col("vec_id"), col("norm_sq"), col("abs_dev"))
+        .orderBy("vec_id")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -9046,6 +9124,50 @@ object SparkEntry {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(min(cents) AS BIGINT) AS lo_cents, CAST(max(cents) AS BIGINT) AS hi_cents
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q327_strip_accents" ->
+      // DuckDB's strip_accents is an INDEPENDENT implementation of the
+      // same folding — agreeing char-for-char on every planted accent is
+      // the cross-engine semantics proof
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN translate(substr(text, 1, 24), 'aeiou', 'áéíóü')
+        |    ELSE substr(text, 1, 24) END AS accented,
+        |  strip_accents(CASE WHEN doc_id % 2 = 0 THEN translate(substr(text, 1, 24), 'aeiou', 'áéíóü')
+        |    ELSE substr(text, 1, 24) END) AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q328_robots_filter" ->
+      // same last-two-label extraction, same suffix-match-by-registered-
+      // domain semantics
+      """WITH h AS (SELECT doc_id,
+        |    'sub' || CAST(doc_id % 4 AS VARCHAR) || '.dom' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+        |  FROM documents),
+        |r AS (SELECT doc_id, array_to_string(
+        |    string_split(host, '.')[len(string_split(host, '.')) - 1 : len(string_split(host, '.'))], '.') AS reg_domain
+        |  FROM h),
+        |b AS (SELECT * FROM (VALUES ('dom0.com'), ('dom3.com')) AS t(reg_domain))
+        |SELECT r.reg_domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(CASE WHEN b.reg_domain IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS blocked
+        |FROM r LEFT JOIN b ON b.reg_domain = r.reg_domain GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q329_vector_norm_audit" ->
+      // same micro² norms, same planted corruptions, same lower-median-
+      // by-rank definition for median and MAD
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 9000001, list_transform(embedding, x -> CAST(20.0 AS FLOAT))
+        |    FROM embeddings WHERE vec_id < 2
+        |  UNION ALL SELECT vec_id + 9000003, list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |    FROM embeddings WHERE vec_id < 2),
+        |nsq AS (SELECT vec_id, CAST(list_sum(list_transform(embedding, x ->
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) *
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))) AS BIGINT) AS norm_sq
+        |  FROM base),
+        |n AS (SELECT count(*) AS n FROM nsq),
+        |rmed AS (SELECT norm_sq, row_number() OVER (ORDER BY norm_sq, vec_id) AS r FROM nsq),
+        |med AS (SELECT rmed.norm_sq AS med FROM rmed, n WHERE rmed.r = (n.n + 1) // 2),
+        |dev AS (SELECT vec_id, norm_sq, abs(norm_sq - med.med) AS abs_dev FROM nsq, med),
+        |rmad AS (SELECT abs_dev, row_number() OVER (ORDER BY abs_dev, vec_id) AS r FROM dev),
+        |mad AS (SELECT rmad.abs_dev AS mad FROM rmad, n WHERE rmad.r = (n.n + 1) // 2)
+        |SELECT d.vec_id, d.norm_sq, CAST(d.abs_dev AS BIGINT) AS abs_dev
+        |FROM dev d, mad WHERE d.abs_dev > mad.mad * 10 ORDER BY d.vec_id""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

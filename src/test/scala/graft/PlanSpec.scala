@@ -1013,6 +1013,27 @@ class PlanSpec extends SparkSpec {
       s"bucket assignment must ride the binned two-phase rank:\n$plan")
   }
 
+  test("strip accents: a codegen'd expression pass — no UDF, no join, map-side only (q327)") {
+    val plan = q("q327_strip_accents")
+    assert(plan.contains("strip_accents"), s"the native expression must appear:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("BatchEvalPython"), plan)
+    assert(plan.contains("codegen id"), s"expression must stay inside codegen:\n$plan")
+  }
+
+  test("robots filter: blocklist broadcasts; extraction is map-side array ops (q328)") {
+    val plan = q("q328_robots_filter")
+    assert(plan.contains("BroadcastHashJoin"), s"the blocklist must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("vector norm audit: medians selected by two-phase rank; stats join back broadcast (q329)") {
+    val plan = q("q329_vector_norm_audit")
+    assert(!plan.contains("Window (") || !plan.contains("SinglePartition"),
+      s"median rank must ride the binned two-phase rewrite:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row median/MAD must broadcast:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),

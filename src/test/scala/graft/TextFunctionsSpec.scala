@@ -104,6 +104,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(again == jdk)
   }
 
+  test("StripAccents folds precomposed AND combining forms to base letters; ASCII/null pass") {
+    // both representations of the same accented word fold to one key —
+    // the property that makes it a dedup-key pass, not a re-encoding
+    val df = Seq(Some("café"), Some("café"), Some("naïve ñ ç"),
+      Some("plain ascii"), None).toDF("t")
+    val out = df.select(graft.functions.StripAccents(col("t")).as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("cafe"), Some("cafe"), Some("naive n c"),
+      Some("plain ascii"), None))
+    // idempotent: folding the folded form changes nothing
+    val again = Seq("cafe").toDF("t")
+      .select(graft.functions.StripAccents(col("t")).as("n")).as[String].head()
+    assert(again == "cafe")
+  }
+
   test("NfcNormalize shortens the code-point count by the composed marks") {
     val df = Seq("ab cde\u0301").toDF("t") // 7 code points -> 6 after NFC
     val (raw, norm) = df.select(
