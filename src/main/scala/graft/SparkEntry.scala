@@ -3511,6 +3511,64 @@ object SparkEntry {
         .select(col("vec_id"), col("norm_sq"), col("abs_dev"))
         .orderBy("vec_id")
     }),
+    "q330_feature_hashing" -> ((s, dir) => {
+      // the hashing trick (Weinberger et al., ICML 2009): tokens map to a
+      // FIXED 256-bucket feature space via the codegen'd polynomial hash,
+      // with a ±1 sign bit from the next hash bit so colliding tokens
+      // partially cancel instead of summing — what makes a
+      // dimensionality-fixed featurizer work without a vocabulary at all
+      // (no vocab table, no OOV, no growth at 100 TB: the feature space
+      // never changes size). The gate row is the per-bucket collision
+      // ledger: distinct tokens (collisions = n−1), raw mass, signed
+      // mass. One token pass, one bucket aggregate — both map-side
+      // combined.
+      T(s, dir, "documents").select(
+          explode(expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("fp", graft.functions.RollingHash(col("w")))
+        .withColumn("bucket", col("fp") % 256)
+        .withColumn("sign", expr("((fp div 256) % 2) * 2 - 1"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("mass"),
+          sum(col("sign") * col("c")).as("signed_mass"))
+        .orderBy("bucket")
+    }),
+    "q331_count_min" -> ((s, dir) => {
+      // count-min sketch (Cormode & Muthukrishnan 2005) with its error
+      // audited against exact truth: 3 hash rows × 64 columns of summed
+      // mass — a 192-cell MERGEABLE summary (cells sum across shards/
+      // batches by construction, the streaming-frequency primitive
+      // Misra–Gries (q155) complements with its keep-k form) — then the
+      // top-20 true tokens read back est = min over rows, which can only
+      // OVERcount (collisions add, never subtract): overest ≥ 0 is the
+      // structural guarantee the gate row exhibits per token. The sketch
+      // is metadata-sized and broadcasts; truth comes from the same one
+      // token pass.
+      val tok = T(s, dir, "documents").select(
+          explode(expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("fp", graft.functions.RollingHash(col("w")))
+        .localCheckpoint(eager = false)
+      val seeds = Seq((0, 31L, 7L), (1, 131L, 13L), (2, 1031L, 17L))
+      val hashed = seeds.map { case (i, a, b) =>
+        tok.select(lit(i).as("row"),
+          ((col("fp") * a + b) % 1000000007L % 64).as("col"),
+          col("w"), col("c"))
+      }.reduce(_ unionByName _)
+      val sketch = hashed.groupBy(col("row"), col("col")).agg(sum(col("c")).as("cell"))
+      val top = tok.orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w"), col("c").as("true_cnt"), col("fp"))
+      seeds.map { case (i, a, b) =>
+        top.select(col("w"), col("true_cnt"), lit(i).as("row"),
+          ((col("fp") * a + b) % 1000000007L % 64).as("col"))
+      }.reduce(_ unionByName _)
+        .join(broadcast(sketch), Seq("row", "col"))
+        .groupBy(col("w"), col("true_cnt"))
+        .agg(min(col("cell")).as("cms_est"))
+        .select(col("w").as("token"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("overest"))
+        .orderBy(col("true_cnt").desc, col("token"))
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -9168,6 +9226,43 @@ object SparkEntry {
         |mad AS (SELECT rmad.abs_dev AS mad FROM rmad, n WHERE rmad.r = (n.n + 1) // 2)
         |SELECT d.vec_id, d.norm_sq, CAST(d.abs_dev AS BIGINT) AS abs_dev
         |FROM dev d, mad WHERE d.abs_dev > mad.mad * 10 ORDER BY d.vec_id""".stripMargin,
+    "q330_feature_hashing" ->
+      // same char-level polynomial hash (list_reduce), same bucket and
+      // sign-bit arithmetic
+      """WITH tokr AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM tokr GROUP BY 1),
+        |f AS (SELECT w, c, list_reduce(
+        |    list_transform(range(1, length(w) + 1),
+        |      i -> CAST(ord(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp FROM c),
+        |s AS (SELECT fp % 256 AS bucket, ((fp // 256) % 2) * 2 - 1 AS sign, c FROM f)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c) AS BIGINT) AS mass, CAST(sum(sign * c) AS BIGINT) AS signed_mass
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q331_count_min" ->
+      // same 3×64 sketch, same row hashes, same min-over-rows readback
+      """WITH tokr AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM tokr GROUP BY 1),
+        |f AS (SELECT w, c, list_reduce(
+        |    list_transform(range(1, length(w) + 1),
+        |      i -> CAST(ord(substr(w, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp FROM c),
+        |seeds AS (SELECT * FROM (VALUES (0, 31, 7), (1, 131, 13), (2, 1031, 17)) AS t(r, a, b)),
+        |h AS (SELECT f.w, f.c, f.fp, seeds.r, (f.fp * seeds.a + seeds.b) % 1000000007 % 64 AS col
+        |  FROM f CROSS JOIN seeds),
+        |sk AS (SELECT r, col, sum(c) AS cell FROM h GROUP BY 1, 2),
+        |top AS (SELECT w, c AS true_cnt, fp FROM c JOIN f USING (w, c)
+        |  ORDER BY c DESC, w LIMIT 20),
+        |est AS (SELECT top.w, top.true_cnt, min(sk.cell) AS cms_est
+        |  FROM top CROSS JOIN seeds
+        |  JOIN sk ON sk.r = seeds.r AND sk.col = (top.fp * seeds.a + seeds.b) % 1000000007 % 64
+        |  GROUP BY 1, 2)
+        |SELECT w AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
+        |  CAST(cms_est AS BIGINT) AS cms_est,
+        |  CAST(cms_est - true_cnt AS BIGINT) AS overest
+        |FROM est ORDER BY true_cnt DESC, token""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

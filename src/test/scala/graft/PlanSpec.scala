@@ -1034,6 +1034,20 @@ class PlanSpec extends SparkSpec {
       s"the 1-row median/MAD must broadcast:\n$plan")
   }
 
+  test("feature hashing: one token pass, one bucket aggregate — no vocab table, no join (q330)") {
+    val plan = q("q330_feature_hashing")
+    assert(!plan.contains("Join"), s"the hashing trick needs no vocabulary join:\n$plan")
+    assert(plan.contains("rolling_hash") || plan.contains("RollingHash"),
+      s"the codegen'd hash must be in the plan:\n$plan")
+  }
+
+  test("count-min: the 192-cell sketch broadcasts for readback; top-20 is TakeOrdered (q331)") {
+    val plan = q("q331_count_min")
+    assert(plan.contains("BroadcastHashJoin"), s"sketch readback must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-20 truth must be a heap top-k, not a global sort:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
