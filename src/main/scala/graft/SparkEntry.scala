@@ -3571,6 +3571,103 @@ object SparkEntry {
           (col("cms_est") - col("true_cnt")).as("overest"))
         .orderBy(col("true_cnt").desc, col("token"))
     }),
+    "q332_gzip_text" -> ((s, dir) => {
+      // compressed-text interchange: lines land in REAL gzip files and
+      // read back through Spark's transparent codec path — the default
+      // wire format of web-crawl dumps (WET/WARC-derived feeds ship
+      // gzipped). The caveat this key encodes: gzip is NOT splittable,
+      // so one file = one read task — at 100 TB the parallelism contract
+      // is MANY gzip files (here one per write task), never one giant
+      // archive. The gate proves byte fidelity through compress +
+      // decompress by aggregating the parsed lines against the source
+      // table.
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"$TMP/gzip_text/$safe"
+      T(s, dir, "documents")
+        .select(concat(col("doc_id").cast("string"), lit("|"), col("text")).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(path)
+      s.read.text(path).select(
+          expr("CAST(substring_index(value, '|', 1) AS BIGINT)").as("doc_id"),
+          expr("substring(value, instr(value, '|') + 1, length(value))").as("text"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+    "q333_partition_overwrite" -> ((s, dir) => {
+      // DYNAMIC partition overwrite (the lakehouse backfill contract):
+      // rewriting one day's slice must replace exactly that partition —
+      // static overwrite mode would silently DROP every other partition,
+      // the classic data-loss footgun this mode exists to prevent. The
+      // gate writes the full day-partitioned table, re-lands 2024-01-05
+      // with doubled cents under partitionOverwriteMode=dynamic, and
+      // proves every other day byte-identical; the session config is
+      // restored in a finally.
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"$TMP/dyn_overwrite/$safe"
+      val ev = T(s, dir, "events").select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        ops.Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(path)
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val old = s.conf.get(conf, "STATIC")
+      s.conf.set(conf, "dynamic")
+      try ev.filter(col("day") === "2024-01-05")
+        .withColumn("cents", col("cents") * 2)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      finally s.conf.set(conf, old)
+      // partition-dir read-back type-infers day as DATE — pin the string
+      s.read.parquet(path).withColumn("day", col("day").cast("string"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("day")
+    }),
+    "q334_dynamic_pruning" -> ((s, dir) => {
+      // DYNAMIC PARTITION PRUNING: joining a day-partitioned fact to a
+      // filtered dim must prune fact PARTITIONS at runtime (the dim's
+      // day set rides into the fact scan as a dynamicpruning subquery) —
+      // at 100 TB this is the difference between scanning 3 days and
+      // scanning all of them when the day list isn't known until the dim
+      // is read. PlanSpec asserts the pruning subquery is in the fact
+      // scan's partition filters; the gate proves the join result
+      // matches the static-filter twin.
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"$TMP/dpp_fact/$safe"
+      val ev = T(s, dir, "events").select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        ops.Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(path)
+      val fact = s.read.parquet(path).withColumn("day", col("day").cast("string"))
+      val dim = T(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+        .filter(col("day") <= "2024-01-03")
+      fact.join(broadcast(dim), Seq("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("day")
+    }),
+    "q335_code_switch" -> ((s, dir) => {
+      // code-switching detection (mixed-language documents poison
+      // monolingual training sets): language-ID each HALF of the doc
+      // independently and flag confident disagreement — the cheap
+      // first-pass filter before any per-sentence LID. German marker
+      // tails are planted on doc_id ≡ 4 (mod 10) so the flag has
+      // positives to find. Entirely expression-native and map-side
+      // (the same codegen'd regexp scoring as q50, twice).
+      val t = when(col("doc_id") % 10 === 4,
+        concat(col("text"), lit(" der die das und ist nicht ein")))
+        .otherwise(col("text"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .withColumn("h1", expr("substring(t, 1, length(t) div 2)"))
+        .withColumn("h2", expr("substring(t, length(t) div 2 + 1, length(t))"))
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("h1")).as("lang_a"),
+          TextAnalysis.langId(col("h2")).as("lang_b"))
+        .withColumn("mixed",
+          (col("lang_a") =!= lit("und") && col("lang_b") =!= lit("und") &&
+            col("lang_a") =!= col("lang_b")).cast("long"))
+        .orderBy("doc_id")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4656,14 +4753,18 @@ object SparkEntry {
   private val lexValues = Sentiment.lexicon
     .map { case (w, v) => s"('$w', ${math.round(v * 10)})" }.mkString(", ")
 
-  private val langCase: String = {
+  /** The DuckDB twin of [[TextAnalysis.langId]] over an arbitrary string
+    * expression (q50 applies it to `text`; q335 to each document half). */
+  private def langCaseOn(colExpr: String): String = {
     def hits(l: String) =
-      s"CAST(len(regexp_extract_all(lower(text), '\\b(${TextAnalysis.langMarkers(l).mkString("|")})\\b')) AS INTEGER)"
+      s"CAST(len(regexp_extract_all(lower($colExpr), '\\b(${TextAnalysis.langMarkers(l).mkString("|")})\\b')) AS INTEGER)"
     val best = s"greatest(${Seq("en", "de", "es", "fr").map(hits).mkString(", ")})"
     Seq("en", "de", "es", "fr")
       .map(l => s"WHEN ${hits(l)} = $best AND $best > 0 THEN '$l'")
       .mkString("CASE ", " ", " ELSE 'und' END")
   }
+
+  private val langCase: String = langCaseOn("text")
 
   /** DuckDB Karp–Rabin fold of a string expression — mirrors
     * [[graft.functions.RollingHash.hash64]] byte-for-byte on ASCII corpora
@@ -9266,6 +9367,44 @@ object SparkEntry {
         |  CAST(cms_est AS BIGINT) AS cms_est,
         |  CAST(cms_est - true_cnt AS BIGINT) AS overest
         |FROM est ORDER BY true_cnt DESC, token""".stripMargin,
+    "q332_gzip_text" ->
+      // aggregating the source table directly — equality proves the
+      // gzip compress/decompress roundtrip lossless
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents""".stripMargin,
+    "q333_partition_overwrite" ->
+      // only 2024-01-05 doubles; every other day must stay identical —
+      // the static-mode data-loss failure would empty them instead
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT) *
+        |    CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '2024-01-05'
+        |      THEN 2 ELSE 1 END) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q334_dynamic_pruning" ->
+      // the static-filter twin of the runtime-pruned join
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') <= '2024-01-03'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q335_code_switch" ->
+      // same planted German tails, same per-half langid CASE, same
+      // confident-disagreement rule
+      s"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 4 THEN text || ' der die das und ist nicht ein'
+         |      ELSE text END AS tt FROM documents),
+         |h AS (SELECT doc_id, substr(tt, 1, length(tt) // 2) AS h1,
+         |    substr(tt, length(tt) // 2 + 1, length(tt)) AS h2 FROM t),
+         |lid AS (SELECT doc_id, ${langCaseOn("h1")} AS lang_a,
+         |    ${langCaseOn("h2")} AS lang_b FROM h)
+         |SELECT doc_id, lang_a, lang_b,
+         |  CAST(CASE WHEN lang_a <> 'und' AND lang_b <> 'und' AND lang_a <> lang_b
+         |    THEN 1 ELSE 0 END AS BIGINT) AS mixed
+         |FROM lid ORDER BY doc_id""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -1048,6 +1048,18 @@ class PlanSpec extends SparkSpec {
       s"the top-20 truth must be a heap top-k, not a global sort:\n$plan")
   }
 
+  test("dynamic pruning: the dim's day set prunes fact partitions at runtime (q334)") {
+    val plan = q("q334_dynamic_pruning")
+    assert(plan.contains("dynamicpruning"),
+      s"the fact scan must carry a dynamicpruning partition filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"the day dim must broadcast:\n$plan")
+  }
+
+  test("code switch: per-half langid is expression-native, map-side, no joins (q335)") {
+    val plan = q("q335_code_switch")
+    assert(!plan.contains("Join") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
