@@ -3668,6 +3668,87 @@ object SparkEntry {
             col("lang_a") =!= col("lang_b")).cast("long"))
         .orderBy("doc_id")
     }),
+    "q336_temporal_split" -> ((s, dir) => {
+      // time-based train/test split WITH EMBARGO (the financial-ML
+      // leakage standard, López de Prado 2018): train ends two days
+      // before test begins, the gap absorbing look-ahead through
+      // slow-moving features; the gate row carries each split's event
+      // and user mass plus its USER OVERLAP WITH TEST — the
+      // cross-contamination readout (time splits don't isolate users;
+      // the overlap column is what an entity-level split would zero).
+      // Two aggregates and one distinct-user semi-frame join; the splits
+      // are map-side CASE tags, never three scans.
+      val ev = T(s, dir, "events").withColumn("split",
+        when(col("ts") < lit("2024-01-18").cast("timestamp"), "1_train")
+          .when(col("ts") < lit("2024-01-20").cast("timestamp"), "2_embargo")
+          .otherwise("3_test"))
+      val users = ev.select(col("split"), col("user_id")).distinct()
+        .localCheckpoint(eager = false)
+      val testUsers = users.filter(col("split") === "3_test")
+        .select(col("user_id")).withColumn("__t", lit(1L))
+      val overlap = users.join(broadcast(testUsers), Seq("user_id"))
+        .groupBy(col("split")).agg(count(lit(1)).as("users_in_test"))
+      ev.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))
+        .join(overlap, Seq("split"), "left")
+        .select(col("split"), col("n_events"), col("n_users"),
+          coalesce(col("users_in_test"), lit(0L)).as("users_in_test"))
+        .orderBy("split")
+    }),
+    "q337_template_dedup" -> ((s, dir) => {
+      // instruction-data TEMPLATE dedup: prompts that differ only in
+      // filled-in values ("Q123: rate ..." vs "Q456: rate ...") collapse
+      // after normalization (lowercase, strip digits and punctuation,
+      // collapse whitespace) — the near-dup mode value-level exact dedup
+      // (q43) and shingle MinHash (q44) both miss when the template is
+      // short and the slots dominate. Normalization is map-side codegen'd
+      // regex; dedup is one groupBy on the normalized key; only groups
+      // of ≥ 2 surface.
+      val prompt = concat(lit("Q"), col("doc_id").cast("string"), lit(": "),
+        substring(col("text"), 1, 40))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(prompt),
+            "[0-9]", ""), "[^a-z ]", ""), "\\s+", " ")).as("template"))
+        .groupBy(col("template"))
+        .agg(count(lit(1)).as("n_prompts"), min(col("doc_id")).as("keeper_id"))
+        .filter(col("n_prompts") >= 2)
+        .orderBy("template")
+    }),
+    "q338_cross_modal_audit" -> ((s, dir) => {
+      // cross-modality dedup agreement: text near-dup pairs (the shared
+      // materialized MinHash index) vs image exact-dup pairs (dHash over
+      // the q228 synthesized gradients), full-outer joined PAIR-KEYED and
+      // classified both/text_only/image_only — the audit that says
+      // whether one modality's dedup can proxy for the other (it can't:
+      // the planted structures are independent, and the ledger shows it).
+      // Both pair lists are candidate-bounded (banded LSH; hash groups);
+      // the classification join carries only id pairs.
+      val (pairs, _) = dedupIndex(s, dir)
+      val tp = pairs.filter(col("id_a") < 300 && col("id_b") < 300)
+        .select(col("id_a"), col("id_b")).withColumn("t", lit(1L))
+      import s.implicits._
+      val imgs = T(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+        .as[Long].mapPartitions(_.map { id =>
+          val g = id % 50
+          (id, Multimodal.synthPngPixels(9, 7, (x, y) => {
+            val v = ((g * 13 + x * (y + 3)) % 256).toInt
+            (v << 16) | (v << 8) | v
+          }))
+        }).toDF("doc_id", "payload")
+      val hashed = Multimodal.dHash56(imgs, "doc_id").localCheckpoint(eager = false)
+      val ip = hashed.select(col("dhash"), col("doc_id").as("id_a"))
+        .join(hashed.select(col("dhash"), col("doc_id").as("id_b")), Seq("dhash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).withColumn("i", lit(1L))
+      tp.join(ip, Seq("id_a", "id_b"), "full_outer")
+        .select(when(col("t").isNotNull && col("i").isNotNull, "both")
+          .when(col("t").isNotNull, "text_only")
+          .otherwise("image_only").as("signal"))
+        .groupBy(col("signal")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("signal")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -9405,6 +9486,51 @@ object SparkEntry {
          |  CAST(CASE WHEN lang_a <> 'und' AND lang_b <> 'und' AND lang_a <> lang_b
          |    THEN 1 ELSE 0 END AS BIGINT) AS mixed
          |FROM lid ORDER BY doc_id""".stripMargin,
+    "q336_temporal_split" ->
+      // same split boundaries, same user-overlap-with-test readout
+      """WITH ev AS (SELECT user_id, CASE
+        |    WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-18' THEN '1_train'
+        |    WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20' THEN '2_embargo'
+        |    ELSE '3_test' END AS split FROM events),
+        |u AS (SELECT DISTINCT split, user_id FROM ev),
+        |tu AS (SELECT user_id FROM u WHERE split = '3_test'),
+        |ov AS (SELECT u.split, count(*) AS users_in_test FROM u JOIN tu USING (user_id) GROUP BY 1)
+        |SELECT ev.split, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+        |  CAST(coalesce(max(ov.users_in_test), 0) AS BIGINT) AS users_in_test
+        |FROM ev LEFT JOIN ov ON ov.split = ev.split
+        |GROUP BY ev.split ORDER BY ev.split""".stripMargin,
+    "q337_template_dedup" ->
+      // same normalization chain (lower → strip digits → strip
+      // non-alpha → collapse whitespace → trim), same ≥2 group filter
+      """WITH p AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower('Q' || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 40)),
+        |      '[0-9]', '', 'g'), '[^a-z ]', '', 'g'), '\s+', ' ', 'g')) AS template
+        |  FROM documents)
+        |SELECT template, CAST(count(*) AS BIGINT) AS n_prompts,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id
+        |FROM p GROUP BY 1 HAVING count(*) >= 2 ORDER BY template""".stripMargin,
+    "q338_cross_modal_audit" ->
+      // text pairs = q44's full MinHash SQL; image pairs = q228's
+      // arithmetic dHash groups; same full-outer classification
+      s"""WITH tpairs AS ($q44Sql),
+         |tp AS (SELECT id_a, id_b FROM tpairs WHERE id_a < 300 AND id_b < 300),
+         |d AS (SELECT doc_id, doc_id % 50 AS gv FROM documents WHERE doc_id < 300),
+         |bits AS (SELECT d.doc_id,
+         |    CASE WHEN (d.gv * 13 + (x.x + 1) * (y.y + 3)) % 256
+         |            > (d.gv * 13 + x.x * (y.y + 3)) % 256
+         |      THEN CAST(1 AS BIGINT) << CAST(y.y * 8 + x.x AS INT) ELSE 0 END AS b
+         |  FROM d, (SELECT unnest(range(0, 8)) AS x) x, (SELECT unnest(range(0, 7)) AS y) y),
+         |h AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS dhash FROM bits GROUP BY 1),
+         |ip AS (SELECT a.doc_id AS id_a, z.doc_id AS id_b
+         |  FROM h a JOIN h z ON a.dhash = z.dhash AND a.doc_id < z.doc_id),
+         |cls AS (SELECT CASE
+         |    WHEN tp.id_a IS NOT NULL AND ip.id_a IS NOT NULL THEN 'both'
+         |    WHEN tp.id_a IS NOT NULL THEN 'text_only' ELSE 'image_only' END AS signal
+         |  FROM tp FULL OUTER JOIN ip ON tp.id_a = ip.id_a AND tp.id_b = ip.id_b)
+         |SELECT signal, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

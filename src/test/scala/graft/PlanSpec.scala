@@ -1060,6 +1060,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("BatchEvalPython"), plan)
   }
 
+  test("temporal split: CASE tags ride one scan; overlap via broadcast user frame (q336)") {
+    val plan = q("q336_temporal_split")
+    assert(plan.contains("BroadcastHashJoin"), s"the test-user frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("template dedup: normalization map-side, ONE groupBy on the key — no pairwise (q337)") {
+    val plan = q("q337_template_dedup")
+    assert(!plan.contains("Join"), s"template dedup is one aggregate:\n$plan")
+  }
+
+  test("cross-modal audit: both pair lists candidate-bounded; classification join id-keyed (q338)") {
+    val plan = q("q338_cross_modal_audit")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs anywhere:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
