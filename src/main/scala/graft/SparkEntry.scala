@@ -3749,6 +3749,14 @@ object SparkEntry {
         .groupBy(col("signal")).agg(count(lit(1)).as("n_pairs"))
         .orderBy("signal")
     }),
+    "q339_stream_cdc_apply" -> ((s, dir) =>
+      // q317's changelog apply as a CONTINUOUS MERGE: seq-ordered op
+      // batches each merge onto the previous batch-keyed state snapshot
+      // (anti join out the batch's keys, union in its non-deletes); the
+      // final snapshot must equal the one-shot batch fold — the oracle
+      // IS q317's SQL, which makes the gate row the incremental ≡ batch
+      // proof. See [[Streaming.cdcApplyReplay]].
+      Streaming.cdcApplyReplay(s, dir, s"$TMP/q339_src")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -4968,6 +4976,23 @@ object SparkEntry {
     * dot — is identical on both engines), the same 16 dots, the same
     * fixed-order (((m1+m2)+m3)+m4 fold, generated by the same loop
     * bounds. */
+  /** q317's batch changelog fold — latest-op-wins stated as the rank
+    * window the engine's one-aggregate max(struct) replaces. Shared with
+    * q339, whose streamed merge chain must land on the identical final
+    * state (the incremental ≡ batch proof). */
+  private val q317Sql: String =
+    """WITH base AS (SELECT c_custkey,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+      |    c_mktsegment AS segment FROM customer),
+      |log AS (
+      |  SELECT c_custkey, 0 AS seq, 'I' AS op, cents, segment FROM base
+      |  UNION ALL SELECT c_custkey, 1, 'U', cents + 1000, segment FROM base WHERE c_custkey % 7 = 0
+      |  UNION ALL SELECT c_custkey, 2, 'D', cents, segment FROM base WHERE c_custkey % 10 = 0
+      |  UNION ALL SELECT c_custkey, 3, 'I', 555, 'WINBACK' FROM base WHERE c_custkey % 20 = 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM log)
+      |SELECT c_custkey, CAST(cents AS BIGINT) AS cents, segment
+      |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey""".stripMargin
+
   private val q304Sql: String = {
     val gi = (i: Int) =>
       (1 to 4).map(j => s"list_dot_product(q.qn[$i], c.cn[$j])")
@@ -9243,20 +9268,12 @@ object SparkEntry {
         |  CAST(CASE WHEN truth.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
         |FROM r LEFT JOIN truth ON truth.query_id = r.query_id AND truth.neighbor_id = r.neighbor_id
         |WHERE r.rn <= 5 ORDER BY r.query_id, r.rn""".stripMargin,
-    "q317_cdc_apply" ->
-      // same planted log, latest-op-wins stated as the rank window the
-      // engine's one-aggregate max(struct) replaces
-      """WITH base AS (SELECT c_custkey,
-        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
-        |    c_mktsegment AS segment FROM customer),
-        |log AS (
-        |  SELECT c_custkey, 0 AS seq, 'I' AS op, cents, segment FROM base
-        |  UNION ALL SELECT c_custkey, 1, 'U', cents + 1000, segment FROM base WHERE c_custkey % 7 = 0
-        |  UNION ALL SELECT c_custkey, 2, 'D', cents, segment FROM base WHERE c_custkey % 10 = 0
-        |  UNION ALL SELECT c_custkey, 3, 'I', 555, 'WINBACK' FROM base WHERE c_custkey % 20 = 0),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM log)
-        |SELECT c_custkey, CAST(cents AS BIGINT) AS cents, segment
-        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY c_custkey""".stripMargin,
+    "q317_cdc_apply" -> q317Sql,
+    "q339_stream_cdc_apply" ->
+      // the oracle is q317's batch fold VERBATIM: equality of the
+      // streamed merge chain's final snapshot with it IS the
+      // incremental ≡ batch proof
+      q317Sql,
     "q318_hits" ->
       // 2 unrolled HITS iterations in the same scaled-long arithmetic:
       // sum, then score·10⁶ div max, alternating sides

@@ -656,6 +656,106 @@ object Streaming {
         expr("(1000 * n_vecs * 16) div __n").cast("long").as("load_milli"))
   }
 
+  /** STREAMING changelog apply — q317's ordered I/U/D apply run as a
+    * CONTINUOUS MERGE (the CDC-consumer shape every lakehouse sink runs):
+    * the base snapshot and three op slices arrive as seq-ordered
+    * micro-batches, and each batch MERGES onto the previous state snapshot
+    * (merge-on-write): anti-join the batch's keys out of the prior state,
+    * union the batch's non-delete rows in. State snapshots land in parquet
+    * keyed by the DATA-derived batch id (min seq — stable across
+    * checkpoint resets), so an at-least-once replay rewrites its own
+    * snapshot from its own predecessor instead of corrupting the chain,
+    * and the FINAL snapshot must equal the one-shot batch fold of the full
+    * log — the gate reuses q317's oracle SQL verbatim, which IS the
+    * incremental ≡ batch proof.
+    *
+    * Scale shape: per batch one key-keyed anti join + union write —
+    * O(state) I/O per batch, the intrinsic lakehouse MERGE cost; state
+    * lives in parquet between batches, never in executor memory.
+    */
+  def cdcApplyReplay(spark: SparkSession, dir: String,
+                     stageDirBase: String): DataFrame = {
+    val base = Tables.customer(spark, dir).select(col("c_custkey"),
+      graft.ops.Num.roundz(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+      col("c_mktsegment").as("segment"))
+    val slices: Seq[DataFrame] = Seq(
+      base.select(col("c_custkey"), lit(0L).as("seq"), lit("I").as("op"),
+        col("cents"), col("segment")),
+      base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit(1L).as("seq"), lit("U").as("op"),
+          (col("cents") + 1000L).as("cents"), col("segment")),
+      base.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit(2L).as("seq"), lit("D").as("op"),
+          col("cents"), col("segment")),
+      base.filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey"), lit(3L).as("seq"), lit("I").as("op"),
+          lit(555L).as("cents"), lit("WINBACK").as("segment")))
+    val stageDir = s"$stageDirBase/${stageKey(dir, "customer")}"
+    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
+      new java.io.File(stageDir).mkdirs()
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$stageDir/__stage$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stageDir, f"b$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+        deleteRecursively(new java.io.File(tmp))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stageDir, "_SUCCESS"), "")
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_apply").toString
+    val stateDir = s"$work/state"
+    new java.io.File(stateDir).mkdirs()
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = session.readStream
+      .schema(slices.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one action decides both emptiness and the data-derived batch key
+        val __m = batch.agg(min(col("seq"))).head
+        if (!__m.isNullAt(0)) {
+          val k = __m.getLong(0)
+          val sp = batch.sparkSession
+          // predecessor = the largest committed snapshot strictly below k —
+          // a replayed batch rebuilds from ITS OWN prior, idempotently
+          val prevTag = Option(new java.io.File(stateDir).listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isDirectory && f.getName.startsWith("s"))
+            .map(_.getName.stripPrefix("s").toLong)
+            .filter(_ < k).sorted.lastOption
+          val resolved = batch
+            .groupBy(col("c_custkey"))
+            .agg(max(struct(col("seq"), col("op"), col("cents"), col("segment"))).as("l"))
+            .select(col("c_custkey"), col("l.op").as("op"),
+              col("l.cents").as("cents"), col("l.segment").as("segment"))
+          val prev = prevTag match {
+            case Some(t) => sp.read.parquet(f"$stateDir/s$t%03d")
+            case None => resolved.filter(lit(false))
+              .select(col("c_custkey"), col("cents"), col("segment"))
+          }
+          prev.join(resolved.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+            .unionByName(resolved.filter(col("op") =!= "D")
+              .select(col("c_custkey"), col("cents"), col("segment")))
+            .write.mode("overwrite").parquet(f"$stateDir/s$k%03d")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/chk")
+      .start()
+    q.awaitTermination()
+    val lastTag = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("s"))
+      .map(_.getName).sorted.last
+    spark.read.parquet(s"$stateDir/$lastTag").orderBy("c_custkey")
+  }
+
   /** STREAMING drift monitor — q158's PSI freshness gate run as a monitor
     * over ARRIVING data (the ML-ops shape: every ingest batch is scored
     * against a pinned reference before it may join the training corpus):

@@ -473,6 +473,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("cdcApplyReplay: streamed merge chain lands on the one-shot batch fold") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val dir = s"$base/data"; new java.io.File(dir).mkdirs()
+    // a synthetic customer table exercising every op path: keys 1..140
+    // hit the %7 update, %10 delete, and %20 re-insert tiers
+    (1L to 140L).map(k => (k, s"Customer#$k", 1, k * 1.5, s"SEG${k % 3}"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val streamed = Streaming.cdcApplyReplay(spark, dir, s"$base/stage")
+      .as[(Long, Long, String)].collect().toSeq
+    // batch fold twin (q317's shape): union + latest-op-wins + drop D
+    val b = spark.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"),
+      graft.ops.Num.roundz(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+      col("c_mktsegment").as("segment"))
+    val logAll = b.select(col("c_custkey"), lit(0L).as("seq"), lit("I").as("op"),
+        col("cents"), col("segment"))
+      .unionByName(b.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit(1L).as("seq"), lit("U").as("op"),
+          (col("cents") + 1000L).as("cents"), col("segment")))
+      .unionByName(b.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit(2L).as("seq"), lit("D").as("op"),
+          col("cents"), col("segment")))
+      .unionByName(b.filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey"), lit(3L).as("seq"), lit("I").as("op"),
+          lit(555L).as("cents"), lit("WINBACK").as("segment")))
+    val batch = logAll.groupBy(col("c_custkey"))
+      .agg(max(struct(col("seq"), col("op"), col("cents"), col("segment"))).as("l"))
+      .filter(col("l.op") =!= "D")
+      .select(col("c_custkey"), col("l.cents"), col("l.segment"))
+      .orderBy("c_custkey").as[(Long, Long, String)].collect().toSeq
+    assert(streamed == batch, s"stream=${streamed.take(5)}… batch=${batch.take(5)}…")
+    // the delete-then-reinsert tier must be WINBACK, the delete-only tier absent
+    val byKey = streamed.map(r => r._1 -> r).toMap
+    assert(byKey(20L)._3 == "WINBACK" && byKey(20L)._2 == 555L)
+    assert(!byKey.contains(10L) && !byKey.contains(30L))
+  }
+
   test("psiReplay: planted drift in the last batch scores far above the clean ones") {
     // ids 0..39 → span 10; batches 0-2 draw the same value pattern,
     // batch 3 is shifted two bins up — its PSI row must dominate
