@@ -3757,6 +3757,54 @@ object SparkEntry {
       // IS q317's SQL, which makes the gate row the incremental ≡ batch
       // proof. See [[Streaming.cdcApplyReplay]].
       Streaming.cdcApplyReplay(s, dir, s"$TMP/q339_src")),
+    "q340_padding_waste" -> ((s, dir) =>
+      // dynamic-batching padding ledger: docs bucket to the next
+      // power-of-two length tier (the bucketed-batching serving/training
+      // standard) and each tier reports its padding waste in exact basis
+      // points — the number that decides between bucket granularities
+      // (finer tiers = less padding, more batch fragmentation). The tier
+      // is an integer indicator ladder (no float log2, whose exactness
+      // at tier boundaries would be an engine coin-flip); one token-count
+      // pass, one tier aggregate, both map-side combined.
+      T(s, dir, "documents")
+        .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .withColumn("bucket", expr(
+          "CASE WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 " +
+            "WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 " +
+            "WHEN n <= 512 THEN 512 ELSE 1024 END"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_docs"), col("tokens"),
+          (col("n_docs") * col("bucket")).as("padded_tokens"),
+          expr("((n_docs * bucket - tokens) * 10000) div (n_docs * bucket)").as("waste_bp"))
+        .orderBy("bucket")),
+    "q341_rendezvous_shards" -> ((s, dir) => {
+      // rendezvous (highest-random-weight) sharding with a RESIZE audit:
+      // each doc goes to the shard maximizing h(doc, shard), and when the
+      // fleet grows 8 → 9 only docs whose NEW shard wins move — the
+      // ~1/9 relocation bound that makes HRW the shard-assignment scheme
+      // of caches and vector-index fleets (mod-N hashing would move
+      // ~8/9 of the corpus). Assignment is pure map-side integer
+      // arithmetic (argmax via struct max over the shard sequence, ties
+      // to the smallest shard); the gate ledgers per-shard mass before/
+      // after and the moved-in count, so the relocation fraction is
+      // read straight off the row set.
+      def shardOf(n: Int) = expr(
+        s"-array_max(transform(sequence(0, ${n - 1}), s -> " +
+          "struct((doc_id * (1000003 + s * 17) + s * 1009) % 1000000007 AS h, -s AS ns))).ns")
+      val asg = T(s, dir, "documents").select(col("doc_id"),
+        shardOf(8).cast("long").as("s8"), shardOf(9).cast("long").as("s9"))
+        .localCheckpoint(eager = false)
+      val before = asg.groupBy(col("s8").as("shard")).agg(count(lit(1)).as("n_before"))
+      val after = asg.groupBy(col("s9").as("shard")).agg(count(lit(1)).as("n_after"))
+      val moved = asg.filter(col("s8") =!= col("s9"))
+        .groupBy(col("s9").as("shard")).agg(count(lit(1)).as("moved_in"))
+      after.join(before, Seq("shard"), "left")
+        .join(moved, Seq("shard"), "left")
+        .select(col("shard"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+          col("n_after"), coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+        .orderBy("shard")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -9548,6 +9596,38 @@ object SparkEntry {
          |  FROM tp FULL OUTER JOIN ip ON tp.id_a = ip.id_a AND tp.id_b = ip.id_b)
          |SELECT signal, CAST(count(*) AS BIGINT) AS n_pairs
          |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q340_padding_waste" ->
+      // same indicator-ladder tiers, same integer waste arithmetic
+      """WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT CASE WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |    WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+        |    WHEN n <= 512 THEN 512 ELSE 1024 END AS bucket, n FROM t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS tokens,
+        |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+        |  CAST(((count(*) * bucket - sum(n)) * 10000) // (count(*) * bucket) AS BIGINT) AS waste_bp
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q341_rendezvous_shards" ->
+      // same HRW hash, argmax as the rank window the engine's struct-max
+      // replaces; ties to the smallest shard
+      """WITH h AS (SELECT doc_id, s.s AS s,
+        |    (doc_id * (1000003 + s.s * 17) + s.s * 1009) % 1000000007 AS h
+        |  FROM documents, (SELECT unnest(range(0, 9)) AS s) s),
+        |r8 AS (SELECT doc_id, s AS s8, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+        |  FROM h WHERE s < 8),
+        |a8 AS (SELECT doc_id, s8 FROM r8 WHERE rn = 1),
+        |r9 AS (SELECT doc_id, s AS s9, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+        |  FROM h),
+        |a9 AS (SELECT doc_id, s9 FROM r9 WHERE rn = 1),
+        |j AS (SELECT a8.doc_id, a8.s8, a9.s9 FROM a8 JOIN a9 USING (doc_id)),
+        |bf AS (SELECT s8 AS shard, count(*) AS n_before FROM j GROUP BY 1),
+        |af AS (SELECT s9 AS shard, count(*) AS n_after FROM j GROUP BY 1),
+        |mv AS (SELECT s9 AS shard, count(*) AS moved_in FROM j WHERE s8 <> s9 GROUP BY 1)
+        |SELECT af.shard, CAST(coalesce(bf.n_before, 0) AS BIGINT) AS n_before,
+        |  CAST(af.n_after AS BIGINT) AS n_after,
+        |  CAST(coalesce(mv.moved_in, 0) AS BIGINT) AS moved_in
+        |FROM af LEFT JOIN bf USING (shard) LEFT JOIN mv USING (shard)
+        |ORDER BY af.shard""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -1077,6 +1077,17 @@ class PlanSpec extends SparkSpec {
       s"no all-pairs anywhere:\n$plan")
   }
 
+  test("padding waste: ladder + one aggregate, no join, no window (q340)") {
+    val plan = q("q340_padding_waste")
+    assert(!plan.contains("Join") && !plan.contains("Window ("), plan)
+  }
+
+  test("rendezvous shards: assignment is map-side struct-argmax — no per-shard explode join (q341)") {
+    val plan = q("q341_rendezvous_shards")
+    assert(!plan.contains("Generate"), s"argmax is an array fold per row, never explode:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
