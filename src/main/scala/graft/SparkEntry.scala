@@ -3805,6 +3805,77 @@ object SparkEntry {
           col("n_after"), coalesce(col("moved_in"), lit(0L)).as("moved_in"))
         .orderBy("shard")
     }),
+    "q342_pattern_match" -> ((s, dir) => {
+      // event-sequence pattern matching (MATCH_RECOGNIZE-lite, the CEP
+      // gap in Spark's SQL surface): per user, count occurrences of
+      // "view then purchase within the next 2 events, with no error in
+      // between" — the conversion-with-clean-path pattern a funnel count
+      // (q86) can't express because it needs ORDER and EXCLUSION, not
+      // mere presence. One exchange on user_id, one per-user sort, two
+      // lead() columns — the pattern is a map-side boolean over the
+      // window frame, linear in events.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("n1"),
+          lead(col("event_type"), 2).over(w).as("n2"))
+        .filter(col("event_type") === "view" &&
+          (col("n1") === "purchase" ||
+            (col("n1") =!= "error" && col("n2") === "purchase")))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_matches"))
+        .orderBy("user_id")
+    }),
+    "q343_missing_partitions" -> ((s, dir) => {
+      // backfill planning: which calendar days SHOULD exist but don't —
+      // the gap detector an orchestrator runs before scheduling catch-up
+      // jobs (the reference's Airflow DAG assumes yesterday always
+      // landed; this is the check for when it didn't). A day is planted
+      // missing (2024-01-11 filtered out); the expected calendar spans
+      // min..max day and is generated as ONE sequence explode of a 1-row
+      // aggregate (metadata — never a scan), then anti-joined against
+      // the observed days (itself an aggregate frame, |days| rows).
+      val ev = T(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(col("day") =!= "2024-01-11")
+      val observed = ev.select(col("day")).distinct()
+      val bounds = ev.agg(min(col("day").cast("date")).as("lo"),
+        max(col("day").cast("date")).as("hi"))
+      bounds.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+        .join(observed, Seq("day"), "left_anti")
+        .orderBy("day")
+    }),
+    "q344_watermark_sizing" -> ((s, dir) => {
+      // watermark sizing from replayed history: per candidate delay
+      // (1/10/60 min), how many events would arrive LATE — i.e. with
+      // event time below the per-user running max of already-arrived
+      // event times minus the delay. Arrival order is synthesized as
+      // event time + a deterministic 0–30 min jitter (hash of the id),
+      // so out-of-orderness is planted and the oracle replays it
+      // arithmetically. One exchange on user_id, one per-user sort in
+      // arrival order, a single running-max frame shared by all three
+      // candidate delays — the sizing curve costs one pass.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("arr"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsm"))
+        .withColumn("arr", col("tsm") +
+          (col("event_id") * 2654435761L % 1800000000L))
+      val lagged = ev.withColumn("prevmax", max(col("tsm")).over(w))
+      import s.implicits._
+      val delays = Seq(60L, 600L, 3600L).toDF("delay_s")
+      lagged.crossJoin(broadcast(delays))
+        .groupBy(col("delay_s"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("prevmax").isNotNull &&
+            col("tsm") < col("prevmax") - col("delay_s") * 1000000L, 1L)
+            .otherwise(0L)).as("n_late"))
+        .select(col("delay_s"), col("n_events"), col("n_late"),
+          expr("n_late * 10000 div n_events").as("late_bp"))
+        .orderBy("delay_s")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -9628,6 +9699,43 @@ object SparkEntry {
         |  CAST(coalesce(mv.moved_in, 0) AS BIGINT) AS moved_in
         |FROM af LEFT JOIN bf USING (shard) LEFT JOIN mv USING (shard)
         |ORDER BY af.shard""".stripMargin,
+    "q342_pattern_match" ->
+      // identical lead() pattern; NULL tail windows fail the predicate
+      // in both engines (x <> 'error' is NULL, not true, on NULL)
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n2
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches FROM o
+        |WHERE event_type = 'view' AND (n1 = 'purchase' OR (n1 <> 'error' AND n2 = 'purchase'))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q343_missing_partitions" ->
+      // same planted gap, same min..max calendar anti-join
+      """WITH ev AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day FROM events),
+        |f AS (SELECT day FROM ev WHERE day <> '2024-01-11'),
+        |b AS (SELECT min(CAST(day AS DATE)) AS lo, max(CAST(day AS DATE)) AS hi FROM f),
+        |cal AS (SELECT strftime(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)), '%Y-%m-%d') AS day FROM b),
+        |o AS (SELECT DISTINCT day FROM f)
+        |SELECT cal.day FROM cal LEFT JOIN o ON o.day = cal.day
+        |WHERE o.day IS NULL ORDER BY 1""".stripMargin,
+    "q344_watermark_sizing" ->
+      // same deterministic arrival jitter, same per-user running max in
+      // arrival order, same strict lateness inequality
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsm FROM events),
+        |a AS (SELECT user_id, event_id, tsm,
+        |    tsm + (event_id * 2654435761 % 1800000000) AS arr FROM ev),
+        |m AS (SELECT user_id, tsm,
+        |    max(tsm) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM a),
+        |d AS (SELECT CAST(unnest([60, 600, 3600]) AS BIGINT) AS delay_s)
+        |SELECT d.delay_s, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN m.prevmax IS NOT NULL
+        |    AND m.tsm < m.prevmax - d.delay_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(sum(CASE WHEN m.prevmax IS NOT NULL
+        |    AND m.tsm < m.prevmax - d.delay_s * 1000000 THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS late_bp
+        |FROM m CROSS JOIN d GROUP BY d.delay_s ORDER BY 1""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

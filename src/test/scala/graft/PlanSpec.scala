@@ -1088,6 +1088,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("pattern match: one user exchange, leads in one window frame — no self-joins (q342)") {
+    val plan = q("q342_pattern_match")
+    assert(!plan.contains("Join"), s"CEP via window leads, never sequence self-joins:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("missing partitions: calendar from a 1-row aggregate; anti join on |days| frames (q343)") {
+    val plan = q("q343_missing_partitions")
+    assert(plan.contains("Generate"), s"the calendar is one sequence explode:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("watermark sizing: one running-max frame shared by all delays; delays broadcast (q344)") {
+    val plan = q("q344_watermark_sizing")
+    assert(!plan.contains("SinglePartition"),
+      s"the running max must partition by user:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 3-row delay frame must broadcast:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
