@@ -3876,6 +3876,76 @@ object SparkEntry {
           expr("n_late * 10000 div n_events").as("late_bp"))
         .orderBy("delay_s")
     }),
+    "q345_prefix_cache" -> ((s, dir) => {
+      // KV-cache prefix-sharing estimator (the vLLM/SGLang serving win):
+      // at each prefix length N, the fraction of prompts whose first N
+      // tokens another prompt already computed — cache_hit_bp =
+      // (prompts − distinct prefixes) / prompts. ONE corpus pass: the
+      // 3-row N frame broadcasts, prefixes are map-side array slices,
+      // and each N's ledger is a count + distinct aggregate. The curve
+      // falling with N is the cache-depth budget read.
+      import s.implicits._
+      val ns = Seq(4, 8, 16).toDF("n_prefix_tokens")
+      T(s, dir, "documents")
+        .select(expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)").as("tok"))
+        .crossJoin(broadcast(ns))
+        .select(col("n_prefix_tokens"),
+          expr("array_join(slice(tok, 1, n_prefix_tokens), ' ')").as("prefix"))
+        .groupBy(col("n_prefix_tokens"))
+        .agg(count(lit(1)).as("n_prompts"),
+          count_distinct(col("prefix")).as("n_distinct"))
+        .select(col("n_prefix_tokens").cast("long").as("n_prefix_tokens"),
+          col("n_prompts"), col("n_distinct"),
+          expr("(n_prompts - n_distinct) * 10000 div n_prompts").as("cache_hit_bp"))
+        .orderBy("n_prefix_tokens")
+    }),
+    "q346_draft_acceptance" -> ((s, dir) => {
+      // n-gram speculative-decoding acceptance rate: how often the
+      // corpus-bigram argmax continuation equals the actual next token —
+      // the acceptance probability of the cheapest possible draft model,
+      // measured on the corpus itself (the go/no-go number BEFORE
+      // wiring speculative decoding in). Bigram positions fan out
+      // map-side from token arrays (zero joins until scoring); the
+      // argmax table is one vocab-keyed min(struct) aggregate — ties
+      // break to the smallest continuation, exactly as the oracle's rank
+      // window does — and scoring is a single w1-keyed hash join.
+      val pairs = T(s, dir, "documents")
+        .withColumn("tok", expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"))
+        .select(explode(expr(
+          "transform(sequence(1, size(tok) - 1), i -> " +
+            "struct(element_at(tok, i) AS w1, element_at(tok, i + 1) AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint(eager = false)
+      val best = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .groupBy(col("w1"))
+        .agg(min(struct((-col("c")).as("nc"), col("w2"))).as("b"))
+        .select(col("w1"), col("b.w2").as("draft"))
+      pairs.join(best, Seq("w1"))
+        .agg(count(lit(1)).as("n_positions"),
+          sum(when(col("w2") === col("draft"), 1L).otherwise(0L)).as("n_hits"))
+        .select(col("n_positions"), col("n_hits"),
+          expr("n_hits * 10000 div n_positions").as("acc_bp"))
+    }),
+    "q347_retrieval_overlap" -> ((s, dir) => {
+      // semantic-cache sizing: how much do different queries' retrieved
+      // contexts OVERLAP — query pairs sharing k of their top-5
+      // neighbors are the cache hits a result/context cache would serve
+      // without re-scoring. Top-5 per query from q45's broadcast-queries
+      // scan; the overlap join runs on the |queries|×5 frame (metadata),
+      // pair-keyed, never touching the corpus again.
+      val emb = T(s, dir, "embeddings")
+      val top5 = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = false)
+      top5.select(col("query_id").as("query_a"), col("neighbor_id"))
+        .join(top5.select(col("query_id").as("query_b"), col("neighbor_id")),
+          Seq("neighbor_id"))
+        .filter(col("query_a") < col("query_b"))
+        .groupBy(col("query_a"), col("query_b"))
+        .agg(count(lit(1)).as("shared"))
+        .orderBy("query_a", "query_b")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -9736,6 +9806,50 @@ object SparkEntry {
         |    AND m.tsm < m.prevmax - d.delay_s * 1000000 THEN 1 ELSE 0 END) * 10000
         |    // count(*) AS BIGINT) AS late_bp
         |FROM m CROSS JOIN d GROUP BY d.delay_s ORDER BY 1""".stripMargin,
+    "q345_prefix_cache" ->
+      // same tokenization, same list-slice prefixes (DuckDB slices are
+      // 1-based inclusive), same hit arithmetic
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS tok FROM documents),
+        |n AS (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS n_prefix_tokens),
+        |p AS (SELECT n.n_prefix_tokens,
+        |    array_to_string(t.tok[1 : CAST(n.n_prefix_tokens AS INT)], ' ') AS prefix
+        |  FROM t CROSS JOIN n)
+        |SELECT n_prefix_tokens, CAST(count(*) AS BIGINT) AS n_prompts,
+        |  CAST(count(DISTINCT prefix) AS BIGINT) AS n_distinct,
+        |  CAST((count(*) - count(DISTINCT prefix)) * 10000 // count(*) AS BIGINT) AS cache_hit_bp
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q346_draft_acceptance" ->
+      // argmax stated as the rank window the engine's min(struct)
+      // replaces; ties to the smallest continuation in both
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS tok FROM documents),
+        |pr AS (SELECT doc_id, i.i AS i, tok[CAST(i.i AS INT)] AS w1,
+        |    tok[CAST(i.i AS INT) + 1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(tok))) AS i) i),
+        |c AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
+        |r AS (SELECT w1, w2 AS draft,
+        |    row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn FROM c),
+        |b AS (SELECT w1, draft FROM r WHERE rn = 1),
+        |sc AS (SELECT pr.w2, b.draft FROM pr JOIN b USING (w1))
+        |SELECT CAST(count(*) AS BIGINT) AS n_positions,
+        |  CAST(sum(CASE WHEN w2 = draft THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN w2 = draft THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS acc_bp
+        |FROM sc""".stripMargin,
+    "q347_retrieval_overlap" ->
+      // q45's top-5 scoring twice + a pair-keyed overlap count
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s),
+        |t5 AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5)
+        |SELECT a.query_id AS query_a, b.query_id AS query_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM t5 a JOIN t5 b ON a.neighbor_id = b.neighbor_id AND a.query_id < b.query_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

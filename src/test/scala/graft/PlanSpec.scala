@@ -1108,6 +1108,24 @@ class PlanSpec extends SparkSpec {
       s"the 3-row delay frame must broadcast:\n$plan")
   }
 
+  test("prefix cache: one corpus pass, N frame broadcast, slices map-side (q345)") {
+    val plan = q("q345_prefix_cache")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 3-row N frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("draft acceptance: argmax is one vocab aggregate; scoring one w1-keyed join (q346)") {
+    val plan = q("q346_draft_acceptance")
+    assert(!plan.contains("Window ("), s"argmax via min(struct), never a rank window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("retrieval overlap: pair counting on the |q|x5 frame only — corpus scanned once (q347)") {
+    val plan = q("q347_retrieval_overlap")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
