@@ -3946,6 +3946,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("shared"))
         .orderBy("query_a", "query_b")
     }),
+    "q348_lsh_cost_plan" -> ((s, dir) =>
+      // dedup-join CAPACITY PLANNING from the stored band index: per
+      // band, bucket count, the largest bucket, and Σ n(n−1)/2 — the
+      // EXACT candidate-pair volume the banded join will generate, read
+      // from metadata BEFORE the join runs. This is the number that
+      // decides df-caps and shard budgets at 100 TB (a single hot bucket
+      // of 10⁵ docs is 5·10⁹ pairs); the whole plan costs one
+      // (band, band_hash) aggregate over the already-materialized index,
+      // never touching text or signatures. band_hash is injective for
+      // 2-row bands (h₁·p + h₂ with h < p), so bucket sizes equal the
+      // oracle's string-keyed buckets exactly.
+      dedupIndexBands(s, dir)
+        .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+          sum(expr("n * (n - 1) div 2")).as("candidate_pairs"))
+        .select(col("band").cast("long").as("band"), col("n_buckets"),
+          col("max_bucket"), col("candidate_pairs"))
+        .orderBy("band")),
+    "q349_oov_drift" -> ((s, dir) => {
+      // tokenizer drift monitoring: the OOV rate of each NEW source under
+      // a vocabulary frozen on the OLD corpus (top-100 tokens of sources
+      // 0–9) — the maintenance signal that says when a tokenizer trained
+      // on last year's crawl stops fitting this year's (rising OOV =
+      // rising fertility = wasted context). The frozen vocabulary is
+      // top-k via the ordered limit (TakeOrdered) and BROADCASTS onto
+      // the new half's one token pass; OOV share in exact basis points.
+      val docs = T(s, dir, "documents")
+        .withColumn("src_n", expr("CAST(substring(source, 4) AS INT)"))
+      def toks(df: DataFrame) = df.select(col("source"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")).as("w"))
+      val vocab = toks(docs.filter(col("src_n") < 10))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+        .select(col("w"), lit(1L).as("__in"))
+      toks(docs.filter(col("src_n") >= 10))
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov"))
+        .select(col("source"), col("tokens"), col("oov"),
+          expr("oov * 10000 div tokens").as("oov_bp"))
+        .orderBy("source")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -5076,6 +5120,29 @@ object SparkEntry {
        |  FROM cand JOIN sig a ON a.doc_id = cand.id_a JOIN sig b ON b.doc_id = cand.id_b)
        |SELECT id_a, id_b, (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) AS est_jaccard FROM est
        |WHERE (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) >= 0.25 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q348's oracle: q44's signature/band CTEs, then per-band bucket-size
+    * aggregation — the exact candidate-pair volume Σ n(n−1)/2. The string
+    * band key (h₂ᵦ || ',' || h₂ᵦ₊₁) buckets identically to the engine's
+    * injective numeric band_hash (h·p + h' with h < p). */
+  private val q348Sql: String = {
+    import graft.functions.HashFamily
+    val sigCols = (0 until 16).map(i => s"min(${HashFamily.affineSql(i, "x")}) AS h$i").mkString(", ")
+    val bandKey = (0 until 8).map(b => s"WHEN $b THEN h${2 * b} || ',' || h${2 * b + 1}").mkString(" ")
+    val bandVals = (0 until 8).map(b => s"($b)").mkString(", ")
+    s"""WITH ws AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS shingle
+       |  FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+       |rh AS (SELECT doc_id, ${krSql("shingle")} AS x FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM rh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, t.band, CASE t.band $bandKey END AS bkey
+       |  FROM sig, (VALUES $bandVals) AS t(band)),
+       |bk AS (SELECT band, bkey, count(*) AS n FROM banded GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(n) AS BIGINT) AS max_bucket,
+       |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+       |FROM bk GROUP BY band ORDER BY band""".stripMargin
   }
 
   /** Per-SOURCE sketch comparison (q293): q44's signature CTEs grouped by
@@ -9850,6 +9917,23 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS shared
         |FROM t5 a JOIN t5 b ON a.neighbor_id = b.neighbor_id AND a.query_id < b.query_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q348_lsh_cost_plan" -> q348Sql,
+    "q349_oov_drift" ->
+      // same frozen top-100 vocabulary (count desc, token), same OOV
+      // left-join accounting
+      """WITH d AS (SELECT source, CAST(substr(source, 4) AS INT) AS src_n, text FROM documents),
+        |ot AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS w FROM d WHERE src_n < 10),
+        |vc AS (SELECT w, count(*) AS c FROM ot GROUP BY 1),
+        |vr AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM vc),
+        |vocab AS (SELECT w FROM vr WHERE rn <= 100),
+        |nt AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS w FROM d WHERE src_n >= 10)
+        |SELECT nt.source, CAST(count(*) AS BIGINT) AS tokens,
+        |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+        |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS oov_bp
+        |FROM nt LEFT JOIN vocab ON vocab.w = nt.w
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -1126,6 +1126,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("lsh cost plan: two aggregates over the materialized band-index scan only (q348)") {
+    val plan = q("q348_lsh_cost_plan")
+    assert(!plan.contains("Join"), s"capacity planning never joins, only aggregates:\n$plan")
+    assert(plan.contains("Scan parquet"), s"must read the stored index:\n$plan")
+  }
+
+  test("oov drift: frozen vocab is TakeOrdered top-k and broadcasts onto one token pass (q349)") {
+    val plan = q("q349_oov_drift")
+    assert(plan.contains("TakeOrderedAndProject"), s"vocab must be a heap top-k:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"the 100-row vocab must broadcast:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
