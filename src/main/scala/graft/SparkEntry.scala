@@ -3990,6 +3990,299 @@ object SparkEntry {
           expr("oov * 10000 div tokens").as("oov_bp"))
         .orderBy("source")
     }),
+    "q350_grouped_rank_normalize" -> ((s, dir) => {
+      // per-SOURCE quantile normalization (the grouped twin of q173's
+      // global rank transform): each doc's length maps to its percentile
+      // within its own source — the feature-engineering step that makes
+      // length comparable across sources with wildly different length
+      // distributions. Ranks come from [[TwoPhase.prefixSumKeyed]]
+      // (value = 1): at 100 TB a single source's rows are corpus-sized,
+      // so partitionBy(source) alone would serialize each source onto
+      // one task; percentiles in exact basis points from the broadcast
+      // per-source counts.
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = TwoPhase.prefixSumKeyed(base, "source", col("n_chars"),
+        Seq(col("n_chars"), col("doc_id")), lit(1L), "rank")
+      val counts = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      ranked.join(broadcast(counts), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("(rank - 1) * 10000 div (cnt - 1)").as("pct_bp"))
+        .orderBy("doc_id")
+    }),
+    "q351_quality_survivorship" -> ((s, dir) => {
+      // quality-aware near-dup survivorship: per component of the SHARED
+      // materialized MinHash index, keep the member with the highest
+      // quality score (ties to the smallest id) — what production dedup
+      // actually ships (q105's min-id representative is the arbitrary
+      // baseline; keeping the BEST copy is the point of having found the
+      // cluster). One id-keyed join of the stored component map against
+      // the expression-native quality scores, then a single
+      // max(struct(quality, −id)) aggregate per component — no window,
+      // no re-derivation of the pair graph.
+      val (_, components) = dedupIndex(s, dir)
+      val quality = T(s, dir, "documents").select(col("doc_id").as("node"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      components.join(quality, Seq("node"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality"), (-col("node")).as("negid"))).as("b"))
+        .select(col("component"), (-col("b.negid")).as("keeper_id"),
+          col("n_members"), col("b.quality").as("kept_quality"))
+        .orderBy("component")
+    }),
+    "q352_dup_weighting" -> ((s, dir) => {
+      // duplicate-aware SAMPLING WEIGHTS from the shared component index:
+      // instead of dropping near-dup members (q105), weight each member
+      // 1/cluster_size so every cluster contributes one document's worth
+      // of training mass — the down-weighting alternative production
+      // pipelines ship when provenance rules forbid deletion. Weights in
+      // exact basis points (10000 div size; the ≤size-1 quantization loss
+      // per cluster is the documented price of integer determinism); the
+      // per-source ledger (raw docs vs effective mass) is what the
+      // mixture planner (q261) consumes. Cost: the component map and its
+      // size table are cluster-sized — both broadcast back onto the one
+      // corpus-sized scan; no corpus shuffle at all before the final
+      // |sources|-row aggregate.
+      val (_, components) = dedupIndex(s, dir)
+      val sizes = components.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+      val weighted = T(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(broadcast(components.withColumnRenamed("node", "doc_id")),
+          Seq("doc_id"), "left")
+        .join(broadcast(sizes), Seq("component"), "left")
+        .withColumn("w_bp", coalesce(expr("10000 div csize"), lit(10000L)))
+      weighted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w_bp")).as("eff_bp"))
+        .select(col("source"), col("n_docs"), col("eff_bp"),
+          expr("eff_bp div n_docs").as("avg_w_bp"))
+        .orderBy("source")
+    }),
+    "q353_shard_checksum" -> ((s, dir) => {
+      // anti-entropy shard comparison (Dynamo/Cassandra Merkle-lite): two
+      // replicas of a table are compared by ORDER-INVARIANT per-shard
+      // checksums — sum of per-row Karp–Rabin fingerprints — so divergence
+      // localizes to dirty shards at O(|shards|) wire cost instead of a
+      // corpus-sized row join (q123's CDC diff is what you run AFTER this
+      // says which shards to bother with). Per-row values stay < 2^31
+      // (the q53 fingerprint ring), so a 64-bit sum is exact for < 2^32
+      // rows/shard in BOTH engines (DuckDB would widen to HUGEINT, Spark
+      // would wrap — staying under the ring bound sidesteps both); a
+      // 100 TB deployment shards by file/partition id the same way. The
+      // "replica B" here is a deterministic in-flight perturbation (docs
+      // with id % 97 == 0 gain a trailing space) — the gate proves the
+      // checksum catches exactly those shards.
+      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      def sums(df: DataFrame, out: String): DataFrame = df
+        .withColumn("fp", graft.functions.RollingHash(col("text")))
+        .withColumn("rowh", expr("(fp * 31 + doc_id) % 1000000007"))
+        .groupBy(expr("doc_id % 16").as("shard"))
+        .agg(count(lit(1)).as(s"n_$out"), sum(col("rowh")).as(s"sum_$out"))
+      val b = base.withColumn("text",
+        when(col("doc_id") % 97 === 0, concat(col("text"), lit(" ")))
+          .otherwise(col("text")))
+      sums(base, "a").join(broadcast(sums(b, "b")), Seq("shard"))
+        .select(col("shard").cast("long").as("shard"), col("n_a").as("n_rows"),
+          col("sum_a"), col("sum_b"),
+          (col("sum_a") =!= col("sum_b")).as("dirty"))
+        .orderBy("shard")
+    }),
+    "q354_bitext_margin" -> ((s, dir) => {
+      // margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix
+      // pair-scoring rule): a forward neighbor's raw cosine is normalized
+      // by the mean cosine of BOTH endpoints' k-NN neighborhoods —
+      // margin = cos(x,y) / ((avg_kNN(x) + avg_kNN(y)) / 2) — which
+      // demotes "hub" vectors that are near everything. Pools split by
+      // vec_id parity (the two "languages"); the backward penalty is
+      // computed ONLY for the ≤ |queries|·k forward candidates (broadcast
+      // back over one X-pool scan) — the shortlist bound that makes the
+      // rule affordable at corpus scale, where both directions would run
+      // on the IVF index (q58) instead of the exact scan. All ranking
+      // arithmetic on exact bp-quantized cosines; the one float op is a
+      // single IEEE division of exact integers, bit-identical cross-engine.
+      val emb = T(s, dir, "embeddings")
+      val xs = emb.filter(col("vec_id") % 2 === 0)
+      val ys = emb.filter(col("vec_id") % 2 === 1)
+      val fwd = Similarity.cosineTopK(ys, xs.filter(col("vec_id") < 16),
+          "vec_id", "embedding", 4)
+        .withColumn("cos_bp", expr("CAST(round(cosine * 10000) AS BIGINT)"))
+      val px = fwd.groupBy(col("query_id")).agg(sum(col("cos_bp")).as("px_bp"))
+      val cands = emb.join(
+        broadcast(fwd.select(col("neighbor_id").as("vec_id")).distinct()),
+        Seq("vec_id"))
+      val py = Similarity.cosineTopK(xs, cands, "vec_id", "embedding", 4)
+        .withColumn("cos_bp", expr("CAST(round(cosine * 10000) AS BIGINT)"))
+        .groupBy(col("query_id")).agg(sum(col("cos_bp")).as("py_bp"))
+        .withColumnRenamed("query_id", "neighbor_id")
+      fwd.join(broadcast(px), Seq("query_id"))
+        .join(broadcast(py), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cos_bp"),
+          col("px_bp"), col("py_bp"),
+          Num.roundz((col("cos_bp") * 8).cast("double") /
+            (col("px_bp") + col("py_bp")).cast("double"), 4).as("margin"))
+        .orderBy(col("query_id"), col("margin").desc, col("neighbor_id"))
+    }),
+    "q355_bucketed_batching" -> ((s, dir) => {
+      // length-bucketed batch ASSEMBLY (the plan q340's waste ledger only
+      // measures): docs tier to a power-of-two length bucket, order by
+      // (length, id) within the tier, and greedy-pack contiguously into
+      // fixed 2048-token batches — batch id = exclusive prefix sum of
+      // token counts div budget. The prefix sum is the keyed two-phase
+      // form ([[TwoPhase.prefixSumKeyed]]): at 100 TB a single tier is
+      // corpus-sized, so a partitionBy(bucket) window would serialize
+      // each tier onto one task; here each tier's offsets are a ≤32-row
+      // broadcast and the scan stays fully parallel.
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .withColumn("bucket", expr(
+          "CASE WHEN n <= 64 THEN '64' WHEN n <= 128 THEN '128' " +
+            "WHEN n <= 256 THEN '256' WHEN n <= 512 THEN '512' " +
+            "ELSE '1024' END"))
+      TwoPhase.prefixSumKeyed(toks, "bucket", col("n"),
+          Seq(col("n"), col("doc_id")), col("n"), "cum")
+        .withColumn("batch", expr("(cum - n) div 2048"))
+        .groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+        .orderBy("bucket", "batch")
+    }),
+    "q356_bottomk_sample" -> ((s, dir) => {
+      // per-source CONSISTENT bottom-k sample (minwise/bottom-k sketch):
+      // priority = MINSTD Lehmer hash of the id, keep the 8 smallest per
+      // source. Unlike rand()-based sampling the membership is a pure
+      // function of the id — re-runs, backfills, and shard-local samples
+      // agree, and two sources' samples union-merge into the corpus
+      // sample (the bottom-k mergeability that makes this THE distributed
+      // sampling primitive). Ranking is the two-phase per-partition
+      // k-heap ([[Similarity.topKPerQuery]]): a corpus-sized source never
+      // serializes under a partitionBy window. The source→long key map is
+      // a |sources|-row frame; its hash injectivity is asserted by a
+      // metadata-sized action rather than assumed.
+      val docs = T(s, dir, "documents")
+      val srcIds = docs.select(col("source")).distinct()
+        .withColumn("sid", graft.functions.RollingHash(col("source")))
+      val chk = srcIds.agg(countDistinct(col("sid")).as("a"),
+        count(lit(1)).as("b")).first()
+      require(chk.getLong(0) == chk.getLong(1),
+        "q356: source-key hash collision — widen the key")
+      val scored = docs.join(broadcast(srcIds), Seq("source"))
+        .select(col("sid").as("query_id"), col("doc_id").as("neighbor_id"),
+          negate(((col("doc_id") * lit(48271L)) % lit(2147483647L))
+            .cast("double")).as("cosine"))
+      Similarity.topKPerQuery(scored, 8)
+        .join(broadcast(srcIds), col("query_id") === col("sid"))
+        .select(col("source"), col("neighbor_id").as("doc_id"),
+          negate(col("cosine")).cast("long").as("priority"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+    "q357_heaps_law" -> ((s, dir) => {
+      // vocabulary-growth (Heaps' law) curve: distinct bigram types vs
+      // corpus prefix size at 4 doc-count checkpoints. The trick that
+      // makes "distinct types in every prefix" one pass instead of 4:
+      // each type's FIRST-occurrence doc id is a single min() aggregate,
+      // and vocab(N) = |{types: first < N}| — the token-sized frame is
+      // scanned once, the ≤4-row checkpoint frame broadcasts onto the
+      // type-sized and doc-sized summaries only. (The synthetic corpus
+      // saturates its tiny vocab early — flat curve, exact values; real
+      // crawls give the V ∝ n^β sub-linear climb.)
+      val docs = T(s, dir, "documents")
+      val cps = docs.agg(count(lit(1)).as("dd"))
+        .crossJoin(s.range(1, 5).toDF("i"))
+        .select(col("i"), expr("dd * i div 4").as("n_docs"))
+      val tok = docs.withColumn("__w", split(lower(col("text")), "\\s+"))
+        .filter(size(col("__w")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("__w")) - 1),
+          j => concat(element_at(col("__w"), j), lit(" "),
+            element_at(col("__w"), j + 1)))).as("bg"))
+      val vocab = tok.groupBy(col("bg")).agg(min(col("doc_id")).as("fd"))
+        .join(broadcast(cps), col("fd") < col("n_docs"))
+        .groupBy(col("i"), col("n_docs")).agg(count(lit(1)).as("vocab"))
+      val toks = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+        .join(broadcast(cps), col("doc_id") < col("n_docs"))
+        .groupBy(col("i"), col("n_docs")).agg(sum(col("nt")).as("tokens"))
+      vocab.join(toks, Seq("i", "n_docs"))
+        .select(col("i"), col("n_docs"), col("tokens"), col("vocab"),
+          expr("vocab * 10000 div tokens").as("types_per_10k"))
+        .orderBy("i")
+    }),
+    "q358_resource_allocation" -> ((s, dir) => {
+      // link prediction by the Resource Allocation index (Zhou–Lü–Zhang
+      // 2009): for a focal seed batch, score each non-neighbor candidate
+      // by Σ_{z ∈ N(seed)∩N(cand)} 1/deg(z) — Adamic–Adar's stronger
+      // sibling, and exact here because 1/deg quantizes to integer basis
+      // points map-side (no float log, no summation-order drift). Edges
+      // come from the SHARED materialized co-purchase index; cost is
+      // q324's focal bound (|seeds|·deg·deg candidate rows, never
+      // all-pairs), the degree weights join on the z key the path join
+      // already partitioned by (no extra exchange), and the existing-edge
+      // exclusion anti join shares the final (seed, cand) exchange with
+      // the scoring aggregate.
+      val edges = copurchaseEdges(s, dir)
+      val w = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .select(col("src").as("z"), expr("10000 div d").as("w_bp"))
+      val paths = edges.filter(col("src") < 8)
+        .select(col("src").as("seed"), col("dst").as("z"))
+        .join(edges.select(col("src").as("z"), col("dst").as("cand")), Seq("z"))
+        .filter(col("cand") =!= col("seed"))
+      paths.join(w, Seq("z"))
+        .join(edges.select(col("src").as("seed"), col("dst").as("cand")),
+          Seq("seed", "cand"), "left_anti")
+        .groupBy(col("seed"), col("cand"))
+        .agg(count(lit(1)).as("common_n"), sum(col("w_bp")).as("ra_bp"))
+        .select(col("seed"), col("cand").as("candidate"), col("common_n"),
+          col("ra_bp"))
+        .orderBy(col("seed"), col("ra_bp").desc, col("candidate"))
+    }),
+    "q359_ab_ztest" -> ((s, dir) => {
+      // two-proportion z-test per metric: arms by user parity (the
+      // deterministic stand-in for an assignment table), success = event
+      // value over threshold. Counts stay exact longs through one
+      // map-side-combined aggregate — the whole experiment readout is
+      // |metrics| rows, and the only float work is the final pooled-z
+      // expression on those rows (identical op order in both engines).
+      // The production shape at 100 TB: one scan, one hash aggregate,
+      // no per-arm passes.
+      val g = T(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).as("arm"),
+          when(col("value") > 50, 1L).otherwise(0L).as("sflag"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("sflag")).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("sflag")).otherwise(0L)).as("c1"))
+      g.select(col("event_type"), col("n0"), col("c0"), col("n1"), col("c1"),
+          Num.roundz(expr(
+            "(CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) / " +
+              "sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1)) * " +
+              "(CAST(1 AS DOUBLE) - CAST(c0+c1 AS DOUBLE)/(n0+n1)) * " +
+              "(CAST(1 AS DOUBLE)/n0 + CAST(1 AS DOUBLE)/n1))"), 4).as("z"))
+        .withColumn("significant", abs(col("z")) > 1.96)
+        .orderBy("event_type")
+    }),
+    "q360_wilson_rank" -> ((s, dir) =>
+      // "how not to sort by average rating": rank parts by return rate
+      // using the Wilson score LOWER bound (z = 1.96) instead of the
+      // naive proportion — a 1/1 returner no longer outranks a 17/30.
+      // One hash aggregate to |parts| rows of exact integer counts; the
+      // bound is a fixed float expression on that metadata frame and the
+      // top-20 is a TakeOrdered heap (ordered on the ROUNDED bound so
+      // cross-engine ordering can never hinge on a last-ulp difference).
+      T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+        .select(col("l_partkey"), col("n"), col("pos"),
+          expr("pos * 10000 div n").as("naive_bp"),
+          Num.roundz(expr(
+            "(CAST(pos AS DOUBLE)/n + CAST(1.9208 AS DOUBLE)/n - " +
+              "CAST(1.96 AS DOUBLE)*sqrt((CAST(pos AS DOUBLE)/n*" +
+              "(CAST(1 AS DOUBLE)-CAST(pos AS DOUBLE)/n) + " +
+              "CAST(0.9604 AS DOUBLE)/n)/n)) / " +
+              "(CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE)/n)"), 4)
+            .as("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("l_partkey"))
+        .limit(20)),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -9934,6 +10227,212 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS oov_bp
         |FROM nt LEFT JOIN vocab ON vocab.w = nt.w
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q350_grouped_rank_normalize" ->
+      // the per-source window IS what prefixSumKeyed replaces; same
+      // exact-bp percentile arithmetic
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rank,
+        |    count(*) OVER (PARTITION BY source) AS cnt FROM documents)
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST((rank - 1) * 10000 // (cnt - 1) AS BIGINT) AS pct_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q351_quality_survivorship" ->
+      // q44's pair graph + the recursive component labels + q51's exact
+      // quality formula; argmax as the rank window the engine's
+      // max(struct) replaces, ties to the smallest id
+      s"""WITH RECURSIVE pairs AS ($q44Sql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |conn(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+         |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |f AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS toks,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|a)\\b')) AS DOUBLE) AS stop
+         |  FROM documents),
+         |ql AS (SELECT doc_id, (round(
+         |  (CASE WHEN len >= 100 AND len <= 10000 THEN CAST(1.0 AS DOUBLE) WHEN len >= 20 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+         |  + (CASE WHEN len > 0 THEN alpha / len ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+         |  + (CASE WHEN toks > 0 THEN least(stop / toks * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE),
+         |  4) + 0.0) AS quality FROM f),
+         |mem AS (SELECT l.component, l.node, q.quality FROM lab l JOIN ql q ON q.doc_id = l.node),
+         |r AS (SELECT component, node, quality,
+         |    row_number() OVER (PARTITION BY component ORDER BY quality DESC, node) AS rn,
+         |    count(*) OVER (PARTITION BY component) AS n_members FROM mem)
+         |SELECT CAST(component AS BIGINT) AS component, CAST(node AS BIGINT) AS keeper_id,
+         |  CAST(n_members AS BIGINT) AS n_members, quality AS kept_quality
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
+    "q352_dup_weighting" ->
+      // same recursive component labels as q351; singletons (no component
+      // row) keep full weight 10000 via the left joins
+      s"""WITH RECURSIVE pairs AS ($q44Sql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |conn(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
+         |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |sizes AS (SELECT component, count(*) AS csize FROM lab GROUP BY 1),
+         |w AS (SELECT d.doc_id, d.source,
+         |    COALESCE(CAST(10000 // s.csize AS BIGINT), 10000) AS w_bp
+         |  FROM documents d
+         |  LEFT JOIN lab l ON l.node = d.doc_id
+         |  LEFT JOIN sizes s ON s.component = l.component)
+         |SELECT source, count(*) AS n_docs, CAST(sum(w_bp) AS BIGINT) AS eff_bp,
+         |  CAST(sum(w_bp) // count(*) AS BIGINT) AS avg_w_bp
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q353_shard_checksum" ->
+      // the q53 byte-rolling fingerprint inlined for both replicas; the
+      // per-row hash mixes in doc_id so a row SWAP (not just an edit)
+      // also dirties the shard sum
+      """WITH fa AS (SELECT doc_id, list_reduce(
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents),
+        |pert AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN text || ' ' ELSE text END AS text
+        |  FROM documents),
+        |fb AS (SELECT doc_id, list_reduce(
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp FROM pert),
+        |sa AS (SELECT doc_id % 16 AS shard, count(*) AS n_rows,
+        |    CAST(sum((fp * 31 + doc_id) % 1000000007) AS BIGINT) AS sum_a
+        |  FROM fa GROUP BY 1),
+        |sb AS (SELECT doc_id % 16 AS shard,
+        |    CAST(sum((fp * 31 + doc_id) % 1000000007) AS BIGINT) AS sum_b
+        |  FROM fb GROUP BY 1)
+        |SELECT CAST(sa.shard AS BIGINT) AS shard, sa.n_rows, sa.sum_a, sb.sum_b,
+        |  (sa.sum_a <> sb.sum_b) AS dirty
+        |FROM sa JOIN sb USING (shard) ORDER BY shard""".stripMargin,
+    "q354_bitext_margin" ->
+      // forward and backward top-4 both as the exact q45 scoring shape;
+      // margin from the bp-quantized sums, one IEEE division at the end
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |xq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 2 = 0 AND vec_id < 16),
+        |yc AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id % 2 = 1),
+        |fs AS (SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM yc CROSS JOIN xq),
+        |fr AS (SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM fs),
+        |fwd AS (SELECT query_id, neighbor_id,
+        |    CAST(round(cosine * 10000) AS BIGINT) AS cos_bp FROM fr WHERE rn <= 4),
+        |px AS (SELECT query_id, CAST(sum(cos_bp) AS BIGINT) AS px_bp FROM fwd GROUP BY 1),
+        |nq AS (SELECT DISTINCT neighbor_id AS query_id FROM fwd),
+        |nqv AS (SELECT nq.query_id, e.v AS qv FROM nq JOIN e ON e.vec_id = nq.query_id),
+        |xc AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id % 2 = 0),
+        |bs AS (SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM xc CROSS JOIN nqv),
+        |br AS (SELECT query_id, (round(cosine, 4) + 0.0) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM bs),
+        |py AS (SELECT query_id AS neighbor_id,
+        |    CAST(sum(CAST(round(cosine * 10000) AS BIGINT)) AS BIGINT) AS py_bp
+        |  FROM br WHERE rn <= 4 GROUP BY 1)
+        |SELECT f.query_id, f.neighbor_id, f.cos_bp, px.px_bp, py.py_bp,
+        |  (round(CAST(f.cos_bp * 8 AS DOUBLE) / CAST(px.px_bp + py.py_bp AS DOUBLE), 4) + 0.0) AS margin
+        |FROM fwd f JOIN px USING (query_id) JOIN py USING (neighbor_id)
+        |ORDER BY query_id, margin DESC, neighbor_id""".stripMargin,
+    "q355_bucketed_batching" ->
+      // the per-bucket window IS what prefixSumKeyed replaces; exclusive
+      // prefix = inclusive minus own n, batch id by integer division
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    CASE WHEN n <= 64 THEN '64' WHEN n <= 128 THEN '128'
+        |         WHEN n <= 256 THEN '256' WHEN n <= 512 THEN '512'
+        |         ELSE '1024' END AS bucket FROM t),
+        |c AS (SELECT bucket, doc_id, n,
+        |    sum(n) OVER (PARTITION BY bucket ORDER BY n, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+        |SELECT bucket, CAST((cum - n) // 2048 AS BIGINT) AS batch,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens
+        |FROM c GROUP BY 1, 2 ORDER BY bucket, batch""".stripMargin,
+    "q356_bottomk_sample" ->
+      // the per-source rank window IS what the two-phase k-heap replaces
+      """WITH p AS (SELECT doc_id, source,
+        |    (doc_id * 48271) % 2147483647 AS priority FROM documents),
+        |r AS (SELECT source, doc_id, priority,
+        |    row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
+        |  FROM p)
+        |SELECT source, doc_id, priority, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 8 ORDER BY source, rn""".stripMargin,
+    "q357_heaps_law" ->
+      // same bigram convention as q100; vocab(N) via each type's
+      // first-occurrence doc, token mass via per-doc counts
+      """WITH d AS (SELECT count(*) AS dd FROM documents),
+        |cp AS (SELECT CAST(i AS BIGINT) AS i, dd * i // 4 AS n_docs
+        |  FROM d CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) t),
+        |w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l FROM documents),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS bg
+        |  FROM w WHERE len(l) >= 2),
+        |fo AS (SELECT bg, min(doc_id) AS fd FROM tok GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+        |v AS (SELECT cp.i, cp.n_docs, count(*) AS vocab
+        |  FROM cp JOIN fo ON fo.fd < cp.n_docs GROUP BY 1, 2),
+        |tc AS (SELECT cp.i, CAST(sum(pd.nt) AS BIGINT) AS tokens
+        |  FROM cp JOIN pd ON pd.doc_id < cp.n_docs GROUP BY 1)
+        |SELECT v.i, v.n_docs, tc.tokens, v.vocab,
+        |  v.vocab * 10000 // tc.tokens AS types_per_10k
+        |FROM v JOIN tc ON tc.i = v.i ORDER BY v.i""".stripMargin,
+    "q358_resource_allocation" ->
+      // symmetric co-purchase edges as in q125 (both directions), RA
+      // weight = exact integer basis points of 1/deg
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |w AS (SELECT src AS z, CAST(10000 // count(*) AS BIGINT) AS w_bp
+        |  FROM e GROUP BY 1),
+        |p AS (SELECT e1.src AS seed, e1.dst AS z, e2.dst AS cand
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |  WHERE e1.src < 8 AND e2.dst <> e1.src),
+        |np AS (SELECT p.seed, p.z, p.cand FROM p
+        |  LEFT JOIN e ON e.src = p.seed AND e.dst = p.cand
+        |  WHERE e.src IS NULL)
+        |SELECT np.seed, np.cand AS candidate, count(*) AS common_n,
+        |  CAST(sum(w.w_bp) AS BIGINT) AS ra_bp
+        |FROM np JOIN w ON w.z = np.z GROUP BY 1, 2
+        |ORDER BY np.seed, ra_bp DESC, candidate""".stripMargin,
+    "q359_ab_ztest" ->
+      // identical pooled-z expression, identical cast order
+      """WITH b AS (SELECT event_type, user_id % 2 AS arm,
+        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS sflag FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN sflag ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN sflag ELSE 0 END) AS BIGINT) AS c1
+        |  FROM b GROUP BY 1),
+        |zz AS (SELECT event_type, n0, c0, n1, c1,
+        |  (round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
+        |    sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1)) *
+        |    (CAST(1 AS DOUBLE) - CAST(c0+c1 AS DOUBLE)/(n0+n1)) *
+        |    (CAST(1 AS DOUBLE)/n0 + CAST(1 AS DOUBLE)/n1)), 4) + 0.0) AS z
+        |  FROM g)
+        |SELECT event_type, n0, c0, n1, c1, z, abs(z) > 1.96 AS significant
+        |FROM zz ORDER BY event_type""".stripMargin,
+    "q360_wilson_rank" ->
+      // identical Wilson lower-bound expression; ORDER on the rounded
+      // bound so the heap can never hinge on a last-ulp difference
+      """WITH s AS (SELECT l_partkey, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_partkey, n, pos,
+        |    CAST(pos * 10000 // n AS BIGINT) AS naive_bp,
+        |    (round((CAST(pos AS DOUBLE)/n + CAST(1.9208 AS DOUBLE)/n -
+        |      CAST(1.96 AS DOUBLE)*sqrt((CAST(pos AS DOUBLE)/n*
+        |      (CAST(1 AS DOUBLE)-CAST(pos AS DOUBLE)/n) +
+        |      CAST(0.9604 AS DOUBLE)/n)/n)) /
+        |      (CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE)/n), 4) + 0.0) AS wilson_lb
+        |  FROM s)
+        |SELECT l_partkey, n, pos, naive_bp, wilson_lb FROM w
+        |ORDER BY wilson_lb DESC, l_partkey LIMIT 20""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -1138,6 +1138,86 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"the 100-row vocab must broadcast:\n$plan")
   }
 
+  test("grouped rank normalize: per-source ranks never SinglePartition; counts broadcast (q350)") {
+    val plan = q("q350_grouped_rank_normalize")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"the per-source rank must come from the keyed two-phase prefix sum:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-source count frame must broadcast:\n$plan")
+  }
+
+  test("quality survivorship: reads the stored component map; argmax via max(struct), no window (q351)") {
+    val plan = q("q351_quality_survivorship")
+    assert(plan.contains("Scan parquet"), s"must read the materialized index:\n$plan")
+    assert(!plan.contains("Window ("), s"keeper via max(struct), never a rank window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dup weighting: component map and sizes broadcast onto one corpus scan (q352)") {
+    val plan = q("q352_dup_weighting")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the cluster-sized maps must broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-wide shuffle join before the |sources|-row aggregate:\n$plan")
+  }
+
+  test("shard checksum: order-invariant sums, no row-level replica join (q353)") {
+    val plan = q("q353_shard_checksum")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 16-row shard frames join broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"replicas must never join row-by-row:\n$plan")
+  }
+
+  test("bitext margin: both directions broadcast their queries; backward bounded by the shortlist (q354)") {
+    val plan = q("q354_bitext_margin")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"scoring must broadcast the query side over one corpus scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"px/py margins are query-sized and must broadcast back:\n$plan")
+  }
+
+  test("bucketed batching: per-tier offsets from the keyed two-phase sum, never SinglePartition (q355)") {
+    val plan = q("q355_bucketed_batching")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"a partitionBy(bucket)-only window would serialize each tier:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤|tiers|·32 offset frame must broadcast:\n$plan")
+  }
+
+  test("bottomk sample: two-phase k-heap, never a per-source rank window (q356)") {
+    val plan = q("q356_bottomk_sample")
+    assert(!plan.contains("Window ("), s"a partitionBy(source) window would serialize a corpus-sized source:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"the |sources|-row key map must broadcast:\n$plan")
+  }
+
+  test("heaps law: one token pass; checkpoints broadcast onto type/doc summaries only (q357)") {
+    val plan = q("q357_heaps_law")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 4-row checkpoint frame joins by inequality, broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("resource allocation: stored edge index, no cartesian, anti join for existing edges (q358)") {
+    val plan = q("q358_resource_allocation")
+    assert(plan.contains("Scan parquet"), s"edges must come from the materialized index:\n$plan")
+    assert(plan.contains("LeftAnti"), s"existing-edge exclusion is an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ab ztest: one scan, one hash aggregate, zero joins (q359)") {
+    val plan = q("q359_ab_ztest")
+    assert(!plan.contains("Join"), s"the experiment readout never joins:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("wilson rank: TakeOrdered heap on the |parts| metadata frame, no window, no global sort (q360)") {
+    val plan = q("q360_wilson_rank")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must be a heap:\n$plan")
+    assert(!plan.contains("Window ("), plan)
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
