@@ -4283,6 +4283,147 @@ object SparkEntry {
             .as("wilson_lb"))
         .orderBy(col("wilson_lb").desc, col("l_partkey"))
         .limit(20)),
+    "q361_ks_test" -> ((s, dir) => {
+      // two-sample Kolmogorov–Smirnov per metric: D = max_v |F₀(v)−F₁(v)|
+      // between the parity arms. The scale trick: after the (type, cents)
+      // hash aggregate the frame is bounded by the VALUE DOMAIN (the
+      // repo's cents discipline), not the row count — the CDF window runs
+      // over that aggregated frame (exactGroupQuantiles' argument), and
+      // the sup statistic is exact integer cross-multiplication
+      // |c0·n1 − c1·n0| (n0·n1 ≲ 2⁶³ up to ~3·10⁹ rows/arm; beyond that
+      // the same expression runs in Decimal128). One scan, one aggregate,
+      // one domain-sized window, one |metrics|-row readout.
+      import org.apache.spark.sql.expressions.Window
+      val g = T(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), (col("user_id") % 2).as("arm"),
+          Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("d1"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy(col("event_type"))
+      g.withColumn("c0", sum(col("d0")).over(w))
+        .withColumn("c1", sum(col("d1")).over(w))
+        .withColumn("tn0", sum(col("d0")).over(tw))
+        .withColumn("tn1", sum(col("d1")).over(tw))
+        .groupBy(col("event_type"))
+        .agg(max(col("tn0")).as("n0"), max(col("tn1")).as("n1"),
+          max(abs(col("c0") * col("tn1") - col("c1") * col("tn0"))).as("d_num"))
+        .select(col("event_type"), col("n0"), col("n1"), col("d_num"),
+          Num.roundz(col("d_num").cast("double") /
+            (col("n0") * col("n1")).cast("double"), 6).as("ks"))
+        .orderBy("event_type")
+    }),
+    "q362_conformal_bound" -> ((s, dir) => {
+      // split-conformal interval width per group: the k-th smallest
+      // absolute residual with k = ⌈0.9·(n+1)⌉ (capped at n) — the
+      // distribution-free 90% bound conformal prediction ships. The
+      // predictor is the group's exact integer mean (sum div n); the
+      // order statistic comes from the keyed two-phase rank
+      // ([[TwoPhase.prefixSumKeyed]], value = 1): a corpus-sized group
+      // never serializes under a rank window, and `rank == k` reads the
+      // answer off one row per group.
+      val ev = T(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
+      val m = ev.groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"), expr("sc div n").as("mean_c"),
+          expr("least((9 * (n + 1) + 9) div 10, n)").as("k"))
+      val r = ev.join(broadcast(m), Seq("event_type"))
+        .withColumn("resid", abs(col("cents") - col("mean_c")))
+      TwoPhase.prefixSumKeyed(r, "event_type", col("resid"),
+          Seq(col("resid"), col("event_id")), lit(1L), "rk")
+        .filter(col("rk") === col("k"))
+        .select(col("event_type"), col("n"), col("k"),
+          col("resid").as("bound_cents"))
+        .orderBy("event_type")
+    }),
+    "q363_chi_square" -> ((s, dir) => {
+      // source × lang independence: χ² and Cramér's V. The corpus-sized
+      // work is ONE hash aggregate to |sources|·|langs| observed cells;
+      // margins, the zero-cell completion (a missing cell still
+      // contributes e = r·c/N), and the per-cell term all run on that
+      // metadata frame. Per-cell contribution (oN−rc)²/(N·r·c) is
+      // computed from exact longs and quantized to micro-units BEFORE the
+      // final sum, so the fold is an exact long sum — no float
+      // summation-order drift (at gate scale oN < 2⁵³ keeps the doubles
+      // exact; a 10¹²-row corpus runs the same three ops in Decimal128).
+      val docs = T(s, dir, "documents")
+      val o = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rt = o.groupBy(col("source")).agg(sum(col("o")).as("r"))
+      val ct = o.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+      val cells = rt.crossJoin(broadcast(ct))
+        .join(o, Seq("source", "lang"), "left")
+        .withColumn("o0", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
+        .withColumn("contrib_micro", expr(
+          "CAST(round(CAST(o0 * nn - r * c AS DOUBLE) * CAST(o0 * nn - r * c AS DOUBLE) " +
+            "/ (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)) " +
+            "* CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+      cells
+        .groupBy(col("nn"))
+        .agg(countDistinct(col("source")).as("n_rows"),
+          countDistinct(col("lang")).as("n_cols"),
+          sum(col("contrib_micro")).as("chi2_micro"))
+        .select(col("nn").as("n"), col("n_rows"), col("n_cols"),
+          expr("(n_rows - 1) * (n_cols - 1)").as("dof"), col("chi2_micro"),
+          Num.roundz(expr(
+            "sqrt(CAST(chi2_micro AS DOUBLE) / (CAST(1000000 AS DOUBLE) * " +
+              "nn * least(n_rows - 1, n_cols - 1)))"), 4).as("cramers_v"))
+    }),
+    "q364_stationary_dist" -> ((s, dir) => {
+      // stationary distribution of the journey Markov chain (q151's
+      // matrix) by power iteration — the long-run share of attention each
+      // event state absorbs. The q295 division of labor: the only
+      // corpus-sized work is the one lead() pass inside
+      // [[Relational.transitionMatrix]]; the chain itself is a
+      // |states|²-row metadata frame iterated in EXACT scaled-long
+      // arithmetic (π·P with probabilities in millionths, floor-div
+      // renormalization), so every engine and every partitioning lands on
+      // the same vector bit-for-bit.
+      val tm = Relational.transitionMatrix(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .select(col("from_type"), col("to_type"), col("cnt"))
+      val tot = tm.groupBy(col("from_type")).agg(sum(col("cnt")).as("t"))
+      val p = tm.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"),
+          expr("(cnt * 1000000) div t").as("ps"))
+        .localCheckpoint()
+      val states = p.select(col("from_type").as("st")).distinct()
+      val n = states.count() // metadata action: |event types| rows
+      var pi = states.select(col("st"), lit(1000000L / n).as("v"))
+      (1 to 6).foreach { _ =>
+        pi = p.join(broadcast(pi), col("from_type") === col("st"))
+          .groupBy(col("to_type"))
+          .agg(sum(col("v") * col("ps")).as("sv"))
+          .select(col("to_type").as("st"), expr("sv div 1000000").as("v"))
+          .localCheckpoint()
+      }
+      pi.select(col("st").as("state"), col("v").as("pi_ppm")).orderBy("state")
+    }),
+    "q365_stickiness" -> ((s, dir) => {
+      // DAU/WAU/MAU stickiness — the product-health ratios every
+      // engagement dashboard leads with. Each trailing-distinct series is
+      // [[Relational.slidingDistinct]] (distinct (day,user) first, then a
+      // bounded map-side day fan-out — never a count-distinct range
+      // window); the three |days|-row series join broadcast and the
+      // ratios are exact basis points.
+      val ev = T(s, dir, "events")
+      def series(days: Int, name: String): DataFrame =
+        Relational.slidingDistinct(ev, "user_id", "ts", windowDays = days)
+          .withColumnRenamed("active", name)
+      series(1, "dau")
+        .join(broadcast(series(7, "wau")), Seq("day"))
+        .join(broadcast(series(28, "mau")), Seq("day"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          expr("dau * 10000 div wau").as("dw_bp"),
+          expr("wau * 10000 div mau").as("wm_bp"))
+        .orderBy("day")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -10433,6 +10574,110 @@ object SparkEntry {
         |  FROM s)
         |SELECT l_partkey, n, pos, naive_bp, wilson_lb FROM w
         |ORDER BY wilson_lb DESC, l_partkey LIMIT 20""".stripMargin,
+    "q361_ks_test" ->
+      // same cents quantization, same domain-sized CDF windows, exact
+      // cross-multiplied sup statistic
+      """WITH ev AS (SELECT event_type, user_id % 2 AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, cents,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d1
+        |  FROM ev GROUP BY 1, 2),
+        |c AS (SELECT event_type, cents, d0, d1,
+        |    sum(d0) OVER (PARTITION BY event_type ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c0,
+        |    sum(d1) OVER (PARTITION BY event_type ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c1,
+        |    sum(d0) OVER (PARTITION BY event_type) AS tn0,
+        |    sum(d1) OVER (PARTITION BY event_type) AS tn1 FROM g)
+        |SELECT event_type, CAST(max(tn0) AS BIGINT) AS n0,
+        |  CAST(max(tn1) AS BIGINT) AS n1,
+        |  CAST(max(abs(c0 * tn1 - c1 * tn0)) AS BIGINT) AS d_num,
+        |  (round(CAST(max(abs(c0 * tn1 - c1 * tn0)) AS DOUBLE) /
+        |    CAST(max(tn0) * max(tn1) AS DOUBLE), 6) + 0.0) AS ks
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q362_conformal_bound" ->
+      // the per-group rank window IS what prefixSumKeyed replaces;
+      // identical integer mean, identical k
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) // count(*) AS BIGINT) AS mean_c FROM ev GROUP BY 1),
+        |kk AS (SELECT event_type, n,
+        |    CAST(least((9 * (n + 1) + 9) // 10, n) AS BIGINT) AS k FROM m),
+        |r AS (SELECT ev.event_type, abs(ev.cents - m.mean_c) AS resid, ev.event_id
+        |  FROM ev JOIN m USING (event_type)),
+        |rk AS (SELECT event_type, resid,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY resid, event_id) AS rk
+        |  FROM r)
+        |SELECT kk.event_type, kk.n, kk.k, rk.resid AS bound_cents
+        |FROM kk JOIN rk ON rk.event_type = kk.event_type AND rk.rk = kk.k
+        |ORDER BY 1""".stripMargin,
+    "q363_chi_square" ->
+      // identical zero-cell completion and micro-quantized per-cell terms
+      """WITH o AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+        |nt AS (SELECT count(*) AS nn FROM documents),
+        |cells AS (SELECT rt.source, ct.lang, rt.r, ct.c, COALESCE(o.o, 0) AS o0
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN o ON o.source = rt.source AND o.lang = ct.lang),
+        |con AS (SELECT source, lang,
+        |    CAST(round(CAST(o0 * nn - r * c AS DOUBLE) * CAST(o0 * nn - r * c AS DOUBLE)
+        |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cm
+        |  FROM cells CROSS JOIN nt)
+        |SELECT nt.nn AS n, CAST(count(DISTINCT source) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_cols,
+        |  CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1) AS BIGINT) AS dof,
+        |  CAST(sum(cm) AS BIGINT) AS chi2_micro,
+        |  (round(sqrt(CAST(sum(cm) AS DOUBLE) / (CAST(1000000 AS DOUBLE) * nt.nn *
+        |    least(count(DISTINCT source) - 1, count(DISTINCT lang) - 1))), 4) + 0.0) AS cramers_v
+        |FROM con CROSS JOIN nt GROUP BY nt.nn""".stripMargin,
+    "q364_stationary_dist" ->
+      // q151's lead() pairs, probabilities in exact millionths, the same
+      // 6 floor-div power-iteration steps unrolled
+      """WITH p0 AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type FROM events),
+        |tm AS (SELECT from_type, to_type, count(*) AS cnt FROM p0
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT from_type, sum(cnt) AS t FROM tm GROUP BY 1),
+        |p AS (SELECT tm.from_type, tm.to_type,
+        |    CAST((cnt * 1000000) // t AS BIGINT) AS ps
+        |  FROM tm JOIN tt USING (from_type)),
+        |st AS (SELECT DISTINCT from_type AS st FROM tm),
+        |ns AS (SELECT count(*) AS n FROM st),
+        |i0 AS (SELECT st, CAST(1000000 // n AS BIGINT) AS v FROM st CROSS JOIN ns),
+        |i1 AS (SELECT p.to_type AS st, CAST(sum(i0.v * p.ps) // 1000000 AS BIGINT) AS v
+        |  FROM i0 JOIN p ON p.from_type = i0.st GROUP BY 1),
+        |i2 AS (SELECT p.to_type AS st, CAST(sum(i1.v * p.ps) // 1000000 AS BIGINT) AS v
+        |  FROM i1 JOIN p ON p.from_type = i1.st GROUP BY 1),
+        |i3 AS (SELECT p.to_type AS st, CAST(sum(i2.v * p.ps) // 1000000 AS BIGINT) AS v
+        |  FROM i2 JOIN p ON p.from_type = i2.st GROUP BY 1),
+        |i4 AS (SELECT p.to_type AS st, CAST(sum(i3.v * p.ps) // 1000000 AS BIGINT) AS v
+        |  FROM i3 JOIN p ON p.from_type = i3.st GROUP BY 1),
+        |i5 AS (SELECT p.to_type AS st, CAST(sum(i4.v * p.ps) // 1000000 AS BIGINT) AS v
+        |  FROM i4 JOIN p ON p.from_type = i4.st GROUP BY 1),
+        |i6 AS (SELECT p.to_type AS st, CAST(sum(i5.v * p.ps) // 1000000 AS BIGINT) AS v
+        |  FROM i5 JOIN p ON p.from_type = i5.st GROUP BY 1)
+        |SELECT st AS state, v AS pi_ppm FROM i6 ORDER BY state""".stripMargin,
+    "q365_stickiness" ->
+      // q108's fan-out convention at three trailing widths
+      """WITH e AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM e),
+        |f7 AS (SELECT d + CAST(i AS INTEGER) AS day, user_id
+        |  FROM e, LATERAL (SELECT unnest(range(0, 7)) AS i) t),
+        |f28 AS (SELECT d + CAST(i AS INTEGER) AS day, user_id
+        |  FROM e, LATERAL (SELECT unnest(range(0, 28)) AS i) t),
+        |dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau FROM e GROUP BY 1),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM f7
+        |  WHERE day IN (SELECT d FROM days) GROUP BY 1),
+        |mau AS (SELECT day, count(DISTINCT user_id) AS mau FROM f28
+        |  WHERE day IN (SELECT d FROM days) GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau, mau.mau,
+        |  dau.dau * 10000 // wau.wau AS dw_bp, wau.wau * 10000 // mau.mau AS wm_bp
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day) ORDER BY day""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

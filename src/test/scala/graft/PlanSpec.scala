@@ -1218,6 +1218,47 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window ("), plan)
   }
 
+  test("ks test: CDF windows partition by metric, never SinglePartition (q361)") {
+    val plan = q("q361_ks_test")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"the CDF windows run per event_type over the domain-sized frame:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("conformal bound: keyed two-phase rank, no per-group rank window; means broadcast (q362)") {
+    val plan = q("q362_conformal_bound")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"the order statistic must come from the keyed two-phase rank:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |metrics|-row mean frame must broadcast:\n$plan")
+  }
+
+  test("chi square: one corpus aggregate; margins and N broadcast onto metadata cells (q363)") {
+    val plan = q("q363_chi_square")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the margin completion runs on broadcast metadata frames:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("stationary dist: consumer reads the checkpointed |states| vector, no corpus work (q364)") {
+    // the corpus-sized lead() pass and the per-step broadcast joins all run
+    // inside localCheckpoint'd metadata frames (the q295 pattern); the
+    // returned plan must be nothing but the final |states|-row scan
+    val plan = q("q364_stationary_dist")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the chain must be materialized metadata, not a live corpus plan:\n$plan")
+    assert(!plan.contains("Scan parquet") && !plan.contains("Join"),
+      s"no corpus scan or join may survive into the consumer plan:\n$plan")
+  }
+
+  test("stickiness: day fan-out then hash count-distinct; series join broadcast (q365)") {
+    val plan = q("q365_stickiness")
+    assert(!plan.contains("Window ("),
+      s"never a count-distinct range window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |days|-row series must join broadcast:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
