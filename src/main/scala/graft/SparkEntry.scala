@@ -4206,33 +4206,38 @@ object SparkEntry {
           expr("vocab * 10000 div tokens").as("types_per_10k"))
         .orderBy("i")
     }),
-    "q358_resource_allocation" -> ((s, dir) => {
-      // link prediction by the Resource Allocation index (Zhou–Lü–Zhang
-      // 2009): for a focal seed batch, score each non-neighbor candidate
-      // by Σ_{z ∈ N(seed)∩N(cand)} 1/deg(z) — Adamic–Adar's stronger
-      // sibling, and exact here because 1/deg quantizes to integer basis
-      // points map-side (no float log, no summation-order drift). Edges
-      // come from the SHARED materialized co-purchase index; cost is
-      // q324's focal bound (|seeds|·deg·deg candidate rows, never
-      // all-pairs), the degree weights join on the z key the path join
-      // already partitioned by (no extra exchange), and the existing-edge
-      // exclusion anti join shares the final (seed, cand) exchange with
-      // the scoring aggregate.
+    "q358_neighborhood_jaccard" -> ((s, dir) => {
+      // link prediction by NEIGHBORHOOD JACCARD for a focal seed batch:
+      // score each non-neighbor candidate by |N(s)∩N(c)| / |N(s)∪N(c)|
+      // in exact basis points — the normalized index that q226's
+      // Resource Allocation (degree-weighted, batch top-k mining over a
+      // time window) is not: Jaccard discounts candidates that are near
+      // EVERYTHING, the serving-side "related items" rule. Edges come
+      // from the SHARED materialized full-history index; cost is q324's
+      // focal bound (|seeds|·deg·deg wedge rows, never all-pairs), the
+      // union size folds from the two broadcast degree lookups
+      // (|N∪| = d_s + d_c − common), and the existing-edge exclusion
+      // anti join shares the (seed, cand) exchange with the common-
+      // neighbor count.
       val edges = copurchaseEdges(s, dir)
-      val w = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .select(col("src").as("z"), expr("10000 div d").as("w_bp"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val paths = edges.filter(col("src") < 8)
         .select(col("src").as("seed"), col("dst").as("z"))
         .join(edges.select(col("src").as("z"), col("dst").as("cand")), Seq("z"))
         .filter(col("cand") =!= col("seed"))
-      paths.join(w, Seq("z"))
+      paths
         .join(edges.select(col("src").as("seed"), col("dst").as("cand")),
           Seq("seed", "cand"), "left_anti")
         .groupBy(col("seed"), col("cand"))
-        .agg(count(lit(1)).as("common_n"), sum(col("w_bp")).as("ra_bp"))
+        .agg(count(lit(1)).as("common_n"))
+        .join(broadcast(deg.select(col("src").as("seed"), col("d").as("ds"))),
+          Seq("seed"))
+        .join(broadcast(deg.select(col("src").as("cand"), col("d").as("dc"))),
+          Seq("cand"))
         .select(col("seed"), col("cand").as("candidate"), col("common_n"),
-          col("ra_bp"))
-        .orderBy(col("seed"), col("ra_bp").desc, col("candidate"))
+          expr("(common_n * 10000) div (ds + dc - common_n)").as("jaccard_bp"))
+        .orderBy(col("seed"), col("jaccard_bp").desc, col("common_n").desc,
+          col("candidate"))
     }),
     "q359_ab_ztest" -> ((s, dir) => {
       // two-proportion z-test per metric: arms by user parity (the
@@ -4283,21 +4288,28 @@ object SparkEntry {
             .as("wilson_lb"))
         .orderBy(col("wilson_lb").desc, col("l_partkey"))
         .limit(20)),
-    "q361_ks_test" -> ((s, dir) => {
-      // two-sample Kolmogorov–Smirnov per metric: D = max_v |F₀(v)−F₁(v)|
-      // between the parity arms. The scale trick: after the (type, cents)
-      // hash aggregate the frame is bounded by the VALUE DOMAIN (the
-      // repo's cents discipline), not the row count — the CDF window runs
-      // over that aggregated frame (exactGroupQuantiles' argument), and
-      // the sup statistic is exact integer cross-multiplication
-      // |c0·n1 − c1·n0| (n0·n1 ≲ 2⁶³ up to ~3·10⁹ rows/arm; beyond that
-      // the same expression runs in Decimal128). One scan, one aggregate,
-      // one domain-sized window, one |metrics|-row readout.
+    "q361_ks_time_drift" -> ((s, dir) => {
+      // TEMPORAL drift per metric: two-sample Kolmogorov–Smirnov between
+      // the deployment's early and late halves (cut at the exact
+      // epoch-microsecond midpoint), D = max_v |F_early(v)−F_late(v)|.
+      // Completes the KS triptych on a third axis: q207 compares
+      // experiment ARMS, q221 compares each SEGMENT against the rest —
+      // this is the did-the-world-change-since-launch monitor. Scale
+      // shape as q207: after the (type, cents) hash aggregate the frame
+      // is bounded by the VALUE DOMAIN (the cents discipline), not row
+      // count — the CDF window runs over that aggregated frame, and the
+      // sup statistic is exact integer cross-multiplication
+      // |c0·n1 − c1·n0| (n0·n1 ≲ 2⁶³ up to ~3·10⁹ rows/side; beyond that
+      // the same expression runs in Decimal128).
       import org.apache.spark.sql.expressions.Window
-      val g = T(s, dir, "events")
+      val ev = T(s, dir, "events")
         .filter(col("value").isNotNull)
-        .select(col("event_type"), (col("user_id") % 2).as("arm"),
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
           Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val g = ev.crossJoin(broadcast(mid))
+        .select(col("event_type"), col("cents"),
+          when(col("us") <= col("mid"), 0).otherwise(1).as("arm"))
         .groupBy(col("event_type"), col("cents"))
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d0"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("d1"))
@@ -4343,16 +4355,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
     "q363_chi_square" -> ((s, dir) => {
-      // source × lang independence: χ² and Cramér's V. The corpus-sized
-      // work is ONE hash aggregate to |sources|·|langs| observed cells;
-      // margins, the zero-cell completion (a missing cell still
-      // contributes e = r·c/N), and the per-cell term all run on that
-      // metadata frame. Per-cell contribution (oN−rc)²/(N·r·c) is
-      // computed from exact longs and quantized to micro-units BEFORE the
-      // final sum, so the fold is an exact long sum — no float
-      // summation-order drift (at gate scale oN < 2⁵³ keeps the doubles
-      // exact; a 10¹²-row corpus runs the same three ops in Decimal128).
-      val docs = T(s, dir, "documents")
+      // event_type × ISO-weekday independence: the SCALAR χ² + dof +
+      // Cramér's V effect size — is the traffic MIX a function of the day
+      // of week? (q210 keeps the per-cell contribution table for a
+      // different contingency; this is the one-row monitor a scheduler
+      // alerts on, with the effect size that makes χ² comparable across
+      // table shapes.) The corpus-sized work is ONE hash aggregate to
+      // |types|·7 observed cells; margins, the zero-cell completion (a
+      // missing cell still contributes e = r·c/N), and the per-cell term
+      // all run on that metadata frame. Per-cell contribution
+      // (oN−rc)²/(N·r·c) is computed from exact longs and quantized to
+      // micro-units BEFORE the final sum, so the fold is an exact long
+      // sum — no float summation-order drift (at gate scale oN < 2⁵³
+      // keeps the doubles exact; a 10¹²-row corpus runs the same three
+      // ops in Decimal128). isodow = Spark weekday()+1 ≡ DuckDB isodow.
+      val docs = T(s, dir, "events")
+        .select(col("event_type").as("source"),
+          (weekday(col("ts")) + 1).cast("long").as("lang"))
       val o = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
       val rt = o.groupBy(col("source")).agg(sum(col("o")).as("r"))
       val ct = o.groupBy(col("lang")).agg(sum(col("o")).as("c"))
@@ -10522,24 +10541,24 @@ object SparkEntry {
         |SELECT v.i, v.n_docs, tc.tokens, v.vocab,
         |  v.vocab * 10000 // tc.tokens AS types_per_10k
         |FROM v JOIN tc ON tc.i = v.i ORDER BY v.i""".stripMargin,
-    "q358_resource_allocation" ->
-      // symmetric co-purchase edges as in q125 (both directions), RA
-      // weight = exact integer basis points of 1/deg
+    "q358_neighborhood_jaccard" ->
+      // symmetric co-purchase edges as in q125 (both directions);
+      // |N∪| = d_s + d_c − common, score in exact basis points
       """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |w AS (SELECT src AS z, CAST(10000 // count(*) AS BIGINT) AS w_bp
-        |  FROM e GROUP BY 1),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
         |p AS (SELECT e1.src AS seed, e1.dst AS z, e2.dst AS cand
         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
         |  WHERE e1.src < 8 AND e2.dst <> e1.src),
         |np AS (SELECT p.seed, p.z, p.cand FROM p
         |  LEFT JOIN e ON e.src = p.seed AND e.dst = p.cand
-        |  WHERE e.src IS NULL)
-        |SELECT np.seed, np.cand AS candidate, count(*) AS common_n,
-        |  CAST(sum(w.w_bp) AS BIGINT) AS ra_bp
-        |FROM np JOIN w ON w.z = np.z GROUP BY 1, 2
-        |ORDER BY np.seed, ra_bp DESC, candidate""".stripMargin,
+        |  WHERE e.src IS NULL),
+        |cn AS (SELECT seed, cand, count(*) AS common_n FROM np GROUP BY 1, 2)
+        |SELECT cn.seed, cn.cand AS candidate, cn.common_n,
+        |  CAST((cn.common_n * 10000) // (ds.d + dc.d - cn.common_n) AS BIGINT) AS jaccard_bp
+        |FROM cn JOIN deg ds ON ds.src = cn.seed JOIN deg dc ON dc.src = cn.cand
+        |ORDER BY cn.seed, jaccard_bp DESC, cn.common_n DESC, candidate""".stripMargin,
     "q359_ab_ztest" ->
       // identical pooled-z expression, identical cast order
       """WITH b AS (SELECT event_type, user_id % 2 AS arm,
@@ -10574,12 +10593,17 @@ object SparkEntry {
         |  FROM s)
         |SELECT l_partkey, n, pos, naive_bp, wilson_lb FROM w
         |ORDER BY wilson_lb DESC, l_partkey LIMIT 20""".stripMargin,
-    "q361_ks_test" ->
+    "q361_ks_time_drift" ->
       // same cents quantization, same domain-sized CDF windows, exact
-      // cross-multiplied sup statistic
-      """WITH ev AS (SELECT event_type, user_id % 2 AS arm,
+      // cross-multiplied sup statistic; arm = which side of the exact
+      // epoch-microsecond midpoint
+      """WITH e0 AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |    CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e0),
+        |ev AS (SELECT event_type, cents,
+        |    CASE WHEN us <= mid THEN 0 ELSE 1 END AS arm
+        |  FROM e0 CROSS JOIN mid),
         |g AS (SELECT event_type, cents,
         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d0,
         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d1
@@ -10614,11 +10638,14 @@ object SparkEntry {
         |FROM kk JOIN rk ON rk.event_type = kk.event_type AND rk.rk = kk.k
         |ORDER BY 1""".stripMargin,
     "q363_chi_square" ->
-      // identical zero-cell completion and micro-quantized per-cell terms
-      """WITH o AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+      // identical zero-cell completion and micro-quantized per-cell
+      // terms; isodow(ts) ≡ Spark weekday()+1 (Monday = 1)
+      """WITH d0 AS (SELECT event_type AS source,
+        |    CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS lang FROM events),
+        |o AS (SELECT source, lang, count(*) AS o FROM d0 GROUP BY 1, 2),
         |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
         |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
-        |nt AS (SELECT count(*) AS nn FROM documents),
+        |nt AS (SELECT count(*) AS nn FROM d0),
         |cells AS (SELECT rt.source, ct.lang, rt.r, ct.c, COALESCE(o.o, 0) AS o0
         |  FROM rt CROSS JOIN ct
         |  LEFT JOIN o ON o.source = rt.source AND o.lang = ct.lang),

@@ -1199,8 +1199,8 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("resource allocation: stored edge index, no cartesian, anti join for existing edges (q358)") {
-    val plan = q("q358_resource_allocation")
+  test("neighborhood jaccard: stored edge index, no cartesian, anti join for existing edges (q358)") {
+    val plan = q("q358_neighborhood_jaccard")
     assert(plan.contains("Scan parquet"), s"edges must come from the materialized index:\n$plan")
     assert(plan.contains("LeftAnti"), s"existing-edge exclusion is an anti join:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
@@ -1218,8 +1218,8 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window ("), plan)
   }
 
-  test("ks test: CDF windows partition by metric, never SinglePartition (q361)") {
-    val plan = q("q361_ks_test")
+  test("ks time drift: CDF windows partition by metric, never SinglePartition (q361)") {
+    val plan = q("q361_ks_time_drift")
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
       s"the CDF windows run per event_type over the domain-sized frame:\n$plan")
     assert(plan.contains("HashAggregate"), plan)
