@@ -4443,6 +4443,126 @@ object SparkEntry {
           expr("wau * 10000 div mau").as("wm_bp"))
         .orderBy("day")
     }),
+    "q366_l_diversity" -> ((s, dir) => {
+      // l-diversity audit (Machanavajjhala 2007) — the axis k-anonymity
+      // (q308) cannot see: a large QI group is still unsafe if everyone
+      // in it shares the SENSITIVE value. Per (nation, segment) QI group,
+      // count DISTINCT balance bands (the sensitive attribute, shifted to
+      // a non-negative band so integer division floors identically in
+      // both engines); sweep l ∈ {2, 3, 5} and report the exposed share.
+      // One map-side-combined aggregate to the |QI|-frame; the sweep is a
+      // 3×|QI| metadata cross join — q308's exact scale shape.
+      val g = T(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(countDistinct(expr(
+          "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 100000"))
+          .as("lv"), count(lit(1)).as("cnt"))
+      import s.implicits._
+      val ls = Seq(2L, 3L, 5L).toDF("l")
+      g.crossJoin(broadcast(ls))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("groups_total"),
+          sum(when(col("lv") < col("l"), 1L).otherwise(0L)).as("groups_below"),
+          sum(when(col("lv") < col("l"), col("cnt")).otherwise(0L)).as("rows_exposed"),
+          sum(col("cnt")).as("rows_total"))
+        .select(col("l"), col("groups_total"), col("groups_below"),
+          col("rows_exposed"),
+          expr("rows_exposed * 10000 div rows_total").as("exposed_bp"))
+        .orderBy("l")
+    }),
+    "q367_slo_burn_rate" -> ((s, dir) => {
+      // multiwindow error-budget burn (the SRE alerting rule): per day,
+      // the error rate over budget (1% SLO) for the 1-day and trailing
+      // 7-day windows; page only when BOTH burn — the fast window for
+      // speed, the slow one to suppress blips. Corpus work is one hash
+      // aggregate to the |days| frame; the trailing window runs over
+      // those per-day rows (q80's argument — metadata, never raw events).
+      // Burn in exact bp of budget: err·10⁶ div n (= rate/1% in bp).
+      import org.apache.spark.sql.expressions.Window
+      val d = T(s, dir, "events")
+        .groupBy(TextFunctions.dayString(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      d.withColumn("n7", sum(col("n")).over(w7))
+        .withColumn("err7", sum(col("err")).over(w7))
+        .select(col("day"), col("n"), col("err"),
+          expr("err * 1000000 div n").as("burn1_bp"),
+          expr("err7 * 1000000 div n7").as("burn7_bp"))
+        .withColumn("page",
+          col("burn1_bp") >= 20000 && col("burn7_bp") >= 15000)
+        .orderBy("day")
+    }),
+    "q368_hll_mergeability" -> ((s, dir) => {
+      // the sketch property that makes 100 TB cardinality work AT ALL:
+      // DataSketches HLL (Spark's hll_sketch_agg) per-day partial
+      // sketches union-merged across days must land on the SAME register
+      // state — and therefore the same estimate — as one direct pass
+      // (registers are per-slot maxima; max is associative and
+      // order-free). The gate pins (a) merged ≡ direct, (b) the estimate
+      // within ±5% of the exact distinct (both booleans must come out
+      // true against the oracle), (c) the exact count itself. This is the
+      // pre-aggregation contract every incremental rollup relies on.
+      val ev = T(s, dir, "events")
+        .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+      val merged = ev.groupBy(col("event_type"), col("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+          countDistinct(col("user_id")).as("exact"))
+      direct.join(broadcast(merged), Seq("event_type"))
+        .select(col("event_type"), col("exact"),
+          (col("est_merged") === col("est_direct")).as("merge_consistent"),
+          (abs(col("est_direct") - col("exact")) * 100 <= col("exact") * 5)
+            .as("est_ok"))
+        .orderBy("event_type")
+    }),
+    "q369_csv_multiline" -> ((s, dir) => {
+      // the CSV ingest edge that breaks naive line-split readers: fields
+      // containing QUOTED NEWLINES and ESCAPED QUOTES. The engine writes
+      // a field embedding both, then reads its own output back with
+      // multiLine parsing — the oracle reconstructs the expected string
+      // from the source table, so the gate proves quote/escape/newline
+      // fidelity through a full write→read cycle (q115/q63's roundtrip
+      // discipline for the messiest text format in production ingest).
+      // multiLine forces whole-file parse units (not line-splittable) —
+      // the 100 TB note: shard the FILES, not the lines, for this format.
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val out = T(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 20), lit("\nhe said \""),
+            col("source"), lit("\"")).as("field"))
+      val tmp = s"$TMP/q369_csv/$safe"
+      out.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema(out.schema).csv(tmp)
+        .select(col("doc_id"), col("field"),
+          length(col("field")).cast("long").as("field_len"))
+        .orderBy("doc_id")
+    }),
+    "q370_png_chunk_walk" -> ((s, dir) => {
+      // asset inventory WITHOUT decode: per image, walk the PNG chunk
+      // stream (length-prefixed, CRC32 per chunk), validate integrity,
+      // and read the IHDR geometry big-endian — the header-only audit
+      // that inventories a petabyte of media for ~64 bytes + CRC math per
+      // file while decode (q112) inflates every IDAT. Fixtures are real
+      // ImageIO encodes (IHDR,IDAT,IEND); docs with id % 101 == 0 get one
+      // IDAT payload byte flipped, so the gate also proves the CRC check
+      // actually checks (those rows must come back crc_ok = false with
+      // the structure still fully parsed).
+      import s.implicits._
+      val imgs = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
+          val rgb = (((id % 256) << 16) | ((nc % 256) << 8) | 7L).toInt
+          val b = Multimodal.synthPng((nc % 16 + 1).toInt, (id % 16 + 1).toInt, rgb)
+          if (id % 101 == 0) b(41) = (b(41) ^ 0x01).toByte // inside IDAT data
+          (id, b)
+        }).toDF("doc_id", "payload")
+      Multimodal.pngChunkWalk(imgs, "doc_id")
+        .orderBy("doc_id")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -10705,6 +10825,60 @@ object SparkEntry {
         |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau, mau.mau,
         |  dau.dau * 10000 // wau.wau AS dw_bp, wau.wau * 10000 // mau.mau AS wm_bp
         |FROM dau JOIN wau USING (day) JOIN mau USING (day) ORDER BY day""".stripMargin,
+    "q366_l_diversity" ->
+      // identical band shift keeps the integer division non-negative, so
+      // trunc (Spark div) ≡ floor (DuckDB //)
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000) AS lv,
+        |    count(*) AS cnt FROM customer GROUP BY 1, 2),
+        |l AS (SELECT unnest([2, 3, 5]) AS l)
+        |SELECT CAST(l.l AS BIGINT) AS l, count(*) AS groups_total,
+        |  CAST(sum(CASE WHEN g.lv < l.l THEN 1 ELSE 0 END) AS BIGINT) AS groups_below,
+        |  CAST(sum(CASE WHEN g.lv < l.l THEN g.cnt ELSE 0 END) AS BIGINT) AS rows_exposed,
+        |  CAST(sum(CASE WHEN g.lv < l.l THEN g.cnt ELSE 0 END) * 10000 // sum(g.cnt) AS BIGINT) AS exposed_bp
+        |FROM g CROSS JOIN l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q367_slo_burn_rate" ->
+      // same per-day aggregate, same trailing frame over the |days| rows
+      """WITH d AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    count(*) AS n,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, n, err,
+        |    sum(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7,
+        |    sum(err) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS err7
+        |  FROM d)
+        |SELECT day, CAST(n AS BIGINT) AS n, CAST(err AS BIGINT) AS err,
+        |  CAST(err * 1000000 // n AS BIGINT) AS burn1_bp,
+        |  CAST(err7 * 1000000 // n7 AS BIGINT) AS burn7_bp,
+        |  (err * 1000000 // n >= 20000) AND (err7 * 1000000 // n7 >= 15000) AS page
+        |FROM w ORDER BY day""".stripMargin,
+    "q368_hll_mergeability" ->
+      // the oracle pins the exact cardinality; the two booleans are
+      // Spark-side invariants (merged ≡ direct registers, estimate within
+      // ±5% of exact) that must come out TRUE to hash-match this row
+      """SELECT event_type, count(DISTINCT user_id) AS exact,
+        |  TRUE AS merge_consistent, TRUE AS est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q369_csv_multiline" ->
+      // the oracle reconstructs the expected field from the SOURCE table;
+      // the engine must recover it byte-identically through its own
+      // written CSV (quoted newline + escaped quotes)
+      """WITH f AS (SELECT doc_id,
+        |    substr(text, 1, 20) || chr(10) || 'he said "' || source || '"' AS field
+        |  FROM documents)
+        |SELECT doc_id, field, CAST(length(field) AS BIGINT) AS field_len
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q370_png_chunk_walk" ->
+      // JDK ImageIO always emits exactly IHDR(13) IDAT IEND for RGB
+      // writes; geometry mirrors q112's synthesis, and the planted IDAT
+      // byte-flip must surface as crc_ok = false with structure intact
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_chunks,
+        |  'IHDR,IDAT,IEND' AS chunk_types,
+        |  CAST(n_chars % 16 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 16 + 1 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+        |  doc_id % 101 <> 0 AS crc_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

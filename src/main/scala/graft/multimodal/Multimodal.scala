@@ -179,6 +179,72 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** PNG CHUNK WALK — header-only metadata extraction WITHOUT decoding:
+    * validates the 8-byte signature, walks the length-prefixed chunk
+    * stream, CRC32-checks every chunk (over type+data, per the PNG spec),
+    * and parses the IHDR geometry fields big-endian. This is the 100 TB
+    * asset-audit shape: a petabyte of images is inventoried and
+    * integrity-checked by reading ~64 header bytes + CRC math per file,
+    * never inflating a single IDAT — decode (q112) costs orders of
+    * magnitude more than the walk. `crc_ok` is false for a truncated
+    * stream, a bad signature, trailing garbage, or any CRC mismatch —
+    * the walk itself still reports whatever structure it could parse.
+    *
+    * Output: (id, n_chunks, chunk_types CSV, width, height, bit_depth,
+    * color_type, crc_ok). Unparsed IHDR fields stay −1.
+    */
+  def pngChunkWalk(mm: DataFrame, idCol: String): DataFrame = {
+    val spark = mm.sparkSession
+    val idIdx = mm.schema.fieldIndex(idCol)
+    val payloadIdx = mm.schema.fieldIndex("payload")
+    val idType = mm.schema(idIdx).dataType
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("n_chunks", LongType),
+      StructField("chunk_types", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("bit_depth", LongType),
+      StructField("color_type", LongType),
+      StructField("crc_ok", BooleanType)))
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val rdd = mm.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](payloadIdx)
+        def be32(i: Int): Long =
+          ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+            ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+        var structOk = b.length > 8 && (0 until 8).forall(j => (b(j) & 0xff) == sig(j))
+        var i = 8
+        var n = 0L
+        val types = new StringBuilder
+        var w = -1L; var h = -1L; var depth = -1L; var ct = -1L
+        var crcOk = true
+        while (structOk && i + 12 <= b.length) {
+          val len = be32(i).toInt
+          if (len < 0 || i + 12 + len > b.length) structOk = false
+          else {
+            val tpe = new String(b, i + 4, 4, "US-ASCII")
+            val crc = new java.util.zip.CRC32()
+            crc.update(b, i + 4, 4 + len)
+            if (crc.getValue != be32(i + 8 + len)) crcOk = false
+            if (n > 0) types.append(',')
+            types.append(tpe)
+            if (tpe == "IHDR" && len == 13) {
+              w = be32(i + 8); h = be32(i + 12)
+              depth = (b(i + 16) & 0xff).toLong; ct = (b(i + 17) & 0xff).toLong
+            }
+            n += 1
+            i += 12 + len
+          }
+        }
+        Row(r.get(idIdx), n, types.toString,
+          w, h, depth, ct, structOk && crcOk && i == b.length)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Deterministic WAV synthesis: 16-bit LE mono PCM, constant amplitude —
     * a well-formed RIFF container [[WavDecoder]] genuinely parses. */
   def synthWav(nSamples: Int, amplitude: Short, sampleRate: Int): Array[Byte] = {

@@ -1259,6 +1259,40 @@ class PlanSpec extends SparkSpec {
       s"the |days|-row series must join broadcast:\n$plan")
   }
 
+  test("l diversity: one aggregate to the QI frame; the l sweep is a broadcast cross join (q366)") {
+    val plan = q("q366_l_diversity")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 3-row l frame must broadcast onto the QI metadata:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("slo burn rate: one aggregate to |days|; trailing frame over metadata rows only (q367)") {
+    val plan = q("q367_slo_burn_rate")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join"), s"the burn readout never joins:\n$plan")
+  }
+
+  test("hll mergeability: union-of-partials path present; series join broadcast (q368)") {
+    val plan = q("q368_hll_mergeability")
+    assert(plan.contains("hll_union_agg"),
+      s"the merged leg must union per-day partial sketches:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |metrics|-row merged estimates join broadcast:\n$plan")
+  }
+
+  test("csv multiline: the readback is a real csv scan, no joins (q369)") {
+    val plan = q("q369_csv_multiline")
+    assert(plan.contains("Scan csv"), s"must read back its own CSV:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("png chunk walk: per-partition byte walk, no joins, no decode-side shuffle (q370)") {
+    val plan = q("q370_png_chunk_walk")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the walk is a partition-parallel RDD transform:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
