@@ -4563,6 +4563,127 @@ object SparkEntry {
       Multimodal.pngChunkWalk(imgs, "doc_id")
         .orderBy("doc_id")
     }),
+    "q371_mahalanobis" -> ((s, dir) => {
+      // MULTIVARIATE anomaly: top-20 events by bivariate Mahalanobis
+      // distance over (value cents, hour-of-day) — the correlated-outlier
+      // sweep the univariate z-score (q90) and MAD (q147) fences cannot
+      // see (a $300 purchase at 3am can be normal on each axis alone).
+      // 2×2 algebra needs no matrix library: maha² = (Cyy·dx² − 2Cxy·dx·dy
+      // + Cxx·dy²)/det(C) with C the n-scaled central moment matrix. One
+      // exact-long moment aggregate (1 row, broadcast back), the score is
+      // fixed-op-order double arithmetic on exact inputs (bit-identical
+      // cross-engine), ranking on the ROUNDED score, top-20 TakeOrdered.
+      val ev = T(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"),
+          Num.roundz(col("value") * 100, 0).cast("long").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+      val m = ev.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      ev.crossJoin(broadcast(m))
+        .withColumn("cxx", expr("CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"))
+        .withColumn("cyy", expr("CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"))
+        .withColumn("cxy", expr("CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy"))
+        .withColumn("dx", expr("CAST(n AS DOUBLE) * x - sx"))
+        .withColumn("dy", expr("CAST(n AS DOUBLE) * y - sy"))
+        .select(col("event_id"), col("x").as("cents"), col("y").as("hour"),
+          Num.roundz(expr(
+            "(cyy * dx * dx - 2 * cxy * dx * dy + cxx * dy * dy) / " +
+              "(cxx * cyy - cxy * cxy)"), 4).as("maha2"))
+        .orderBy(col("maha2").desc, col("event_id"))
+        .limit(20)
+    }),
+    "q372_preference_pairs" -> ((s, dir) => {
+      // DPO/RLHF preference-pair construction: per group, pair the
+      // highest-quality member (chosen) against the lowest (rejected) and
+      // keep pairs whose margin clears a threshold — the
+      // data-assembly step behind every preference-tuning run (ties break
+      // to the smaller id on both sides, so the pairing is a pure
+      // function of the data). One hash aggregate with max/min(struct) —
+      // never a rank window (q351's argmax discipline); quality is the
+      // expression-native q51 scorer.
+      val q = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      q.groupBy(col("source"))
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"),
+          min(struct(col("quality"), col("doc_id").as("pid"))).as("w"),
+          count(lit(1)).as("group_n"))
+        .select(col("source"), (-col("b.nid")).as("chosen_id"),
+          col("w.pid").as("rejected_id"), col("b.quality").as("q_chosen"),
+          col("w.quality").as("q_rejected"),
+          Num.roundz(col("b.quality") - col("w.quality"), 4).as("margin"),
+          col("group_n"))
+        .filter(col("margin") >= 0.3)
+        .orderBy("source")
+    }),
+    "q373_source_exclusive_vocab" -> ((s, dir) => {
+      // leave-one-out DATA VALUATION on vocabulary: per source, how many
+      // token types exist nowhere else — the irreplaceability readout
+      // (drop this source and these types vanish from the corpus) that
+      // additive metrics (doc/token counts) cannot express. One token
+      // pass to the DISTINCT (source, type) frame; the per-type source
+      // count and the exclusivity join both run on that vocab-sized
+      // frame, never the corpus.
+      val st = T(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .distinct()
+      val perType = st.groupBy(col("w")).agg(count(lit(1)).as("nsrc"))
+      val inSrc = st.groupBy(col("source")).agg(count(lit(1)).as("types_in_source"))
+      val excl = st.join(perType.filter(col("nsrc") === 1), Seq("w"))
+        .groupBy(col("source")).agg(count(lit(1)).as("exclusive_types"))
+      inSrc.join(excl, Seq("source"), "left")
+        .withColumn("exclusive_types", coalesce(col("exclusive_types"), lit(0L)))
+        .crossJoin(broadcast(perType.agg(count(lit(1)).as("corpus_types"))))
+        .select(col("source"), col("types_in_source"), col("exclusive_types"),
+          col("corpus_types"),
+          expr("exclusive_types * 10000 div types_in_source").as("exclusive_bp"))
+        .orderBy("source")
+    }),
+    "q374_isotonic_calibration" -> ((s, dir) => {
+      // isotonic (PAV) calibration of the cents→purchase reliability
+      // curve (Zadrozny–Elkan 2002), computed DECLARATIVELY via the
+      // minimax identity iso_i = max_{j≤i} min_{k≥i} avg(pos over bins
+      // j..k) — no sequential pool-adjacent loop, so no driver-side
+      // state: the corpus collapses to ≤10 fixed-width bins in one hash
+      // aggregate and the whole solve is a ≤10³-row broadcast triple
+      // join on that metadata. q211 reports the RAW reliability bins;
+      // this is the monotone regression a serving stack actually applies.
+      import org.apache.spark.sql.expressions.Window
+      val b = T(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select((col("event_type") === "purchase").as("label"),
+          Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(expr("least(greatest(cents, 0) * 10 div 35000, 9)")
+          .cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("pos"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val idx = b.withColumn("rn", row_number().over(Window.orderBy(col("bin"))))
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cp", sum(col("pos")).over(w))
+      val jf = idx.select(col("rn").as("jr"),
+        (col("cn") - col("n")).as("n0"), (col("cp") - col("pos")).as("p0"))
+      val kf = idx.select(col("rn").as("kr"), col("cn").as("cnk"), col("cp").as("cpk"))
+      val pairs = jf.crossJoin(broadcast(kf)).filter(col("jr") <= col("kr"))
+        .select(col("jr"), col("kr"),
+          expr("CAST(cpk - p0 AS DOUBLE) / CAST(cnk - n0 AS DOUBLE)").as("a"))
+      idx.select(col("rn").as("ir"), col("bin"), col("n"), col("pos"))
+        .join(broadcast(pairs),
+          col("jr") <= col("ir") && col("ir") <= col("kr"))
+        .groupBy(col("ir"), col("bin"), col("n"), col("pos"), col("jr"))
+        .agg(min(col("a")).as("mn"))
+        .groupBy(col("ir"), col("bin"), col("n"), col("pos"))
+        .agg(max(col("mn")).as("iso"))
+        .select(col("bin"), col("n"), col("pos"),
+          expr("pos * 10000 div n").as("raw_bp"),
+          expr("CAST(round(iso * 10000) AS BIGINT)").as("iso_bp"))
+        .orderBy("bin")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -10879,6 +11000,90 @@ object SparkEntry {
         |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
         |  doc_id % 101 <> 0 AS crc_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q371_mahalanobis" ->
+      // identical fixed-op-order double pipeline on exact long moments
+      """WITH ev AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM ev),
+        |c AS (SELECT event_id, x, y,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS cxx,
+        |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS cyy,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy,
+        |    CAST(n AS DOUBLE) * x - sx AS dx,
+        |    CAST(n AS DOUBLE) * y - sy AS dy
+        |  FROM ev CROSS JOIN m)
+        |SELECT event_id, x AS cents, y AS hour,
+        |  (round((cyy * dx * dx - 2 * cxy * dx * dy + cxx * dy * dy) /
+        |    (cxx * cyy - cxy * cxy), 4) + 0.0) AS maha2
+        |FROM c ORDER BY maha2 DESC, event_id LIMIT 20""".stripMargin,
+    "q372_preference_pairs" ->
+      // q51's exact quality formula; argmax/argmin as the rank windows
+      // the engine's max/min(struct) replaces, ties to the smaller id
+      """WITH f AS (SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|a)\b')) AS DOUBLE) AS stop
+        |  FROM documents),
+        |ql AS (SELECT doc_id, (round(
+        |  (CASE WHEN len >= 100 AND len <= 10000 THEN CAST(1.0 AS DOUBLE) WHEN len >= 20 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+        |  + (CASE WHEN len > 0 THEN alpha / len ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+        |  + (CASE WHEN toks > 0 THEN least(stop / toks * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE),
+        |  4) + 0.0) AS quality FROM f),
+        |j AS (SELECT d.source, q.doc_id, q.quality FROM documents d JOIN ql q USING (doc_id)),
+        |r AS (SELECT source, doc_id, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rb,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality ASC, doc_id) AS rw,
+        |    count(*) OVER (PARTITION BY source) AS group_n FROM j),
+        |b AS (SELECT source, doc_id AS chosen_id, quality AS q_chosen, group_n FROM r WHERE rb = 1),
+        |w AS (SELECT source, doc_id AS rejected_id, quality AS q_rejected FROM r WHERE rw = 1)
+        |SELECT b.source, b.chosen_id, w.rejected_id, b.q_chosen, w.q_rejected,
+        |  (round(b.q_chosen - w.q_rejected, 4) + 0.0) AS margin,
+        |  CAST(b.group_n AS BIGINT) AS group_n
+        |FROM b JOIN w USING (source)
+        |WHERE (round(b.q_chosen - w.q_rejected, 4) + 0.0) >= 0.3
+        |ORDER BY b.source""".stripMargin,
+    "q373_source_exclusive_vocab" ->
+      // same tokenization; exclusivity from the per-type source count
+      """WITH st AS (SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |    FROM documents) t WHERE w <> ''),
+        |pt AS (SELECT w, count(*) AS nsrc FROM st GROUP BY 1),
+        |ins AS (SELECT source, count(*) AS types_in_source FROM st GROUP BY 1),
+        |ex AS (SELECT st.source, count(*) AS exclusive_types
+        |  FROM st JOIN pt ON pt.w = st.w AND pt.nsrc = 1 GROUP BY 1),
+        |ct AS (SELECT count(*) AS corpus_types FROM pt)
+        |SELECT ins.source, ins.types_in_source,
+        |  COALESCE(ex.exclusive_types, 0) AS exclusive_types, ct.corpus_types,
+        |  CAST(COALESCE(ex.exclusive_types, 0) * 10000 // ins.types_in_source AS BIGINT) AS exclusive_bp
+        |FROM ins LEFT JOIN ex USING (source) CROSS JOIN ct
+        |ORDER BY ins.source""".stripMargin,
+    "q374_isotonic_calibration" ->
+      // the same minimax identity, enumerated over the ≤10-bin frame
+      """WITH ev AS (SELECT event_type = 'purchase' AS label,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT least(greatest(cents, 0) * 10 // 35000, 9) AS bin,
+        |    count(*) AS n, sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos
+        |  FROM ev GROUP BY 1),
+        |idx AS (SELECT bin, n, pos,
+        |    row_number() OVER (ORDER BY bin) AS rn,
+        |    sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp FROM b),
+        |pairs AS (SELECT j.rn AS jr, k.rn AS kr,
+        |    CAST(k.cp - (j.cp - j.pos) AS DOUBLE) / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+        |  FROM idx j JOIN idx k ON j.rn <= k.rn),
+        |tri AS (SELECT i.rn AS ir, i.bin, i.n, i.pos, p.jr, min(p.a) AS mn
+        |  FROM idx i JOIN pairs p ON p.jr <= i.rn AND i.rn <= p.kr
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |iso AS (SELECT ir, bin, n, pos, max(mn) AS iso FROM tri GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(pos AS BIGINT) AS pos,
+        |  CAST(pos * 10000 // n AS BIGINT) AS raw_bp,
+        |  CAST(round(iso * 10000) AS BIGINT) AS iso_bp
+        |FROM iso ORDER BY bin""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -1293,6 +1293,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("mahalanobis: one moment aggregate broadcast back; top-20 is a heap (q371)") {
+    val plan = q("q371_mahalanobis")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row moment frame must broadcast onto the scoring scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must be a heap:\n$plan")
+    assert(!plan.contains("Window ("), plan)
+  }
+
+  test("preference pairs: one aggregate, argmax/argmin via max/min(struct), no window (q372)") {
+    val plan = q("q372_preference_pairs")
+    assert(!plan.contains("Window ("), s"pairing never ranks with a window:\n$plan")
+    assert(!plan.contains("Join"), s"quality is map-side; no join needed:\n$plan")
+  }
+
+  test("source exclusive vocab: all joins on the vocab-sized distinct frame (q373)") {
+    val plan = q("q373_source_exclusive_vocab")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("isotonic calibration: corpus collapses to bins; minimax solve on broadcast metadata (q374)") {
+    val plan = q("q374_isotonic_calibration")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the triple join runs on the ≤10-row bin frame, broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
