@@ -4684,6 +4684,132 @@ object SparkEntry {
           expr("CAST(round(iso * 10000) AS BIGINT)").as("iso_bp"))
         .orderBy("bin")
     }),
+    "q375_jackknife_ratio" -> ((s, dir) => {
+      // delete-one-DAY jackknife standard error of a ratio metric
+      // (purchases per view) — the experiment-analysis variance for
+      // ratios, where per-user averaging is wrong and bootstrap needs
+      // randomness; delete-1 over day blocks is fully deterministic
+      // (Quenouille/Tukey). One hash aggregate to the |days| frame; each
+      // leave-one-out ratio quantizes to exact micro-units BEFORE the
+      // Σq/Σq² fold, so the variance is exact integer arithmetic and the
+      // one float sqrt runs on a 1-row frame.
+      val d = T(s, dir, "events")
+        .groupBy(TextFunctions.dayString(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      val tot = d.agg(count(lit(1)).as("n"), sum(col("v")).as("vt"),
+        sum(col("p")).as("pt"))
+      d.crossJoin(broadcast(tot))
+        .withColumn("q", expr(
+          "CAST(round(CAST(pt - p AS DOUBLE) / CAST(vt - v AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy(col("n"), col("vt"), col("pt"))
+        .agg(sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sq2"))
+        .select(col("n").as("n_days"), col("vt").as("views"),
+          col("pt").as("purchases"),
+          Num.roundz(expr("CAST(pt AS DOUBLE) / CAST(vt AS DOUBLE)"), 6).as("ratio"),
+          Num.roundz(expr(
+            "sqrt(CAST(n - 1 AS DOUBLE) / n * " +
+              "(CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)) / CAST(1000000 AS DOUBLE)"), 6)
+            .as("jk_se"))
+    }),
+    "q376_erasure_audit" -> ((s, dir) => {
+      // right-to-be-forgotten PROPAGATION audit: after tombstoned users
+      // (id % 37 = 0) are deleted from the base table, every user-keyed
+      // derived artifact must carry zero tombstone references — and a
+      // STALE artifact (materialized before the deletion, the real-world
+      // failure mode) must be caught. q289 deletes from one vector index;
+      // this is the fleet-wide sweep a GDPR pipeline runs across ALL
+      // derivations. Each check is one aggregate + a broadcast semi
+      // (tombstone set is id-list-sized); the planted stale artifact must
+      // surface refs > 0 with clean = false.
+      val ev = T(s, dir, "events")
+      val tomb = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 37 === 0)
+      val live = ev.join(broadcast(tomb), Seq("user_id"), "left_anti")
+      def audit(name: String, artifact: DataFrame): DataFrame = artifact
+        .join(broadcast(tomb), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("tombstoned_refs"))
+        .crossJoin(artifact.agg(count(lit(1)).as("n_rows")))
+        .select(lit(name).as("artifact"), col("n_rows"), col("tombstoned_refs"),
+          (col("tombstoned_refs") === 0).as("clean"))
+      val sessions = live.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val latest = live.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"))
+      val staleTop = ev.groupBy(col("user_id")) // pre-deletion materialization
+        .agg(count(lit(1)).as("n_events"))
+      audit("sessions_live", sessions)
+        .unionByName(audit("latest_live", latest))
+        .unionByName(audit("top_users_stale", staleTop))
+        .orderBy("artifact")
+    }),
+    "q377_epoch_shuffle" -> ((s, dir) => {
+      // DETERMINISTIC dataloader shuffling: epoch e's order is the global
+      // rank under a seeded multiplicative hash of the id — a pure
+      // function of (id, epoch), so re-runs agree, any worker can
+      // reconstruct its slice, and resuming mid-epoch means reading batch
+      // b's rank range, not replaying the stream (what rand()-shuffles
+      // can never give you). Rank via the two-phase global rank (no
+      // single-partition sort of the corpus); batches are fixed 64-doc
+      // slices; the gate pins the first 4 batches of two epochs with
+      // order-invariant id sums — different epochs, different batches,
+      // same determinism.
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      def epoch(e: Int, a: Long): DataFrame = {
+        val keyed = docs.withColumn("k",
+          (col("doc_id") * lit(a)) % lit(2147483647L))
+        val (ranked, _) = TwoPhase.globalRank(keyed, col("k"),
+          Seq(col("k"), col("doc_id")), "r")
+        ranked.withColumn("batch", expr("(r - 1) div 64"))
+          .filter(col("batch") < 4)
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .withColumn("epoch", lit(e.toLong))
+      }
+      epoch(1, 48271L).unionByName(epoch(2, 16807L))
+        .select(col("epoch"), col("batch"), col("n_docs"), col("id_sum"))
+        .orderBy("epoch", "batch")
+    }),
+    "q378_schema_compat" -> ((s, dir) => {
+      // schema-registry compatibility gate: two ingest batches land with
+      // drifted schemas; the ledger classifies every field (added /
+      // dropped / type_narrowed / unchanged) and rules on READ
+      // compatibility (nullable adds pass; drops and narrowing break
+      // old readers) — the check that runs BEFORE q118's mergeSchema
+      // union ever gets to. The schemas are read back from the written
+      // parquet FOOTERS (metadata I/O only — no data scan at any size);
+      // the ledger itself is |fields| rows built from that metadata.
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val docs = T(s, dir, "documents")
+      val pa = s"$TMP/q378_schema/$safe/a"
+      val pb = s"$TMP/q378_schema/$safe/b"
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .limit(10).write.mode("overwrite").parquet(pa)
+      docs.select(col("doc_id"), col("n_chars").cast("int").as("n_chars"),
+          col("lang"))
+        .limit(10).write.mode("overwrite").parquet(pb)
+      val oldS = s.read.parquet(pa).schema
+      val newS = s.read.parquet(pb).schema
+      val oldM = oldS.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val newM = newS.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      import s.implicits._
+      (oldM.keySet ++ newM.keySet).toSeq.sorted.map { f =>
+        val (o, n) = (oldM.get(f), newM.get(f))
+        val change = (o, n) match {
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case (Some("bigint"), Some("int")) => "type_narrowed"
+          case (Some("int"), Some("bigint")) => "type_widened"
+          case (Some(_), Some(_)) => "type_changed"
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "dropped"
+        }
+        val compat = change == "unchanged" || change == "added" ||
+          change == "type_widened"
+        (f, o.isDefined, n.isDefined, o.orNull, n.orNull, change, compat)
+      }.toDF("field", "in_old", "in_new", "old_type", "new_type",
+        "change", "read_compatible")
+        .orderBy("field")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -11084,6 +11210,75 @@ object SparkEntry {
         |  CAST(pos * 10000 // n AS BIGINT) AS raw_bp,
         |  CAST(round(iso * 10000) AS BIGINT) AS iso_bp
         |FROM iso ORDER BY bin""".stripMargin,
+    "q375_jackknife_ratio" ->
+      // identical per-day leave-one-out ratios, micro-quantized before
+      // the exact Σq/Σq² fold; one sqrt on the 1-row frame
+      """WITH d AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS vt,
+        |    CAST(sum(p) AS BIGINT) AS pt FROM d),
+        |qv AS (SELECT n, vt, pt,
+        |    CAST(round(CAST(pt - p AS DOUBLE) / CAST(vt - v AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM d CROSS JOIN t),
+        |ag AS (SELECT n, vt, pt, CAST(sum(q) AS BIGINT) AS sq,
+        |    CAST(sum(q * q) AS BIGINT) AS sq2 FROM qv GROUP BY 1, 2, 3)
+        |SELECT n AS n_days, vt AS views, pt AS purchases,
+        |  (round(CAST(pt AS DOUBLE) / CAST(vt AS DOUBLE), 6) + 0.0) AS ratio,
+        |  (round(sqrt(CAST(n - 1 AS DOUBLE) / n *
+        |    (CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)) / CAST(1000000 AS DOUBLE), 6) + 0.0) AS jk_se
+        |FROM ag""".stripMargin,
+    "q376_erasure_audit" ->
+      // the same three artifacts recomputed from the base table; the
+      // stale one must carry refs > 0
+      """WITH tomb AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+        |live AS (SELECT * FROM events
+        |  WHERE user_id NOT IN (SELECT user_id FROM tomb)),
+        |s AS (SELECT user_id FROM live GROUP BY user_id),
+        |l AS (SELECT user_id FROM live GROUP BY user_id),
+        |st AS (SELECT user_id FROM events GROUP BY user_id)
+        |SELECT 'latest_live' AS artifact,
+        |  (SELECT count(*) FROM l) AS n_rows,
+        |  (SELECT count(*) FROM l WHERE user_id IN (SELECT user_id FROM tomb)) AS tombstoned_refs,
+        |  (SELECT count(*) FROM l WHERE user_id IN (SELECT user_id FROM tomb)) = 0 AS clean
+        |UNION ALL
+        |SELECT 'sessions_live',
+        |  (SELECT count(*) FROM s),
+        |  (SELECT count(*) FROM s WHERE user_id IN (SELECT user_id FROM tomb)),
+        |  (SELECT count(*) FROM s WHERE user_id IN (SELECT user_id FROM tomb)) = 0
+        |UNION ALL
+        |SELECT 'top_users_stale',
+        |  (SELECT count(*) FROM st),
+        |  (SELECT count(*) FROM st WHERE user_id IN (SELECT user_id FROM tomb)),
+        |  (SELECT count(*) FROM st WHERE user_id IN (SELECT user_id FROM tomb)) = 0
+        |ORDER BY artifact""".stripMargin,
+    "q377_epoch_shuffle" ->
+      // the global rank window IS what the two-phase rank replaces
+      """WITH e1 AS (SELECT doc_id, (doc_id * 48271) % 2147483647 AS k FROM documents),
+        |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM e1),
+        |b1 AS (SELECT 1 AS epoch, (r - 1) // 64 AS batch, count(*) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM r1 WHERE (r - 1) // 64 < 4 GROUP BY 2),
+        |e2 AS (SELECT doc_id, (doc_id * 16807) % 2147483647 AS k FROM documents),
+        |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM e2),
+        |b2 AS (SELECT 2 AS epoch, (r - 1) // 64 AS batch, count(*) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM r2 WHERE (r - 1) // 64 < 4 GROUP BY 2)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(batch AS BIGINT) AS batch,
+        |  n_docs, id_sum
+        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
+        |ORDER BY epoch, batch""".stripMargin,
+    "q378_schema_compat" ->
+      // the ledger is fully determined by the two batch schemas the
+      // engine writes; the oracle pins the expected classification
+      """SELECT * FROM (VALUES
+        |  ('doc_id', TRUE, TRUE, 'bigint', 'bigint', 'unchanged', TRUE),
+        |  ('lang', FALSE, TRUE, CAST(NULL AS VARCHAR), 'string', 'added', TRUE),
+        |  ('n_chars', TRUE, TRUE, 'bigint', 'int', 'type_narrowed', FALSE),
+        |  ('source', TRUE, FALSE, 'string', CAST(NULL AS VARCHAR), 'dropped', FALSE))
+        |  t(field, in_old, in_new, old_type, new_type, change, read_compatible)
+        |ORDER BY field""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -1320,6 +1320,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("jackknife ratio: totals broadcast onto the |days| frame; exact quantized fold (q375)") {
+    val plan = q("q375_jackknife_ratio")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals must broadcast onto the day frame:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("erasure audit: tombstone set broadcast; semi/anti membership, never a row join (q376)") {
+    val plan = q("q376_erasure_audit")
+    assert(plan.contains("LeftSemi"), s"ref counting is a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"deletion is an anti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"the tombstone set must broadcast:\n$plan")
+  }
+
+  test("epoch shuffle: two-phase global rank, never a single-partition corpus sort (q377)") {
+    val plan = q("q377_epoch_shuffle")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"the rank must come from the two-phase rewrite:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤32-row offset frames must broadcast:\n$plan")
+  }
+
+  test("schema compat: the ledger is metadata only — no data scan in the plan (q378)") {
+    val plan = q("q378_schema_compat")
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"),
+      s"the ledger is built from parquet footers, not a data scan:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"no data pages may be read for a schema diff:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
