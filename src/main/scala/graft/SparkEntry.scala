@@ -4810,6 +4810,86 @@ object SparkEntry {
         "change", "read_compatible")
         .orderBy("field")
     }),
+    "q379_pseudonymize" -> ((s, dir) => {
+      // keyed PSEUDONYMIZATION with a referential-integrity proof: each
+      // user id maps to a token by a peppered deterministic hash — the
+      // release transform that keeps JOINS working (same user, same
+      // token, across every table and every run) while severing the raw
+      // id, which q72's in-text scrubbing cannot do. The gate: per-token
+      // event counts (the analytics survive the transform) plus an
+      // injectivity bit (exactly one raw id behind each token — a
+      // collision would silently merge two users' histories). Map-side
+      // expression hash, one aggregate; no rainbow-table reversal without
+      // the pepper.
+      val ev = T(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("token", graft.functions.RollingHash(
+          concat(lit("pepper-v1:"), col("user_id").cast("string"))))
+      ev.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("raw_ids"))
+        .select(col("token"), col("n_events"),
+          (col("raw_ids") === 1).as("injective"))
+        .orderBy("token")
+    }),
+    "q380_embedding_drift" -> ((s, dir) => {
+      // embedding-BATCH drift monitor: per projected dimension (q295's
+      // 16-dim stride), compare the reference half (even ids) against the
+      // new half (odd ids) — the did-the-encoder-change check a vector
+      // pipeline runs before mixing index generations (a silently
+      // re-normalized or re-trained encoder shifts means/scales long
+      // before recall collapses). Location gap as the EXACT
+      // cross-multiplied mean difference |Σa·n_b − Σb·n_a| (q361's
+      // trick — no float summation anywhere); scale ratio from exact
+      // Σ|m| folds with one final rounded division. One scan, one
+      // 16-row aggregate.
+      val proj = T(s, dir, "embeddings")
+        .select((col("vec_id") % 2).as("side"), posexplode(expr(
+          "transform(sequence(0, 15), k -> CAST(round(CAST(element_at(embedding, k * 4 + 1) AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as(Seq("dim", "m")))
+      proj.groupBy(col("dim").cast("long").as("dim"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("side") === 0, col("m")).otherwise(0L)).as("sa"),
+          sum(when(col("side") === 1, col("m")).otherwise(0L)).as("sb"),
+          sum(when(col("side") === 0, abs(col("m"))).otherwise(0L)).as("aa"),
+          sum(when(col("side") === 1, abs(col("m"))).otherwise(0L)).as("ab"))
+        .select(col("dim"), col("n_a"), col("n_b"),
+          abs(col("sa") * col("n_b") - col("sb") * col("n_a")).as("mean_gap_x"),
+          col("aa"), col("ab"),
+          Num.roundz(expr(
+            "CAST(ab AS DOUBLE) * n_a / (CAST(aa AS DOUBLE) * n_b) * 10000"), 0)
+            .cast("long").as("scale_ratio_bp"))
+        .orderBy("dim")
+    }),
+    "q381_join_ivm" -> ((s, dir) => {
+      // incremental JOIN-view maintenance: the standing orders⋈customer
+      // view absorbs deltas on BOTH sides via the delta-join algebra
+      // ΔV = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC (Blakeley 1986) — q111 maintains an
+      // AGGREGATE incrementally; this is the join half every lakehouse
+      // materialized view needs. The oracle recomputes the full join from
+      // scratch, so the green row IS the incremental ≡ recompute proof
+      // (q265's discipline). At 100 TB the deltas are batch-sized, so
+      // every term shuffles O(|Δ|), never the standing view.
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        Num.roundz(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderdate"))
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val cut = lit("1999-01-01").cast("date")
+      val oOld = o.filter(col("o_orderdate") < cut)
+      val dO = o.filter(col("o_orderdate") >= cut)
+      val cOld = c.filter(col("c_custkey") % 11 =!= 0)
+      val dC = c.filter(col("c_custkey") % 11 === 0)
+      def j(l: DataFrame, r: DataFrame): DataFrame =
+        l.join(r, col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"), col("cents"))
+      j(oOld, cOld) // the standing view
+        .unionByName(j(dO, cOld)) // ΔO ⋈ C
+        .unionByName(j(oOld, dC)) // O ⋈ ΔC
+        .unionByName(j(dO, dC)) // ΔO ⋈ ΔC
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .orderBy("c_nationkey")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -11279,6 +11359,44 @@ object SparkEntry {
         |  ('source', TRUE, FALSE, 'string', CAST(NULL AS VARCHAR), 'dropped', FALSE))
         |  t(field, in_old, in_new, old_type, new_type, change, read_compatible)
         |ORDER BY field""".stripMargin,
+    "q379_pseudonymize" ->
+      // the q53 byte-rolling hash of the peppered id string
+      """WITH ev AS (SELECT user_id, list_reduce(
+        |    list_transform(range(1, length(t) + 1),
+        |      i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS token
+        |  FROM (SELECT user_id, 'pepper-v1:' || CAST(user_id AS VARCHAR) AS t
+        |        FROM events WHERE user_id IS NOT NULL) x)
+        |SELECT token, count(*) AS n_events,
+        |  count(DISTINCT user_id) = 1 AS injective
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q380_embedding_drift" ->
+      // q288's micro-scaled strided projection; exact cross-multiplied
+      // location gap, one rounded division for the scale ratio
+      """WITH vecs AS (SELECT vec_id % 2 AS side, list_transform(range(0, 16),
+        |    k -> CAST(round(CAST(embedding AS DOUBLE[])[CAST(k * 4 + 1 AS INT)] * 1000000) AS BIGINT)) AS p
+        |  FROM embeddings),
+        |pr AS (SELECT side, CAST(d.k AS BIGINT) AS dim, p[CAST(d.k + 1 AS INT)] AS m
+        |  FROM vecs, LATERAL (SELECT unnest(range(0, 16)) AS k) d),
+        |g AS (SELECT dim,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN side = 0 THEN m ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN side = 1 THEN m ELSE 0 END) AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN side = 0 THEN abs(m) ELSE 0 END) AS BIGINT) AS aa,
+        |    CAST(sum(CASE WHEN side = 1 THEN abs(m) ELSE 0 END) AS BIGINT) AS ab
+        |  FROM pr GROUP BY 1)
+        |SELECT dim, n_a, n_b,
+        |  CAST(abs(sa * n_b - sb * n_a) AS BIGINT) AS mean_gap_x, aa, ab,
+        |  CAST(round(CAST(ab AS DOUBLE) * n_a / (CAST(aa AS DOUBLE) * n_b) * 10000) AS BIGINT) AS scale_ratio_bp
+        |FROM g ORDER BY dim""".stripMargin,
+    "q381_join_ivm" ->
+      // the oracle is the FULL from-scratch join — a green row proves the
+      // delta algebra reproduced it exactly
+      """SELECT c_nationkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -1350,6 +1350,25 @@ class PlanSpec extends SparkSpec {
       s"no data pages may be read for a schema diff:\n$plan")
   }
 
+  test("pseudonymize: map-side token expression, one aggregate, no join (q379)") {
+    val plan = q("q379_pseudonymize")
+    assert(plan.contains("rolling_hash"),
+      s"the token must be the codegen'd expression, not a UDF:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("embedding drift: one scan, map-side projection fan-out, one 16-row aggregate (q380)") {
+    val plan = q("q380_embedding_drift")
+    assert(plan.contains("Generate"), s"the 16-dim fan-out is a map-side explode:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("join ivm: four delta-term joins, no cartesian, single final aggregate (q381)") {
+    val plan = q("q381_join_ivm")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Union"), s"the delta algebra is a union of join terms:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
