@@ -4890,6 +4890,96 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
         .orderBy("c_nationkey")
     }),
+    "q382_cdc_chunking" -> ((s, dir) => {
+      // content-defined chunking (LBFS/rsync, Muthitacharoen 2001) — the
+      // STORAGE-dedup primitive under every backup/blob store: boundaries
+      // where a 4-char window hash ≡ 0 (mod 64), so an insertion shifts
+      // only its own chunk while text dedup (q43) would see a brand-new
+      // document. The rule here is stateless (no min-chunk clamp), so
+      // every boundary is decidable per position — the whole
+      // chunk→fingerprint pipeline is map-side higher-order expressions,
+      // and the dedup ledger is one hash aggregate over chunk
+      // fingerprints (never chunk text).
+      val ch = T(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          "filter(sequence(4, greatest(length(text), 4)), i -> " +
+            "i <= length(text) AND (ascii(substring(text, i - 3, 1)) * 29791 + " +
+            "ascii(substring(text, i - 2, 1)) * 961 + " +
+            "ascii(substring(text, i - 1, 1)) * 31 + " +
+            "ascii(substring(text, i, 1))) % 64 = 0)").as("b"),
+          col("text"))
+        .select(col("doc_id"), explode(expr(
+          "filter(zip_with(" +
+            "concat(array(1), transform(b, x -> x + 1)), " +
+            "concat(b, array(length(text))), " +
+            "(st, en) -> substring(text, st, en - st + 1)), c -> c != '')"))
+          .as("chunk"))
+        .select(col("doc_id"), length(col("chunk")).cast("long").as("clen"),
+          expr("aggregate(sequence(1, length(chunk)), CAST(0 AS BIGINT), " +
+            "(acc, i) -> (acc * 31 + ascii(substring(chunk, i, 1))) % 1000000007)")
+            .as("fp"))
+      val per = ch.groupBy(col("fp")).agg(count(lit(1)).as("inst"),
+        max(col("clen")).as("clen"))
+      ch.agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_chunks"), sum(col("clen")).as("total_chars"))
+        .crossJoin(broadcast(per.agg(count(lit(1)).as("distinct_chunks"))))
+        .select(col("n_docs"), col("total_chunks"), col("distinct_chunks"),
+          expr("(total_chunks - distinct_chunks) * 10000 div total_chunks")
+            .as("dup_bp"),
+          expr("total_chars * 100 div total_chunks").as("mean_len_c"))
+    }),
+    "q383_join_size_estimate" -> ((s, dir) => {
+      // join-size estimation from COUNT-MIN sketches (Cormode &
+      // Muthukrishnan 2005, the AGMS-style inner product): |O ⋈ L| is
+      // predicted as min over hash rows of Σ_col cellO·cellL — computed
+      // from two 192-cell summaries that each side maintains
+      // independently, the optimizer-statistics question ("should this
+      // join broadcast? how many shuffle partitions?") answered WITHOUT
+      // running the join. The estimate can only overcount (collisions
+      // add), so overest ≥ 0 is structural; the gate carries the exact
+      // size (oracle-verified) and the estimate's error in bp.
+      val seeds = Seq((0, 31L, 7L), (1, 131L, 13L), (2, 1031L, 17L))
+      def cm(df: DataFrame, key: String, out: String): DataFrame = {
+        val cnt = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        seeds.map { case (i, a, b) =>
+          cnt.select(lit(i).as("row"),
+            ((col("k") * a + b) % 1000000007L % 64).as("col"), col("c"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("row"), col("col")).agg(sum(col("c")).as(out))
+      }
+      val est = cm(T(s, dir, "orders"), "o_orderkey", "co")
+        .join(cm(T(s, dir, "lineitem"), "l_orderkey", "cl"),
+          Seq("row", "col"))
+        .groupBy(col("row")).agg(sum(col("co") * col("cl")).as("rowest"))
+        .agg(min(col("rowest")).as("cms_est"))
+      val exact = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_rows"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_rows"), col("cms_est"),
+          expr("(cms_est - exact_rows) * 10000 div exact_rows").as("overest_bp"))
+    }),
+    "q384_worst_slices" -> ((s, dir) => {
+      // worst-slice mining (SliceFinder-style): evaluate the q50 langid
+      // model per (source, lang) subgroup and surface the 10 worst
+      // slices with support ≥ 20 — per-slice evaluation catches the
+      // failure the global confusion matrix (q279) averages away (a
+      // model can be 95% overall and 40% on one source's German). One
+      // scan, one hash aggregate to the |sources|·|langs| frame, heap
+      // top-10 on (acc, support desc) — never a global sort.
+      T(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          (TextAnalysis.langId(col("text")) === col("lang")).as("ok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("correct"))
+        .filter(col("n") >= 20)
+        .select(col("source"), col("lang"), col("n"), col("correct"),
+          expr("correct * 10000 div n").as("acc_bp"))
+        .orderBy(col("acc_bp"), col("n").desc, col("source"), col("lang"))
+        .limit(10)
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -11397,6 +11487,58 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q382_cdc_chunking" ->
+      // identical stateless boundary rule, chunk slicing, and per-chunk
+      // byte-rolling fingerprints
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |bs AS (SELECT doc_id, text, n,
+        |    list_filter(list_transform(range(4, n + 1), i ->
+        |      CASE WHEN (ord(substr(text, CAST(i - 3 AS INT), 1)) * 29791 +
+        |        ord(substr(text, CAST(i - 2 AS INT), 1)) * 961 +
+        |        ord(substr(text, CAST(i - 1 AS INT), 1)) * 31 +
+        |        ord(substr(text, CAST(i AS INT), 1))) % 64 = 0
+        |      THEN i ELSE CAST(-1 AS BIGINT) END), x -> x > 0) AS b FROM t),
+        |se AS (SELECT doc_id, text,
+        |    list_prepend(CAST(1 AS BIGINT), list_transform(b, x -> x + 1)) AS st,
+        |    list_append(b, CAST(n AS BIGINT)) AS en FROM bs),
+        |ch0 AS (SELECT doc_id, unnest(list_transform(range(1, len(st) + 1),
+        |    j -> substr(text, CAST(st[CAST(j AS INT)] AS INT),
+        |      CAST(en[CAST(j AS INT)] - st[CAST(j AS INT)] + 1 AS INT)))) AS chunk
+        |  FROM se),
+        |ch AS (SELECT doc_id, length(chunk) AS clen, list_reduce(
+        |    list_transform(range(1, length(chunk) + 1),
+        |      i -> CAST(ord(substr(chunk, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM ch0 WHERE chunk <> '')
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS total_chunks,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS distinct_chunks,
+        |  CAST((count(*) - count(DISTINCT fp)) * 10000 // count(*) AS BIGINT) AS dup_bp,
+        |  CAST(sum(clen) * 100 // count(*) AS BIGINT) AS mean_len_c
+        |FROM ch""".stripMargin,
+    "q383_join_size_estimate" ->
+      // the same 3×64 sketches and inner product, fully arithmetic
+      """WITH oc AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |lc AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |sd AS (SELECT * FROM (VALUES (0, 31, 7), (1, 131, 13), (2, 1031, 17)) v(rw, a, b)),
+        |go AS (SELECT rw, (k * a + b) % 1000000007 % 64 AS cl_, sum(c) AS co
+        |  FROM oc CROSS JOIN sd GROUP BY 1, 2),
+        |gl AS (SELECT rw, (k * a + b) % 1000000007 % 64 AS cl_, sum(c) AS cl
+        |  FROM lc CROSS JOIN sd GROUP BY 1, 2),
+        |re AS (SELECT go.rw, CAST(sum(go.co * gl.cl) AS BIGINT) AS rowest
+        |  FROM go JOIN gl ON gl.rw = go.rw AND gl.cl_ = go.cl_ GROUP BY 1),
+        |est AS (SELECT CAST(min(rowest) AS BIGINT) AS cms_est FROM re),
+        |ex AS (SELECT count(*) AS exact_rows FROM orders
+        |  JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT exact_rows, cms_est,
+        |  CAST((cms_est - exact_rows) * 10000 // exact_rows AS BIGINT) AS overest_bp
+        |FROM ex CROSS JOIN est""".stripMargin,
+    "q384_worst_slices" ->
+      s"""SELECT source, lang, count(*) AS n,
+         |  CAST(sum(CASE WHEN $langCase = lang THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         |  CAST(sum(CASE WHEN $langCase = lang THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS acc_bp
+         |FROM documents GROUP BY 1, 2 HAVING count(*) >= 20
+         |ORDER BY acc_bp, n DESC, source, lang LIMIT 10""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -1369,6 +1369,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"), s"the delta algebra is a union of join terms:\n$plan")
   }
 
+  test("cdc chunking: map-side chunk fan-out and fingerprints; ledger is one aggregate (q382)") {
+    val plan = q("q382_cdc_chunking")
+    assert(plan.contains("Generate"), s"chunks explode map-side:\n$plan")
+    assert(!plan.contains("Join") || plan.contains("BroadcastNestedLoopJoin"),
+      s"only the 1-row distinct count joins back:\n$plan")
+  }
+
+  test("join size estimate: two 192-cell sketches; the exact join runs only as the yardstick (q383)") {
+    val plan = q("q383_join_size_estimate")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("worst slices: one aggregate to the slice frame; heap top-10 (q384)") {
+    val plan = q("q384_worst_slices")
+    assert(plan.contains("TakeOrderedAndProject"), s"worst-10 must be a heap:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
