@@ -34,6 +34,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavDecoder.decode("noise".getBytes).toSeq == Seq(-1f, -1f, -1f))
   }
 
+  test("pngChunkWalk: well-formed walk, corruption, truncation, bad signature, trailing garbage") {
+    val good = Multimodal.synthPng(5, 3, 0x123456)
+    val corrupt = good.clone(); corrupt(41) = (corrupt(41) ^ 0x01).toByte // IDAT data
+    val truncated = good.take(good.length - 6) // cuts into IEND
+    val badSig = good.clone(); badSig(0) = 0x00
+    val trailing = good ++ Array[Byte](1, 2, 3)
+    val mm = Seq(
+      (1L, good), (2L, corrupt), (3L, truncated), (4L, badSig), (5L, trailing)
+    ).toDF("doc_id", "payload")
+    val r = Multimodal.pngChunkWalk(mm, "doc_id").orderBy("doc_id").collect()
+    // well-formed: 3 chunks, IHDR geometry, crc_ok
+    assert(r(0).getLong(1) == 3L && r(0).getString(2) == "IHDR,IDAT,IEND")
+    assert(r(0).getLong(3) == 5L && r(0).getLong(4) == 3L &&
+      r(0).getLong(5) == 8L && r(0).getLong(6) == 2L && r(0).getBoolean(7))
+    // corrupted IDAT: structure fully parsed, crc flags false
+    assert(r(1).getLong(1) == 3L && !r(1).getBoolean(7))
+    // truncated: walk stops early, not ok
+    assert(!r(2).getBoolean(7) && r(2).getLong(1) < 3L)
+    // bad signature: nothing parsed, not ok
+    assert(!r(3).getBoolean(7) && r(3).getLong(1) == 0L)
+    // trailing garbage after IEND: chunks parse but stream is not clean
+    assert(r(4).getLong(1) == 3L && !r(4).getBoolean(7))
+  }
+
   test("resizeStub evolves metadata without touching payload") {
     val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
     val out = Multimodal.resizeStub(Multimodal.asMultimodal(docs, "doc_id", "text"), 640, 480)

@@ -60,6 +60,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: CdcChunks expression ≡ the higher-order-function chain, bit for bit") {
+    // the native single-pass walk must reproduce the declarative
+    // boundary/slice/fold pipeline exactly: boundary at every position
+    // whose trailing 4-char window hash ≡ 0 (mod 64), chunks between
+    // boundaries (empty tail dropped), Karp–Rabin fold per chunk
+    val charGen = Gen.oneOf(('a' to 'z') ++ ('0' to '9') ++ Seq(' ', '.', ','))
+    val textGen = for {
+      n <- Gen.chooseNum(0, 400)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val texts = (1L to 60L).map(s => sample(textGen, s)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text").filter(length(col("text")) > 0)
+    val declarative = df
+      .select(col("doc_id"), expr(
+        "filter(sequence(4, greatest(length(text), 4)), i -> " +
+          "i <= length(text) AND (ascii(substring(text, i - 3, 1)) * 29791 + " +
+          "ascii(substring(text, i - 2, 1)) * 961 + " +
+          "ascii(substring(text, i - 1, 1)) * 31 + " +
+          "ascii(substring(text, i, 1))) % 64 = 0)").as("b"), col("text"))
+      .select(col("doc_id"), expr(
+        "transform(filter(zip_with(" +
+          "concat(array(1), transform(b, x -> x + 1)), " +
+          "concat(b, array(length(text))), " +
+          "(st, en) -> substring(text, st, en - st + 1)), c -> c != ''), " +
+          "c -> aggregate(sequence(1, length(c)), CAST(0 AS BIGINT), " +
+          "(acc, i) -> (acc * 31 + ascii(substring(c, i, 1))) % 1000000007) " +
+          "* CAST(16777216 AS BIGINT) + least(length(c), 16777215))").as("p"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    val native = df
+      .select(col("doc_id"), graft.functions.CdcChunks(col("text")).as("p"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(native == declarative, "CdcChunks diverged from the HOF chain")
+    assert(native.exists(_._2.length > 1), "generator never produced a boundary")
+  }
+
   test("property: HashFamily constants respect the overflow-safety bounds") {
     import graft.functions.HashFamily
     // a_i odd in [1, 2^31), b_i in [0, P): a_i * x + b_i can never overflow a
