@@ -4968,6 +4968,77 @@ object SparkEntry {
         .orderBy(col("acc_bp"), col("n").desc, col("source"), col("lang"))
         .limit(10)
     }),
+    "q385_variant_shred" -> ((s, dir) =>
+      // semi-structured payloads through Spark 4's native VARIANT type:
+      // parse_json once into the binary variant encoding, then typed
+      // path extraction (variant_get) — the open-schema ingest shape that
+      // replaces per-query get_json_object string re-parsing (q32): at
+      // 100 TB the JSON parses ONCE at ingest and every downstream
+      // extraction is a binary field walk, not a text scan. The gate
+      // groups on the extracted typed value, so a wrong shred changes
+      // the histogram.
+      T(s, dir, "events")
+        .filter(col("props").isNotNull)
+        .selectExpr("parse_json(props) AS v")
+        .selectExpr("CAST(variant_get(v, '$.k') AS BIGINT) AS k")
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy("k")),
+    "q386_observed_metrics" -> ((s, dir) => {
+      // pipeline observability WITHOUT a second scan: Dataset.observe
+      // attaches accumulator-backed metrics (row count, null count, value
+      // mass) to the input of a real aggregation, and the metrics arrive
+      // as a side effect of the one action — the production data-quality
+      // ledger pattern (a separate auditing query would double the I/O at
+      // 100 TB). The gate pins the observed values against the oracle's
+      // direct computation, proving the observation path reports exactly
+      // what flowed.
+      import org.apache.spark.sql.Observation
+      val obs = Observation(
+        "q386_" + java.util.UUID.randomUUID().toString.take(8))
+      val ev = T(s, dir, "events").observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_values"),
+        sum(coalesce(Num.roundz(col("value") * 100, 0).cast("long"), lit(0L)))
+          .as("cents_in"))
+      val rowsOut = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("rows_in").asInstanceOf[Long],
+        m("null_values").asInstanceOf[Long],
+        m("cents_in").asInstanceOf[Long], rowsOut))
+        .toDF("rows_in", "null_values", "cents_in", "rows_out")
+    }),
+    "q387_pipe_sql" -> ((s, dir) => {
+      // Spark 4 SQL PIPE syntax (`|>`): the linear query form that reads
+      // in execution order — same Catalyst plan as the nested-SELECT
+      // equivalent the oracle runs, which is the point: the surface is
+      // new, the engine semantics are identical, and the gate proves it
+      // (a syntax-only feature must cost nothing and change nothing).
+      T(s, dir, "events").createOrReplaceTempView("q387_events")
+      s.sql(
+        """FROM q387_events
+          ||> WHERE value IS NOT NULL AND value > 50
+          ||> AGGREGATE count(*) AS cnt,
+          |     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+          |   GROUP BY event_type
+          ||> ORDER BY event_type""".stripMargin)
+    }),
+    "q388_collated_group" -> ((s, dir) =>
+      // Spark 4 COLLATION support: case-insensitive grouping via a
+      // UTF8_LCASE-collated key instead of the lower()-projection
+      // workaround — collation-aware hashing/equality runs inside the
+      // aggregate (and, unlike lower(), preserves the original strings
+      // for output). Mixed case is planted deterministically (odd ids
+      // upper-cased); min() over the raw binary-collated column keeps
+      // the representative choice engine-independent.
+      T(s, dir, "documents")
+        .select(when(col("doc_id") % 2 === 1, upper(col("source")))
+          .otherwise(col("source")).as("s"))
+        .groupBy(expr("collate(s, 'UTF8_LCASE')").as("g"))
+        .agg(min(col("s")).as("variant_min"), count(lit(1)).as("cnt"))
+        .select(col("variant_min"), col("cnt"))
+        .orderBy("variant_min")),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -11527,6 +11598,31 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN $langCase = lang THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS acc_bp
          |FROM documents GROUP BY 1, 2 HAVING count(*) >= 20
          |ORDER BY acc_bp, n DESC, source, lang LIMIT 10""".stripMargin,
+    "q385_variant_shred" ->
+      // the engine parses once into VARIANT and walks the binary field;
+      // the oracle re-parses the JSON text — same typed values
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS cnt
+        |FROM events WHERE props IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q386_observed_metrics" ->
+      // the oracle computes directly what observe() must have reported
+      """SELECT count(*) AS rows_in,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values,
+        |  CAST(sum(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS cents_in,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS rows_out
+        |FROM events""".stripMargin,
+    "q387_pipe_sql" ->
+      // the nested-SELECT equivalent of the pipe program
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE value IS NOT NULL AND value > 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q388_collated_group" ->
+      // collation-aware grouping ≡ the lower()-projection workaround
+      """WITH d AS (SELECT CASE WHEN doc_id % 2 = 1 THEN upper(source)
+        |    ELSE source END AS s FROM documents)
+        |SELECT min(s) AS variant_min, count(*) AS cnt FROM d
+        |GROUP BY lower(s) ORDER BY variant_min""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

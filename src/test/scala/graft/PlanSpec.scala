@@ -1388,6 +1388,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("variant shred: one parse, binary path walk, one aggregate — no string re-parse (q385)") {
+    val plan = q("q385_variant_shred")
+    assert(plan.contains("variant_get") || plan.contains("VariantGet"),
+      s"extraction must run on the VARIANT encoding:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("pipe sql: the |> program compiles to the same aggregate shape as nested SQL (q387)") {
+    val plan = q("q387_pipe_sql")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join"), s"syntax-only feature must add nothing:\n$plan")
+  }
+
+  test("collated group: one aggregate over the collated key, no lower() double scan (q388)") {
+    val plan = q("q388_collated_group")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
