@@ -5039,6 +5039,65 @@ object SparkEntry {
         .agg(min(col("s")).as("variant_min"), count(lit(1)).as("cnt"))
         .select(col("variant_min"), col("cnt"))
         .orderBy("variant_min")),
+    "q389_markov_attribution" -> ((s, dir) => {
+      // Markov removal-effect attribution (Anderl et al. 2014) — the
+      // data-driven alternative to q131's positional rules: each
+      // channel's credit is how much the journey chain's conversion
+      // probability DROPS when every transition into that channel is
+      // absorbed into null. Journeys truncate at the first purchase
+      // (absorbing); the only corpus-sized work is ONE user-keyed
+      // ordering pass for the transition tallies — the chain itself is a
+      // ≤5×6 matrix collected to the driver (the TwoPhase metadata-action
+      // discipline) and solved by 8 fixed-point steps in EXACT millionth
+      // integer arithmetic, replayed identically by the oracle's
+      // unrolled CTEs: p' = b + ⌊Q·p/10⁶⌋, once per removal.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val o = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("ord"))
+      val fp = o.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ord")).as("po"))
+      val tr = o.join(fp, Seq("user_id"), "left")
+        .filter(col("po").isNull || col("ord") <= col("po"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("ord"))
+      val steps = tr
+        .withColumn("t", coalesce(lead(col("event_type"), 1).over(w2), lit("end")))
+        .filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("f"), col("t"))
+      val starts = tr.filter(col("ord") === 1)
+        .select(lit("start").as("f"), col("event_type").as("t"))
+      val tallies = steps.unionByName(starts)
+        .groupBy(col("f"), col("t")).agg(count(lit(1)).as("c"))
+        .collect() // ≤ 5×6 metadata rows — the chain, not the corpus
+      val cnt = tallies.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val tot = cnt.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+      def qm(f: String, t: String): Long =
+        cnt.get((f, t)).map(_ * 1000000L / tot(f)).getOrElse(0L)
+      val all = Seq("start", "view", "click", "signup", "error")
+      def solve(removed: Option[String]): Long = {
+        val st = all.filterNot(removed.contains)
+        var p = st.map(_ -> 0L).toMap
+        (1 to 8).foreach { _ =>
+          p = st.map { x =>
+            x -> (qm(x, "purchase") +
+              st.filter(_ != "start").map(t => qm(x, t) * p(t)).sum / 1000000L)
+          }.toMap
+        }
+        p("start")
+      }
+      val base = solve(None)
+      val channels = Seq("click", "error", "signup", "view")
+      val rows = channels.map(c => (c, base, solve(Some(c))))
+      val sumDiff = math.max(rows.map { case (_, b, r) => b - r }.sum, 1L)
+      import s.implicits._
+      rows.map { case (c, b, r) =>
+        (c, b, r, b - r, (b - r) * 10000L / sumDiff)
+      }.toDF("channel", "p_base_ppm", "p_removed_ppm", "diff_ppm", "share_bp")
+        .orderBy("channel")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -6136,6 +6195,66 @@ object SparkEntry {
   }
 
   private val langCase: String = langCaseOn("text")
+
+  /** q389's oracle: the same transition tallies, then 5 chains (base + one
+    * per removed channel) of 8 unrolled fixed-point steps in exact
+    * millionth integer arithmetic — p' = b + ⌊Q·p/10⁶⌋, generated
+    * programmatically because the recurrence is the same three lines per
+    * step. A chain's state list excludes its removed channel, so the
+    * p-join naturally drops transitions into it (≡ absorbing to null). */
+  private val q389Sql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    def chain(tag: String, removed: Option[String]): String = {
+      val sts = Seq("start", "view", "click", "signup", "error")
+        .filterNot(removed.contains)
+      val stList = sts.map(x => s"('$x')").mkString(", ")
+      val b =
+        s"""b_$tag AS (SELECT s.st, COALESCE(q.ps, 0) AS bm
+           |  FROM (SELECT * FROM (VALUES $stList) s(st)) s
+           |  LEFT JOIN q ON q.f = s.st AND q.t = 'purchase'),
+           |p_${tag}_1 AS (SELECT st, CAST(bm AS BIGINT) AS v FROM b_$tag)""".stripMargin
+      val steps = (2 to 8).map { k =>
+        s"""p_${tag}_$k AS (SELECT b.st, CAST(b.bm + COALESCE(sum(q.ps * p.v), 0) // 1000000 AS BIGINT) AS v
+           |  FROM b_$tag b LEFT JOIN q ON q.f = b.st
+           |  LEFT JOIN p_${tag}_${k - 1} p ON p.st = q.t
+           |  GROUP BY b.st, b.bm)""".stripMargin
+      }
+      (b +: steps).mkString(",\n")
+    }
+    val chains = (chain("base", None) +:
+      channels.map(c => chain(c, Some(c)))).mkString(",\n")
+    val res = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT v FROM p_base_8 WHERE st = 'start') AS pb,
+         |  (SELECT v FROM p_${c}_8 WHERE st = 'start') AS pr""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH o AS (SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS ord
+       |  FROM events WHERE user_id IS NOT NULL),
+       |fp AS (SELECT user_id, min(ord) AS po FROM o
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |tr AS (SELECT o.user_id, o.event_type, o.ord FROM o
+       |  LEFT JOIN fp USING (user_id) WHERE fp.po IS NULL OR o.ord <= fp.po),
+       |nx AS (SELECT user_id, event_type AS f, ord,
+       |    COALESCE(lead(event_type) OVER (PARTITION BY user_id ORDER BY ord),
+       |      'end') AS t FROM tr),
+       |tal AS (SELECT f, t, count(*) AS c FROM nx WHERE f <> 'purchase' GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'start' AS f, event_type AS t, count(*) AS c FROM tr
+       |  WHERE ord = 1 GROUP BY 1, 2),
+       |tot AS (SELECT f, sum(c) AS tc FROM tal GROUP BY 1),
+       |q AS (SELECT tal.f, tal.t, CAST(c * 1000000 // tc AS BIGINT) AS ps
+       |  FROM tal JOIN tot USING (f)),
+       |$chains,
+       |res AS (
+       |$res),
+       |sm AS (SELECT greatest(sum(pb - pr), 1) AS sd FROM res)
+       |SELECT channel, pb AS p_base_ppm, pr AS p_removed_ppm,
+       |  CAST(pb - pr AS BIGINT) AS diff_ppm,
+       |  CAST((pb - pr) * 10000 // sm.sd AS BIGINT) AS share_bp
+       |FROM res CROSS JOIN sm ORDER BY channel""".stripMargin
+  }
 
   /** DuckDB Karp–Rabin fold of a string expression — mirrors
     * [[graft.functions.RollingHash.hash64]] byte-for-byte on ASCII corpora
@@ -11623,6 +11742,7 @@ object SparkEntry {
         |    ELSE source END AS s FROM documents)
         |SELECT min(s) AS variant_min, count(*) AS cnt FROM d
         |GROUP BY lower(s) ORDER BY variant_min""".stripMargin,
+    "q389_markov_attribution" -> q389Sql,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -1407,6 +1407,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("markov attribution: chain solved on collected metadata; consumer plan is local (q389)") {
+    // the corpus-sized lead pass lands in the collect()'d ≤5×6 tallies (the
+    // TwoPhase metadata-action discipline); the returned frame is the
+    // driver-solved 4-row result
+    val plan = q("q389_markov_attribution")
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"),
+      s"the attribution table is driver-solved metadata:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"no corpus scan may survive into the consumer plan:\n$plan")
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
