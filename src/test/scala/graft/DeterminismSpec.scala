@@ -35,7 +35,15 @@ class DeterminismSpec extends SparkSpec {
     // only stable because of the ordered fold; index-probe band join;
     // forward-frame window carry; per-batch static re-resolution
     "q139_video_frames", "q140_token_entropy", "q141_incremental_neardup",
-    "q142_asof_forward", "q143_stream_static_join")
+    "q142_asof_forward", "q143_stream_static_join",
+    // round-12 keys: keyed two-phase offsets (driver-collected), per-source
+    // k-heaps + a key-map metadata action, power iteration on checkpointed
+    // metadata, RDD byte walks, double global ranks, observe() accumulators,
+    // and a driver-solved chain — every driver-side step must be run-stable
+    "q350_grouped_rank_normalize", "q355_bucketed_batching",
+    "q356_bottomk_sample", "q362_conformal_bound", "q364_stationary_dist",
+    "q370_png_chunk_walk", "q377_epoch_shuffle", "q386_observed_metrics",
+    "q389_markov_attribution")
 
   for (name <- sampled) {
     test(s"$name is run-to-run deterministic") {
