@@ -5098,6 +5098,66 @@ object SparkEntry {
       }.toDF("channel", "p_base_ppm", "p_removed_ppm", "diff_ppm", "share_bp")
         .orderBy("channel")
     }),
+    "q390_restatement_ledger" -> ((s, dir) => {
+      // RESTATEMENT ledger: what yesterday's report said vs what the data
+      // says now. Each event's arrival is its event time plus a
+      // deterministic processing delay (q344's jitter device); the
+      // first-report count for day d includes only events that had
+      // ARRIVED by d's midnight close, the final count includes
+      // everything — restated_bp is the share of each day's truth the
+      // first report missed. The reconciliation every bitemporal
+      // reporting stack publishes next to its dashboards (the reference's
+      // dashboard re-queries live tables and silently restates history).
+      // One scan, two conditional sums per day.
+      val e = T(s, dir, "events")
+        .select(TextFunctions.dayString(col("ts")).as("day"),
+          (col("ts") + expr(
+            "make_interval(0, 0, 0, 0, CAST(event_id % 48 AS INT), 0, 0)"))
+            .as("arrival"),
+          (to_date(col("ts")) + lit(1)).cast("timestamp").as("day_end"))
+      e.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_final"),
+          sum(when(col("arrival") < col("day_end"), 1L).otherwise(0L))
+            .as("n_first"))
+        .select(col("day"), col("n_final"), col("n_first"),
+          expr("(n_final - n_first) * 10000 div n_final").as("restated_bp"))
+        .orderBy("day")
+    }),
+    "q391_aqe_skew_join" -> ((s, dir) => {
+      // AQE SKEW-JOIN under the gate: a fact⋈dim join with 90% of rows on
+      // one planted hot key, executed with the broadcast path disabled
+      // and the skew thresholds lowered so OptimizeSkewedJoin must split
+      // the hot partition AT RUNTIME from observed sizes — the automatic
+      // remedy whose manual twin is q85's salting (which re-keys ahead of
+      // time; AQE re-plans after the map stage measures). The result
+      // materializes inside the scoped configuration (localCheckpoint) so
+      // the session's settings are restored before the frame is consumed;
+      // PlanSpec re-executes the same join under the same scope and
+      // asserts the `skew=true` marker on the SortMergeJoin. The oracle
+      // pins that the split changes NOTHING about the answer.
+      val conf = s.conf
+      val keys = Seq(
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      val saved = keys.map(k => k -> conf.getOption(k))
+      try {
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100b")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        Relational.plantedSkewJoin(T(s, dir, "events")).localCheckpoint()
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -11743,6 +11803,30 @@ object SparkEntry {
         |SELECT min(s) AS variant_min, count(*) AS cnt FROM d
         |GROUP BY lower(s) ORDER BY variant_min""".stripMargin,
     "q389_markov_attribution" -> q389Sql,
+    "q390_restatement_ledger" ->
+      // identical deterministic arrival = event time + (id % 48) hours
+      """WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(ts AS TIMESTAMP) + (event_id % 48) * INTERVAL 1 HOUR AS arrival,
+        |    CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP) AS day_end
+        |  FROM events)
+        |SELECT day, count(*) AS n_final,
+        |  CAST(sum(CASE WHEN arrival < day_end THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST((count(*) - sum(CASE WHEN arrival < day_end THEN 1 ELSE 0 END)) * 10000
+        |    // count(*) AS BIGINT) AS restated_bp
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q391_aqe_skew_join" ->
+      // the plain join — the runtime skew split must change nothing
+      """WITH f AS (SELECT event_id,
+        |    CASE WHEN event_id % 10 < 9 THEN 'hot'
+        |         ELSE 'cold' || CAST(event_id % 97 AS VARCHAR) END AS k,
+        |    (event_id * 48271) % 2147483647 AS pad
+        |  FROM events),
+        |d AS (SELECT k, count(*) AS dim_n FROM f GROUP BY 1),
+        |j AS (SELECT f.k, f.pad, d.dim_n FROM f JOIN d USING (k))
+        |SELECT CASE WHEN k = 'hot' THEN 'hot' ELSE 'cold' END AS k_class,
+        |  count(*) AS n, CAST(sum(dim_n) AS BIGINT) AS dim_mass,
+        |  CAST(sum(pad) AS BIGINT) AS pad_mass
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

@@ -759,6 +759,49 @@ object Relational {
     * BEFORE any window; the row_number window and both counts share the
     * entity key-hash — per-entity state is its DAY LIST (calendar-
     * bounded), never its events. */
+  /** A fact⋈dim join with PLANTED key skew (90% of rows on one hot key) —
+    * the fixture behind the AQE skew-join demonstration (q391): with the
+    * broadcast path disabled and the skew thresholds lowered, AQE's
+    * OptimizeSkewedJoin must split the hot partition at runtime
+    * (`skew=true` on the SortMergeJoin — PlanSpec asserts it) while the
+    * output stays exactly the plain join's. This is the AUTOMATIC remedy
+    * whose manual twin is [[saltedJoin]] (q85): salting re-keys ahead of
+    * time; AQE re-plans from observed partition sizes. Output: one row
+    * per key with the fact count and the dim value joined back. */
+  def plantedSkewJoin(events: DataFrame): DataFrame = {
+    // round-robin pre-split: a skewed REDUCE partition can only be split
+    // along MAP-output boundaries — a single-file scan feeds the join
+    // exchange from one map task, leaving the hot partition one indivisible
+    // chunk (OptimizeSkewedJoin then reports "0 skewed partitions"); eight
+    // map tasks give the splitter eight chunks to deal out
+    // `pad` is a scrambled (incompressible) long CONSUMED by the final
+    // aggregate: without it, 900 repeated 'hot' rows lz4-compress to the
+    // same shuffle bytes as the cold partitions and the skew detector —
+    // which reads COMPRESSED map-output sizes — sees a uniform exchange
+    // (measured: 963 vs ~716 bytes; with the pad: ~9× the median)
+    val f = events.select(col("event_id"),
+      when(col("event_id") % 10 < 9, lit("hot"))
+        .otherwise(concat(lit("cold"), (col("event_id") % 97).cast("string")))
+        .as("k"),
+      expr("(event_id * 48271) % 2147483647").as("pad"))
+      .repartition(8)
+    // the dim materializes first: OptimizeSkewedJoin pattern-matches
+    // SMJ(sort(shuffle stage), sort(shuffle stage)) — a dim that is still
+    // an aggregate RIDING its own exchange reuses that partitioning and
+    // the rule cannot split either side
+    val d = f.groupBy(col("k")).agg(count(lit(1)).as("dim_n")).localCheckpoint()
+    // the readout aggregates on a DERIVED class, not on k: a groupBy(k)
+    // would reuse the join's hash partitioning, and splitting the hot
+    // partition would invalidate that reuse — OptimizeSkewedJoin refuses
+    // plans it can't keep valid, force flag or not
+    f.join(d, Seq("k"))
+      .groupBy(expr("CASE WHEN k = 'hot' THEN 'hot' ELSE 'cold' END")
+        .as("k_class"))
+      .agg(count(lit(1)).as("n"), sum(col("dim_n")).as("dim_mass"),
+        sum(col("pad")).as("pad_mass"))
+      .orderBy("k_class")
+  }
+
   def longestStreak(events: DataFrame, entityCol: String, tsCol: String,
                     origin: String): DataFrame = {
     val days = events.select(col(entityCol).as("__e"),

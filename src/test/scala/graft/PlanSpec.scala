@@ -1418,6 +1418,44 @@ class PlanSpec extends SparkSpec {
       s"no corpus scan may survive into the consumer plan:\n$plan")
   }
 
+  test("restatement ledger: one scan, two conditional sums, no join (q390)") {
+    val plan = q("q390_restatement_ledger")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("aqe skew join: OptimizeSkewedJoin splits the planted hot partition at runtime (q391)") {
+    // re-execute q391's join under the same scoped configuration and read
+    // the AQE-final plan: the SortMergeJoin must carry the skew marker
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100b")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val df = ops.Relational.plantedSkewJoin(Tables.load(spark, dir, "events"))
+      val plan = finalPlan(df)
+      assert(plan.contains("SortMergeJoin"),
+        s"the demo must run through the sort-merge path:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot partition split:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("binary embedding: sign words built map-side; queries and truth broadcast (q316)") {
     val plan = q("q316_binary_embedding")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
