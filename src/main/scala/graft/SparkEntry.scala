@@ -4496,13 +4496,17 @@ object SparkEntry {
     "q368_hll_mergeability" -> ((s, dir) => {
       // the sketch property that makes 100 TB cardinality work AT ALL:
       // DataSketches HLL (Spark's hll_sketch_agg) per-day partial
-      // sketches union-merged across days must land on the SAME register
-      // state — and therefore the same estimate — as one direct pass
-      // (registers are per-slot maxima; max is associative and
-      // order-free). The gate pins (a) merged ≡ direct, (b) the estimate
-      // within ±5% of the exact distinct (both booleans must come out
-      // true against the oracle), (c) the exact count itself. This is the
-      // pre-aggregation contract every incremental rollup relies on.
+      // sketches union-merged across days must stay as accurate as one
+      // direct pass. The contract is BOUNDED ERROR, not bit-equality — a
+      // found (and sf0.1-falsified) subtlety this gate now encodes: in
+      // the sparse/LIST regime a direct sketch and a union of partials
+      // take different promotion paths to the dense register array, so
+      // their estimates can differ slightly even though dense register
+      // merging is an associative per-slot max. The gate pins BOTH
+      // estimates within ±5% of the oracle-verified exact distinct —
+      // i.e. pre-aggregation loses nothing that matters — plus the exact
+      // count itself. (At sf0.01 the two estimates happen to coincide;
+      // at sf0.1 merged ≠ direct while both stay in bounds.)
       val ev = T(s, dir, "events")
         .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
       val merged = ev.groupBy(col("event_type"), col("d"))
@@ -4514,9 +4518,10 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact"))
       direct.join(broadcast(merged), Seq("event_type"))
         .select(col("event_type"), col("exact"),
-          (col("est_merged") === col("est_direct")).as("merge_consistent"),
+          (abs(col("est_merged") - col("exact")) * 100 <= col("exact") * 5)
+            .as("merged_ok"),
           (abs(col("est_direct") - col("exact")) * 100 <= col("exact") * 5)
-            .as("est_ok"))
+            .as("direct_ok"))
         .orderBy("event_type")
     }),
     "q369_csv_multiline" -> ((s, dir) => {
@@ -11509,10 +11514,10 @@ object SparkEntry {
         |FROM w ORDER BY day""".stripMargin,
     "q368_hll_mergeability" ->
       // the oracle pins the exact cardinality; the two booleans are
-      // Spark-side invariants (merged ≡ direct registers, estimate within
+      // Spark-side invariants (merged and direct estimates each within
       // ±5% of exact) that must come out TRUE to hash-match this row
       """SELECT event_type, count(DISTINCT user_id) AS exact,
-        |  TRUE AS merge_consistent, TRUE AS est_ok
+        |  TRUE AS merged_ok, TRUE AS direct_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q369_csv_multiline" ->
       // the oracle reconstructs the expected field from the SOURCE table;
