@@ -4005,9 +4005,12 @@ object SparkEntry {
       val ranked = TwoPhase.prefixSumKeyed(base, "source", col("n_chars"),
         Seq(col("n_chars"), col("doc_id")), lit(1L), "rank")
       val counts = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      // greatest(cnt-1, 1): a single-doc source yields pct_bp = 0 instead
+      // of a division by zero (Spark div → NULL, DuckDB // → error — a
+      // cross-engine divergence); the guard is mirrored in the oracle.
       ranked.join(broadcast(counts), Seq("source"))
         .select(col("doc_id"), col("source"), col("n_chars"),
-          expr("(rank - 1) * 10000 div (cnt - 1)").as("pct_bp"))
+          expr("(rank - 1) * 10000 div greatest(cnt - 1, 1)").as("pct_bp"))
         .orderBy("doc_id")
     }),
     "q351_quality_survivorship" -> ((s, dir) => {
@@ -4730,7 +4733,12 @@ object SparkEntry {
       val ev = T(s, dir, "events")
       val tomb = ev.select(col("user_id")).distinct()
         .filter(col("user_id") % 37 === 0)
-      val live = ev.join(broadcast(tomb), Seq("user_id"), "left_anti")
+      // user_id is non-null in the fixture, but the oracle's NOT IN drops
+      // NULL user_id rows whenever the tombstone set is non-empty while
+      // left_anti keeps them — filter explicitly so both sides agree under
+      // a nullable schema (same defensive guard as q379/q389).
+      val live = ev.filter(col("user_id").isNotNull)
+        .join(broadcast(tomb), Seq("user_id"), "left_anti")
       def audit(name: String, artifact: DataFrame): DataFrame = artifact
         .join(broadcast(tomb), Seq("user_id"), "left_semi")
         .agg(count(lit(1)).as("tombstoned_refs"))
@@ -4906,6 +4914,9 @@ object SparkEntry {
       // higher-order-function formulation measured 6.7× slower at sf0.1 —
       // PropertySpec asserts their bit-equality), and the dedup ledger is
       // one hash aggregate over chunk fingerprints (never chunk text).
+      // The pack clamps a chunk's length to 2^24−1 chars; the oracle
+      // mirrors the clamp (least(length, 16777215)) so both sides agree
+      // even on a pathological ≥16 MB single chunk.
       val ch = T(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.CdcChunks(col("text"))).as("packed"))
@@ -11174,7 +11185,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rank,
         |    count(*) OVER (PARTITION BY source) AS cnt FROM documents)
         |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-        |  CAST((rank - 1) * 10000 // (cnt - 1) AS BIGINT) AS pct_bp
+        |  CAST((rank - 1) * 10000 // greatest(cnt - 1, 1) AS BIGINT) AS pct_bp
         |FROM r ORDER BY doc_id""".stripMargin,
     "q351_quality_survivorship" ->
       // q44's pair graph + the recursive component labels + q51's exact
@@ -11748,7 +11759,7 @@ object SparkEntry {
         |    j -> substr(text, CAST(st[CAST(j AS INT)] AS INT),
         |      CAST(en[CAST(j AS INT)] - st[CAST(j AS INT)] + 1 AS INT)))) AS chunk
         |  FROM se),
-        |ch AS (SELECT doc_id, length(chunk) AS clen, list_reduce(
+        |ch AS (SELECT doc_id, least(length(chunk), 16777215) AS clen, list_reduce(
         |    list_transform(range(1, length(chunk) + 1),
         |      i -> CAST(ord(substr(chunk, CAST(i AS INT), 1)) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp

@@ -47,6 +47,49 @@ object Streaming {
     f.delete(): Unit
   }
 
+  /** Crash-safe batch stager shared by the replay gates: writes each slice
+    * as one `bNNN.parquet` file with ascending names AND mtimes (the file
+    * source discovers them in order), then commits with a `_SUCCESS`
+    * sentinel. Two crash-recovery rules: (1) a stage dir WITHOUT the
+    * sentinel is a partial stage from an interrupted run — wipe it before
+    * re-staging (a prior version re-staged over it and Files.move without
+    * REPLACE threw FileAlreadyExistsException); (2) the move itself uses
+    * REPLACE_EXISTING so even a same-name leftover can't fail the commit. */
+  private def stageBatches(stageDir: String, slices: Seq[DataFrame]): Unit = {
+    val root = new java.io.File(stageDir)
+    if (!new java.io.File(root, "_SUCCESS").exists()) {
+      if (root.exists()) deleteRecursively(root) // partial stage: start clean
+      root.mkdirs()
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$stageDir/__stage$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(root, f"b$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000L * (i + 1))
+        deleteRecursively(new java.io.File(tmp))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stageDir, "_SUCCESS"), "")
+      ()
+    }
+  }
+
+  /** Eagerly materialize a gate result that still reads from the per-run
+    * temp `work` tree (state snapshots + streaming checkpoint), then delete
+    * that tree. The result is otherwise read lazily, so without the eager
+    * `localCheckpoint` the deletion would break the read — and without the
+    * deletion every gate/bench invocation leaks an unbounded temp dir.
+    * Gate results are audit-table-sized, so holding them as checkpoint
+    * blocks is fine; a production run lands them in a real sink instead. */
+  private def finishAndCleanup(df: DataFrame, work: String): DataFrame = {
+    val out = df.localCheckpoint()
+    deleteRecursively(new java.io.File(work))
+    out
+  }
+
   /** Streaming scan of a testdata table: file-source with the schema taken
     * from the batch reader (streams require a declared schema). */
   def streamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -508,22 +551,8 @@ object Streaming {
     // ascending-id order (ascending names AND mtimes — the file source
     // discovers them in order)
     val stageDir = s"$stageDirBase/${stageKey(dir, "documents")}"
-    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
-      new java.io.File(stageDir).mkdirs()
-      (0 until batches).foreach { i =>
-        val tmp = s"$stageDir/__stage$i"
-        docs.filter(col("doc_id") >= i * span && col("doc_id") < (i + 1) * span)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(stageDir, f"b$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1000000L * (i + 1))
-        deleteRecursively(new java.io.File(tmp))
-      }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(stageDir, "_SUCCESS"), "")
-    }
+    stageBatches(stageDir, (0 until batches).map(i =>
+      docs.filter(col("doc_id") >= i * span && col("doc_id") < (i + 1) * span)))
     // fresh work area per run: the index/survivor accumulation is the
     // query's STATE and must start empty
     val work = java.nio.file.Files.createTempDirectory("graft_neardup_gate").toString
@@ -576,8 +605,9 @@ object Streaming {
       .option("checkpointLocation", s"$work/chk")
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$outDir/b*")
-      .select(col("doc_id"), expr(s"doc_id div $span").cast("long").as("batch_id"))
+    finishAndCleanup(spark.read.parquet(s"$outDir/b*")
+      .select(col("doc_id"), expr(s"doc_id div $span").cast("long").as("batch_id")),
+      work)
   }
 
   /** STREAMING vector-store ingest — the IVF index write path run over
@@ -603,22 +633,8 @@ object Streaming {
     val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
     val span = (maxId + batches) / batches // ceil((maxId+1)/batches)
     val stageDir = s"$stageDirBase/${stageKey(dir, "embeddings")}"
-    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
-      new java.io.File(stageDir).mkdirs()
-      (0 until batches).foreach { i =>
-        val tmp = s"$stageDir/__stage$i"
-        emb.filter(col("vec_id") >= i * span && col("vec_id") < (i + 1) * span)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(stageDir, f"b$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1000000L * (i + 1))
-        deleteRecursively(new java.io.File(tmp))
-      }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(stageDir, "_SUCCESS"), "")
-    }
+    stageBatches(stageDir, (0 until batches).map(i =>
+      emb.filter(col("vec_id") >= i * span && col("vec_id") < (i + 1) * span)))
     val work = java.nio.file.Files.createTempDirectory("graft_vec_ingest").toString
     val idxDir = s"$work/index"
     val session = spark.newSession()
@@ -647,13 +663,14 @@ object Streaming {
     q.awaitTermination()
     val asg = spark.read.parquet(s"$idxDir/b*")
     val total = asg.agg(count(lit(1)).as("__n"))
-    asg.groupBy(col("cell"))
+    finishAndCleanup(asg.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"))
       .crossJoin(broadcast(total))
       .select(col("cell").cast("long").as("cell"),
         col("n_vecs").cast("long").as("n_vecs"),
         expr("(10000 * n_vecs) div __n").cast("long").as("share_bp"),
-        expr("(1000 * n_vecs * 16) div __n").cast("long").as("load_milli"))
+        expr("(1000 * n_vecs * 16) div __n").cast("long").as("load_milli")),
+      work)
   }
 
   /** STREAMING changelog apply — q317's ordered I/U/D apply run as a
@@ -691,21 +708,7 @@ object Streaming {
         .select(col("c_custkey"), lit(3L).as("seq"), lit("I").as("op"),
           lit(555L).as("cents"), lit("WINBACK").as("segment")))
     val stageDir = s"$stageDirBase/${stageKey(dir, "customer")}"
-    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
-      new java.io.File(stageDir).mkdirs()
-      slices.zipWithIndex.foreach { case (df, i) =>
-        val tmp = s"$stageDir/__stage$i"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(stageDir, f"b$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1000000L * (i + 1))
-        deleteRecursively(new java.io.File(tmp))
-      }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(stageDir, "_SUCCESS"), "")
-    }
+    stageBatches(stageDir, slices)
     val work = java.nio.file.Files.createTempDirectory("graft_cdc_apply").toString
     val stateDir = s"$work/state"
     new java.io.File(stateDir).mkdirs()
@@ -753,7 +756,8 @@ object Streaming {
     val lastTag = new java.io.File(stateDir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("s"))
       .map(_.getName).sorted.last
-    spark.read.parquet(s"$stateDir/$lastTag").orderBy("c_custkey")
+    finishAndCleanup(
+      spark.read.parquet(s"$stateDir/$lastTag").orderBy("c_custkey"), work)
   }
 
   /** STREAMING drift monitor — q158's PSI freshness gate run as a monitor
@@ -779,22 +783,8 @@ object Streaming {
     val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
     val span = (maxId + batches) / batches
     val stageDir = s"$stageDirBase/${stageKey(dir)}"
-    if (!new java.io.File(stageDir, "_SUCCESS").exists()) {
-      new java.io.File(stageDir).mkdirs()
-      (0 until batches).foreach { i =>
-        val tmp = s"$stageDir/__stage$i"
-        ev.filter(col("event_id") >= i * span && col("event_id") < (i + 1) * span)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(stageDir, f"b$i%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1000000L * (i + 1))
-        deleteRecursively(new java.io.File(tmp))
-      }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(stageDir, "_SUCCESS"), "")
-    }
+    stageBatches(stageDir, (0 until batches).map(i =>
+      ev.filter(col("event_id") >= i * span && col("event_id") < (i + 1) * span)))
     val work = java.nio.file.Files.createTempDirectory("graft_psi_monitor").toString
     val refDir = s"$work/reference"; val outDir = s"$work/out"
     val session = spark.newSession()
@@ -834,7 +824,7 @@ object Streaming {
       .option("checkpointLocation", s"$work/chk")
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$outDir/b*")
+    finishAndCleanup(spark.read.parquet(s"$outDir/b*"), work)
   }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
