@@ -594,26 +594,68 @@ object Stats {
   /** Clamped running balance: per key, fold the (order-sorted) delta
     * stream through balance ← max(0, balance + δ) — the
     * inventory/credit-ledger recurrence where stock can't go negative.
-    * The clamp makes each step NONLINEAR, so no window prefix-sum can
-    * express it; it runs as the same per-key ordered fold as [[ewma]],
-    * but entirely in LONG arithmetic — no float anywhere. Emits the final
-    * balance and the step count.
     *
-    * Scale shape: ONE key-hash collect whose state is the key's delta
-    * run; the q65 bound applies to a key whose history outgrows a buffer
-    * (chunk the fold by period and carry the balance forward). */
+    * The step LOOKS nonlinear, but it lives in the max-plus semiring:
+    * x → max(x+δ, 0) steps compose closed,
+    * (a₁,b₁)∘(a₂,b₂) = (a₁+a₂, max(b₁+a₂, b₂)), and the whole fold from
+    * zero collapses to the prefix-sum identity
+    *
+    *   balance = S_n − min(0, min_i S_i)   (S_i = running Σδ)
+    *
+    * so NO per-key history buffer is ever needed. Three steps, all exact
+    * LONG arithmetic: (1) global range cutpoints on the leading order
+    * column split each key's ledger into ≤`bins` segments (one
+    * approx-percentile pass — accuracy only shapes balance); (2) per
+    * (key, bin) an incremental-frame running sum gives the segment's
+    * (count, Σδ, min-prefix) summary — the window's running frame carries
+    * O(1) state and the sort spills, unlike an array buffer; (3) segment
+    * summaries compose per key under a ≤bins-row window (offset = prefix
+    * of segment sums; global min-prefix = min over bins of offset +
+    * segment min-prefix). Emits the final balance and the step count.
+    *
+    * Scale shape: one shuffle on (key, bin) + one on key over |keys|·bins
+    * summary rows. A single hot key's ledger (the bot account that is the
+    * 100 TB OOM case for any collect_list formulation) splits across
+    * `bins` parallel tasks; nothing anywhere buffers a key's history. */
   def clampedBalance(deltas: DataFrame, keyCol: String, orderCols: Seq[String],
-                     deltaCol: String): DataFrame = {
+                     deltaCol: String, bins: Int = 32): DataFrame = {
     require(orderCols.nonEmpty, "clampedBalance needs an ordering")
-    val sortStruct = struct(
-      orderCols.map(col) :+ col(deltaCol).cast("long").as("d"): _*)
-    deltas
+    Seq("__bin", "__ps", "__n", "__a", "__m", "__off").foreach { tmp =>
+      require(!deltas.columns.contains(tmp),
+        s"clampedBalance: input already has a column named '$tmp' (reserved)")
+    }
+    val d = col(deltaCol).cast("long")
+    // monotone long image of the leading order column (timestamp → epoch
+    // seconds): equal keys share a bin, bins inherit the order
+    val binKeyNum = col(orderCols.head).cast("long")
+    val fracs = (1 until bins).map(_.toDouble / bins)
+    val cutsRow = deltas
+      .agg(percentile_approx(binKeyNum, array(fracs.map(lit): _*), lit(10000)))
+      .first()
+    val cuts: Seq[Any] =
+      if (cutsRow.isNullAt(0)) Nil else cutsRow.getSeq[Any](0).distinct
+    val binCol = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(binKeyNum >= lit(c), 1).otherwise(0)
+    }
+    val wseg = Window.partitionBy(col(keyCol), col("__bin"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = deltas.withColumn("__bin", binCol)
+      .withColumn("__ps", sum(d).over(wseg))
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(count(lit(1)).as("__n"), sum(d).as("__a"), min(col("__ps")).as("__m"))
+    // compose segments in bin order: a ≤bins-row per-key window, then one
+    // aggregate — min(0, global min-prefix) folds the clamp's zero floor in
+    val wkey = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    seg
+      .withColumn("__off", coalesce(sum(col("__a")).over(wkey), lit(0L)))
       .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n_steps"),
-        sort_array(collect_list(sortStruct)).as("__s"))
-      .select(col(keyCol), col("n_steps").cast("long").as("n_steps"),
-        expr("aggregate(__s, CAST(0 AS BIGINT), " +
-          "(acc, e) -> greatest(acc + e.d, CAST(0 AS BIGINT)))").as("balance"))
+      .agg(sum(col("__n")).cast("long").as("n_steps"),
+        sum(col("__a")).as("__a"),
+        min(least(lit(0L), col("__off") + col("__m"))).as("__m"))
+      .select(col(keyCol), col("n_steps"),
+        (col("__a") - col("__m")).cast("long").as("balance"))
   }
 
   /** Theil T inequality index with its between/within-group decomposition

@@ -76,6 +76,13 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one user_id exchange, got ${userExchanges.size}")
   }
 
+  test("clamped balance carries no per-key history buffer (q192)") {
+    // the max-plus rewrite must keep the plan free of collect_list — an
+    // array buffer of a hot key's ledger is the 100 TB executor-OOM case
+    val plan = q("q192_clamped_balance")
+    assert(!plan.contains("collect_list"), s"history buffer in plan:\n$plan")
+  }
+
   test("winsorize cut frame re-joins as a broadcast, fact side unshuffled (q152)") {
     val plan = q("q152_winsorize")
     assert(plan.contains("BroadcastHashJoin"), plan)
