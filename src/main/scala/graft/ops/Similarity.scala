@@ -81,16 +81,38 @@ object Similarity {
         (col("__pos") + 1).cast("long").as("rn"))
   }
 
+  /** Explicit size guard for the broadcast-queries brute-force family: the
+    * query frame is replicated to EVERY task and cross-scored against the
+    * whole corpus, so its size bounds both executor memory and compute
+    * (|Q|·|corpus| dot products). The plan is correct only while |Q| is
+    * batch-sized; at 100 TB a caller passing a corpus-sized frame as
+    * `queries` must fail loudly here, not OOM the broadcast three stages
+    * later. The probe is a `limit(max+1).count()` — it scans at most
+    * max+1 rows, never the full misused frame. */
+  private def requireQueryBatch(queries: DataFrame, maxQueries: Int,
+                                who: String): Unit = {
+    require(maxQueries > 0, s"$who: maxQueries must be positive")
+    val probe = queries.limit(maxQueries + 1).count()
+    require(probe <= maxQueries,
+      s"$who: the query side exceeds $maxQueries rows — it is broadcast to " +
+        "every task and scored against the full corpus, so a frame this " +
+        "size is a misuse of the brute-force path; batch the queries or " +
+        "use the IVF/LSH index paths instead")
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries are broadcast and the corpus
     * scans once with no shuffle of the scored set — ranking is the
     * two-phase [[topKPerQuery]] (per-partition k-heap, then a k·P merge).
+    * The query side must be batch-sized ([[requireQueryBatch]], default
+    * 10⁴ rows ≈ a few MB of 64-dim vectors — broadcast-safe).
     *
     * Output: (query_id, neighbor_id, cosine rounded 4dp), ordered upstream by
     * the caller.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 vecCol: String, k: Int): DataFrame = {
+                 vecCol: String, k: Int, maxQueries: Int = 10000): DataFrame = {
+    requireQueryBatch(queries, maxQueries, "cosineTopK")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
@@ -110,7 +132,9 @@ object Similarity {
     *
     * Output: (query_id, neighbor_id, cosine 4dp, rn 1..k). */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+                    vecCol: String, labelCol: String, k: Int,
+                    maxQueries: Int = 10000): DataFrame = {
+    requireQueryBatch(queries, maxQueries, "hardNegatives")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("__ql"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

@@ -57,6 +57,18 @@ object Sketch {
     *     prunes the corpus BEFORE the exchange, so the groupBy shuffles
     *     candidate rows, not the vocabulary.
     *
+    * Driver-memory bound: the raw candidate union is ≤ k·P rows (P =
+    * partitions of the checkpointed frame) — with a 10 bp threshold on
+    * 10⁵ partitions that is a 2·10⁸-row collect, too big to leave
+    * implicit. So the collect is PRE-PRUNED by one hash aggregate over
+    * the sketch rows themselves: Misra–Gries counters are underestimates
+    * by at most n_p/(k+1) per partition, so a true heavy hitter's
+    * summed residual is ≥ minCnt − n/(k+1) — candidates below that
+    * margin are provably light and never reach the driver. The pruned
+    * set is ≤ n/(minCnt − n/(k+1)) < 2·(k+1) items ≈ answer-sized,
+    * INDEPENDENT of partition count; the aggregate itself shuffles
+    * ≤ k·P sketch rows, never the corpus.
+    *
     * Output: (item, cnt, share_bp) — all exact longs, floor-divided bp. */
   def heavyHitters(items: Dataset[String], shareBp: Long): DataFrame = {
     require(shareBp >= 1 && shareBp <= 10000, s"shareBp out of range: $shareBp")
@@ -66,11 +78,17 @@ object Sketch {
     val toks = items.toDF("item").localCheckpoint()
     val n = toks.count()
     if (n == 0) return toks.select(col("item"), lit(0L).as("cnt"), lit(0L).as("share_bp"))
-    val candidates = toks.as[String]
-      .mapPartitions(it => misraGries(it, k).keysIterator)
-      .distinct().collect()
     // threshold in counts, ceil-divided so share_bp ≥ shareBp exactly
     val minCnt = (n * shareBp + 9999L) / 10000L
+    // per-partition sketches → summed residuals → margin filter → driver.
+    // Safe: Σ_p mg_p(x) ≥ freq(x) − Σ_p n_p/(k+1) = freq(x) − n/(k+1).
+    val slack = n / (k + 1)
+    val candidates = toks.as[String]
+      .mapPartitions(it => misraGries(it, k).iterator)
+      .toDF("item", "mg")
+      .groupBy(col("item")).agg(sum(col("mg")).as("mg"))
+      .filter(col("mg") >= math.max(minCnt - slack, 1L))
+      .select("item").as[String].collect()
     toks.filter(col("item").isin(candidates.toIndexedSeq: _*))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCnt)

@@ -427,6 +427,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._3 > out(1)._3)
   }
 
+  test("cosineTopK refuses a corpus-sized query frame loudly") {
+    import spark.implicits._
+    // the broadcast-queries plan is only correct for batch-sized query
+    // frames; passing the whole corpus must fail at the guard, not OOM
+    // the broadcast downstream
+    val vs = (0L until 50L).map(i => (i, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(vs, vs, "vec_id", "embedding", 2, maxQueries = 10)
+    }
+    assert(e.getMessage.contains("query side exceeds 10 rows"))
+    // at or below the cap the guard is silent
+    assert(Similarity.cosineTopK(vs, vs.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 2, maxQueries = 10).count() > 0)
+  }
+
   test("microCentroidVectors reassembles dims in order as exact cm/1e6 doubles") {
     import spark.implicits._
     val cent = Seq((0L, 1L, 500000L), (0L, 0L, -1000000L), (1L, 0L, 250000L),

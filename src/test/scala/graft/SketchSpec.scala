@@ -37,4 +37,19 @@ class SketchSpec extends SparkSpec {
   test("heavyHitters on an empty input returns an empty frame") {
     assert(Sketch.heavyHitters(Seq.empty[String].toDS(), 100L).count() == 0)
   }
+
+  test("heavyHitters: many-partition worst case — the k·P candidate union " +
+      "is pruned, the answer stays exact") {
+    // 64 partitions × a long distinct tail is the regime where every
+    // partition's sketch is full of junk keys (raw union ≈ k·P rows, far
+    // more than the answer): the margin prune must discard them without
+    // ever dropping a true hitter, including one sitting exactly at the
+    // ceil threshold (n = 6000, 500bp → minCnt = 300).
+    val data = Seq.fill(900)("hot") ++ Seq.fill(300)("edge") ++
+      Seq.fill(299)("under") ++ (1 to 4501).map(i => s"tail$i")
+    val shuffled = new scala.util.Random(7).shuffle(data)
+    val out = Sketch.heavyHitters(shuffled.toDS().repartition(64), 500L)
+      .orderBy("item").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("edge", 300L, 500L), ("hot", 900L, 1500L)))
+  }
 }
