@@ -74,6 +74,16 @@ object SparkEntry {
       indexDir = s"$TMP/edge_index/${safe}_lineitem_part_order")
   }
 
+  /** The (node, degree) frame CO-MATERIALIZED with [[copurchaseEdges]]
+    * (see [[Graph.coOccurrenceDegreeIndex]]): the seven consumers that
+    * used to open with the same degree aggregate over the edge table now
+    * scan |nodes| rows instead. */
+  private def copurchaseDegrees(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    Graph.coOccurrenceDegreeIndex(T(s, dir, "lineitem"), "l_partkey", "l_orderkey",
+      indexDir = s"$TMP/edge_index/${safe}_lineitem_part_order")
+  }
+
   /** The SHARED bigram-LM score table (q204 reads, q218 buckets): the
     * CCNet score-once shape — see [[TextAnalysis.bigramLogProbIndex]]. */
   private def lmScores(s: SparkSession, dir: String): DataFrame = {
@@ -784,7 +794,8 @@ object SparkEntry {
       // how clique-like each part's co-purchase neighborhood is:
       // triangles over wedges, exact basis points
       Graph.clusteringCoefficient(
-        copurchaseEdges(s, dir))
+        copurchaseEdges(s, dir),
+        degrees = Some(copurchaseDegrees(s, dir)))
         .orderBy(col("coeff_bp").desc, col("triangles").desc, col("node"))
         .limit(30)),
     "q186_audience_overlap" -> ((s, dir) =>
@@ -828,7 +839,8 @@ object SparkEntry {
       // co-purchase graph, survivors with their post-peel degree
       Graph.kCorePeel(
         copurchaseEdges(s, dir),
-        k = 6, rounds = 3)
+        k = 6, rounds = 3,
+        initialDegrees = Some(copurchaseDegrees(s, dir)))
         .orderBy(col("deg").desc, col("node")).limit(50)),
     "q192_clamped_balance" -> ((s, dir) =>
       // credit-ledger fold per user: purchases draw down, everything else
@@ -914,7 +926,8 @@ object SparkEntry {
       // hop, 3 bounded frontier expansions
       Graph.bfsHopCounts(
         copurchaseEdges(s, dir),
-        maxHops = 3)
+        maxHops = 3,
+        degrees = Some(copurchaseDegrees(s, dir)))
         .orderBy("hop")),
     "q202_systematic" -> ((s, dir) =>
       // every-100th doc in (n_chars, doc_id) order — uniform coverage of
@@ -2571,10 +2584,13 @@ object SparkEntry {
         val gathered = e
           .join(lab.select(col("node").as("dst"), col("label")), "dst")
           .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("label"))
-        lab = gathered.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("src").as("node"), col("label"))
+        // argmax by (count desc, label asc) as ONE hash aggregate —
+        // max(struct(c, −label)) — instead of a per-round row_number
+        // window, which would re-sort every node's candidate list
+        lab = gathered
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("b"))
+          .select(col("src").as("node"), (-col("b.nl")).as("label"))
           .localCheckpoint()
       }
       lab.select(col("node").cast("long").as("node"),
@@ -2589,7 +2605,8 @@ object SparkEntry {
       // one degree pass + two id-keyed joins; the correlation combines the
       // six exact sums in one fixed double op order, 4 dp
       val e = copurchaseEdges(s, dir)
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val deg = copurchaseDegrees(s, dir)
+        .select(col("node").as("src"), col("degree").as("d"))
       val xy = e
         .join(deg.select(col("src"), col("d").as("dx")), "src")
         .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
@@ -3374,7 +3391,8 @@ object SparkEntry {
       // materialized co-purchase index; cap a 1-row broadcast; reach
       // counts DISTINCT destinations, self excluded.
       val e = copurchaseEdges(s, dir)
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val deg = copurchaseDegrees(s, dir)
+        .select(col("node").as("src"), col("degree").as("deg"))
         .localCheckpoint(eager = false)
       val cap = deg.agg(max(col("deg")).as("__mx"))
       val low = deg.crossJoin(broadcast(cap))
@@ -4223,7 +4241,8 @@ object SparkEntry {
       // anti join shares the (seed, cand) exchange with the common-
       // neighbor count.
       val edges = copurchaseEdges(s, dir)
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val deg = copurchaseDegrees(s, dir)
+        .select(col("node").as("src"), col("degree").as("d"))
       val paths = edges.filter(col("src") < 8)
         .select(col("src").as("seed"), col("dst").as("z"))
         .join(edges.select(col("src").as("z"), col("dst").as("cand")), Seq("z"))
@@ -5448,7 +5467,8 @@ object SparkEntry {
       // participation via degree-oriented wedge closing (Graph.scala — the
       // O(m^1.5) formulation; no hub ever owns Σdeg² work)
       Graph.triangleCounts(
-        copurchaseEdges(s, dir))
+        copurchaseEdges(s, dir),
+        degrees = Some(copurchaseDegrees(s, dir)))
         .select(col("node").as("p_partkey"), col("triangles"))
         .orderBy(col("triangles").desc, col("p_partkey"))
         .limit(20)),

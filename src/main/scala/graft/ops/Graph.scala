@@ -70,11 +70,41 @@ object Graph {
   def coOccurrenceEdgeIndex(rel: DataFrame, entityCol: String,
                             containerCol: String, indexDir: String): DataFrame = {
     val spark = rel.sparkSession
+    materializeEdgeArtifacts(rel, entityCol, containerCol, indexDir)
+    spark.read.parquet(indexDir)
+  }
+
+  /** The (node, degree) frame CO-DERIVED with [[coOccurrenceEdgeIndex]]:
+    * every graph consumer of the shared edge table (triangles, clustering
+    * coefficient, k-core round 1, BFS seed, assortativity, two-hop caps,
+    * neighborhood Jaccard) starts by aggregating the same degrees — seven
+    * edge-list shuffles for one |nodes|-row answer. A production pipeline
+    * lands the degree table next to the edge table in the same
+    * materialization job; here it is one extra scan of the just-written
+    * parquet (the symmetric distinct list, so degree = src-row count),
+    * after which every consumer reads |nodes| rows instead of
+    * re-aggregating m edges. */
+  def coOccurrenceDegreeIndex(rel: DataFrame, entityCol: String,
+                              containerCol: String, indexDir: String): DataFrame = {
+    val spark = rel.sparkSession
+    materializeEdgeArtifacts(rel, entityCol, containerCol, indexDir)
+    spark.read.parquet(degreeDir(indexDir))
+  }
+
+  private def degreeDir(indexDir: String): String = s"$indexDir.deg"
+
+  private def materializeEdgeArtifacts(rel: DataFrame, entityCol: String,
+                                       containerCol: String,
+                                       indexDir: String): Unit = {
+    val spark = rel.sparkSession
     graft.storage.Materialize.once(graft.storage.Materialize.key(indexDir, rel)) {
       coOccurrenceEdges(rel, entityCol, containerCol)
         .write.mode("overwrite").parquet(indexDir)
+      spark.read.parquet(indexDir)
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("long").as("degree"))
+        .write.mode("overwrite").parquet(degreeDir(indexDir))
     }
-    spark.read.parquet(indexDir)
   }
 
   /** Damped PageRank (d = 0.85) for a fixed iteration count, in scaled-long
@@ -304,7 +334,8 @@ object Graph {
     * Input may carry either or both directions; it is canonicalized and
     * de-duplicated here. Output: (node, triangles), nodes with ≥ 1 triangle.
     */
-  def triangleCounts(edges: DataFrame, broadcastAdj: Boolean = true): DataFrame = {
+  def triangleCounts(edges: DataFrame, broadcastAdj: Boolean = true,
+                     degrees: Option[DataFrame] = None): DataFrame = {
     // packed-key precondition enforced IN the plan (zero extra jobs): a
     // negative or >32-bit id would sign-extend into the degree bits and
     // silently corrupt orientation compares — fail loudly instead
@@ -319,8 +350,14 @@ object Graph {
           "(packed orientation-key precondition)"))))
       .distinct()
       .localCheckpoint()
-    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // `degrees` (node, degree) must be THIS edge list's degree frame (the
+    // co-materialized index, [[coOccurrenceDegreeIndex]]) — it replaces
+    // one m-row explode+aggregate with a |nodes|-row scan
+    val deg = degrees match {
+      case Some(d) => d.select(col("node").as("n"), col("degree").cast("long").as("d"))
+      case None => und.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    }
     // orientation key (degree, id) packed into one long (degree high bits):
     // total order, so ties can't create cycles. Precondition: ids and
     // degrees fit in 32/31 bits (any realistic key domain).
@@ -370,15 +407,20 @@ object Graph {
     * adjacency, map-side closing); degrees are one count over the
     * canonical undirected pair list; the final join keys on node — the
     * |nodes|-row frames, never edges. */
-  def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val und = edges.select(least(col("src"), col("dst")).as("u"),
-      greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") < col("v")).distinct()
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  def clusteringCoefficient(edges: DataFrame,
+                            degrees: Option[DataFrame] = None): DataFrame = {
+    val deg = degrees match {
+      case Some(d) => d.select(col("node"), col("degree").as("deg"))
+      case None =>
+        val und = edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+          .filter(col("u") < col("v")).distinct()
+        und.select(col("u").as("node"))
+          .union(und.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    }
     deg.filter(col("deg") >= 2)
-      .join(triangleCounts(edges), Seq("node"), "left")
+      .join(triangleCounts(edges, degrees = degrees), Seq("node"), "left")
       .select(col("node"), col("deg").cast("long").as("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("wedges", expr("deg * (deg - 1) div 2"))
@@ -399,15 +441,23 @@ object Graph {
     * ever shrinks. The survivor frame is checkpointed per round so the
     * lineage stays flat across iterations (the q120 PageRank discipline).
     * Output: surviving (node, deg) with the degree AFTER the last peel. */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 3,
+                initialDegrees: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, s"bad kCorePeel params ($k, $rounds)")
     var pairs = edges.select(least(col("src"), col("dst")).as("u"),
       greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") < col("v")).distinct().localCheckpoint(eager = false)
-    for (_ <- 1 to rounds) {
-      val deg = pairs.select(col("u").as("node"))
-        .union(pairs.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    for (r <- 1 to rounds) {
+      // round 1's degrees are the FULL graph's — the co-materialized index
+      // frame serves them without an edge aggregate; later rounds peel a
+      // shrunk list and must recount
+      val deg = initialDegrees match {
+        case Some(d) if r == 1 =>
+          d.select(col("node"), col("degree").as("d"))
+        case _ => pairs.select(col("u").as("node"))
+          .union(pairs.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      }
       val keep = deg.filter(col("d") >= k).select(col("node"))
       pairs = pairs
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
@@ -429,11 +479,15 @@ object Graph {
     * the (stationary, checkpointed) edge list and one anti-join against
     * the visited set — all node-keyed; the frontier frame is |reached
     * nodes|, never edges. Hop counts are the only driver-visible rows. */
-  def bfsHopCounts(edges: DataFrame, maxHops: Int = 3): DataFrame = {
+  def bfsHopCounts(edges: DataFrame, maxHops: Int = 3,
+                   degrees: Option[DataFrame] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val und = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(eager = false)
-    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val deg = degrees match {
+      case Some(d) => d.select(col("node"), col("degree").as("d"))
+      case None => und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    }
     val seed = deg.orderBy(col("d").desc, col("node")).limit(1).select("node")
     var visited = seed.withColumn("hop", lit(0L)).localCheckpoint(eager = false)
     var frontier = seed

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{Dedup, Graph}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Graph ops: co-occurrence edge derivation and the integer-deterministic
   * PageRank (exact recurrence parity + partitioning invariance — the whole
@@ -126,6 +126,29 @@ class GraphSpec extends SparkSpec {
     val before = mtimes
     Graph.coOccurrenceEdgeIndex(rel, "e", "c", dir).count()
     assert(mtimes == before, "second touch rewrote the edge index")
+  }
+
+  test("co-materialized degree index matches the derived degrees, and every " +
+      "degree-consuming algorithm is bit-identical with and without it") {
+    val rel = (1L to 400L).map(i => (i % 19, i % 11)).toDF("c", "e")
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx").toString + "/idx"
+    val edges = Graph.coOccurrenceEdgeIndex(rel, "e", "c", dir)
+    val degIdx = Graph.coOccurrenceDegreeIndex(rel, "e", "c", dir)
+    val derived = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+    assert(degIdx.as[(Long, Long)].collect().toSet ==
+      derived.as[(Long, Long)].collect().toSet)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Graph.triangleCounts(edges, degrees = Some(degIdx))) ==
+      rows(Graph.triangleCounts(edges)))
+    assert(rows(Graph.clusteringCoefficient(edges, degrees = Some(degIdx))) ==
+      rows(Graph.clusteringCoefficient(edges)))
+    assert(rows(Graph.kCorePeel(edges, k = 3, rounds = 2,
+        initialDegrees = Some(degIdx))) ==
+      rows(Graph.kCorePeel(edges, k = 3, rounds = 2)))
+    assert(rows(Graph.bfsHopCounts(edges, maxHops = 2, degrees = Some(degIdx))) ==
+      rows(Graph.bfsHopCounts(edges, maxHops = 2)))
   }
 
   test("rank-frame broadcast guard is byte-based, not a row-count proxy") {
