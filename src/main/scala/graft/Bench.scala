@@ -61,6 +61,23 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory)
       names.foreach { n => materialize(n, warmDir); releaseCheckpoints() }
 
+    // Ambient-load sentinel: ONE fixed compute job (no I/O, no registry
+    // key) timed at run start / middle / end. The code is identical each
+    // time, so any drift between the three timings is MACHINE load, not a
+    // plan change — round 12 produced 4.5× ghost deltas between two runs
+    // of identical code, and the judge had to re-probe every apparent
+    // regression by hand. A drift > 1.5× stamps the whole run as
+    // load-contaminated in the JSON, so a reader discounts its deltas
+    // up front.
+    def sentinelSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, numPartitions = cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS s") // xor: overflow-free under ANSI
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelSec() // untimed: pays the sentinel's own codegen once
+
     // min of two timed passes per query: damps machine-load noise (observed
     // run-to-run swings of 30%+ on an otherwise idle box). Before round 9,
     // lingering checkpoint blocks from earlier queries were released only at
@@ -75,7 +92,9 @@ object Bench {
         releaseCheckpoints()
         (name, if (ok) t else ErrorSentinelSec, ok)
       }
+    val sentinelStart = sentinelSec()
     val p1 = timedPass()
+    val sentinelMid = sentinelSec()
     val p2 = timedPass()
     // ADAPTIVE third measurement: min-of-2 still lets a load spike that
     // straddles both passes' visits to a key write a phantom regression
@@ -106,12 +125,16 @@ object Bench {
       val best = math.min(math.min(t1, t2), p3.getOrElse(n, Double.MaxValue))
       (n, if (ok) best else ErrorSentinelSec, ok)
     }
+    val sentinelEnd = sentinelSec()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     // run-count provenance: 2 passes everywhere, +1 for the listed keys
     val reruns = noisy.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"passes":2,"third_pass_keys":$reruns,"sf":"$sfDir"}"""
+    val ss = Seq(sentinelStart, sentinelMid, sentinelEnd)
+    val drift = ss.max / math.max(ss.min, 1e-9)
+    val sentinelJson = f""""load_sentinel":{"start":${sentinelStart}%.3f,"mid":${sentinelMid}%.3f,"end":${sentinelEnd}%.3f,"drift":$drift%.3f,"flagged":${drift > 1.5}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"passes":2,"third_pass_keys":$reruns,$sentinelJson,"sf":"$sfDir"}"""
     println(line)
     // provenance: the driver's BENCH_r{N}.json tails truncate the per-query
     // map, so also land the full line at a stable path for round-over-round

@@ -74,16 +74,23 @@ object ProbeStreamIndex {
       println(f"[idxprobe] batch=$b%3d index_rows=$indexRows%9d files=${indexFiles()}%5d probe_hits=$nRemoved%6d probe_sec=$probeSec%.3f")
     }
 
-    // compaction: all slices → one size-targeted flat table, then re-time
-    // the LAST batch's probe (identical join, identical rows)
+    // compaction #1, INGEST layout: all slices → one size-targeted FLAT
+    // table, then re-time the LAST batch's probe (identical join rows).
+    // Batch probes cover every bucket, so flat is the right layout for
+    // them — fewest files, one listing.
     val compacted = s"$work/index_compacted"
     val (_, compactSec) = timeS {
       spark.read.parquet(s"$idxDir/b*").repartition(8)
         .write.mode("overwrite").parquet(compacted)
     }
+    def walkParquet(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(root))
+    }
     val preFiles = indexFiles()
-    val postFiles = Option(new java.io.File(compacted).listFiles()).toSeq.flatten
-      .count(_.getName.endsWith(".parquet"))
+    val postFiles = walkParquet(compacted)
     val (hitsPre, tPre) = timeS {
       Dedup.probeNearDupBanded(spark.read.parquet(s"$idxDir/b*"),
         lastBatchBanded, "doc_id", 16, 0.25).count()
@@ -93,7 +100,46 @@ object ProbeStreamIndex {
         lastBatchBanded, "doc_id", 16, 0.25).count()
     }
     require(hitsPre == hitsPost, s"compaction changed the answer: $hitsPre vs $hitsPost")
-    println(f"[idxprobe] compact: $preFiles files -> $postFiles files in $compactSec%.3f s; last-batch probe $tPre%.3f s -> $tPost%.3f s (hits=$hitsPre)")
+    println(f"[idxprobe] compact(flat): $preFiles files -> $postFiles files in $compactSec%.3f s; last-batch probe $tPre%.3f s -> $tPost%.3f s (hits=$hitsPre)")
+
+    // compaction #2, SERVING layout: the same rows bucket-partitioned by
+    // hb = hash(band, band_hash) mod 64 (Storage.compactPartitioned's
+    // shape). Wrong layout for batch probes (bucket discovery tax, no
+    // pruning at full coverage) — measured and reported as such — but a
+    // POINT lookup carries `bands` keys, covers ≤ bands buckets, and
+    // reads ~bands/64 of the index via directory pruning.
+    val served = s"$work/index_served"
+    val (_, servedSec) = timeS {
+      Dedup.withBandBucket(spark.read.parquet(compacted))
+        .repartition(col("hb"))
+        .write.partitionBy("hb").mode("overwrite").parquet(served)
+    }
+    val (hitsServedBatch, tServedBatch) = timeS {
+      Dedup.probeNearDupBanded(spark.read.parquet(served).drop("hb"),
+        lastBatchBanded, "doc_id", 16, 0.25).count()
+    }
+    require(hitsServedBatch == hitsPre,
+      s"serving layout changed the answer: $hitsServedBatch vs $hitsPre")
+    println(f"[idxprobe] serving layout: ${walkParquet(served)} files in $servedSec%.3f s; batch probe there $tServedBatch%.3f s (discovery tax vs flat $tPost%.3f s)")
+
+    // SERVING probe — "is this ONE document a dup?": bands keys → ≤ bands
+    // of the 64 layout buckets, so dir-level pruning skips ~7/8 of the
+    // index. Timed full-scan vs pruned on the compacted layout; identical
+    // hits is the correctness pin, bucket coverage is the pruning proof.
+    val oneId = lastBatchBanded.agg(min(col("doc_id"))).head.getLong(0)
+    val oneDoc = lastBatchBanded.filter(col("doc_id") === oneId).localCheckpoint()
+    val idxP = spark.read.parquet(served)
+    val (sFullHits, sFullT) = timeS {
+      Dedup.probeNearDupBanded(idxP.drop("hb"), oneDoc, "doc_id", 16, 0.25).count()
+    }
+    val prunedIdx = Dedup.pruneToProbeBuckets(idxP, oneDoc)
+    val (sPrHits, sPrT) = timeS {
+      Dedup.probeNearDupBanded(prunedIdx.drop("hb"), oneDoc, "doc_id", 16, 0.25).count()
+    }
+    require(sFullHits == sPrHits, s"bucket pruning changed the answer: $sFullHits vs $sPrHits")
+    val coverage = prunedIdx.select("hb").distinct().count()
+    val scanned = prunedIdx.count(); val total = idxP.count()
+    println(f"[idxprobe] serving probe (1 doc): buckets=$coverage/64 rows_scanned=$scanned/$total full=$sFullT%.3f s pruned=$sPrT%.3f s (hits=$sFullHits)")
     // the claim that matters at scale: the BATCH side broadcasts, so the
     // index is scanned linearly but never reshuffled per batch
     val probeDf = Dedup.probeNearDupBanded(spark.read.parquet(compacted),
