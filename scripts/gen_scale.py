@@ -148,8 +148,106 @@ def gen_clustered(out_dir, shards, k=32, sigma=0.05, seed=7):
         f'{out_dir}/embeddings.parquet')
     print(f'wrote {n} clustered vecs (k={k}, sigma={sigma}) to {out_dir}')
 
+def gen_full(out_dir, shards, src='/root/testdata/sf0.1'):
+    """FULL 10-table sfN slice for the whole-gate replay at 100x the gate
+    SF: every table the driver generates, scaled by the shard-union model
+    (N disjoint shards, statistically identical to sf0.1 each):
+
+    - region/nation: fixed dimensions, copied verbatim (TPC-H itself never
+      scales them);
+    - customer/supplier/part/orders/lineitem: sf0.1 rows with every PRIMARY
+      and FOREIGN key offset into the shard's id range (nationkey stays --
+      the dim is fixed), so per-key group sizes, join fan-outs, and value
+      distributions are exactly sf0.1's while key domains grow Nx -- the
+      way TPC-H scale factors actually behave;
+    - events: sf0.1 events with event_id/user_id offset per shard (disjoint
+      user ranges, same month -- densifies the timeline Nx, per-user
+      behavior unchanged);
+    - documents: shard 0 is the driver table verbatim; later shards suffix
+      every word with the shard id (same lengths/lang/source mix, zero
+      cross-shard shingle overlap -- a fixed 31-word vocabulary at 10x
+      density would quadratically blow up near-dup candidates, a property
+      of the synthetic data, not the operators);
+    - embeddings: shard 0 verbatim; later shards fresh unit-norm
+      float32[64] from the same i.i.d.-uniform distribution.
+
+    Deterministic (seed 42). Writes ONLY under out_dir."""
+    import os
+    import shutil
+    import pyarrow.compute as pc
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(42)
+    for t in ['region', 'nation']:
+        shutil.copyfile(f'{src}/{t}.parquet', f'{out_dir}/{t}.parquet')
+
+    def shard_union(table, keycols):
+        t = pq.read_table(f'{src}/{table}.parquet')
+        spans = {c: int(pc.max(t.column(c)).as_py()) + 1 for c in keycols}
+        parts = []
+        for s in range(shards):
+            cols = []
+            for name in t.schema.names:
+                col = t.column(name).combine_chunks()
+                if name in keycols and s > 0:
+                    col = pc.add(col, s * spans[name])
+                cols.append(col)
+            parts.append(pa.table(dict(zip(t.schema.names, cols))))
+        pq.write_table(pa.concat_tables(parts), f'{out_dir}/{table}.parquet')
+        print(f'wrote {table}: {shards * t.num_rows} rows')
+
+    shard_union('customer', ['c_custkey'])
+    shard_union('supplier', ['s_suppkey'])
+    shard_union('part', ['p_partkey'])
+    shard_union('orders', ['o_orderkey', 'o_custkey'])
+    shard_union('lineitem', ['l_orderkey', 'l_partkey', 'l_suppkey'])
+    shard_union('events', ['event_id', 'user_id'])
+
+    docs = pq.read_table(f'{src}/documents.parquet')
+    n_docs = docs.num_rows
+    texts = docs.column('text').to_pylist()
+    langs = docs.column('lang').to_pylist()
+    sources = docs.column('source').to_pylist()
+    d_ids, d_texts, d_langs, d_src, d_nchars = [], [], [], [], []
+    for s in range(shards):
+        for i in range(n_docs):
+            t = texts[i] if s == 0 else ' '.join(
+                f'{w}{s}' for w in texts[i].split(' '))
+            d_ids.append(s * n_docs + i)
+            d_texts.append(t)
+            d_langs.append(langs[i])
+            d_src.append(sources[i])
+            d_nchars.append(len(t))
+    pq.write_table(pa.table({
+        'doc_id': pa.array(d_ids, pa.int64()), 'text': d_texts,
+        'lang': d_langs, 'source': d_src,
+        'n_chars': pa.array(d_nchars, pa.int64())}),
+        f'{out_dir}/documents.parquet')
+    print(f'wrote documents: {shards * n_docs} rows')
+
+    emb = pq.read_table(f'{src}/embeddings.parquet')
+    n_vec = emb.num_rows
+    base = np.array(emb.column('embedding').to_pylist(), dtype=np.float32)
+    base_labels = np.asarray(emb.column('label').to_pylist(), dtype=np.int32)
+    dim = base.shape[1]
+    vecs, labels = [base], [base_labels]
+    for s in range(1, shards):
+        M = rng.standard_normal((n_vec, dim)).astype(np.float32)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        vecs.append(M)
+        labels.append(rng.integers(0, 10, n_vec).astype(np.int32))
+    allv = np.concatenate(vecs)
+    pq.write_table(pa.table({
+        'vec_id': pa.array(range(shards * n_vec), pa.int64()),
+        'embedding': pa.array([v.tolist() for v in allv], pa.list_(pa.float32())),
+        'label': pa.array(np.concatenate(labels))}),
+        f'{out_dir}/embeddings.parquet')
+    print(f'wrote embeddings: {shards * n_vec} rows')
+
+
 if __name__ == '__main__':
-    if len(sys.argv) > 3 and sys.argv[3] == 'clustered':
+    if len(sys.argv) > 3 and sys.argv[3] == 'full':
+        gen_full(sys.argv[1], int(sys.argv[2]))
+    elif len(sys.argv) > 3 and sys.argv[3] == 'clustered':
         import os
         os.makedirs(sys.argv[1], exist_ok=True)
         sig = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
