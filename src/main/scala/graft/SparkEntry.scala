@@ -5193,6 +5193,384 @@ object SparkEntry {
         v.fold(conf.unset(k))(conf.set(k, _))
       }
     }),
+    "q392_ols_regression" -> ((s, dir) => {
+      // Per-cohort OLS by NORMAL EQUATIONS: the only corpus-sized work is
+      // one hash aggregate collecting six exact integer moments (n, Σx,
+      // Σy, Σxy, Σx², Σy²) — sufficient statistics combine associatively,
+      // so the fit is map-side partials + one shuffle regardless of data
+      // size (a row-iterating fit would be the .collect() antipattern).
+      // Slope / intercept / r² are ONE fixed double chain over the exact
+      // longs, written operator-for-operator identically in the oracle
+      // (the q301/q297 exact-moments discipline).
+      val e = T(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          hour(col("ts")).cast("long").as("x"),
+          Num.roundz(col("value") * 100, 0).cast("long").as("y"))
+      val m = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+      val nD = col("n").cast("double")
+      val cov = nD * col("sxy") - col("sx").cast("double") * col("sy")
+      val vx = nD * col("sx2") - col("sx").cast("double") * col("sx")
+      val vy = nD * col("sy2") - col("sy").cast("double") * col("sy")
+      m.select(col("event_type"), col("n"),
+          Num.roundz(cov / vx, 4).as("slope"),
+          Num.roundz((col("sy").cast("double") - cov / vx * col("sx")) / nD, 4)
+            .as("intercept"),
+          Num.roundz(cov * cov / (vx * vy), 4).as("r2"))
+        .orderBy("event_type")
+    }),
+    "q393_logistic_gd" -> ((s, dir) => {
+      // FULL-BATCH gradient descent trained in-engine: 3 unrolled
+      // iterations of a hard-sigmoid logistic fit (σ̂(z) = clamp(0.5 +
+      // z/4, 0, 1), the piecewise-linear sigmoid of Courbariaux et al.
+      // 2015) predicting purchase from the centered hour. EVERY quantity
+      // is an exact integer micro — gradients are plain sums (map-side
+      // combinable), the weight state between iterations is a 1-row
+      // broadcast frame, so each iteration costs one scan + one reduce
+      // and nothing touches the driver. Truncating integer division
+      // matches DuckDB's `//` bit-for-bit (both round toward zero), so
+      // the oracle replays the 3 steps as chained CTEs.
+      val e = T(s, dir, "events")
+        .select((hour(col("ts")).cast("long") - 12L).as("x"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      def step(w: DataFrame): DataFrame =
+        e.crossJoin(broadcast(w))
+          .select(col("w0"), col("w1"), col("x"),
+            (expr("greatest(least(500000 + (w0 + w1 * x) div 4, 1000000), 0)")
+              - col("y") * 1000000L).as("err"))
+          .agg(max(col("w0")).as("pw0"), max(col("w1")).as("pw1"),
+            count(lit(1)).as("n"), sum(col("err")).as("g0"),
+            sum(col("err") * col("x")).as("g1"))
+          .selectExpr("pw0 - g0 div (2 * n) AS w0", "pw1 - g1 div (20 * n) AS w1")
+      val w0 = s.range(1).select(lit(0L).as("w0"), lit(0L).as("w1"))
+      val w3 = step(step(step(w0)))
+      e.crossJoin(broadcast(w3))
+        .select(col("w0"), col("w1"),
+          (expr("greatest(least(500000 + (w0 + w1 * x) div 4, 1000000), 0)")
+            > 500000L).as("pred"),
+          (col("y") === 1L).as("pos"))
+        .agg(max(col("w0")).as("w0"), max(col("w1")).as("w1"),
+          count(lit(1)).as("n"),
+          sum(when(col("pred") === col("pos"), 1L).otherwise(0L)).as("correct"))
+        .selectExpr("w0", "w1", "n", "correct * 10000 div n AS correct_bp")
+    }),
+    "q394_grid_radius_join" -> ((s, dir) => {
+      // Spatial RADIUS self-join by GRID BLOCKING: each point lands in
+      // one 200×200 cell of a planted integer plane; the probe side
+      // explodes to its 3×3 cell neighborhood, so candidate pairs come
+      // from an equi-join on the cell key and the exact integer distance²
+      // filter runs only inside neighborhoods — no cross product anywhere
+      // (the geo twin of q127's blocked fuzzy join). r = 150 < cell size,
+      // so the 9-cell halo provably covers every qualifying pair, and
+      // each pair surfaces exactly once per direction (the build side's
+      // cell is unique). Output folds to per-point neighbor stats so the
+      // gate row count stays O(points) at any SF.
+      val u = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .select(col("user_id"),
+          (col("user_id") * 7919L % 1001L - 500L).as("px"),
+          (col("user_id") * 104729L % 1001L - 500L).as("py"))
+      val cell = u
+        .withColumn("cx", expr("(px + 500) div 200"))
+        .withColumn("cy", expr("(py + 500) div 200"))
+      val probe = cell
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("user_id").as("u_a"), col("px").as("xa"), col("py").as("ya"),
+          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      val build = cell.select(col("user_id").as("u_b"), col("px").as("xb"),
+        col("py").as("yb"), col("cx"), col("cy"))
+      probe.join(build, Seq("cx", "cy"))
+        .filter(col("u_a") =!= col("u_b"))
+        .withColumn("dist2",
+          expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)"))
+        .filter(col("dist2") <= 22500L)
+        .groupBy(col("u_a"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          min(col("dist2")).as("min_dist2"),
+          sum(col("dist2")).as("sum_dist2"))
+        .orderBy("u_a")
+    }),
+    "q395_winnowing" -> ((s, dir) => {
+      // Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+      // — the MOSS algorithm): token-trigram Karp–Rabin hashes, then from
+      // every window of w = 4 consecutive hashes keep the RIGHTMOST
+      // MINIMUM. The tie-aware argmin rides ONE packed key —
+      // hash·2²⁰ + (2²⁰−1−pos) — so a plain bounded window min() both
+      // finds the min hash AND breaks ties toward the largest position;
+      // distinct selected keys per doc are the fingerprint set (any two
+      // docs sharing a run of ≥ w+k−1 = 6 tokens share a fingerprint).
+      // All windows are per-doc and 4-row bounded; the packed key assumes
+      // < 2²⁰ tokens/doc (chunk longer docs with q128 first).
+      import org.apache.spark.sql.expressions.Window
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"))
+          .as(Seq("pos", "tok")))
+        .withColumn("h", graft.functions.RollingHash(col("tok")))
+      val wLead = Window.partitionBy("doc_id").orderBy("pos")
+      val tri = toks
+        .withColumn("h1", lead(col("h"), 1).over(wLead))
+        .withColumn("h2", lead(col("h"), 2).over(wLead))
+        .filter(col("h2").isNotNull)
+        .withColumn("gh",
+          expr("((h * 31 + h1) % 1000000007 * 31 + h2) % 1000000007"))
+      val wMin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+      tri.withColumn("k", expr("gh * 1048576 + (1048575 - pos)"))
+        .withColumn("wmin", min(col("k")).over(wMin))
+        .filter(col("pos") >= 3) // full windows only
+        .select(col("doc_id"), col("wmin")).distinct()
+        .select(col("doc_id"),
+          expr("wmin div 1048576").as("hash"),
+          (lit(1048575L) - expr("wmin % 1048576")).as("pos"))
+        .orderBy("doc_id", "pos")
+    }),
+    "q396_t_closeness" -> ((s, dir) => {
+      // t-closeness release audit (Li, Li & Venkatasubramanian, ICDE
+      // 2007) — completes the privacy triad next to q308's k-anonymity
+      // and q366's l-diversity: per quasi-identifier group, the ORDERED
+      // earth-mover distance between the group's sensitive-band
+      // distribution and the global one, EMD = Σ|cum_p − cum_q|/(m−1),
+      // everything in exact integer ppm. The band grid is completed by a
+      // groups × bands cross join (4 bands — metadata-sized), cumulative
+      // sums ride a 4-row bounded window, and the global distribution is
+      // a 4-row broadcast; one corpus aggregate total.
+      val c = T(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          Num.roundz(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+        .withColumn("band",
+          expr("greatest(least((cents + 100000) div 300000, 3), 0)"))
+      val glob = c.groupBy(col("band")).agg(count(lit(1)).as("gc"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("gn"))))
+        .select(col("band"), expr("gc * 1000000 div gn").as("q_ppm"))
+      val groups = c.groupBy(col("nat"), col("seg"))
+        .agg(count(lit(1)).as("n"))
+      val grid = groups
+        .withColumn("band", explode(expr("sequence(CAST(0 AS BIGINT), 3)")))
+      val cnt = c.groupBy(col("nat"), col("seg"), col("band"))
+        .agg(count(lit(1)).as("nb"))
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.partitionBy("nat", "seg").orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(cnt, Seq("nat", "seg", "band"), "left")
+        .join(broadcast(glob), Seq("band"))
+        .withColumn("p_ppm", expr("coalesce(nb, 0) * 1000000 div n"))
+        .withColumn("cp", sum(col("p_ppm")).over(wCum))
+        .withColumn("cq", sum(col("q_ppm")).over(wCum))
+        .filter(col("band") <= 2) // the (m-1) cumulative positions
+        .groupBy(col("nat"), col("seg"))
+        .agg(max(col("n")).as("n"),
+          sum(abs(col("cp") - col("cq"))).as("emd_sum"))
+        .select(col("nat"), col("seg"), col("n"),
+          expr("emd_sum div 3").as("emd_ppm"))
+        .withColumn("meets_t20", col("emd_ppm") <= 200000L)
+        .orderBy("nat", "seg")
+    }),
+    "q397_ips_eval" -> ((s, dir) => {
+      // OFFLINE POLICY EVALUATION by inverse propensity scoring (Horvitz–
+      // Thompson; SNIPS per Swaminathan & Joachims 2015): logged actions
+      // with known behavior-policy propensities {0.5, 0.3, 0.2} are
+      // replayed against a deterministic target policy π(user) =
+      // user_id % 3; IPS = Σ r·1[π=a]/p / N and the self-normalized
+      // variant divide ONLY matched rows' micro-weights — all exact
+      // integers, one hash aggregate per arm. The counterfactual-eval
+      // shape every recommender ships before an online test.
+      val e = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("r"))
+        .withColumn("a", expr(
+          "CASE WHEN event_id % 10 < 5 THEN 0 WHEN event_id % 10 < 8 THEN 1 ELSE 2 END"))
+        .withColumn("w_micro", expr(
+          "CASE WHEN a = 0 THEN 2000000 WHEN a = 1 THEN 3333333 ELSE 5000000 END"))
+        .withColumn("pi", expr("CAST(user_id % 3 AS INT)"))
+        .withColumn("m", when(col("pi") === col("a"), 1L).otherwise(0L))
+      e.groupBy(col("pi").cast("long").as("pi_arm"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("n_matched"),
+          sum(col("r") * col("m") * col("w_micro")).as("swr"),
+          sum(col("m") * col("w_micro")).as("sw"),
+          sum(col("r")).as("sr"))
+        .select(col("pi_arm"), col("n"), col("n_matched"),
+          expr("swr div n").as("ips_micro"),
+          expr("swr * 10000 div greatest(sw, 1)").as("snips_bp"),
+          expr("sr * 10000 div n").as("logged_reward_bp"))
+        .orderBy("pi_arm")
+    }),
+    "q398_bitmap_index" -> ((s, dir) => {
+      // BITMAP INDEX set algebra: each event-type segment's user set is
+      // packed into 32-bit words (word = id div 32, mask = 1 << id%32,
+      // OR-aggregated — 32, not 64, because DuckDB's left shift overflows
+      // at bit 63), then segment-pair intersections are ONE equi-join on
+      // the word index + bit_count(a & b): the roaring-bitmap serving
+      // shape, where |A∩B| costs O(words), not O(users). Cardinalities
+      // come from the same bitmaps (never recounted from rows), and the
+      // 5×5 pair frame is metadata-sized.
+      val bm = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type").as("seg"), col("user_id")).distinct()
+        .select(col("seg"), expr("user_id div 32").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("m"))
+        .groupBy(col("seg"), col("w")).agg(expr("bit_or(m)").as("bits"))
+      val card = bm.groupBy(col("seg"))
+        .agg(sum(expr("bit_count(bits)")).as("card"))
+      val inter = bm.select(col("seg").as("seg_a"), col("w"), col("bits").as("ba"))
+        .join(bm.select(col("seg").as("seg_b"), col("w"), col("bits").as("bb")),
+          Seq("w"))
+        .filter(col("seg_a") < col("seg_b"))
+        .groupBy(col("seg_a"), col("seg_b"))
+        .agg(sum(expr("bit_count(ba & bb)")).as("inter"))
+      val ca = card.select(col("seg").as("seg_a"), col("card").as("card_a"))
+      val cb = card.select(col("seg").as("seg_b"), col("card").as("card_b"))
+      ca.crossJoin(cb).filter(col("seg_a") < col("seg_b"))
+        .join(inter, Seq("seg_a", "seg_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .select(col("seg_a"), col("seg_b"), col("card_a"), col("card_b"),
+          col("inter"),
+          (col("card_a") + col("card_b") - col("inter")).as("uni"))
+        .withColumn("jaccard_bp", expr("inter * 10000 div uni"))
+        .orderBy("seg_a", "seg_b")
+    }),
+    "q399_powerlaw_mle" -> ((s, dir) =>
+      // Power-law tail fit (Clauset, Shalizi & Newman 2009): per source,
+      // the continuous MLE α = 1 + n / Σ ln(x/xmin) over doc lengths ≥
+      // xmin = 200. Each row's log is quantized to EXACT floor-micros
+      // before the sum, so the aggregate is an order-free integer sum
+      // (summing raw doubles would leak partition order; buffering values
+      // for an ordered fold would be the collect_list antipattern) — the
+      // one double division happens once per source at the end.
+      T(s, dir, "documents")
+        .filter(col("n_chars") >= 200)
+        .select(col("source"), expr(
+          "CAST(floor(ln(CAST(n_chars AS DOUBLE) / 200.0) * 1000000) AS BIGINT)")
+          .as("lnx"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tail"), sum(col("lnx")).as("s_micro"))
+        .select(col("source"), col("n_tail"), col("s_micro"),
+          Num.roundz(lit(1.0) + col("n_tail").cast("double") * 1000000.0
+            / expr("CAST(nullif(s_micro, 0) AS DOUBLE)"), 4).as("alpha"))
+        .orderBy("source")),
+    "q400_brier_decomposition" -> ((s, dir) => {
+      // Murphy decomposition of the Brier score (Murphy 1973): forecasts
+      // bucketed into 11 probability bins; per bin the EXACT ingredients
+      // — n, hits, Σforecast_bp, and the raw Brier numerator
+      // Σ(f_bp − y·10⁴)² (exact long) — plus the reliability term
+      // n_k(f̄_k − ō_k)² as ONE fixed double chain over those longs
+      // (the square of a 10⁴-scaled sum overflows int64 at sf1, so the
+      // division-bearing term is double by design). One hash aggregate;
+      // the calibration-audit twin of q211 with the variance accounting.
+      val e = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(expr("(user_id * 31 % 101) * 100").as("f_bp"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      e.groupBy(expr("f_bp div 1000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("o"),
+          sum(col("f_bp")).as("sum_f_bp"),
+          sum(expr("(f_bp - y * 10000) * (f_bp - y * 10000)")).as("brier_num"))
+        .withColumn("rel", Num.roundz(
+          (col("sum_f_bp").cast("double") - lit(10000.0) * col("o"))
+            * (col("sum_f_bp").cast("double") - lit(10000.0) * col("o"))
+            / (lit(100000000.0) * col("n")), 4))
+        .orderBy("bin")
+    }),
+    "q401_neyman_allocation" -> ((s, dir) => {
+      // NEYMAN OPTIMAL ALLOCATION (Neyman 1934) of a 1000-row sample
+      // budget across strata: n_h ∝ N_h·S_h, with each stratum's sd from
+      // exact integer moments and the weight quantized to floor(N·sd·10³)
+      // BEFORE the cross-stratum sum (5 exact longs — order-free), then
+      // LARGEST-REMAINDER rounding so the allocations sum to exactly 1000
+      // deterministically. The strata frame is 5 rows of metadata; the
+      // only corpus-sized work is one moment aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val m = T(s, dir, "events")
+        .select(col("event_type"),
+          Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("ss"))
+        .withColumn("w_scaled", expr(
+          """CAST(floor(CAST(n AS DOUBLE) * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+            | - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+            | / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) * 1000) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+      val tot = m.agg(sum(col("w_scaled")).as("tw"))
+      val base = m.crossJoin(broadcast(tot))
+        .withColumn("alloc_base", expr("w_scaled * 1000 div tw"))
+        .withColumn("rem", expr("(w_scaled * 1000) % tw"))
+      val used = base.agg(sum(col("alloc_base")).as("ub"))
+      base.crossJoin(broadcast(used))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("event_type"))))
+        .withColumn("alloc", col("alloc_base")
+          + when(col("rk") <= lit(1000L) - col("ub"), 1L).otherwise(0L))
+        .select(col("event_type"), col("n"), col("w_scaled"), col("alloc"))
+        .orderBy("event_type")
+    }),
+    "q402_paa_symbolize" -> ((s, dir) => {
+      // SAX-style series symbolization (Lin, Keogh et al. 2003): each
+      // event type's daily-count series is piecewise-aggregate-
+      // approximated over 4-day segments (exact micro means via integer
+      // division — gaps shrink the divisor, not the truth), then
+      // discretized to a 4-symbol alphabet by min-max scaling against the
+      // series' own PAA range. Two bounded aggregates + a per-series
+      // min/max broadcast join; symbols are exact integers end to end
+      // (the Gaussian-breakpoint variant would hinge on cross-engine
+      // float quantiles — min-max keeps the gate bit-exact).
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2020-01-01")).cast("long").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val paa = daily.groupBy(col("event_type"), expr("d div 4").as("seg"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("sum_cnt"))
+        .withColumn("paa_micro", expr("sum_cnt * 1000000 div n_days"))
+      val rng = paa.groupBy(col("event_type"))
+        .agg(min(col("paa_micro")).as("lo"), max(col("paa_micro")).as("hi"))
+      paa.join(broadcast(rng), Seq("event_type"))
+        .withColumn("sym", expr("(paa_micro - lo) * 4 div (hi - lo + 1)"))
+        .select(col("event_type"), col("seg"), col("n_days"), col("sum_cnt"),
+          col("paa_micro"), col("sym"))
+        .orderBy("event_type", "seg")
+    }),
+    "q403_poisson_bootstrap" -> ((s, dir) => {
+      // POISSON BOOTSTRAP standard error (Chamandy et al. 2012, the
+      // resampling that works on streams/shards because replicate weights
+      // are i.i.d. per row — no global sample draw): 32 replicas, each
+      // row's weight a deterministic Poisson(1) variate read off hash
+      // thresholds (CDF·10⁴ = 3679/7358/9197/9810/9963), replica means in
+      // exact micros, and the SE over the 32 replica means from exact
+      // integer moments with ONE sqrt at the end. The explode is a narrow
+      // 32× map fan-out that map-side-combines straight back down to 32
+      // groups — no corpus-sized shuffle.
+      val e = T(s, dir, "events")
+        .select(col("event_id"),
+          Num.roundz(col("value") * 100, 0).cast("long").as("cents"))
+      val rep = e.withColumn("r", explode(expr("sequence(CAST(0 AS BIGINT), 31)")))
+        .withColumn("h", expr("((event_id * 131 + r) * 48271) % 2147483647 % 10000"))
+        .withColumn("w", expr(
+          """CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1 WHEN h < 9197 THEN 2
+            | WHEN h < 9810 THEN 3 WHEN h < 9963 THEN 4 ELSE 5 END"""
+            .stripMargin.replace("\n", " ")))
+        .groupBy(col("r"))
+        .agg(sum(col("w")).as("sw"), sum(col("w") * col("cents")).as("swy"))
+        .select(expr("swy * 100 div greatest(sw, 1)").as("m"))
+        .agg(count(lit(1)).as("n_rep"), sum(col("m")).as("sm"),
+          sum(col("m") * col("m")).as("sm2"))
+      val pe = e.agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sc"))
+        .select(col("n_events"), expr("sc * 100 div n_events").as("point_mean_micros"))
+      pe.crossJoin(broadcast(rep))
+        .select(col("n_events"), col("point_mean_micros"),
+          expr("sm div n_rep").as("boot_mean_micros"),
+          Num.roundz(sqrt((col("n_rep").cast("double") * col("sm2")
+            - col("sm").cast("double") * col("sm"))
+            / (col("n_rep").cast("double") * (col("n_rep") - lit(1L)))), 4)
+            .as("boot_se_micros"))
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -11863,6 +12241,221 @@ object SparkEntry {
         |  count(*) AS n, CAST(sum(dim_n) AS BIGINT) AS dim_mass,
         |  CAST(sum(pad) AS BIGINT) AS pad_mass
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q392_ols_regression" ->
+      // same six exact integer moments, same fixed double chain
+      """WITH e AS (SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  (round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) + 0.0) AS slope,
+        |  (round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) + 0.0) AS intercept,
+        |  (round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0.0) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q393_logistic_gd" ->
+      // the 3 GD steps unrolled as chained CTEs; `//` and `div` both
+      // truncate toward zero, so the integer walk is bit-identical
+      """WITH e AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) - 12 AS x,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) ELSE 0 END AS y FROM events),
+        |i0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1),
+        |s1 AS (SELECT max(w0) AS pw0, max(w1) AS pw1, count(*) AS n,
+        |    CAST(sum(greatest(least(500000 + (w0 + w1 * x) // 4, 1000000), 0) - y * 1000000) AS BIGINT) AS g0,
+        |    CAST(sum((greatest(least(500000 + (w0 + w1 * x) // 4, 1000000), 0) - y * 1000000) * x) AS BIGINT) AS g1
+        |  FROM e CROSS JOIN i0),
+        |i1 AS (SELECT pw0 - g0 // (2 * n) AS w0, pw1 - g1 // (20 * n) AS w1 FROM s1),
+        |s2 AS (SELECT max(w0) AS pw0, max(w1) AS pw1, count(*) AS n,
+        |    CAST(sum(greatest(least(500000 + (w0 + w1 * x) // 4, 1000000), 0) - y * 1000000) AS BIGINT) AS g0,
+        |    CAST(sum((greatest(least(500000 + (w0 + w1 * x) // 4, 1000000), 0) - y * 1000000) * x) AS BIGINT) AS g1
+        |  FROM e CROSS JOIN i1),
+        |i2 AS (SELECT pw0 - g0 // (2 * n) AS w0, pw1 - g1 // (20 * n) AS w1 FROM s2),
+        |s3 AS (SELECT max(w0) AS pw0, max(w1) AS pw1, count(*) AS n,
+        |    CAST(sum(greatest(least(500000 + (w0 + w1 * x) // 4, 1000000), 0) - y * 1000000) AS BIGINT) AS g0,
+        |    CAST(sum((greatest(least(500000 + (w0 + w1 * x) // 4, 1000000), 0) - y * 1000000) * x) AS BIGINT) AS g1
+        |  FROM e CROSS JOIN i2),
+        |i3 AS (SELECT pw0 - g0 // (2 * n) AS w0, pw1 - g1 // (20 * n) AS w1 FROM s3),
+        |ev AS (SELECT max(w0) AS w0, max(w1) AS w1, count(*) AS n,
+        |    CAST(sum(CASE WHEN (greatest(least(500000 + (w0 + w1 * x) // 4, 1000000), 0) > 500000) = (y = 1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS correct
+        |  FROM e CROSS JOIN i3)
+        |SELECT w0, w1, n, correct * 10000 // n AS correct_bp FROM ev""".stripMargin,
+    "q394_grid_radius_join" ->
+      // same planted plane, same 9-cell halo, same exact integer dist²
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT user_id, (user_id * 7919) % 1001 - 500 AS px,
+        |    (user_id * 104729) % 1001 - 500 AS py FROM u),
+        |c AS (SELECT user_id, px, py, (px + 500) // 200 AS cx, (py + 500) // 200 AS cy FROM p),
+        |o AS (SELECT CAST(unnest([-1, 0, 1]) AS BIGINT) AS d),
+        |pr AS (SELECT c.user_id AS u_a, px AS xa, py AS ya,
+        |    cx + ox.d AS cx, cy + oy.d AS cy FROM c, o ox, o oy),
+        |j AS (SELECT pr.u_a,
+        |    (pr.xa - b.px) * (pr.xa - b.px) + (pr.ya - b.py) * (pr.ya - b.py) AS dist2
+        |  FROM pr JOIN c b ON pr.cx = b.cx AND pr.cy = b.cy AND pr.u_a <> b.user_id)
+        |SELECT u_a, count(*) AS n_neighbors, CAST(min(dist2) AS BIGINT) AS min_dist2,
+        |  CAST(sum(dist2) AS BIGINT) AS sum_dist2
+        |FROM j WHERE dist2 <= 22500 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q395_winnowing" ->
+      // same trigram Karp-Rabin ring (the q353-proven ord/byte parity),
+      // same packed rightmost-min key, same 4-row window
+      """WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS arr FROM documents),
+        |px AS (SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |    i -> {'pos': i - 1, 'tok': arr[i]})) AS g FROM raw),
+        |th AS (SELECT doc_id, CAST(g.pos AS BIGINT) AS pos,
+        |    list_reduce(list_transform(range(1, length(g.tok) + 1),
+        |      i -> CAST(ord(substr(g.tok, CAST(i AS INT), 1)) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM px),
+        |tri AS (SELECT doc_id, pos,
+        |    ((h * 31 + lead(h, 1) OVER w) % 1000000007 * 31 + lead(h, 2) OVER w) % 1000000007 AS gh,
+        |    lead(h, 2) OVER w IS NOT NULL AS full3
+        |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |k AS (SELECT doc_id, pos, gh * 1048576 + (1048575 - pos) AS k FROM tri WHERE full3),
+        |wm AS (SELECT doc_id, pos, min(k) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin FROM k),
+        |sel AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos >= 3)
+        |SELECT doc_id, wmin // 1048576 AS hash, 1048575 - (wmin % 1048576) AS pos
+        |FROM sel ORDER BY doc_id, pos""".stripMargin,
+    "q396_t_closeness" ->
+      // same 4-band grid, same ppm integer divisions, same (m-1) cum sum
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer),
+        |b AS (SELECT nat, seg, greatest(least((cents + 100000) // 300000, 3), 0) AS band FROM c),
+        |g AS (SELECT band, count(*) AS gc FROM b GROUP BY 1),
+        |gt AS (SELECT count(*) AS gn FROM b),
+        |q AS (SELECT band, gc * 1000000 // gt.gn AS q_ppm FROM g, gt),
+        |gr AS (SELECT nat, seg, count(*) AS n FROM b GROUP BY 1, 2),
+        |grid AS (SELECT nat, seg, n, CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS band FROM gr),
+        |cnt AS (SELECT nat, seg, band, count(*) AS nb FROM b GROUP BY 1, 2, 3),
+        |p AS (SELECT grid.nat, grid.seg, grid.band, grid.n,
+        |    coalesce(cnt.nb, 0) * 1000000 // grid.n AS p_ppm, q.q_ppm
+        |  FROM grid LEFT JOIN cnt USING (nat, seg, band) JOIN q USING (band)),
+        |cum AS (SELECT nat, seg, n, band,
+        |    sum(p_ppm) OVER (PARTITION BY nat, seg ORDER BY band) AS cp,
+        |    sum(q_ppm) OVER (PARTITION BY nat, seg ORDER BY band) AS cq
+        |  FROM p)
+        |SELECT nat, seg, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(abs(cp - cq)) AS BIGINT) // 3 AS emd_ppm,
+        |  (CAST(sum(abs(cp - cq)) AS BIGINT) // 3) <= 200000 AS meets_t20
+        |FROM cum WHERE band <= 2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q397_ips_eval" ->
+      // same hash-planted actions/propensities, same exact micro weights
+      """WITH e AS (SELECT CAST(user_id % 3 AS BIGINT) AS pi_arm,
+        |    CASE WHEN event_id % 10 < 5 THEN 0 WHEN event_id % 10 < 8 THEN 1 ELSE 2 END AS a,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) ELSE 0 END AS r
+        |  FROM events WHERE user_id IS NOT NULL),
+        |w AS (SELECT pi_arm, r,
+        |    CASE WHEN a = 0 THEN 2000000 WHEN a = 1 THEN 3333333 ELSE 5000000 END AS w_micro,
+        |    CASE WHEN pi_arm = a THEN CAST(1 AS BIGINT) ELSE 0 END AS m FROM e)
+        |SELECT pi_arm, count(*) AS n, CAST(sum(m) AS BIGINT) AS n_matched,
+        |  CAST(sum(r * m * w_micro) AS BIGINT) // count(*) AS ips_micro,
+        |  CAST(sum(r * m * w_micro) AS BIGINT) * 10000
+        |    // greatest(CAST(sum(m * w_micro) AS BIGINT), 1) AS snips_bp,
+        |  CAST(sum(r) AS BIGINT) * 10000 // count(*) AS logged_reward_bp
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q398_bitmap_index" ->
+      // same 32-bit word packing, same bit_or / bit_count algebra
+      """WITH d AS (SELECT DISTINCT event_type AS seg, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |bm AS (SELECT seg, user_id // 32 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM d GROUP BY 1, 2),
+        |card AS (SELECT seg, CAST(sum(bit_count(bits)) AS BIGINT) AS card FROM bm GROUP BY 1),
+        |inter AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |    CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS inter
+        |  FROM bm a JOIN bm b ON a.w = b.w AND a.seg < b.seg GROUP BY 1, 2),
+        |pairs AS (SELECT ca.seg AS seg_a, cb.seg AS seg_b, ca.card AS card_a, cb.card AS card_b
+        |  FROM card ca CROSS JOIN card cb WHERE ca.seg < cb.seg)
+        |SELECT p.seg_a, p.seg_b, p.card_a, p.card_b,
+        |  coalesce(i.inter, 0) AS inter,
+        |  p.card_a + p.card_b - coalesce(i.inter, 0) AS uni,
+        |  coalesce(i.inter, 0) * 10000 // (p.card_a + p.card_b - coalesce(i.inter, 0)) AS jaccard_bp
+        |FROM pairs p LEFT JOIN inter i USING (seg_a, seg_b) ORDER BY 1, 2""".stripMargin,
+    "q399_powerlaw_mle" ->
+      // same floor-micro log quantization, same single closing division
+      """WITH d AS (SELECT source,
+        |    CAST(floor(ln(CAST(n_chars AS DOUBLE) / 200.0) * 1000000) AS BIGINT) AS lnx
+        |  FROM documents WHERE n_chars >= 200)
+        |SELECT source, count(*) AS n_tail, CAST(sum(lnx) AS BIGINT) AS s_micro,
+        |  (round(1.0 + CAST(count(*) AS DOUBLE) * 1000000.0
+        |    / CAST(nullif(CAST(sum(lnx) AS BIGINT), 0) AS DOUBLE), 4) + 0.0) AS alpha
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q400_brier_decomposition" ->
+      // same 11 bins, same exact Brier numerator, same double rel chain
+      """WITH e AS (SELECT (user_id * 31 % 101) * 100 AS f_bp,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) ELSE 0 END AS y
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT f_bp // 1000 AS bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS o,
+        |  CAST(sum(f_bp) AS BIGINT) AS sum_f_bp,
+        |  CAST(sum((f_bp - y * 10000) * (f_bp - y * 10000)) AS BIGINT) AS brier_num,
+        |  (round((CAST(CAST(sum(f_bp) AS BIGINT) AS DOUBLE) - 10000.0 * CAST(sum(y) AS BIGINT))
+        |    * (CAST(CAST(sum(f_bp) AS BIGINT) AS DOUBLE) - 10000.0 * CAST(sum(y) AS BIGINT))
+        |    / (100000000.0 * count(*)), 4) + 0.0) AS rel
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q401_neyman_allocation" ->
+      // same exact moments, same floor(N·sd·10³) quantization, same
+      // largest-remainder walk over the 5-row strata frame
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+        |      * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS ss
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT event_type, n,
+        |    CAST(floor(CAST(n AS DOUBLE) * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) * 1000) AS BIGINT) AS w_scaled
+        |  FROM m),
+        |t AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS tw FROM w),
+        |b AS (SELECT w.event_type, w.n, w.w_scaled,
+        |    w.w_scaled * 1000 // t.tw AS alloc_base, (w.w_scaled * 1000) % t.tw AS rem
+        |  FROM w, t),
+        |u AS (SELECT CAST(sum(alloc_base) AS BIGINT) AS ub FROM b),
+        |r AS (SELECT b.*, u.ub, row_number() OVER (ORDER BY rem DESC, event_type) AS rk FROM b, u)
+        |SELECT event_type, n, w_scaled,
+        |  alloc_base + CASE WHEN rk <= 1000 - ub THEN 1 ELSE 0 END AS alloc
+        |FROM r ORDER BY event_type""".stripMargin,
+    "q402_paa_symbolize" ->
+      // same fixed anchor, same exact micro PAA, same min-max symbols
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2020-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |paa AS (SELECT event_type, d // 4 AS seg, count(*) AS n_days,
+        |    CAST(sum(cnt) AS BIGINT) AS sum_cnt FROM daily GROUP BY 1, 2),
+        |p2 AS (SELECT *, sum_cnt * 1000000 // n_days AS paa_micro FROM paa),
+        |rng AS (SELECT event_type, min(paa_micro) AS lo, max(paa_micro) AS hi FROM p2 GROUP BY 1)
+        |SELECT p2.event_type, p2.seg, p2.n_days, p2.sum_cnt, p2.paa_micro,
+        |  (p2.paa_micro - rng.lo) * 4 // (rng.hi - rng.lo + 1) AS sym
+        |FROM p2 JOIN rng USING (event_type) ORDER BY 1, 2""".stripMargin,
+    "q403_poisson_bootstrap" ->
+      // same hash-threshold Poisson(1) weights, same exact micro means,
+      // same integer moments with one closing sqrt
+      """WITH e AS (SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |rep AS (SELECT event_id, cents, CAST(unnest(range(0, 32)) AS BIGINT) AS r FROM e),
+        |h AS (SELECT r, cents, ((event_id * 131 + r) * 48271) % 2147483647 % 10000 AS h FROM rep),
+        |w AS (SELECT r, cents, CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+        |    WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3 WHEN h < 9963 THEN 4 ELSE 5 END AS w
+        |  FROM h),
+        |g AS (SELECT r, CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * cents) AS BIGINT) AS swy
+        |  FROM w GROUP BY 1),
+        |mm AS (SELECT swy * 100 // greatest(sw, 1) AS m FROM g),
+        |agg AS (SELECT count(*) AS n_rep, CAST(sum(m) AS BIGINT) AS sm,
+        |    CAST(sum(m * m) AS BIGINT) AS sm2 FROM mm),
+        |pe AS (SELECT count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) * 100 // count(*) AS point_mean_micros FROM e)
+        |SELECT pe.n_events, pe.point_mean_micros, agg.sm // agg.n_rep AS boot_mean_micros,
+        |  (round(sqrt((CAST(agg.n_rep AS DOUBLE) * CAST(agg.sm2 AS DOUBLE)
+        |    - CAST(agg.sm AS DOUBLE) * CAST(agg.sm AS DOUBLE))
+        |    / (CAST(agg.n_rep AS DOUBLE) * CAST(agg.n_rep - 1 AS DOUBLE))), 4) + 0.0) AS boot_se_micros
+        |FROM pe, agg""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

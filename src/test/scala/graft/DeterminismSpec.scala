@@ -43,7 +43,11 @@ class DeterminismSpec extends SparkSpec {
     "q350_grouped_rank_normalize", "q355_bucketed_batching",
     "q356_bottomk_sample", "q362_conformal_bound", "q364_stationary_dist",
     "q370_png_chunk_walk", "q377_epoch_shuffle", "q386_observed_metrics",
-    "q389_markov_attribution")
+    "q389_markov_attribution",
+    // round-13 keys: chained broadcast iteration state (the integer GD
+    // walk must be replay-stable), window ties broken by a packed key,
+    // and a largest-remainder rank over a tiny global window
+    "q393_logistic_gd", "q395_winnowing", "q401_neyman_allocation")
 
   for (name <- sampled) {
     test(s"$name is run-to-run deterministic") {

@@ -1469,4 +1469,31 @@ class PlanSpec extends SparkSpec {
       s"the 8-query frame and the truth set must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("grid radius join: candidates come from a cell equi-join, no cross product (q394)") {
+    val plan = q("q394_grid_radius_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs spatial join in plan:\n$plan")
+  }
+
+  test("winnowing: every window partitions by doc_id, none global (q395)") {
+    val plan = q("q395_winnowing")
+    assert(!plan.contains("SinglePartition") || !plan.contains("Window ["),
+      s"a global window would serialize the corpus through one task:\n$plan")
+  }
+
+  test("logistic GD: weight state rides broadcast joins, data side never reshuffles (q393)") {
+    val plan = q("q393_logistic_gd")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row weight frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"a non-broadcast cross join would shuffle the corpus per iteration:\n$plan")
+  }
+
+  test("OLS: one hash aggregate with map-side partials, no window, no join (q392)") {
+    val plan = q("q392_ols_regression")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window [") && !plan.contains("Join"),
+      s"the moment fit must be a single aggregation pass:\n$plan")
+  }
 }
