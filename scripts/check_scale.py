@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Large-SF variant of check.py: same compare semantics, but each oracle SQL
+runs in its OWN subprocess under a wall-clock timeout and a memory cap, and
+verdicts append to a JSONL file incrementally. Rationale: several oracle SQLs
+are deliberately written as the NAIVE formulation of what the engine computes
+efficiently (e.g. q310's quadratic-per-user inequality join); at sf1 those
+oracles — not the engine — blow up DuckDB. A timeout here is an
+ORACLE-COST limitation and is recorded as such, never as an engine pass.
+
+Usage: check_scale.py <sf_dir> <out_dir> <verdicts.jsonl> [timeout_s] [keys]
+"""
+import json, sys, glob, subprocess, os
+
+sf_dir, out_dir, verdict_path = sys.argv[1], sys.argv[2], sys.argv[3]
+timeout_s = int(sys.argv[4]) if len(sys.argv) > 4 else 300
+only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+
+WORKER = r'''
+import json, sys, glob
+import duckdb
+import pandas as pd
+sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+con = duckdb.connect()
+con.sql("SET memory_limit='24GB'")
+con.sql("SET threads=8")
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+sql = oracle[name]
+spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+if not spark_files:
+    print(json.dumps({"key": name, "verdict": "MISSING_SPARK_OUTPUT"})); sys.exit(0)
+try:
+    odf = con.sql(sql).df()
+except Exception as e:
+    print(json.dumps({"key": name, "verdict": f"ORACLE_SQL_ERROR: {e}"[:400]})); sys.exit(0)
+sdf = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)], ignore_index=True)
+odf = odf[sorted(odf.columns)]
+sdf = sdf[sorted(sdf.columns)]
+if list(odf.columns) != list(sdf.columns):
+    print(json.dumps({"key": name, "verdict": f"SCHEMA_MISMATCH spark={list(sdf.columns)} oracle={list(odf.columns)}"})); sys.exit(0)
+if len(odf) != len(sdf):
+    print(json.dumps({"key": name, "verdict": f"ROWCOUNT_MISMATCH spark={len(sdf)} oracle={len(odf)}"})); sys.exit(0)
+mismatch = None
+for c in odf.columns:
+    a, b = sdf[c], odf[c]
+    try:
+        if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+            a = pd.to_datetime(a).astype("datetime64[ns]")
+            b = pd.to_datetime(b).astype("datetime64[ns]")
+        if str(a.dtype) == "float64" and str(b.dtype) == "float64":
+            import numpy as np
+            av, bv = a.values.view("int64"), b.values.view("int64")
+            eq = (av == bv) | (pd.isna(a).values & pd.isna(b).values)
+        else:
+            eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
+        if not eq.all():
+            i = int((~eq).argmax())
+            mismatch = f"VALUE_MISMATCH col={c} row={i} spark={a.iloc[i]!r} oracle={b.iloc[i]!r}"
+            break
+    except Exception as e:
+        mismatch = f"COMPARE_ERROR col={c}: {e}"
+        break
+print(json.dumps({"key": name, "verdict": mismatch or "OK", "rows": len(sdf)}))
+'''
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+done = set()
+if os.path.exists(verdict_path):
+    for line in open(verdict_path):
+        try:
+            done.add(json.loads(line)["key"])
+        except Exception:
+            pass
+names = [n for n in sorted(oracle) if n not in done and (only is None or n in only)]
+vf = open(verdict_path, "a")
+for i, name in enumerate(names):
+    try:
+        r = subprocess.run([sys.executable, "-c", WORKER, sf_dir, out_dir, name],
+                           capture_output=True, text=True, timeout=timeout_s)
+        out = r.stdout.strip().splitlines()
+        rec = json.loads(out[-1]) if out else {"key": name, "verdict": f"WORKER_DIED: {r.stderr[-300:]}"}
+    except subprocess.TimeoutExpired:
+        rec = {"key": name, "verdict": f"ORACLE_TIMEOUT({timeout_s}s)"}
+    vf.write(json.dumps(rec) + "\n")
+    vf.flush()
+    print(f"[{i+1}/{len(names)}] {name}: {rec['verdict'][:120]}", flush=True)
+ok = bad = to = 0
+for line in open(verdict_path):
+    v = json.loads(line)["verdict"]
+    if v == "OK":
+        ok += 1
+    elif v.startswith("ORACLE_TIMEOUT"):
+        to += 1
+    else:
+        bad += 1
+print(f"\nOK={ok} TIMEOUT={to} FAIL={bad}")
+sys.exit(1 if bad else 0)

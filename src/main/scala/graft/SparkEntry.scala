@@ -5571,6 +5571,284 @@ object SparkEntry {
             / (col("n_rep").cast("double") * (col("n_rep") - lit(1L)))), 4)
             .as("boot_se_micros"))
     }),
+    "q404_theta_sketch" -> ((s, dir) => {
+      // THETA (KMV bottom-k) sketch set algebra (Dasgupta et al. 2016,
+      // the DataSketches theta family): per segment keep the k = 32
+      // smallest MINSTD priorities — a mergeable O(k) summary. Union /
+      // intersection estimates come from the RETAINED ENTRIES below
+      // θ = min(θ_a, θ_b) — |{p < θ}|·M div θ, exact integer division —
+      // next to the EXACT intersection from one corpus join, so the gate
+      // row carries the estimator AND its truth (the q212 honest-eval
+      // convention). The MINSTD map is a bijection mod the prime, so
+      // priorities are collision-free; everything after the per-segment
+      // bottom-k is a ≤5·32-row metadata frame.
+      import org.apache.spark.sql.expressions.Window
+      val M = 2147483647L
+      val d = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type").as("seg"), col("user_id")).distinct()
+        .withColumn("p", expr("(user_id * 48271) % 2147483647 + 1"))
+      val sk = d.withColumn("rn",
+          row_number().over(Window.partitionBy("seg").orderBy("p")))
+        .filter(col("rn") <= 32)
+      val theta = sk.groupBy(col("seg"))
+        .agg(max(col("p")).as("kth"), count(lit(1)).as("n_ret"))
+        .join(d.groupBy(col("seg")).agg(count(lit(1)).as("n_exact")), Seq("seg"))
+        .withColumn("theta",
+          when(col("n_ret") < 32, lit(M)).otherwise(col("kth")))
+        .withColumn("est",
+          when(col("n_ret") < 32, col("n_exact"))
+            .otherwise(expr("CAST(31 AS BIGINT) * 2147483647 div theta")))
+      val pa = theta.select(col("seg").as("seg_a"), col("theta").as("th_a"),
+        col("est").as("est_a"))
+      val pb = theta.select(col("seg").as("seg_b"), col("theta").as("th_b"),
+        col("est").as("est_b"))
+      val pairs = pa.crossJoin(pb).filter(col("seg_a") < col("seg_b"))
+        .withColumn("th", least(col("th_a"), col("th_b")))
+      val skp = pairs.select(col("seg_a"), col("seg_b"), col("th"))
+        .join(sk.select(col("seg").as("sseg"), col("p")),
+          col("sseg") === col("seg_a") || col("sseg") === col("seg_b"))
+        .filter(col("p") < col("th"))
+        .groupBy(col("seg_a"), col("seg_b"), col("th"), col("p"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("seg_a"), col("seg_b"), col("th"))
+        .agg(count(lit(1)).as("u_cnt"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("i_cnt"))
+        .drop("th") // pairs carries the authoritative copy into the select
+      val exact = d.select(col("seg").as("seg_a"), col("user_id"))
+        .join(d.select(col("seg").as("seg_b"), col("user_id")), Seq("user_id"))
+        .filter(col("seg_a") < col("seg_b"))
+        .groupBy(col("seg_a"), col("seg_b"))
+        .agg(count(lit(1)).as("true_inter"))
+      pairs.join(skp, Seq("seg_a", "seg_b"), "left")
+        .join(exact, Seq("seg_a", "seg_b"), "left")
+        .select(col("seg_a"), col("seg_b"), col("est_a"), col("est_b"),
+          expr("coalesce(u_cnt, 0) * 2147483647 div th").as("est_union"),
+          expr("coalesce(i_cnt, 0) * 2147483647 div th").as("est_inter"),
+          coalesce(col("true_inter"), lit(0L)).as("true_inter"))
+        .orderBy("seg_a", "seg_b")
+    }),
+    "q405_borda_kendall" -> ((s, dir) => {
+      // RANK AGGREGATION with agreement audit: three rankers' top-20s
+      // (price, size, and a MINSTD "random" baseline) fuse by BORDA COUNT
+      // (score = Σ(21 − rank), absent = 0, de Borda 1781), then each
+      // input ranker is scored against the consensus by exact KENDALL
+      // TAU-A over the items both lists share. Each top-20 is a
+      // TakeOrderedAndProject heap (never a global sort of parts); all
+      // pair counting happens on ≤20-row metadata frames. The
+      // formula-complement of q189's reciprocal-rank fusion.
+      import org.apache.spark.sql.expressions.Window
+      val parts = T(s, dir, "part")
+      def top20(ord: Column, name: String): DataFrame = {
+        val t = parts.select(col("p_partkey"), ord.as("__o"))
+          .orderBy(col("__o"), col("p_partkey")).limit(20)
+        t.withColumn(name,
+          row_number().over(Window.orderBy(col("__o"), col("p_partkey"))))
+          .drop("__o")
+      }
+      val r1 = top20(negate(col("p_retailprice")), "r_price")
+      val r2 = top20(negate(col("p_size").cast("long")), "r_size")
+      val r3 = top20(expr("(p_partkey * 16807) % 2147483647"), "r_hash")
+      val fused = r1.join(r2, Seq("p_partkey"), "full")
+        .join(r3, Seq("p_partkey"), "full")
+        .withColumn("borda",
+          expr("coalesce(21 - r_price, 0) + coalesce(21 - r_size, 0)" +
+            " + coalesce(21 - r_hash, 0)").cast("long"))
+        .withColumn("consensus",
+          row_number().over(Window.orderBy(col("borda").desc, col("p_partkey"))))
+      def tau(rcol: String): DataFrame = {
+        val c = fused.filter(col(rcol).isNotNull)
+          .select(col("p_partkey").as("k"), col("consensus").as("cr"),
+            col(rcol).cast("long").as("rr"))
+        c.as("x").join(c.as("y"), col("x.k") < col("y.k"))
+          .select((((col("x.cr") < col("y.cr")) === (col("x.rr") < col("y.rr")))
+            .cast("long")).as("conc"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("concordant"))
+          .select(lit(rcol).as("ranker"), col("n_pairs"), col("concordant"),
+            (col("n_pairs") - col("concordant")).as("discordant"),
+            expr("(concordant - (n_pairs - concordant)) * 1000 div n_pairs")
+              .as("tau_milli"))
+      }
+      tau("r_price").unionByName(tau("r_size")).unionByName(tau("r_hash"))
+        .orderBy("ranker")
+    }),
+    "q406_good_turing" -> ((s, dir) => {
+      // GOOD–TURING frequency re-estimation (Good 1953, the smoothing
+      // under Katz backoff and the SGT family): token frequencies r →
+      // frequencies-of-frequencies N_r → adjusted mass r* = (r+1)·N_{r+1}
+      // / N_r in exact milli-units, plus the unseen-mass estimate
+      // P₀ = N₁/N in bp. Two hash aggregates over the corpus; the N_r
+      // frame is ≤ |distinct frequencies| rows (≈√corpus — metadata), and
+      // the r+1 lookup is an equi-join on it, not a window.
+      val tok = T(s, dir, "documents")
+        .select(explode(expr(
+          "filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")).as("tok"))
+      val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("r"))
+      val nr = freq.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      val tot = freq.agg(sum(col("r")).as("n_tokens"),
+        sum(when(col("r") === 1, 1L).otherwise(0L)).as("n1"))
+      nr.join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+          Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          expr("(r + 1) * coalesce(n_r1, 0) * 1000 div n_r").as("r_star_milli"),
+          expr("n1 * 10000 div n_tokens").as("p0_bp"))
+        .orderBy("r").limit(20) // the 20 lowest frequencies PRESENT (a
+        // fixed r <= 20 cut can be empty on a head-heavy tiny corpus)
+    }),
+    "q407_hash_ring" -> ((s, dir) => {
+      // CONSISTENT-HASH RING with a resize audit — the ring twin of
+      // q341's rendezvous sharding: 8 virtual nodes per shard at MINSTD
+      // positions, every key owned by its clockwise successor (min
+      // position ≥ key hash, wrapping to the global min). The successor
+      // argmin rides ONE packed key (pos·100 + shard), so both ring
+      // configurations (8 and 9 shards) resolve in a single conditional
+      // aggregate over one 72-row broadcast fan-out. The ring property
+      // under test: growing 8 → 9 shards moves ONLY keys claimed by the
+      // new shard's vnodes — n_moved ≡ n_to_new, keys never reshuffle
+      // among survivors (the audit column the gate pins).
+      val vn = s.range(72).select(
+        expr("id div 8").as("shard"),
+        // Knuth multiplier > modulus so positions WRAP and spread over the
+        // whole ring (a small MINSTD multiplier parks all 72 vnodes in the
+        // first 0.2% of the ring and the wrap case dominates)
+        expr("((id + 1) * 2654435761) % 2147483647").as("pos"))
+        .withColumn("packed", expr("pos * 100 + shard"))
+      val keys = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .withColumn("kh", expr("(user_id * 2654435761) % 2147483647"))
+      val asg = keys.crossJoin(broadcast(vn))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("shard") < 8 && col("pos") >= col("kh"),
+            col("packed"))).as("s8succ"),
+          min(when(col("shard") < 8, col("packed"))).as("s8wrap"),
+          min(when(col("pos") >= col("kh"), col("packed"))).as("s9succ"),
+          min(col("packed")).as("s9wrap"))
+        .select(col("user_id"),
+          expr("coalesce(s8succ, s8wrap) % 100").as("shard8"),
+          expr("coalesce(s9succ, s9wrap) % 100").as("shard9"))
+      asg.groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("shard9") === 8, 1L).otherwise(0L)).as("n_to_new"))
+        .withColumn("moved_bp", expr("n_moved * 10000 div n_keys"))
+        .orderBy("shard8")
+    }),
+    "q408_contribution_bounding" -> ((s, dir) => {
+      // PER-USER CONTRIBUTION BOUNDING — the differential-privacy
+      // preprocessing step (Wilson et al. 2020, "DP SQL"): each user
+      // contributes at most k = 8 events (first 8 by time, deterministic
+      // tie-break), capping any aggregate's per-user sensitivity at k.
+      // One user-keyed window pass; the output ledger shows per day what
+      // the clamp cost — the utility-vs-sensitivity table a DP release
+      // publishes before choosing ε.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(TextFunctions.dayString(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("rn") <= 8, 1L).otherwise(0L)).as("n_bounded"))
+        .withColumn("clamp_loss_bp",
+          expr("(n_raw - n_bounded) * 10000 div n_raw"))
+        .orderBy("day")
+    }),
+    "q409_skipgram_pairs" -> ((s, dir) => {
+      // SKIP-GRAM training-pair extraction (Mikolov et al. 2013): for
+      // every token, its contexts at offsets ±1 and ±2 — both directions
+      // emitted, so the pair table is exactly what a word2vec/fastText
+      // run consumes. Contexts come from per-doc window leads (no
+      // self-join on position), the global head is a TakeOrdered heap,
+      // and the distance weight is the exact 1000/dist milli-unit.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val t = T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr(
+          "filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"))
+          .as(Seq("pos", "tok")))
+        .withColumn("n1", lead(col("tok"), 1).over(w))
+        .withColumn("n2", lead(col("tok"), 2).over(w))
+      val fwd1 = t.filter(col("n1").isNotNull)
+        .select(col("tok").as("w1"), col("n1").as("w2"), lit(1L).as("dist"))
+      val fwd2 = t.filter(col("n2").isNotNull)
+        .select(col("tok").as("w1"), col("n2").as("w2"), lit(2L).as("dist"))
+      val bwd1 = fwd1.select(col("w2").as("w1"), col("w1").as("w2"), col("dist"))
+      val bwd2 = fwd2.select(col("w2").as("w1"), col("w1").as("w2"), col("dist"))
+      fwd1.unionByName(fwd2).unionByName(bwd1).unionByName(bwd2)
+        .groupBy(col("w1"), col("w2"), col("dist"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("weight_milli", expr("1000 div dist"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"), col("dist"))
+        .limit(30)
+    }),
+    "q410_churn_labels" -> ((s, dir) => {
+      // FORWARD-WINDOW CHURN LABELING — the label-generation twin of
+      // q310's point-in-time features: a user-day is "churned" when the
+      // user has NO activity in the strictly-later 14-day window. The
+      // lookahead is one lead() over the user's distinct active days —
+      // strictly future data flows ONLY into the label column, never a
+      // feature (the leakage direction q336's embargo guards). Output is
+      // the per-day churn base rate a retention model trains against.
+      import org.apache.spark.sql.expressions.Window
+      val days = T(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      days.withColumn("nxt", lead(col("d"), 1).over(w))
+        .withColumn("churned",
+          when(col("nxt").isNull || datediff(col("nxt"), col("d")) > 14, 1L)
+            .otherwise(0L))
+        .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_user_days"), sum(col("churned")).as("n_churned"))
+        .withColumn("churn_bp", expr("n_churned * 10000 div n_user_days"))
+        .orderBy("day")
+    }),
+    "q411_haar_wavelet" -> ((s, dir) => {
+      // UNNORMALIZED HAAR WAVELET decomposition of each event type's
+      // daily-count series (Haar 1910; the data-sketch use is Matias,
+      // Vitter & Wang SIGMOD'98 wavelet synopses): 3 levels of pairwise
+      // (sum, difference) coefficients — all exact integers because the
+      // √2 normalization is dropped (resolution-k energy just carries a
+      // 2^k scale). The series densifies against a calendar derived from
+      // ONE 1-row min/max aggregate (gaps are real zeros, not absent
+      // rows — pairing must align), then each level is one bounded
+      // groupBy idx div 2. The smooth coefficients ARE the next level's
+      // input, so the whole transform is 3 tiny aggregates after the
+      // daily rollup.
+      val e = T(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+      val bounds = e.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val cal = bounds.select(explode(expr(
+        "sequence(CAST(0 AS BIGINT), CAST(datediff(d1, d0) AS BIGINT))")).as("idx"))
+      val types = e.select(col("event_type")).distinct()
+      val daily = e.crossJoin(broadcast(bounds))
+        .groupBy(col("event_type"),
+          datediff(col("d"), col("d0")).cast("long").as("idx"))
+        .agg(count(lit(1)).as("c"))
+      val dense = types.crossJoin(cal)
+        .join(daily, Seq("event_type", "idx"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      def level(prev: DataFrame): DataFrame = prev
+        // signed term computed BEFORE regrouping so the aggregate never
+        // references the (re-aliased) group key
+        .withColumn("sgn",
+          when(col("idx") % 2 === 0, col("c")).otherwise(-col("c")))
+        .groupBy(col("event_type"), expr("idx div 2").as("idx"))
+        .agg(sum(col("c")).as("c"), sum(col("sgn")).as("dcoef"))
+      val l1 = level(dense)
+      val l2 = level(l1.select(col("event_type"), col("idx"), col("c")))
+      val l3 = level(l2.select(col("event_type"), col("idx"), col("c")))
+      l1.withColumn("level", lit(1L))
+        .unionByName(l2.withColumn("level", lit(2L)))
+        .unionByName(l3.withColumn("level", lit(3L)))
+        .select(col("event_type"), col("level"), col("idx"),
+          col("c").as("smooth"), col("dcoef"))
+        .orderBy("event_type", "level", "idx")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -12456,6 +12734,170 @@ object SparkEntry {
         |    - CAST(agg.sm AS DOUBLE) * CAST(agg.sm AS DOUBLE))
         |    / (CAST(agg.n_rep AS DOUBLE) * CAST(agg.n_rep - 1 AS DOUBLE))), 4) + 0.0) AS boot_se_micros
         |FROM pe, agg""".stripMargin,
+    "q404_theta_sketch" ->
+      // same MINSTD priorities, same bottom-32 retention, same θ algebra
+      """WITH d AS (SELECT DISTINCT event_type AS seg, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |pr AS (SELECT seg, user_id, (user_id * 48271) % 2147483647 + 1 AS p FROM d),
+        |sk AS (SELECT seg, p FROM (SELECT seg, p,
+        |    row_number() OVER (PARTITION BY seg ORDER BY p) AS rn FROM pr)
+        |  WHERE rn <= 32),
+        |th AS (SELECT sk.seg, CASE WHEN count(*) < 32 THEN 2147483647
+        |    ELSE max(sk.p) END AS theta, count(*) AS n_ret FROM sk GROUP BY 1),
+        |ne AS (SELECT seg, count(*) AS n_exact FROM pr GROUP BY 1),
+        |est AS (SELECT th.seg, th.theta,
+        |    CASE WHEN th.n_ret < 32 THEN ne.n_exact
+        |      ELSE CAST(31 AS BIGINT) * 2147483647 // th.theta END AS est
+        |  FROM th JOIN ne USING (seg)),
+        |pairs AS (SELECT a.seg AS seg_a, b.seg AS seg_b, a.est AS est_a, b.est AS est_b,
+        |    least(a.theta, b.theta) AS th
+        |  FROM est a CROSS JOIN est b WHERE a.seg < b.seg),
+        |skp AS (SELECT p.seg_a, p.seg_b, p.th, s.p AS pv, count(*) AS c
+        |  FROM pairs p JOIN sk s ON (s.seg = p.seg_a OR s.seg = p.seg_b) AND s.p < p.th
+        |  GROUP BY 1, 2, 3, 4),
+        |cnts AS (SELECT seg_a, seg_b, th, count(*) AS u_cnt,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS i_cnt
+        |  FROM skp GROUP BY 1, 2, 3),
+        |ex AS (SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS true_inter
+        |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.seg < b.seg GROUP BY 1, 2)
+        |SELECT p.seg_a, p.seg_b, p.est_a, p.est_b,
+        |  coalesce(c.u_cnt, 0) * 2147483647 // p.th AS est_union,
+        |  coalesce(c.i_cnt, 0) * 2147483647 // p.th AS est_inter,
+        |  coalesce(ex.true_inter, 0) AS true_inter
+        |FROM pairs p LEFT JOIN cnts c USING (seg_a, seg_b)
+        |LEFT JOIN ex USING (seg_a, seg_b) ORDER BY 1, 2""".stripMargin,
+    "q405_borda_kendall" ->
+      // same three top-20 heaps, same Borda fold, same pair concordance
+      """WITH r1 AS (SELECT p_partkey, row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS r_price
+        |  FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20),
+        |r2 AS (SELECT p_partkey, row_number() OVER (ORDER BY p_size DESC, p_partkey) AS r_size
+        |  FROM part ORDER BY p_size DESC, p_partkey LIMIT 20),
+        |r3 AS (SELECT p_partkey, row_number() OVER (ORDER BY (p_partkey * 16807) % 2147483647, p_partkey) AS r_hash
+        |  FROM part ORDER BY (p_partkey * 16807) % 2147483647, p_partkey LIMIT 20),
+        |fused AS (SELECT coalesce(r1.p_partkey, r2.p_partkey, r3.p_partkey) AS k,
+        |    r_price, r_size, r_hash,
+        |    CAST(coalesce(21 - r_price, 0) + coalesce(21 - r_size, 0)
+        |      + coalesce(21 - r_hash, 0) AS BIGINT) AS borda
+        |  FROM r1 FULL JOIN r2 ON r1.p_partkey = r2.p_partkey
+        |  FULL JOIN r3 ON coalesce(r1.p_partkey, r2.p_partkey) = r3.p_partkey),
+        |cons AS (SELECT k, r_price, r_size, r_hash,
+        |    row_number() OVER (ORDER BY borda DESC, k) AS consensus FROM fused),
+        |tp AS (SELECT 'r_price' AS ranker, x.consensus AS c1, y.consensus AS c2,
+        |    CAST(x.r_price AS BIGINT) AS v1, CAST(y.r_price AS BIGINT) AS v2
+        |  FROM cons x JOIN cons y ON x.k < y.k
+        |  WHERE x.r_price IS NOT NULL AND y.r_price IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'r_size', x.consensus, y.consensus,
+        |    CAST(x.r_size AS BIGINT), CAST(y.r_size AS BIGINT)
+        |  FROM cons x JOIN cons y ON x.k < y.k
+        |  WHERE x.r_size IS NOT NULL AND y.r_size IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'r_hash', x.consensus, y.consensus,
+        |    CAST(x.r_hash AS BIGINT), CAST(y.r_hash AS BIGINT)
+        |  FROM cons x JOIN cons y ON x.k < y.k
+        |  WHERE x.r_hash IS NOT NULL AND y.r_hash IS NOT NULL)
+        |SELECT ranker, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN (c1 < c2) = (v1 < v2) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  count(*) - CAST(sum(CASE WHEN (c1 < c2) = (v1 < v2) THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  (CAST(sum(CASE WHEN (c1 < c2) = (v1 < v2) THEN 1 ELSE 0 END) AS BIGINT)
+        |    - (count(*) - CAST(sum(CASE WHEN (c1 < c2) = (v1 < v2) THEN 1 ELSE 0 END) AS BIGINT)))
+        |    * 1000 // count(*) AS tau_milli
+        |FROM tp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q406_good_turing" ->
+      // same tokenization, same N_r table, same exact milli adjustment
+      """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS r FROM tok GROUP BY 1),
+        |nr AS (SELECT r, count(*) AS n_r FROM freq GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM freq)
+        |SELECT nr.r, nr.n_r,
+        |  (nr.r + 1) * coalesce(n2.n_r, 0) * 1000 // nr.n_r AS r_star_milli,
+        |  tot.n1 * 10000 // tot.n_tokens AS p0_bp
+        |FROM nr LEFT JOIN nr n2 ON n2.r = nr.r + 1 CROSS JOIN tot
+        |ORDER BY nr.r LIMIT 20""".stripMargin,
+    "q407_hash_ring" ->
+      // same 72-vnode ring, same packed successor argmin, same audit
+      """WITH vn AS (SELECT CAST(unnest(range(0, 72)) AS BIGINT) AS v),
+        |ring AS (SELECT v // 8 AS shard, ((v + 1) * 2654435761) % 2147483647 AS pos FROM vn),
+        |pk AS (SELECT shard, pos, pos * 100 + shard AS packed FROM ring),
+        |keys AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |kh AS (SELECT user_id, (user_id * 2654435761) % 2147483647 AS kh FROM keys),
+        |asg AS (SELECT k.user_id,
+        |    coalesce(min(CASE WHEN p.shard < 8 AND p.pos >= k.kh THEN p.packed END),
+        |      min(CASE WHEN p.shard < 8 THEN p.packed END)) % 100 AS shard8,
+        |    coalesce(min(CASE WHEN p.pos >= k.kh THEN p.packed END),
+        |      min(p.packed)) % 100 AS shard9
+        |  FROM kh k CROSS JOIN pk p GROUP BY 1, k.kh)
+        |SELECT shard8, count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |  CAST(sum(CASE WHEN shard9 = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_to_new,
+        |  CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+        |    // count(*) AS moved_bp
+        |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q408_contribution_bounding" ->
+      // same first-8-per-user clamp, same per-day ledger
+      """WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT day, count(*) AS n_raw,
+        |  CAST(sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounded,
+        |  (count(*) - CAST(sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT)) * 10000
+        |    // count(*) AS clamp_loss_bp
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q409_skipgram_pairs" ->
+      // same per-doc leads, both directions, same top-30 total order
+      """WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS arr FROM documents),
+        |px AS (SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |    i -> {'pos': i - 1, 'tok': arr[i]})) AS g FROM raw),
+        |t AS (SELECT doc_id, g.pos AS pos, g.tok AS tok,
+        |    lead(g.tok, 1) OVER w AS n1, lead(g.tok, 2) OVER w AS n2
+        |  FROM px WINDOW w AS (PARTITION BY doc_id ORDER BY g.pos)),
+        |prs AS (SELECT tok AS w1, n1 AS w2, CAST(1 AS BIGINT) AS dist FROM t WHERE n1 IS NOT NULL
+        |  UNION ALL SELECT tok, n2, 2 FROM t WHERE n2 IS NOT NULL
+        |  UNION ALL SELECT n1, tok, 1 FROM t WHERE n1 IS NOT NULL
+        |  UNION ALL SELECT n2, tok, 2 FROM t WHERE n2 IS NOT NULL)
+        |SELECT w1, w2, dist, count(*) AS cnt, 1000 // dist AS weight_milli
+        |FROM prs GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, w1, w2, dist LIMIT 30""".stripMargin,
+    "q410_churn_labels" ->
+      // same distinct active days, same strictly-forward 14-day lookahead
+      """WITH days AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |lb AS (SELECT user_id, d, lead(d, 1) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+        |  FROM days)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS n_user_days,
+        |  CAST(sum(CASE WHEN nxt IS NULL OR date_diff('day', d, nxt) > 14
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  CAST(sum(CASE WHEN nxt IS NULL OR date_diff('day', d, nxt) > 14
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS churn_bp
+        |FROM lb GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q411_haar_wavelet" ->
+      // same dense calendar, same 3 pairwise (sum, diff) levels
+      """WITH e AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |cal AS (SELECT CAST(unnest(range(0, date_diff('day', d0, d1) + 1)) AS BIGINT) AS idx FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |daily AS (SELECT event_type, CAST(date_diff('day', b.d0, e.d) AS BIGINT) AS idx,
+        |    count(*) AS c FROM e, b GROUP BY 1, 2),
+        |dense AS (SELECT ty.event_type, cal.idx, CAST(coalesce(daily.c, 0) AS BIGINT) AS c
+        |  FROM ty CROSS JOIN cal LEFT JOIN daily
+        |  ON daily.event_type = ty.event_type AND daily.idx = cal.idx),
+        |l1 AS (SELECT event_type, idx // 2 AS idx, CAST(sum(c) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN idx % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS dcoef
+        |  FROM dense GROUP BY 1, 2),
+        |l2 AS (SELECT event_type, idx // 2 AS idx, CAST(sum(c) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN idx % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS dcoef
+        |  FROM l1 GROUP BY 1, 2),
+        |l3 AS (SELECT event_type, idx // 2 AS idx, CAST(sum(c) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN idx % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS dcoef
+        |  FROM l2 GROUP BY 1, 2),
+        |uni AS (SELECT event_type, CAST(1 AS BIGINT) AS level, idx, c AS smooth, dcoef FROM l1
+        |  UNION ALL SELECT event_type, 2, idx, c, dcoef FROM l2
+        |  UNION ALL SELECT event_type, 3, idx, c, dcoef FROM l3)
+        |SELECT event_type, level, idx, smooth, dcoef FROM uni
+        |ORDER BY event_type, level, idx""".stripMargin,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

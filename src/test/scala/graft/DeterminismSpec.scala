@@ -47,7 +47,11 @@ class DeterminismSpec extends SparkSpec {
     // round-13 keys: chained broadcast iteration state (the integer GD
     // walk must be replay-stable), window ties broken by a packed key,
     // and a largest-remainder rank over a tiny global window
-    "q393_logistic_gd", "q395_winnowing", "q401_neyman_allocation")
+    "q393_logistic_gd", "q395_winnowing", "q401_neyman_allocation",
+    // batch 2: bottom-k sketch retention (collision-free by bijection,
+    // but the row_number cut must be run-stable), dual-direction window
+    // leads + heap, calendar densification + 3 chained unions
+    "q404_theta_sketch", "q409_skipgram_pairs", "q411_haar_wavelet")
 
   for (name <- sampled) {
     test(s"$name is run-to-run deterministic") {

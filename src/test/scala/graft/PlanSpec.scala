@@ -1496,4 +1496,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window [") && !plan.contains("Join"),
       s"the moment fit must be a single aggregation pass:\n$plan")
   }
+
+  test("theta sketch: bottom-k window partitions by segment, never global (q404)") {
+    val plan = q("q404_theta_sketch")
+    assert(!plan.contains("SinglePartition") || !plan.contains("Window ["),
+      s"the KMV retention must not serialize the corpus:\n$plan")
+  }
+
+  test("skip-gram pairs: per-doc leads + a TakeOrdered heap head (q409)") {
+    val plan = q("q409_skipgram_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-30 must be a heap, not a global sort:\n$plan")
+  }
+
+  test("hash ring: the 72-vnode table broadcasts, keys never reshuffle (q407)") {
+    val plan = q("q407_hash_ring")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the vnode fan-out must be a broadcast:\n$plan")
+  }
 }
