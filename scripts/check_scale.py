@@ -20,9 +20,10 @@ import json, sys, glob
 import duckdb
 import pandas as pd
 sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+import os
 con = duckdb.connect()
-con.sql("SET memory_limit='24GB'")
-con.sql("SET threads=8")
+con.sql(f"SET memory_limit='{os.environ.get('CHECK_MEM', '24GB')}'")
+con.sql(f"SET threads={os.environ.get('CHECK_THREADS', '8')}")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

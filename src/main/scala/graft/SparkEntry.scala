@@ -236,11 +236,17 @@ object SparkEntry {
       T(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy("c_custkey")),
     "q07_ts_range_filter" -> ((s, dir) =>
+      // ORDER BY every output column: the testdata's (l_orderkey,
+      // l_linenumber) is NOT unique (118k dup pairs at sf0.1), so the
+      // 2-column sort was only total by luck — the sf1 replay caught the
+      // tie order diverging between engines once Spark sorts across 32
+      // real partitions. Sorting on the full projection is total up to
+      // fully-duplicate rows, which the value compare is insensitive to.
       T(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate")),
     "q08_between_filter" -> ((s, dir) =>
       T(s, dir, "orders")
         .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -8382,7 +8388,7 @@ object SparkEntry {
     "q07_ts_range_filter" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
     "q08_between_filter" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
