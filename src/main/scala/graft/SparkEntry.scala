@@ -5855,6 +5855,151 @@ object SparkEntry {
           col("c").as("smooth"), col("dcoef"))
         .orderBy("event_type", "level", "idx")
     }),
+    "q412_mutual_knn" -> ((s, dir) => {
+      // MUTUAL nearest neighbors (reciprocal top-1) — the hard filter on
+      // top of q354's soft margin for bitext/alignment mining: x↔y is a
+      // pair iff y is x's best forward match AND x is y's best backward
+      // match. The backward pass scores ONLY the forward hits (≤|queries|
+      // rows, broadcast back over one X-pool scan) — never pool×pool;
+      // ranking on exact bp-quantized cosines, one IEEE division per
+      // scored pair. At corpus scale both directions run on the IVF index
+      // (q58); the exact scan here is the bounded-query-batch shape that
+      // requireQueryBatch enforces.
+      val emb = T(s, dir, "embeddings")
+      val xs = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2000)
+      val ys = emb.filter(col("vec_id") % 2 === 1)
+      val fwd = Similarity.cosineTopK(ys, xs, "vec_id", "embedding", 1)
+        .select(col("query_id").as("x"), col("neighbor_id").as("y"),
+          col("cosine"))
+      val backQ = emb.join(fwd.select(col("y").as("vec_id")).distinct(),
+        Seq("vec_id"))
+      val bwd = Similarity.cosineTopK(xs, backQ, "vec_id", "embedding", 1)
+        .select(col("query_id").as("y"), col("neighbor_id").as("bx"))
+      fwd.join(bwd, Seq("y"))
+        .filter(col("x") === col("bx"))
+        .select(col("x"), col("y"),
+          expr("CAST(round(cosine * 10000) AS BIGINT)").as("cos_bp"))
+        .orderBy("x")
+    }),
+    "q413_anova" -> ((s, dir) => {
+      // ONE-WAY ANOVA across the k = 5 event-type arms (Fisher): the
+      // k-arm generalization of q244's two-arm Welch t. Between/within
+      // sums of squares decompose into per-group exact integer moments
+      // (n_g, Σy, Σy²) plus grand totals — one hash aggregate, then a
+      // 5-row metadata fold; F = (SSB/(k−1))/(SSW/(N−k)) is one fixed
+      // double chain written identically in the oracle. The experiment
+      // readout for "did ANY arm move" before pairwise tests.
+      val m = T(s, dir, "events")
+        .select(col("event_type"),
+          Num.roundz(col("value") * 100, 0).cast("long").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+          sum(col("y") * col("y")).as("ss"))
+      val g = m.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("s")).as("ts"),
+        sum(col("ss")).as("tss"),
+        // Σ_g s_g²/n_g quantized per group to exact CENTI units BEFORE the
+        // sum (float-order-free, q399 discipline; centi not micro because
+        // (Σcents)²/n · 10⁶ would overflow int64 at sf1)
+        sum(expr("CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+          " / CAST(n AS DOUBLE) * 100) AS BIGINT)")).as("sg_centi"))
+      g.select(col("k"), col("nn"),
+          Num.roundz((col("sg_centi") / lit(100.0)
+            - col("ts").cast("double") * col("ts") / col("nn")), 4).as("ssb"),
+          Num.roundz((col("tss").cast("double")
+            - col("sg_centi") / lit(100.0)), 4).as("ssw"),
+          Num.roundz(((col("sg_centi") / lit(100.0)
+            - col("ts").cast("double") * col("ts") / col("nn"))
+            / (col("k") - lit(1L)))
+            / ((col("tss").cast("double") - col("sg_centi") / lit(100.0))
+              / (col("nn") - col("k"))), 4).as("f_stat"))
+    }),
+    "q414_stratified_kfold" -> ((s, dir) =>
+      // STRATIFIED k-fold assignment (the cross-validation counterpart of
+      // q109's single split): within each label stratum, documents take
+      // folds round-robin in a deterministic (doc_id) order, so every
+      // fold's stratum mix matches the corpus mix to within one document
+      // — the property the gate row pins (per fold × stratum counts).
+      // One stratum-keyed window pass; folds never shuffle the corpus.
+      {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .withColumn("fold", (row_number().over(w) - 1) % 5)
+          .groupBy(col("fold").cast("long").as("fold"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("fold", "lang")
+      }),
+    "q415_eb_shrinkage" -> ((s, dir) => {
+      // EMPIRICAL-BAYES shrinkage of per-part return rates toward the
+      // corpus prior (additive smoothing with data-derived prior mean,
+      // prior strength τ = 20 pseudo-observations) — the stabilizer next
+      // to q360's Wilson bound: a 1-return/1-line part no longer tops the
+      // board. shrunk = (r + τ·p̄)/(n + τ) with p̄ = R/N evaluates EXACTLY
+      // as (r·N + τ·R)·10⁴ div ((n + τ)·N) — all integers, one corpus
+      // aggregate plus a 1-row broadcast.
+      val per = T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      val tot = per.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"))
+      per.crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("n"), col("r"),
+          expr("r * 10000 div n").as("raw_bp"),
+          expr("(r * nn + 20 * rr) * 10000 div ((n + 20) * nn)").as("shrunk_bp"))
+        .orderBy(col("shrunk_bp").desc, col("l_partkey")).limit(20)
+    }),
+    "q416_set_cover" -> ((s, dir) => {
+      // GREEDY SET COVER over token vocabularies — coverage-maximizing
+      // corpus selection (the submodular data-selection shape of
+      // facility-location/coreset curation, Wei et al. 2015): 10 rounds,
+      // each picking the document adding the most not-yet-covered tokens
+      // (ties to the smallest doc_id). Greedy is (1−1/e)-optimal and
+      // INHERENTLY sequential — each round is one aggregate over the
+      // doc-token pair index (derived once, localCheckpointed) with the
+      // covered vocabulary as a ≤rounds·|doc| broadcast anti-join; the
+      // per-round argmax is a 1-row metadata collect (q389 discipline).
+      // the universe is BIGRAMS (unigram cover saturates in one pick on
+      // this corpus's 31-word vocabulary — bigrams give the greedy walk
+      // a real frontier at every SF)
+      val pairs = T(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")
+            .as("arr"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(arr) - 1)," +
+            " i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"))
+          .as("tok"))
+        .distinct()
+        .localCheckpoint()
+      import s.implicits._
+      var covered = s.emptyDataset[String].toDF("tok")
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var coveredN = 0L
+      (1 to 10).foreach { step =>
+        val gain = pairs.join(broadcast(covered), Seq("tok"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
+          .orderBy(col("g").desc, col("doc_id")).limit(1)
+          .collect() // 1 metadata row per round — the greedy argmax
+        if (gain.nonEmpty && gain(0).getLong(1) > 0) {
+          val (d, g) = (gain(0).getLong(0), gain(0).getLong(1))
+          coveredN += g
+          picks += ((step.toLong, d, g))
+          covered = covered.unionByName(
+            pairs.filter(col("doc_id") === d).select(col("tok"))).distinct()
+            .localCheckpoint()
+        }
+      }
+      picks.toSeq
+        .toDF("step", "doc_id", "gain")
+        .withColumn("covered_total",
+          sum(col("gain")).over(org.apache.spark.sql.expressions.Window
+            .orderBy("step")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .orderBy("step")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -6953,6 +7098,46 @@ object SparkEntry {
   }
 
   private val langCase: String = langCaseOn("text")
+
+  /** q416's oracle: the 10 greedy set-cover rounds unrolled (the bpeOracleSql
+    * device — each round is the same two CTEs: argmax gain over uncovered
+    * doc-token pairs, then the covered-vocabulary union). A round with
+    * nothing left to cover yields an EMPTY pick CTE, which contributes no
+    * row and leaves the covered set unchanged — the engine's conditional
+    * append, expressed relationally. */
+  private val q416Sql: String = {
+    // AS MATERIALIZED throughout: each c_k is referenced by BOTH p_{k+1}
+    // and c_{k+1}, and an inlining planner re-evaluates the whole chain
+    // per reference — exponential in rounds (measured: the inlined form
+    // crawls, the materialized form runs in seconds)
+    val steps = (1 to 10).map { k =>
+      val gain =
+        if (k == 1)
+          s"p1 AS MATERIALIZED (SELECT doc_id, count(*) AS g FROM pairs GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1)"
+        else
+          s"p$k AS MATERIALIZED (SELECT pr.doc_id, count(*) AS g FROM pairs pr LEFT JOIN c${k - 1} cv ON pr.tok = cv.tok WHERE cv.tok IS NULL GROUP BY 1 ORDER BY g DESC, pr.doc_id LIMIT 1)"
+      val cover =
+        if (k == 1)
+          s"c1 AS MATERIALIZED (SELECT DISTINCT pr.tok FROM pairs pr JOIN p1 USING (doc_id))"
+        else
+          s"c$k AS MATERIALIZED (SELECT tok FROM c${k - 1} UNION SELECT pr.tok FROM pairs pr JOIN p$k USING (doc_id))"
+      s"$gain,\n$cover"
+    }.mkString(",\n")
+    val sel = (1 to 10)
+      .map(k => s"SELECT $k AS step, doc_id, g FROM p$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      t -> length(t) > 0) AS arr FROM documents),
+       |pairs AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(arr)),
+       |      i -> arr[i] || ' ' || arr[i + 1])) AS tok FROM toks),
+       |$steps,
+       |sel AS ($sel)
+       |SELECT CAST(step AS BIGINT) AS step, doc_id, CAST(g AS BIGINT) AS gain,
+       |  CAST(sum(g) OVER (ORDER BY step) AS BIGINT) AS covered_total
+       |FROM sel ORDER BY step""".stripMargin
+  }
 
   /** q389's oracle: the same transition tallies, then 5 chains (base + one
     * per removed channel) of 8 unrolled fixed-point steps in exact
@@ -12904,6 +13089,59 @@ object SparkEntry {
         |  UNION ALL SELECT event_type, 3, idx, c, dcoef FROM l3)
         |SELECT event_type, level, idx, smooth, dcoef FROM uni
         |ORDER BY event_type, level, idx""".stripMargin,
+    "q412_mutual_knn" ->
+      // same forward/backward exact scoring (q45's raw-cosine ranking),
+      // backward restricted to the forward-hit set, same bp quantization
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |xs AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0 AND vec_id < 2000),
+        |ys AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        |fs AS (SELECT x.vec_id AS x, y.vec_id AS y,
+        |    list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cosine
+        |  FROM xs x CROSS JOIN ys y),
+        |fr AS (SELECT x, y, cosine, row_number() OVER (PARTITION BY x ORDER BY cosine DESC, y) AS rn FROM fs),
+        |fwd AS (SELECT x, y, cosine FROM fr WHERE rn = 1),
+        |bq AS (SELECT DISTINCT y FROM fwd),
+        |bs AS (SELECT b.y, x.vec_id AS bx,
+        |    list_dot_product(yv.v, x.v) / (sqrt(list_dot_product(yv.v, yv.v)) * sqrt(list_dot_product(x.v, x.v))) AS cosine
+        |  FROM bq b JOIN ys yv ON yv.vec_id = b.y CROSS JOIN xs x),
+        |br AS (SELECT y, bx, row_number() OVER (PARTITION BY y ORDER BY cosine DESC, bx) AS rn FROM bs),
+        |bwd AS (SELECT y, bx FROM br WHERE rn = 1)
+        |SELECT f.x, f.y, CAST(round(f.cosine * 10000) AS BIGINT) AS cos_bp
+        |FROM fwd f JOIN bwd ON f.y = bwd.y AND f.x = bwd.bx ORDER BY f.x""".stripMargin,
+    "q413_anova" ->
+      // same per-arm exact moments, same centi-quantized Σs²/n, same chain
+      """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS y FROM events),
+        |m AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s,
+        |    CAST(sum(y * y) AS BIGINT) AS ss FROM e GROUP BY 1),
+        |g AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS BIGINT) AS ts, CAST(sum(ss) AS BIGINT) AS tss,
+        |    CAST(sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS sg_centi
+        |  FROM m)
+        |SELECT k, nn,
+        |  (round(sg_centi / 100.0 - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(nn AS DOUBLE), 4) + 0.0) AS ssb,
+        |  (round(CAST(tss AS DOUBLE) - sg_centi / 100.0, 4) + 0.0) AS ssw,
+        |  (round(((sg_centi / 100.0 - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / CAST(k - 1 AS DOUBLE))
+        |    / ((CAST(tss AS DOUBLE) - sg_centi / 100.0) / CAST(nn - k AS DOUBLE)), 4) + 0.0) AS f_stat
+        |FROM g""".stripMargin,
+    "q414_stratified_kfold" ->
+      // same per-stratum round-robin in (doc_id) order
+      """WITH d AS (SELECT doc_id, lang,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 5 AS fold
+        |  FROM documents)
+        |SELECT CAST(fold AS BIGINT) AS fold, lang, count(*) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q415_eb_shrinkage" ->
+      // same exact-integer additive-smoothing identity, same top-20 order
+      """WITH per AS (SELECT l_partkey, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr FROM per)
+        |SELECT l_partkey, n, r, r * 10000 // n AS raw_bp,
+        |  (r * nn + 20 * rr) * 10000 // ((n + 20) * nn) AS shrunk_bp
+        |FROM per, tot ORDER BY shrunk_bp DESC, l_partkey LIMIT 20""".stripMargin,
+    "q416_set_cover" -> q416Sql,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —

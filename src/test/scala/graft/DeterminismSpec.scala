@@ -51,7 +51,10 @@ class DeterminismSpec extends SparkSpec {
     // batch 2: bottom-k sketch retention (collision-free by bijection,
     // but the row_number cut must be run-stable), dual-direction window
     // leads + heap, calendar densification + 3 chained unions
-    "q404_theta_sketch", "q409_skipgram_pairs", "q411_haar_wavelet")
+    "q404_theta_sketch", "q409_skipgram_pairs", "q411_haar_wavelet",
+    // batch 3: double-ranked reciprocal top-1, and a 10-round driver
+    // greedy loop (each round's 1-row collect must be run-stable)
+    "q412_mutual_knn", "q416_set_cover")
 
   for (name <- sampled) {
     test(s"$name is run-to-run deterministic") {

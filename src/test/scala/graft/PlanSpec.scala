@@ -1514,4 +1514,10 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"the vnode fan-out must be a broadcast:\n$plan")
   }
+
+  test("mutual kNN: query sides broadcast, no cartesian (q412)") {
+    val plan = q("q412_mutual_knn")
+    assert(!plan.contains("CartesianProduct"),
+      s"pool-by-pool scoring must ride the broadcast path:\n$plan")
+  }
 }
