@@ -79,8 +79,17 @@ for i, name in enumerate(names):
     try:
         r = subprocess.run([sys.executable, "-c", WORKER, sf_dir, out_dir, name],
                            capture_output=True, text=True, timeout=timeout_s)
-        out = r.stdout.strip().splitlines()
-        rec = json.loads(out[-1]) if out else {"key": name, "verdict": f"WORKER_DIED: {r.stderr[-300:]}"}
+        rec = None
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                cand = json.loads(line)
+                if isinstance(cand, dict) and "key" in cand:
+                    rec = cand
+                    break
+            except Exception:
+                continue  # interleaved engine warnings are not the record
+        if rec is None:
+            rec = {"key": name, "verdict": f"WORKER_DIED: {r.stderr[-300:]}"}
     except subprocess.TimeoutExpired:
         rec = {"key": name, "verdict": f"ORACLE_TIMEOUT({timeout_s}s)"}
     vf.write(json.dumps(rec) + "\n")
