@@ -24,6 +24,11 @@ import os
 con = duckdb.connect()
 con.sql(f"SET memory_limit='{os.environ.get('CHECK_MEM', '24GB')}'")
 con.sql(f"SET threads={os.environ.get('CHECK_THREADS', '8')}")
+# per-key temp dir: parallel workers sharing the default .tmp/ race on
+# duckdb_temp_storage cleanup (observed as a spurious WORKER_DIED IOException)
+tmpd = os.path.abspath(f"{out_dir}/.ducktmp/{name}")
+os.makedirs(tmpd, exist_ok=True)
+con.sql(f"SET temp_directory='{tmpd}'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -66,11 +71,17 @@ print(json.dumps({"key": name, "verdict": mismatch or "OK", "rows": len(sdf)}))
 '''
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# resume skips only keys with a DEFINITIVE verdict: ORACLE_TIMEOUT and
+# WORKER_DIED are retried (a rerun with a larger timeout would otherwise
+# silently skip exactly the keys it was meant to retry)
 done = set()
 if os.path.exists(verdict_path):
     for line in open(verdict_path):
         try:
-            done.add(json.loads(line)["key"])
+            r = json.loads(line)
+            v = r.get("verdict", "")
+            if not (v.startswith("ORACLE_TIMEOUT") or v.startswith("WORKER_DIED")):
+                done.add(r["key"])
         except Exception:
             pass
 names = [n for n in sorted(oracle) if n not in done and (only is None or n in only)]
@@ -95,14 +106,27 @@ for i, name in enumerate(names):
     vf.write(json.dumps(rec) + "\n")
     vf.flush()
     print(f"[{i+1}/{len(names)}] {name}: {rec['verdict'][:120]}", flush=True)
-ok = bad = to = 0
+# tally only THIS invocation's selected keys, latest verdict per key
+# (the file may hold other runs' keys and superseded duplicate lines)
+latest = {}
 for line in open(verdict_path):
-    v = json.loads(line)["verdict"]
-    if v == "OK":
+    try:
+        r = json.loads(line)
+        if "key" in r:
+            latest[r["key"]] = r.get("verdict", "")
+    except Exception:
+        pass
+sel = [n for n in sorted(oracle) if only is None or n in only]
+ok = bad = to = missing = 0
+for n in sel:
+    v = latest.get(n)
+    if v is None:
+        missing += 1
+    elif v == "OK":
         ok += 1
     elif v.startswith("ORACLE_TIMEOUT"):
         to += 1
     else:
         bad += 1
-print(f"\nOK={ok} TIMEOUT={to} FAIL={bad}")
-sys.exit(1 if bad else 0)
+print(f"\nselected={len(sel)} OK={ok} TIMEOUT={to} FAIL={bad} MISSING={missing}")
+sys.exit(1 if bad or missing else 0)

@@ -5353,9 +5353,16 @@ object SparkEntry {
           Num.roundz(col("c_acctbal") * 100, 0).cast("long").as("cents"))
         .withColumn("band",
           expr("greatest(least((cents + 100000) div 300000, 3), 0)"))
-      val glob = c.groupBy(col("band")).agg(count(lit(1)).as("gc"))
+      // glob rides the same complete 0..3 grid as the per-group side
+      // (coalesce(gc, 0)): a globally-empty band still contributes a
+      // q_ppm = 0 row, so the downstream band join never drops a grid
+      // position and the EMD divisor (m−1 = 3) stays honest.
+      val glob = s.range(0, 4).select(col("id").as("band"))
+        .join(c.groupBy(col("band")).agg(count(lit(1)).as("gc")),
+          Seq("band"), "left")
         .crossJoin(broadcast(c.agg(count(lit(1)).as("gn"))))
-        .select(col("band"), expr("gc * 1000000 div gn").as("q_ppm"))
+        .select(col("band"),
+          expr("coalesce(gc, 0) * 1000000 div gn").as("q_ppm"))
       val groups = c.groupBy(col("nat"), col("seg"))
         .agg(count(lit(1)).as("n"))
       val grid = groups
@@ -5963,42 +5970,22 @@ object SparkEntry {
       // the universe is BIGRAMS (unigram cover saturates in one pick on
       // this corpus's 31-word vocabulary — bigrams give the greedy walk
       // a real frontier at every SF)
+      // size(arr) >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) and
+      // element_at(arr, 0) throws, so a 0/1-token doc would crash the
+      // transform; DuckDB's range(1, len) is simply empty. Filtering short
+      // docs keeps both engines at "no bigrams" parity.
       val pairs = T(s, dir, "documents")
         .select(col("doc_id"),
           expr("filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)")
             .as("arr"))
+        .filter(expr("size(arr) >= 2"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(arr) - 1)," +
             " i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"))
           .as("tok"))
         .distinct()
         .localCheckpoint()
-      import s.implicits._
-      var covered = s.emptyDataset[String].toDF("tok")
-      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-      var coveredN = 0L
-      (1 to 10).foreach { step =>
-        val gain = pairs.join(broadcast(covered), Seq("tok"), "left_anti")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
-          .orderBy(col("g").desc, col("doc_id")).limit(1)
-          .collect() // 1 metadata row per round — the greedy argmax
-        if (gain.nonEmpty && gain(0).getLong(1) > 0) {
-          val (d, g) = (gain(0).getLong(0), gain(0).getLong(1))
-          coveredN += g
-          picks += ((step.toLong, d, g))
-          covered = covered.unionByName(
-            pairs.filter(col("doc_id") === d).select(col("tok"))).distinct()
-            .localCheckpoint()
-        }
-      }
-      picks.toSeq
-        .toDF("step", "doc_id", "gain")
-        .withColumn("covered_total",
-          sum(col("gain")).over(org.apache.spark.sql.expressions.Window
-            .orderBy("step")
-            .rowsBetween(org.apache.spark.sql.expressions.Window
-              .unboundedPreceding, 0)))
-        .orderBy("step")
+      Curation.greedySetCover(s, pairs, rounds = 10)
     }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
@@ -7152,12 +7139,12 @@ object SparkEntry {
         .filterNot(removed.contains)
       val stList = sts.map(x => s"('$x')").mkString(", ")
       val b =
-        s"""b_$tag AS (SELECT s.st, COALESCE(q.ps, 0) AS bm
+        s"""b_$tag AS MATERIALIZED (SELECT s.st, COALESCE(q.ps, 0) AS bm
            |  FROM (SELECT * FROM (VALUES $stList) s(st)) s
            |  LEFT JOIN q ON q.f = s.st AND q.t = 'purchase'),
-           |p_${tag}_1 AS (SELECT st, CAST(bm AS BIGINT) AS v FROM b_$tag)""".stripMargin
+           |p_${tag}_1 AS MATERIALIZED (SELECT st, CAST(bm AS BIGINT) AS v FROM b_$tag)""".stripMargin
       val steps = (2 to 8).map { k =>
-        s"""p_${tag}_$k AS (SELECT b.st, CAST(b.bm + COALESCE(sum(q.ps * p.v), 0) // 1000000 AS BIGINT) AS v
+        s"""p_${tag}_$k AS MATERIALIZED (SELECT b.st, CAST(b.bm + COALESCE(sum(q.ps * p.v), 0) // 1000000 AS BIGINT) AS v
            |  FROM b_$tag b LEFT JOIN q ON q.f = b.st
            |  LEFT JOIN p_${tag}_${k - 1} p ON p.st = q.t
            |  GROUP BY b.st, b.bm)""".stripMargin
@@ -7171,28 +7158,28 @@ object SparkEntry {
          |  (SELECT v FROM p_base_8 WHERE st = 'start') AS pb,
          |  (SELECT v FROM p_${c}_8 WHERE st = 'start') AS pr""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH o AS (SELECT user_id, event_type,
+    s"""WITH o AS MATERIALIZED (SELECT user_id, event_type,
        |    row_number() OVER (PARTITION BY user_id
        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS ord
        |  FROM events WHERE user_id IS NOT NULL),
-       |fp AS (SELECT user_id, min(ord) AS po FROM o
+       |fp AS MATERIALIZED (SELECT user_id, min(ord) AS po FROM o
        |  WHERE event_type = 'purchase' GROUP BY 1),
-       |tr AS (SELECT o.user_id, o.event_type, o.ord FROM o
+       |tr AS MATERIALIZED (SELECT o.user_id, o.event_type, o.ord FROM o
        |  LEFT JOIN fp USING (user_id) WHERE fp.po IS NULL OR o.ord <= fp.po),
-       |nx AS (SELECT user_id, event_type AS f, ord,
+       |nx AS MATERIALIZED (SELECT user_id, event_type AS f, ord,
        |    COALESCE(lead(event_type) OVER (PARTITION BY user_id ORDER BY ord),
        |      'end') AS t FROM tr),
-       |tal AS (SELECT f, t, count(*) AS c FROM nx WHERE f <> 'purchase' GROUP BY 1, 2
+       |tal AS MATERIALIZED (SELECT f, t, count(*) AS c FROM nx WHERE f <> 'purchase' GROUP BY 1, 2
        |  UNION ALL
        |  SELECT 'start' AS f, event_type AS t, count(*) AS c FROM tr
        |  WHERE ord = 1 GROUP BY 1, 2),
-       |tot AS (SELECT f, sum(c) AS tc FROM tal GROUP BY 1),
-       |q AS (SELECT tal.f, tal.t, CAST(c * 1000000 // tc AS BIGINT) AS ps
+       |tot AS MATERIALIZED (SELECT f, sum(c) AS tc FROM tal GROUP BY 1),
+       |q AS MATERIALIZED (SELECT tal.f, tal.t, CAST(c * 1000000 // tc AS BIGINT) AS ps
        |  FROM tal JOIN tot USING (f)),
        |$chains,
-       |res AS (
+       |res AS MATERIALIZED (
        |$res),
-       |sm AS (SELECT greatest(sum(pb - pr), 1) AS sd FROM res)
+       |sm AS MATERIALIZED (SELECT greatest(sum(pb - pr), 1) AS sd FROM res)
        |SELECT channel, pb AS p_base_ppm, pr AS p_removed_ppm,
        |  CAST(pb - pr AS BIGINT) AS diff_ppm,
        |  CAST((pb - pr) * 10000 // sm.sd AS BIGINT) AS share_bp
@@ -7232,6 +7219,34 @@ object SparkEntry {
        |SELECT id_a, id_b, (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) AS est_jaccard FROM est
        |WHERE (round(CAST(agree AS DOUBLE) / 16, 4) + 0.0) >= 0.25 ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Connected-component labels for oracle SQL WITHOUT a recursive
+    * transitive closure. The classic `conn(a, b)` CTE enumerates every
+    * (node, reachable-node) pair — Σ|component|² rows; measured 454 s on
+    * the sf1 replay's 161k-pair near-dup graph even with the pair list
+    * pre-staged, which is why the sf1 gate could never see these keys.
+    * This emits the EQUIVALENT min-label fixpoint, unrolled: each round
+    * takes min over {self, neighbors' labels, label's label} — the last
+    * term is POINTER JUMPING, so the label horizon grows exponentially
+    * and `rounds` = 12 converges for any component diameter ≤ ~2¹².
+    * Every CTE is AS MATERIALIZED: each is referenced 3× by the next
+    * round and an inlining planner would re-evaluate the chain
+    * exponentially (the q416 lesson). Convergence is SELF-CHECKING at the
+    * gate: an unconverged label differs from the engine's star-merge
+    * fixpoint and fails the value compare loudly — it can time out or
+    * mismatch, never silently pass wrong.
+    * Expects a symmetric `e(src, dst)` CTE in scope; emits `l0..l<rounds>`
+    * with `l<rounds>(node, lab)` the converged (node, component-min). */
+  private val ccRounds = 12
+  private def minLabelCc(rounds: Int = ccRounds): String =
+    ((s"l0 AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS lab" +
+      " FROM e GROUP BY src)") +: (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (
+         |    SELECT node, lab FROM l${k - 1}
+         |    UNION ALL SELECT e.src, p.lab FROM e JOIN l${k - 1} p ON p.node = e.dst
+         |    UNION ALL SELECT a.node, b.lab FROM l${k - 1} a JOIN l${k - 1} b ON b.node = a.lab
+         |  ) GROUP BY node)""".stripMargin
+    }).mkString(",\n")
 
   /** q348's oracle: q44's signature/band CTEs, then per-band bucket-size
     * aggregation — the exact candidate-pair volume Σ n(n−1)/2. The string
@@ -7670,14 +7685,11 @@ object SparkEntry {
     * recursive CTE, then Newman Q with the HUGEINT numerator
     * Σ(4·e_c·m − d_c²) over the exact 4m². */
   private val q250Sql: String =
-    s"""WITH RECURSIVE pairs AS ($q44Sql),
-       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    s"""WITH pairs AS MATERIALIZED ($q44Sql),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |      UNION SELECT id_b, id_a FROM pairs),
-       |conn(a, b) AS (
-       |  SELECT src, dst FROM e
-       |  UNION
-       |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-       |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+       |${minLabelCc()},
+|lab AS (SELECT node, lab AS component FROM l$ccRounds),
        |m AS (SELECT count(*) AS m FROM pairs),
        |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
        |ec AS (SELECT l.component, count(*) AS e_c
@@ -7698,14 +7710,11 @@ object SparkEntry {
     * exact text dedup, and minhash near-dup components (keep one doc per
     * component; docs outside the pair graph survive untouched). */
   private val q255Sql: String =
-    s"""WITH RECURSIVE pairs AS ($q44Sql),
-       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    s"""WITH pairs AS MATERIALIZED ($q44Sql),
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |      UNION SELECT id_b, id_a FROM pairs),
-       |conn(a, b) AS (
-       |  SELECT src, dst FROM e
-       |  UNION
-       |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-       |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+       |${minLabelCc()},
+|lab AS (SELECT node, lab AS component FROM l$ccRounds),
        |n AS (SELECT count(*) AS docs FROM documents),
        |ex AS (SELECT count(DISTINCT text) AS survivors FROM documents),
        |nd AS (SELECT count(*) AS nodes, count(DISTINCT component) AS comps FROM lab),
@@ -8468,17 +8477,23 @@ object SparkEntry {
       // same two blocking keys as the engine (prefix-16 OR length+suffix-8),
       // fixtures included; lev() runs on full names — equivalent to the
       // engine's residue DP by common-prefix/suffix invariance
-      """WITH c AS (SELECT c_custkey, c_name FROM customer
+      // the OR-of-blocks runs as two UNIONed equi-joins: identical pair
+      // set, but each block hash-joins (the OR form degraded to a 150k²
+      // nested loop at sf1 and the oracle timed out)
+      """WITH c AS MATERIALIZED (SELECT c_custkey, c_name FROM customer
         |  UNION ALL SELECT * FROM (VALUES (900000001, 'Customer#A00001111'),
-        |    (900000002, 'Customer#B00001111')) t(c_custkey, c_name))
-        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        |FROM c a JOIN c b
-        |  ON a.c_custkey < b.c_custkey
-        | AND (substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
-        |   OR (length(a.c_name) = length(b.c_name)
-        |       AND substr(a.c_name, -8) = substr(b.c_name, -8)))
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |    (900000002, 'Customer#B00001111')) t(c_custkey, c_name)),
+        |cand AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |    a.c_name AS name_a, b.c_name AS name_b FROM c a JOIN c b
+        |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+        |    AND a.c_custkey < b.c_custkey
+        |  UNION
+        |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name FROM c a JOIN c b
+        |  ON length(a.c_name) = length(b.c_name)
+        |    AND substr(a.c_name, -8) = substr(b.c_name, -8)
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT key_a, key_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY key_a, key_b""".stripMargin,
     "q116_pq_encode" ->
       // same L2 expansion x·x − 2·x·c + c·c over list_dot_product, same
@@ -9397,25 +9412,25 @@ object SparkEntry {
     "q191_kcore" ->
       // the same 3 peel rounds unrolled; degree recounted AFTER the last
       // restriction, exactly like the engine's loop
-      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |d1 AS (SELECT node, count(*) AS d FROM (
+        |d1 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
         |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
-        |n1 AS (SELECT node FROM d1 WHERE d >= 6),
-        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM n1)
+        |n1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 6),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM n1)
         |  AND v IN (SELECT node FROM n1)),
-        |d2 AS (SELECT node, count(*) AS d FROM (
+        |d2 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
         |    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
-        |n2 AS (SELECT node FROM d2 WHERE d >= 6),
-        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM n2)
+        |n2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 6),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM n2)
         |  AND v IN (SELECT node FROM n2)),
-        |d3 AS (SELECT node, count(*) AS d FROM (
+        |d3 AS MATERIALIZED (SELECT node, count(*) AS d FROM (
         |    SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
-        |n3 AS (SELECT node FROM d3 WHERE d >= 6),
-        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM n3)
+        |n3 AS MATERIALIZED (SELECT node FROM d3 WHERE d >= 6),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM n3)
         |  AND v IN (SELECT node FROM n3)),
-        |f AS (SELECT node, count(*) AS deg FROM (
+        |f AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
         |    SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1)
         |SELECT node, CAST(deg AS BIGINT) AS deg FROM f
         |ORDER BY deg DESC, node LIMIT 50""".stripMargin,
@@ -9561,21 +9576,21 @@ object SparkEntry {
         |WHERE nb.n >= 2 ORDER BY r.event_type""".stripMargin,
     "q201_bfs_hops" ->
       // 3 unrolled frontier expansions from the same max-degree seed
-      """WITH p AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      """WITH p AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |deg AS (SELECT u AS node, count(*) AS d FROM p GROUP BY 1),
-        |seed AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
-        |v0 AS (SELECT node FROM seed),
-        |f1 AS (SELECT DISTINCT v AS node FROM p WHERE u IN (SELECT node FROM v0)
+        |deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM p GROUP BY 1),
+        |seed AS MATERIALIZED (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+        |v0 AS MATERIALIZED (SELECT node FROM seed),
+        |f1 AS MATERIALIZED (SELECT DISTINCT v AS node FROM p WHERE u IN (SELECT node FROM v0)
         |  AND v NOT IN (SELECT node FROM v0)),
-        |v1 AS (SELECT node FROM v0 UNION ALL SELECT node FROM f1),
-        |f2 AS (SELECT DISTINCT v AS node FROM p WHERE u IN (SELECT node FROM f1)
+        |v1 AS MATERIALIZED (SELECT node FROM v0 UNION ALL SELECT node FROM f1),
+        |f2 AS MATERIALIZED (SELECT DISTINCT v AS node FROM p WHERE u IN (SELECT node FROM f1)
         |  AND v NOT IN (SELECT node FROM v1)),
-        |v2 AS (SELECT node FROM v1 UNION ALL SELECT node FROM f2),
-        |f3 AS (SELECT DISTINCT v AS node FROM p WHERE u IN (SELECT node FROM f2)
+        |v2 AS MATERIALIZED (SELECT node FROM v1 UNION ALL SELECT node FROM f2),
+        |f3 AS MATERIALIZED (SELECT DISTINCT v AS node FROM p WHERE u IN (SELECT node FROM f2)
         |  AND v NOT IN (SELECT node FROM v2)),
-        |h AS (SELECT 0 AS hop, count(*) AS n FROM v0
+        |h AS MATERIALIZED (SELECT 0 AS hop, count(*) AS n FROM v0
         |  UNION ALL SELECT 1, count(*) FROM f1
         |  UNION ALL SELECT 2, count(*) FROM f2
         |  UNION ALL SELECT 3, count(*) FROM f3)
@@ -9588,24 +9603,29 @@ object SparkEntry {
         |SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank % 100 = 1 ORDER BY rank""".stripMargin,
     "q203_entity_resolution" ->
-      // q127's blocked pairs + the q77 recursive closure, singletons
-      // self-canonical via the left-join coalesce
-      """WITH RECURSIVE c AS (SELECT c_custkey, c_name FROM customer
+      // q127's blocked pairs + min-label components, singletons
+      // self-canonical via the left-join coalesce. The two blocking
+      // predicates run as SEPARATE equi-joins UNIONed (identical pair set
+      // to the original OR-join form, which no engine can hash-join — at
+      // sf1 the OR forced a 150k×150k nested loop and the oracle timed out)
+      s"""WITH c AS MATERIALIZED (SELECT c_custkey, c_name FROM customer
         |    UNION ALL SELECT * FROM (VALUES (900000001, 'Customer#A00001111'),
         |      (900000002, 'Customer#B00001111')) t(c_custkey, c_name)),
-        |p AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b FROM c a JOIN c b
-        |  ON a.c_custkey < b.c_custkey
-        |  AND (substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
-        |    OR (length(a.c_name) = length(b.c_name)
-        |        AND substr(a.c_name, -8) = substr(b.c_name, -8)))
-        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
-        |e AS (SELECT key_a AS src, key_b AS dst FROM p
-        |  UNION SELECT key_b, key_a FROM p),
-        |conn(a, b) AS (
-        |  SELECT src, dst FROM e
+        |cand AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |    a.c_name AS name_a, b.c_name AS name_b FROM c a JOIN c b
+        |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+        |    AND a.c_custkey < b.c_custkey
         |  UNION
-        |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-        |lab AS (SELECT a, least(a, min(b)) AS entity FROM conn GROUP BY a),
+        |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name FROM c a JOIN c b
+        |  ON length(a.c_name) = length(b.c_name)
+        |    AND substr(a.c_name, -8) = substr(b.c_name, -8)
+        |    AND a.c_custkey < b.c_custkey),
+        |p AS (SELECT key_a, key_b FROM cand
+        |  WHERE levenshtein(name_a, name_b) <= 1),
+        |e AS MATERIALIZED (SELECT key_a AS src, key_b AS dst FROM p
+        |  UNION SELECT key_b, key_a FROM p),
+        |${minLabelCc()},
+        |lab AS (SELECT node AS a, lab AS entity FROM l$ccRounds),
         |m AS (SELECT c.c_custkey, coalesce(lab.entity, c.c_custkey) AS entity_id
         |  FROM c LEFT JOIN lab ON c.c_custkey = lab.a),
         |sz AS (SELECT entity_id, count(*) AS cluster_size FROM m GROUP BY 1)
@@ -10888,14 +10908,11 @@ object SparkEntry {
         |  doc_id = min(doc_id) OVER (PARTITION BY pref) AS kept
         |FROM p ORDER BY doc_id""".stripMargin,
     "q105_cluster_reps" ->
-      s"""WITH RECURSIVE pairs AS ($q44Sql),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      s"""WITH pairs AS MATERIALIZED ($q44Sql),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
-         |conn(a, b) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-         |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |${minLabelCc()},
+|lab AS (SELECT node, lab AS component FROM l$ccRounds),
          |j AS (SELECT lab.component, lab.node AS doc_id, d.n_chars
          |  FROM lab JOIN documents d ON d.doc_id = lab.node),
          |r AS (SELECT *, count(*) OVER (PARTITION BY component) AS cluster_size,
@@ -11156,14 +11173,11 @@ object SparkEntry {
     "q138_cluster_split" ->
       // q77's component CTE; unpaired docs are singleton clusters; the
       // same reduce-first hash as q109, applied to the component id
-      s"""WITH RECURSIVE pairs AS ($q44Sql),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      s"""WITH pairs AS MATERIALIZED ($q44Sql),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
-         |conn(a, b) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-         |lab AS (SELECT a, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |${minLabelCc()},
+|lab AS (SELECT node AS a, lab AS component FROM l$ccRounds),
          |dc AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component, d.n_chars
          |       FROM documents d LEFT JOIN lab l ON d.doc_id = l.a),
          |s AS (SELECT *, (((component % 1000000007) * 2654435761) % 1000000007) % 100 AS cell FROM dc)
@@ -11644,17 +11658,17 @@ object SparkEntry {
     "q318_hits" ->
       // 2 unrolled HITS iterations in the same scaled-long arithmetic:
       // sum, then score·10⁶ div max, alternating sides
-      """WITH e AS (SELECT DISTINCT o.o_custkey AS h, l.l_partkey AS a
+      """WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS h, l.l_partkey AS a
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |h0 AS (SELECT DISTINCT h AS node, CAST(1000000 AS BIGINT) AS score FROM e),
-        |a1r AS (SELECT e.a AS node, sum(h0.score) AS raw FROM e JOIN h0 ON h0.node = e.h GROUP BY 1),
-        |a1 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM a1r) AS BIGINT) AS score FROM a1r),
-        |h1r AS (SELECT e.h AS node, sum(a1.score) AS raw FROM e JOIN a1 ON a1.node = e.a GROUP BY 1),
-        |h1 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM h1r) AS BIGINT) AS score FROM h1r),
-        |a2r AS (SELECT e.a AS node, sum(h1.score) AS raw FROM e JOIN h1 ON h1.node = e.h GROUP BY 1),
-        |a2 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM a2r) AS BIGINT) AS score FROM a2r),
-        |h2r AS (SELECT e.h AS node, sum(a2.score) AS raw FROM e JOIN a2 ON a2.node = e.a GROUP BY 1),
-        |h2 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM h2r) AS BIGINT) AS score FROM h2r)
+        |h0 AS MATERIALIZED (SELECT DISTINCT h AS node, CAST(1000000 AS BIGINT) AS score FROM e),
+        |a1r AS MATERIALIZED (SELECT e.a AS node, sum(h0.score) AS raw FROM e JOIN h0 ON h0.node = e.h GROUP BY 1),
+        |a1 AS MATERIALIZED (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM a1r) AS BIGINT) AS score FROM a1r),
+        |h1r AS MATERIALIZED (SELECT e.h AS node, sum(a1.score) AS raw FROM e JOIN a1 ON a1.node = e.a GROUP BY 1),
+        |h1 AS MATERIALIZED (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM h1r) AS BIGINT) AS score FROM h1r),
+        |a2r AS MATERIALIZED (SELECT e.a AS node, sum(h1.score) AS raw FROM e JOIN h1 ON h1.node = e.h GROUP BY 1),
+        |a2 AS MATERIALIZED (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM a2r) AS BIGINT) AS score FROM a2r),
+        |h2r AS MATERIALIZED (SELECT e.h AS node, sum(a2.score) AS raw FROM e JOIN a2 ON a2.node = e.a GROUP BY 1),
+        |h2 AS MATERIALIZED (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM h2r) AS BIGINT) AS score FROM h2r)
         |SELECT 'auth' AS side, node, score FROM a2
         |UNION ALL SELECT 'hub', node, score FROM h2
         |ORDER BY side, node""".stripMargin,
@@ -12058,14 +12072,11 @@ object SparkEntry {
       // q44's pair graph + the recursive component labels + q51's exact
       // quality formula; argmax as the rank window the engine's
       // max(struct) replaces, ties to the smallest id
-      s"""WITH RECURSIVE pairs AS ($q44Sql),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      s"""WITH pairs AS MATERIALIZED ($q44Sql),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
-         |conn(a, b) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-         |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |${minLabelCc()},
+|lab AS (SELECT node, lab AS component FROM l$ccRounds),
          |f AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS toks,
          |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
@@ -12086,14 +12097,11 @@ object SparkEntry {
     "q352_dup_weighting" ->
       // same recursive component labels as q351; singletons (no component
       // row) keep full weight 10000 via the left joins
-      s"""WITH RECURSIVE pairs AS ($q44Sql),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      s"""WITH pairs AS MATERIALIZED ($q44Sql),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
-         |conn(a, b) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-         |lab AS (SELECT a AS node, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |${minLabelCc()},
+|lab AS (SELECT node, lab AS component FROM l$ccRounds),
          |sizes AS (SELECT component, count(*) AS csize FROM lab GROUP BY 1),
          |w AS (SELECT d.doc_id, d.source,
          |    COALESCE(CAST(10000 // s.csize AS BIGINT), 10000) AS w_bp
@@ -12800,7 +12808,10 @@ object SparkEntry {
         |b AS (SELECT nat, seg, greatest(least((cents + 100000) // 300000, 3), 0) AS band FROM c),
         |g AS (SELECT band, count(*) AS gc FROM b GROUP BY 1),
         |gt AS (SELECT count(*) AS gn FROM b),
-        |q AS (SELECT band, gc * 1000000 // gt.gn AS q_ppm FROM g, gt),
+        |q AS (SELECT CAST(gb.band AS BIGINT) AS band,
+        |    coalesce(g.gc, 0) * 1000000 // gt.gn AS q_ppm
+        |  FROM (SELECT unnest([0, 1, 2, 3]) AS band) gb
+        |  LEFT JOIN g ON g.band = gb.band, gt),
         |gr AS (SELECT nat, seg, count(*) AS n FROM b GROUP BY 1, 2),
         |grid AS (SELECT nat, seg, n, CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS band FROM gr),
         |cnt AS (SELECT nat, seg, band, count(*) AS nb FROM b GROUP BY 1, 2, 3),
@@ -13399,19 +13410,17 @@ object SparkEntry {
         |  CAST((((100000 * w_micro) // t.wt) * 10000) // n_tokens AS BIGINT) AS epochs_bp
         |FROM w, t ORDER BY source""".stripMargin,
     "q280_curation_matrix" ->
-      // q204's scores terciled + q77's closure as the dup flag + token mass
-      s"""WITH RECURSIVE scores AS ($q204Sql),
+      // q204's scores terciled + the pair-graph node set as the dup flag
+      // (a doc is a dup iff it appears in ANY pair — the closure added
+      // nothing the edge endpoints don't already carry) + token mass
+      s"""WITH scores AS ($q204Sql),
          |b AS (SELECT doc_id,
          |    CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
          |  FROM scores),
          |pairs AS ($q44Sql),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
-         |conn(a, bb) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.bb = e.src),
-         |lab AS (SELECT a FROM conn GROUP BY a),
+         |lab AS (SELECT DISTINCT src AS a FROM e),
          |tk AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt
          |  FROM documents)
@@ -13424,28 +13433,22 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q270_cluster_sizes" ->
       // q77's recursive closure, then size-of-cluster → count-of-size
-      s"""WITH RECURSIVE pairs AS ($q44Sql),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      s"""WITH pairs AS MATERIALIZED ($q44Sql),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
-         |conn(a, b) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-         |lab AS (SELECT a, least(a, min(b)) AS component FROM conn GROUP BY a),
+         |${minLabelCc()},
+|lab AS (SELECT node AS a, lab AS component FROM l$ccRounds),
          |sz AS (SELECT component, count(*) AS s FROM lab GROUP BY 1)
          |SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          |FROM sz GROUP BY s ORDER BY cluster_size""".stripMargin,
     "q265_incremental_components" ->
       // the full-recompute twin: q77's recursive closure over the WHOLE
       // corpus — equality here proves the incremental star-merge path
-      s"""WITH RECURSIVE pairs AS ($q44Sql),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      s"""WITH pairs AS MATERIALIZED ($q44Sql),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
-         |conn(a, b) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-         |lab AS (SELECT a, least(a, min(b)) AS component FROM conn GROUP BY a)
+         |${minLabelCc()},
+|lab AS (SELECT node AS a, lab AS component FROM l$ccRounds)
          |SELECT a AS doc_id, component FROM lab ORDER BY doc_id""".stripMargin,
     "q266_stream_neardup" ->
       // survivors = docs that are id_b of NO pair; batch_id from the
@@ -13457,14 +13460,11 @@ object SparkEntry {
          |SELECT doc_id, CAST(doc_id // ((mx + 4) // 4) AS BIGINT) AS batch_id
          |FROM s, m ORDER BY doc_id""".stripMargin,
     "q77_neardup_components" ->
-      s"""WITH RECURSIVE pairs AS ($q44Sql),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      s"""WITH pairs AS MATERIALIZED ($q44Sql),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
-         |conn(a, b) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT conn.a, e.dst FROM conn JOIN e ON conn.b = e.src),
-         |lab AS (SELECT a, least(a, min(b)) AS component FROM conn GROUP BY a)
+         |${minLabelCc()},
+|lab AS (SELECT node AS a, lab AS component FROM l$ccRounds)
          |SELECT a AS doc_id, component, component = a AS is_canonical
          |FROM lab ORDER BY doc_id""".stripMargin,
     "q48_simhash" -> q48Sql

@@ -406,4 +406,51 @@ object Curation {
         expr(s"(10000 * (($totalBudget * __w) div $wSum)) div __avail")
           .cast("long").as("epochs_bp"))
   }
+
+  /** GREEDY SET COVER over a `(doc_id, tok)` pair index — coverage-
+    * maximizing corpus selection (the submodular facility-location shape,
+    * Wei et al. 2015). `rounds` sequential picks, each the document adding
+    * the most not-yet-covered tokens (ties to the smallest doc_id); greedy
+    * is (1−1/e)-optimal and inherently sequential.
+    *
+    * Each round is ONE aggregate over the pair index with the covered
+    * vocabulary as a broadcast anti-join, and the per-round argmax a 1-row
+    * metadata collect. The covered set is therefore a DRIVER/BROADCAST
+    * bound, not a data-scale bound: the loop fails loudly the moment the
+    * accumulated vocabulary would exceed `maxCoveredRows` (the
+    * requireQueryBatch discipline), instead of silently broadcasting an
+    * unbounded frame when someone raises `rounds`.
+    */
+  def greedySetCover(spark: org.apache.spark.sql.SparkSession,
+                     pairs: DataFrame, rounds: Int,
+                     maxCoveredRows: Long = 2000000L): DataFrame = {
+    import spark.implicits._
+    var covered = spark.emptyDataset[String].toDF("tok")
+    var coveredN = 0L
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    (1 to rounds).foreach { step =>
+      val gain = pairs.join(broadcast(covered), Seq("tok"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
+        .orderBy(col("g").desc, col("doc_id")).limit(1)
+        .collect() // 1 metadata row per round — the greedy argmax
+      if (gain.nonEmpty && gain(0).getLong(1) > 0) {
+        val (d, g) = (gain(0).getLong(0), gain(0).getLong(1))
+        coveredN += g
+        require(coveredN <= maxCoveredRows,
+          s"greedySetCover: covered vocabulary would reach $coveredN rows " +
+            s"(> maxCoveredRows=$maxCoveredRows) at round $step — the " +
+            "per-round anti-join broadcasts the covered set; lower rounds " +
+            "or raise maxCoveredRows explicitly")
+        picks += ((step.toLong, d, g))
+        covered = covered.unionByName(
+          pairs.filter(col("doc_id") === d).select(col("tok"))).distinct()
+          .localCheckpoint()
+      }
+    }
+    picks.toSeq.toDF("step", "doc_id", "gain")
+      .withColumn("covered_total",
+        sum(col("gain")).over(Window.orderBy("step")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("step")
+  }
 }

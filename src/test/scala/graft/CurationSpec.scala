@@ -283,4 +283,21 @@ class CurationSpec extends SparkSpec {
       .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
     assert(out == Seq(("a", 200L, 200L, 10000L), ("b", 10L, 100L, 100000L)))
   }
+
+  test("greedySetCover picks max-gain docs with doc_id tie-break") {
+    // universe: d1={a,b,c}, d2={c,d}, d3={e} — greedy: d1 (3), d2 (+1), d3 (+1)
+    val pairs = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "c"), (2L, "d"),
+      (3L, "e")).toDF("doc_id", "tok")
+    val got = Curation.greedySetCover(spark, pairs, rounds = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L, 3L), (2L, 2L, 1L, 4L), (3L, 3L, 1L, 5L)))
+  }
+
+  test("greedySetCover fails loudly when the covered broadcast would exceed the bound") {
+    val pairs = (1L to 50L).map(t => (1L, s"t$t")).toDF("doc_id", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Curation.greedySetCover(spark, pairs, rounds = 2, maxCoveredRows = 10L)
+    }
+    assert(e.getMessage.contains("maxCoveredRows"))
+  }
 }
