@@ -5991,6 +5991,54 @@ object SparkEntry {
         .localCheckpoint()
       Curation.greedySetCover(s, pairs, rounds = 10)
     }),
+    "q417_mutual_knn_ivf" -> ((s, dir) => {
+      // IVF-INDEXED mutual kNN — the corpus-scale variant q412's design
+      // note promises: BOTH directions run on the q58 IVF index (probed
+      // cells only, never a full scan), and recall is measured against
+      // q412's exact reciprocal-top-1 semantics at nprobe 1/2/4/8 (the
+      // q268 curve pattern). This is the operator a 100 TB bitext-mining
+      // user actually runs: forward = X queries probe the Y index,
+      // backward = the forward hits probe the X index; a pair survives
+      // iff both directions agree. Per-direction cost is
+      // nprobe/|cells| of one index scan; the exact truth (here the
+      // recall yardstick) is what the index approximates. In production
+      // the cell ASSIGNMENT is the stored index (written once); the curve
+      // re-derives it per point only because it is a measurement harness.
+      val emb = T(s, dir, "embeddings")
+      val xs = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2000)
+      val ys = emb.filter(col("vec_id") % 2 === 1)
+      val cents = emb.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      val fwdE = Similarity.cosineTopK(ys, xs, "vec_id", "embedding", 1)
+        .select(col("query_id").as("x"), col("neighbor_id").as("y"))
+      val backQE = emb.join(fwdE.select(col("y").as("vec_id")).distinct(),
+        Seq("vec_id"))
+      val bwdE = Similarity.cosineTopK(xs, backQE, "vec_id", "embedding", 1)
+        .select(col("query_id").as("y"), col("neighbor_id").as("bx"))
+      val exact = fwdE.join(bwdE, Seq("y")).filter(col("x") === col("bx"))
+        .select(col("x"), col("y")).localCheckpoint()
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      Seq(1, 2, 4, 8).map { np =>
+        val fwd = Similarity.ivfTopK(ys, xs, cents, "vec_id", "embedding",
+            k = 1, nprobe = np)
+          .select(col("query_id").as("x"), col("neighbor_id").as("y"))
+        val backQ = emb.join(fwd.select(col("y").as("vec_id")).distinct(),
+          Seq("vec_id"))
+        val bwd = Similarity.ivfTopK(xs, backQ, cents, "vec_id", "embedding",
+            k = 1, nprobe = np)
+          .select(col("query_id").as("y"), col("neighbor_id").as("bx"))
+        val approx = fwd.join(bwd, Seq("y")).filter(col("x") === col("bx"))
+          .select(col("x"), col("y"))
+        approx.join(exact.withColumn("__hit", lit(1)), Seq("x", "y"), "left")
+          .agg(count(lit(1)).as("n_pairs"), count(col("__hit")).as("hits"))
+          .crossJoin(broadcast(nEx))
+          .select(lit(np.toLong).as("nprobe"),
+            col("n_pairs").cast("long").as("n_pairs"),
+            col("hits").cast("long").as("hits"),
+            col("n_exact").cast("long").as("n_exact"),
+            Num.roundz(col("hits") / greatest(col("n_exact"), lit(1L)), 4)
+              .as("recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
     "q41_keyed_fanout" -> ((s, dir) =>
       broadcast(T(s, dir, "nation"))
         .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
@@ -7096,6 +7144,73 @@ object SparkEntry {
     * nothing left to cover yields an EMPTY pick CTE, which contributes no
     * row and leaves the covered set unchanged — the engine's conditional
     * append, expressed relationally. */
+  /** q417's oracle: q412's exact mutual pairs as truth, then per
+    * nprobe ∈ {1, 2, 4, 8} the IVF-probed mutual pairs — assignment is
+    * crn = 1, probing crn ≤ nprobe over ONE shared centroid-ranking CTE —
+    * and the hit count against truth. Everything is MATERIALIZED: the
+    * ranking frame is referenced by all eight direction passes and an
+    * inlining planner would re-evaluate it per reference. */
+  private val q417Sql: String = {
+    def stage(np: Int): String =
+      s"""f$np AS MATERIALIZED (SELECT x, y FROM (
+         |  SELECT qp.vec_id AS x, a.vec_id AS y,
+         |    row_number() OVER (PARTITION BY qp.vec_id ORDER BY
+         |      list_dot_product(qv.vv, av.vv) / (sqrt(list_dot_product(qv.vv, qv.vv)) * sqrt(list_dot_product(av.vv, av.vv))) DESC,
+         |      a.vec_id) AS rn
+         |  FROM (SELECT cr.vec_id, cr.cell FROM cr JOIN xs USING (vec_id) WHERE crn <= $np) qp
+         |  JOIN ya a ON a.cell = qp.cell
+         |  JOIN vecs qv ON qv.vec_id = qp.vec_id
+         |  JOIN vecs av ON av.vec_id = a.vec_id) WHERE rn = 1),
+         |b$np AS MATERIALIZED (SELECT y, bx FROM (
+         |  SELECT qp.vec_id AS y, a.vec_id AS bx,
+         |    row_number() OVER (PARTITION BY qp.vec_id ORDER BY
+         |      list_dot_product(qv.vv, av.vv) / (sqrt(list_dot_product(qv.vv, qv.vv)) * sqrt(list_dot_product(av.vv, av.vv))) DESC,
+         |      a.vec_id) AS rn
+         |  FROM (SELECT cr.vec_id, cr.cell FROM cr
+         |    JOIN (SELECT DISTINCT y FROM f$np) fy ON fy.y = cr.vec_id
+         |    WHERE crn <= $np) qp
+         |  JOIN xa a ON a.cell = qp.cell
+         |  JOIN vecs qv ON qv.vec_id = qp.vec_id
+         |  JOIN vecs av ON av.vec_id = a.vec_id) WHERE rn = 1),
+         |m$np AS MATERIALIZED (SELECT f.x, f.y FROM f$np f JOIN b$np b USING (y) WHERE b.bx = f.x)""".stripMargin
+    def row(np: Int): String =
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  (SELECT count(*) FROM m$np) AS n_pairs,
+         |  (SELECT count(*) FROM m$np mm JOIN ex USING (x, y)) AS hits,
+         |  nex.n AS n_exact,
+         |  (round(CAST((SELECT count(*) FROM m$np mm JOIN ex USING (x, y)) AS DOUBLE) / greatest(nex.n, 1), 4) + 0.0) AS recall
+         |FROM nex""".stripMargin
+    s"""WITH vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |xs AS MATERIALIZED (SELECT vec_id, vv FROM vecs WHERE vec_id % 2 = 0 AND vec_id < 2000),
+       |ys AS MATERIALIZED (SELECT vec_id, vv FROM vecs WHERE vec_id % 2 = 1),
+       |fs AS (SELECT x.vec_id AS x, y.vec_id AS y,
+       |    list_dot_product(x.vv, y.vv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(y.vv, y.vv))) AS cosine
+       |  FROM xs x CROSS JOIN ys y),
+       |fe AS MATERIALIZED (SELECT x, y FROM (SELECT x, y,
+       |    row_number() OVER (PARTITION BY x ORDER BY cosine DESC, y) AS rn FROM fs)
+       |  WHERE rn = 1),
+       |bs AS (SELECT b.y, x.vec_id AS bx,
+       |    list_dot_product(yv.vv, x.vv) / (sqrt(list_dot_product(yv.vv, yv.vv)) * sqrt(list_dot_product(x.vv, x.vv))) AS cosine
+       |  FROM (SELECT DISTINCT y FROM fe) b JOIN ys yv ON yv.vec_id = b.y CROSS JOIN xs x),
+       |be AS MATERIALIZED (SELECT y, bx FROM (SELECT y, bx,
+       |    row_number() OVER (PARTITION BY y ORDER BY cosine DESC, bx) AS rn FROM bs)
+       |  WHERE rn = 1),
+       |ex AS MATERIALIZED (SELECT fe.x, fe.y FROM fe JOIN be USING (y) WHERE be.bx = fe.x),
+       |nex AS MATERIALIZED (SELECT count(*) AS n FROM ex),
+       |cent AS MATERIALIZED (SELECT vec_id AS cell, vv AS cv FROM vecs
+       |  WHERE vec_id >= 100 AND vec_id < 116),
+       |cr AS MATERIALIZED (SELECT v.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_dot_product(v.vv, c.cv) / (sqrt(list_dot_product(v.vv, v.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.cell) AS crn
+       |  FROM vecs v CROSS JOIN cent c),
+       |ya AS MATERIALIZED (SELECT cr.vec_id, cr.cell FROM cr JOIN ys USING (vec_id) WHERE crn = 1),
+       |xa AS MATERIALIZED (SELECT cr.vec_id, cr.cell FROM cr JOIN xs USING (vec_id) WHERE crn = 1),
+       |${Seq(1, 2, 4, 8).map(stage).mkString(",\n")}
+       |${Seq(1, 2, 4, 8).map(row).mkString("\nUNION ALL\n")}
+       |ORDER BY nprobe""".stripMargin
+  }
+
   private val q416Sql: String = {
     // AS MATERIALIZED throughout: each c_k is referenced by BOTH p_{k+1}
     // and c_{k+1}, and an inlining planner re-evaluates the whole chain
@@ -13157,6 +13272,7 @@ object SparkEntry {
         |  (r * nn + 20 * rr) * 10000 // ((n + 20) * nn) AS shrunk_bp
         |FROM per, tot ORDER BY shrunk_bp DESC, l_partkey LIMIT 20""".stripMargin,
     "q416_set_cover" -> q416Sql,
+    "q417_mutual_knn_ivf" -> q417Sql,
     "q310_pit_features" ->
       // the SEMANTICS as SQL: per label, aggregate the same user's
       // strictly-earlier events (a quadratic-per-user inequality join —
