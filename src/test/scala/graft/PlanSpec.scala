@@ -1519,5 +1519,30 @@ class PlanSpec extends SparkSpec {
     val plan = q("q412_mutual_knn")
     assert(!plan.contains("CartesianProduct"),
       s"pool-by-pool scoring must ride the broadcast path:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the query batch must broadcast over the one corpus scan:\n$plan")
+  }
+
+  test("set cover: covered anti-join sits below the aggregate; pair index scans once (q416)") {
+    // the LAST round's plan is representative: a broadcast left-anti of the
+    // covered vocabulary feeding ONE hash aggregate — no sort before the
+    // argmax (the limit is a TakeOrdered heap), no cartesian anywhere
+    val pairs = SparkEntry.queries("q416_set_cover")(spark, dir) // runs the loop
+    pairs.collect()
+    val plan = finalPlan(
+      graft.ops.Curation.greedySetCover(spark,
+        spark.read.json(spark.createDataset(Seq(
+          """{"doc_id": 1, "tok": "a b"}""", """{"doc_id": 1, "tok": "b c"}""",
+          """{"doc_id": 2, "tok": "a b"}"""))(org.apache.spark.sql.Encoders.STRING)),
+        rounds = 1))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("IVF mutual kNN: probed-cell equi-joins, centroids broadcast, no cartesian in the scoring joins (q417)") {
+    val plan = q("q417_mutual_knn_ivf")
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF scoring must join on cell, never cross-score:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"centroids/query cells must broadcast:\n$plan")
   }
 }
