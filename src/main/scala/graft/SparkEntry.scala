@@ -194,7 +194,8 @@ object SparkEntry {
       RegistryAnnDedup.queries ++
       RegistryPipelineOps.queries ++
       RegistryStatsMl.queries ++
-      RegistryWarehouseText.queries).toMap
+      RegistryWarehouseText.queries ++
+      RegistryRound14.queries).toMap
 
   // ------------------------------------------------------------------ oracle
 
@@ -1509,5 +1510,6 @@ object SparkEntry {
       RegistryAnnDedup.oracleSql ++
       RegistryPipelineOps.oracleSql ++
       RegistryStatsMl.oracleSql ++
-      RegistryWarehouseText.oracleSql).toMap
+      RegistryWarehouseText.oracleSql ++
+      RegistryRound14.oracleSql).toMap
 }

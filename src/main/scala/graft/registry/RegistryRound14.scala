@@ -1,0 +1,460 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import SparkEntry._
+
+/** Registry part: round-14 additions (q418+) — model-evaluation statistics,
+  * attribution, data-layout and governance operators, and series/similarity
+  * primitives the earlier families don't cover.
+  *
+  * Same contract as every other part: each key is a deterministic DataFrame
+  * (total output ordering, no wall-clock, explicit aliases) with a DuckDB
+  * twin in [[oracleSql]]; exact integer arithmetic wherever a cross-engine
+  * float could disagree (SURVEY.md §7.6).
+  */
+private[graft] object RegistryRound14 {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q418_mcnemar" -> ((s, dir) => {
+      // McNemar's paired test — the eval-family gap next to q208 (AUC) /
+      // q238 (kappa): q208 scores ONE model, q238 measures rater agreement;
+      // shipping a model swap needs the PAIRED comparison on the SAME docs,
+      // where only the discordant cells carry information. A = the q50
+      // n-gram langid, B = the majority-class baseline (always 'en');
+      // b = A right & B wrong, c = A wrong & B right,
+      // chi2 = (b-c)^2/(b+c) — exact integer centi-scale, the q205 SRM
+      // convention (the 5%-level flag 3.84 decides on integers).
+      // Scale shape: one scan, one global aggregate; 1 output row.
+      val d = T(s, dir, "documents")
+        .select((ops.TextAnalysis.langId(col("text")) === col("lang")).as("a_ok"),
+          (col("lang") === "en").as("b_ok"))
+      d.agg(
+        sum(when(col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("n00"))
+        .select(col("n11"), col("b"), col("c"), col("n00"),
+          expr("CASE WHEN b + c = 0 THEN 0L ELSE (100 * (b - c) * (b - c)) div (b + c) END")
+            .as("chi2_centi"),
+          (expr("CASE WHEN b + c = 0 THEN 0L ELSE (100 * (b - c) * (b - c)) div (b + c) END")
+            > 384L).as("significant"))
+    }),
+    "q419_shapley_attribution" -> ((s, dir) => {
+      // exact Shapley-value channel attribution — the cooperative-game
+      // complement of q389's Markov removal effect: v(S) counts converted
+      // users whose touched-channel set fits inside coalition S, and each
+      // channel's credit is the exact Shapley sum over all 2^5 coalitions.
+      // With 5 fixed channels the coalition lattice is 32 rows — a
+      // broadcast-side constant — so the corpus pays ONE user aggregate
+      // and one |masks|<=32 rollup regardless of row count; everything
+      // after is bounded algebra. phi * 120 (= 5!) is an exact integer:
+      // weights k!(4-k)! are 24/6/4/6/24 by |S|.
+      val idx = "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1" +
+        " WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
+      val users = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum_distinct(expr(s"CAST(shiftleft(1, $idx) AS BIGINT)")).as("mask"),
+          max(col("value")).as("mx"))
+        .filter(col("mx") >= 300.0)
+      val obs = users.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // <=32 rows; two consumers below
+      val coal = s.range(0, 32).toDF("sm")
+      val v = coal.join(broadcast(obs), expr("(mask & sm) = mask"), "left")
+        .groupBy(col("sm")).agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+      val ch = s.range(0, 5).toDF("ci")
+      ch.join(broadcast(v.as("vs")), expr("(sm & shiftleft(1, CAST(ci AS INT))) = 0"))
+        .join(broadcast(v.select(col("sm").as("sm2"), col("v").as("v2")).as("vi")),
+          expr("sm2 = (sm | shiftleft(1, CAST(ci AS INT)))"))
+        .withColumn("w", expr("CASE bit_count(sm) WHEN 0 THEN 24 WHEN 1 THEN 6" +
+          " WHEN 2 THEN 4 WHEN 3 THEN 6 ELSE 24 END"))
+        .groupBy(col("ci"))
+        .agg(sum(expr("w * (v2 - v)")).cast("long").as("shapley_x120"))
+        .select(expr("CASE ci WHEN 0 THEN 'click' WHEN 1 THEN 'error'" +
+          " WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup' ELSE 'view' END")
+          .as("channel"), col("shapley_x120"))
+        .orderBy("channel")
+    }),
+    "q420_pass_at_k" -> ((s, dir) => {
+      // the unbiased pass@k estimator (1 - C(n-c,k)/C(n,k)) per part,
+      // treating its lineitems as trials and returnflag='R' as a pass —
+      // the LLM-eval aggregation shape (n samples per task, c successes,
+      // report pass@{1,5,10}). The combinatorial ratio is computed as the
+      // ORDER-SPECIFIED product prod_{i<k} (n-c-i)/(n-i): each step is one
+      // correctly-rounded IEEE divide and multiply, and the oracle folds
+      // the identical sequence, so the doubles match BIT-FOR-BIT — no
+      // quantization needed (ln/exp never enters). One hash aggregate to
+      // |parts| rows; the fold is k<=10 scalar ops per row.
+      def passAt(k: Int) = expr(
+        s"CASE WHEN n - c < $k THEN CAST(1.0 AS DOUBLE) ELSE " +
+          s"1.0 - aggregate(sequence(0, ${k - 1}), CAST(1.0 AS DOUBLE), " +
+          s"(acc, i) -> acc * (CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))) END")
+      T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c"))
+        .filter(col("n") >= 10)
+        .select(col("l_partkey"), col("n"), col("c"),
+          passAt(1).as("pass_at_1"), passAt(5).as("pass_at_5"),
+          passAt(10).as("pass_at_10"))
+        .orderBy("l_partkey")
+    }),
+    "q421_cusum_control" -> ((s, dir) => {
+      // one-sided CUSUM control chart per event type: baseline mean from
+      // the first 10 calendar days, then S_i = max(0, S_{i-1} + x_i - mu -
+      // mu/20) over the monitored days, alarming when S crosses 4*mu.
+      // DISTRIBUTED form: the reset-at-zero recursion is the reflected-walk
+      // identity S_i = P_i - min(0, min_{j<=i} P_j) (P = prefix sum of the
+      // increments), so the whole chart is two window functions over the
+      // per-day frame — no sequential fold, unlike q200's Holt state, and
+      // the frame is |types| x |days|, never raw events. All integer: cents
+      // scaled by 20*n0 make mu + mu/20 the exact integer 21*base_sum.
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), ops.TextFunctions.dayString(col("ts")).as("day"))
+        .agg(sum(ops.Num.roundz(col("value") * 100, 0).cast("long")).as("cents"))
+      val base = daily.filter(col("day") <= "2024-01-10")
+        .groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("base_sum"), count(lit(1)).as("n0"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      daily.filter(col("day") > "2024-01-10")
+        .join(broadcast(base), Seq("event_type"))
+        .withColumn("inc", expr("20 * n0 * cents - 21 * base_sum"))
+        .withColumn("p", sum(col("inc")).over(w))
+        .withColumn("s_scaled",
+          col("p") - least(lit(0L), min(col("p")).over(w)))
+        .select(col("event_type"), col("day"), col("inc"), col("s_scaled"),
+          (col("s_scaled") > expr("80 * base_sum")).as("alarm"))
+        .orderBy("event_type", "day")
+    }),
+    "q422_decision_stump" -> ((s, dir) => {
+      // histogram-based split finding (the LightGBM/XGBoost hist trick) —
+      // the tree-learning primitive the stats family lacks: bin the feature
+      // (price, $100 bins), aggregate per-bin (n, pos) once, then score
+      // every split from prefix sums. Label: p_size >= 25. The split score
+      // minimizes weighted Gini; ranking uses the EXACT integer rational
+      //   score/1e6 = (pl^2+(nl-pl)^2)/nl + (pr^2+(nr-pr)^2)/nr
+      // via decimal(38,0) `div` (the numerator tops int64 at sf1) — no
+      // float enters, so cross-engine argmax cannot flip. Scale shape: one
+      // hash aggregate to |bins| rows; prefix sums + scoring run on that
+      // bounded frame, NEVER the corpus — the 100 TB shape (one pass +
+      // bounded algebra), vs the naive sort-all-candidate-thresholds.
+      val bins = T(s, dir, "part")
+        .groupBy(expr("CAST(round(p_retailprice * 100, 0) AS BIGINT) div 10000")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p_size") >= 25, 1L).otherwise(0L)).as("pos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin")).rowsBetween(Long.MinValue, 0)
+      bins
+        .withColumn("nl", sum(col("n")).over(w))
+        .withColumn("pl", sum(col("pos")).over(w))
+        .crossJoin(broadcast(bins.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))))
+        .filter(col("nl") < col("nt"))
+        .withColumn("nr", col("nt") - col("nl"))
+        .withColumn("pr", col("pt") - col("pl"))
+        .withColumn("a", expr("pl * pl + (nl - pl) * (nl - pl)"))
+        .withColumn("bb", expr("pr * pr + (nr - pr) * (nr - pr)"))
+        .withColumn("score_ppm", expr(
+          "CAST(CAST(1000000 AS DECIMAL(38,0)) * (CAST(a AS DECIMAL(38,0)) * nr + " +
+            "CAST(bb AS DECIMAL(38,0)) * nl) div (CAST(nl AS DECIMAL(38,0)) * nr) AS BIGINT)"))
+        .select(col("bin").as("split_bin"), col("nl"), col("pl"), col("nr"),
+          col("pr"), col("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("split_bin"))
+        .limit(10)
+    }),
+    "q423_uplift_qini" -> ((s, dir) => {
+      // uplift deciles + the Qini numerator — the targeting readout next to
+      // q163's average lift: rank users by a pre-period activity score,
+      // then per score-decile compare treated vs control conversion, and
+      // accumulate the Qini curve top-down. Everything after the per-user
+      // aggregate is a 10-row frame; the Qini value at each decile is the
+      // EXACT integer ct_cum*nc_cum - cc_cum*nt_cum (the 1/nc_cum
+      // normalization would be rational — scaling by nc_cum keeps the
+      // cross-engine compare on integers, the q252 convention).
+      val ev = T(s, dir, "events")
+      val users = ev.groupBy(col("user_id"))
+        .agg(sum(when(ops.TextFunctions.dayString(col("ts")) <= "2024-01-15", 1L)
+          .otherwise(0L)).as("score"),
+          max(when(ops.TextFunctions.dayString(col("ts")) > "2024-01-15"
+            && col("value") >= 300.0, 1L).otherwise(0L)).as("conv"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("user_id"))
+      val byDec = users
+        .withColumn("decile", ntile(10).over(wOrd).cast("long"))
+        .groupBy(col("decile"))
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("ct"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("cc"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile")).rowsBetween(Long.MinValue, 0)
+      byDec
+        .withColumn("qini_x", sum(col("ct")).over(wCum) * sum(col("nc")).over(wCum)
+          - sum(col("cc")).over(wCum) * sum(col("nt")).over(wCum))
+        .select(col("decile"), col("nt"), col("nc"), col("ct"), col("cc"),
+          col("qini_x"))
+        .orderBy("decile")
+    }),
+    "q424_bleu" -> ((s, dir) => {
+      // corpus BLEU-4 — the generation-eval twin of q314's ROUGE overlap:
+      // candidates are the planted near-dup docs, references their
+      // originals (cand = ref + ' dup'), paired by an equi-join on the
+      // constructed text. Modified n-gram precision is the clipped
+      // multiset intersection summed over the corpus (exact integers);
+      // the geometric mean is sqrt(sqrt(p1*p2*p3*p4)) — sqrt and the
+      // four divides are correctly-rounded IEEE ops folded in the same
+      // order by both engines, so the final double matches bit-for-bit
+      // and ln/exp never enters (the brevity penalty's exp sits in a
+      // CASE branch that c>=r makes unreachable). Scale shape: n-gram
+      // explode only over the PAIRED docs (5% of the corpus), grouped
+      // counts both sides, one bounded join per n.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = docs.as("c").join(docs.as("r"),
+        expr("c.text = concat(r.text, ' dup')"))
+        .select(col("c.doc_id").as("pair_id"), col("c.text").as("ct"),
+          col("r.text").as("rt"))
+        .localCheckpoint() // reused by 4 n-gram passes + the length sums
+      def grams(src: String, n: Int) = pairs
+        .select(col("pair_id"), split(col(src), " ").as("t"))
+        .filter(size(col("t")) >= n) // sequence(1, 0) would DESCEND (q416 lesson)
+        .select(col("pair_id"), explode(expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), i -> " +
+            s"concat_ws(' ', slice(t, i, $n)))")).as("g"))
+        .groupBy(col("pair_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      val perN = (1 to 4).map { n =>
+        val c = grams("ct", n)
+        val r = grams("rt", n).withColumnRenamed("cnt", "rcnt")
+        val m = c.join(r, Seq("pair_id", "g"))
+          .agg(coalesce(sum(least(col("cnt"), col("rcnt"))), lit(0L)).as("match"))
+        val t = c.agg(sum(col("cnt")).as("total"))
+        m.crossJoin(t).select(lit(n).as("n"), col("match"), col("total"))
+      }.reduce(_.unionByName(_))
+      val lens = pairs.agg(
+        sum(size(split(col("ct"), " "))).cast("long").as("c_len"),
+        sum(size(split(col("rt"), " "))).cast("long").as("r_len"))
+      perN.groupBy()
+        .agg(sum(when(col("n") === 1, col("match"))).as("match1"),
+          sum(when(col("n") === 1, col("total"))).as("total1"),
+          sum(when(col("n") === 2, col("match"))).as("match2"),
+          sum(when(col("n") === 2, col("total"))).as("total2"),
+          sum(when(col("n") === 3, col("match"))).as("match3"),
+          sum(when(col("n") === 3, col("total"))).as("total3"),
+          sum(when(col("n") === 4, col("match"))).as("match4"),
+          sum(when(col("n") === 4, col("total"))).as("total4"))
+        .crossJoin(lens)
+        .withColumn("bleu", expr(
+          "(CASE WHEN c_len >= r_len THEN CAST(1.0 AS DOUBLE)" +
+            " ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END) * " +
+            "sqrt(sqrt((CAST(match1 AS DOUBLE) / CAST(total1 AS DOUBLE)) * " +
+            "(CAST(match2 AS DOUBLE) / CAST(total2 AS DOUBLE)) * " +
+            "(CAST(match3 AS DOUBLE) / CAST(total3 AS DOUBLE)) * " +
+            "(CAST(match4 AS DOUBLE) / CAST(total4 AS DOUBLE))))"))
+        .drop("c_len", "r_len")
+    }),
+    "q425_sort_for_compression" -> ((s, dir) => {
+      // layout advisor: which sort key makes the OTHER columns compress? —
+      // the decision input for q99/q124-style rewrites. For each candidate
+      // key, count the RLE runs each payload column would have after
+      // ORDER BY (key, orderkey, linenumber), computed WITHOUT a global
+      // sort: rows group by (key, l_orderkey div 4096), transitions are
+      // counted inside each bucket by a PARTITIONED window, and every
+      // bucket boundary conservatively opens a new run (+1). The metric is
+      // defined as this bucketed upper bound precisely so it distributes —
+      // a true global-adjacency count would serialize a 3-value key's
+      // whole corpus through one window task at 100 TB. Exact integers.
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
+        ops.TextFunctions.dayString(col("l_shipdate")).substr(1, 7).as("ship_month"))
+      val payload = Seq("l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+      def runsFor(keyName: String): DataFrame = {
+        // (l_orderkey, l_linenumber) is NOT unique in this data (the q07
+        // lesson) — ordering by every payload column too makes the
+        // within-bucket sequence invariant under duplicate sort keys, so
+        // the transition counts are total-order-independent cross-engine
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__k"), col("__b"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_returnflag"), col("l_linestatus"))
+        val flagged = li
+          .withColumn("__k", col(keyName).cast("string"))
+          .withColumn("__b", expr("l_orderkey div 4096"))
+          .select(Seq(col("__k"), col("__b"), col("l_orderkey"), col("l_linenumber")) ++
+            payload.map { c =>
+              when(lag(col(c), 1).over(w).isNull
+                || lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L).as(s"__r_$c")
+            }: _*)
+        val agg = flagged.agg(
+          payload.map(c => sum(col(s"__r_$c")).as(c)).head,
+          payload.map(c => sum(col(s"__r_$c")).as(c)).tail: _*)
+        agg.select(Seq(lit(keyName).as("sort_key")) ++
+          payload.map(col): _*)
+      }
+      Seq("l_returnflag", "l_linestatus", "ship_month").map(runsFor)
+        .reduce(_.unionByName(_))
+        .select(col("sort_key"), col("l_partkey").as("runs_partkey"),
+          col("l_suppkey").as("runs_suppkey"),
+          col("l_returnflag").as("runs_returnflag"),
+          col("l_linestatus").as("runs_linestatus"))
+        .orderBy("sort_key")
+    })
+  )
+
+  val oracleSql: Seq[(String, String)] = Seq(
+    "q418_mcnemar" -> {
+      val langCase = SparkEntry.langCaseOn("text")
+      s"""WITH cls AS (SELECT ($langCase) = lang AS a_ok, lang = 'en' AS b_ok FROM documents),
+         |m AS (SELECT
+         |  CAST(sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |  CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |  CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |  CAST(sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM cls)
+         |SELECT n11, b, c, n00,
+         |  CAST(CASE WHEN b + c = 0 THEN 0 ELSE (100 * (b - c) * (b - c)) // (b + c) END AS BIGINT) AS chi2_centi,
+         |  (CASE WHEN b + c = 0 THEN 0 ELSE (100 * (b - c) * (b - c)) // (b + c) END) > 384 AS significant
+         |FROM m""".stripMargin
+    },
+    "q419_shapley_attribution" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(DISTINCT 1 << (CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END)) AS BIGINT) AS mask,
+        |    max(value) AS mx FROM events GROUP BY 1),
+        |obs AS (SELECT mask, count(*) AS cnt FROM u WHERE mx >= 300.0 GROUP BY 1),
+        |coal AS (SELECT unnest(range(0, 32)) AS sm),
+        |v AS (SELECT sm, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS v
+        |  FROM coal LEFT JOIN obs ON (obs.mask & coal.sm) = obs.mask GROUP BY 1),
+        |ch AS (SELECT unnest(range(0, 5)) AS ci)
+        |SELECT CASE ci WHEN 0 THEN 'click' WHEN 1 THEN 'error' WHEN 2 THEN 'purchase'
+        |    WHEN 3 THEN 'signup' ELSE 'view' END AS channel,
+        |  CAST(sum((CASE bit_count(vs.sm) WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4
+        |    WHEN 3 THEN 6 ELSE 24 END) * (vi.v - vs.v)) AS BIGINT) AS shapley_x120
+        |FROM ch JOIN v vs ON (vs.sm & (1 << ci)) = 0
+        |JOIN v vi ON vi.sm = (vs.sm | (1 << ci))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q420_pass_at_k" ->
+      """WITH g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT l_partkey, n, c,
+        |  CASE WHEN n - c < 1 THEN CAST(1.0 AS DOUBLE) ELSE 1.0 - list_reduce(
+        |    list_transform(range(0, 1), i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+        |    (acc, x) -> acc * x) END AS pass_at_1,
+        |  CASE WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE) ELSE 1.0 - list_reduce(
+        |    list_transform(range(0, 5), i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+        |    (acc, x) -> acc * x) END AS pass_at_5,
+        |  CASE WHEN n - c < 10 THEN CAST(1.0 AS DOUBLE) ELSE 1.0 - list_reduce(
+        |    list_transform(range(0, 10), i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+        |    (acc, x) -> acc * x) END AS pass_at_10
+        |FROM g ORDER BY l_partkey""".stripMargin,
+    "q421_cusum_control" ->
+      """WITH d AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS base_sum,
+        |    CAST(count(*) AS BIGINT) AS n0
+        |  FROM d WHERE day <= '2024-01-10' GROUP BY 1),
+        |m AS (SELECT d.event_type, d.day,
+        |    CAST(20 * b.n0 * d.cents - 21 * b.base_sum AS BIGINT) AS inc, b.base_sum
+        |  FROM d JOIN b ON d.event_type = b.event_type WHERE d.day > '2024-01-10'),
+        |p0 AS (SELECT event_type, day, inc, base_sum,
+        |    sum(inc) OVER (PARTITION BY event_type ORDER BY day) AS p FROM m),
+        |p AS (SELECT event_type, day, inc, base_sum, p,
+        |    min(p) OVER (PARTITION BY event_type ORDER BY day) AS mp FROM p0)
+        |SELECT event_type, day, inc, CAST(p - least(0, mp) AS BIGINT) AS s_scaled,
+        |  (p - least(0, mp)) > 80 * base_sum AS alarm
+        |FROM p ORDER BY event_type, day""".stripMargin,
+    "q422_decision_stump" ->
+      """WITH bins AS (SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) // 10000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM part GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS pt FROM bins),
+        |pre AS (SELECT bin,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS nl,
+        |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS pl
+        |  FROM bins),
+        |sc AS (SELECT bin, nl, pl, nt - nl AS nr, pt - pl AS pr,
+        |    pl * pl + (nl - pl) * (nl - pl) AS a,
+        |    pr * pr + ((nt - nl) - pr) * ((nt - nl) - pr) AS bb
+        |  FROM pre, tot WHERE nl < nt)
+        |SELECT bin AS split_bin, nl, pl, CAST(nr AS BIGINT) AS nr, CAST(pr AS BIGINT) AS pr,
+        |  CAST((CAST(1000000 AS HUGEINT) * (CAST(a AS HUGEINT) * nr + CAST(bb AS HUGEINT) * nl))
+        |    // (CAST(nl AS HUGEINT) * nr) AS BIGINT) AS score_ppm
+        |FROM sc ORDER BY score_ppm DESC, split_bin LIMIT 10""".stripMargin,
+    "q423_uplift_qini" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') <= '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') > '2024-01-15'
+        |      AND value >= 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+        |    user_id % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT) AS decile FROM u),
+        |g AS (SELECT decile,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS cc
+        |  FROM d GROUP BY 1)
+        |SELECT decile, nt, nc, ct, cc,
+        |  CAST(sum(ct) OVER (ORDER BY decile) * sum(nc) OVER (ORDER BY decile)
+        |    - sum(cc) OVER (ORDER BY decile) * sum(nt) OVER (ORDER BY decile) AS BIGINT) AS qini_x
+        |FROM g ORDER BY decile""".stripMargin,
+    "q424_bleu" ->
+      """WITH pr AS (SELECT c.doc_id AS pair_id,
+        |    regexp_split_to_array(c.text, ' ') AS ct, regexp_split_to_array(r.text, ' ') AS rt
+        |  FROM documents c JOIN documents r ON c.text = r.text || ' dup'),
+        |ns AS (SELECT unnest(range(1, 5)) AS n),
+        |cg0 AS (SELECT pair_id, n, ct, unnest(range(1, len(ct) - n + 2)) AS i
+        |  FROM pr, ns WHERE len(ct) >= n),
+        |cg AS (SELECT pair_id, n,
+        |    array_to_string(ct[CAST(i AS BIGINT):CAST(i + n - 1 AS BIGINT)], ' ') AS g,
+        |    count(*) AS cnt FROM cg0 GROUP BY 1, 2, 3),
+        |rg0 AS (SELECT pair_id, n, rt, unnest(range(1, len(rt) - n + 2)) AS i
+        |  FROM pr, ns WHERE len(rt) >= n),
+        |rg AS (SELECT pair_id, n,
+        |    array_to_string(rt[CAST(i AS BIGINT):CAST(i + n - 1 AS BIGINT)], ' ') AS g,
+        |    count(*) AS rcnt FROM rg0 GROUP BY 1, 2, 3),
+        |mm AS (SELECT cg.n, CAST(coalesce(sum(least(cg.cnt, rg.rcnt)), 0) AS BIGINT) AS m
+        |  FROM cg JOIN rg ON cg.pair_id = rg.pair_id AND cg.n = rg.n AND cg.g = rg.g
+        |  GROUP BY 1),
+        |tt AS (SELECT n, CAST(sum(cnt) AS BIGINT) AS tot FROM cg GROUP BY 1),
+        |agg AS (SELECT
+        |    max(CASE WHEN n = 1 THEN coalesce(m, 0) END) AS match1, max(CASE WHEN n = 1 THEN tot END) AS total1,
+        |    max(CASE WHEN n = 2 THEN coalesce(m, 0) END) AS match2, max(CASE WHEN n = 2 THEN tot END) AS total2,
+        |    max(CASE WHEN n = 3 THEN coalesce(m, 0) END) AS match3, max(CASE WHEN n = 3 THEN tot END) AS total3,
+        |    max(CASE WHEN n = 4 THEN coalesce(m, 0) END) AS match4, max(CASE WHEN n = 4 THEN tot END) AS total4
+        |  FROM tt LEFT JOIN mm USING (n)),
+        |ln2 AS (SELECT CAST(sum(len(ct)) AS BIGINT) AS c_len, CAST(sum(len(rt)) AS BIGINT) AS r_len FROM pr)
+        |SELECT match1, total1, match2, total2, match3, total3, match4, total4,
+        |  (CASE WHEN c_len >= r_len THEN CAST(1.0 AS DOUBLE)
+        |    ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END) *
+        |  sqrt(sqrt((CAST(match1 AS DOUBLE) / CAST(total1 AS DOUBLE)) *
+        |    (CAST(match2 AS DOUBLE) / CAST(total2 AS DOUBLE)) *
+        |    (CAST(match3 AS DOUBLE) / CAST(total3 AS DOUBLE)) *
+        |    (CAST(match4 AS DOUBLE) / CAST(total4 AS DOUBLE)))) AS bleu
+        |FROM agg, ln2""".stripMargin,
+    "q425_sort_for_compression" -> {
+      def runsSql(keyExpr: String, keyName: String) =
+        s"""SELECT '$keyName' AS sort_key,
+           |  CAST(sum(CASE WHEN pp IS NULL OR pp <> l_partkey THEN 1 ELSE 0 END) AS BIGINT) AS runs_partkey,
+           |  CAST(sum(CASE WHEN ps IS NULL OR ps <> l_suppkey THEN 1 ELSE 0 END) AS BIGINT) AS runs_suppkey,
+           |  CAST(sum(CASE WHEN pf IS NULL OR pf <> l_returnflag THEN 1 ELSE 0 END) AS BIGINT) AS runs_returnflag,
+           |  CAST(sum(CASE WHEN pl IS NULL OR pl <> l_linestatus THEN 1 ELSE 0 END) AS BIGINT) AS runs_linestatus
+           |FROM (SELECT l_partkey, l_suppkey, l_returnflag, l_linestatus,
+           |  lag(l_partkey) OVER w AS pp, lag(l_suppkey) OVER w AS ps,
+           |  lag(l_returnflag) OVER w AS pf, lag(l_linestatus) OVER w AS pl
+           |  FROM (SELECT *, $keyExpr AS __k, l_orderkey // 4096 AS __b FROM lineitem)
+           |  WINDOW w AS (PARTITION BY __k, __b
+           |    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_linestatus))""".stripMargin
+      Seq(
+        runsSql("CAST(l_returnflag AS VARCHAR)", "l_returnflag"),
+        runsSql("CAST(l_linestatus AS VARCHAR)", "l_linestatus"),
+        runsSql("strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m')", "ship_month"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY sort_key")
+    }
+  )
+}

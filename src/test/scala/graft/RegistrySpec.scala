@@ -39,7 +39,8 @@ class RegistrySpec extends AnyFunSuite {
       "RegistryAnnDedup" -> RegistryAnnDedup.queries,
       "RegistryPipelineOps" -> RegistryPipelineOps.queries,
       "RegistryStatsMl" -> RegistryStatsMl.queries,
-      "RegistryWarehouseText" -> RegistryWarehouseText.queries)
+      "RegistryWarehouseText" -> RegistryWarehouseText.queries,
+      "RegistryRound14" -> RegistryRound14.queries)
     val all = parts.flatMap { case (n, qs) => qs.map(q => (q._1, n)) }
     val dupes = all.groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"duplicate keys across parts: $dupes")
