@@ -16,6 +16,35 @@ import SparkEntry._
   */
 private[graft] object RegistryRound14 {
 
+  /** Merkle tree over key ranges (fanout 512 rows/leaf, 32 leaves/node):
+    * levels bottom-up, each one hash aggregate whose collect is bounded by
+    * the FANOUT (never the table), concatenation ordered by child id so
+    * both engines hash identical strings. Returns (level, node_id, h) with
+    * level 0 = leaves. */
+  private def merkleLevels(rows: DataFrame): DataFrame = {
+    val leaves = rows
+      .withColumn("node_id", expr("k div 512"))
+      .groupBy(col("node_id"))
+      .agg(md5(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(k, rh))), x -> x.rh)"))).as("h"))
+      .withColumn("level", lit(0L))
+    // child concat sorts on the child NODE ID (not the hash) — two children
+    // sharing a hash must not reorder
+    val l1 = leaves
+      .withColumn("pid", expr("node_id div 32"))
+      .groupBy(col("pid"))
+      .agg(md5(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(node_id, h))), x -> x.h)"))).as("h"))
+      .select(col("pid").as("node_id"), col("h"), lit(1L).as("level"))
+    val root = l1
+      .groupBy()
+      .agg(md5(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(node_id, h))), x -> x.h)"))).as("h"))
+      .select(lit(0L).as("node_id"), col("h"), lit(2L).as("level"))
+    leaves.select(col("node_id"), col("h"), col("level"))
+      .unionByName(l1).unionByName(root)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q418_mcnemar" -> ((s, dir) => {
       // McNemar's paired test — the eval-family gap next to q208 (AUC) /
@@ -299,6 +328,124 @@ private[graft] object RegistryRound14 {
           col("l_returnflag").as("runs_returnflag"),
           col("l_linestatus").as("runs_linestatus"))
         .orderBy("sort_key")
+    }),
+    "q426_hierarchy_paths" -> ((s, dir) => {
+      // FK-chain flatten: every node's root + full path through the
+      // customer→nation→region hierarchy, by POINTER JUMPING — each round
+      // joins the state with itself on (my farthest ancestor = your node),
+      // DOUBLING the resolved horizon, so a depth-d hierarchy needs
+      // ceil(log2 d) shuffle rounds, not d (the difference between 2 and
+      // 40 rounds on a deep org/thread tree at 100 TB). Two rounds here
+      // cover depth <= 4 > the schema's 3; roots are their own fixpoint
+      // (suffix '', +0 depth), so extra rounds are no-ops, never wrong.
+      def nodes(t: String, id: String, pid: String, p: String, pp: String) =
+        T(s, dir, t).select(concat(lit(p), col(id)).as("node"),
+          (if (pp.isEmpty) lit(null).cast("string")
+           else concat(lit(pp), col(pid))).as("parent"))
+      val all = nodes("customer", "c_custkey", "c_nationkey", "c:", "n:")
+        .unionByName(nodes("nation", "n_nationkey", "n_regionkey", "n:", "r:"))
+        .unionByName(T(s, dir, "region")
+          .select(concat(lit("r:"), col("r_regionkey")).as("node"),
+            lit(null).cast("string").as("parent")))
+      val init = all.select(col("node"),
+        coalesce(col("parent"), col("node")).as("anc"),
+        when(col("parent").isNull, 0L).otherwise(1L).as("depth"),
+        when(col("parent").isNull, "").otherwise(concat(lit("/"), col("parent")))
+          .as("sfx"))
+      val resolved = (1 to 2).foldLeft(init) { (st, _) =>
+        st.as("a").join(
+          st.select(col("node").as("bn"), col("anc").as("banc"),
+            col("depth").as("bd"), col("sfx").as("bsfx")).as("b"),
+          col("a.anc") === col("bn"))
+          .select(col("a.node").as("node"), col("banc").as("anc"),
+            (col("a.depth") + col("bd")).as("depth"),
+            concat(col("a.sfx"), col("bsfx")).as("sfx"))
+      }
+      resolved.select(col("node"), col("anc").as("root"), col("depth"),
+        concat(col("node"), col("sfx")).as("path"))
+        .orderBy("node")
+    }),
+    "q427_policy_mask" -> ((s, dir) => {
+      // data-driven row/column security (ops.Policy): the rule set below is
+      // METADATA — per role it compiles to one pushed row-filter + one
+      // codegen'd masking projection over customer, zero extra shuffles.
+      // analyst: names truncated, balances nulled, one segment row-filtered
+      // out; support: names pseudonymized by md5; admin: passthrough. The
+      // gate pins that masking composes with filtering and that an unknown
+      // action can never silently pass data through (Policy `require`s).
+      import ops.Policy
+      Policy.applyPolicy(
+        T(s, dir, "customer"),
+        Seq(
+          Policy.Rule("analyst", "c_name", "redact_tail", "9"),
+          Policy.Rule("analyst", "c_acctbal", "nullify", ""),
+          Policy.Rule("analyst", "__row_filter__",
+            "c_mktsegment <> 'AUTOMOBILE'", ""),
+          Policy.Rule("support", "c_name", "md5", "")),
+        roles = Seq("admin", "analyst", "support"),
+        keepCols = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("role", "c_custkey")
+    }),
+    "q428_merkle_ranges" -> ((s, dir) => {
+      // snapshot diff by Merkle descent — the integrity primitive behind
+      // "which key ranges changed between yesterday's copy and today's?"
+      // without shipping either table: both snapshots hash into a 3-level
+      // tree (512-row leaves, fanout 32), and ONLY differing nodes surface.
+      // At 100 TB the comparison exchanges |tree| = N/512 + N/16384 + 1
+      // hashes instead of N rows, and an unchanged subtree is pruned at its
+      // root. The synthetic 'today' bumps every 997th order's price and
+      // deletes every 1009th order, so the gate pins both edit kinds
+      // (value change and membership change) surfacing on exactly the
+      // ranges that hold them.
+      val rows = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+        col("o_orderstatus"))
+      def hashed(df: DataFrame) = df.select(col("k"),
+        md5(concat_ws("|", col("k"), col("cents"), col("o_orderstatus"))).as("rh"))
+      val base = hashed(rows)
+      val cur = hashed(rows
+        .filter(col("k") % 1009 =!= 0)
+        .withColumn("cents",
+          when(col("k") % 997 === 0, col("cents") + 100).otherwise(col("cents"))))
+      merkleLevels(base).as("b")
+        .join(merkleLevels(cur)
+          .select(col("level").as("cl"), col("node_id").as("cn"),
+            col("h").as("ch")).as("c"),
+          col("level") === col("cl") && col("node_id") === col("cn"), "full")
+        .filter(!(col("h") <=> col("ch")))
+        .select(coalesce(col("level"), col("cl")).as("level"),
+          coalesce(col("node_id"), col("cn")).as("node_id"),
+          col("h").as("base_h"), col("ch").as("cur_h"))
+        .orderBy(col("level").desc, col("node_id"))
+    }),
+    "q429_mannwhitney_u" -> ((s, dir) => {
+      // Mann-Whitney U — the nonparametric twin of q244's Welch t: arm
+      // comparison on RANKS, so one $10k outlier cannot buy the verdict.
+      // Rank sums come from the (type, cents) HISTOGRAM, not per-row
+      // ranking: average tied ranks x2 are the exact integer 2s+t+1 (s =
+      // count below the tie group, t = its size), so the window runs over
+      // |distinct cents| rows per type — bounded by the value domain, not
+      // the corpus — and every statistic stays an exact integer (U doubled;
+      // the rank-biserial effect floor'd at ppm on decimal/hugeint).
+      val g = T(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+          pmod(col("user_id"), lit(2L)).as("arm"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("t1"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Long.MinValue, -1)
+      g.withColumn("s", coalesce(sum(col("t")).over(w), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("t1 * (2 * s + t + 1)")).as("r1_2"),
+          sum(col("t1")).as("n1"), sum(expr("t - t1")).as("n2"))
+        .withColumn("u2", expr("r1_2 - n1 * (n1 + 1)"))
+        .select(col("event_type"), col("n1"), col("n2"), col("u2"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * u2) div (n1 * n2) AS BIGINT)")
+            .as("rb_plus1_ppm"))
+        .orderBy("event_type")
     })
   )
 
@@ -455,6 +602,66 @@ private[graft] object RegistryRound14 {
         runsSql("CAST(l_linestatus AS VARCHAR)", "l_linestatus"),
         runsSql("strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m')", "ship_month"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY sort_key")
-    }
+    },
+    "q426_hierarchy_paths" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'c:' || c_custkey AS node, 'n:' || c_nationkey AS parent FROM customer
+        |  UNION ALL SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+        |  UNION ALL SELECT 'r:' || r_regionkey, NULL FROM region),
+        |rec AS (
+        |  SELECT node, node AS cur, 0 AS depth, node AS path FROM e
+        |  UNION ALL
+        |  SELECT r.node, e.parent, r.depth + 1, r.path || '/' || e.parent
+        |  FROM rec r JOIN e ON e.node = r.cur WHERE e.parent IS NOT NULL)
+        |SELECT r.node, r.cur AS root, CAST(r.depth AS BIGINT) AS depth, r.path
+        |FROM rec r JOIN e t ON t.node = r.cur
+        |WHERE t.parent IS NULL ORDER BY r.node""".stripMargin,
+    "q427_policy_mask" ->
+      """SELECT * FROM (
+        |  SELECT 'admin' AS role, c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT 'analyst', c_custkey, substr(c_name, 1, 9) || '***',
+        |    CAST(NULL AS DOUBLE), c_mktsegment
+        |  FROM customer WHERE c_mktsegment <> 'AUTOMOBILE'
+        |  UNION ALL
+        |  SELECT 'support', c_custkey, md5(c_name), c_acctbal, c_mktsegment FROM customer)
+        |ORDER BY role, c_custkey""".stripMargin,
+    "q428_merkle_ranges" ->
+      """WITH rows0 AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, o_orderstatus
+        |  FROM orders),
+        |b AS (SELECT k, md5(k || '|' || cents || '|' || o_orderstatus) AS rh FROM rows0),
+        |c AS (SELECT k, md5(k || '|' ||
+        |    (CASE WHEN k % 997 = 0 THEN cents + 100 ELSE cents END) || '|' || o_orderstatus) AS rh
+        |  FROM rows0 WHERE k % 1009 <> 0),
+        |b0 AS (SELECT k // 512 AS node_id, md5(string_agg(rh, '' ORDER BY k)) AS h, 0 AS level FROM b GROUP BY 1),
+        |b1 AS (SELECT node_id // 32 AS node_id, md5(string_agg(h, '' ORDER BY node_id)) AS h, 1 AS level FROM b0 GROUP BY 1),
+        |b2 AS (SELECT CAST(0 AS BIGINT) AS node_id, md5(string_agg(h, '' ORDER BY node_id)) AS h, 2 AS level FROM b1),
+        |c0 AS (SELECT k // 512 AS node_id, md5(string_agg(rh, '' ORDER BY k)) AS h, 0 AS level FROM c GROUP BY 1),
+        |c1 AS (SELECT node_id // 32 AS node_id, md5(string_agg(h, '' ORDER BY node_id)) AS h, 1 AS level FROM c0 GROUP BY 1),
+        |c2 AS (SELECT CAST(0 AS BIGINT) AS node_id, md5(string_agg(h, '' ORDER BY node_id)) AS h, 2 AS level FROM c1),
+        |bt AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |ct AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+        |SELECT CAST(coalesce(bt.level, ct.level) AS BIGINT) AS level,
+        |  CAST(coalesce(bt.node_id, ct.node_id) AS BIGINT) AS node_id,
+        |  bt.h AS base_h, ct.h AS cur_h
+        |FROM bt FULL OUTER JOIN ct ON bt.level = ct.level AND bt.node_id = ct.node_id
+        |WHERE bt.h IS DISTINCT FROM ct.h
+        |ORDER BY level DESC, node_id""".stripMargin,
+    "q429_mannwhitney_u" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    user_id % 2 AS arm FROM events),
+        |g AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM g),
+        |p AS (SELECT event_type, CAST(sum(t1 * (2 * s + t + 1)) AS BIGINT) AS r1_2,
+        |    CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t - t1) AS BIGINT) AS n2
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n1, n2, CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+        |  CAST((CAST(1000000 AS HUGEINT) * (r1_2 - n1 * (n1 + 1)))
+        |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS rb_plus1_ppm
+        |FROM p ORDER BY event_type""".stripMargin
   )
 }
