@@ -45,6 +45,26 @@ private[graft] object RegistryRound14 {
       .unionByName(l1).unionByName(root)
   }
 
+  /** Densified per-type daily series over January: one row per
+    * (event_type, day 1..31), absent days as REAL ZEROS (q411's calendar
+    * convention), values collected into a day-ordered array — the bounded
+    * per-group frame the series operators (q431 DTW, q433 Holt-Winters)
+    * fold over. |types| x 31 rows, never raw events. */
+  private def dailySeries(s: SparkSession, dir: String,
+                          asDouble: Boolean): DataFrame = {
+    val d = T(s, dir, "events")
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val dense = d.select(col("event_type")).distinct()
+      .crossJoin(s.range(1, 32).toDF("day"))
+      .join(d, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val xVal = if (asDouble) "CAST(e.x AS DOUBLE)" else "e.x"
+    dense.groupBy(col("event_type"))
+      .agg(expr(s"transform(array_sort(collect_list(struct(day, x))), e -> $xVal)")
+        .as("xs"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q418_mcnemar" -> ((s, dir) => {
       // McNemar's paired test — the eval-family gap next to q208 (AUC) /
@@ -446,6 +466,164 @@ private[graft] object RegistryRound14 {
           expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * u2) div (n1 * n2) AS BIGINT)")
             .as("rb_plus1_ppm"))
         .orderBy("event_type")
+    }),
+    "q430_kcenter_seeds" -> ((s, dir) => {
+      // greedy farthest-point k-center seeding — the deterministic
+      // initializer the q257/q58 kmeans path lacks (its seeds are fixed id
+      // ranges): each round picks the point farthest from every chosen
+      // center, so the seed set 2-approximates the optimal k-center cover
+      // (Gonzalez '85) and the emitted radius curve IS the coverage bound.
+      // Each round is one broadcast pass over the corpus (<=k centers
+      // crossed against points, min per point) + a 1-row argmax collect
+      // (the q416 greedy convention); k rounds total, never a pairwise
+      // matrix. dist^2 rides the dot identity |x|^2-2x.c+|c|^2 rounded to
+      // 6dp before the argmax — last-ulp dot-order noise cannot flip a
+      // pick (the q45 convention); ties break on vec_id.
+      import s.implicits._
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // k scans of a frozen frame, not k re-reads
+      val dot = "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      var picked = Vector((0L, Option.empty[Double])) // seed 0: the convention start
+      (1 to 7).foreach { r =>
+        val cents = emb.join(
+          picked.map(_._1).toDF("vec_id"), Seq("vec_id"))
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val best = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), round(expr(
+            dot.format("embedding", "embedding") + " - 2 * " +
+              dot.format("embedding", "ce") + " + " +
+              dot.format("ce", "ce")), 6).as("d"))
+          .groupBy(col("vec_id")).agg(min(col("d")).as("d"))
+          .orderBy(col("d").desc, col("vec_id")).limit(1)
+          .head()
+        picked = picked :+ ((best.getLong(0), Some(best.getDouble(1))))
+      }
+      picked.zipWithIndex
+        .map { case ((cid, rad), r) => (r.toLong, cid, rad) }
+        .toDF("r", "cid", "radius")
+        .select(col("r"), col("cid"), ops.Num.normZero(col("radius")).as("radius"))
+        .orderBy("r")
+    }),
+    "q431_dtw_distance" -> ((s, dir) => {
+      // banded Dynamic Time Warping between every pair of event-type daily
+      // series — the elastic series similarity q220's lag-scan cross-
+      // correlation cannot express (DTW aligns local stretches, not one
+      // global shift). Sakoe-Chiba band w=3, cost |a-b| on exact integer
+      // counts, so the whole DP is integer arithmetic — bit-identical
+      // cross-engine by construction. The grid is 31x31 per pair folded
+      // INSIDE one row via nested higher-order aggregates (outer over
+      // rows, inner over cells, O(band) effective work): |types|^2/2 rows
+      // of bounded CPU, zero extra shuffles beyond the daily rollup —
+      // at corpus scale the cost is the rollup, not the DP.
+      val INF = "1000000000000000"
+      val ser = dailySeries(s, dir, asDouble = false)
+      val pairs = ser.select(col("event_type").as("ta"), col("xs").as("xa"))
+        .join(ser.select(col("event_type").as("tb"), col("xs").as("xb")),
+          col("ta") < col("tb"))
+      val row1 =
+        s"""aggregate(sequence(2, 31), array(abs(element_at(xa, 1) - element_at(xb, 1))),
+           |  (N, j) -> concat(N, array(CASE WHEN abs(1 - j) <= 3
+           |    THEN abs(element_at(xa, 1) - element_at(xb, j)) + element_at(N, j - 1)
+           |    ELSE $INF END)))""".stripMargin
+      val dp =
+        s"""aggregate(sequence(2, 31), $row1,
+           |  (P, i) -> aggregate(sequence(2, 31),
+           |    array(CASE WHEN abs(i - 1) <= 3
+           |      THEN abs(element_at(xa, i) - element_at(xb, 1)) + element_at(P, 1)
+           |      ELSE $INF END),
+           |    (N, j) -> concat(N, array(CASE WHEN abs(i - j) <= 3
+           |      THEN abs(element_at(xa, i) - element_at(xb, j)) +
+           |        least(element_at(P, j), element_at(P, j - 1), element_at(N, j - 1))
+           |      ELSE $INF END))))""".stripMargin
+      pairs.select(col("ta"), col("tb"),
+        expr(s"element_at($dp, 31)").as("dtw"))
+        .orderBy("ta", "tb")
+    }),
+    "q432_fellegi_sunter" -> ((s, dir) => {
+      // Fellegi-Sunter probabilistic record linkage — the WEIGHTED layer
+      // q203's rule-based entity resolution lacks: per comparison field
+      // estimate m (agreement rate among true matches) and u (among
+      // non-matches) from labeled candidates, then score every agreement
+      // pattern by its likelihood ratio prod m_k/u_k (agree) x
+      // (1-m_k)/(1-u_k) (disagree). Candidates come from one equi-join
+      // block (n_chars div 25) over a fixed probe slice (doc_id < 400,
+      // the q49 bounding convention — pairwise listings are a harness
+      // yardstick, not a corpus scan); truth is the planted '+ dup'
+      // construction. The weight is an order-specified chain of
+      // correctly-rounded IEEE ops on exact counts — bit-identical
+      // cross-engine; degenerate denominators surface as NULL, never a
+      // crash or a silent wrong weight.
+      val d = T(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), expr("n_chars div 25").as("bucket"))
+      val cands = d.as("a").join(d.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          (col("a.lang") === col("b.lang")).as("f1"),
+          (col("a.source") === col("b.source")).as("f2"),
+          (abs(col("a.n_chars") - col("b.n_chars")) <= 4).as("f3"),
+          (col("b.text") === concat(col("a.text"), lit(" dup"))).as("is_match"))
+        .localCheckpoint() // scanned by the global-count and pattern aggs
+      val g = cands.agg(
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("mt"),
+        sum(when(!col("is_match"), 1L).otherwise(0L)).as("ut"),
+        sum(when(col("is_match") && col("f1"), 1L).otherwise(0L)).as("ma1"),
+        sum(when(!col("is_match") && col("f1"), 1L).otherwise(0L)).as("ua1"),
+        sum(when(col("is_match") && col("f2"), 1L).otherwise(0L)).as("ma2"),
+        sum(when(!col("is_match") && col("f2"), 1L).otherwise(0L)).as("ua2"),
+        sum(when(col("is_match") && col("f3"), 1L).otherwise(0L)).as("ma3"),
+        sum(when(!col("is_match") && col("f3"), 1L).otherwise(0L)).as("ua3"))
+      def ratio(k: Int) =
+        s"""CASE WHEN f$k THEN
+           |  CASE WHEN mt = 0 OR ut = 0 OR ua$k = 0 THEN CAST(NULL AS DOUBLE)
+           |    ELSE (CAST(ma$k AS DOUBLE) / CAST(mt AS DOUBLE)) / (CAST(ua$k AS DOUBLE) / CAST(ut AS DOUBLE)) END
+           |ELSE
+           |  CASE WHEN mt = 0 OR ut = 0 OR ut = ua$k THEN CAST(NULL AS DOUBLE)
+           |    ELSE (CAST(mt - ma$k AS DOUBLE) / CAST(mt AS DOUBLE)) / (CAST(ut - ua$k AS DOUBLE) / CAST(ut AS DOUBLE)) END
+           |END""".stripMargin
+      cands.groupBy(col("f1"), col("f2"), col("f3"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"))
+        .crossJoin(broadcast(g))
+        .withColumn("weight",
+          expr(s"((${ratio(1)}) * (${ratio(2)})) * (${ratio(3)})"))
+        .select(col("f1"), col("f2"), col("f3"), col("n_pairs"), col("n_match"),
+          col("weight"))
+        .orderBy("f1", "f2", "f3")
+    }),
+    "q433_holt_winters" -> ((s, dir) => {
+      // additive Holt-Winters (level + trend + weekly seasonality) — the
+      // seasonal extension of q200's Holt: q175 MEASURES seasonality,
+      // q200 smooths through it; this key forecasts WITH it. State
+      // (l, b, s[7]) folds over the densified daily series inside one
+      // row per type (the q200 struct-fold idiom; the seasonal ring
+      // rotates by slice+append, never indexed mutation — the safe shape
+      // both engines evaluate purely). alpha/beta/gamma = 0.3/0.1/0.2;
+      // init: l = mean(week1), b = (mean(week2) - mean(week1))/7,
+      // s_j = x_j - mean(week1). Identical fold text both engines, 4dp
+      // display rounding at the end only.
+      val ser = dailySeries(s, dir, asDouble = true)
+      val m1 = (1 to 7).map(i => s"element_at(xs, $i)").mkString("(", " + ", ") / 7.0D")
+      val m2 = (8 to 14).map(i => s"element_at(xs, $i)").mkString("(", " + ", ") / 7.0D")
+      val s0 = (1 to 7).map(i => s"element_at(xs, $i) - __m1").mkString("array(", ", ", ")")
+      val nl = "0.3D * (element_at(xs, t) - element_at(acc.s, 1)) + 0.7D * (acc.l + acc.b)"
+      val fold =
+        s"""aggregate(sequence(8, 31),
+           |  named_struct('l', __m1, 'b', (__m2 - __m1) / 7.0D, 's', $s0),
+           |  (acc, t) -> named_struct(
+           |    'l', $nl,
+           |    'b', 0.1D * (($nl) - acc.l) + 0.9D * acc.b,
+           |    's', concat(slice(acc.s, 2, 6),
+           |      array(0.2D * (element_at(xs, t) - ($nl)) + 0.8D * element_at(acc.s, 1)))))""".stripMargin
+      ser
+        .withColumn("__m1", expr(m1)).withColumn("__m2", expr(m2))
+        .withColumn("__f", expr(fold))
+        .select(col("event_type"),
+          ops.Num.roundz(col("__f.l"), 4).as("level"),
+          ops.Num.roundz(col("__f.b"), 4).as("trend"),
+          ops.Num.roundz(expr("__f.l + __f.b + element_at(__f.s, 1)"), 4)
+            .as("forecast"))
+        .orderBy("event_type")
     })
   )
 
@@ -662,6 +840,126 @@ private[graft] object RegistryRound14 {
         |SELECT event_type, n1, n2, CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u2,
         |  CAST((CAST(1000000 AS HUGEINT) * (r1_2 - n1 * (n1 + 1)))
         |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS rb_plus1_ppm
-        |FROM p ORDER BY event_type""".stripMargin
+        |FROM p ORDER BY event_type""".stripMargin,
+    "q430_kcenter_seeds" -> {
+      // 7 chained MATERIALIZED greedy rounds (the q416/q422 oracle
+      // technique); dist^2 via the same dot identity, rounded 6dp before
+      // the (d DESC, vec_id) argmax
+      val rounds = new StringBuilder(
+        "c0 AS MATERIALIZED (SELECT 0 AS r, CAST(0 AS BIGINT) AS cid, CAST(NULL AS DOUBLE) AS radius)")
+      (1 to 7).foreach { r =>
+        val prev = (0 until r).map(i => s"SELECT cid FROM c$i").mkString(" UNION ALL ")
+        rounds.append(
+          s""",
+             |d$r AS MATERIALIZED (SELECT p.vec_id, min(round(
+             |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))
+             |    - 2 * list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+             |    + list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)) AS d
+             |  FROM embeddings p CROSS JOIN (SELECT e.embedding FROM embeddings e
+             |    WHERE e.vec_id IN ($prev)) c GROUP BY 1),
+             |c$r AS MATERIALIZED (SELECT $r AS r, vec_id AS cid, d AS radius FROM d$r
+             |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin)
+      }
+      val union = (0 to 7).map(i => s"SELECT * FROM c$i").mkString(" UNION ALL ")
+      s"""WITH ${rounds.result()}
+         |SELECT CAST(r AS BIGINT) AS r, cid, (radius + 0.0) AS radius
+         |FROM ($union) ORDER BY r""".stripMargin
+    },
+    "q431_dtw_distance" ->
+      // row-major linearized DP: one recursive CTE step per cell, state =
+      // (prev row P, current row N) as BIGINT lists; 31*31 steps per pair.
+      // (The engine folds the same grid via nested aggregate() lambdas —
+      // DuckDB's list_reduce cannot carry a list accumulator, hence the
+      // linearization here.)
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(strftime(CAST(ts AS TIMESTAMP), '%d') AS BIGINT) AS day,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |cal AS (SELECT unnest(range(1, 32)) AS day),
+        |types AS (SELECT DISTINCT event_type FROM d),
+        |dense AS (SELECT t.event_type, c.day, coalesce(d.x, 0) AS x
+        |  FROM types t CROSS JOIN cal c
+        |  LEFT JOIN d ON d.event_type = t.event_type AND d.day = c.day),
+        |ser AS (SELECT event_type, list(x ORDER BY day) AS xs FROM dense GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb, a.xs AS xa, b.xs AS xb
+        |  FROM ser a JOIN ser b ON a.event_type < b.event_type),
+        |rec AS (
+        |  SELECT ta, tb, xa, xb, CAST(1 AS BIGINT) AS s,
+        |    CAST([] AS BIGINT[]) AS p,
+        |    CAST([abs(xa[1] - xb[1])] AS BIGINT[]) AS n
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT ta, tb, xa, xb, s + 1,
+        |    CASE WHEN (s % 31) = 0 THEN n ELSE p END,
+        |    CASE WHEN (s % 31) = 0
+        |      THEN [CASE WHEN abs((s // 31 + 1) - 1) <= 3
+        |        THEN abs(xa[CAST(s // 31 + 1 AS BIGINT)] - xb[1]) + n[1]
+        |        ELSE 1000000000000000 END]
+        |      ELSE n || [CASE WHEN abs((s // 31 + 1) - (s % 31 + 1)) <= 3
+        |        THEN abs(xa[CAST(s // 31 + 1 AS BIGINT)] - xb[CAST(s % 31 + 1 AS BIGINT)]) +
+        |          least(CASE WHEN s // 31 = 0 THEN 1000000000000000 ELSE p[CAST(s % 31 + 1 AS BIGINT)] END,
+        |                CASE WHEN s // 31 = 0 OR s % 31 = 0 THEN 1000000000000000 ELSE p[CAST(s % 31 AS BIGINT)] END,
+        |                n[CAST(s % 31 AS BIGINT)])
+        |        ELSE 1000000000000000 END]
+        |      END
+        |  FROM rec WHERE s < 31 * 31)
+        |SELECT ta, tb, n[31] AS dtw FROM rec WHERE s = 31 * 31 ORDER BY ta, tb""".stripMargin,
+    "q432_fellegi_sunter" -> {
+      def ratioSql(k: Int) =
+        s"""CASE WHEN f$k THEN
+           |  CASE WHEN mt = 0 OR ut = 0 OR ua$k = 0 THEN CAST(NULL AS DOUBLE)
+           |    ELSE (CAST(ma$k AS DOUBLE) / CAST(mt AS DOUBLE)) / (CAST(ua$k AS DOUBLE) / CAST(ut AS DOUBLE)) END
+           |ELSE
+           |  CASE WHEN mt = 0 OR ut = 0 OR ut = ua$k THEN CAST(NULL AS DOUBLE)
+           |    ELSE (CAST(mt - ma$k AS DOUBLE) / CAST(mt AS DOUBLE)) / (CAST(ut - ua$k AS DOUBLE) / CAST(ut AS DOUBLE)) END
+           |END""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text, lang, source, n_chars, n_chars // 25 AS bucket
+         |  FROM documents WHERE doc_id < 400),
+         |cands AS (SELECT a.lang = b.lang AS f1, a.source = b.source AS f2,
+         |    abs(a.n_chars - b.n_chars) <= 4 AS f3,
+         |    b.text = a.text || ' dup' AS is_match
+         |  FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS mt,
+         |    CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS ut,
+         |    CAST(sum(CASE WHEN is_match AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS ma1,
+         |    CAST(sum(CASE WHEN NOT is_match AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS ua1,
+         |    CAST(sum(CASE WHEN is_match AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS ma2,
+         |    CAST(sum(CASE WHEN NOT is_match AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS ua2,
+         |    CAST(sum(CASE WHEN is_match AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS ma3,
+         |    CAST(sum(CASE WHEN NOT is_match AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS ua3
+         |  FROM cands)
+         |SELECT f1, f2, f3, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  ((${ratioSql(1)}) * (${ratioSql(2)})) * (${ratioSql(3)}) AS weight
+         |FROM cands, g GROUP BY f1, f2, f3, mt, ut, ma1, ua1, ma2, ua2, ma3, ua3
+         |ORDER BY f1, f2, f3""".stripMargin
+    },
+    "q433_holt_winters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(strftime(CAST(ts AS TIMESTAMP), '%d') AS BIGINT) AS day,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |cal AS (SELECT unnest(range(1, 32)) AS day),
+        |types AS (SELECT DISTINCT event_type FROM d),
+        |dense AS (SELECT t.event_type, c.day, CAST(coalesce(d.x, 0) AS DOUBLE) AS x
+        |  FROM types t CROSS JOIN cal c
+        |  LEFT JOIN d ON d.event_type = t.event_type AND d.day = c.day),
+        |ser AS (SELECT event_type, list(x ORDER BY day) AS xs FROM dense GROUP BY 1),
+        |init AS (SELECT event_type, xs,
+        |    (xs[1] + xs[2] + xs[3] + xs[4] + xs[5] + xs[6] + xs[7]) / 7.0 AS m1,
+        |    (xs[8] + xs[9] + xs[10] + xs[11] + xs[12] + xs[13] + xs[14]) / 7.0 AS m2
+        |  FROM ser),
+        |rec AS (
+        |  SELECT event_type, xs, CAST(7 AS BIGINT) AS t, m1 AS lvl, (m2 - m1) / 7.0 AS tr,
+        |    [xs[1] - m1, xs[2] - m1, xs[3] - m1, xs[4] - m1, xs[5] - m1, xs[6] - m1, xs[7] - m1] AS s
+        |  FROM init
+        |  UNION ALL
+        |  SELECT event_type, xs, t + 1,
+        |    0.3 * (xs[CAST(t + 1 AS BIGINT)] - s[1]) + 0.7 * (lvl + tr),
+        |    0.1 * ((0.3 * (xs[CAST(t + 1 AS BIGINT)] - s[1]) + 0.7 * (lvl + tr)) - lvl) + 0.9 * tr,
+        |    s[2:7] || [0.2 * (xs[CAST(t + 1 AS BIGINT)] - (0.3 * (xs[CAST(t + 1 AS BIGINT)] - s[1]) + 0.7 * (lvl + tr))) + 0.8 * s[1]]
+        |  FROM rec WHERE t < 31)
+        |SELECT event_type, (round(lvl, 4) + 0.0) AS level, (round(tr, 4) + 0.0) AS trend,
+        |  (round(lvl + tr + s[1], 4) + 0.0) AS forecast
+        |FROM rec WHERE t = 31 ORDER BY event_type""".stripMargin
   )
 }

