@@ -100,6 +100,28 @@ object Similarity {
         "use the IVF/LSH index paths instead")
   }
 
+  /** One greedy k-center round (q430): every point's min squared L2 to the
+    * given center ids — centers join back to their vectors and BROADCAST-
+    * cross the corpus (|centers| <= k rows, never a point-point matrix);
+    * dist^2 rides the dot identity |x|^2 - 2x.c + |c|^2, rounded 6dp so
+    * last-ulp dot-order noise cannot flip the caller's argmax (the q45
+    * convention). Output: (idCol, d). */
+  def kcenterRound(points: DataFrame, centerIds: Seq[Long], idCol: String,
+                   vecCol: String): DataFrame = {
+    require(centerIds.nonEmpty && centerIds.size <= 64,
+      s"kcenterRound centers must be a bounded seed set, got ${centerIds.size}")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val dot = "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val cents = points.join(centerIds.toDF(idCol), Seq(idCol))
+      .select(col(idCol).as("__cid"), col(vecCol).as("__ce"))
+    points.crossJoin(broadcast(cents))
+      .select(col(idCol), round(expr(
+        dot.format(vecCol, vecCol) + " - 2 * " + dot.format(vecCol, "__ce") +
+          " + " + dot.format("__ce", "__ce")), 6).as("d"))
+      .groupBy(col(idCol)).agg(min(col("d")).as("d"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries are broadcast and the corpus
     * scans once with no shuffle of the scored set — ranking is the

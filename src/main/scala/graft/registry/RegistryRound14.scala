@@ -482,18 +482,10 @@ private[graft] object RegistryRound14 {
       import s.implicits._
       val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         .localCheckpoint() // k scans of a frozen frame, not k re-reads
-      val dot = "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
       var picked = Vector((0L, Option.empty[Double])) // seed 0: the convention start
-      (1 to 7).foreach { r =>
-        val cents = emb.join(
-          picked.map(_._1).toDF("vec_id"), Seq("vec_id"))
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val best = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), round(expr(
-            dot.format("embedding", "embedding") + " - 2 * " +
-              dot.format("embedding", "ce") + " + " +
-              dot.format("ce", "ce")), 6).as("d"))
-          .groupBy(col("vec_id")).agg(min(col("d")).as("d"))
+      (1 to 7).foreach { _ =>
+        val best = ops.Similarity
+          .kcenterRound(emb, picked.map(_._1), "vec_id", "embedding")
           .orderBy(col("d").desc, col("vec_id")).limit(1)
           .head()
         picked = picked :+ ((best.getLong(0), Some(best.getDouble(1))))

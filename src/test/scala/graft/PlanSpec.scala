@@ -1545,4 +1545,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"),
       s"centroids/query cells must broadcast:\n$plan")
   }
+
+  test("k-center round: centers broadcast over one corpus pass, never a point-point matrix (q430)") {
+    // the registry's emitted frame is a driver-built seed list (PLANS.md
+    // shows a LocalTableScan); the load-bearing plan is the PER-ROUND probe
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probe = graft.ops.Similarity.kcenterRound(emb, Seq(0L, 5L, 9L),
+      "vec_id", "embedding")
+    probe.collect()
+    val plan = finalPlan(probe)
+    assert(!plan.contains("CartesianProduct"),
+      s"the center cross must ride a broadcast, not a cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centers must broadcast:\n$plan")
+  }
 }
