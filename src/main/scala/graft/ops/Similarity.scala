@@ -100,6 +100,50 @@ object Similarity {
         "use the IVF/LSH index paths instead")
   }
 
+  /** Exact k-nearest-neighbors by SQUARED L2 — the distance twin of
+    * [[cosineTopK]] (same broadcast-queries/one-corpus-scan shape, same
+    * two-phase per-partition k-heap, no Window over the scored set).
+    * Distances ride the dot identity |q|²−2q·c+|c|² rounded to 6dp BEFORE
+    * ranking, so a last-ulp dot-order difference cannot flip a rank
+    * cross-engine; ties break on the neighbor id. Output:
+    * (query_id, neighbor_id, d, rn 1..k). */
+  def knnL2(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int, maxQueries: Int = 10000): DataFrame = {
+    requireQueryBatch(queries, maxQueries, "knnL2")
+    // self-dots precomputed ONCE per vector (|corpus|+|Q| folds, not 3 per
+    // pair); the per-pair work is one native codegen'd DotProduct
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qq", dot("qv", "qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cc", dot("cv", "cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        round(col("qq") - lit(2.0) * dot("qv", "cv") + col("cc"), 6).as("d"))
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    val partial = scored.as(enc).mapPartitions { it =>
+      // heap head = current worst of the kept k (LARGEST (d, id)) — the
+      // entry to evict when a nearer candidate arrives
+      val worstFirst = Ordering.by[(Double, Long), (Double, Long)](identity)
+      val heaps = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q0, n, d) =>
+        val h = heaps.getOrElseUpdate(q0,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < k) h.enqueue((d, n))
+        else if (worstFirst.lt((d, n), h.head)) { h.dequeue(); h.enqueue((d, n)) }
+      }
+      heaps.iterator.flatMap { case (q0, h) => h.iterator.map { case (d, n) => (q0, n, d) } }
+    }(enc).toDF("query_id", "neighbor_id", "d")
+    partial
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(col("d"), col("neighbor_id")))),
+        1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        col("__t.d").as("d"), (col("__pos") + 1).cast("long").as("rn"))
+  }
+
   /** One greedy k-center round (q430): every point's min squared L2 to the
     * given center ids — centers join back to their vectors and BROADCAST-
     * cross the corpus (|centers| <= k rows, never a point-point matrix);
@@ -112,13 +156,13 @@ object Similarity {
       s"kcenterRound centers must be a bounded seed set, got ${centerIds.size}")
     val spark = points.sparkSession
     import spark.implicits._
-    val dot = "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     val cents = points.join(centerIds.toDF(idCol), Seq(idCol))
       .select(col(idCol).as("__cid"), col(vecCol).as("__ce"))
-    points.crossJoin(broadcast(cents))
-      .select(col(idCol), round(expr(
-        dot.format(vecCol, vecCol) + " - 2 * " + dot.format(vecCol, "__ce") +
-          " + " + dot.format("__ce", "__ce")), 6).as("d"))
+      .withColumn("__cc", dot("__ce", "__ce"))
+    points.withColumn("__pp", dot(vecCol, vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), round(
+        col("__pp") - lit(2.0) * dot(vecCol, "__ce") + col("__cc"), 6).as("d"))
       .groupBy(col(idCol)).agg(min(col("d")).as("d"))
   }
 

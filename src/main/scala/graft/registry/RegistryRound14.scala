@@ -616,6 +616,186 @@ private[graft] object RegistryRound14 {
           ops.Num.roundz(expr("__f.l + __f.b + element_at(__f.s, 1)"), 4)
             .as("forecast"))
         .orderBy("event_type")
+    }),
+    "q434_theilsen_slope" -> ((s, dir) => {
+      // Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+      // slopes (x_j - x_i)/(j - i) — one wild day cannot buy the trend the
+      // way it buys q392's OLS line. The 465 day-pairs per type come from
+      // self-joining the 31-row daily frame (bounded algebra, never
+      // events); each slope is quantized as floor(1e6 * num/den) where the
+      // division is ONE correctly-rounded IEEE op on exact integers — both
+      // engines produce the same double, so the same floor and the same
+      // median element (rank ceil(n/2) in (slope, i, j) order).
+      val ser = dailySeries(s, dir, asDouble = false)
+        .select(col("event_type"), explode(expr(
+          "transform(sequence(1, 31), i -> named_struct('i', CAST(i AS BIGINT), 'x', element_at(xs, i)))"))
+          .as("p"))
+        .select(col("event_type"), col("p.i").as("i"), col("p.x").as("x"))
+      val pairs = ser.as("a").join(ser.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.i") < col("b.i"))
+        .select(col("a.event_type").as("event_type"),
+          col("a.i").as("i"), col("b.i").as("j"),
+          expr("FLOOR(1000000 * (CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)))")
+            .cast("long").as("slope_q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("slope_q"), col("i"), col("j"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(pairs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"))), Seq("event_type"))
+        .filter(col("rn") === expr("CAST(ceil(n_pairs / 2.0) AS BIGINT)"))
+        .select(col("event_type"), col("n_pairs"), col("slope_q").as("median_slope_q"))
+        .orderBy("event_type")
+    }),
+    "q435_delta_method_ci" -> ((s, dir) => {
+      // ratio-metric variance by the delta method — the missing CI next to
+      // q359's proportion z-test: per-user ratio metrics (cents per event)
+      // violate the iid-row assumption, so var(X̄/Ȳ) is estimated as
+      // (s_xx − 2R·s_xy + R²·s_yy) / (n·Ȳ²) over USER-level totals. One
+      // user aggregate then one moment aggregate per (type, arm) — exact
+      // integer sums (squares on decimal(38): Σx² tops int64 at sf1), the
+      // double algebra in one fixed order → bit-identical CI half-widths.
+      val u = T(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"),
+          col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("x"),
+          count(lit(1)).as("y"))
+      val dec = "decimal(38,0)"
+      u.groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .filter(col("n") >= 2)
+        .withColumn("r", expr("CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)"))
+        .withColumn("vr", expr(
+          // sample (co)variances from exact sums, then the delta form;
+          // every subexpression parenthesized so both engines fold the
+          // same op order
+          "(((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))" +
+            " - (2.0 * r) * ((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))" +
+            " + (r * r) * ((CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))" +
+            " / (CAST(n AS DOUBLE) * ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))"))
+        .select(col("event_type"), col("arm"), col("n"), col("r"),
+          col("vr"), expr("1.96 * sqrt(vr)").as("ci_half"))
+        .orderBy("event_type", "arm")
+    }),
+    "q436_mips_transform" -> ((s, dir) => {
+      // maximum-inner-product search via the norm-augmentation reduction
+      // (Bachrach et al. '14): append sqrt(M² − |x|²) to every corpus
+      // vector and 0 to the query — argmax cosine on the augmented space
+      // IS argmax dot on the original. The gate runs both paths (exact
+      // dot top-1 vs transformed cosine top-1 through the SAME q45
+      // two-phase scorer) and pins agreement per query — the reduction's
+      // correctness certificate. Norms are varied first (unit vectors
+      // would make the reduction trivially degenerate). Corpus scans
+      // twice, queries broadcast; never a matrix.
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, v -> CAST(v AS DOUBLE) * ((1 + (vec_id % 5)) / 5.0))")
+          .as("embedding"))
+        .localCheckpoint() // two scoring passes over a frozen frame
+      val qs = emb.filter(col("vec_id") < 8)
+      // exact MIPS: brute-force dot (queries broadcast over one scan)
+      val dot = "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      val exact = emb.crossJoin(broadcast(
+        qs.select(col("vec_id").as("qid"), col("embedding").as("qe"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(expr(dot.format("embedding", "qe")), 6).as("ip"))
+        .groupBy(col("qid"))
+        .agg(max(struct(col("ip"), (-col("vec_id")).as("negid"))).as("m"))
+        .select(col("qid"), (-col("m.negid")).as("exact_id"))
+      // transformed path: augment corpus with sqrt(M^2 - |x|^2), query with 0
+      val m2 = emb.select(expr(s"max(${dot.format("embedding", "embedding")})").as("m2"))
+      val aug = emb.crossJoin(broadcast(m2))
+        .select(col("vec_id"), expr(
+          s"concat(embedding, array(sqrt(m2 - (${dot.format("embedding", "embedding")}))))")
+          .as("embedding"))
+      val augQ = qs.select(col("vec_id"),
+        expr("concat(embedding, array(CAST(0.0 AS DOUBLE)))").as("embedding"))
+      val viaCos = ops.Similarity.cosineTopK(aug, augQ, "vec_id", "embedding", 1)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("mips_id"))
+      exact.join(viaCos, Seq("qid"))
+        .select(col("qid"), col("exact_id"), col("mips_id"),
+          (col("exact_id") === col("mips_id")).as("agree"))
+        .orderBy("qid")
+    }),
+    "q437_simpson_flags" -> ((s, dir) => {
+      // Simpson's-paradox detector: per market segment, does the
+      // within-stratum (acctbal, order count) association point the OTHER
+      // way from the pooled one? The decision rides EXACT integer
+      // covariance numerators n·Σxy − Σx·Σy (decimal(38) — n·Σxy tops
+      // int64 at sf1); the surfaced magnitude is the numerator cast to
+      // double (same integer → same double both engines). One customer
+      // aggregate, one 5-row stratum rollup, pooled from the same sums.
+      val cust = T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(min(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("x"),
+          count(col("o_orderkey")).as("y"))
+      val dec = "decimal(38,0)"
+      val per = cust.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .withColumn("cov_num", expr(s"CAST(n AS $dec) * sxy - CAST(sx AS $dec) * sy"))
+      val pooled = cust.groupBy()
+        .agg(count(lit(1)).as("pn"), sum(col("x")).as("psx"), sum(col("y")).as("psy"),
+          sum(col("x").cast(dec) * col("y")).as("psxy"))
+        .withColumn("pooled_num", expr(s"CAST(pn AS $dec) * psxy - CAST(psx AS $dec) * psy"))
+        .select(col("pooled_num"))
+      per.crossJoin(broadcast(pooled))
+        .select(col("c_mktsegment"), col("n"),
+          signum(col("cov_num").cast("double")).cast("long").as("stratum_sign"),
+          signum(col("pooled_num").cast("double")).cast("long").as("pooled_sign"),
+          (signum(col("cov_num").cast("double")) =!=
+            signum(col("pooled_num").cast("double"))).as("flipped"))
+        .orderBy("c_mktsegment")
+    }),
+    "q438_lof" -> ((s, dir) => {
+      // Local Outlier Factor (Breunig '00) over embeddings — DENSITY-
+      // relative anomaly detection: a point is outlying iff its local
+      // density is low relative to its neighbors', which z-score fences
+      // (q90/q147/q371) structurally cannot express. LOF's 3-hop need
+      // (kNN of probes, k-dist of their neighbors, k-dist of THOSE
+      // neighbors) runs as THREE staged knnL2 batches — each a broadcast-
+      // queries/one-corpus-scan pass whose query set is the previous
+      // stage's bounded neighbor closure (32 → ≤160+32 → ≤800+), never a
+      // corpus self-join. Reach-dist sums fold in (d, id) order over
+      // exactly 5 doubles, so lrd and LOF are bit-identical cross-engine.
+      import ops.Similarity
+      val e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // three scoring passes over a frozen frame
+      def ids(df: DataFrame, c: String) = df.select(col(c).as("vec_id")).distinct()
+      val probes = e.filter(col("vec_id") < 32)
+      val nA = Similarity.knnL2(e, probes, "vec_id", "embedding", 5)
+        .select(col("query_id").as("q"), col("neighbor_id").as("o"), col("d"))
+        .localCheckpoint()
+      val e2 = e.join(ids(nA, "q").unionByName(ids(nA, "o")).distinct(), Seq("vec_id"))
+      val nB = Similarity.knnL2(e, e2, "vec_id", "embedding", 5)
+        .select(col("query_id").as("q"), col("neighbor_id").as("o"), col("d"))
+        .localCheckpoint()
+      val e3 = e.join(ids(nB, "o"), Seq("vec_id"))
+      val kd = Similarity.knnL2(e, e3, "vec_id", "embedding", 5)
+        .filter(col("rn") === 5)
+        .select(col("query_id").as("vec_id"), col("d").as("kdist"))
+      val orderedSum = "aggregate(transform(array_sort(collect_list(" +
+        "struct(d, o, rd))), s -> s.rd), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+      val lrd = nB.join(kd, nB("o") === kd("vec_id"))
+        .select(col("q"), col("o"), col("d"), greatest(col("kdist"), col("d")).as("rd"))
+        .groupBy(col("q"))
+        .agg(expr(s"5.0 / ($orderedSum)").as("lrd"))
+        .localCheckpoint() // joined twice below
+      nA
+        .join(lrd.select(col("q").as("o"), col("lrd").as("rd")), Seq("o"))
+        .join(lrd.select(col("q"), col("lrd").as("plrd")), Seq("q"))
+        .groupBy(col("q"))
+        .agg((expr("aggregate(transform(array_sort(collect_list(struct(d, o, rd))), " +
+          "s -> s.rd), CAST(0.0 AS DOUBLE), (a, b) -> a + b)") / lit(5.0) /
+          max(col("plrd"))).as("lof"))
+        .select(col("q").as("vec_id"), col("lof"))
+        .orderBy("vec_id")
     })
   )
 
@@ -843,10 +1023,10 @@ private[graft] object RegistryRound14 {
         val prev = (0 until r).map(i => s"SELECT cid FROM c$i").mkString(" UNION ALL ")
         rounds.append(
           s""",
-             |d$r AS MATERIALIZED (SELECT p.vec_id, min(round(
+             |d$r AS MATERIALIZED (SELECT p.vec_id, min((round(
              |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))
              |    - 2 * list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-             |    + list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)) AS d
+             |    + list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) + 0.0)) AS d
              |  FROM embeddings p CROSS JOIN (SELECT e.embedding FROM embeddings e
              |    WHERE e.vec_id IN ($prev)) c GROUP BY 1),
              |c$r AS MATERIALIZED (SELECT $r AS r, vec_id AS cid, d AS radius FROM d$r
@@ -952,6 +1132,117 @@ private[graft] object RegistryRound14 {
         |  FROM rec WHERE t < 31)
         |SELECT event_type, (round(lvl, 4) + 0.0) AS level, (round(tr, 4) + 0.0) AS trend,
         |  (round(lvl + tr + s[1], 4) + 0.0) AS forecast
-        |FROM rec WHERE t = 31 ORDER BY event_type""".stripMargin
+        |FROM rec WHERE t = 31 ORDER BY event_type""".stripMargin,
+    "q434_theilsen_slope" ->
+      """WITH d AS (SELECT event_type, CAST(strftime(CAST(ts AS TIMESTAMP), '%d') AS BIGINT) AS day,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |cal AS (SELECT unnest(range(1, 32)) AS day),
+        |types AS (SELECT DISTINCT event_type FROM d),
+        |dense AS (SELECT t.event_type, c.day AS i, coalesce(d.x, 0) AS x
+        |  FROM types t CROSS JOIN cal c
+        |  LEFT JOIN d ON d.event_type = t.event_type AND d.day = c.day),
+        |p AS (SELECT a.event_type, a.i AS i, b.i AS j,
+        |    CAST(floor(1000000 * (CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE))) AS BIGINT) AS slope_q
+        |  FROM dense a JOIN dense b ON a.event_type = b.event_type AND a.i < b.i),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY slope_q, i, j) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS np FROM p)
+        |SELECT event_type, CAST(np AS BIGINT) AS n_pairs, slope_q AS median_slope_q
+        |FROM r WHERE rn = CAST(ceil(np / 2.0) AS BIGINT) ORDER BY event_type""".stripMargin,
+    "q435_delta_method_ci" ->
+      """WITH u AS (SELECT event_type, user_id % 2 AS arm, user_id,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (SELECT event_type, CAST(arm AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM u GROUP BY 1, 2 HAVING count(*) >= 2),
+        |v AS (SELECT *, CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r FROM g),
+        |w AS (SELECT *,
+        |    (((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+        |     - (2.0 * r) * ((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+        |     + (r * r) * ((CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) * ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS vr
+        |  FROM v)
+        |SELECT event_type, arm, n, r, vr, 1.96 * sqrt(vr) AS ci_half
+        |FROM w ORDER BY event_type, arm""".stripMargin,
+    "q436_mips_transform" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE) * ((1 + (vec_id % 5)) / 5.0)) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 8),
+        |ex AS (SELECT qid, e.vec_id, (round(list_dot_product(emb, qe), 6) + 0.0) AS ip
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+        |exr AS (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS rn FROM ex),
+        |exact AS (SELECT qid, vec_id AS exact_id FROM exr WHERE rn = 1),
+        |m2 AS (SELECT max(list_dot_product(emb, emb)) AS m2 FROM e),
+        |aug AS (SELECT vec_id, emb || [sqrt(m2.m2 - list_dot_product(emb, emb))] AS emb
+        |  FROM e, m2),
+        |augq AS (SELECT vec_id AS qid, emb || [CAST(0.0 AS DOUBLE)] AS qe
+        |  FROM e WHERE vec_id < 8),
+        |cosd AS (SELECT qid, a.vec_id,
+        |    list_dot_product(a.emb, qe) /
+        |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(qe, qe))) AS cosine
+        |  FROM aug a CROSS JOIN augq WHERE a.vec_id <> qid),
+        |cosr AS (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM cosd),
+        |mips AS (SELECT qid, vec_id AS mips_id FROM cosr WHERE rn = 1)
+        |SELECT exact.qid, exact_id, mips_id, exact_id = mips_id AS agree
+        |FROM exact JOIN mips ON exact.qid = mips.qid ORDER BY exact.qid""".stripMargin,
+    "q437_simpson_flags" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    min(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS x,
+        |    CAST(count(o_orderkey) AS BIGINT) AS y
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2),
+        |per AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM cust GROUP BY 1),
+        |per2 AS (SELECT *, CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_num FROM per),
+        |pooled AS (SELECT CAST(count(*) AS BIGINT) AS pn, CAST(sum(x) AS BIGINT) AS psx,
+        |    CAST(sum(y) AS BIGINT) AS psy, sum(CAST(x AS HUGEINT) * y) AS psxy FROM cust),
+        |pooled2 AS (SELECT CAST(pn AS HUGEINT) * psxy - CAST(psx AS HUGEINT) * psy AS pooled_num FROM pooled)
+        |SELECT c_mktsegment, n,
+        |  CAST(sign(CAST(cov_num AS DOUBLE)) AS BIGINT) AS stratum_sign,
+        |  CAST(sign(CAST(pooled_num AS DOUBLE)) AS BIGINT) AS pooled_sign,
+        |  sign(CAST(cov_num AS DOUBLE)) <> sign(CAST(pooled_num AS DOUBLE)) AS flipped
+        |FROM per2, pooled2 ORDER BY c_mktsegment""".stripMargin,
+    "q438_lof" ->
+      // the same three staged kNN closures; reach/lrd folds via
+      // list(... ORDER BY d, o) + list_reduce (left fold = the engine's
+      // aggregate() with a 0.0 seed — 0.0 + x is exact)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id, v FROM e WHERE vec_id < 32),
+        |dA AS (SELECT p.vec_id AS q, c.vec_id AS o, (round(
+        |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v) + list_dot_product(c.v, c.v), 6) + 0.0) AS d
+        |  FROM probes p CROSS JOIN e c WHERE c.vec_id <> p.vec_id),
+        |rA AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, o) AS rn FROM dA),
+        |nA AS (SELECT q, o, d FROM rA WHERE rn <= 5),
+        |q2 AS (SELECT DISTINCT vec_id FROM (SELECT q AS vec_id FROM nA UNION ALL SELECT o FROM nA)),
+        |e2 AS (SELECT e.vec_id, v FROM e JOIN q2 USING (vec_id)),
+        |dB AS (SELECT p.vec_id AS q, c.vec_id AS o, (round(
+        |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v) + list_dot_product(c.v, c.v), 6) + 0.0) AS d
+        |  FROM e2 p CROSS JOIN e c WHERE c.vec_id <> p.vec_id),
+        |rB AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY d, o) AS rn FROM dB),
+        |nB AS (SELECT q, o, d FROM rB WHERE rn <= 5),
+        |q3 AS (SELECT DISTINCT o AS vec_id FROM nB),
+        |e3 AS (SELECT e.vec_id, v FROM e JOIN q3 USING (vec_id)),
+        |dC AS (SELECT p.vec_id AS q, c.vec_id AS o, (round(
+        |    list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v) + list_dot_product(c.v, c.v), 6) + 0.0) AS d
+        |  FROM e3 p CROSS JOIN e c WHERE c.vec_id <> p.vec_id),
+        |rC AS (SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY d, o) AS rn FROM dC),
+        |kd AS (SELECT q AS vec_id, d AS kdist FROM rC WHERE rn = 5),
+        |reach AS (SELECT nB.q, nB.o, nB.d, greatest(kd.kdist, nB.d) AS rd
+        |  FROM nB JOIN kd ON kd.vec_id = nB.o),
+        |lrd AS (SELECT q AS vec_id,
+        |    5.0 / list_reduce(list(rd ORDER BY d, o), (a, b) -> a + b) AS lrd
+        |  FROM reach GROUP BY q),
+        |lof AS (SELECT nA.q, (list_reduce(list(lo.lrd ORDER BY nA.d, nA.o), (a, b) -> a + b) / 5.0)
+        |      / max(lp.lrd) AS lof
+        |  FROM nA JOIN lrd lo ON lo.vec_id = nA.o JOIN lrd lp ON lp.vec_id = nA.q
+        |  GROUP BY nA.q)
+        |SELECT q AS vec_id, lof FROM lof ORDER BY vec_id""".stripMargin
   )
 }

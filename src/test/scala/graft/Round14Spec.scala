@@ -138,6 +138,30 @@ class Round14Spec extends SparkSpec {
 
   // --------------------------------------------------------------- hierarchy
 
+  // ------------------------------------------------------------------- MIPS
+  // the norm-augmentation reduction is exact: transformed-cosine argmax
+  // must equal exact-dot argmax on every query (ties aside, which the
+  // fixture's random vectors don't produce)
+
+  test("q436: MIPS-transform argmax agrees with exact dot argmax everywhere") {
+    val rows = SparkEntry.queries("q436_mips_transform")(spark, sf)
+      .select("agree").as[Boolean].collect()
+    assert(rows.length == 8 && rows.forall(identity),
+      s"reduction must be exact on this fixture: ${rows.mkString(",")}")
+  }
+
+  // -------------------------------------------------------------------- LOF
+  // uniform random vectors have no density structure: LOF must hover
+  // around 1 (the inlier value); a fence at [0.5, 2] catches a broken
+  // lrd/reach-dist chain without overfitting the fixture
+
+  test("q438: LOF of uniform-noise probes stays near the inlier value 1") {
+    val lofs = SparkEntry.queries("q438_lof")(spark, sf)
+      .select("lof").as[Double].collect()
+    assert(lofs.length == 32)
+    lofs.foreach(v => assert(v > 0.5 && v < 2.0, s"LOF $v outside sanity fence"))
+  }
+
   test("q426: every path walks node -> root with depth segments") {
     val rows = SparkEntry.queries("q426_hierarchy_paths")(spark, sf)
       .select("node", "root", "depth", "path").as[(String, String, Long, String)]
