@@ -69,13 +69,22 @@ object Bench {
     // regression by hand. A drift > 1.5× stamps the whole run as
     // load-contaminated in the JSON, so a reader discounts its deltas
     // up front.
-    def sentinelSec(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, numPartitions = cpus.toInt)
-        .selectExpr("bit_xor(xxhash64(id)) AS s") // xor: overflow-free under ANSI
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // min-of-3 back-to-back: a single-shot sentinel double-counted JVM
+    // state as machine load — after hundreds of generated query classes,
+    // the sentinel's own codegen/JIT is evicted from the code cache and
+    // its FIRST rerun pays recompilation (observed: start 0.09-0.12 s
+    // right after warmup, mid/end 0.25-0.41 s on a box `ps` shows idle,
+    // round 13 + two round-14 attempts — same signature every time). The
+    // min of three consecutive runs recovers the steady-state cost, so
+    // drift now measures SUSTAINED ambient load, not transient recompiles.
+    def sentinelSec(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 200000000L, 1L, numPartitions = cpus.toInt)
+          .selectExpr("bit_xor(xxhash64(id)) AS s") // xor: overflow-free under ANSI
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     sentinelSec() // untimed: pays the sentinel's own codegen once
 
     // min of two timed passes per query: damps machine-load noise (observed
