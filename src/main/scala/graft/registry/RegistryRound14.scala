@@ -796,6 +796,90 @@ private[graft] object RegistryRound14 {
           max(col("plrd"))).as("lof"))
         .select(col("q").as("vec_id"), col("lof"))
         .orderBy("vec_id")
+    }),
+    "q439_cohens_d" -> ((s, dir) => {
+      // Cohen's d + Hedges' g per event type — the standardized EFFECT SIZE
+      // the q244/q413 test family reports next to its p-value ("significant"
+      // is not "large" at 6M rows, where trivial deltas reach p<.05). One
+      // hash aggregate to the (type, arm) moment frame (squares on
+      // decimal(38) — sum of cents² tops int64 at sf1), then fixed-order
+      // double algebra: pooled SD from the two arms' exact sums, g = d ×
+      // the small-sample correction — bit-identical cross-engine.
+      val dec = "decimal(38,0)"
+      val m = T(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("x"),
+          pmod(col("user_id"), lit(2L)).as("arm"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
+          sum(when(col("arm") === 1, col("x").cast(dec) * col("x"))
+            .otherwise(lit(0).cast(dec))).as("sxx1"),
+          sum(when(col("arm") === 0, col("x").cast(dec) * col("x"))
+            .otherwise(lit(0).cast(dec))).as("sxx0"))
+        .filter(col("n1") >= 2 && col("n0") >= 2)
+      m.withColumn("d", expr(
+        "((CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)))" +
+          " / sqrt(((CAST(sxx1 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / CAST(n1 AS DOUBLE))" +
+          " + (CAST(sxx0 AS DOUBLE) - (CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)) / CAST(n0 AS DOUBLE)))" +
+          " / CAST(n1 + n0 - 2 AS DOUBLE))"))
+        .select(col("event_type"), col("n1"), col("n0"), col("d"),
+          expr("d * (1.0 - 3.0 / CAST(4 * (n1 + n0) - 9 AS DOUBLE))").as("hedges_g"))
+        .orderBy("event_type")
+    }),
+    "q440_levene_bf" -> ((s, dir) => {
+      // Brown-Forsythe (median-centered Levene) variance-homogeneity test
+      // per event type — the GATE before q244/q439 trust their pooled-SD
+      // assumptions: are the two arms' spreads even comparable? Group
+      // medians come from the (type, arm, cents) HISTOGRAM (the q429
+      // convention — the 'sort' is a window over the value domain, never
+      // rows), doubled (lo+hi order statistics) so even-n medians stay
+      // exact integers; |2x − med2| deviations are exact; the one-way F
+      // on deviations is fixed-order double algebra from exact moments.
+      val ev = T(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("x"),
+          pmod(col("user_id"), lit(2L)).as("arm"))
+      val hist = ev.groupBy(col("event_type"), col("arm"), col("x"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("arm")).orderBy(col("x"))
+      val med = hist
+        .withColumn("hi", sum(col("c")).over(w))
+        .withColumn("lo", col("hi") - col("c") + 1)
+        .join(broadcast(ev.groupBy(col("event_type"), col("arm"))
+          .agg(count(lit(1)).as("n"))), Seq("event_type", "arm"))
+        .groupBy(col("event_type"), col("arm"))
+        .agg((sum(when(col("lo") <= expr("(n + 1) div 2")
+          && expr("(n + 1) div 2") <= col("hi"), col("x")).otherwise(0L))
+          + sum(when(col("lo") <= expr("(n + 2) div 2")
+            && expr("(n + 2) div 2") <= col("hi"), col("x")).otherwise(0L)))
+          .as("med2"))
+      val dec = "decimal(38,0)"
+      val z = ev.join(broadcast(med), Seq("event_type", "arm"))
+        .select(col("event_type"), col("arm"), abs(expr("2 * x - med2")).as("z"))
+      z.groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, col("z")).otherwise(0L)).as("sz1"),
+          sum(when(col("arm") === 0, col("z")).otherwise(0L)).as("sz0"),
+          sum(when(col("arm") === 1, col("z").cast(dec) * col("z"))
+            .otherwise(lit(0).cast(dec))).as("szz1"),
+          sum(when(col("arm") === 0, col("z").cast(dec) * col("z"))
+            .otherwise(lit(0).cast(dec))).as("szz0"))
+        .filter(col("n1") >= 2 && col("n0") >= 2)
+        .withColumn("ssw", expr(
+          "(CAST(szz1 AS DOUBLE) - (CAST(sz1 AS DOUBLE) * CAST(sz1 AS DOUBLE)) / CAST(n1 AS DOUBLE))" +
+            " + (CAST(szz0 AS DOUBLE) - (CAST(sz0 AS DOUBLE) * CAST(sz0 AS DOUBLE)) / CAST(n0 AS DOUBLE))"))
+        .withColumn("ssb", expr(
+          "CAST(n1 AS DOUBLE) * (((CAST(sz1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - ((CAST(sz1 AS DOUBLE) + CAST(sz0 AS DOUBLE)) / CAST(n1 + n0 AS DOUBLE))) * ((CAST(sz1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - ((CAST(sz1 AS DOUBLE) + CAST(sz0 AS DOUBLE)) / CAST(n1 + n0 AS DOUBLE))))" +
+            " + CAST(n0 AS DOUBLE) * (((CAST(sz0 AS DOUBLE) / CAST(n0 AS DOUBLE)) - ((CAST(sz1 AS DOUBLE) + CAST(sz0 AS DOUBLE)) / CAST(n1 + n0 AS DOUBLE))) * ((CAST(sz0 AS DOUBLE) / CAST(n0 AS DOUBLE)) - ((CAST(sz1 AS DOUBLE) + CAST(sz0 AS DOUBLE)) / CAST(n1 + n0 AS DOUBLE))))"))
+        .select(col("event_type"), col("n1"), col("n0"),
+          expr("CASE WHEN ssw = 0.0 THEN CAST(NULL AS DOUBLE)" +
+            " ELSE (ssb * CAST(n1 + n0 - 2 AS DOUBLE)) / ssw END").as("f_bf"))
+        .orderBy("event_type")
     })
   )
 
@@ -1243,6 +1327,61 @@ private[graft] object RegistryRound14 {
         |      / max(lp.lrd) AS lof
         |  FROM nA JOIN lrd lo ON lo.vec_id = nA.o JOIN lrd lp ON lp.vec_id = nA.q
         |  GROUP BY nA.q)
-        |SELECT q AS vec_id, lof FROM lof ORDER BY vec_id""".stripMargin
+        |SELECT q AS vec_id, lof FROM lof ORDER BY vec_id""".stripMargin,
+    "q439_cohens_d" ->
+      """WITH m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sx0,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(CAST(round(value * 100, 0) AS BIGINT) AS HUGEINT) * CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS sxx1,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(CAST(round(value * 100, 0) AS BIGINT) AS HUGEINT) * CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS sxx0
+        |  FROM events GROUP BY 1
+        |  HAVING sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) >= 2
+        |    AND sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) >= 2),
+        |d AS (SELECT *,
+        |    ((CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+        |    / sqrt(((CAST(sxx1 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+        |    + (CAST(sxx0 AS DOUBLE) - (CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)) / CAST(n0 AS DOUBLE)))
+        |    / CAST(n1 + n0 - 2 AS DOUBLE)) AS d
+        |  FROM m)
+        |SELECT event_type, n1, n0, d,
+        |  d * (1.0 - 3.0 / CAST(4 * (n1 + n0) - 9 AS DOUBLE)) AS hedges_g
+        |FROM d ORDER BY event_type""".stripMargin,
+    "q440_levene_bf" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS x,
+        |    user_id % 2 AS arm FROM events),
+        |hist AS (SELECT event_type, arm, x, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |np AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT *, sum(c) OVER (PARTITION BY event_type, arm ORDER BY x) AS hi FROM hist),
+        |cum2 AS (SELECT *, hi - c + 1 AS lo FROM cum),
+        |med AS (SELECT cum2.event_type, cum2.arm,
+        |    CAST(sum(CASE WHEN lo <= (n + 1) // 2 AND (n + 1) // 2 <= hi THEN x ELSE 0 END)
+        |      + sum(CASE WHEN lo <= (n + 2) // 2 AND (n + 2) // 2 <= hi THEN x ELSE 0 END) AS BIGINT) AS med2
+        |  FROM cum2 JOIN np ON np.event_type = cum2.event_type AND np.arm = cum2.arm
+        |  GROUP BY 1, 2),
+        |z AS (SELECT ev.event_type, ev.arm, abs(2 * x - med2) AS z
+        |  FROM ev JOIN med ON med.event_type = ev.event_type AND med.arm = ev.arm),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN z ELSE 0 END) AS BIGINT) AS sz1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN z ELSE 0 END) AS BIGINT) AS sz0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(z AS HUGEINT) * z ELSE 0 END) AS szz1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(z AS HUGEINT) * z ELSE 0 END) AS szz0
+        |  FROM z GROUP BY 1
+        |  HAVING sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) >= 2
+        |    AND sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) >= 2),
+        |f AS (SELECT *,
+        |    (CAST(szz1 AS DOUBLE) - (CAST(sz1 AS DOUBLE) * CAST(sz1 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+        |    + (CAST(szz0 AS DOUBLE) - (CAST(sz0 AS DOUBLE) * CAST(sz0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) AS ssw,
+        |    CAST(n1 AS DOUBLE) * (((CAST(sz1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - ((CAST(sz1 AS DOUBLE) + CAST(sz0 AS DOUBLE)) / CAST(n1 + n0 AS DOUBLE))) * ((CAST(sz1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - ((CAST(sz1 AS DOUBLE) + CAST(sz0 AS DOUBLE)) / CAST(n1 + n0 AS DOUBLE))))
+        |    + CAST(n0 AS DOUBLE) * (((CAST(sz0 AS DOUBLE) / CAST(n0 AS DOUBLE)) - ((CAST(sz1 AS DOUBLE) + CAST(sz0 AS DOUBLE)) / CAST(n1 + n0 AS DOUBLE))) * ((CAST(sz0 AS DOUBLE) / CAST(n0 AS DOUBLE)) - ((CAST(sz1 AS DOUBLE) + CAST(sz0 AS DOUBLE)) / CAST(n1 + n0 AS DOUBLE)))) AS ssb
+        |  FROM g)
+        |SELECT event_type, n1, n0,
+        |  CASE WHEN ssw = 0.0 THEN CAST(NULL AS DOUBLE)
+        |    ELSE (ssb * CAST(n1 + n0 - 2 AS DOUBLE)) / ssw END AS f_bf
+        |FROM f ORDER BY event_type""".stripMargin
   )
 }
