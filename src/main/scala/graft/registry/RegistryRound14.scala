@@ -880,6 +880,34 @@ private[graft] object RegistryRound14 {
           expr("CASE WHEN ssw = 0.0 THEN CAST(NULL AS DOUBLE)" +
             " ELSE (ssb * CAST(n1 + n0 - 2 AS DOUBLE)) / ssw END").as("f_bf"))
         .orderBy("event_type")
+    }),
+    "q441_ordinal_patterns" -> ((s, dir) => {
+      // Bandt-Pompe ordinal patterns (order 3) per event-type daily series
+      // — the permutation-entropy complexity histogram: each of the 29
+      // sliding windows maps to the permutation that sorts its 3 values
+      // (ties broken by POSITION, so the pattern is total and exact), and
+      // the pattern distribution separates trending / oscillating / noisy
+      // series where q176's autocorrelation sees only linear structure.
+      // Pure integer outputs: code = 4·[k0<k1] + 2·[k0<k2] + [k1<k2] over
+      // (value, position) keys — 6 of 8 codes are realizable. The corpus
+      // pays the one daily rollup; patterns explode from the bounded
+      // 31-element array.
+      val lt = "(%s < %s OR (%s = %s AND %s < %s))" // (value, pos) lexicographic
+      def cmp(a: Int, b: Int) =
+        lt.format(s"x$a", s"x$b", s"x$a", s"x$b", a.toString, b.toString)
+      dailySeries(s, dir, asDouble = false)
+        .select(col("event_type"), explode(expr(
+          "transform(sequence(1, 29), i -> named_struct(" +
+            "'x0', element_at(xs, i), 'x1', element_at(xs, i + 1)," +
+            " 'x2', element_at(xs, i + 2)))")).as("w"))
+        .select(col("event_type"), col("w.x0").as("x0"), col("w.x1").as("x1"),
+          col("w.x2").as("x2"))
+        .withColumn("code", expr(
+          s"4 * CAST(${cmp(0, 1)} AS INT) + 2 * CAST(${cmp(0, 2)} AS INT)" +
+            s" + CAST(${cmp(1, 2)} AS INT)").cast("long"))
+        .groupBy(col("event_type"), col("code"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type", "code")
     })
   )
 
@@ -1382,6 +1410,25 @@ private[graft] object RegistryRound14 {
         |SELECT event_type, n1, n0,
         |  CASE WHEN ssw = 0.0 THEN CAST(NULL AS DOUBLE)
         |    ELSE (ssb * CAST(n1 + n0 - 2 AS DOUBLE)) / ssw END AS f_bf
-        |FROM f ORDER BY event_type""".stripMargin
+        |FROM f ORDER BY event_type""".stripMargin,
+    "q441_ordinal_patterns" ->
+      """WITH d AS (SELECT event_type, CAST(strftime(CAST(ts AS TIMESTAMP), '%d') AS BIGINT) AS day,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |cal AS (SELECT unnest(range(1, 32)) AS day),
+        |types AS (SELECT DISTINCT event_type FROM d),
+        |dense AS (SELECT t.event_type, c.day, coalesce(d.x, 0) AS x
+        |  FROM types t CROSS JOIN cal c
+        |  LEFT JOIN d ON d.event_type = t.event_type AND d.day = c.day),
+        |w AS (SELECT event_type, day, x AS x0,
+        |    lead(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+        |    lead(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2
+        |  FROM dense),
+        |codes AS (SELECT event_type,
+        |    CAST(4 * CAST((x0 < x1 OR (x0 = x1 AND 0 < 1)) AS INT)
+        |      + 2 * CAST((x0 < x2 OR (x0 = x2 AND 0 < 2)) AS INT)
+        |      + CAST((x1 < x2 OR (x1 = x2 AND 1 < 2)) AS INT) AS BIGINT) AS code
+        |  FROM w WHERE day <= 29)
+        |SELECT event_type, code, CAST(count(*) AS BIGINT) AS cnt
+        |FROM codes GROUP BY 1, 2 ORDER BY event_type, code""".stripMargin
   )
 }
