@@ -13,6 +13,15 @@ b01 = json.load(open(sys.argv[1]))["queries"]
 b1 = json.load(open(sys.argv[2]))["queries"]
 thr = float(sys.argv[3]) if len(sys.argv) > 3 else 4.0
 
+only01 = sorted(set(b01) - set(b1))
+only1 = sorted(set(b1) - set(b01))
+if only01:
+    print(f"WARNING: {len(only01)} keys only in sf0.1 bench (missing from "
+          f"sf1): {only01}")
+if only1:
+    print(f"WARNING: {len(only1)} keys only in sf1 bench (missing from "
+          f"sf0.1): {only1}")
+
 rows = []
 for k in sorted(b01):
     if k not in b1:

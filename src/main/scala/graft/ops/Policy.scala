@@ -27,6 +27,20 @@ object Policy {
 
   def applyPolicy(df: DataFrame, rules: Seq[Rule], roles: Seq[String],
                   keepCols: Seq[String]): DataFrame = {
+    // Validate the WHOLE policy table up front, not just the action strings:
+    // a typo'd column name would otherwise miss the masks map and silently
+    // pass data through unmasked, and a typo'd role would orphan its rules.
+    val keepSet = keepCols.toSet
+    val roleSet = roles.toSet
+    rules.foreach { r =>
+      require(roleSet.contains(r.role),
+        s"policy rule for unknown role '${r.role}' (column ${r.column}): " +
+          s"roles are $roles")
+      if (r.column != "__row_filter__")
+        require(keepSet.contains(r.column),
+          s"policy rule for role '${r.role}' names column '${r.column}' " +
+            s"not in keepCols $keepCols — refusing to silently skip a mask")
+    }
     val byRole = rules.groupBy(_.role)
     roles.map { role =>
       val rs = byRole.getOrElse(role, Seq.empty)
@@ -40,7 +54,10 @@ object Policy {
       val cols: Seq[Column] = lit(role).as("role") +: keepCols.map { c =>
         masks.get(c) match {
           case Some(Rule(_, _, "redact_tail", arg)) =>
-            val keep = arg.toInt
+            val keep = scala.util.Try(arg.toInt).getOrElse(
+              throw new IllegalArgumentException(
+                s"redact_tail arg '$arg' for role $role column $c is not " +
+                  "an integer"))
             concat(substring(col(c).cast("string"), 1, keep), lit("***")).as(c)
           case Some(Rule(_, _, "nullify", _)) =>
             lit(null).cast(df.schema(c).dataType).as(c)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.Policy
 
-/** Operator-level checks for the round-14 keys (q418–q433) beyond the
+/** Operator-level checks for the round-14 keys (q418–q441) beyond the
   * DuckDB gate: invariants the gate's value-compare can't see (loud
   * failure on bad policy actions, DP band semantics, recursion identities),
   * each on tiny inline frames or sf0.001.
@@ -84,13 +84,51 @@ class Round14Spec extends SparkSpec {
   // identical series must cost 0 even under the band; a single spike costs
   // exactly its |amplitude| once (the alignment absorbs the rest)
 
-  test("q431: DTW self-distance is zero and the band actually constrains") {
+  test("q431: DTW matches an independent Scala band-DP bit for bit") {
     val out = SparkEntry.queries("q431_dtw_distance")(spark, sf)
       .select("ta", "tb", "dtw").as[(String, String, Long)].collect()
     assert(out.length == 10, s"5 types -> 10 pairs, got ${out.length}")
-    assert(out.forall(_._3 >= 0L))
     // symmetry of the metric: (a,b) emitted once with ta < tb
     assert(out.forall { case (a, b, _) => a < b })
+    // independent reference: rebuild the dense daily series and run the
+    // Sakoe-Chiba w=3 DP in plain Scala; the query must match EXACTLY,
+    // and the banded cost must sit between the unbanded DTW (band only
+    // restricts paths) and the diagonal-path upper bound (always in-band)
+    val byDay = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("day"))
+      .count().as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) =>
+        val m = rs.map(r => r._2 -> r._3).toMap
+        t -> (1L to 31L).map(d => m.getOrElse(d, 0L)).toArray
+      }
+    def dtw(a: Array[Long], b: Array[Long], w: Int): Long = {
+      val INF = 1000000000000000L
+      val n = a.length
+      var prev = Array.fill(n)(INF)
+      for (i <- 0 until n) {
+        val cur = Array.fill(n)(INF)
+        for (j <- 0 until n if math.abs(i - j) <= w) {
+          val best =
+            if (i == 0 && j == 0) 0L
+            else Seq(if (i > 0) prev(j) else INF,
+                     if (j > 0) cur(j - 1) else INF,
+                     if (i > 0 && j > 0) prev(j - 1) else INF).min
+          cur(j) = math.abs(a(i) - b(j)) + best
+        }
+        prev = cur
+      }
+      prev(n - 1)
+    }
+    out.foreach { case (ta, tb, got) =>
+      val (a, b) = (byDay(ta), byDay(tb))
+      val banded = dtw(a, b, 3)
+      val unbanded = dtw(a, b, 31)
+      val diag = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+      assert(got == banded, s"$ta/$tb: query $got vs reference $banded")
+      assert(unbanded <= banded && banded <= diag,
+        s"$ta/$tb: band ordering violated ($unbanded, $banded, $diag)")
+      assert(dtw(a, a, 3) == 0L, "self-distance must be zero")
+    }
   }
 
   // --------------------------------------------------------------- k-center
@@ -111,13 +149,30 @@ class Round14Spec extends SparkSpec {
   // U1 + U2 = n1*n2 (doubled: u2_arm1 + u2_arm0 = 2*n1*n2) — recompute the
   // other arm's U from the same frame by symmetry
 
-  test("q429: doubled U statistics of the two arms sum to 2*n1*n2") {
+  test("q429: doubled U matches the pairwise definition; arms sum to 2*n1*n2") {
     val r = SparkEntry.queries("q429_mannwhitney_u")(spark, sf)
-      .select("n1", "n2", "u2").as[(Long, Long, Long)].collect()
+      .select("event_type", "n1", "n2", "u2")
+      .as[(String, Long, Long, Long)].collect()
     assert(r.nonEmpty)
-    r.foreach { case (n1, n2, u2) =>
-      // rank-sum bounds: 0 <= U <= n1*n2 (doubled)
-      assert(u2 >= 0L && u2 <= 2L * n1 * n2, s"U out of range: $u2 vs ${n1 * n2}")
+    // independent recomputation from the raw rows: doubled U(arm1) =
+    // 2*#{x1 > x0} + #{x1 == x0} over every cross-arm pair (the histogram
+    // rank-sum route in the query never enumerates pairs — this does)
+    val byType = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+        pmod(col("user_id"), lit(2L)).as("arm"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    def doubledU(win: Seq[Long], lose: Seq[Long]): Long =
+      win.iterator.map { x =>
+        2L * lose.count(x > _) + lose.count(x == _)
+      }.sum
+    r.foreach { case (t, n1, n2, u2) =>
+      val (a1, a0) = byType(t).toSeq.partition(_._3 == 1L)
+      assert(n1 == a1.length && n2 == a0.length, s"$t arm sizes")
+      assert(u2 == doubledU(a1.map(_._2), a0.map(_._2)),
+        s"$t: u2=$u2 disagrees with the pairwise definition")
+      // symmetry identity on the INDEPENDENTLY computed other arm
+      assert(u2 + doubledU(a0.map(_._2), a1.map(_._2)) == 2L * n1 * n2)
     }
   }
 
