@@ -195,7 +195,8 @@ object SparkEntry {
       RegistryPipelineOps.queries ++
       RegistryStatsMl.queries ++
       RegistryWarehouseText.queries ++
-      RegistryRound14.queries).toMap
+      RegistryRound14.queries ++
+      RegistryRound15.queries).toMap
 
   // ------------------------------------------------------------------ oracle
 
@@ -1511,5 +1512,6 @@ object SparkEntry {
       RegistryPipelineOps.oracleSql ++
       RegistryStatsMl.oracleSql ++
       RegistryWarehouseText.oracleSql ++
-      RegistryRound14.oracleSql).toMap
+      RegistryRound14.oracleSql ++
+      RegistryRound15.oracleSql).toMap
 }

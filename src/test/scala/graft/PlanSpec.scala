@@ -1561,4 +1561,54 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"centers must broadcast:\n$plan")
   }
+
+  // ---------------------------------------------- round-15 density-scaled
+
+  test("scaled silhouette: count-derived sample broadcasts, corpus scans once (q442)") {
+    val plan = q("q442_silhouette_scaled")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the fixed-size sample must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no shuffled cartesian:\n$plan")
+  }
+
+  test("LSH semdedup: within-cell join is cell-keyed, never a corpus cross (q443)") {
+    val plan = q("q443_semdedup_lsh")
+    assert(!plan.contains("CartesianProduct"),
+      s"the prune must stay cell-bounded:\n$plan")
+  }
+
+  test("range count by rank: NO candidate join — two binned windows + broadcast offsets (q444)") {
+    val plan = q("q444_range_count_rank")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the rank-difference path must not enumerate pairs:\n$plan")
+    // the only join allowed is the broadcast of the per-bin offset table
+    assert(plan.contains("BroadcastHashJoin"), s"bin offsets must broadcast:\n$plan")
+    assert(!(plan.contains("Window") && plan.contains("SinglePartition")),
+      s"the prefix sum must partition by __bin, never globally:\n$plan")
+  }
+
+  test("name-group join: candidates come from a variant equi-join on the distinct-name frame (q445)") {
+    val plan = q("q445_name_group_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"deletion-neighborhood blocking must stay an equi-join:\n$plan")
+  }
+
+  test("pruned confirm: estimate gate reaches the pair index scan; gated pairs broadcast (q447)") {
+    // the registered key truncates at the checkpoint barrier — assert the
+    // inner pipeline (the kcenter/q430 convention for barrier'd keys)
+    val inner = RegistryRound15.confirmPrunedInner(spark, dir)
+    inner.collect()
+    val plan = finalPlan(inner)
+    assert(plan.contains("GreaterThanOrEqual(est_jaccard,0.5)"),
+      s"the estimate gate must be pushed into the parquet scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the gated pairs must broadcast against streamed texts:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("scaled radius join: density-derived cells, still a pure equi-join (q448)") {
+    val plan = q("q448_radius_scaled")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs spatial join in plan:\n$plan")
+  }
 }
