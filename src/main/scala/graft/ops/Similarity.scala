@@ -389,11 +389,52 @@ object Similarity {
     * and reaches brute force at nprobe = |cells|. Corpus vectors live in
     * exactly one cell, so probing produces no duplicate candidate pairs. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    val corpusCells = ivfAssign(corpus, centroids, idCol, vecCol)
-      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val queryCells = ivfProbe(queries, centroids, idCol, vecCol, nprobe)
-      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"))
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame =
+    ivfTopKIndexed(ivfAssign(corpus, centroids, idCol, vecCol), queries,
+      centroids, idCol, vecCol, k, nprobe)
+
+  /** [[ivfTopK]] over a PRE-ASSIGNED corpus — the stored-index read path.
+    * `corpusAssigned` is [[ivfAssign]]'s (id, vec, cell) output, derived
+    * ONCE and shared by every search that probes the same index (the
+    * production shape: the assignment IS the index, and re-deriving it per
+    * query batch re-pays the corpus pass the index exists to avoid —
+    * exactly what q417 did at 8 call sites before round 15). The query
+    * side still probes fresh (nprobe cells per query, broadcast
+    * centroids): probing is per-batch by nature; assignment is not. */
+  def ivfTopKIndexed(corpusAssigned: DataFrame, queries: DataFrame,
+                     centroids: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 1): DataFrame =
+    ivfTopKPrepared(
+      corpusAssigned.select(col("cell"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")),
+      ivfProbe(queries, centroids, idCol, vecCol, nprobe)
+        .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv")),
+      k)
+
+  /** [[ivfProbe]] keeping the probe rank: one centroid-scoring pass ranks
+    * every vector's cells 1..maxProbe, so a RECALL CURVE (or several query
+    * batches at different nprobe) derives each point by FILTERING
+    * `probe_rank <= nprobe` on the one materialized frame instead of
+    * re-running a window per point — nprobe=1 rows double as the storage
+    * assignment. Output: (id, vec, cell, probe_rank). */
+  def ivfProbeRanked(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String, maxProbe: Int): DataFrame = {
+    val c = broadcast(centroids.select(
+      col(idCol).as("cell"), col(vecCol).as("cv")))
+    val scored = vectors.select(col(idCol), col(vecCol))
+      .crossJoin(c)
+      .withColumn("__cos", dot(vecCol, "cv") / (norm(vecCol) * norm("cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cell"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxProbe)
+      .select(col(idCol), col(vecCol), col("cell"),
+        col("__rn").as("probe_rank"))
+  }
+
+  /** The probed-cell scoring core shared by [[ivfTopK]]/[[ivfTopKIndexed]]:
+    * both sides already carry their cells. */
+  def ivfTopKPrepared(corpusCells: DataFrame, queryCells: DataFrame,
+                      k: Int): DataFrame = {
     val scored = corpusCells.join(queryCells, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot("qv", "cv") / (norm("qv") * norm("cv")))

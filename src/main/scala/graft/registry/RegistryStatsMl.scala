@@ -901,22 +901,10 @@ private[graft] object RegistryStatsMl {
       // ranking on exact bp-quantized cosines, one IEEE division per
       // scored pair. At corpus scale both directions run on the IVF index
       // (q58); the exact scan here is the bounded-query-batch shape that
-      // requireQueryBatch enforces.
-      val emb = T(s, dir, "embeddings")
-      val xs = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2000)
-      val ys = emb.filter(col("vec_id") % 2 === 1)
-      val fwd = Similarity.cosineTopK(ys, xs, "vec_id", "embedding", 1)
-        .select(col("query_id").as("x"), col("neighbor_id").as("y"),
-          col("cosine"))
-      val backQ = emb.join(fwd.select(col("y").as("vec_id")).distinct(),
-        Seq("vec_id"))
-      val bwd = Similarity.cosineTopK(xs, backQ, "vec_id", "embedding", 1)
-        .select(col("query_id").as("y"), col("neighbor_id").as("bx"))
-      fwd.join(bwd, Seq("y"))
-        .filter(col("x") === col("bx"))
-        .select(col("x"), col("y"),
-          expr("CAST(round(cosine * 10000) AS BIGINT)").as("cos_bp"))
-        .orderBy("x")
+      // requireQueryBatch enforces. The pair table is the SHARED
+      // materialized yardstick (mutualKnnExactIndex) q417's recall curve
+      // reads — built once per (dir) per JVM.
+      mutualKnnExactIndex(s, dir).orderBy("x")
     }),
     "q413_anova" -> ((s, dir) => {
       // ONE-WAY ANOVA across the k = 5 event-type arms (Fisher): the
@@ -1027,30 +1015,41 @@ private[graft] object RegistryStatsMl {
       // backward = the forward hits probe the X index; a pair survives
       // iff both directions agree. Per-direction cost is
       // nprobe/|cells| of one index scan; the exact truth (here the
-      // recall yardstick) is what the index approximates. In production
-      // the cell ASSIGNMENT is the stored index (written once); the curve
-      // re-derives it per point only because it is a measurement harness.
+      // recall yardstick) is what the index approximates. The cell
+      // ASSIGNMENT is derived ONCE for the whole table and checkpointed
+      // (the stored-index production shape — round-14 verdict item 3);
+      // the 8 searches (4 nprobe points × 2 directions) filter the shared
+      // index instead of re-assigning their corpus side per call.
       val emb = T(s, dir, "embeddings")
-      val xs = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2000)
-      val ys = emb.filter(col("vec_id") % 2 === 1)
       val cents = emb.filter(col("vec_id") >= 100 && col("vec_id") < 116)
-      val fwdE = Similarity.cosineTopK(ys, xs, "vec_id", "embedding", 1)
-        .select(col("query_id").as("x"), col("neighbor_id").as("y"))
-      val backQE = emb.join(fwdE.select(col("y").as("vec_id")).distinct(),
-        Seq("vec_id"))
-      val bwdE = Similarity.cosineTopK(xs, backQE, "vec_id", "embedding", 1)
-        .select(col("query_id").as("y"), col("neighbor_id").as("bx"))
-      val exact = fwdE.join(bwdE, Seq("y")).filter(col("x") === col("bx"))
-        .select(col("x"), col("y")).localCheckpoint()
+      // ONE centroid-scoring pass ranks every vector's cells 1..8; every
+      // curve point and direction below FILTERS this frame — probe_rank=1
+      // doubles as the storage assignment (the stored-index shape)
+      val probed = Similarity.ivfProbeRanked(emb, cents, "vec_id",
+        "embedding", maxProbe = 8).localCheckpoint()
+      def qc(side: DataFrame): DataFrame = side.select(col("cell"),
+        col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val xsP = probed.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2000)
+      val ysIdx = probed
+        .filter(col("vec_id") % 2 === 1 && col("probe_rank") === 1)
+        .select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"))
+      val xsIdx = probed
+        .filter(col("vec_id") % 2 === 0 && col("vec_id") < 2000 &&
+          col("probe_rank") === 1)
+        .select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"))
+      // the exact yardstick is q412's SHARED materialized pair table —
+      // the curve never re-runs the two exact corpus passes
+      val exact = mutualKnnExactIndex(s, dir).select(col("x"), col("y"))
       val nEx = exact.agg(count(lit(1)).as("n_exact"))
       Seq(1, 2, 4, 8).map { np =>
-        val fwd = Similarity.ivfTopK(ys, xs, cents, "vec_id", "embedding",
-            k = 1, nprobe = np)
+        val fwd = Similarity.ivfTopKPrepared(ysIdx,
+            qc(xsP.filter(col("probe_rank") <= np)), k = 1)
           .select(col("query_id").as("x"), col("neighbor_id").as("y"))
-        val backQ = emb.join(fwd.select(col("y").as("vec_id")).distinct(),
-          Seq("vec_id"))
-        val bwd = Similarity.ivfTopK(xs, backQ, cents, "vec_id", "embedding",
-            k = 1, nprobe = np)
+        val backQ = probed.join(fwd.select(col("y").as("vec_id")).distinct(),
+          Seq("vec_id")).filter(col("probe_rank") <= np)
+        val bwd = Similarity.ivfTopKPrepared(xsIdx, qc(backQ), k = 1)
           .select(col("query_id").as("y"), col("neighbor_id").as("bx"))
         val approx = fwd.join(bwd, Seq("y")).filter(col("x") === col("bx"))
           .select(col("x"), col("y"))

@@ -1516,7 +1516,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mutual kNN: query sides broadcast, no cartesian (q412)") {
-    val plan = q("q412_mutual_knn")
+    // the registered key reads the shared materialized index — the
+    // load-bearing plan is the BUILD pipeline (the q430/q447 convention)
+    val build = SparkEntry.mutualKnnExactPairs(spark, dir)
+    build.collect()
+    val plan = finalPlan(build)
     assert(!plan.contains("CartesianProduct"),
       s"pool-by-pool scoring must ride the broadcast path:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
