@@ -968,12 +968,12 @@ object SparkEntry {
     * tie-break, update = floor(sum/n) — landing at the trained centroid
     * table c2. The chained-CTE unrolling is the q223/q237 convention for
     * fixed-iteration loops. */
-  private[graft] val lloydCtes: String =
-    """comp AS (SELECT vec_id, t.d AS dim,
+  private[graft] def lloydCtesK(k: Int): String =
+    s"""comp AS (SELECT vec_id, t.d AS dim,
       |    CAST(round(CAST(embedding[CAST(t.d AS BIGINT)] AS DOUBLE) * 1000000, 0)
       |      AS BIGINT) AS vm
       |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d) t),
-      |c0 AS (SELECT vec_id AS cell, dim, vm AS cm FROM comp WHERE vec_id < 4),
+      |c0 AS (SELECT vec_id AS cell, dim, vm AS cm FROM comp WHERE vec_id < $k),
       |dd1 AS (SELECT c.vec_id, ct.cell, sum((c.vm - ct.cm) * (c.vm - ct.cm)) AS d2
       |  FROM comp c JOIN c0 ct USING (dim) GROUP BY 1, 2),
       |b1 AS (SELECT vec_id, min(d2) AS md FROM dd1 GROUP BY 1),
@@ -990,6 +990,8 @@ object SparkEntry {
       |c2 AS (SELECT a.cell, c.dim,
       |    CAST(floor(CAST(sum(c.vm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
       |  FROM comp c JOIN a2 a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  private[graft] val lloydCtes: String = lloydCtesK(4)
 
   /** q257's oracle: the Lloyd chain + a third assignment pass under the
     * trained centroids; per-cell seed/trained occupancy and arrivals. */

@@ -325,6 +325,21 @@ object Similarity {
     assignMicro(microVec(vectors, idCol, vecCol), cent)
       .select(col("__id").as(idCol), col("cell"))
 
+  /** [[microAssign]] keeping the winning cell's EXACT squared distance —
+    * the per-vector distortion a trained-vs-seed comparison aggregates
+    * (Lloyd's monotone-decrease guarantee lives in this number; recall on
+    * an isotropic fixture does not have to improve). Output:
+    * (idCol, cell, d2 micro²-long). */
+  def microAssignDist(vectors: DataFrame, idCol: String, vecCol: String,
+                      cent: DataFrame): DataFrame =
+    microVec(vectors, idCol, vecCol).join(broadcast(cent), Seq("dim"))
+      .groupBy(col("__id"), col("cell"))
+      .agg(sum((col("__vm") - col("cm")) * (col("__vm") - col("cm"))).as("__d2"))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("__d2"), col("cell"))).as("__b"))
+      .select(col("__id").as(idCol), col("__b.cell").as("cell"),
+        col("__b.__d2").as("d2"))
+
   /** Lloyd-trained IVF coarse quantizer in EXACT micro-long arithmetic —
     * [[ivfTrain]]'s float avg update is accumulation-order-dependent (a
     * different partitioning moves the last ulp, which can flip an argmin),

@@ -116,6 +116,32 @@ private[graft] object RegistryRound15 {
         col("__ml"))
   }
 
+  /** q449's two sides (exposed for PlanSpec): the SERVING index — cell
+    * assignment + embedding + PQ codes written as ONE bucketed-on-cell
+    * catalog table (Storage.writeBucketed, the q88 layout discipline
+    * applied to the ANN store) — and the probed query batch. The read path
+    * joins them on cell: the stored side feeds the join STRAIGHT FROM ITS
+    * BUCKETS (no Exchange between the scan and the join — the property a
+    * 100 TB serving tier lives on: query traffic never reshuffles the
+    * corpus). */
+  private[graft] def annServingParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = T(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 16)
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+    val codes = Similarity.pqEncode(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", m = 4, subDim = 16)
+    graft.storage.Storage.writeBucketed(
+      assigned.join(codes, "vec_id"), "g449_ivf_serving", "cell", 8)
+    val idxCells = s.table("g449_ivf_serving")
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+    val queryCells = Similarity.ivfProbe(emb.filter(col("vec_id") < 8),
+        cents, "vec_id", "embedding", nprobe = 1)
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+    (idxCells, queryCells)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q442_silhouette_scaled" -> ((s, dir) => {
       // q209 with the sample pinned to a CONSTANT size instead of a
@@ -311,6 +337,59 @@ private[graft] object RegistryRound15 {
           min(col("dist2")).as("min_dist2"),
           sum(col("dist2")).as("sum_dist2"))
         .orderBy("u_a")
+    }),
+    "q449_ann_serving" -> ((s, dir) => {
+      // the MATERIALIZED ANN serving layout (round-14 verdict item 5):
+      // IVF assignment + PQ codes written via Storage.writeBucketed on
+      // the cell key, then the q58-shape search served FROM THE CATALOG
+      // TABLE — identical results to q58 (same oracle), but the corpus
+      // side of the probe join reads its buckets with NO Exchange
+      // (PlanSpec asserts it). This is the q88 bucketed-join discipline
+      // applied to the vector store: at 100 TB the index is written once
+      // per build cadence and every query batch streams against it.
+      val (idxCells, queryCells) = annServingParts(s, dir)
+      Similarity.ivfTopKPrepared(idxCells, queryCells, k = 5)
+        .orderBy("query_id", "rn")
+    }),
+    "q450_ivf_train_readout" -> ((s, dir) => {
+      // IVF training EFFECTIVENESS readout (round-14 verdict item 4):
+      // micro-Lloyd (k = 16, 2 exact-integer iterations, first-16 seeds)
+      // vs the untrained seeds, each variant scored on (a) total EXACT
+      // within-cell squared distortion — the number Lloyd provably
+      // decreases — and (b) recall@5 of the q58-shape nprobe=1 search
+      // against the exact top-5 truth for the 8-query probe set. On this
+      // deliberately isotropic fixture (gen_scale: "no cluster
+      // structure") recall is flat by construction — distortion is the
+      // training signal (measured −40%); on a clustered corpus the same
+      // readout shows both move together. All-integer output: sums and
+      // hit counts, no rounded ratios to disagree on.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val seeds = Similarity.microSeedCentroids(emb, "vec_id", "embedding", 16)
+      val trained = Similarity.ivfTrainMicro(emb, "vec_id", "embedding",
+        k = 16, iterations = 2)
+      val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      def readout(variant: String, cent: DataFrame,
+                  searchCents: DataFrame): DataFrame = {
+        val dist = Similarity.microAssignDist(emb, "vec_id", "embedding", cent)
+          .agg(sum(col("d2")).as("sum_d2"), count(lit(1)).as("n_vecs"))
+        val approx = Similarity.ivfTopK(emb, queries, searchCents,
+          "vec_id", "embedding", k = 5, nprobe = 1)
+        val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "leftsemi")
+          .agg(count(lit(1)).as("hits_at_5"))
+        dist.crossJoin(hits)
+          .select(lit(variant).as("variant"),
+            col("sum_d2").cast("long").as("sum_d2"),
+            col("n_vecs").cast("long").as("n_vecs"),
+            col("hits_at_5").cast("long").as("hits_at_5"))
+      }
+      val untrainedSearch = emb.filter(col("vec_id") < 16)
+      val trainedSearch = Similarity.microCentroidVectors(trained,
+        "vec_id", "embedding")
+      readout("seed", seeds, untrainedSearch)
+        .unionByName(readout("trained", trained, trainedSearch))
+        .orderBy("variant")
     }))
 
   val oracleSql: Seq[(String, String)] = Seq(
@@ -422,6 +501,84 @@ private[graft] object RegistryRound15 {
          |  CAST(10000 - ((10000 * lev) // ml) AS BIGINT) AS sim_bp
          |FROM j WHERE 10000 - ((10000 * lev) // ml) >= 9000
          |ORDER BY id_a, id_b""".stripMargin,
+    "q449_ann_serving" ->
+      // q58's oracle verbatim: the serving layout changes WHERE the index
+      // lives (a bucketed catalog table), never what the search returns
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |scored AS (SELECT x.vec_id, x.vv, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, vv, cell FROM scored WHERE crn = 1),
+        |q AS (SELECT vec_id AS query_id, vv AS qv, cell FROM asg WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+        |  list_dot_product(q.qv, a.vv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.vv, a.vv))) AS cosine
+        |  FROM q JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+        |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+    "q450_ivf_train_readout" ->
+      // the k=16 micro-Lloyd chain (shared lloydCtesK generator), exact
+      // seed/trained distortions from the chain's own argmin rows, and the
+      // q258-shape nprobe=1 searches under raw-seed vs rebuilt-trained
+      // centroid vectors, each scored against the exact top-5 truth
+      s"""WITH ${lloydCtesK(16)},
+         |dd3 AS (SELECT c.vec_id, ct.cell, sum((c.vm - ct.cm) * (c.vm - ct.cm)) AS d2
+         |  FROM comp c JOIN c2 ct USING (dim) GROUP BY 1, 2),
+         |b3 AS (SELECT vec_id, min(d2) AS md FROM dd3 GROUP BY 1),
+         |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+         |cl0 AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+         |cl2 AS (SELECT cell, list(cm / 1000000.0 ORDER BY dim) AS cv FROM c2 GROUP BY 1),
+         |qv AS (SELECT vec_id AS query_id, vv AS qvv FROM vecs WHERE vec_id < 8),
+         |bs AS (SELECT query_id, vec_id AS neighbor_id,
+         |  list_dot_product(qvv, vv) / (sqrt(list_dot_product(qvv, qvv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+         |  FROM vecs CROSS JOIN qv WHERE vec_id <> query_id),
+         |tr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM bs) WHERE rn <= 5),
+         |cc0 AS (SELECT x.vec_id, c.cell,
+         |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |    c.cell) AS crn
+         |  FROM vecs x CROSS JOIN cl0 c),
+         |cc2 AS (SELECT x.vec_id, c.cell,
+         |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |    c.cell) AS crn
+         |  FROM vecs x CROSS JOIN cl2 c),
+         |s0 AS (SELECT qp.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    list_dot_product(q.vv, n.vv) / (sqrt(list_dot_product(q.vv, q.vv)) * sqrt(list_dot_product(n.vv, n.vv))) AS cosine
+         |  FROM (SELECT vec_id, cell FROM cc0 WHERE vec_id < 8 AND crn <= 1) qp
+         |  JOIN (SELECT vec_id, cell FROM cc0 WHERE crn = 1) a ON a.cell = qp.cell
+         |    AND a.vec_id <> qp.vec_id
+         |  JOIN vecs q ON q.vec_id = qp.vec_id JOIN vecs n ON n.vec_id = a.vec_id),
+         |t0 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM s0) WHERE rn <= 5),
+         |s2 AS (SELECT qp.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    list_dot_product(q.vv, n.vv) / (sqrt(list_dot_product(q.vv, q.vv)) * sqrt(list_dot_product(n.vv, n.vv))) AS cosine
+         |  FROM (SELECT vec_id, cell FROM cc2 WHERE vec_id < 8 AND crn <= 1) qp
+         |  JOIN (SELECT vec_id, cell FROM cc2 WHERE crn = 1) a ON a.cell = qp.cell
+         |    AND a.vec_id <> qp.vec_id
+         |  JOIN vecs q ON q.vec_id = qp.vec_id JOIN vecs n ON n.vec_id = a.vec_id),
+         |t2 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM s2) WHERE rn <= 5),
+         |h0 AS (SELECT count(*) AS hits FROM t0 JOIN tr USING (query_id, neighbor_id)),
+         |h2 AS (SELECT count(*) AS hits FROM t2 JOIN tr USING (query_id, neighbor_id))
+         |SELECT 'seed' AS variant,
+         |  (SELECT CAST(sum(md) AS BIGINT) FROM b1) AS sum_d2,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM b1) AS n_vecs,
+         |  (SELECT CAST(hits AS BIGINT) FROM h0) AS hits_at_5
+         |UNION ALL
+         |SELECT 'trained',
+         |  (SELECT CAST(sum(md) AS BIGINT) FROM b3),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM b3),
+         |  (SELECT CAST(hits AS BIGINT) FROM h2)
+         |ORDER BY variant""".stripMargin,
     "q448_radius_scaled" ->
       // q394's plane and halo with r² and w derived from the same
       // distinct-point count

@@ -1615,4 +1615,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs spatial join in plan:\n$plan")
   }
+
+  test("ANN serving: the stored index feeds the probe join with NO Exchange on its side (q449)") {
+    // assert on the probe JOIN itself (the registered key's topKPerQuery
+    // stage legitimately exchanges its k·P partials downstream). Broadcast
+    // and AQE are off so the co-location claim is visible as a plain
+    // SortMergeJoin tree: the bucketed index side must carry NO shuffle —
+    // only the (tiny, per-request) query side may exchange.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (idxCells, queryCells) = RegistryRound15.annServingParts(spark, dir)
+      val probe = idxCells.join(queryCells.localCheckpoint(), "cell")
+      assert(probe.count() > 0)
+      val root = probe.queryExecution.executedPlan
+      def servingSide(p: SparkPlan): Boolean = p.collect {
+        case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table == "g449_ivf_serving") => s
+      }.nonEmpty
+      val joinChildren = root.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.children
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.children
+      }.flatten
+      val idxSide = joinChildren.filter(servingSide)
+      assert(idxSide.nonEmpty, s"no join child scans the serving table:\n$root")
+      idxSide.foreach { side =>
+        val shuffles = side.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"query traffic must never reshuffle the stored corpus:\n$side")
+      }
+      assert(finalPlan(probe).contains("SelectedBucketsCount"),
+        "the index scan must read its bucketed layout")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
 }

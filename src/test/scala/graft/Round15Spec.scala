@@ -117,6 +117,28 @@ class Round15Spec extends SparkSpec {
       "the prefilter must be semantics-preserving at the 9000 bp threshold")
   }
 
+  test("q449: the bucketed serving read path returns exactly q58's answer") {
+    val served = SparkEntry.queries("q449_ann_serving")(spark, sf)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Long)]
+      .collect().toSet
+    val direct = SparkEntry.queries("q58_ann_ivf")(spark, sf)
+      .select("query_id", "neighbor_id", "rn").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(served == direct,
+      "the layout changes where the index lives, never what the search returns")
+  }
+
+  test("q450: Lloyd training strictly decreases exact within-cell distortion") {
+    val r = SparkEntry.queries("q450_ivf_train_readout")(spark, sf)
+      .select("variant", "sum_d2", "n_vecs", "hits_at_5")
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(r("seed")._3 == n && r("trained")._3 == n, "every vector assigned")
+    assert(r("trained")._2 < r("seed")._2,
+      s"Lloyd must reduce distortion: ${r("trained")._2} !< ${r("seed")._2}")
+    assert(r("seed")._4 >= 0 && r("trained")._4 >= 0)
+  }
+
   test("q448: brute-force parity under the density-derived radius") {
     val out = SparkEntry.queries("q448_radius_scaled")(spark, sf)
       .select("u_a", "n_neighbors", "min_dist2", "sum_dist2")
