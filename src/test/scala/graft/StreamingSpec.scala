@@ -28,6 +28,20 @@ class StreamingSpec extends SparkSpec {
     val batch = Tables.events(spark, dir).select("user_id").distinct()
       .orderBy("user_id").as[Long].collect().toSeq
     assert(streamed == batch)
+    // provider parity: the RocksDB state store (the beyond-heap store a
+    // 100 TB deployment runs) must return the IDENTICAL key set — state
+    // storage is an implementation detail, never a semantics change
+    val rocks = Streaming.runToResult(spark, s =>
+      Streaming.streamTable(s, dir, "events")
+        .select(col("user_id"), col("ts"))
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select("user_id"),
+      "append", statePartitions = Some(4),
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      .orderBy("user_id").as[Long].collect().toSeq
+    assert(rocks == batch, "RocksDB state store changed the dedup result")
   }
 
   test("stream-batch parity: stream-static tier join equals the batch join") {
