@@ -39,12 +39,23 @@ def sentinel_median(run):
 
 so, sn = sentinel_median(old), sentinel_median(new)
 scale = (so / sn) if (so and sn) else 1.0
-print(f"sentinels: old={so} new={sn} -> normalization factor {scale:.3f}")
+any_flagged = False
 for tag, run in (("old", old), ("new", new)):
     if run.get("load_sentinel", {}).get("flagged"):
+        any_flagged = True
         print(f"WARNING: the {tag} run is load-flagged "
               f"(drift {run['load_sentinel'].get('drift')}) — "
               "per the round-close rule it may not be the committed record")
+# a flagged sentinel measures a TRANSIENT, not the machine speed of the
+# whole run — normalizing against it manufactures uniform phantom deltas
+# (observed: the flagged r14 sentinel median was 2x the clean r15 one
+# while raw totals moved 394 -> 367 s). Also refuse implausible factors.
+if any_flagged or not (0.67 <= scale <= 1.5):
+    print(f"sentinels: old={so} new={sn} — factor {scale:.3f} NOT applied "
+          "(flagged or implausible); comparing raw seconds")
+    scale = 1.0
+else:
+    print(f"sentinels: old={so} new={sn} -> normalization factor {scale:.3f}")
 
 qo, qn = old["queries"], new["queries"]
 only_old = sorted(set(qo) - set(qn))
