@@ -43,6 +43,17 @@ object Bench {
         asked.sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
+    // Scale-bench yardstick skip (round-15 verdict item 1): the declared
+    // quadratic SEMANTIC yardsticks burn out of the sf1+ bench wall (381 s =
+    // 26% at sf1) while their scale-safe twins are the production paths.
+    // Only the sf1/sf3 bench runs set this; the driver's sf0.1 stamp and
+    // the correctness gates never do, so the yardsticks stay measured at
+    // fixture SF and oracle-checked at every SF. The skip is recorded in
+    // the emitted JSON (yardsticks_skipped) so a record can't silently
+    // shrink.
+    val skipYardsticks = sys.env.get("SPARK_GRAFT_SKIP_YARDSTICKS").contains("1")
+    val benchNames =
+      if (skipYardsticks) names.filterNot(SparkEntry.scaleYardsticks) else names
 
     // Release localCheckpoint blocks left behind by the query just timed.
     // Safe: no table-level cache exists and every pass rebuilds each query's
@@ -59,7 +70,7 @@ object Bench {
     // index costs once so the timed pass measures data processing.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      names.foreach { n => materialize(n, warmDir); releaseCheckpoints() }
+      benchNames.foreach { n => materialize(n, warmDir); releaseCheckpoints() }
 
     // Ambient-load sentinel: ONE fixed compute job (no I/O, no registry
     // key) timed at run start / middle / end. The code is identical each
@@ -94,7 +105,7 @@ object Bench {
     // (q78 measured 1.01 s alone vs 1.78 s after the q1xx family);
     // releaseCheckpoints() between timed regions removes that coupling.
     def timedPass(): Seq[(String, Double, Boolean)] =
-      names.map { name =>
+      benchNames.map { name =>
         val t0 = System.nanoTime()
         val ok = materialize(name, sfDir)
         val t = (System.nanoTime() - t0) / 1e9
@@ -143,7 +154,12 @@ object Bench {
     val ss = Seq(sentinelStart, sentinelMid, sentinelEnd)
     val drift = ss.max / math.max(ss.min, 1e-9)
     val sentinelJson = f""""load_sentinel":{"start":${sentinelStart}%.3f,"mid":${sentinelMid}%.3f,"end":${sentinelEnd}%.3f,"drift":$drift%.3f,"flagged":${drift > 1.5}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"passes":2,"third_pass_keys":$reruns,$sentinelJson,"sf":"$sfDir"}"""
+    val skippedJson =
+      if (skipYardsticks)
+        SparkEntry.scaleYardsticks.toSeq.sorted
+          .map("\"" + _ + "\"").mkString(""","yardsticks_skipped":[""", ",", "]")
+      else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"passes":2,"third_pass_keys":$reruns,$sentinelJson$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // provenance: the driver's BENCH_r{N}.json tails truncate the per-query
     // map, so also land the full line at a stable path for round-over-round
@@ -163,8 +179,9 @@ object Bench {
       }
       // a SPARK_GRAFT_KEYS-filtered probe run must never stamp the round
       // record — a 6-key subset masquerading as the round bench would
-      // poison every round-over-round comparison
-      if (sys.env.get("SPARK_GRAFT_KEYS").isEmpty)
+      // poison every round-over-round comparison; same for a
+      // yardstick-skipped scale run (it's not the full registry either)
+      if (sys.env.get("SPARK_GRAFT_KEYS").isEmpty && !skipYardsticks)
         round.foreach { r =>
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(f"BENCH_LOCAL_r$r%02d.json"), line)

@@ -233,7 +233,26 @@ object SparkEntry {
       RegistryStatsMl.queries ++
       RegistryWarehouseText.queries ++
       RegistryRound14.queries ++
-      RegistryRound15.queries).toMap
+      RegistryRound15.queries ++
+      RegistryRound16.queries).toMap
+
+  /** The fixture-pinned quadratic SEMANTIC yardsticks (round-15 verdict
+    * item 1): keys whose answer itself scales superlinearly — q62's nearby-
+    * click counts and q394's fixed-radius neighbor counts grow with density,
+    * q127/q276's pair listings and q203's member-pair closure grow with the
+    * duplicate population — so no knob clamp can bound their work without
+    * changing what they return. Each has a registered scale-safe production
+    * twin (q444/q448/q445/q447/q446) that IS the 100 TB path. They stay in
+    * the correctness gate and the sf1 oracle replay at every SF; the SCALE
+    * BENCH skips them when `SPARK_GRAFT_SKIP_YARDSTICKS=1` (set by the sf1+
+    * bench runs only — the driver's sf0.1 stamp never sets it), recording
+    * the skip in the emitted JSON so a yardstick can never silently vanish
+    * from a record. q209 is NOT here: its quadratic knob was a sample
+    * fraction, now count-clamped to a fixed sample size (bit-identical at
+    * fixture SFs), so it scales linearly and stays benched. */
+  val scaleYardsticks: Set[String] = Set(
+    "q62_range_join", "q127_fuzzy_join", "q203_entity_resolution",
+    "q273_semdedup", "q276_editdist_confirm", "q394_grid_radius_join")
 
   // ------------------------------------------------------------------ oracle
 
@@ -1552,5 +1571,6 @@ object SparkEntry {
       RegistryStatsMl.oracleSql ++
       RegistryWarehouseText.oracleSql ++
       RegistryRound14.oracleSql ++
-      RegistryRound15.oracleSql).toMap
+      RegistryRound15.oracleSql ++
+      RegistryRound16.oracleSql).toMap
 }

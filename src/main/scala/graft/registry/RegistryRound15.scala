@@ -33,11 +33,20 @@ private[graft] object RegistryRound15 {
     c
   }
 
-  /** DuckDB CASE ladder computing [[pow2Above]] of a column named `q` —
-    * integer comparisons only, so both engines land on the same power of
-    * two for the same count. */
+  /** The LSH signature width q443 masks its cells from: the cell count is
+    * capped at 2^signaturePlanes on BOTH sides, because `pmod(bucket,
+    * cells)` over a `signaturePlanes`-bit bucket is the identity for any
+    * larger modulus — the cap makes engine and oracle agree by
+    * construction instead of by the fixture's n/32 staying small. */
+  private val signaturePlanes = 16
+
+  /** DuckDB CASE ladder computing min([[pow2Above]], 2^[[signaturePlanes]])
+    * of a column named `q` — integer comparisons only, so both engines land
+    * on the same power of two for the same count. The ladder depth is
+    * derived from [[signaturePlanes]]; raising the plane count widens both
+    * the ladder and the engine-side cap together. */
   private def cellLadderSql: String =
-    "CASE " + (15 to 0 by -1)
+    "CASE " + ((signaturePlanes - 1) to 0 by -1)
       .map(b => s"WHEN q >= ${1L << b} THEN ${1L << (b + 1)}")
       .mkString(" ") + " ELSE 1 END"
 
@@ -107,9 +116,12 @@ private[graft] object RegistryRound15 {
       .join(t.select(col("doc_id").as("id_b"), col("text").as("__tb"),
         col("__len").as("__lb")), "id_b")
       .withColumn("__ml", greatest(col("__la"), col("__lb"), lit(1)))
-      // the prefilter: a length gap over 10% of the longer text bounds
-      // sim_bp under 9000 without running the DP
-      .filter(lit(10) * abs(col("__la") - col("__lb")) <= col("__ml"))
+      // the prefilter, EXACT at any text length: lev >= |la − lb|, so
+      // (10000·lendiff) div ml >= 1001 forces (10000·lev) div ml > 1000,
+      // i.e. sim_bp < 9000 — the DP is skipped only for pairs the final
+      // threshold would drop anyway (a plain 10·lendiff > ml test is NOT
+      // tight at the boundary once texts pass ~10k chars)
+      .filter(expr("(10000 * abs(__la - __lb)) div __ml <= 1000"))
       .repartition(64, col("id_a")) // q276's DP-spread convention
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
         levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
@@ -130,11 +142,20 @@ private[graft] object RegistryRound15 {
     val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
     val codes = Similarity.pqEncode(emb, emb.filter(col("vec_id") < 8),
       "vec_id", "embedding", m = 4, subDim = 16)
+    // table keyed by the sanitized dir (the dedupIndex/q122 convention):
+    // the returned frame reads the catalog table LAZILY, so a fixed name
+    // re-executed after a later build for a different dir would silently
+    // serve the wrong corpus
+    val table = s"g449_ivf_serving_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      .replace(".", "_").toLowerCase
     graft.storage.Storage.writeBucketed(
-      assigned.join(codes, "vec_id"), "g449_ivf_serving", "cell", 8)
-    val idxCells = s.table("g449_ivf_serving")
+      assigned.join(codes, "vec_id"), table, "cell", 8)
+    // codes ride along for the ADC consumer (q451); q449's exact-float
+    // search ignores them (ivfTopKPrepared projects them away post-join)
+    val idxCells = s.table(table)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"))
+        col("embedding").as("cv"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
     val queryCells = Similarity.ivfProbe(emb.filter(col("vec_id") < 8),
         cents, "vec_id", "embedding", nprobe = 1)
       .select(col("cell"), col("vec_id").as("query_id"),
@@ -168,10 +189,13 @@ private[graft] object RegistryRound15 {
       // cells optimize the partition, LSH cells buy the same bound
       // without the n·k assignment pass a k ∝ n Lloyd would need (which
       // is itself quadratic — the reason k ∝ n alone is NOT the fix).
+      // Cells cap at 2^signaturePlanes to mirror cellLadderSql's ladder
+      // depth exactly (beyond the signature width, pmod is the identity
+      // on both sides anyway).
       val emb = T(s, dir, "embeddings")
-      val cells = pow2Above(emb.count() / 32L)
+      val cells = math.min(pow2Above(emb.count() / 32L), 1L << signaturePlanes)
       val coded = Similarity.lshBands(emb, "vec_id", "embedding",
-        numPlanes = 16, bands = 1, dim = 64)
+        numPlanes = signaturePlanes, bands = 1, dim = 64)
         .select(col("vec_id"), col("embedding"),
           pmod(col("bucket"), lit(cells)).as("cell"))
         .localCheckpoint() // two self-join branches: signature runs once
@@ -273,8 +297,9 @@ private[graft] object RegistryRound15 {
       // 0.5 — a pure column predicate PUSHED INTO the stored pair index's
       // parquet scan, so sub-threshold candidates never leave the file),
       // and (2) the length bound lev >= |len_a − len_b|, so a pair with
-      // 10·lendiff > maxlen can never reach 9000 bp and its len² DP is
-      // skipped. The estimate gate is what makes the key scale-stable:
+      // (10000·lendiff) div maxlen >= 1001 can never reach 9000 bp and
+      // its len² DP is skipped. The estimate gate is what makes the key
+      // scale-stable:
       // the >= 0.25 candidate population grows with band-collision
       // density (161k at sf1 vs 11k at sf0.1, 14.5x), while the >= 0.5
       // stratum is the planted near-dup population itself (258 -> 2.6k,
@@ -417,7 +442,7 @@ private[graft] object RegistryRound15 {
         |  (round((b - a) / greatest(a, b), 4) + 0.0) AS silhouette
         |FROM ab WHERE a IS NOT NULL AND b IS NOT NULL ORDER BY vec_id""".stripMargin,
     "q443_semdedup_lsh" -> {
-      val code = lshBandSqlGen(16, 1).head
+      val code = lshBandSqlGen(signaturePlanes, 1).head
       s"""WITH nn AS (SELECT count(*) // 32 AS q FROM embeddings),
          |cells AS (SELECT $cellLadderSql AS c FROM nn),
          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -495,8 +520,8 @@ private[graft] object RegistryRound15 {
          |  JOIN documents a ON a.doc_id = p.id_a
          |  JOIN documents b ON b.doc_id = p.id_b
          |  WHERE p.est_jaccard >= 0.5
-         |    AND 10 * abs(length(a.text) - length(b.text))
-         |    <= greatest(length(a.text), length(b.text), 1))
+         |    AND (10000 * abs(length(a.text) - length(b.text)))
+         |    // greatest(length(a.text), length(b.text), 1) <= 1000)
          |SELECT id_a, id_b, est_jaccard, CAST(lev AS BIGINT) AS lev,
          |  CAST(10000 - ((10000 * lev) // ml) AS BIGINT) AS sim_bp
          |FROM j WHERE 10000 - ((10000 * lev) // ml) >= 9000

@@ -212,6 +212,67 @@ object Streaming {
         .select("user_id"),
       "append", statePartitions = Some(4))
 
+  /** q452: TTL-bounded streaming dedup whose horizon BITES (round-15
+    * verdict item 5): the events table is staged one file per event DAY
+    * (ascending, one micro-batch each), keys dedup under
+    * `dropDuplicatesWithinWatermark` with an horizon derived from the data
+    * span (greatest(1, spanDays div `divisor`) days), and because the span
+    * is ~6 horizons a key's state is evicted and the key RE-EMITTED
+    * several times across the replay — each emission is an "era". This
+    * pins the measured "TTL bounds dedup state" contract (SCALE.md round
+    * 15) with the gate, not just a probe: state can never exceed the keys
+    * active inside one horizon, and the era chain is exactly reproducible.
+    *
+    * Rows are projected to (user_id, day) BEFORE the dedup so every row of
+    * a key within a batch is identical — the emitted row is deterministic
+    * under shuffle-order nondeterminism (the q38 projection discipline,
+    * plus day truncation for the event-time column).
+    *
+    * Eviction semantics pinned by StreamingSpec's probe (Spark 4.1
+    * `StreamingDeduplicationWithinWatermarkExec` under AvailableNow +
+    * maxFilesPerTrigger=1, measured — not read off the docs):
+    *   - state entry = (key, expiresAt = firstSeen + horizon); duplicates
+    *     do NOT refresh it;
+    *   - the eviction watermark for micro-batch N is computed from event
+    *     times through batch N-2 (one batch of commit lag): entry evicted
+    *     before batch N iff maxTs(batches <= N-2) - horizon >= expiresAt,
+    *     with >= at exact microsecond equality.
+    * The DuckDB oracle replays exactly that recursion (unrolled era CTEs;
+    * day-boundary timestamps make every comparison exact integer days).
+    *
+    * Scale shape: staging is one filtered pass per day over a span-bounded
+    * day list (driver metadata); state is |keys seen within ~2 horizons|,
+    * the contract a 100 TB ingest tier sizes its state store by. */
+  def streamTtlDedupEras(spark: SparkSession, dir: String, stageDirBase: String,
+                         divisor: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("ts"))
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
+    val spanDays =
+      (bounds.getTimestamp(1).getTime - bounds.getTimestamp(0).getTime) /
+        86400000L + 1
+    val horizonDays = math.max(1L, spanDays / divisor)
+    // distinct event days, ascending: span-bounded driver metadata (30 at
+    // every fixture SF — the staging plan, not data)
+    val days = ev.select(col("ts")).distinct().orderBy(col("ts"))
+      .collect().map(_.getTimestamp(0))
+    val stageDir = s"$stageDirBase/${stageKey(dir)}_ttl_d$divisor"
+    stageBatches(stageDir, days.toSeq.map(d => ev.filter(col("ts") === d)))
+    val emitted = runToResult(spark, s =>
+      s.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageDir)
+        .withWatermark("ts", s"$horizonDays days")
+        .dropDuplicatesWithinWatermark("user_id"),
+      "append", statePartitions = Some(4))
+    emitted
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("era", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))).cast("long"))
+  }
+
   /** q42: tumbling-window daily counts, streaming form of the dashboard's
     * hand-rolled python window loop (`Analysis Dashboard/app.py:44-59`). */
   def tumblingDailyCounts(spark: SparkSession, dir: String): DataFrame =

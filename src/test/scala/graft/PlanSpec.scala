@@ -1636,7 +1636,7 @@ class PlanSpec extends SparkSpec {
       val root = probe.queryExecution.executedPlan
       def servingSide(p: SparkPlan): Boolean = p.collect {
         case s: FileSourceScanExec
-            if s.tableIdentifier.exists(_.table == "g449_ivf_serving") => s
+            if s.tableIdentifier.exists(_.table.startsWith("g449_ivf_serving")) => s
       }.nonEmpty
       val joinChildren = root.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.children
@@ -1655,5 +1655,21 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
     }
+  }
+
+  test("ADC search: LUT broadcasts, candidate embeddings never read (q451)") {
+    val plan = q("q451_adc_search")
+    // the per-query lookup table is request-sized metadata — it must reach
+    // the candidate stream as a broadcast, never a shuffle
+    assert(plan.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$plan")
+    // the serving-table side of the scoring path reads codes + ids only:
+    // cv (the stored embedding) exists for q449's exact-float consumer and
+    // must be PRUNED out of q451's scan of the bucketed table
+    val servingReads = plan.linesIterator
+      .filter(_.contains("g449_ivf_serving")).mkString("\n")
+    assert(servingReads.nonEmpty, s"no serving-table scan in:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l => l.contains("c0") && !l.contains("embedding")),
+      s"the ADC path must score from codes without reading vectors:\n$plan")
   }
 }

@@ -41,7 +41,8 @@ class RegistrySpec extends AnyFunSuite {
       "RegistryStatsMl" -> RegistryStatsMl.queries,
       "RegistryWarehouseText" -> RegistryWarehouseText.queries,
       "RegistryRound14" -> RegistryRound14.queries,
-      "RegistryRound15" -> RegistryRound15.queries)
+      "RegistryRound15" -> RegistryRound15.queries,
+      "RegistryRound16" -> RegistryRound16.queries)
     val all = parts.flatMap { case (n, qs) => qs.map(q => (q._1, n)) }
     val dupes = all.groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"duplicate keys across parts: $dupes")

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Operator-level checks for the round-16 keys beyond the DuckDB gate —
+  * the invariants the value-compare can't see: q451's ADC scores against an
+  * in-memory reconstruction of the PQ lookup tables, candidate containment
+  * in the probed cell, and the recall readout's consistency with the exact
+  * top-5 key. (q452's pin tests live in StreamingSpec next to the other
+  * streaming semantics fixtures.)
+  */
+class Round16Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q451: ADC distances equal an in-memory PQ lookup-table reconstruction") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // codes: per vector, nearest codeword per 16-dim subspace (min L2,
+    // code-id tie-break) over the first-8 codebook — q116's assignment
+    def sub(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * 16, s * 16 + 16)
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val codebook = (0L until 8L).map(c => c -> emb(c)).toMap
+    def codeOf(v: Seq[Double], s: Int): Long =
+      codebook.toSeq.map { case (c, cv) => (d2(sub(v, s), sub(cv, s)), c) }
+        .min._2
+    // the engine's LUT entries land on the 1e-6 integer grid BEFORE the
+    // sum; reconstruct with the same expansion shape (x·x − 2x·c + c·c),
+    // tolerance ±1 grid unit per subspace for the double-chain difference
+    // between the zip-map reference here and the fixed-order DotProduct
+    def lutQ(q: Seq[Double], s: Int, code: Long): Long = {
+      val qs = sub(q, s); val cs = sub(codebook(code), s)
+      def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+      math.round((dot(qs, qs) - 2.0 * dot(qs, cs) + dot(cs, cs)) * 1e6)
+    }
+    val out = SparkEntry.queries("q451_adc_search")(spark, sf)
+      .select("query_id", "neighbor_id", "adc_d2q")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, n, adc) =>
+      val expect = (0 until 4).map(s => lutQ(emb(q), s, codeOf(emb(n), s))).sum
+      assert(math.abs(adc - expect) <= 4,
+        s"ADC($q,$n)=$adc but LUT reconstruction says $expect")
+    }
+  }
+
+  test("q451: candidates live in the query's probed cell; ranks are 1..5 by distance") {
+    val serving = SparkEntry.queries("q449_ann_serving")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val adc = SparkEntry.queries("q451_adc_search")(spark, sf)
+      .select("query_id", "rn", "neighbor_id", "adc_d2q")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    adc.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.length), s"ranks not dense for $q")
+      assert(sorted.map(_._4) == sorted.map(_._4).sorted,
+        s"ADC distances must be non-decreasing in rank for $q")
+      assert(sorted.forall(r => r._3 != q), s"self-match leaked for $q")
+    }
+    // both keys search the SAME serving cells, so q451's candidate pool is
+    // q449's cell membership — any rank-5 cutoff difference aside, every
+    // ADC result must at least come from that cell (checked via q449's
+    // top-5 whenever the cell holds <= 5 non-self members)
+    serving.foreach { case (q, ns) =>
+      if (ns.size < 5)
+        assert(adc.filter(_._1 == q).map(_._3).toSet == ns,
+          s"sub-5 cell must return identical member sets for $q")
+    }
+  }
+
+  test("q451: hits_at_5 equals the overlap with the exact top-5 (q45)") {
+    val truth = SparkEntry.queries("q45_cosine_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc = SparkEntry.queries("q451_adc_search")(spark, sf)
+      .select("query_id", "neighbor_id", "hit", "hits_at_5")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    adc.foreach { case (q, n, hit, _) =>
+      assert((hit == 1L) == truth((q, n)), s"hit flag wrong for ($q,$n)")
+    }
+    adc.groupBy(_._1).foreach { case (q, rows) =>
+      val expect = rows.count(r => truth((q, r._2))).toLong
+      assert(rows.forall(_._4 == expect), s"hits_at_5 wrong for $q")
+    }
+  }
+
+  test("q452: era chains respect the 2-horizon minimum re-emission gap") {
+    val out = SparkEntry.queries("q452_stream_ttl_dedup")(spark, sf)
+      .as[(Long, java.sql.Date, Long)].collect().toSeq
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+      .groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2.toLocalDate.toEpochDay).sorted }
+    val spanDays = {
+      val all = ev.values.flatten
+      all.max - all.min + 1
+    }
+    val h = math.max(1L, spanDays / 6)
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val eras = rows.sortBy(_._3).map(_._2.toLocalDate.toEpochDay)
+      // era 1 is the user's first event day
+      assert(eras.head == ev(u).head, s"user $u era 1 is not the first event")
+      // consecutive eras are at least 2h+2 days apart: eviction needs the
+      // lag-2 watermark (maxday two batches back, minus h) to reach the
+      // previous era's expiry (era day + h)
+      eras.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a >= 2 * h + 2,
+          s"user $u eras $a -> $b violate the eviction lag bound")
+        case _ =>
+      }
+      // every era day is one of the user's event days
+      assert(eras.forall(ev(u).contains), s"user $u emitted a non-event day")
+    }
+  }
+}

@@ -563,4 +563,115 @@ class StreamingSpec extends SparkSpec {
       (1L, at("2026-03-01 10:00:00"), 3L, 2L, 1L),
       (2L, at("2026-03-01 11:00:00"), 1L, 1L, 0L)), out.toString)
   }
+
+  /** Stage handcrafted one-row-per-day batches and replay them through
+    * dropDuplicatesWithinWatermark — the measurement harness behind the
+    * q452 eviction-semantics pin below. */
+  private def ttlReplay(days: Seq[(String, Int)], horizon: String): Seq[(String, Int)] = {
+    def dayTs(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    val stage = java.nio.file.Files.createTempDirectory("graft_ttl_pin").toString
+    days.map(_._2).distinct.sorted.zipWithIndex.foreach { case (d, i) =>
+      val rows = days.filter(_._2 == d).map { case (u, dd) => (u, dayTs(dd)) }
+      val tmp = s"$stage/__t$d"
+      rows.toDF("uid", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stage, f"b$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    Streaming.runToResult(spark, s =>
+      s.readStream.schema("uid STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark("uid"),
+      "append", statePartitions = Some(4))
+      .select(col("uid"), (dayofmonth(col("ts")) - 1).as("d"))
+      .as[(String, Int)].collect().sorted.toSeq
+  }
+
+  test("q452 semantics pin: dedup state is evicted by the LAG-2 watermark, >= at equality, no refresh") {
+    // The q452 oracle replays this exact model: a key's state carries
+    // expiry = firstSeen + horizon, duplicates never refresh it, and the
+    // eviction watermark for micro-batch N derives from event times
+    // through batch N-2 (one batch of commit lag), evicting at >= the
+    // expiry. Three measured fixtures pin each clause; if a Spark upgrade
+    // changes the operator, THIS fails before the gate does.
+    // (1) dense days, horizon 2: u2 posts every day yet re-emits on day 6 —
+    // the first batch whose lag-2 watermark (day4 - 2 = day2) reaches the
+    // expiry (day0 + 2 = day2): >= at exact equality, and no refresh
+    // (a refreshing state would never re-emit under daily duplicates).
+    val dense = ttlReplay(
+      (0 to 9).map(d => ("u2", d)) ++ Seq(0, 3, 4, 5, 6, 9).map(d => ("u1", d)),
+      "2 days")
+    assert(dense.filter(_._1 == "u1").map(_._2) == Seq(0, 6), dense.toString)
+    assert(dense.filter(_._1 == "u2").map(_._2) == Seq(0, 6), dense.toString)
+    // (2) sparse batch days {0,5,6}: a LAG-1 watermark at batch day6 would
+    // be day5 - 2 = day3 >= expiry day2 and re-emit; the measured lag-2
+    // watermark is day0 - 2 and does not
+    assert(ttlReplay(Seq(("u2", 0), ("u2", 5), ("u2", 6)), "2 days")
+      .map(_._2) == Seq(0), "lag-1 eviction would re-emit at day 6")
+    // (3) gapped days {0,5,6,7,9}: re-emission lands exactly where lag-2
+    // first reaches the expiry (batch day7: day5 - 2 = day3 >= day2)
+    assert(ttlReplay(Seq(0, 5, 6, 7, 9).map(d => ("u2", d)), "2 days")
+      .map(_._2) == Seq(0, 7), "lag-2 eviction fires at day 7")
+  }
+
+  test("q452: TTL bounds the dedup state to ~2 horizons of keys, under both providers") {
+    val sf = "/root/testdata/sf0.01"
+    // materialize the registered key once (stages the per-day batches and
+    // computes the era chain the assertions below compare against)
+    val eras = SparkEntry.queries("q452_stream_ttl_dedup")(spark, sf)
+      .as[(Long, java.sql.Date, Long)].collect().toSeq
+    val users = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    assert(eras.count(_._3 == 2L) > 0, "the horizon must BITE: some second eras")
+    val stage =
+      s"${SparkEntry.TMP}/stream_ttl/${Streaming.stageKey(sf)}_ttl_d6"
+    val maxDay = eras.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val h = 5L // 30-day fixture span div 6
+    // live state at end of replay = entries the final (lag-2) watermark has
+    // not yet evicted: their era started within the last 2 horizons (+lag)
+    val liveBound = eras.groupBy(_._1).values
+      .map(_.maxBy(_._3)._2.toLocalDate)
+      .count(d => d.toEpochDay >= maxDay.toEpochDay - (2 * h + 2))
+    for (provider <- Seq("hdfs", "rocksdb")) {
+      val confs =
+        if (provider == "rocksdb")
+          Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        else Map.empty[String, String]
+      val session = spark.newSession()
+      session.conf.set("spark.sql.shuffle.partitions", "4")
+      confs.foreach { case (k, v) => session.conf.set(k, v) }
+      val qn = s"ttl_bound_$provider"
+      val q = session.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .withWatermark("ts", "5 days")
+        .dropDuplicatesWithinWatermark("user_id")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val emitted = session.table(qn)
+        .select(col("user_id"), to_date(col("ts")))
+        .as[(Long, java.sql.Date)].collect().toSet
+      assert(emitted == eras.map(e => (e._1, e._2)).toSet,
+        s"$provider replay must emit the gate's exact era chain")
+      // the TTL contract: state is keyed by user (one entry each, an
+      // evicted era REPLACED by the next — re-emissions above prove
+      // eviction fired) and holds only keys whose latest era is inside
+      // ~2 horizons of the final watermark. At this fixture density every
+      // user is active in the final window, so the bound equals `users`;
+      // what the assertion rules out is the unbounded-history store
+      // (state > one entry per key, or entries for keys long past the
+      // horizon — the reference's whole-table EXISTS probe shape).
+      val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      assert(stateRows > 0 && stateRows <= users,
+        s"$provider: state must hold at most one entry per key (state=$stateRows, users=$users)")
+      assert(stateRows <= liveBound,
+        s"$provider: state ($stateRows) must stay within the 2-horizon key bound ($liveBound)")
+    }
+  }
 }
