@@ -288,6 +288,68 @@ object Multimodal {
     bb.array()
   }
 
+  /** q456: Walsh–Hadamard audio fingerprint — an exact-integer spectral
+    * signature for audio dedup/matching: JDK `javax.sound` parses the RIFF
+    * container (same 16-bit LE mono PCM contract as [[silenceSegments]];
+    * non-conforming payloads quarantine as fp = -1), the first 64 samples
+    * run through the fast Walsh–Hadamard transform (sum/difference
+    * butterflies ONLY — exact Long arithmetic, the trig-free cousin of an
+    * FFT spectral hash, so the fingerprint is bit-reproducible on any
+    * engine), and the fingerprint packs the sign bits of coefficients
+    * 1..32 (DC skipped: it encodes loudness, not content). Identical
+    * leading audio ⟹ identical fingerprint; matching is then a plain
+    * equi-join on a 64-bit key — never a waveform comparison.
+    *
+    * Scale shape: decode + transform per partition (the multimodal seam);
+    * only (id, fp) ever reaches a shuffle. */
+  def whtFingerprint(mm: DataFrame, idCol: String): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        val conforming = in != null && {
+          val f = in.getFormat
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
+        }
+        if (!conforming) (id, -1L)
+        else {
+          val bytes = in.readAllBytes()
+          val n = math.min(bytes.length / 2, 64)
+          val a = Array.ofDim[Long](64)
+          var i = 0
+          while (i < n) {
+            a(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
+            i += 1
+          }
+          var bit = 1
+          while (bit < 64) {
+            var j = 0
+            while (j < 64) {
+              if ((j & bit) == 0) {
+                val x = a(j); val y = a(j + bit)
+                a(j) = x + y; a(j + bit) = x - y
+              }
+              j += 1
+            }
+            bit <<= 1
+          }
+          var fp = 0L
+          var k = 1
+          while (k <= 32) {
+            if (a(k) > 0L) fp |= 1L << (k - 1)
+            k += 1
+          }
+          (id, fp)
+        }
+      }).toDF(idCol, "fp")
+  }
+
   /** REAL audio silence segmentation — the voice-activity-detection shape a
     * speech-training pipeline runs before transcription/chunking: JDK
     * `javax.sound` parses the RIFF container, 16-bit LE mono PCM splits

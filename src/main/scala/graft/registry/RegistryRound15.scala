@@ -27,7 +27,7 @@ private[graft] object RegistryRound15 {
 
   /** Smallest power of two STRICTLY greater than q (q >= 0) — the cell
     * count ladder shared bit-for-bit with [[cellLadderSql]]. */
-  private def pow2Above(q: Long): Long = {
+  private[graft] def pow2Above(q: Long): Long = {
     var c = 1L
     while (c <= q) c *= 2
     c
@@ -38,14 +38,14 @@ private[graft] object RegistryRound15 {
     * cells)` over a `signaturePlanes`-bit bucket is the identity for any
     * larger modulus — the cap makes engine and oracle agree by
     * construction instead of by the fixture's n/32 staying small. */
-  private val signaturePlanes = 16
+  private[graft] val signaturePlanes = 16
 
   /** DuckDB CASE ladder computing min([[pow2Above]], 2^[[signaturePlanes]])
     * of a column named `q` — integer comparisons only, so both engines land
     * on the same power of two for the same count. The ladder depth is
     * derived from [[signaturePlanes]]; raising the plane count widens both
     * the ladder and the engine-side cap together. */
-  private def cellLadderSql: String =
+  private[graft] def cellLadderSql: String =
     "CASE " + ((signaturePlanes - 1) to 0 by -1)
       .map(b => s"WHEN q >= ${1L << b} THEN ${1L << (b + 1)}")
       .mkString(" ") + " ELSE 1 END"

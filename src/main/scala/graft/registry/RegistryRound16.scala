@@ -79,7 +79,143 @@ private[graft] object RegistryRound16 {
     }),
     "q452_stream_ttl_dedup" -> ((s, dir) =>
       graft.stream.Streaming.streamTtlDedupEras(s, dir, s"$TMP/stream_ttl")
-        .orderBy("user_id", "era")))
+        .orderBy("user_id", "era")),
+    "q453_graph_ann" -> ((s, dir) => {
+      // GRAPH-based ANN — the third serving family next to IVF (q58/q449)
+      // and LSH (q55): a bounded-degree proximity graph built once (each
+      // node's top-4 cosine neighbors WITHIN its LSH cell, symmetrized —
+      // build cost n·occupancy, occupancy ~32-64 by the q443 knob), then
+      // batched greedy BEAM SEARCH from a fixed entry node: 4 hops, beam 8,
+      // candidates re-ranked on the 1e-6 cosine grid with id tie-breaks
+      // (public knowledge: NSW/Vamana-style best-first over a neighbor
+      // graph, batched per hop for the dataflow engine). The scale
+      // property: each hop touches only |beam|·degree candidate ids per
+      // query — the corpus is read by ID-KEYED point lookups, never
+      // scanned; recall@5 vs the exact truth rides along (the q451
+      // readout discipline).
+      val emb = T(s, dir, "embeddings")
+      val n = emb.count()
+      val cells = math.min(RegistryRound15.pow2Above(n / 32L),
+        1L << RegistryRound15.signaturePlanes)
+      val coded = Similarity.lshBands(emb, "vec_id", "embedding",
+        numPlanes = RegistryRound15.signaturePlanes, bands = 1, dim = 64)
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("bucket"), lit(cells)).as("cell"))
+        .localCheckpoint() // self-join: signature computed once
+      val la = coded.select(col("cell"), col("vec_id").as("src"),
+        col("embedding").as("sv"))
+      val lb = coded.select(col("cell"), col("vec_id").as("dst"),
+        col("embedding").as("dv"))
+      val out4 = la.join(lb, Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cq", Num.roundz((Similarity.dot("sv", "dv") /
+          (Similarity.norm("sv") * Similarity.norm("dv"))) * lit(1000000d))
+          .cast("long"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("cq").desc, col("dst"))))
+        .filter(col("rn") <= 4)
+        .select(col("src"), col("dst"))
+      val edges = out4
+        .unionByName(out4.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val corpus = emb.select(col("vec_id").as("node"), col("embedding").as("nv"))
+      def withDist(cand: DataFrame): DataFrame =
+        cand.join(corpus, "node")
+          .join(broadcast(queries), "query_id")
+          .select(col("query_id"), col("node"),
+            Num.roundz((Similarity.dot("qv", "nv") /
+              (Similarity.norm("qv") * Similarity.norm("nv"))) * lit(1000000d))
+              .cast("long").as("cq"))
+      // entry: the smallest corpus id that isn't the query itself
+      val lowIds = emb.select(col("vec_id")).orderBy("vec_id").limit(2)
+        .collect().map(_.getLong(0))
+      var v = withDist(queries.select(col("query_id"),
+        when(col("query_id") === lowIds(0), lit(lowIds(1)))
+          .otherwise(lit(lowIds(0))).as("node"))).localCheckpoint()
+      for (_ <- 1 to 4) {
+        val nbrs = v.select(col("query_id"), col("node"))
+          .join(edges, col("node") === col("src"))
+          .select(col("query_id"), col("dst").as("node"))
+          .filter(col("node") =!= col("query_id"))
+        val cand = v.select(col("query_id"), col("node"))
+          .unionByName(nbrs).distinct()
+        v = withDist(cand)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cq").desc, col("node"))))
+          .filter(col("rn") <= 8).drop("rn")
+          .localCheckpoint() // flat lineage per hop
+      }
+      val ranked = v.withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cq").desc, col("node"))).cast("long"))
+        .filter(col("rn") <= 5)
+      val truth = Similarity.cosineTopK(emb,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+        .select(col("query_id").as("__tq"), col("neighbor_id").as("__tn"))
+      ranked.join(truth,
+          col("query_id") === col("__tq") && col("node") === col("__tn"),
+          "left")
+        .withColumn("hit", when(col("__tn").isNotNull, 1L).otherwise(0L))
+        .withColumn("hits_at_5",
+          sum(col("hit")).over(Window.partitionBy(col("query_id"))).cast("long"))
+        .select(col("query_id"), col("rn"), col("node").as("neighbor_id"),
+          col("cq").as("cos_q"), col("hit"), col("hits_at_5"))
+        .orderBy("query_id", "rn")
+    }),
+    "q455_late_data_audit" -> ((s, dir) =>
+      // the per-day delivery ledger of a watermarked ingest with 3-day
+      // stragglers under a 1-day horizon: most delayed rows are dropped as
+      // LATE (the measured lag-2 watermark rule); see
+      // Streaming.lateDataAudit for the pinned semantics
+      graft.stream.Streaming.lateDataAudit(s, dir, s"$TMP/stream_late")
+        .orderBy("day")),
+    "q456_audio_fingerprint" -> ((s, dir) => {
+      // Walsh–Hadamard audio fingerprint dedup: per doc a 64-sample PCM
+      // waveform derives from a seed hashed off the doc's leading 40 chars
+      // (so docs sharing their opening content share audio — the planted
+      // '+ dup' family collides by construction), a REAL WAV container is
+      // synthesized and REALLY parsed back (javax.sound), the decoded
+      // samples fingerprint through the exact-integer WHT (see
+      // Multimodal.whtFingerprint), and matching is one equi-join on the
+      // 64-bit key. Output: every doc with its fingerprint, canonical
+      // group id (min doc_id) and group size.
+      import s.implicits._
+      val seeded = T(s, dir, "documents").select(col("doc_id"),
+        expr("CAST(conv(substring(sha2(substring(text, 1, 40), 256), 1, 8), 16, 10) AS BIGINT)")
+          .as("seed"))
+      val wavs = seeded.as[(Long, Long)].mapPartitions(_.map { case (id, seed) =>
+        val samples = Array.tabulate(64)(i =>
+          (((seed + i.toLong * 2654435761L) % 65536L) - 32768L).toShort)
+        (id, graft.multimodal.Multimodal.synthWavSamples(samples, 16000))
+      }).toDF("doc_id", "payload")
+      val fps = graft.multimodal.Multimodal.whtFingerprint(wavs, "doc_id")
+      val groups = fps.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("group_id"), count(lit(1)).as("group_size"))
+      fps.join(groups, "fp")
+        .select(col("doc_id"), col("fp"), col("group_id"),
+          col("group_size").cast("long").as("group_size"))
+        .orderBy("doc_id")
+    }),
+    "q454_orc_roundtrip" -> ((s, dir) => {
+      // ORC source/sink (Spark-native, the other columnar interchange
+      // format next to parquet/q115's XML): hive-partitioned write on the
+      // priority key, read back with a partition predicate — the scan
+      // lists ONLY the matching partition directory, and every value
+      // (including the binary double o_totalprice) round-trips exactly
+      val orders = T(s, dir, "orders")
+      val tmp = s"$TMP/q454_orc"
+      orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }))
 
   val oracleSql: Seq[(String, String)] = Seq(
     "q451_adc_search" ->
@@ -168,5 +304,111 @@ private[graft] object RegistryRound16 {
         |  UNION ALL SELECT user_id, d FROM e5)
         |SELECT user_id, CAST(d AS DATE) AS day,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS BIGINT) AS era
-        |FROM kept ORDER BY user_id, era""".stripMargin)
+        |FROM kept ORDER BY user_id, era""".stripMargin,
+    "q453_graph_ann" -> {
+      // q443's LSH cells feed the graph build; the 4 beam rounds unroll as
+      // (expand ∪ keep, re-rank, cut-to-8) CTE triples — the oracle may be
+      // naive (full q×n dist table) where the engine does id-keyed lookups
+      val code = lshBandSqlGen(RegistryRound15.signaturePlanes, 1).head
+      def round(i: Int) =
+        s"""nb$i AS (SELECT v.query_id, e.dst AS node FROM v${i - 1} v
+           |  JOIN edges e ON e.src = v.node WHERE e.dst <> v.query_id),
+           |cand$i AS (SELECT query_id, node FROM v${i - 1}
+           |  UNION SELECT query_id, node FROM nb$i),
+           |sc$i AS (SELECT c.query_id, c.node, d.cq,
+           |    row_number() OVER (PARTITION BY c.query_id ORDER BY d.cq DESC, c.node) AS rn
+           |  FROM cand$i c JOIN dist d ON d.query_id = c.query_id AND d.node = c.node),
+           |v$i AS (SELECT query_id, node, cq FROM sc$i WHERE rn <= 8)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) // 32 AS q FROM embeddings),
+         |cells AS (SELECT ${RegistryRound15.cellLadderSql} AS c FROM nn),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |coded AS (SELECT vec_id, v, ($code) % (SELECT c FROM cells) AS cell FROM b),
+         |prs AS (SELECT a.vec_id AS src, b2.vec_id AS dst,
+         |    CAST(round(list_dot_product(a.v, b2.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) * 1000000, 0) AS BIGINT) AS cq
+         |  FROM coded a JOIN coded b2 ON a.cell = b2.cell AND a.vec_id <> b2.vec_id),
+         |rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cq DESC, dst) AS rn FROM prs),
+         |edges AS (SELECT src, dst FROM rk WHERE rn <= 4
+         |  UNION SELECT dst, src FROM rk WHERE rn <= 4),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM b WHERE vec_id < 8),
+         |dist AS (SELECT q.query_id, c.vec_id AS node,
+         |    CAST(round(list_dot_product(q.qv, c.v) /
+         |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) * 1000000, 0) AS BIGINT) AS cq
+         |  FROM q CROSS JOIN b c WHERE c.vec_id <> q.query_id),
+         |entry AS (SELECT query_id, min(node) AS node FROM dist GROUP BY 1),
+         |v0 AS (SELECT e.query_id, e.node, d.cq FROM entry e
+         |  JOIN dist d ON d.query_id = e.query_id AND d.node = e.node),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |fin AS (SELECT query_id, node, cq,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cq DESC, node) AS BIGINT) AS rn
+         |  FROM v4),
+         |bs AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+         |  FROM b a CROSS JOIN b c WHERE a.vec_id < 8 AND c.vec_id <> a.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS trn
+         |  FROM bs) WHERE trn <= 5)
+         |SELECT f.query_id, f.rn, f.node AS neighbor_id, f.cq AS cos_q,
+         |  CAST(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hit,
+         |  CAST(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    OVER (PARTITION BY f.query_id) AS BIGINT) AS hits_at_5
+         |FROM fin f LEFT JOIN truth t ON t.query_id = f.query_id AND t.neighbor_id = f.node
+         |WHERE f.rn <= 5 ORDER BY f.query_id, f.rn""".stripMargin
+    },
+    "q454_orc_roundtrip" ->
+      // the layout changes the container, never the values — the oracle is
+      // the filtered source table
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q455_late_data_audit" ->
+      // the measured late rule replayed on a batch spine: batch = day
+      // index (+3 for the delayed %17 stream), running max over batches
+      // <= N-2 minus the 1-day horizon, boundary row dropped (ts > wm
+      // survives) — empty batches advance nothing
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+        |days AS (SELECT d, row_number() OVER (ORDER BY d) - 1 AS i
+        |  FROM (SELECT DISTINCT d FROM ev)),
+        |rb AS (SELECT e.event_id, e.ts, e.d,
+        |    CASE WHEN e.event_id % 17 = 0 THEN dd.i + 3 ELSE dd.i END AS b
+        |  FROM ev e JOIN days dd ON dd.d = e.d),
+        |bm AS (SELECT b, max(ts) AS mt FROM rb GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(0, (SELECT max(b) + 1 FROM rb))) AS BIGINT) AS b),
+        |wm AS (SELECT s.b,
+        |    max(bm.mt) OVER (ORDER BY s.b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |      - INTERVAL 1 DAY AS w
+        |  FROM spine s LEFT JOIN bm ON bm.b = s.b),
+        |deliv AS (SELECT r.event_id FROM rb r JOIN wm ON wm.b = r.b
+        |  WHERE wm.w IS NULL OR r.ts > wm.w)
+        |SELECT CAST(e.d AS DATE) AS day, CAST(count(*) AS BIGINT) AS total,
+        |  CAST(count(dv.event_id) AS BIGINT) AS delivered,
+        |  CAST(count(*) - count(dv.event_id) AS BIGINT) AS late_dropped
+        |FROM ev e LEFT JOIN deliv dv ON dv.event_id = e.event_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q456_audio_fingerprint" -> {
+      // the same seed (first 8 sha256 hex chars of the 40-char prefix),
+      // the same 64-sample integer waveform, the 6 WHT butterfly stages
+      // unrolled as list_transform CTEs, sign bits 1..32 packed
+      val stages = Iterator.iterate(1)(_ * 2).takeWhile(_ < 64).map { bit =>
+        val prev = if (bit == 1) "a0" else s"s${bit / 2}"
+        s"""s$bit AS (SELECT doc_id, list_transform(range(0, 64), i ->
+           |  CASE WHEN (i & $bit) = 0 THEN a[CAST(i + 1 AS INT)] + a[CAST(i + $bit + 1 AS INT)]
+           |  ELSE a[CAST(i - $bit + 1 AS INT)] - a[CAST(i + 1 AS INT)] END) AS a FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sd AS (SELECT doc_id,
+         |    CAST(CAST(('0x' || substr(sha256(substr(text, 1, 40)), 1, 8)) AS UBIGINT) AS BIGINT) AS seed
+         |  FROM documents),
+         |a0 AS (SELECT doc_id,
+         |    list_transform(range(0, 64), i -> (seed + i * 2654435761) % 65536 - 32768) AS a
+         |  FROM sd),
+         |$stages,
+         |fps AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 33), j ->
+         |    CASE WHEN a[CAST(j + 1 AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE 0 END))
+         |  AS BIGINT) AS fp FROM s32),
+         |g AS (SELECT fp, min(doc_id) AS group_id, count(*) AS group_size FROM fps GROUP BY 1)
+         |SELECT f.doc_id, f.fp, g.group_id, CAST(g.group_size AS BIGINT) AS group_size
+         |FROM fps f JOIN g USING (fp) ORDER BY f.doc_id""".stripMargin
+    })
 }

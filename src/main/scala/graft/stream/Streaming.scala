@@ -273,6 +273,66 @@ object Streaming {
         Window.partitionBy(col("user_id")).orderBy(col("day"))).cast("long"))
   }
 
+  /** q455: LATE-DATA accounting under a biting watermark — the other half
+    * of the watermark contract next to [[streamTtlDedupEras]]'s eviction
+    * half. The events table replays one micro-batch per event day, except
+    * every `event_id % 17 == 0` row arrives `delayBatches` batches after
+    * its day (tail batches carry the final days' stragglers). Under a
+    * 1-day watermark most delayed rows are LATE on arrival and dropped
+    * before any operator sees them; the registered output is the per-day
+    * delivery ledger (total / delivered / late_dropped) a production
+    * ingest would alert on.
+    *
+    * Late-filter semantics pinned by StreamingSpec's probe (measured, like
+    * the eviction half): a row in micro-batch N is dropped iff
+    * `ts <= maxEventTs(batches <= N-2) - horizon` — the same lag-2
+    * watermark as eviction, with the boundary row (ts == watermark) DROPPED.
+    * The DuckDB oracle replays exactly that rule on a batch spine (empty
+    * batches advance nothing; the running max never moves backwards).
+    *
+    * Scale shape: staging is one filtered pass per day; the stream itself
+    * holds dedup state on unique ids inside the horizon only; the ledger
+    * is |days| rows. */
+  def lateDataAudit(spark: SparkSession, dir: String, stageDirBase: String,
+                    delayBatches: Int = 3, horizon: String = "1 day"): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id"), col("ts"))
+    val days = ev.select(date_trunc("DAY", col("ts")).as("d")).distinct()
+      .orderBy(col("d")).collect().map(_.getTimestamp(0))
+    val nBatches = days.length + delayBatches
+    def slice(i: Int): DataFrame = {
+      val dayOf = date_trunc("DAY", col("ts"))
+      val onTime =
+        if (i < days.length)
+          ev.filter(dayOf === days(i) && col("event_id") % 17 =!= 0)
+        else ev.filter(lit(false))
+      val late =
+        if (i >= delayBatches && i - delayBatches < days.length)
+          ev.filter(dayOf === days(i - delayBatches) && col("event_id") % 17 === 0)
+        else ev.filter(lit(false))
+      onTime.unionByName(late)
+    }
+    val stageDir = s"$stageDirBase/${stageKey(dir)}_late_d$delayBatches"
+    stageBatches(stageDir, (0 until nBatches).map(slice))
+    val delivered = runToResult(spark, s =>
+      s.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageDir)
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark("event_id"),
+      "append", statePartitions = Some(4))
+    val dTot = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("total"))
+    val dDel = delivered.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("delivered"))
+    dTot.join(dDel, Seq("day"), "left")
+      .select(col("day"), col("total").cast("long").as("total"),
+        coalesce(col("delivered"), lit(0L)).cast("long").as("delivered"),
+        (col("total") - coalesce(col("delivered"), lit(0L)))
+          .cast("long").as("late_dropped"))
+  }
+
   /** q42: tumbling-window daily counts, streaming form of the dashboard's
     * hand-rolled python window loop (`Analysis Dashboard/app.py:44-59`). */
   def tumblingDailyCounts(spark: SparkSession, dir: String): DataFrame =

@@ -87,6 +87,99 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("q453: beam results are reachable, correctly ranked, and honestly scored") {
+    val out = SparkEntry.queries("q453_graph_ann")(spark, sf)
+      .select("query_id", "rn", "neighbor_id", "cos_q", "hit", "hits_at_5")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.length), s"ranks not dense for $q")
+      assert(sorted.map(_._4).reverse == sorted.map(_._4).reverse.sorted,
+        s"cos_q must be non-increasing in rank for $q")
+      assert(sorted.forall(_._3 != q), s"self-match leaked for $q")
+      assert(rows.forall(_._6 == rows.map(_._5).sum), s"hits_at_5 wrong for $q")
+    }
+    // the recall readout is honest: hits flag exactly the exact-top-5 overlap
+    val truth = SparkEntry.queries("q45_cosine_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    out.foreach { case (q, _, n, _, hit, _) =>
+      assert((hit == 1L) == truth((q, n)), s"hit flag wrong for ($q,$n)")
+    }
+  }
+
+  test("q453: every emitted node is graph-reachable from the entry within 4 hops") {
+    // rebuild the graph the key builds (LSH cells, within-cell top-4
+    // symmetrized) and BFS from each query's entry — beam results must be
+    // a subset of the 4-hop reachable set (the beam can only prune, never
+    // teleport)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val n = emb.size.toLong
+    var cells = 1L
+    while (cells <= n / 32L) cells *= 2
+    val out = SparkEntry.queries("q453_graph_ann")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    // engine-computed cell per node (reuse the registered q443 key's cells:
+    // same signature, same modulus)
+    val cellOf = SparkEntry.queries("q443_semdedup_lsh")(spark, sf)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (emb(a), emb(b))
+      val dot = va.zip(vb).map(t => t._1 * t._2).sum
+      dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    val byCell = emb.keys.groupBy(cellOf)
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    byCell.values.foreach { members =>
+      val m = members.toSeq
+      m.foreach { s =>
+        m.filter(_ != s)
+          .map(d => (math.round(cos(s, d) * 1e6), d))
+          .sortBy { case (cq, d) => (-cq, d) }.take(4)
+          .foreach { case (_, d) => adj(s) += d; adj(d) += s }
+      }
+    }
+    val ids = emb.keys.toSeq.sorted
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val entry = ids.find(_ != q).get
+      var frontier = Set(entry)
+      var seen = Set(entry)
+      (1 to 4).foreach { _ =>
+        frontier = frontier.flatMap(adj).diff(seen)
+        seen ++= frontier
+      }
+      rows.map(_._2).foreach(nd =>
+        assert(seen(nd) || nd == entry, s"node $nd not 4-hop reachable for query $q"))
+    }
+  }
+
+  test("q454: ORC read back prunes to the filtered partition directory") {
+    val df = SparkEntry.queries("q454_orc_roundtrip")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Format: ORC") || plan.toLowerCase.contains("orc"), plan)
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderpriority"), s"partition predicate not pruning:\n$plan")
+  }
+
+  test("q456: fingerprints group the planted '+ dup' docs with their source") {
+    // the dup family shares its leading 40 chars with the source doc, so
+    // their synthesized audio — and the WHT fingerprint — must collide
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val out = SparkEntry.queries("q456_audio_fingerprint")(spark, sf)
+      .select("doc_id", "fp").as[(Long, Long)].collect().toMap
+    assert(out.values.forall(_ != -1L), "every synthesized WAV must parse")
+    val byPrefix = docs.groupBy(_._2.take(40))
+    byPrefix.values.filter(_.size > 1).foreach { grp =>
+      val fps = grp.map(d => out(d._1)).distinct
+      assert(fps.size == 1, s"same leading content must share a fingerprint: $grp")
+    }
+  }
+
   test("q452: era chains respect the 2-horizon minimum re-emission gap") {
     val out = SparkEntry.queries("q452_stream_ttl_dedup")(spark, sf)
       .as[(Long, java.sql.Date, Long)].collect().toSeq

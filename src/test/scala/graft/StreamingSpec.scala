@@ -618,6 +618,75 @@ class StreamingSpec extends SparkSpec {
       .map(_._2) == Seq(0, 7), "lag-2 eviction fires at day 7")
   }
 
+  /** Same harness, explicit batch composition: rows land in the batch the
+    * caller puts them in (not their event day) — the late-arrival pin. */
+  private def ttlReplayBatches(batches: Seq[Seq[(String, Int)]],
+                               horizon: String): Seq[(String, Int)] = {
+    def dayTs(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    val stage = java.nio.file.Files.createTempDirectory("graft_late_pin").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$stage/__t$i"
+      rows.map { case (u, d) => (u, dayTs(d)) }.toDF("uid", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stage, f"b$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    Streaming.runToResult(spark, s =>
+      s.readStream.schema("uid STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark("uid"),
+      "append", statePartitions = Some(4))
+      .select(col("uid"), (dayofmonth(col("ts")) - 1).as("d"))
+      .as[(String, Int)].collect().sorted.toSeq
+  }
+
+  test("q455 semantics pin: late rows drop against the LAG-2 watermark, boundary row dropped") {
+    // The q455 oracle replays this exact rule. One staged fixture pins all
+    // three clauses: u9's day-0 row arrives in batch 2 where the lag-2
+    // watermark is still -inf-ish (kept — a LAG-1 watermark of day3 would
+    // drop it); u8's day-0 row arrives in batch 3 where the lag-2
+    // watermark is day5 - 2 = day3 (dropped — the filter is active); u7's
+    // day-4 row arrives in batch 4 where the lag-2 watermark is EXACTLY
+    // day4 (dropped — the boundary row is late, survival needs ts > wm).
+    val out = ttlReplayBatches(Seq(
+      Seq(("u2", 0)),
+      Seq(("u2", 5)),
+      Seq(("u2", 6), ("u9", 0)),
+      Seq(("u2", 7), ("u8", 0)),
+      Seq(("u2", 9), ("u7", 4))), "2 days")
+    assert(out.filter(_._1 == "u9").map(_._2) == Seq(0), "lag-1 would drop u9")
+    assert(!out.exists(_._1 == "u8"), "the late filter must be active")
+    assert(!out.exists(_._1 == "u7"), "ts == watermark is late, not on-time")
+    // u2's own chain re-checks the eviction half on this staging
+    assert(out.filter(_._1 == "u2").map(_._2) == Seq(0, 7), out.toString)
+  }
+
+  test("q455: the delivery ledger balances and only the delayed stream drops") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q455_late_data_audit")(spark, sf)
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (d, total, delivered, dropped) =>
+      assert(total == delivered + dropped, s"ledger must balance on $d")
+    }
+    assert(out.map(_._4).sum > 0, "the 3-day delay under a 1-day horizon must drop rows")
+    // on-time rows (id % 17 != 0) are never late: drops never exceed the
+    // delayed stream's population
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_id"))
+      .as[(java.sql.Date, Long)].collect().toSeq
+    val delayedPerDay = ev.filter(_._2 % 17 == 0).groupBy(_._1).view.mapValues(_.size)
+    out.foreach { case (d, _, _, dropped) =>
+      assert(dropped <= delayedPerDay.getOrElse(d, 0).toLong,
+        s"on-time rows must never drop ($d)")
+    }
+  }
+
   test("q452: TTL bounds the dedup state to ~2 horizons of keys, under both providers") {
     val sf = "/root/testdata/sf0.01"
     // materialize the registered key once (stages the per-day batches and
