@@ -224,3 +224,76 @@ if not ok456:
     bad = [d for d in py_fp if duck456[d] != py_fp[d]][:3]
     for d in bad:
         print("  doc", d, "py", py_fp[d], "duck", duck456[d])
+
+# ================= q457 mergeable quantile summaries =================
+# per-shard (event_id % 8) equi-depth 32-bound summaries, merged estimate
+# vs exact global quantiles, all exact integers
+evs2 = con.sql("SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) FROM events").fetchall()
+from collections import defaultdict as dd2
+shards = dd2(list)
+for eid, cents in evs2:
+    shards[eid % 8].append(cents)
+B = 32
+merged = []
+for sh, vals in shards.items():
+    vals.sort()
+    ns = len(vals)
+    prev = 0
+    for i in range(1, B + 1):
+        r = (i * ns) // B
+        w = r - prev
+        prev = r
+        if w > 0:
+            merged.append((vals[r - 1], w))  # bound = value at rank r (1-based)
+merged.sort()
+N = sum(w for _, w in merged)
+allv = sorted(v for _, v in evs2)
+assert N == len(allv)
+PS = [1, 5, 25, 50, 75, 95, 99]
+py457 = {}
+for p in PS:
+    r = -(-p * N // 100)  # ceil
+    cum = 0
+    est = None
+    for v, w in merged:
+        cum += w
+        if cum >= r:
+            est = v
+            break
+    exact = allv[r - 1]
+    py457[p] = (est, exact, abs(est - exact))
+
+sql457 = """
+WITH ev AS (SELECT event_id % 8 AS shard, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+hist AS (SELECT shard, cents, count(*) AS c FROM ev GROUP BY 1, 2),
+cum AS (SELECT shard, cents, c,
+    sum(c) OVER (PARTITION BY shard ORDER BY cents) AS cr,
+    sum(c) OVER (PARTITION BY shard) AS ns
+  FROM hist),
+sz AS (SELECT shard, max(ns) AS ns FROM cum GROUP BY 1),
+bk AS (SELECT shard,
+    (CAST(t.i AS BIGINT) * ns) // 32 AS r,
+    (CAST(t.i AS BIGINT) * ns) // 32 - ((CAST(t.i AS BIGINT) - 1) * ns) // 32 AS w
+  FROM sz, LATERAL (SELECT unnest(range(1, 33)) AS i) t),
+summ AS (SELECT b.shard, b.r, b.w, min(c.cents) AS cents
+  FROM bk b JOIN cum c ON c.shard = b.shard AND c.cr >= b.r
+  WHERE b.w > 0 GROUP BY 1, 2, 3),
+mg AS (SELECT cents, sum(w) AS w FROM summ GROUP BY 1),
+mc AS (SELECT cents, w, sum(w) OVER (ORDER BY cents) AS cw, sum(w) OVER () AS n FROM mg),
+exact_h AS (SELECT cents, count(*) AS c FROM ev GROUP BY 1),
+ec AS (SELECT cents, sum(c) OVER (ORDER BY cents) AS cr, sum(c) OVER () AS n FROM exact_h),
+ps AS (SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99]) AS BIGINT) AS p),
+tgt AS (SELECT p, -((-p * (SELECT max(n) FROM ec)) // 100) AS r FROM ps),
+est AS (SELECT t.p, min(m.cents) AS est FROM tgt t JOIN mc m ON m.cw >= t.r GROUP BY 1),
+exq AS (SELECT t.p, min(e.cents) AS exact FROM tgt t JOIN ec e ON e.cr >= t.r GROUP BY 1)
+SELECT e.p, CAST(e.est AS BIGINT) AS est_cents, CAST(x.exact AS BIGINT) AS exact_cents,
+  CAST(abs(e.est - x.exact) AS BIGINT) AS abs_err
+FROM est e JOIN exq x USING (p) ORDER BY e.p
+"""
+duck457 = {r[0]: (r[1], r[2], r[3]) for r in con.sql(sql457).fetchall()}
+ok457 = all(duck457[p] == py457[p] for p in PS)
+print("PROTO q457:", "MATCH" if ok457 else "MISMATCH", py457)
+if not ok457:
+    for p in PS:
+        if duck457[p] != py457[p]:
+            print("  p", p, "py", py457[p], "duck", duck457[p])

@@ -199,6 +199,61 @@ private[graft] object RegistryRound16 {
           col("group_size").cast("long").as("group_size"))
         .orderBy("doc_id")
     }),
+    "q457_quantile_merge" -> ((s, dir) => {
+      // MERGEABLE quantile summaries — the distributed-percentile pattern
+      // a 100 TB deployment actually runs: each shard (event_id % 8,
+      // standing in for 8 independent ingest partitions) reduces to a
+      // 32-bound equi-depth summary (bound i = the shard value at exact
+      // rank (i·ns) div 32, weight = the rank step — integer weights that
+      // sum to ns), the 256-row summary union answers any quantile with
+      // bounded rank error, and the key reports estimate vs EXACT global
+      // quantile with the absolute error per percentile (the number that
+      // justifies shipping summaries instead of raw values). Exact side
+      // via the q65 value-histogram discipline (TwoPhase prefix sum over
+      // the bounded cents domain — no single-partition window over data).
+      val ev = T(s, dir, "events").select(
+        (col("event_id") % 8).as("shard"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      val hist = ev.groupBy(col("shard"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the shard CDF AND the exact global CDF
+      val cum = hist
+        .withColumn("cr", sum(col("c")).over(
+          Window.partitionBy(col("shard")).orderBy(col("cents"))))
+        .withColumn("ns", sum(col("c")).over(Window.partitionBy(col("shard"))))
+        .localCheckpoint() // scanned once per join side below
+      val bk = cum.groupBy(col("shard")).agg(max(col("ns")).as("ns"))
+        .select(col("shard"), col("ns"),
+          explode(expr("sequence(1, 32)")).as("i"))
+        .select(col("shard"),
+          expr("(i * ns) div 32").as("r"),
+          expr("(i * ns) div 32 - ((i - 1) * ns) div 32").as("w"))
+        .filter(col("w") > 0)
+      val bounds = bk.join(cum, Seq("shard"))
+        .filter(col("cr") >= col("r"))
+        .groupBy(col("shard"), col("r"), col("w"))
+        .agg(min(col("cents")).as("cents"))
+      val mg = bounds.groupBy(col("cents")).agg(sum(col("w")).as("w"))
+        // <= shards·32 summary rows: the partition-less window is a
+        // metadata scan, the accepted q189 convention
+        .withColumn("cw", sum(col("w")).over(
+          Window.orderBy(col("cents"))))
+      val (ec, n) = graft.ops.TwoPhase.prefixSum(
+        hist.groupBy(col("cents")).agg(sum(col("c")).as("c")),
+        binKey = col("cents"), order = Seq(col("cents")),
+        value = col("c"), out = "cr")
+      val ps = s.range(1, 2).select(
+        explode(expr("array(1L, 5L, 25L, 50L, 75L, 95L, 99L)")).as("p"))
+        .withColumn("r", expr(s"(p * ${n}L + 99) div 100"))
+      val est = ps.join(mg, col("cw") >= col("r"))
+        .groupBy(col("p"), col("r")).agg(min(col("cents")).as("est_cents"))
+      val exq = ps.join(ec, col("cr") >= col("r"))
+        .groupBy(col("p")).agg(min(col("cents")).as("exact_cents"))
+      est.join(exq, "p")
+        .select(col("p"), col("est_cents"), col("exact_cents"),
+          abs(col("est_cents") - col("exact_cents")).as("abs_err"))
+        .orderBy("p")
+    }),
     "q454_orc_roundtrip" -> ((s, dir) => {
       // ORC source/sink (Spark-native, the other columnar interchange
       // format next to parquet/q115's XML): hive-partitioned write on the
@@ -387,6 +442,40 @@ private[graft] object RegistryRound16 {
         |  CAST(count(*) - count(dv.event_id) AS BIGINT) AS late_dropped
         |FROM ev e LEFT JOIN deliv dv ON dv.event_id = e.event_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q457_quantile_merge" ->
+      // the prototyped summary-merge recursion (scripts/proto_r16.py):
+      // per-shard CDF, 32 exact-rank bounds with integer weights, merged
+      // weighted CDF vs the exact global CDF, ceil-rank targets
+      """WITH ev AS (SELECT event_id % 8 AS shard,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |hist AS (SELECT shard, cents, count(*) AS c FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT shard, cents, c,
+        |    sum(c) OVER (PARTITION BY shard ORDER BY cents) AS cr,
+        |    sum(c) OVER (PARTITION BY shard) AS ns
+        |  FROM hist),
+        |sz AS (SELECT shard, max(ns) AS ns FROM cum GROUP BY 1),
+        |bk AS (SELECT shard,
+        |    (CAST(t.i AS BIGINT) * ns) // 32 AS r,
+        |    (CAST(t.i AS BIGINT) * ns) // 32 - ((CAST(t.i AS BIGINT) - 1) * ns) // 32 AS w
+        |  FROM sz, LATERAL (SELECT unnest(range(1, 33)) AS i) t),
+        |summ AS (SELECT b.shard, b.r, b.w, min(c.cents) AS cents
+        |  FROM bk b JOIN cum c ON c.shard = b.shard AND c.cr >= b.r
+        |  WHERE b.w > 0 GROUP BY 1, 2, 3),
+        |mg AS (SELECT cents, sum(w) AS w FROM summ GROUP BY 1),
+        |mc AS (SELECT cents, w, sum(w) OVER (ORDER BY cents) AS cw FROM mg),
+        |eh AS (SELECT cents, sum(c) AS c FROM hist GROUP BY 1),
+        |ec AS (SELECT cents, sum(c) OVER (ORDER BY cents) AS cr,
+        |    sum(c) OVER () AS n FROM eh),
+        |ps AS (SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99]) AS BIGINT) AS p),
+        |tgt AS (SELECT p, (p * (SELECT max(n) FROM ec) + 99) // 100 AS r FROM ps),
+        |est AS (SELECT t.p, min(m.cents) AS est_cents FROM tgt t
+        |  JOIN mc m ON m.cw >= t.r GROUP BY 1),
+        |exq AS (SELECT t.p, min(e.cents) AS exact_cents FROM tgt t
+        |  JOIN ec e ON e.cr >= t.r GROUP BY 1)
+        |SELECT e.p, CAST(e.est_cents AS BIGINT) AS est_cents,
+        |  CAST(x.exact_cents AS BIGINT) AS exact_cents,
+        |  CAST(abs(e.est_cents - x.exact_cents) AS BIGINT) AS abs_err
+        |FROM est e JOIN exq x USING (p) ORDER BY e.p""".stripMargin,
     "q456_audio_fingerprint" -> {
       // the same seed (first 8 sha256 hex chars of the 40-char prefix),
       // the same 64-sample integer waveform, the 6 WHT butterfly stages
