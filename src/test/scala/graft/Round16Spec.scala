@@ -180,6 +180,33 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("q457: summary estimates carry the equi-depth rank-error bound") {
+    // a 32-bound equi-depth summary's rank error is < ns/32 per shard, so
+    // the merged estimate's rank error is < N/32 — verify the VALUE at
+    // the estimate's exact rank stays inside that band, and the summary
+    // is exact wherever a shard bound lands on the target rank
+    val out = SparkEntry.queries("q457_quantile_merge")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L))
+    val cents = Tables.events(spark, sf)
+      .select(expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+      .as[Long].collect().sorted
+    val n = cents.length
+    out.foreach { case (p, est, exact, err) =>
+      assert(err == math.abs(est - exact))
+      assert(exact == cents(((p * n + 99) / 100 - 1).toInt),
+        s"exact side must be the true percentile at p=$p")
+      // est is >= exact (summaries bias up: bound_i sits at the TOP of its
+      // bucket) and its true rank is within N/32 + 8 (one bucket per shard
+      // boundary slack) of the target
+      assert(est >= exact, s"equi-depth upper bounds can't undershoot at p=$p")
+      val targetRank = (p * n + 99) / 100
+      val estRank = cents.count(_ <= est)
+      assert(estRank - targetRank <= n / 32 + 8,
+        s"estimate rank error beyond the summary bound at p=$p")
+    }
+  }
+
   test("q452: era chains respect the 2-horizon minimum re-emission gap") {
     val out = SparkEntry.queries("q452_stream_ttl_dedup")(spark, sf)
       .as[(Long, java.sql.Date, Long)].collect().toSeq
