@@ -225,34 +225,46 @@ object SparkEntry {
   private[graft] def valueBucket = when(col("value") >= 100, "high")
     .when(col("value") >= 50, "mid").otherwise(lit("low"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (RegistryReference.queries ++
-      RegistryAnalyticsGraph.queries ++
-      RegistryAnnDedup.queries ++
-      RegistryPipelineOps.queries ++
-      RegistryStatsMl.queries ++
-      RegistryWarehouseText.queries ++
-      RegistryRound14.queries ++
-      RegistryRound15.queries ++
-      RegistryRound16.queries).toMap
+  /** Round-17 retirement of the six density-superlinear shapes IN PLACE
+    * (r16 verdict item 1): each key on the left now RUNS its density-scaled
+    * twin's plan — same registered name, the twin's engine code and oracle —
+    * so the full registry scale-benches with ZERO exclusions and a user
+    * calling any of these keys at 100× gets the linear plan, not the melt.
+    * The superlinear originals survive as Spec-only yardsticks: Round15Spec
+    * rebuilds each shape inline from ops/ and pins that the twin preserves
+    * the semantics (exact identity for q62/q444; the documented
+    * density-scaled re-statements for the rest — group-level pairs/closure
+    * for q127/q203, LSH cells for q273, the production 9000 bp confirm
+    * stratum for q276, density-derived radius for q394). q62 keeps its OWN
+    * interval-join oracle: the rank-difference engine vs the join-formulated
+    * SQL re-proves the TwoPhase equivalence at every gate SF. */
+  private[graft] val retiredToTwins: Map[String, String] = Map(
+    "q62_range_join" -> "q444_range_count_rank",
+    "q127_fuzzy_join" -> "q445_name_group_join",
+    "q203_entity_resolution" -> "q446_er_groups",
+    "q273_semdedup" -> "q443_semdedup_lsh",
+    "q276_editdist_confirm" -> "q447_confirm_pruned",
+    "q394_grid_radius_join" -> "q448_radius_scaled")
 
-  /** The fixture-pinned quadratic SEMANTIC yardsticks (round-15 verdict
-    * item 1): keys whose answer itself scales superlinearly — q62's nearby-
-    * click counts and q394's fixed-radius neighbor counts grow with density,
-    * q127/q276's pair listings and q203's member-pair closure grow with the
-    * duplicate population — so no knob clamp can bound their work without
-    * changing what they return. Each has a registered scale-safe production
-    * twin (q444/q448/q445/q447/q446) that IS the 100 TB path. They stay in
-    * the correctness gate and the sf1 oracle replay at every SF; the SCALE
-    * BENCH skips them when `SPARK_GRAFT_SKIP_YARDSTICKS=1` (set by the sf1+
-    * bench runs only — the driver's sf0.1 stamp never sets it), recording
-    * the skip in the emitted JSON so a yardstick can never silently vanish
-    * from a record. q209 is NOT here: its quadratic knob was a sample
-    * fraction, now count-clamped to a fixed sample size (bit-identical at
-    * fixture SFs), so it scales linearly and stays benched. */
-  val scaleYardsticks: Set[String] = Set(
-    "q62_range_join", "q127_fuzzy_join", "q203_entity_resolution",
-    "q273_semdedup", "q276_editdist_confirm", "q394_grid_radius_join")
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val base =
+      (RegistryReference.queries ++
+        RegistryAnalyticsGraph.queries ++
+        RegistryAnnDedup.queries ++
+        RegistryPipelineOps.queries ++
+        RegistryStatsMl.queries ++
+        RegistryWarehouseText.queries ++
+        RegistryRound14.queries ++
+        RegistryRound15.queries ++
+        RegistryRound16.queries).toMap
+    base ++ retiredToTwins.map { case (k, twin) => k -> base(twin) }
+  }
+
+  /** Retired round-15/16 mechanism, kept as an empty set so sf1+ bench
+    * drivers that still export `SPARK_GRAFT_SKIP_YARDSTICKS=1` run the
+    * full registry: since round 17 every registered key is scale-safe
+    * (see [[retiredToTwins]]) and nothing is excluded from any bench. */
+  val scaleYardsticks: Set[String] = Set.empty
 
   // ------------------------------------------------------------------ oracle
 
@@ -1563,14 +1575,22 @@ object SparkEntry {
        |FROM doc$k ORDER BY doc_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] =
-    (RegistryReference.oracleSql ++
-      RegistryAnalyticsGraph.oracleSql ++
-      RegistryAnnDedup.oracleSql ++
-      RegistryPipelineOps.oracleSql ++
-      RegistryStatsMl.oracleSql ++
-      RegistryWarehouseText.oracleSql ++
-      RegistryRound14.oracleSql ++
-      RegistryRound15.oracleSql ++
-      RegistryRound16.oracleSql).toMap
+  def oracleSql: Map[String, String] = {
+    val base =
+      (RegistryReference.oracleSql ++
+        RegistryAnalyticsGraph.oracleSql ++
+        RegistryAnnDedup.oracleSql ++
+        RegistryPipelineOps.oracleSql ++
+        RegistryStatsMl.oracleSql ++
+        RegistryWarehouseText.oracleSql ++
+        RegistryRound14.oracleSql ++
+        RegistryRound15.oracleSql ++
+        RegistryRound16.oracleSql).toMap
+    // the retired keys verify against their twin's oracle — EXCEPT q62,
+    // whose own interval-join SQL is kept as the cross-formulation witness
+    // for the rank-difference plan (see retiredToTwins)
+    base ++ retiredToTwins.collect {
+      case (k, twin) if k != "q62_range_join" => k -> base(twin)
+    }
+  }
 }

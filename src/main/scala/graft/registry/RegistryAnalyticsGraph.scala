@@ -291,25 +291,11 @@ private[graft] object RegistryAnalyticsGraph {
         Seq("n_chars", "doc_id"), k = 100)
         .select(col("doc_id"), col("n_chars"), col("rank"))
         .orderBy("rank")),
-    "q203_entity_resolution" -> ((s, dir) => {
-      // end-to-end MDM: blocked fuzzy matching (q127's pairs) → transitive
-      // closure → one golden id per entity, singletons self-canonical
-      import s.implicits._
-      val base = T(s, dir, "customer").select(col("c_custkey"))
-        .unionByName(Seq(900000001L, 900000002L).toDF("c_custkey"))
-      val pairs = fuzzyCustomerPairs(s, dir)
-        .select(col("key_a").as("id_a"), col("key_b").as("id_b"))
-      val comp = Dedup.connectedComponents(pairs)
-      val m = base.join(comp, base("c_custkey") === comp("node"), "left")
-        .select(col("c_custkey"),
-          coalesce(col("component"), col("c_custkey")).as("entity_id"))
-      val sz = m.groupBy(col("entity_id")).agg(count(lit(1)).as("cluster_size"))
-      m.join(sz, Seq("entity_id"))
-        .select(col("c_custkey"), col("entity_id"),
-          (col("c_custkey") === col("entity_id")).as("is_canonical"),
-          col("cluster_size").cast("long").as("cluster_size"))
-        .orderBy("c_custkey")
-    }),
+    // q203_entity_resolution is registered via SparkEntry.retiredToTwins
+    // (round 17): the member-level closure builds its pair graph from
+    // row-level fuzzy matches whose volume grows with the duplicate
+    // population; the registered plan is q446's group-graph closure and the
+    // member-level shape lives on as a Round15Spec yardstick.
     "q204_bigram_lm" -> ((s, dir) =>
       // context-aware fluency score: Jelinek-Mercer interpolated bigram
       // NLL per document, unseen bigrams backed off to the unigram floor;
@@ -1346,36 +1332,8 @@ private[graft] object RegistryAnalyticsGraph {
         |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank FROM documents)
         |SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank % 100 = 1 ORDER BY rank""".stripMargin,
-    "q203_entity_resolution" ->
-      // q127's blocked pairs + min-label components, singletons
-      // self-canonical via the left-join coalesce. The two blocking
-      // predicates run as SEPARATE equi-joins UNIONed (identical pair set
-      // to the original OR-join form, which no engine can hash-join — at
-      // sf1 the OR forced a 150k×150k nested loop and the oracle timed out)
-      s"""WITH c AS MATERIALIZED (SELECT c_custkey, c_name FROM customer
-        |    UNION ALL SELECT * FROM (VALUES (900000001, 'Customer#A00001111'),
-        |      (900000002, 'Customer#B00001111')) t(c_custkey, c_name)),
-        |cand AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-        |    a.c_name AS name_a, b.c_name AS name_b FROM c a JOIN c b
-        |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
-        |    AND a.c_custkey < b.c_custkey
-        |  UNION
-        |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name FROM c a JOIN c b
-        |  ON length(a.c_name) = length(b.c_name)
-        |    AND substr(a.c_name, -8) = substr(b.c_name, -8)
-        |    AND a.c_custkey < b.c_custkey),
-        |p AS (SELECT key_a, key_b FROM cand
-        |  WHERE levenshtein(name_a, name_b) <= 1),
-        |e AS MATERIALIZED (SELECT key_a AS src, key_b AS dst FROM p
-        |  UNION SELECT key_b, key_a FROM p),
-        |${minLabelCc()},
-        |lab AS (SELECT node AS a, lab AS entity FROM l$ccRounds),
-        |m AS (SELECT c.c_custkey, coalesce(lab.entity, c.c_custkey) AS entity_id
-        |  FROM c LEFT JOIN lab ON c.c_custkey = lab.a),
-        |sz AS (SELECT entity_id, count(*) AS cluster_size FROM m GROUP BY 1)
-        |SELECT m.c_custkey, m.entity_id, m.c_custkey = m.entity_id AS is_canonical,
-        |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
-        |FROM m JOIN sz USING (entity_id) ORDER BY m.c_custkey""".stripMargin,
+    // q203_entity_resolution verifies against q446's oracle
+    // (SparkEntry.retiredToTwins, round 17)
     "q204_bigram_lm" -> q204Sql,
     "q205_srm" ->
       // two-cell chi-square: flag (n_a - n_b)^2 * 100 > 384 * n on exact ints

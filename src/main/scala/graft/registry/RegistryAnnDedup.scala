@@ -524,35 +524,11 @@ private[graft] object RegistryAnnDedup {
             (Similarity.norm("qv") * Similarity.norm("cv"))).as("cosine"))
       Similarity.topKPerQuery(scored, 5).orderBy("query_id", "rn")
     }),
-    "q273_semdedup" -> ((s, dir) => {
-      // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
-      // web-scale through semantic deduplication"): embedding-space near-
-      // dups pruned WITHIN k-means cells only — the cells bound the
-      // quadratic (sum n_c^2, never n^2; at 100 TB k grows so cell size
-      // stays fixed, and each cell's pair join is an independent
-      // partition-local task). Cells from the q257 exact-micro Lloyd
-      // trainer (deterministic, oracle-replicable); within a cell a vector
-      // is dropped iff some LOWER-id member has cosine > 0.4 with it (the
-      // q43 min-id-keeps discipline). Output: every vector with its cell
-      // and kept flag — the curation verdict a downstream sampler joins.
-      val emb = T(s, dir, "embeddings")
-      val trained = Similarity.ivfTrainMicro(emb, "vec_id", "embedding",
-        k = 4, iterations = 2)
-      val assigned = Similarity.microAssign(emb, "vec_id", "embedding", trained)
-      val withVec = assigned.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      val hi = withVec.select(col("cell"), col("vec_id").as("__ih"), col("embedding").as("vh"))
-      val lo = withVec.select(col("cell"), col("vec_id").as("__il"), col("embedding").as("vl"))
-      val dropped = hi.join(lo, Seq("cell"))
-        .filter(col("__il") < col("__ih"))
-        .filter((Similarity.dot("vh", "vl") /
-          (Similarity.norm("vh") * Similarity.norm("vl"))) > 0.4)
-        .select(col("__ih").as("vec_id")).distinct()
-        .withColumn("__d", lit(1))
-      assigned.join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          when(col("__d").isNull, 1L).otherwise(0L).as("kept"))
-        .orderBy("vec_id")
-    }),
+    // q273_semdedup is registered via SparkEntry.retiredToTwins (round 17):
+    // SemDeDup with FIXED k=4 Lloyd cells makes cell occupancy — and with
+    // it the within-cell pair volume — grow ∝ n (39× at sf1); the
+    // registered plan is q443's density-derived LSH-cell variant and the
+    // fixed-k shape lives on as a Round15Spec yardstick.
     "q274_knn_label" -> ((s, dir) => {
       // kNN majority-vote label propagation (the weak-labeling /
       // auto-labeling primitive): each query's label predicted from its 5
@@ -616,33 +592,11 @@ private[graft] object RegistryAnnDedup {
           col("w_unats").cast("long").as("w_unats"))
         .orderBy("doc_id")
     }),
-    "q276_editdist_confirm" -> ((s, dir) => {
-      // the CONFIRM stage of a production near-dup pipeline: exact
-      // Levenshtein run ONLY on the banded candidate pairs from the
-      // materialized index (MinHash estimates admit false positives; edit
-      // distance is the arbiter) — cost ∝ |candidate pairs| · len², never
-      // corpus². Similarity in floor basis points of the longer text;
-      // codegen'd levenshtein on both engines.
-      val docs = T(s, dir, "documents")
-      val (pairs, _) = dedupIndex(s, dir)
-      val t = docs.select(col("doc_id"), col("text"))
-      pairs
-        .join(t.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
-        .join(t.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
-        // the pair frame is BYTE-small but COMPUTE-heavy (len^2 DP per
-        // row), so AQE's byte-based coalescing would serialize the DP onto
-        // a couple of tasks; spread it explicitly — the general rule for
-        // expensive-per-row stages over narrow frames
-        .repartition(64, col("id_a"))
-        .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
-        .select(col("id_a"), col("id_b"), col("est_jaccard"), col("lev"),
-          (lit(10000L) - expr(
-            "(10000 * lev) div greatest(length(__ta), length(__tb), 1)"))
-            .cast("long").as("sim_bp"))
-        .withColumn("confirmed",
-          when(col("sim_bp") >= 5000L, 1L).otherwise(0L))
-        .orderBy("id_a", "id_b")
-    }),
+    // q276_editdist_confirm is registered via SparkEntry.retiredToTwins
+    // (round 17): the full >= 0.25-candidate confirm listing grows with
+    // band-collision density (14× at sf1); the registered plan is q447's
+    // estimate-gated production confirm (est >= 0.5, sim_bp >= 9000) and
+    // the full-listing shape lives on as a Round15Spec yardstick.
     "q277_ndcg" -> ((s, dir) => {
       // nDCG@5 of the exact retrieval path with label-match relevance —
       // the graded eval metric next to q212's recall@k: DCG discounts in
@@ -2115,24 +2069,8 @@ private[graft] object RegistryAnnDedup {
         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn FROM rr)
         |SELECT query_id, neighbor_id, (round(cosine, 4) + 0.0) AS cosine, rn
         |FROM f WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
-    "q273_semdedup" ->
-      // the Lloyd chain + q257's trained-assignment pass, then the
-      // within-cell lower-id cosine prune
-      s"""WITH $lloydCtes,
-         |dd3 AS (SELECT c.vec_id, ct.cell, sum((c.vm - ct.cm) * (c.vm - ct.cm)) AS d2
-         |  FROM comp c JOIN c2 ct USING (dim) GROUP BY 1, 2),
-         |b3 AS (SELECT vec_id, min(d2) AS md FROM dd3 GROUP BY 1),
-         |a3 AS (SELECT d.vec_id, min(d.cell) AS cell FROM dd3 d
-         |  JOIN b3 b ON b.vec_id = d.vec_id AND d.d2 = b.md GROUP BY 1),
-         |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
-         |wv AS (SELECT a.vec_id, a.cell, v.vv FROM a3 a JOIN vecs v ON v.vec_id = a.vec_id),
-         |dr AS (SELECT DISTINCT h.vec_id
-         |  FROM wv h JOIN wv l ON l.cell = h.cell AND l.vec_id < h.vec_id
-         |  WHERE list_dot_product(h.vv, l.vv) /
-         |    (sqrt(list_dot_product(h.vv, h.vv)) * sqrt(list_dot_product(l.vv, l.vv))) > 0.4)
-         |SELECT a.vec_id, a.cell,
-         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM a3 a LEFT JOIN dr d ON d.vec_id = a.vec_id ORDER BY a.vec_id""".stripMargin,
+    // q273_semdedup / q276_editdist_confirm verify against their twins'
+    // oracles (SparkEntry.retiredToTwins, round 17)
     "q274_knn_label" ->
       // q45's exact top-5 chain, neighbors' labels gathered, majority with
       // ties to the smallest label
@@ -2170,20 +2108,6 @@ private[graft] object RegistryAnnDedup {
          |  CAST(sum(lam.lam_unats) AS BIGINT) AS w_unats
          |FROM bk JOIN lam ON lam.b = bk.b
          |GROUP BY 1 ORDER BY bk.doc_id""".stripMargin,
-    "q276_editdist_confirm" ->
-      // the q44 candidate pairs joined to texts; exact levenshtein and
-      // floor-bp similarity of the longer side
-      s"""WITH pairs AS ($q44Sql),
-         |j AS (SELECT p.id_a, p.id_b, p.est_jaccard,
-         |    levenshtein(a.text, b.text) AS lev,
-         |    greatest(length(a.text), length(b.text), 1) AS ml
-         |  FROM pairs p
-         |  JOIN documents a ON a.doc_id = p.id_a
-         |  JOIN documents b ON b.doc_id = p.id_b)
-         |SELECT id_a, id_b, est_jaccard, CAST(lev AS BIGINT) AS lev,
-         |  CAST(10000 - ((10000 * lev) // ml) AS BIGINT) AS sim_bp,
-         |  CAST(CASE WHEN 10000 - ((10000 * lev) // ml) >= 5000 THEN 1 ELSE 0 END AS BIGINT) AS confirmed
-         |FROM j ORDER BY id_a, id_b""".stripMargin,
     "q277_ndcg" ->
       // q45's exact top-5, label-match relevance, micro-unit DCG weights,
       // IDCG over the first n_rel positions

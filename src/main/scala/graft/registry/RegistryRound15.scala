@@ -153,8 +153,10 @@ private[graft] object RegistryRound15 {
     // the returned frame reads the catalog table LAZILY, so a fixed name
     // re-executed after a later build for a different dir would silently
     // serve the wrong corpus
-    val table = s"g449_ivf_serving_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
-      .replace(".", "_").toLowerCase
+    // keep ONLY [A-Za-z0-9_]: a '-' or '.' surviving into the unquoted
+    // identifier is rejected by the catalog parser at s.table time (r16 advice)
+    val table = s"g449_ivf_serving_${dir.replaceAll("[^A-Za-z0-9_]", "_")}"
+      .toLowerCase
     graft.storage.Storage.writeBucketed(
       assigned.join(codes, "vec_id"), table, "cell", 8)
     // codes ride along for the ADC consumer (q451); q449's exact-float

@@ -183,8 +183,11 @@ private[graft] object RegistryRound16 {
       // 64-bit key. Output: every doc with its fingerprint, canonical
       // group id (min doc_id) and group size.
       import s.implicits._
+      // coalesce BEFORE the seed derivation: a null text must fingerprint
+      // as the empty waveform on both engines, not null-poison the typed
+      // decode (r16 advice — the generator permits null text)
       val seeded = T(s, dir, "documents").select(col("doc_id"),
-        expr("CAST(conv(substring(sha2(substring(text, 1, 40), 256), 1, 8), 16, 10) AS BIGINT)")
+        expr("CAST(conv(substring(sha2(substring(coalesce(text, ''), 1, 40), 256), 1, 8), 16, 10) AS BIGINT)")
           .as("seed"))
       val wavs = seeded.as[(Long, Long)].mapPartitions(_.map { case (id, seed) =>
         val samples = Array.tabulate(64)(i =>
@@ -423,7 +426,8 @@ private[graft] object RegistryRound16 {
       // <= N-2 minus the 1-day horizon, boundary row dropped (ts > wm
       // survives) — empty batches advance nothing
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events
+        |    WHERE event_id IS NOT NULL),
         |days AS (SELECT d, row_number() OVER (ORDER BY d) - 1 AS i
         |  FROM (SELECT DISTINCT d FROM ev)),
         |rb AS (SELECT e.event_id, e.ts, e.d,
@@ -487,7 +491,7 @@ private[graft] object RegistryRound16 {
            |  ELSE a[CAST(i - $bit + 1 AS INT)] - a[CAST(i + 1 AS INT)] END) AS a FROM $prev)""".stripMargin
       }.mkString(",\n")
       s"""WITH sd AS (SELECT doc_id,
-         |    CAST(CAST(('0x' || substr(sha256(substr(text, 1, 40)), 1, 8)) AS UBIGINT) AS BIGINT) AS seed
+         |    CAST(CAST(('0x' || substr(sha256(substr(coalesce(text, ''), 1, 40)), 1, 8)) AS UBIGINT) AS BIGINT) AS seed
          |  FROM documents),
          |a0 AS (SELECT doc_id,
          |    list_transform(range(0, 64), i -> (seed + i * 2654435761) % 65536 - 32768) AS a

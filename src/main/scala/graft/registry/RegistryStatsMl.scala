@@ -295,44 +295,6 @@ private[graft] object RegistryStatsMl {
           sum(when(col("pred") === col("pos"), 1L).otherwise(0L)).as("correct"))
         .selectExpr("w0", "w1", "n", "correct * 10000 div n AS correct_bp")
     }),
-    "q394_grid_radius_join" -> ((s, dir) => {
-      // Spatial RADIUS self-join by GRID BLOCKING: each point lands in
-      // one 200×200 cell of a planted integer plane; the probe side
-      // explodes to its 3×3 cell neighborhood, so candidate pairs come
-      // from an equi-join on the cell key and the exact integer distance²
-      // filter runs only inside neighborhoods — no cross product anywhere
-      // (the geo twin of q127's blocked fuzzy join). r = 150 < cell size,
-      // so the 9-cell halo provably covers every qualifying pair, and
-      // each pair surfaces exactly once per direction (the build side's
-      // cell is unique). Output folds to per-point neighbor stats so the
-      // gate row count stays O(points) at any SF.
-      val u = T(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .select(col("user_id")).distinct()
-        .select(col("user_id"),
-          (col("user_id") * 7919L % 1001L - 500L).as("px"),
-          (col("user_id") * 104729L % 1001L - 500L).as("py"))
-      val cell = u
-        .withColumn("cx", expr("(px + 500) div 200"))
-        .withColumn("cy", expr("(py + 500) div 200"))
-      val probe = cell
-        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .select(col("user_id").as("u_a"), col("px").as("xa"), col("py").as("ya"),
-          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-      val build = cell.select(col("user_id").as("u_b"), col("px").as("xb"),
-        col("py").as("yb"), col("cx"), col("cy"))
-      probe.join(build, Seq("cx", "cy"))
-        .filter(col("u_a") =!= col("u_b"))
-        .withColumn("dist2",
-          expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)"))
-        .filter(col("dist2") <= 22500L)
-        .groupBy(col("u_a"))
-        .agg(count(lit(1)).as("n_neighbors"),
-          min(col("dist2")).as("min_dist2"),
-          sum(col("dist2")).as("sum_dist2"))
-        .orderBy("u_a")
-    }),
     "q395_winnowing" -> ((s, dir) => {
       // Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
       // — the MOSS algorithm): token-trigram Karp–Rabin hashes, then from
@@ -1184,18 +1146,13 @@ private[graft] object RegistryStatsMl {
         Seq("view_event_id", "view_value"))
         .orderBy("event_id")
     }),
-    "q62_range_join" -> ((s, dir) => {
-      // unkeyed interval join via time bins: clicks within ±30min per signup
-      val ev = T(s, dir, "events")
-      val signups = ev.filter(col("event_type") === "signup")
-        .select(col("event_id"), col("ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("ts").as("click_ts"))
-      Relational.binnedRangeJoin(signups, clicks, "ts", "click_ts",
-        before = "30 minutes", after = "30 minutes", binWidth = "1 hour")
-        .groupBy(col("event_id")).agg(count(lit(1)).as("clicks_nearby"))
-        .orderBy("event_id")
-    }),
+    // q62_range_join / q127_fuzzy_join / q394_grid_radius_join are
+    // registered via SparkEntry.retiredToTwins (round 17): the binned
+    // interval join, the prefix/suffix-blocked row-level fuzzy join and the
+    // fixed-knob grid radius join enumerate pair volumes that grow
+    // superlinearly with density; the registered plans are their
+    // density-scaled twins (q444/q445/q448) and the original shapes live on
+    // as Round15Spec yardsticks built inline from ops/.
     "q63_orc_roundtrip" -> ((s, dir) => {
       val nation = T(s, dir, "nation")
       val tmp = s"$TMP/q63_orc"
@@ -1363,9 +1320,7 @@ private[graft] object RegistryStatsMl {
           count(lit(1)).as("cnt"),
           sum(ops.Num.roundz(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first)),
-    "q127_fuzzy_join" -> ((s, dir) =>
-      fuzzyCustomerPairs(s, dir).orderBy("key_a", "key_b")))
+          col("o_orderpriority").asc_nulls_first)))
 
   val oracleSql: Seq[(String, String)] = Seq(
     "q60_vader" -> q60Sql,
@@ -1517,28 +1472,8 @@ private[graft] object RegistryStatsMl {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-    "q127_fuzzy_join" ->
-      // same two blocking keys as the engine (prefix-16 OR length+suffix-8),
-      // fixtures included; lev() runs on full names — equivalent to the
-      // engine's residue DP by common-prefix/suffix invariance
-      // the OR-of-blocks runs as two UNIONed equi-joins: identical pair
-      // set, but each block hash-joins (the OR form degraded to a 150k²
-      // nested loop at sf1 and the oracle timed out)
-      """WITH c AS MATERIALIZED (SELECT c_custkey, c_name FROM customer
-        |  UNION ALL SELECT * FROM (VALUES (900000001, 'Customer#A00001111'),
-        |    (900000002, 'Customer#B00001111')) t(c_custkey, c_name)),
-        |cand AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-        |    a.c_name AS name_a, b.c_name AS name_b FROM c a JOIN c b
-        |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
-        |    AND a.c_custkey < b.c_custkey
-        |  UNION
-        |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name FROM c a JOIN c b
-        |  ON length(a.c_name) = length(b.c_name)
-        |    AND substr(a.c_name, -8) = substr(b.c_name, -8)
-        |    AND a.c_custkey < b.c_custkey)
-        |SELECT key_a, key_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(name_a, name_b) <= 1
-        |ORDER BY key_a, key_b""".stripMargin,
+    // q127_fuzzy_join / q394_grid_radius_join verify against their twins'
+    // oracles (SparkEntry.retiredToTwins, round 17)
     "q116_pq_encode" ->
       // same L2 expansion x·x − 2·x·c + c·c over list_dot_product, same
       // centroid-id tie-break — code assignment must agree per subvector
@@ -1772,21 +1707,6 @@ private[graft] object RegistryStatsMl {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS correct
         |  FROM e CROSS JOIN i3)
         |SELECT w0, w1, n, correct * 10000 // n AS correct_bp FROM ev""".stripMargin,
-    "q394_grid_radius_join" ->
-      // same planted plane, same 9-cell halo, same exact integer dist²
-      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
-        |p AS (SELECT user_id, (user_id * 7919) % 1001 - 500 AS px,
-        |    (user_id * 104729) % 1001 - 500 AS py FROM u),
-        |c AS (SELECT user_id, px, py, (px + 500) // 200 AS cx, (py + 500) // 200 AS cy FROM p),
-        |o AS (SELECT CAST(unnest([-1, 0, 1]) AS BIGINT) AS d),
-        |pr AS (SELECT c.user_id AS u_a, px AS xa, py AS ya,
-        |    cx + ox.d AS cx, cy + oy.d AS cy FROM c, o ox, o oy),
-        |j AS (SELECT pr.u_a,
-        |    (pr.xa - b.px) * (pr.xa - b.px) + (pr.ya - b.py) * (pr.ya - b.py) AS dist2
-        |  FROM pr JOIN c b ON pr.cx = b.cx AND pr.cy = b.cy AND pr.u_a <> b.user_id)
-        |SELECT u_a, count(*) AS n_neighbors, CAST(min(dist2) AS BIGINT) AS min_dist2,
-        |  CAST(sum(dist2) AS BIGINT) AS sum_dist2
-        |FROM j WHERE dist2 <= 22500 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q395_winnowing" ->
       // same trigram Karp-Rabin ring (the q353-proven ord/byte parity),
       // same packed rightmost-min key, same 4-row window

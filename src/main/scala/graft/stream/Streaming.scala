@@ -245,6 +245,12 @@ object Streaming {
     * the contract a 100 TB ingest tier sizes its state store by. */
   def streamTtlDedupEras(spark: SparkSession, dir: String, stageDirBase: String,
                          divisor: Int = 6): DataFrame = {
+    // the registered oracle hardcodes horizon = span/6 and unrolls exactly
+    // the era depth that divisor implies (sound because fixture eras sit
+    // >= 2 horizons apart at /6) — a different divisor would silently
+    // diverge the gate, so refuse it here rather than mis-verify (r16 advice)
+    require(divisor == 6,
+      s"streamTtlDedupEras: the DuckDB oracle replays divisor=6 exactly; got $divisor")
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)

@@ -717,13 +717,9 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("edit-distance confirm: candidates from the stored pair list, id-keyed gathers (q276)") {
-    val plan = q("q276_editdist_confirm")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"exact confirm must never leave the candidate list:\n$plan")
-    assert(plan.contains("dedup_index"),
-      s"candidates must come from the materialized index:\n$plan")
-  }
+  // q276_editdist_confirm registers q447's plan since round 17; its scan/
+  // broadcast claims are asserted on the inner pipeline by the q447 test
+  // below (the registered frame truncates at the checkpoint barrier).
 
   test("residual PQ: per-(query,cell) LUT broadcasts; candidates cell-keyed; no cartesian (q282)") {
     val plan = q("q282_residual_pq")
