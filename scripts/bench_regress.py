@@ -16,7 +16,10 @@ A key is flagged only if BOTH hold after normalization:
                           still not matter; the committed record's own noise
                           mode is ~0.05-0.1 s)
 
-Exit status 1 if any key is flagged (usable as a gate).
+Exit status 1 if any key is flagged (usable as a gate), OR if the NEW run
+itself is load-flagged (round-16 verdict item 3: a flagged run may not
+become the committed round record — rerun on a quiet box instead of
+adjudicating per-key ghosts).
 
 Usage: bench_regress.py <old_record.json> <new_stamp.json>
                         [ratio=1.4] [abs_floor=0.30]
@@ -91,5 +94,10 @@ if flagged:
         print(f"  {k}: {o:.2f}s -> {n:.2f}s (norm {nn:.2f}s, {r:.2f}x)")
     print("\nre-probe each with SPARK_GRAFT_KEYS (never stamps) before "
           "accepting the stamp; a real regression needs a SCALE.md entry.")
+    sys.exit(1)
+if new.get("load_sentinel", {}).get("flagged"):
+    print("\nFAIL: the NEW run is load-flagged — it may not be committed as "
+          "the round record (rerun up to 3x; else commit least-drift, "
+          "annotated). Per-key comparison above is advisory only.")
     sys.exit(1)
 print("\nno regressions past the gate")

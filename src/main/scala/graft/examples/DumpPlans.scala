@@ -459,11 +459,54 @@ object DumpPlans {
       "q455_late_data_audit" -> "per-day replay with the %17 stream delayed 3 batches; the watermarked dedup passes survivors through, the ledger joins delivered counts back to batch totals; ~33 micro-batches x fixed replay cost dominates",
       "q456_audio_fingerprint" -> "synth + javax.sound parse + 6-stage WHT all inside one mapPartitions seam; only (doc_id, fp) shuffles — the group join keys on the 64-bit fingerprint",
       "q457_quantile_merge" -> "per-shard CDF windows partitioned by shard over the value-domain histogram; the 256-row summary union is metadata; the exact side is a TwoPhase prefix sum (no single-partition window over data)")
-    headline.foreach { name =>
+    // ---------------------------------------------------- normalization
+    // Round-17 (r16 verdict item 6): dumped plans are NORMALIZED so a
+    // no-plan-change round regenerates byte-identical text — exprIds
+    // renumbered by first appearance, volatile ids/statistics/paths
+    // canonicalized. Real plan changes still read as real diffs, and the
+    // fingerprint table up top turns "did any plan move?" into a one-line
+    // diff per changed key.
+    def normalize(plan: String): String = {
+      val ids = scala.collection.mutable.HashMap[String, Int]()
+      val idRe = "#(\\d+)".r
+      val renumbered = idRe.replaceAllIn(plan,
+        m => "#" + ids.getOrElseUpdate(m.group(1), ids.size + 1))
+      renumbered
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("\\[id=#?\\d+\\]", "[id=x]")
+        .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+        .replaceAll("file:[^\\s,\\)\\]]+", "<path>")
+        .replaceAll("\\(\\d+ paths?\\)", "(x paths)")
+        .replaceAll("graft_stream_\\d+", "graft_stream_x")
+        .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[x]")
+        .replaceAll("rdd_\\d+_\\d+", "rdd_x")
+    }
+    def fp(normalized: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(normalized.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+
+    // every registered key gets a fingerprint row (the CI-diffable "did
+    // any plan move?" table); full text follows for the headline set only
+    val allKeys = SparkEntry.queries.keys.toSeq.sorted
+    val texts = scala.collection.mutable.LinkedHashMap[String, String]()
+    val prints = scala.collection.mutable.LinkedHashMap[String, String]()
+    allKeys.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
+      val norm = normalize(
+        df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      prints(name) = fp(norm)
+      texts(name) = norm
+    }
+    sb.append("\n## Plan fingerprints (all registered keys, sf0.001 AQE-final)\n\n")
+    sb.append("sha256-48 of the normalized executed plan; a changed hash =\n")
+    sb.append("a changed physical plan (exprIds/statistics/paths canonicalized).\n\n")
+    sb.append("| key | plan fp |\n|---|---|\n")
+    prints.foreach { case (k, v) => sb.append(s"| $k | `$v` |\n") }
+    headline.foreach { name =>
       sb.append(s"\n## $name — ${notes(name)}\n\n```\n")
-      sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      sb.append(texts(name))
       sb.append("\n```\n")
     }
     // Streaming keys run their replay inside the query fn on a child

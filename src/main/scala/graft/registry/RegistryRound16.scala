@@ -324,38 +324,45 @@ private[graft] object RegistryRound16 {
         |FROM r LEFT JOIN truth t ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
         |WHERE r.rn <= 5 ORDER BY r.query_id, r.rn""".stripMargin,
     "q452_stream_ttl_dedup" ->
-      // the pinned eviction recursion, unrolled: era j+1 = the user's first
-      // event day whose micro-batch sees an eviction watermark at or past
-      // era j's expiry — evict_base(d) = the event day TWO batches back
-      // (the measured commit lag), condition date_diff(era_d, evict_base)
-      // >= 2·horizon in exact integer days. Four unrolled rounds cover any
-      // span at horizon = span/6 (eras are >= 2·horizon + 2 days apart, so
-      // at most 3 fire; e5 is provably empty margin).
-      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      // the pinned eviction recursion, unrolled on the round-17 3-DAY
+      // BUCKET spine (prototyped scripts/proto_r17_stream.py against a
+      // pure-python replay of the measured rule): era j+1 = the user's
+      // first event bucket whose micro-batch sees an eviction watermark at
+      // or past era j's expiry — evict_base(d) = the bucket TWO batches
+      // back (the measured commit lag), condition date_diff(era_d,
+      // evict_base) >= 2·horizon where horizon = hd = 3·greatest(1,
+      // spanBuckets // 6) DAYS (the guard reads 2·hd).
+      // Four unrolled rounds cover any span at /6 (eras are >= 2·horizon +
+      // 2 buckets apart, so at most 3 fire; e5 is provably empty margin).
+      """WITH ev0 AS (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS rd
         |  FROM events WHERE user_id IS NOT NULL),
-        |span AS (SELECT greatest(1, (date_diff('day', min(d), max(d)) + 1) // 6) AS h FROM ev),
+        |d0 AS (SELECT min(rd) AS d0 FROM ev0),
+        |ev AS (SELECT DISTINCT user_id,
+        |    d0.d0 + INTERVAL 1 DAY * (3 * (date_diff('day', d0.d0, rd) // 3)) AS d
+        |  FROM ev0, d0),
+        |span AS (SELECT 3 * greatest(1, (date_diff('day', min(d), max(d)) // 3 + 1) // 6) AS hd FROM ev),
         |days AS (SELECT d, lag(d, 2) OVER (ORDER BY d) AS evict_base
         |  FROM (SELECT DISTINCT d FROM ev)),
         |e1 AS (SELECT user_id, min(d) AS d FROM ev GROUP BY 1),
         |e2 AS (SELECT ev.user_id, min(ev.d) AS d FROM ev
         |  JOIN e1 USING (user_id) JOIN days ON days.d = ev.d
         |  WHERE days.evict_base IS NOT NULL
-        |    AND date_diff('day', e1.d, days.evict_base) >= 2 * (SELECT h FROM span)
+        |    AND date_diff('day', e1.d, days.evict_base) >= 2 * (SELECT hd FROM span)
         |  GROUP BY 1),
         |e3 AS (SELECT ev.user_id, min(ev.d) AS d FROM ev
         |  JOIN e2 USING (user_id) JOIN days ON days.d = ev.d
         |  WHERE days.evict_base IS NOT NULL
-        |    AND date_diff('day', e2.d, days.evict_base) >= 2 * (SELECT h FROM span)
+        |    AND date_diff('day', e2.d, days.evict_base) >= 2 * (SELECT hd FROM span)
         |  GROUP BY 1),
         |e4 AS (SELECT ev.user_id, min(ev.d) AS d FROM ev
         |  JOIN e3 USING (user_id) JOIN days ON days.d = ev.d
         |  WHERE days.evict_base IS NOT NULL
-        |    AND date_diff('day', e3.d, days.evict_base) >= 2 * (SELECT h FROM span)
+        |    AND date_diff('day', e3.d, days.evict_base) >= 2 * (SELECT hd FROM span)
         |  GROUP BY 1),
         |e5 AS (SELECT ev.user_id, min(ev.d) AS d FROM ev
         |  JOIN e4 USING (user_id) JOIN days ON days.d = ev.d
         |  WHERE days.evict_base IS NOT NULL
-        |    AND date_diff('day', e4.d, days.evict_base) >= 2 * (SELECT h FROM span)
+        |    AND date_diff('day', e4.d, days.evict_base) >= 2 * (SELECT hd FROM span)
         |  GROUP BY 1),
         |kept AS (SELECT user_id, d FROM e1 UNION ALL SELECT user_id, d FROM e2
         |  UNION ALL SELECT user_id, d FROM e3 UNION ALL SELECT user_id, d FROM e4
@@ -421,18 +428,20 @@ private[graft] object RegistryRound16 {
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
     "q455_late_data_audit" ->
-      // the measured late rule replayed on a batch spine: batch = day
-      // index (+3 for the delayed %17 stream), running max over batches
-      // <= N-2 minus the 1-day horizon, boundary row dropped (ts > wm
-      // survives) — empty batches advance nothing
+      // the measured late rule replayed on the round-17 3-DAY BUCKET spine
+      // (prototyped scripts/proto_r17_stream.py): batch = bucket index
+      // (+3 for the delayed %17 stream), running max over batches <= N-2
+      // minus the 1-day horizon, boundary row dropped (ts > wm survives) —
+      // empty batches advance nothing
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events
         |    WHERE event_id IS NOT NULL),
-        |days AS (SELECT d, row_number() OVER (ORDER BY d) - 1 AS i
-        |  FROM (SELECT DISTINCT d FROM ev)),
+        |d0 AS (SELECT min(d) AS d0 FROM ev),
         |rb AS (SELECT e.event_id, e.ts, e.d,
-        |    CASE WHEN e.event_id % 17 = 0 THEN dd.i + 3 ELSE dd.i END AS b
-        |  FROM ev e JOIN days dd ON dd.d = e.d),
+        |    CASE WHEN e.event_id % 17 = 0
+        |      THEN date_diff('day', d0.d0, e.d) // 3 + 3
+        |      ELSE date_diff('day', d0.d0, e.d) // 3 END AS b
+        |  FROM ev e, d0),
         |bm AS (SELECT b, max(ts) AS mt FROM rb GROUP BY 1),
         |spine AS (SELECT CAST(unnest(range(0, (SELECT max(b) + 1 FROM rb))) AS BIGINT) AS b),
         |wm AS (SELECT s.b,

@@ -213,20 +213,27 @@ object Streaming {
       "append", statePartitions = Some(4))
 
   /** q452: TTL-bounded streaming dedup whose horizon BITES (round-15
-    * verdict item 5): the events table is staged one file per event DAY
-    * (ascending, one micro-batch each), keys dedup under
-    * `dropDuplicatesWithinWatermark` with an horizon derived from the data
-    * span (greatest(1, spanDays div `divisor`) days), and because the span
-    * is ~6 horizons a key's state is evicted and the key RE-EMITTED
-    * several times across the replay — each emission is an "era". This
-    * pins the measured "TTL bounds dedup state" contract (SCALE.md round
-    * 15) with the gate, not just a probe: state can never exceed the keys
-    * active inside one horizon, and the era chain is exactly reproducible.
+    * verdict item 5): the events table is staged one file per
+    * `bucketDays`-day event BUCKET (ascending, one micro-batch each), keys
+    * dedup under `dropDuplicatesWithinWatermark` with an horizon derived
+    * from the data span (bucketDays · greatest(1, spanBuckets div
+    * `divisor`) days), and because the span is ~6 horizons a key's state
+    * is evicted and the key RE-EMITTED several times across the replay —
+    * each emission is an "era". This pins the measured "TTL bounds dedup
+    * state" contract (SCALE.md round 15) with the gate, not just a probe:
+    * state can never exceed the keys active inside one horizon, and the
+    * era chain is exactly reproducible.
     *
-    * Rows are projected to (user_id, day) BEFORE the dedup so every row of
-    * a key within a batch is identical — the emitted row is deterministic
-    * under shuffle-order nondeterminism (the q38 projection discipline,
-    * plus day truncation for the event-time column).
+    * bucketDays = 3 since round 17 (r16 verdict item 4): the semantics
+    * live in StreamingSpec's staged fixtures, and one batch per 3-day
+    * bucket cuts the replay's trigger count to 10 — the bench cost is
+    * trigger overhead × batch count (~0.34 s/trigger AvailableNow floor,
+    * measured), constant in data size per batch.
+    *
+    * Rows are projected to (user_id, bucket start) BEFORE the dedup so
+    * every row of a key within a batch is identical — the emitted row is
+    * deterministic under shuffle-order nondeterminism (the q38 projection
+    * discipline, plus bucket truncation for the event-time column).
     *
     * Eviction semantics pinned by StreamingSpec's probe (Spark 4.1
     * `StreamingDeduplicationWithinWatermarkExec` under AvailableNow +
@@ -244,27 +251,38 @@ object Streaming {
     * day list (driver metadata); state is |keys seen within ~2 horizons|,
     * the contract a 100 TB ingest tier sizes its state store by. */
   def streamTtlDedupEras(spark: SparkSession, dir: String, stageDirBase: String,
-                         divisor: Int = 6): DataFrame = {
-    // the registered oracle hardcodes horizon = span/6 and unrolls exactly
-    // the era depth that divisor implies (sound because fixture eras sit
-    // >= 2 horizons apart at /6) — a different divisor would silently
-    // diverge the gate, so refuse it here rather than mis-verify (r16 advice)
-    require(divisor == 6,
-      s"streamTtlDedupEras: the DuckDB oracle replays divisor=6 exactly; got $divisor")
+                         divisor: Int = 6, bucketDays: Int = 3): DataFrame = {
+    // the registered oracle hardcodes horizon = span/6 at 3-day buckets and
+    // unrolls exactly the era depth those knobs imply (sound because
+    // fixture eras sit >= 2 horizons apart at /6) — different knobs would
+    // silently diverge the gate, so refuse them rather than mis-verify
+    // (r16 advice)
+    require(divisor == 6 && bucketDays == 3,
+      s"streamTtlDedupEras: the DuckDB oracle replays divisor=6/bucketDays=3 exactly; got $divisor/$bucketDays")
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, dir)
+    val evDay = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
-      .select(col("user_id"), date_trunc("DAY", col("ts")).as("ts"))
-    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
-    val spanDays =
-      (bounds.getTimestamp(1).getTime - bounds.getTimestamp(0).getTime) /
-        86400000L + 1
-    val horizonDays = math.max(1L, spanDays / divisor)
-    // distinct event days, ascending: span-bounded driver metadata (30 at
-    // every fixture SF — the staging plan, not data)
-    val days = ev.select(col("ts")).distinct().orderBy(col("ts"))
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("__d"))
+    // ONE distinct-days scan yields the bucket anchor, the bucket list and
+    // the span (span-bounded driver metadata — 30 day values at every
+    // fixture SF); every derived timestamp is a UTC-midnight epoch
+    // multiple, so plain millis arithmetic is exact
+    val dayList = evDay.select(col("__d")).distinct().orderBy(col("__d"))
       .collect().map(_.getTimestamp(0))
-    val stageDir = s"$stageDirBase/${stageKey(dir)}_ttl_d$divisor"
+    val d0 = dayList.head
+    val dayMs = 86400000L
+    def bucketOf(t: java.sql.Timestamp): java.sql.Timestamp =
+      new java.sql.Timestamp(d0.getTime +
+        dayMs * bucketDays * ((t.getTime - d0.getTime) / dayMs / bucketDays))
+    val days = dayList.map(bucketOf).distinct
+    val spanBuckets =
+      (days.last.getTime - days.head.getTime) / dayMs / bucketDays + 1
+    val horizonDays = bucketDays * math.max(1L, spanBuckets / divisor)
+    // staging-only frame (never read once the stage dir exists)
+    val ev = evDay.withColumn("__d0", lit(d0))
+      .selectExpr("user_id",
+        s"timestampadd(DAY, $bucketDays * (datediff(__d, __d0) div $bucketDays), __d0) AS ts")
+    val stageDir = s"$stageDirBase/${stageKey(dir)}_ttl_b${bucketDays}_d$divisor"
     stageBatches(stageDir, days.toSeq.map(d => ev.filter(col("ts") === d)))
     val emitted = runToResult(spark, s =>
       s.readStream.schema("user_id BIGINT, ts TIMESTAMP")
@@ -272,7 +290,10 @@ object Streaming {
         .parquet(stageDir)
         .withWatermark("ts", s"$horizonDays days")
         .dropDuplicatesWithinWatermark("user_id"),
-      "append", statePartitions = Some(4))
+      // 1 state partition: per-key dedup is partitioning-invariant, and the
+      // replay's cost is per-batch fixed overhead × batch count — one state
+      // commit per trigger instead of four (r16 verdict item 4)
+      "append", statePartitions = Some(1))
     emitted
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .withColumn("era", row_number().over(
@@ -281,9 +302,10 @@ object Streaming {
 
   /** q455: LATE-DATA accounting under a biting watermark — the other half
     * of the watermark contract next to [[streamTtlDedupEras]]'s eviction
-    * half. The events table replays one micro-batch per event day, except
-    * every `event_id % 17 == 0` row arrives `delayBatches` batches after
-    * its day (tail batches carry the final days' stragglers). Under a
+    * half. The events table replays one micro-batch per `bucketDays`-day
+    * event bucket, except every `event_id % 17 == 0` row arrives
+    * `delayBatches` batches after its bucket (tail batches carry the final
+    * buckets' stragglers). Under a
     * 1-day watermark most delayed rows are LATE on arrival and dropped
     * before any operator sees them; the registered output is the per-day
     * delivery ledger (total / delivered / late_dropped) a production
@@ -300,34 +322,54 @@ object Streaming {
     * holds dedup state on unique ids inside the horizon only; the ledger
     * is |days| rows. */
   def lateDataAudit(spark: SparkSession, dir: String, stageDirBase: String,
-                    delayBatches: Int = 3, horizon: String = "1 day"): DataFrame = {
-    val ev = Tables.events(spark, dir)
+                    delayBatches: Int = 3, horizon: String = "1 day",
+                    bucketDays: Int = 3): DataFrame = {
+    // bucketDays = 3 since round 17 (r16 verdict item 4): one micro-batch
+    // per 3-day bucket cuts the replay's trigger count to 13; the
+    // late-filter semantics are batch-relative and pinned by
+    // StreamingSpec's fixtures, so only the batch spine (and with it which
+    // rows land late) moves.
+    val ev0 = Tables.events(spark, dir)
       .filter(col("event_id").isNotNull)
       .select(col("event_id"), col("ts"))
-    val days = ev.select(date_trunc("DAY", col("ts")).as("d")).distinct()
-      .orderBy(col("d")).collect().map(_.getTimestamp(0))
-    val nBatches = days.length + delayBatches
+    // one min/max scan pins the bucket spine (UTC-midnight epoch multiples,
+    // exact millis arithmetic)
+    val b = ev0.agg(min(date_trunc("DAY", col("ts"))),
+      max(date_trunc("DAY", col("ts")))).head
+    val d0 = b.getTimestamp(0)
+    val nBuckets =
+      ((b.getTimestamp(1).getTime - d0.getTime) / 86400000L / bucketDays + 1).toInt
+    val ev = ev0.withColumn("__d0", lit(d0))
+      .withColumn("__b",
+        expr(s"datediff(date_trunc('DAY', ts), __d0) div $bucketDays").cast("long"))
+    val nBatches = nBuckets + delayBatches
     def slice(i: Int): DataFrame = {
-      val dayOf = date_trunc("DAY", col("ts"))
       val onTime =
-        if (i < days.length)
-          ev.filter(dayOf === days(i) && col("event_id") % 17 =!= 0)
+        if (i < nBuckets)
+          ev.filter(col("__b") === i && col("event_id") % 17 =!= 0)
         else ev.filter(lit(false))
       val late =
-        if (i >= delayBatches && i - delayBatches < days.length)
-          ev.filter(dayOf === days(i - delayBatches) && col("event_id") % 17 === 0)
+        if (i >= delayBatches && i - delayBatches < nBuckets)
+          ev.filter(col("__b") === (i - delayBatches) && col("event_id") % 17 === 0)
         else ev.filter(lit(false))
-      onTime.unionByName(late)
+      onTime.unionByName(late).select("event_id", "ts")
     }
-    val stageDir = s"$stageDirBase/${stageKey(dir)}_late_d$delayBatches"
+    val stageDir = s"$stageDirBase/${stageKey(dir)}_late_b${bucketDays}_d$delayBatches"
     stageBatches(stageDir, (0 until nBatches).map(slice))
+    // append mode + batch-side counting, measured AGAINST the in-stream
+    // complete-mode ledger: a complete-mode agg after the dedup adds a
+    // second stateful operator (extra shuffle + state commit every
+    // trigger, 8.9 s vs 5.6 s at sf0.1) — the per-trigger state machinery,
+    // not the sink rows, is the replay's cost floor
     val delivered = runToResult(spark, s =>
       s.readStream.schema("event_id BIGINT, ts TIMESTAMP")
         .option("maxFilesPerTrigger", 1)
         .parquet(stageDir)
         .withWatermark("ts", horizon)
         .dropDuplicatesWithinWatermark("event_id"),
-      "append", statePartitions = Some(4))
+      // 1 state partition, as in streamTtlDedupEras: same output, one state
+      // commit per trigger
+      "append", statePartitions = Some(1))
     val dTot = ev.groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("total"))
     val dDel = delivered.groupBy(to_date(col("ts")).as("day"))

@@ -697,14 +697,14 @@ class StreamingSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(eras.count(_._3 == 2L) > 0, "the horizon must BITE: some second eras")
     val stage =
-      s"${SparkEntry.TMP}/stream_ttl/${Streaming.stageKey(sf)}_ttl_d6"
+      s"${SparkEntry.TMP}/stream_ttl/${Streaming.stageKey(sf)}_ttl_b3_d6"
     val maxDay = eras.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
-    val h = 5L // 30-day fixture span div 6
+    val h = 3L // horizon DAYS: 3-day buckets x (10-bucket fixture span div 6)
     // live state at end of replay = entries the final (lag-2) watermark has
     // not yet evicted: their era started within the last 2 horizons (+lag)
     val liveBound = eras.groupBy(_._1).values
       .map(_.maxBy(_._3)._2.toLocalDate)
-      .count(d => d.toEpochDay >= maxDay.toEpochDay - (2 * h + 2))
+      .count(d => d.toEpochDay >= maxDay.toEpochDay - (2 * h + 6)) // lag = 2 batches = 6 days
     for (provider <- Seq("hdfs", "rocksdb")) {
       val confs =
         if (provider == "rocksdb")
@@ -717,7 +717,7 @@ class StreamingSpec extends SparkSpec {
       val qn = s"ttl_bound_$provider"
       val q = session.readStream.schema("user_id BIGINT, ts TIMESTAMP")
         .option("maxFilesPerTrigger", 1).parquet(stage)
-        .withWatermark("ts", "5 days")
+        .withWatermark("ts", "3 days")
         .dropDuplicatesWithinWatermark("user_id")
         .writeStream.format("memory").queryName(qn).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
