@@ -256,7 +256,8 @@ object SparkEntry {
         RegistryWarehouseText.queries ++
         RegistryRound14.queries ++
         RegistryRound15.queries ++
-        RegistryRound16.queries).toMap
+        RegistryRound16.queries ++
+        RegistryRound17.queries).toMap
     base ++ retiredToTwins.map { case (k, twin) => k -> base(twin) }
   }
 
@@ -1585,7 +1586,8 @@ object SparkEntry {
         RegistryWarehouseText.oracleSql ++
         RegistryRound14.oracleSql ++
         RegistryRound15.oracleSql ++
-        RegistryRound16.oracleSql).toMap
+        RegistryRound16.oracleSql ++
+        RegistryRound17.oracleSql).toMap
     // the retired keys verify against their twin's oracle — EXCEPT q62,
     // whose own interval-join SQL is kept as the cross-formulation witness
     // for the rank-difference plan (see retiredToTwins)

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Operator-level checks for the round-17 keys beyond the DuckDB gate. */
+class Round17Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q458: the rule closes q307's selective-filter recall gap (>= 0.85 every leg)") {
+    val rows = SparkEntry.queries("q458_adaptive_nprobe")(spark, sf)
+      .select("leg", "sel_bp", "nprobe", "recall")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq ==
+      Seq("l1_all", "l2_mild", "l3_half", "l4_narrow"))
+    rows.foreach { case (leg, _, _, recall) =>
+      assert(recall >= 0.85, s"$leg recall $recall — the rule must hold the floor")
+    }
+    // the widths must follow the rule, monotone in selectivity, and the
+    // narrow leg must saturate to the exact pre-filtered fallback
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val total = emb.count()
+    val keptByLeg = Map(
+      "l1_all" -> total,
+      "l2_mild" -> emb.filter(col("label") <= 6).count(),
+      "l3_half" -> emb.filter(col("label") <= 4).count(),
+      "l4_narrow" -> emb.filter(col("label") === 2).count())
+    rows.foreach { case (leg, selBp, np, _) =>
+      val kept = keptByLeg(leg)
+      assert(selBp == 10000L * kept / total, s"$leg sel_bp")
+      assert(np == RegistryRound17.adaptiveNprobe(total, kept, 16L).toLong,
+        s"$leg nprobe must come from the shared rule")
+    }
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted,
+      "nprobe must widen as selectivity falls")
+    assert(rows.last._3 == 16L, "the narrow leg must saturate to |cells| (exact fallback)")
+  }
+
+  test("q458 rule shape: ceil(2/sel^2) capped at cells, floor at base") {
+    import RegistryRound17.adaptiveNprobe
+    assert(adaptiveNprobe(1000, 1000, 16) == 2)   // sel 1.0  -> base
+    assert(adaptiveNprobe(1000, 700, 16) == 5)    // sel 0.7  -> 4.08 -> 5
+    assert(adaptiveNprobe(1000, 500, 16) == 8)    // sel 0.5  -> 8
+    assert(adaptiveNprobe(1000, 250, 16) == 16)   // sel 0.25 -> 32 -> cap
+    assert(adaptiveNprobe(1000, 0, 16) == 16)     // empty estimate -> exact
+  }
+}
