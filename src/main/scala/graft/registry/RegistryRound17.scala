@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import SparkEntry._
-import graft.ops.Similarity
+import graft.ops.{Similarity, TwoPhase}
 
 /** Registry part: round-17 additions (q458+).
   *
@@ -83,6 +83,104 @@ private[graft] object RegistryRound17 {
           ops.Num.roundz(col("hits").cast("double") /
             (col("n_queries").cast("double") * 5d), 4).as("recall"))
         .orderBy("leg")
+    }),
+    "q459_histogram_selectivity" -> ((s, dir) => {
+      // the optimizer-statistics loop CLOSED: q326's ANALYZE-style
+      // equi-depth histogram (32 buckets over order cents, exact two-phase
+      // ranks) ESTIMATES range-predicate selectivities — full mass from
+      // buckets above the threshold, uniform interpolation inside the
+      // boundary bucket, all integer arithmetic — and each estimate is
+      // priced against the exact count. This is the readout that decides
+      // whether stored stats are fresh enough to drive runtime rules (the
+      // q458 adaptive-nprobe selectivity input names exactly this family).
+      // Scale shape: the histogram is 32 rows of metadata derived by the
+      // TwoPhase rank (never a single-partition window); estimation is a
+      // 32x|thresholds| broadcast fold; the exact side is ONE conditional
+      // pass with map-side combine.
+      import s.implicits._
+      val o = T(s, dir, "orders").select(col("o_orderkey"),
+        ops.Num.roundz(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val (ranked, nTot) = TwoPhase.globalRank(o, col("cents"),
+        Seq(col("cents"), col("o_orderkey")), "rank")
+      val hist = ranked
+        .withColumn("bucket", TwoPhase.ntileFromRank("rank", nTot, 32).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"))
+        .localCheckpoint() // 32 rows, probed by every threshold leg
+      // thresholds sweep the mass: tail / body / median / head / extreme
+      val ts = Seq(5000000L, 15000000L, 25000000L, 40000000L, 48000000L)
+        .toDF("t_cents")
+      val est = hist.crossJoin(broadcast(ts))
+        .select(col("t_cents"),
+          when(col("t_cents") <= col("lo"), col("cnt"))
+            .when(col("t_cents") > col("hi"), lit(0L))
+            // inclusive integer widths: the boundary bucket contributes
+            // cnt * (hi - t + 1) div (hi - lo + 1) — floor on both engines
+            .otherwise(expr("cnt * (hi - t_cents + 1) div (hi - lo + 1)"))
+            .as("part"))
+        .groupBy(col("t_cents")).agg(sum(col("part")).as("est_rows"))
+      val actual = o.crossJoin(broadcast(ts))
+        .filter(col("cents") >= col("t_cents"))
+        .groupBy(col("t_cents")).agg(count(lit(1)).as("actual_rows"))
+      est.join(actual, Seq("t_cents"), "left")
+        .select(col("t_cents"), lit(nTot).as("n_total"),
+          col("est_rows").cast("long").as("est_rows"),
+          coalesce(col("actual_rows"), lit(0L)).cast("long").as("actual_rows"),
+          expr(s"est_rows * 10000 div $nTot").cast("long").as("est_bp"),
+          expr(s"coalesce(actual_rows, 0) * 10000 div $nTot").cast("long").as("actual_bp"),
+          expr(s"abs(est_rows - coalesce(actual_rows, 0)) * 10000 div $nTot")
+            .cast("long").as("err_bp"))
+        .orderBy("t_cents")
+    }),
+    "q460_ivf_cell_split" -> ((s, dir) => {
+      // IVF index MAINTENANCE: the hottest cell splits in place — the
+      // rebalancing act a serving index performs when ingest (q292) skews
+      // occupancy (q283 measures the imbalance; this key FIXES it). The
+      // split is the KD rule, fully deterministic and oracle-replicable:
+      // inside the argmax-count cell (min cell id on ties), pick the
+      // dimension with the widest within-cell range (min dim id on ties),
+      // rank members on (value-at-dim, vec_id), and send rank <= ceil(n/2)
+      // to sub-cell A = cell, the rest to B = 16 + cell (fresh id space).
+      // Scale shape: ONE corpus pass assigns cells (the stored index in
+      // production); the split itself touches only the hot cell's members
+      // — maintenance cost follows the CELL, not the corpus — and the
+      // readout (count per resulting cell + before/after max occupancy)
+      // is |cells|+1 rows of metadata.
+      val emb = T(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+      val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .localCheckpoint() // counted, argmax'd, then split — one pass
+      val hot = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("cell")).limit(1).head
+      val (hotCell, hotCnt) = (hot.getLong(0), hot.getLong(1))
+      val members = assigned.filter(col("cell") === hotCell)
+      val dims = members
+        .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("dim", "v")))
+        .groupBy(col("dim")).agg((max(col("v")) - min(col("v"))).as("range"))
+        .orderBy(col("range").desc, col("dim")).limit(1).head
+      val splitDim = dims.getInt(0)
+      val half = (hotCnt + 1L) / 2L
+      import org.apache.spark.sql.expressions.Window
+      val ranked = members
+        .withColumn("__v", expr(s"CAST(element_at(embedding, ${splitDim + 1}) AS DOUBLE)"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col("__v"), col("vec_id"))))
+        .select(col("vec_id"),
+          when(col("__rn") <= half, lit(hotCell)).otherwise(lit(16L + hotCell))
+            .as("cell"))
+      val after = assigned.filter(col("cell") =!= hotCell)
+        .select(col("vec_id"), col("cell"))
+        .unionByName(ranked)
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // 17 rows; read twice (rows + max)
+      val maxAfter = after.agg(max(col("cnt"))).head.getLong(0)
+      after.select(col("cell"), col("cnt").cast("long").as("cnt"),
+          lit(hotCell).as("split_cell"), lit(splitDim.toLong).as("split_dim"),
+          lit(hotCnt).as("max_before"), lit(maxAfter).as("max_after"))
+        .orderBy("cell")
     }))
 
   /** q458's oracle: q307's IVF structure (assignment crn = 1, probes
@@ -137,5 +235,60 @@ private[graft] object RegistryRound17 {
   }
 
   val oracleSql: Seq[(String, String)] = Seq(
-    "q458_adaptive_nprobe" -> q458Sql)
+    "q458_adaptive_nprobe" -> q458Sql,
+    "q459_histogram_selectivity" ->
+      // the same ntile histogram (q326's oracle convention), the same
+      // inclusive-width interpolation, exact counts per threshold
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |n AS (SELECT count(*) AS n FROM o),
+        |r AS (SELECT cents,
+        |    CAST(ntile(32) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS bucket FROM o),
+        |h AS (SELECT bucket, count(*) AS cnt, min(cents) AS lo, max(cents) AS hi
+        |  FROM r GROUP BY 1),
+        |ts AS (SELECT CAST(unnest([5000000, 15000000, 25000000, 40000000, 48000000]) AS BIGINT) AS t_cents),
+        |e AS (SELECT t_cents, sum(CASE WHEN t_cents <= lo THEN cnt
+        |    WHEN t_cents > hi THEN 0
+        |    ELSE cnt * (hi - t_cents + 1) // (hi - lo + 1) END) AS est_rows
+        |  FROM h CROSS JOIN ts GROUP BY 1),
+        |a AS (SELECT t_cents, count(*) AS actual_rows FROM o JOIN ts ON cents >= t_cents GROUP BY 1)
+        |SELECT e.t_cents, CAST(n.n AS BIGINT) AS n_total,
+        |  CAST(e.est_rows AS BIGINT) AS est_rows,
+        |  CAST(coalesce(a.actual_rows, 0) AS BIGINT) AS actual_rows,
+        |  CAST(e.est_rows * 10000 // n.n AS BIGINT) AS est_bp,
+        |  CAST(coalesce(a.actual_rows, 0) * 10000 // n.n AS BIGINT) AS actual_bp,
+        |  CAST(abs(e.est_rows - coalesce(a.actual_rows, 0)) * 10000 // n.n AS BIGINT) AS err_bp
+        |FROM e LEFT JOIN a USING (t_cents) CROSS JOIN n ORDER BY e.t_cents""".stripMargin,
+    "q460_ivf_cell_split" ->
+      // the same cosine argmax assignment (q307's asg convention), the
+      // same KD split: widest-range dim (min dim id on ties), rank on
+      // (value, vec_id), ceil-half to the old id, rest to 16 + cell
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, vv AS cv FROM vecs WHERE vec_id < 16),
+        |scored AS (SELECT x.vec_id, x.vv, c.cell,
+        |  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |    list_dot_product(x.vv, c.cv) / (sqrt(list_dot_product(x.vv, x.vv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    c.cell) AS crn
+        |  FROM vecs x CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, vv, cell FROM scored WHERE crn = 1),
+        |cc AS (SELECT cell, count(*) AS cnt FROM asg GROUP BY 1),
+        |hot AS (SELECT cell, cnt FROM cc ORDER BY cnt DESC, cell LIMIT 1),
+        |mem AS (SELECT a.vec_id, a.vv FROM asg a JOIN hot h ON a.cell = h.cell),
+        |dimx AS (SELECT CAST(u.i AS BIGINT) AS dim, m.vv[CAST(u.i + 1 AS INT)] AS v
+        |  FROM mem m, (SELECT unnest(range(0, 64)) AS i) u),
+        |sd AS (SELECT dim FROM (SELECT dim, max(v) - min(v) AS rng FROM dimx GROUP BY 1)
+        |  ORDER BY rng DESC, dim LIMIT 1),
+        |rk AS (SELECT m.vec_id,
+        |    row_number() OVER (ORDER BY m.vv[CAST(sd.dim + 1 AS INT)], m.vec_id) AS rn
+        |  FROM mem m, sd),
+        |sp AS (SELECT vec_id, CASE WHEN rn <= (SELECT (cnt + 1) // 2 FROM hot)
+        |    THEN (SELECT cell FROM hot) ELSE 16 + (SELECT cell FROM hot) END AS cell FROM rk),
+        |aft AS (SELECT cell, count(*) AS cnt FROM (
+        |  SELECT a.cell FROM asg a WHERE a.cell <> (SELECT cell FROM hot)
+        |  UNION ALL SELECT cell FROM sp) GROUP BY 1)
+        |SELECT aft.cell, CAST(aft.cnt AS BIGINT) AS cnt,
+        |  CAST(hot.cell AS BIGINT) AS split_cell, CAST(sd.dim AS BIGINT) AS split_dim,
+        |  CAST(hot.cnt AS BIGINT) AS max_before,
+        |  CAST((SELECT max(cnt) FROM aft) AS BIGINT) AS max_after
+        |FROM aft, hot, sd ORDER BY aft.cell""".stripMargin)
 }

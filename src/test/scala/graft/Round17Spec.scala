@@ -37,6 +37,39 @@ class Round17Spec extends SparkSpec {
     assert(rows.last._3 == 16L, "the narrow leg must saturate to |cells| (exact fallback)")
   }
 
+  test("q459: the histogram estimate brackets the exact count within one bucket's mass") {
+    val rows = SparkEntry.queries("q459_histogram_selectivity")(spark, sf)
+      .select("t_cents", "n_total", "est_rows", "actual_rows", "err_bp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (t, n, est, actual, err) =>
+      // the estimator can only be off inside the boundary bucket: its
+      // error is bounded by one bucket's row mass (ceil(n/32))
+      val bucketMass = (n + 31) / 32
+      assert(math.abs(est - actual) <= bucketMass,
+        s"t=$t: |$est - $actual| exceeds one bucket ($bucketMass)")
+      assert(err == math.abs(est - actual) * 10000 / n)
+    }
+    // monotone: higher thresholds keep fewer rows, estimated AND actual
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted.reverse)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted.reverse)
+  }
+
+  test("q460: the split partitions the hot cell near-evenly and never grows the max") {
+    val rows = SparkEntry.queries("q460_ivf_cell_split")(spark, sf)
+      .select("cell", "cnt", "split_cell", "max_before", "max_after")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == total, "cells must partition the corpus")
+    val hot = rows.head._3
+    val a = rows.find(_._1 == hot).get._2
+    val b = rows.find(_._1 == 16 + hot).get._2
+    assert(math.abs(a - b) <= 1, s"KD split must halve: $a vs $b")
+    assert(a + b == rows.head._4, "the two halves must rebuild the hot cell")
+    assert(rows.head._5 == rows.map(_._2).max, "max_after readout")
+    assert(rows.head._5 <= rows.head._4, "a split may never raise the max occupancy")
+  }
+
   test("q458 rule shape: ceil(2/sel^2) capped at cells, floor at base") {
     import RegistryRound17.adaptiveNprobe
     assert(adaptiveNprobe(1000, 1000, 16) == 2)   // sel 1.0  -> base
