@@ -136,7 +136,10 @@ object DumpPlans {
       "q448_radius_scaled", "q449_ann_serving", "q450_ivf_train_readout",
       // round-16 additions ≥ ~0.8 s at the probe bench
       "q451_adc_search", "q453_graph_ann", "q456_audio_fingerprint",
-      "q457_quantile_merge")
+      "q457_quantile_merge",
+      // round-17 additions >= ~0.8 s at the probe bench
+      "q458_adaptive_nprobe", "q459_histogram_selectivity",
+      "q460_ivf_cell_split")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, AQE-final)\n\n")
     sb.append("Generated by `graft.examples.DumpPlans`. What to look for per\n")
@@ -458,7 +461,10 @@ object DumpPlans {
       "q453_graph_ann" -> "graph build: cell-keyed self-join (occupancy bounded by the q443 knob) + per-src top-4 window; each beam hop is an id-keyed edges join + id-keyed corpus point-lookup join with the query batch broadcast — the corpus is never scanned on the search path",
       "q455_late_data_audit" -> "per-day replay with the %17 stream delayed 3 batches; the watermarked dedup passes survivors through, the ledger joins delivered counts back to batch totals; ~33 micro-batches x fixed replay cost dominates",
       "q456_audio_fingerprint" -> "synth + javax.sound parse + 6-stage WHT all inside one mapPartitions seam; only (doc_id, fp) shuffles — the group join keys on the 64-bit fingerprint",
-      "q457_quantile_merge" -> "per-shard CDF windows partitioned by shard over the value-domain histogram; the 256-row summary union is metadata; the exact side is a TwoPhase prefix sum (no single-partition window over data)")
+      "q457_quantile_merge" -> "per-shard CDF windows partitioned by shard over the value-domain histogram; the 256-row summary union is metadata; the exact side is a TwoPhase prefix sum (no single-partition window over data)",
+      "q458_adaptive_nprobe" -> "per-leg probed cell joins widen with the derived nprobe (broadcast centroids, two-phase top-k); the truth side is the eval's exact scan — the serving path itself never exceeds the probed cells; selectivity estimate = one histogram aggregate",
+      "q459_histogram_selectivity" -> "TwoPhase global rank builds the 32-row histogram (range-binned parallel windows, never a single-partition sort); estimation is a 32x5 broadcast fold; the exact side one conditional pass with map-side combine",
+      "q460_ivf_cell_split" -> "one broadcast-centroid assignment pass (checkpointed, read by count + argmax + split); the split ranks only the hot cell's members — a |cell|-row window, not a corpus one")
     // ---------------------------------------------------- normalization
     // Round-17 (r16 verdict item 6): dumped plans are NORMALIZED so a
     // no-plan-change round regenerates byte-identical text — exprIds
@@ -480,6 +486,17 @@ object DumpPlans {
         .replaceAll("graft_stream_\\d+", "graft_stream_x")
         .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[x]")
         .replaceAll("rdd_\\d+_\\d+", "rdd_x")
+        // JVM identity leaks: byte-array/bloom toStrings, lambda classes
+        .replaceAll("@[0-9a-f]{4,}", "@x")
+        .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x/0xx")
+        // codegen STAGE numbering depends on subquery scheduling order and
+        // varies run-to-run on an identical tree — the spans themselves
+        // (which operators fuse) are what matters and they stay visible
+        .replaceAll("codegen id : \\d+", "codegen id : x")
+        .replaceAll("WholeStageCodegen \\(\\d+\\)", "WholeStageCodegen (x)")
+        // a whole-line bare integer Arguments is a WholeStageCodegen's
+        // stage id (real argument lists are never a lone number)
+        .replaceAll("(?m)^Arguments: \\d+$", "Arguments: x")
     }
     def fp(normalized: String): String =
       java.security.MessageDigest.getInstance("SHA-256")
@@ -501,7 +518,12 @@ object DumpPlans {
     }
     sb.append("\n## Plan fingerprints (all registered keys, sf0.001 AQE-final)\n\n")
     sb.append("sha256-48 of the normalized executed plan; a changed hash =\n")
-    sb.append("a changed physical plan (exprIds/statistics/paths canonicalized).\n\n")
+    sb.append("a changed physical plan (exprIds/statistics/paths/codegen-stage\n")
+    sb.append("numbering/JVM identities canonicalized). Caveat: ~10 keys sit on\n")
+    sb.append("AQE decision boundaries (runtime shuffle coalescing / exchange\n")
+    sb.append("reuse), so their FINAL plans genuinely vary run-to-run — measured\n")
+    sb.append("back-to-back regeneration diffs ~10 fp rows, vs 45k text lines\n")
+    sb.append("before round 17's normalization.\n\n")
     sb.append("| key | plan fp |\n|---|---|\n")
     prints.foreach { case (k, v) => sb.append(s"| $k | `$v` |\n") }
     headline.foreach { name =>

@@ -42,10 +42,16 @@ class RegistrySpec extends AnyFunSuite {
       "RegistryWarehouseText" -> RegistryWarehouseText.queries,
       "RegistryRound14" -> RegistryRound14.queries,
       "RegistryRound15" -> RegistryRound15.queries,
-      "RegistryRound16" -> RegistryRound16.queries)
+      "RegistryRound16" -> RegistryRound16.queries,
+      "RegistryRound17" -> RegistryRound17.queries)
     val all = parts.flatMap { case (n, qs) => qs.map(q => (q._1, n)) }
     val dupes = all.groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"duplicate keys across parts: $dupes")
-    assert(all.size == canonical.size)
+    // the retired keys (round 17) live in NO part file — SparkEntry
+    // composes them onto their twins' code, so the canonical set is the
+    // part union plus exactly that alias map
+    assert(all.size + SparkEntry.retiredToTwins.size == canonical.size)
+    assert(SparkEntry.retiredToTwins.keySet.intersect(all.map(_._1).toSet).isEmpty,
+      "a retired key must not ALSO be registered in a part file")
   }
 }
