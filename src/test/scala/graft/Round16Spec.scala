@@ -208,31 +208,40 @@ class Round16Spec extends SparkSpec {
   }
 
   test("q452: era chains respect the 2-horizon minimum re-emission gap") {
+    // round-17: the replay runs on 3-DAY buckets, so every invariant is
+    // stated on the bucket spine — era days are bucket starts, the horizon
+    // is bucketDays * (spanBuckets div 6) days, and the eviction lag is
+    // two BATCHES = 2 * bucketDays days
+    val bucketDays = 3L
     val out = SparkEntry.queries("q452_stream_ttl_dedup")(spark, sf)
       .as[(Long, java.sql.Date, Long)].collect().toSeq
-    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    val evDays = Tables.events(spark, sf).filter(col("user_id").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct().as[(Long, java.sql.Date)].collect()
       .groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2.toLocalDate.toEpochDay).sorted }
-    val spanDays = {
-      val all = ev.values.flatten
-      all.max - all.min + 1
+    val d0 = evDays.values.flatten.min
+    val ev = evDays.map { case (u, ds) =>
+      u -> ds.map(d => d0 + bucketDays * ((d - d0) / bucketDays)).distinct.sorted
     }
-    val h = math.max(1L, spanDays / 6)
+    val spanBuckets = {
+      val all = ev.values.flatten
+      (all.max - all.min) / bucketDays + 1
+    }
+    val h = bucketDays * math.max(1L, spanBuckets / 6)
     out.groupBy(_._1).foreach { case (u, rows) =>
       val eras = rows.sortBy(_._3).map(_._2.toLocalDate.toEpochDay)
-      // era 1 is the user's first event day
-      assert(eras.head == ev(u).head, s"user $u era 1 is not the first event")
-      // consecutive eras are at least 2h+2 days apart: eviction needs the
-      // lag-2 watermark (maxday two batches back, minus h) to reach the
-      // previous era's expiry (era day + h)
+      // era 1 is the user's first event bucket
+      assert(eras.head == ev(u).head, s"user $u era 1 is not the first event bucket")
+      // consecutive eras are at least 2h + 2 buckets apart: eviction needs
+      // the lag-2 watermark (max bucket two batches back, minus h) to
+      // reach the previous era's expiry (era bucket + h)
       eras.sliding(2).foreach {
-        case Seq(a, b) => assert(b - a >= 2 * h + 2,
+        case Seq(a, b) => assert(b - a >= 2 * h + 2 * bucketDays,
           s"user $u eras $a -> $b violate the eviction lag bound")
         case _ =>
       }
-      // every era day is one of the user's event days
-      assert(eras.forall(ev(u).contains), s"user $u emitted a non-event day")
+      // every era day is one of the user's event buckets
+      assert(eras.forall(ev(u).contains), s"user $u emitted a non-event bucket")
     }
   }
 }
