@@ -608,7 +608,8 @@ object Dedup {
     *
     * Output: (node, component) for every node that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          broadcastLabels: Option[Boolean] = None): DataFrame = {
     // checkpoint the pair list FIRST: the symmetrized edge frame reads it
     // twice, and without the barrier the (expensive) pair-producing DAG
     // would execute once per branch past its last reusable exchange
@@ -619,10 +620,28 @@ object Dedup {
     // the node's current label, so each step needs no merge join afterwards.
     val nodes = p.select(col("src")).union(p.select(col("dst"))).distinct()
       .select(col("src").as("node")).localCheckpoint()
-    val edges = p
+    // the label frame is |nodes| rows of two longs — the checkpointed node
+    // frame's row count (one metadata action) decides the pageRank-style
+    // broadcast rule (Graph.fitsRankBroadcast). When it fits, every
+    // propagation step probes a broadcast of the labels map-side over the
+    // checkpointed edge frame — no exchange OR per-step sort of the edge
+    // frame at all, so the edges skip the one-time dst repartition too.
+    // Beyond broadcast range the shape is the round-16 one: edges
+    // repartitioned on the probe key once, each step a sort-merge join
+    // reshuffling only the label frame. Fixpoint labels are identical
+    // either way (DedupSpec pins it).
+    val bLabels = broadcastLabels.getOrElse(
+      Graph.fitsRankBroadcast(nodes.count(),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType)))))
+    def side(df: DataFrame) = if (bLabels) broadcast(df) else df
+    val edges0 = p
       .union(p.select(col("dst"), col("src")))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .repartition(col("dst"))
+    val edges = (if (bLabels) edges0 else edges0.repartition(col("dst")))
       .localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
     // several LAZY propagation steps per materialization: the convergence
@@ -636,7 +655,7 @@ object Dedup {
       var next = labels
       for (_ <- 1 to itersPerCheck) {
         next = edges
-          .join(next.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
+          .join(side(next.select(col("node").as("dst"), col("label").as("dlabel"))), Seq("dst"))
           .groupBy(col("src")).agg(min(col("dlabel")).as("label"))
           .select(col("src").as("node"), col("label"))
       }

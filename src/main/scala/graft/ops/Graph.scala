@@ -442,11 +442,26 @@ object Graph {
     * lineage stays flat across iterations (the q120 PageRank discipline).
     * Output: surviving (node, deg) with the degree AFTER the last peel. */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 3,
-                initialDegrees: Option[DataFrame] = None): DataFrame = {
+                initialDegrees: Option[DataFrame] = None,
+                broadcastKeep: Option[Boolean] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, s"bad kCorePeel params ($k, $rounds)")
     var pairs = edges.select(least(col("src"), col("dst")).as("u"),
       greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") < col("v")).distinct().localCheckpoint(eager = false)
+    // the keep frame is ≤ |nodes| rows of one long — when the
+    // co-materialized degree index is present its row count (a metadata-
+    // cheap |nodes|-row scan) decides the [[pageRank]] broadcast rule, and
+    // each semi-join then probes a broadcast instead of re-exchanging the
+    // (monotonically shrinking, but m-row) pair list every round; beyond
+    // broadcast range, or with no index to size against, the shape is the
+    // round-16 one (pair-list hash exchanges). Survivors are identical
+    // either way (GraphSpec pins it).
+    val bKeep = broadcastKeep.getOrElse(initialDegrees.exists(d =>
+      fitsRankBroadcast(d.count(),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType))))))
+    def side(df: DataFrame) = if (bKeep) broadcast(df) else df
     for (r <- 1 to rounds) {
       // round 1's degrees are the FULL graph's — the co-materialized index
       // frame serves them without an edge aggregate; later rounds peel a
@@ -460,8 +475,8 @@ object Graph {
       }
       val keep = deg.filter(col("d") >= k).select(col("node"))
       pairs = pairs
-        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .join(side(keep.select(col("node").as("u"))), Seq("u"), "left_semi")
+        .join(side(keep.select(col("node").as("v"))), Seq("v"), "left_semi")
         .localCheckpoint(eager = false)
     }
     pairs.select(col("u").as("node"))
@@ -480,7 +495,8 @@ object Graph {
     * the visited set — all node-keyed; the frontier frame is |reached
     * nodes|, never edges. Hop counts are the only driver-visible rows. */
   def bfsHopCounts(edges: DataFrame, maxHops: Int = 3,
-                   degrees: Option[DataFrame] = None): DataFrame = {
+                   degrees: Option[DataFrame] = None,
+                   broadcastFrontier: Option[Boolean] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val und = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(eager = false)
@@ -488,14 +504,29 @@ object Graph {
       case Some(d) => d.select(col("node"), col("degree").as("d"))
       case None => und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     }
+    // frontier and visited are ≤ |nodes| rows of two longs — when the
+    // co-materialized degree index is present, its row count (a metadata-
+    // cheap |nodes|-row scan) decides the [[pageRank]] broadcast rule and
+    // every hop's semi/anti join then probes a broadcast instead of
+    // re-exchanging the m-row edge list; beyond broadcast range, or with no
+    // index to size against, the hops keep the round-16 edge-hash shape.
+    // Hop counts are identical either way (GraphSpec pins it).
+    val bFrontier = broadcastFrontier.getOrElse(degrees.exists(d =>
+      fitsRankBroadcast(d.count(),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("hop",
+            org.apache.spark.sql.types.LongType))))))
+    def side(df: DataFrame) = if (bFrontier) broadcast(df) else df
     val seed = deg.orderBy(col("d").desc, col("node")).limit(1).select("node")
     var visited = seed.withColumn("hop", lit(0L)).localCheckpoint(eager = false)
     var frontier = seed
     for (h <- 1 to maxHops) {
       val next = und
-        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(side(frontier.select(col("node").as("src"))), Seq("src"), "left_semi")
         .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(side(visited.select("node")), Seq("node"), "left_anti")
         .localCheckpoint(eager = false)
       visited = visited
         .unionAll(next.withColumn("hop", lit(h.toLong)))
@@ -541,15 +572,33 @@ object Graph {
     * anything wider than the |nodes|-row score frames.
     */
   def hits(edges: DataFrame, hubCol: String, authCol: String,
-           iterations: Int = 2): DataFrame = {
+           iterations: Int = 2,
+           broadcastScores: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(hubCol).as("h"), col(authCol).as("a"))
       .distinct().localCheckpoint()
+    // each score frame is ≤ max(|hubs|, |auths|) rows of two longs — one
+    // metadata action over the checkpointed edge frame sizes both, and the
+    // [[pageRank]] broadcast rule then makes every half-step's gather a
+    // map-side probe over e instead of an m-row exchange of e per
+    // half-step; beyond broadcast range the gathers keep the round-16
+    // edge-hash shape. Scores are identical either way (exact integer
+    // arithmetic; GraphSpec pins it).
+    val bScores = broadcastScores.getOrElse {
+      val r = e.agg(count_distinct(col("h")).as("nh"),
+        count_distinct(col("a")).as("na")).head
+      fitsRankBroadcast(math.max(r.getLong(0), r.getLong(1)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType))))
+    }
     var hub = e.select(col("h").as("node")).distinct()
       .select(col("node"), lit(Scale).as("score"))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      auth = hitsHalfStep(e, hub, "h", "a").localCheckpoint(eager = false)
-      hub = hitsHalfStep(e, auth, "a", "h").localCheckpoint(eager = false)
+      auth = hitsHalfStep(e, hub, "h", "a", bScores).localCheckpoint(eager = false)
+      hub = hitsHalfStep(e, auth, "a", "h", bScores).localCheckpoint(eager = false)
     }
     auth.select(lit("auth").as("side"), col("node"), col("score"))
       .unionByName(hub.select(lit("hub").as("side"), col("node"), col("score")))
@@ -560,8 +609,10 @@ object Graph {
     * PlanSpec can assert the iteration's shape (the checkpoints in [[hits]]
     * hide it from the final key plan, as with [[pageRankStep]]). */
   private[graft] def hitsHalfStep(e: DataFrame, scores: DataFrame,
-                                  joinKey: String, groupKey: String): DataFrame = {
-    val raw = e.join(scores, e(joinKey) === scores("node"))
+                                  joinKey: String, groupKey: String,
+                                  broadcastScores: Boolean = false): DataFrame = {
+    val s = if (broadcastScores) broadcast(scores) else scores
+    val raw = e.join(s, e(joinKey) === scores("node"))
       .groupBy(e(groupKey)).agg(sum(col("score")).as("raw"))
       .select(e(groupKey).as("node"), col("raw"))
     raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("__mx"))))

@@ -1073,14 +1073,28 @@ private[graft] object RegistryAnnDedup {
       // faster but are irreproducible, and a data pipeline needs the same
       // communities on every run. Per round: one node-keyed join against
       // the label frame, one (node, label) count, one degree-bounded
-      // window — 4·O(m) total, on the shared edge artifact (derived once)
-      import org.apache.spark.sql.expressions.Window
+      // window — 4·O(m) total, on the shared edge artifact (derived once).
+      // The label frame is |nodes| rows of two longs: the co-materialized
+      // degree index's row count (a metadata-cheap |nodes|-row scan)
+      // decides the pageRank broadcast rule, and each round's gather then
+      // probes a broadcast map-side over the edge scan instead of
+      // sort-merge-exchanging the m-row edge list every round (measured
+      // SMJ in all 4 rounds before round 17); beyond broadcast range the
+      // join falls back to exactly that round-16 shape. Labels are
+      // identical either way (exact integer argmax).
       val e = copurchaseEdges(s, dir) // (src, dst), both directions
+      val bLab = ops.Graph.fitsRankBroadcast(copurchaseDegrees(s, dir).count(),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType))))
       var lab = e.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
       (1 to 4).foreach { _ =>
+        val labSide = lab.select(col("node").as("dst"), col("label"))
         val gathered = e
-          .join(lab.select(col("node").as("dst"), col("label")), "dst")
+          .join(if (bLab) broadcast(labSide) else labSide, "dst")
           .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
         // argmax by (count desc, label asc) as ONE hash aggregate —
         // max(struct(c, −label)) — instead of a per-round row_number

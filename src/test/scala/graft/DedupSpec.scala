@@ -234,6 +234,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents broadcast and shuffled label joins agree bit-identically") {
+    // same topology mix as the star-equality test: deep chain (diameter
+    // drives the loop), clique, isolated pair, seeded pseudo-random edges
+    val chain = (1L until 15L).map(i => (i, i + 1))
+    val clique = for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)
+    val pair = Seq((90L, 91L))
+    val rnd = (0 until 60).map { i =>
+      val a = (i * 2654435761L) % 37 + 100
+      val b = (i * 40503L + 7) % 37 + 100
+      (a, b)
+    }.filter(e => e._1 != e._2)
+    for (edges <- Seq(chain, clique ++ pair, rnd, chain ++ clique ++ rnd)) {
+      val pairs = edges.toDF("id_a", "id_b")
+      val shuffled = Dedup.connectedComponents(pairs, maxIter = 60,
+        broadcastLabels = Some(false)).as[(Long, Long)].collect().toSet
+      val bcast = Dedup.connectedComponents(pairs, maxIter = 60,
+        broadcastLabels = Some(true)).as[(Long, Long)].collect().toSet
+      assert(shuffled == bcast && shuffled.nonEmpty,
+        s"broadcast != shuffled for ${edges.take(5)}...")
+    }
+    // auto mode (None) sizes the label frame from the checkpointed node
+    // frame's count; these tiny graphs are far below range → broadcast
+    val pairs = (chain ++ clique ++ rnd).toDF("id_a", "id_b")
+    val auto = Dedup.connectedComponents(pairs, maxIter = 60)
+      .as[(Long, Long)].collect().toSet
+    val pinned = Dedup.connectedComponents(pairs, maxIter = 60,
+      broadcastLabels = Some(true)).as[(Long, Long)].collect().toSet
+    assert(auto == pinned)
+  }
+
   test("clusterRepresentatives elects the longest member per component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (6L, 9L))

@@ -114,6 +114,40 @@ class GraphSpec extends SparkSpec {
     assert(auto == bcast)
   }
 
+  test("bfsHopCounts broadcast and shuffled frontier joins agree bit-identically") {
+    val rel = (1L to 400L).map(i => (i % 37, i % 11)).toDF("c", "e")
+    val edges = Graph.coOccurrenceEdges(rel, "e", "c")
+    val shuffled = Graph.bfsHopCounts(edges, maxHops = 3,
+      broadcastFrontier = Some(false)).as[(Long, Long)].collect().toSet
+    val bcast = Graph.bfsHopCounts(edges, maxHops = 3,
+      broadcastFrontier = Some(true)).as[(Long, Long)].collect().toSet
+    assert(shuffled == bcast && shuffled.nonEmpty)
+  }
+
+  test("kCorePeel broadcast and shuffled keep joins agree bit-identically") {
+    val rel = (1L to 400L).map(i => (i % 37, i % 11)).toDF("c", "e")
+    val edges = Graph.coOccurrenceEdges(rel, "e", "c")
+    val shuffled = Graph.kCorePeel(edges, k = 3, rounds = 3,
+      broadcastKeep = Some(false)).as[(Long, Long)].collect().toSet
+    val bcast = Graph.kCorePeel(edges, k = 3, rounds = 3,
+      broadcastKeep = Some(true)).as[(Long, Long)].collect().toSet
+    assert(shuffled == bcast && shuffled.nonEmpty)
+  }
+
+  test("hits broadcast and shuffled score gathers agree bit-identically") {
+    val rel = (1L to 400L).map(i => (i % 37, i % 11)).toDF("h", "a")
+    val shuffled = Graph.hits(rel, "h", "a", iterations = 2,
+      broadcastScores = Some(false)).as[(String, Long, Long)].collect().toSet
+    val bcast = Graph.hits(rel, "h", "a", iterations = 2,
+      broadcastScores = Some(true)).as[(String, Long, Long)].collect().toSet
+    assert(shuffled == bcast && shuffled.nonEmpty)
+    // auto mode (None) sizes the score frames from one edge-frame metadata
+    // action; this tiny relation is far below range, so auto == broadcast
+    val auto = Graph.hits(rel, "h", "a", iterations = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(auto == bcast)
+  }
+
   test("coOccurrenceEdgeIndex equals the direct derivation and writes once per JVM") {
     val rel = (1L to 300L).map(i => (i % 23, i % 7)).toDF("c", "e")
     val dir = java.nio.file.Files.createTempDirectory("graft_eidx").toString + "/idx"
