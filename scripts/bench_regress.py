@@ -40,6 +40,17 @@ def sentinel_median(run):
     return statistics.median(vals) if vals else None
 
 
+# Cross-core refusal (round-17 verdict item 2): the driver also benches at a
+# lower core count for its scaling measurement; comparing an 8-core run to a
+# 32-core record manufactures uniform phantom deltas. Records since round 18
+# carry "cpus"; when both sides carry it and disagree, refuse outright.
+co, cn = old.get("cpus"), new.get("cpus")
+if co is not None and cn is not None and co != cn:
+    print(f"REFUSED: cross-core comparison (old cpus={co}, new cpus={cn}) — "
+          "core-count changes runtime for every key; rerun the new stamp at "
+          "the record core count")
+    sys.exit(1)
+
 so, sn = sentinel_median(old), sentinel_median(new)
 scale = (so / sn) if (so and sn) else 1.0
 any_flagged = False

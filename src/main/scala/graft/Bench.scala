@@ -159,7 +159,13 @@ object Bench {
         SparkEntry.scaleYardsticks.toSeq.sorted
           .map("\"" + _ + "\"").mkString(""","yardsticks_skipped":[""", ",", "]")
       else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"passes":2,"third_pass_keys":$reruns,$sentinelJson$skippedJson,"sf":"$sfDir"}"""
+    // "cpus" is recorded so a reader (and scripts/bench_regress.py) can
+    // refuse cross-core comparisons — the driver ALSO runs the bench at a
+    // lower core count for its scaling measurement, and those runs are not
+    // comparable to the 32-core round records (r17 verdict item 2: an
+    // 8-core scaling run stamped itself as BENCH_LOCAL_r18 and would have
+    // read as a 15% regression)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"passes":2,"third_pass_keys":$reruns,"cpus":${cpus.toInt},$sentinelJson$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // provenance: the driver's BENCH_r{N}.json tails truncate the per-query
     // map, so also land the full line at a stable path for round-over-round
@@ -180,8 +186,16 @@ object Bench {
       // a SPARK_GRAFT_KEYS-filtered probe run must never stamp the round
       // record — a 6-key subset masquerading as the round bench would
       // poison every round-over-round comparison; same for a
-      // yardstick-skipped scale run (it's not the full registry either)
-      if (sys.env.get("SPARK_GRAFT_KEYS").isEmpty && !skipYardsticks)
+      // yardstick-skipped scale run (it's not the full registry either),
+      // and same for any run at a core count other than the record
+      // convention's (r17 verdict item 2: the driver's 8-core scaling run
+      // auto-stamped itself as BENCH_LOCAL_r18 — a phantom 15% regression).
+      // Every committed BENCH_LOCAL_r* record is a local[32] run; a
+      // different-core run still prints its line and lands at
+      // target/bench_local.json, it just never becomes the round record.
+      val recordCpus = 32
+      if (sys.env.get("SPARK_GRAFT_KEYS").isEmpty && !skipYardsticks &&
+          cpus.toInt == recordCpus)
         round.foreach { r =>
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(f"BENCH_LOCAL_r$r%02d.json"), line)

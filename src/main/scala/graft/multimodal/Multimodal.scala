@@ -23,6 +23,102 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** JVM-global ImageIO hygiene + per-thread codec instances.
+    *
+    * The `ImageIO.read`/`ImageIO.write` convenience entry points are priced
+    * for one-shot use, not a per-row decode loop: every call (a) walks the
+    * JVM-GLOBAL IIORegistry to pick a codec (provider probing under the
+    * registry's shared state) and (b) wraps the stream in a DISK-backed
+    * FileCache image stream — `ImageIO.getUseCache` defaults to true, so
+    * each call creates and deletes a temp FILE. With 32 partitions decoding
+    * concurrently those two pieces of shared state serialize the stage: the
+    * round-17 scaling block measured every image key FASTER at 8 cores than
+    * at 32 (8c/32c ratios q228 0.39, q112 0.54, q290 0.57, q139 0.61).
+    *
+    * Fixes, all decode-contract-preserving:
+    *  - `setUseCache(false)` once per JVM — image streams become
+    *    memory-backed; no temp files ever.
+    *  - codecs resolve ONCE PER TASK THREAD (ThreadLocal, bounded by the
+    *    executor pool size) and are reused row to row through
+    *    `setInput`/`setOutput`, the documented ImageReader/Writer reuse
+    *    contract.
+    *  - the reader is picked by sniffing the payload's magic bytes for the
+    *    JDK's container formats; an unrecognized payload falls back to
+    *    `ImageIO.read` (the rare/quarantine path), so the null-on-
+    *    undecodable contract and the decoded pixels are unchanged.
+    */
+  private[graft] object Codec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private val readers = new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap
+    }
+    private val writers = new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() = new java.util.HashMap
+    }
+
+    /** Magic-byte container sniff over the formats the JDK ships codecs
+      * for; null = unknown (take the `ImageIO.read` fallback). */
+    private def sniff(b: Array[Byte]): String =
+      if (b == null || b.length < 4) null
+      else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+      else if (b(0) == 'B' && b(1) == 'M') "bmp"
+      else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+      else if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) "tiff"
+      else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) "tiff"
+      else null
+
+    /** This thread's cached reader for `fmt` (resolved once per thread). */
+    def reader(fmt: String): javax.imageio.ImageReader = {
+      val m = readers.get()
+      var r = m.get(fmt)
+      if (r == null) {
+        r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+        m.put(fmt, r)
+      }
+      r
+    }
+
+    /** This thread's cached writer for `fmt` (resolved once per thread). */
+    def writer(fmt: String): javax.imageio.ImageWriter = {
+      val m = writers.get()
+      var w = m.get(fmt)
+      if (w == null) {
+        w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+        m.put(fmt, w)
+      }
+      w
+    }
+
+    /** Decode `payload`, or null when undecodable — exactly `ImageIO.read`'s
+      * quarantine contract, minus the per-call registry walk and temp file. */
+    def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val fmt = sniff(payload)
+      try {
+        if (fmt == null)
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        else {
+          val r = reader(fmt)
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try { r.setInput(iis, true, true); r.read(0) } finally iis.close()
+        }
+      } catch { case _: Exception => null }
+    }
+
+    /** Encode `img` as `fmt` bytes — `ImageIO.write`'s exact output (same
+      * codec, default write params) via the thread's cached writer. */
+    def writeImage(img: java.awt.image.RenderedImage, fmt: String): Array[Byte] = {
+      val w = writer(fmt)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try { w.setOutput(ios); w.write(img) }
+      finally { ios.close(); w.setOutput(null) }
+      out.toByteArray
+    }
+  }
+
   /** Decoder contract: bytes → fixed-length feature vector. One instance per
     * partition (model/codec init amortized across the partition's rows). */
   trait Decoder extends Serializable {
@@ -51,9 +147,7 @@ object Multimodal {
     * constant-color images — the property the differential gate uses. */
   object ImageDecoder extends Decoder {
     def decode(payload: Array[Byte]): Array[Float] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: Exception => null }
+      val img = Codec.readImage(payload)
       if (img == null) return Array(-1f, -1f, -1f, -1f, -1f)
       val (w, h) = (img.getWidth, img.getHeight)
       var (sr, sg, sb) = (0L, 0L, 0L)
@@ -106,9 +200,7 @@ object Multimodal {
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    Codec.writeImage(img, "png")
   }
 
   /** Deterministic PNG synthesis with per-pixel control: pixel (x, y) gets
@@ -119,9 +211,7 @@ object Multimodal {
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }; y += 1 }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    Codec.writeImage(img, "png")
   }
 
   /** Perceptual difference-hash over decoded image pixels — the IMAGE
@@ -153,9 +243,7 @@ object Multimodal {
     val rdd = mm.rdd.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: Exception => null }
+        val img = Codec.readImage(payload)
         val hash = if (img == null) -1L else {
           var acc = 0L
           val xs = math.min(img.getWidth - 1, 8)
@@ -513,9 +601,7 @@ object Multimodal {
     val rdd = mm.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: Exception => null }
+        val img = Codec.readImage(payload)
         if (img == null || outW <= 0 || outH <= 0 ||
             img.getWidth % outW != 0 || img.getHeight % outH != 0)
           Iterator.single(Row(r.get(idIdx), -1L, -1L, -1L, -1L, -1L))
@@ -553,8 +639,13 @@ object Multimodal {
     * walk in [[sampleGifFrames]], which genuinely parses this container. */
   def synthGif(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    // memory-backed stream + the thread's cached writer: the previous
+    // ImageIO.createImageOutputStream / getImageWritersByFormatName pair
+    // paid a disk-cache temp file and a registry walk PER SYNTHESIZED ROW
+    // (see [[Codec]]); sequence state resets with setOutput, so the cached
+    // writer is reusable across calls
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val writer = Codec.writer("gif")
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     colors.foreach { rgb =>
@@ -568,8 +659,8 @@ object Multimodal {
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
     }
     writer.endWriteSequence()
-    writer.dispose()
     ios.close()
+    writer.setOutput(null)
     out.toByteArray
   }
 
@@ -604,7 +695,7 @@ object Multimodal {
       StructField("mean_g", LongType),
       StructField("mean_b", LongType)))
     val rdd = mm.rdd.mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val reader = Codec.reader("gif") // thread-cached; setInput per payload
       rows.flatMap { r =>
         val id = r.get(idIdx)
         val payload = r.getAs[Array[Byte]](payloadIdx)
