@@ -472,10 +472,60 @@ object DumpPlans {
     // canonicalized. Real plan changes still read as real diffs, and the
     // fingerprint table up top turns "did any plan move?" into a one-line
     // diff per changed key.
+    // r17 backlog item 6: Expand projection lists (distinct-count /
+    // grouping-sets rewrites — q107, q171, q238, q301, …) are generated
+    // from expression-set traversals whose order tracks the RAW exprId
+    // values, so identical code prints them in a different order run to
+    // run — and the first-appearance renumbering below then cascades that
+    // one reordered line through every later id in the plan. Sort each
+    // Expand's projection sub-lists by their id-stripped text BEFORE
+    // renumbering (ties keep input order), so the canonical form is
+    // order-stable while real projection changes still diff.
+    def canonExpandArgs(plan: String): String = {
+      def splitTop(s: String): Seq[String] = {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var depth = 0; var start = 0; var i = 0
+        while (i < s.length) {
+          s.charAt(i) match {
+            case '[' | '(' => depth += 1
+            case ']' | ')' => depth -= 1
+            case ',' if depth == 0 =>
+              out += s.substring(start, i).trim; start = i + 1
+            case _ => ()
+          }
+          i += 1
+        }
+        out += s.substring(start).trim
+        out.toSeq
+      }
+      var inExpand = false
+      plan.split("\n", -1).map { line =>
+        val h = "^\\(\\d+\\) ([A-Za-z]+)".r.findFirstMatchIn(line)
+        if (h.isDefined) inExpand = h.get.group(1) == "Expand"
+        if (inExpand && line.startsWith("Arguments: [[")) {
+          val body = line.stripPrefix("Arguments: ")
+          var depth = 0; var close = -1; var i = 0
+          while (close < 0 && i < body.length) {
+            body.charAt(i) match {
+              case '[' => depth += 1
+              case ']' => depth -= 1; if (depth == 0) close = i
+              case _ => ()
+            }
+            i += 1
+          }
+          if (close < 0) line
+          else {
+            val sorted = splitTop(body.substring(1, close))
+              .sortBy(_.replaceAll("#\\d+", "#"))
+            "Arguments: [" + sorted.mkString(", ") + "]" + body.substring(close + 1)
+          }
+        } else line
+      }.mkString("\n")
+    }
     def normalize(plan: String): String = {
       val ids = scala.collection.mutable.HashMap[String, Int]()
       val idRe = "#(\\d+)".r
-      val renumbered = idRe.replaceAllIn(plan,
+      val renumbered = idRe.replaceAllIn(canonExpandArgs(plan),
         m => "#" + ids.getOrElseUpdate(m.group(1), ids.size + 1))
       renumbered
         .replaceAll("plan_id=\\d+", "plan_id=x")

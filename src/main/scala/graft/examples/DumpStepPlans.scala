@@ -34,7 +34,11 @@ object DumpStepPlans {
     Files.createDirectories(Paths.get(outDir))
 
     def dump(name: String)(df: DataFrame): Unit = {
-      df.write.format("noop").mode("overwrite").save()
+      // collect, not a noop write: the write spawns a SEPARATE
+      // QueryExecution, leaving df's own at the initial plan — collect
+      // executes df's QE so the dump is AQE-final (r17 advice item 1).
+      // Step frames here are ≤ |nodes|-row metadata, safe to collect.
+      df.collect()
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       Files.writeString(Paths.get(outDir, s"$name.txt"), plan)
       println(s"[dumpstepplans] wrote $outDir/$name.txt")

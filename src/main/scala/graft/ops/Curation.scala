@@ -413,44 +413,135 @@ object Curation {
     * the most not-yet-covered tokens (ties to the smallest doc_id); greedy
     * is (1−1/e)-optimal and inherently sequential.
     *
-    * Each round is ONE aggregate over the pair index with the covered
-    * vocabulary as a broadcast anti-join, and the per-round argmax a 1-row
-    * metadata collect. The covered set is therefore a DRIVER/BROADCAST
-    * bound, not a data-scale bound: the loop fails loudly the moment the
-    * accumulated vocabulary would exceed `maxCoveredRows` (the
-    * requireQueryBatch discipline), instead of silently broadcasting an
-    * unbounded frame when someone raises `rounds`.
+    * Two size-conditional strategies, bit-identical picks (CurationSpec
+    * pins it):
+    *
+    *  - SINGLE-PASS (pair index fits [[Graph.fitsRankBroadcast]]'s byte
+    *    rule): one typed Aggregator gathers the per-doc token sets —
+    *    map-side partial per partition, one merge — and its `finish` runs
+    *    the whole greedy walk inside that final reduce task. The entire
+    *    cover is 2 jobs (the sizing count + the aggregate) instead of
+    *    `rounds` argmax collects EACH of which re-scanned the pair index
+    *    behind an anti-join plus a localCheckpoint of the covered set
+    *    (~2·rounds driver-sequential jobs, 10 full passes for 10 rounds).
+    *    The walk's state is the pair index in one task's heap — exactly
+    *    the memory class the byte rule already guards for broadcasts.
+    *
+    *  - ITERATIVE (beyond the byte budget): the round-17 shape — per round
+    *    one aggregate over the pair index with the covered vocabulary as a
+    *    broadcast anti-join, argmax as a 1-row metadata collect. The
+    *    covered set is a DRIVER/BROADCAST bound, not a data-scale bound:
+    *    the loop fails loudly the moment the accumulated vocabulary would
+    *    exceed `maxCoveredRows` (the requireQueryBatch discipline).
+    *
+    * `singlePass = Some(true|false)` pins the strategy (the pageRank
+    * convention); None sizes the checkpointed index with one count.
     */
   def greedySetCover(spark: org.apache.spark.sql.SparkSession,
                      pairs: DataFrame, rounds: Int,
-                     maxCoveredRows: Long = 2000000L): DataFrame = {
+                     maxCoveredRows: Long = 2000000L,
+                     singlePass: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
-    var covered = spark.emptyDataset[String].toDF("tok")
-    var coveredN = 0L
-    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-    (1 to rounds).foreach { step =>
-      val gain = pairs.join(broadcast(covered), Seq("tok"), "left_anti")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
-        .orderBy(col("g").desc, col("doc_id")).limit(1)
-        .collect() // 1 metadata row per round — the greedy argmax
-      if (gain.nonEmpty && gain(0).getLong(1) > 0) {
-        val (d, g) = (gain(0).getLong(0), gain(0).getLong(1))
-        coveredN += g
-        require(coveredN <= maxCoveredRows,
-          s"greedySetCover: covered vocabulary would reach $coveredN rows " +
-            s"(> maxCoveredRows=$maxCoveredRows) at round $step — the " +
-            "per-round anti-join broadcasts the covered set; lower rounds " +
-            "or raise maxCoveredRows explicitly")
-        picks += ((step.toLong, d, g))
-        covered = covered.unionByName(
-          pairs.filter(col("doc_id") === d).select(col("tok"))).distinct()
-          .localCheckpoint()
+    val onePass = singlePass.getOrElse(
+      Graph.fitsRankBroadcast(pairs.count(), pairs.schema))
+    val picksDf =
+      if (onePass) {
+        val agg = new GreedyCoverAggregator(rounds, maxCoveredRows)
+        pairs.select(col("doc_id").cast("long"), col("tok").cast("string"))
+          .as[(Long, String)]
+          .select(agg.toColumn) // typed select — the aggregator column
+          .toDF("picks")
+          .select(explode(col("picks")).as("p"))
+          .select(col("p._1").as("step"), col("p._2").as("doc_id"),
+            col("p._3").as("gain"))
+      } else {
+        var covered = spark.emptyDataset[String].toDF("tok")
+        var coveredN = 0L
+        val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        (1 to rounds).foreach { step =>
+          val gain = pairs.join(broadcast(covered), Seq("tok"), "left_anti")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
+            .orderBy(col("g").desc, col("doc_id")).limit(1)
+            .collect() // 1 metadata row per round — the greedy argmax
+          if (gain.nonEmpty && gain(0).getLong(1) > 0) {
+            val (d, g) = (gain(0).getLong(0), gain(0).getLong(1))
+            coveredN += g
+            require(coveredN <= maxCoveredRows,
+              s"greedySetCover: covered vocabulary would reach $coveredN rows " +
+                s"(> maxCoveredRows=$maxCoveredRows) at round $step — the " +
+                "per-round anti-join broadcasts the covered set; lower rounds " +
+                "or raise maxCoveredRows explicitly")
+            picks += ((step.toLong, d, g))
+            covered = covered.unionByName(
+              pairs.filter(col("doc_id") === d).select(col("tok"))).distinct()
+              .localCheckpoint()
+          }
+        }
+        picks.toSeq.toDF("step", "doc_id", "gain")
       }
-    }
-    picks.toSeq.toDF("step", "doc_id", "gain")
+    picksDf
       .withColumn("covered_total",
         sum(col("gain")).over(Window.orderBy("step")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy("step")
+  }
+
+  /** [[greedySetCover]]'s single-pass engine: buffer = doc → token set,
+    * `finish` = the exact greedy walk (argmax by uncovered-token count,
+    * ties to the smallest doc_id, stop when nothing new is coverable) —
+    * the same picks the iterative anti-join loop produces, computed inside
+    * the final reduce task instead of `rounds` driver-coordinated jobs. */
+  private final class GreedyCoverAggregator(rounds: Int, maxCoveredRows: Long)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, String),
+        scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[String]],
+        Seq[(Long, Long, Long)]] {
+    type Buf = scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[String]]
+    def zero: Buf = new Buf
+    def reduce(b: Buf, a: (Long, String)): Buf = {
+      b.getOrElseUpdate(a._1, new scala.collection.mutable.HashSet) += a._2
+      b
+    }
+    def merge(b1: Buf, b2: Buf): Buf = {
+      val (big, small) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+      small.foreach { case (d, s) =>
+        big.getOrElseUpdate(d, new scala.collection.mutable.HashSet) ++= s
+      }
+      big
+    }
+    def finish(m: Buf): Seq[(Long, Long, Long)] = {
+      val covered = new scala.collection.mutable.HashSet[String]
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var coveredN = 0L
+      var step = 1
+      var exhausted = false
+      while (step <= rounds && !exhausted) {
+        var bestDoc = Long.MaxValue
+        var bestGain = 0L
+        m.foreach { case (d, toks) =>
+          var g = 0L
+          toks.foreach(t => if (!covered.contains(t)) g += 1)
+          if (g > bestGain || (g == bestGain && g > 0 && d < bestDoc)) {
+            bestGain = g; bestDoc = d
+          }
+        }
+        if (bestGain <= 0) exhausted = true
+        else {
+          coveredN += bestGain
+          require(coveredN <= maxCoveredRows,
+            s"greedySetCover: covered vocabulary would reach $coveredN rows " +
+              s"(> maxCoveredRows=$maxCoveredRows) at round $step — lower " +
+              "rounds or raise maxCoveredRows explicitly")
+          picks += ((step.toLong, bestDoc, bestGain))
+          m(bestDoc).foreach(covered += _)
+          step += 1
+        }
+      }
+      picks.toSeq
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 }

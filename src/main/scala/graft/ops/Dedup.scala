@@ -633,10 +633,13 @@ object Dedup {
     val bLabels = broadcastLabels.getOrElse(
       Graph.fitsRankBroadcast(nodes.count(),
         org.apache.spark.sql.types.StructType(Seq(
+          // both fields carry the LIVE id type (labels are node ids), not a
+          // hardcoded LongType — a string/decimal-keyed caller must not
+          // under-estimate broadcast bytes (r17 advice item 2)
           org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType),
+            nodes.schema("node").dataType),
           org.apache.spark.sql.types.StructField("label",
-            org.apache.spark.sql.types.LongType)))))
+            nodes.schema("node").dataType)))))
     def side(df: DataFrame) = if (bLabels) broadcast(df) else df
     val edges0 = p
       .union(p.select(col("dst"), col("src")))

@@ -459,8 +459,11 @@ object Graph {
     val bKeep = broadcastKeep.getOrElse(initialDegrees.exists(d =>
       fitsRankBroadcast(d.count(),
         org.apache.spark.sql.types.StructType(Seq(
+          // size from the LIVE key type (the keep frame is one node column
+          // drawn from the pair list), not a hardcoded LongType — r17
+          // advice item 2
           org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType))))))
+            pairs.schema("u").dataType))))))
     def side(df: DataFrame) = if (bKeep) broadcast(df) else df
     for (r <- 1 to rounds) {
       // round 1's degrees are the FULL graph's — the co-materialized index
@@ -514,8 +517,9 @@ object Graph {
     val bFrontier = broadcastFrontier.getOrElse(degrees.exists(d =>
       fitsRankBroadcast(d.count(),
         org.apache.spark.sql.types.StructType(Seq(
+          // live node type, not a hardcoded LongType (r17 advice item 2)
           org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType),
+            und.schema("src").dataType),
           org.apache.spark.sql.types.StructField("hop",
             org.apache.spark.sql.types.LongType))))))
     def side(df: DataFrame) = if (bFrontier) broadcast(df) else df
@@ -576,20 +580,24 @@ object Graph {
            broadcastScores: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(hubCol).as("h"), col(authCol).as("a"))
       .distinct().localCheckpoint()
-    // each score frame is ≤ max(|hubs|, |auths|) rows of two longs — one
-    // metadata action over the checkpointed edge frame sizes both, and the
-    // [[pageRank]] broadcast rule then makes every half-step's gather a
-    // map-side probe over e instead of an m-row exchange of e per
-    // half-step; beyond broadcast range the gathers keep the round-16
-    // edge-hash shape. Scores are identical either way (exact integer
-    // arithmetic; GraphSpec pins it).
+    // each score frame is ≤ max(|hubs|, |auths|) rows of (node, score) —
+    // and both counts are ≤ m (every node appears in ≥ 1 edge row), so the
+    // CHECKPOINTED edge frame's row count upper-bounds them in one
+    // cached-block scan. The previous sizing ran a count_distinct pair over
+    // e — a genuine O(m) Expand aggregate per call, pure added cost in the
+    // beyond-broadcast regime (r17 advice item 3). Conservative by design:
+    // the m-row bound only ever errs toward the shuffle fallback. The node
+    // field sizes from the wider of the two live key types, not a
+    // hardcoded LongType (r17 advice item 2 — a string-keyed caller must
+    // not under-estimate broadcast bytes).
     val bScores = broadcastScores.getOrElse {
-      val r = e.agg(count_distinct(col("h")).as("nh"),
-        count_distinct(col("a")).as("na")).head
-      fitsRankBroadcast(math.max(r.getLong(0), r.getLong(1)),
+      val nodeT =
+        if (e.schema("h").dataType.defaultSize >= e.schema("a").dataType.defaultSize)
+          e.schema("h").dataType
+        else e.schema("a").dataType
+      fitsRankBroadcast(e.count(),
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("node", nodeT),
           org.apache.spark.sql.types.StructField("score",
             org.apache.spark.sql.types.LongType))))
     }

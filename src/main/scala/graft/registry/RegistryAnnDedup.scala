@@ -1085,10 +1085,12 @@ private[graft] object RegistryAnnDedup {
       val e = copurchaseEdges(s, dir) // (src, dst), both directions
       val bLab = ops.Graph.fitsRankBroadcast(copurchaseDegrees(s, dir).count(),
         org.apache.spark.sql.types.StructType(Seq(
+          // live key type (labels are node ids), not a hardcoded LongType —
+          // r17 advice item 2
           org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType),
+            e.schema("src").dataType),
           org.apache.spark.sql.types.StructField("label",
-            org.apache.spark.sql.types.LongType))))
+            e.schema("src").dataType))))
       var lab = e.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
       (1 to 4).foreach { _ =>

@@ -76,7 +76,7 @@ private[graft] object RegistryRound15 {
     * length+1 variant rows, so the join input is O(groups · len) with
     * bucket occupancy bounded by the near-neighbor density, never by the
     * corpus row count. Verify kills variant collisions at distance 2. */
-  private def nameGroupPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nameGroupPairs(s: SparkSession, dir: String): DataFrame = {
     // checkpoint both frames: g feeds the variant explode AND two gather
     // joins; v feeds BOTH sides of the candidate self-join — without the
     // barriers the groupBy and the length(c_name)-way substring explode
@@ -104,6 +104,27 @@ private[graft] object RegistryRound15 {
       .filter(col("dist") <= 1)
       .select(col("gid_a"), col("gid_b"), col("dist"),
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+  }
+
+  /** The SHARED distinct-name fuzzy-pair table — [[nameGroupPairs]]
+    * materialized once per (input dir) per JVM and read back as parquet by
+    * its three registered consumers: q445 emits it, q446 closes components
+    * over it, and the q127/q203 twin aliases re-run those two. Before this
+    * index each consumer re-derived the full pipeline (distinct-name
+    * groupBy → deletion-variant explode → variant self-join → Levenshtein
+    * verify — the most expensive block in the registry's top-3 keys); now
+    * the derivation runs once per run, the copurchaseEdges/dedupIndex
+    * convention (r17 verdict item 7 — an in-run shared artifact, never a
+    * cross-run cache: the Materialize key folds in the customer table's
+    * content fingerprint and every new JVM recomputes). */
+  private def nameGroupPairsIndex(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idxDir = s"${SparkEntry.TMP}/name_pairs/${safe}_del1"
+    val cust = T(s, dir, "customer")
+    graft.storage.Materialize.once(graft.storage.Materialize.key(idxDir, cust)) {
+      nameGroupPairs(s, dir).write.mode("overwrite").parquet(idxDir)
+    }
+    s.read.parquet(idxDir)
   }
 
   /** q447's pre-barrier pipeline (exposed for PlanSpec: the registered key
@@ -271,7 +292,7 @@ private[graft] object RegistryRound15 {
       // (q127's blocks grow ∝ n when names repeat: 22x at sf1). Full
       // recall at dist <= 1, unlike q127's prefix/suffix passes (hole at
       // positions 11-16 of an 18-char name).
-      nameGroupPairs(s, dir).orderBy("gid_a", "gid_b")),
+      nameGroupPairsIndex(s, dir).orderBy("gid_a", "gid_b")),
     "q446_er_groups" -> ((s, dir) => {
       // q203's MDM closure run on the GROUP graph: min-label connected
       // components over q445's distinct-name pairs, every group stamped
@@ -284,7 +305,7 @@ private[graft] object RegistryRound15 {
       // ER — which makes the gate pin full min-label convergence across
       // the component diameter.
       val g = nameGroups(s, dir).localCheckpoint() // read by 2 branches
-      val pairs = nameGroupPairs(s, dir)
+      val pairs = nameGroupPairsIndex(s, dir)
         .select(col("gid_a").as("id_a"), col("gid_b").as("id_b"))
       val comp = Dedup.connectedComponents(pairs)
       val m = g.join(comp, g("gid") === comp("node"), "left")

@@ -293,11 +293,36 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 3L, 3L), (2L, 2L, 1L, 4L), (3L, 3L, 1L, 5L)))
   }
 
-  test("greedySetCover fails loudly when the covered broadcast would exceed the bound") {
+  test("greedySetCover single-pass and iterative arms pick identically") {
+    // the GraphSpec strategy-equality discipline: both arms on a corpus
+    // with overlap, ties, an exhaustion point, and an untouched doc
+    val pairs = (1L to 40L).flatMap { d =>
+      (0L until (d % 7 + 1)).map(t => (d, s"t${(d * 3 + t * 5) % 23}"))
+    }.toDF("doc_id", "tok")
+    val arms = Seq(Some(true), Some(false)).map { arm =>
+      Curation.greedySetCover(spark, pairs, rounds = 6, singlePass = arm)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(arms(0) == arms(1), s"single-pass ${arms(0)} != iterative ${arms(1)}")
+    assert(arms(0).nonEmpty)
+  }
+
+  test("greedySetCover fails loudly when the covered vocabulary would exceed the bound") {
     val pairs = (1L to 50L).map(t => (1L, s"t$t")).toDF("doc_id", "tok")
+    // iterative arm: the per-round driver check throws at call time
     val e = intercept[IllegalArgumentException] {
-      Curation.greedySetCover(spark, pairs, rounds = 2, maxCoveredRows = 10L)
+      Curation.greedySetCover(spark, pairs, rounds = 2, maxCoveredRows = 10L,
+        singlePass = Some(false))
     }
     assert(e.getMessage.contains("maxCoveredRows"))
+    // single-pass arm: the walk runs inside the aggregate, so the require
+    // surfaces at action time (wrapped by the task runner) — still loud
+    val e2 = intercept[Throwable] {
+      Curation.greedySetCover(spark, pairs, rounds = 2, maxCoveredRows = 10L,
+        singlePass = Some(true)).collect()
+    }
+    val msgs = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxCoveredRows"), msgs)
   }
 }

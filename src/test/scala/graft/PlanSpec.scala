@@ -1588,9 +1588,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("name-group join: candidates come from a variant equi-join on the distinct-name frame (q445)") {
-    val plan = q("q445_name_group_join")
+    // the registered key reads the shared materialized pair index — assert
+    // the BUILD pipeline's shape (the confirmPrunedInner/q447 convention)
+    val inner = RegistryRound15.nameGroupPairs(spark, dir)
+    inner.collect()
+    val plan = finalPlan(inner)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"deletion-neighborhood blocking must stay an equi-join:\n$plan")
+    // and the registered key itself must stay join-free: one index scan
+    val keyPlan = q("q445_name_group_join")
+    assert(!keyPlan.contains("CartesianProduct"), keyPlan)
   }
 
   test("pruned confirm: estimate gate reaches the pair index scan; gated pairs broadcast (q447)") {
